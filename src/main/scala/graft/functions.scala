@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Public column-function surface of the engine. Everything here is either a
+  * composition of codegen'd built-ins or a native catalyst Expression — no
+  * Scala UDFs (SURVEY.md §7.4: "Functions, not UDFs").
+  */
+object functions {
+
+  /** H3-role grid cell from (lat, lon, res) — see [[graft.expressions.GeoCell]]. */
+  def geo_cell(lat: Column, lon: Column, res: Column): Column =
+    expressions.col(expressions.GeoCell(
+      expressions.expr(lat), expressions.expr(lon), expressions.expr(res)))
+
+  def geo_cell(lat: Column, lon: Column, res: Int): Column = geo_cell(lat, lon, lit(res))
+
+  /** 1-D variant used against the testdata `events.value` column (FIXTURES.md §3:
+    * `value` plays the position role). `cell = floor(value / (500 / 2^res))` —
+    * SQL-expressible for the DuckDB oracle as
+    * `CAST(FLOOR(value / width) AS BIGINT)`.
+    */
+  def pos_cell(value: Column, res: Int): Column = {
+    val width = posCellWidth(res)
+    floor(value / lit(width)).cast("long")
+  }
+
+  /** Cell width for [[pos_cell]]: the events `value` domain is [0, 500); the
+    * resolution halves the width per step, mirroring H3's res ladder.
+    */
+  def posCellWidth(res: Int): Double = 500.0 / (1L << res)
+
+  /** Bit-exact reference bucket hash — see [[graft.expressions.StableHashBucket]]
+    * (`ais_pipeline.py:532-535`).
+    */
+  def stable_bucket(value: Column, numBuckets: Int): Column =
+    expressions.col(expressions.StableHashBucket(
+      expressions.expr(value.cast("string")), expressions.expr(lit(numBuckets))))
+
+  /** Tiered timestamp normalizer — port of the reference's messy-NOAA-timestamp
+    * COALESCE chain (`sql/gold/create_uid_hourly_h3.sql:30-43`,
+    * `refresh_gold_tables.py:101-114`). Accepts, in order:
+    *   1. `YYYY-MM-DD HH:MM:SS[.fff]`          (plain, assumed UTC)
+    *   2. `YYYY-MM-DDTHH:MM:SS[.fff]`          (ISO T separator)
+    *   3. trailing `Z` or `±HH:MM` offset      (normalized to UTC)
+    * Unparsable input → NULL (dropped downstream, P5 / `ais_pipeline.py:508`).
+    * Session timezone must be UTC (enforced in build.sbt / session builders).
+    */
+  def normalize_ts(s: Column): Column = {
+    // canonical form: space separator, no zone suffix -> parsed as UTC wall time
+    val plain = try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss"))
+    val plainFrac = try_to_timestamp(s, lit("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    val isoT = try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss"))
+    val isoTFrac = try_to_timestamp(s, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+    // zone-suffixed (Z or +hh:mm): let Spark's ISO parser handle the offset
+    val zoned = when(s.rlike("[Tt].*([Zz]|[+-]\\d{2}:?\\d{2})$"),
+      try_to_timestamp(regexp_replace(s, "[Tt]", "T")))
+    coalesce(plain, plainFrac, isoT, isoTFrac, zoned)
+  }
+
+  /** Szymkiewicz–Simpson overlap coefficient `|A∩B| / min(|A|,|B|)` with the
+    * reference's NULLIF zero-denominator guard (`create_pairs_daily.sql:23-27`,
+    * metric rationale `README.md:155-170`).
+    */
+  def overlap_coef(shared: Column, cntA: Column, cntB: Column): Column =
+    shared.cast("double") / nullif(least(cntA, cntB).cast("double"), lit(0.0))
+}

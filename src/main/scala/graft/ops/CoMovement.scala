@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{overlap_coef, pos_cell}
+
+/** The semantic heart of the reference: co-movement discovery.
+  *
+  * Pipeline (reference shape):
+  *   hourly rollup (`sql/gold/create_uid_hourly_h3.sql:56-72`)
+  *   → hex-grid self-join on (dt, hour, cell) with `a.uid < b.uid`
+  *     (`sql/gold/create_pairs_daily.sql:47-52`)
+  *   → per-pair-day distinct counts + per-ship-day stats
+  *     (`create_pairs_daily.sql:34-39,57-78`)
+  *   → Szymkiewicz–Simpson overlaps + GTO score (`create_pairs_daily.sql:23-28`)
+  *   → lifetime per-pair summary (`sql/gold/create_pairs_total.sql:11-21`).
+  *
+  * Scale design: the self-join shuffles once on (dt, hr, cell) — both sides are
+  * the *same* hourly plan with the same partitioning, so Spark reuses the
+  * exchange. `shipDay` is computed once and joined twice (the reference pastes
+  * the subquery twice, `create_pairs_daily.sql:57-78`; Catalyst dedups ours via
+  * exchange/subquery reuse). The `gT > 1` quality filter is applied directly
+  * after the pair aggregation so it prunes before the stats joins.
+  */
+object CoMovement {
+
+  /** Hourly vessel/user rollup (A1 + U1): one row per (uid, hour) with mean
+    * position quantized to an equi-joinable grid cell. `uidCol`/`tsCol`/`posCol`
+    * name columns of the input; the testdata role mapping is
+    * user_id↔mmsi, ts↔base_date_time, value↔position (FIXTURES.md §3).
+    */
+  def hourlyRollup(events: DataFrame, uidCol: String, tsCol: String,
+                   posCol: String, res: Int): DataFrame =
+    events
+      .filter(col(uidCol).isNotNull && col(tsCol).isNotNull &&
+        col(posCol).between(0.0, 500.0))
+      .groupBy(col(uidCol).as("uid"), date_trunc("hour", col(tsCol)).as("hour_ts"))
+      .agg(count(lit(1)).as("message_count"), avg(col(posCol)).as("avg_pos"))
+      .select(col("uid"), col("hour_ts"),
+        to_date(col("hour_ts")).as("dt"), hour(col("hour_ts")).as("hr"),
+        col("message_count"), col("avg_pos"),
+        pos_cell(col("avg_pos"), res).as("cell"))
+
+  /** Daily vessel-pair co-movement scores from an hourly table with columns
+    * (uid, dt, hr, cell). Output matches the reference's pairs_daily contract
+    * (`refresh_gold_tables.py:336-350`): uid_a, uid_b, day_date, hA, hB, gA,
+    * gB, hT, gT, temporal_o, spatial_o, gto.
+    */
+  def pairsDaily(hourly: DataFrame): DataFrame = {
+    val h = hourly.select("uid", "dt", "hr", "cell")
+
+    // self-join on the quantized space-time key; uid_a < uid_b kills
+    // self-pairs and symmetric duplicates (create_pairs_daily.sql:52)
+    val a = h.toDF("uid_a", "dt", "hr", "cell")
+    val b = h.toDF("uid_b", "dt", "hr", "cell")
+    val pairHours = a.join(b, Seq("dt", "hr", "cell"))
+      .filter(col("uid_a") < col("uid_b"))
+
+    val pairAgg = pairHours.groupBy("uid_a", "uid_b", "dt")
+      .agg(countDistinct(col("hr")).as("hT"), countDistinct(col("cell")).as("gT"))
+      .filter(col("gT") > 1) // quality gate (create_pairs_daily.sql:79), pushed early
+
+    // per-ship-day stats: computed ONCE, joined to both pair legs
+    val shipDay = h.groupBy("uid", "dt")
+      .agg(count(lit(1)).as("win_cnt"), countDistinct(col("cell")).as("geo_cnt"))
+
+    val statsA = shipDay.select(col("uid").as("uid_a"), col("dt"),
+      col("win_cnt").as("hA"), col("geo_cnt").as("gA"))
+    val statsB = shipDay.select(col("uid").as("uid_b"), col("dt"),
+      col("win_cnt").as("hB"), col("geo_cnt").as("gB"))
+
+    pairAgg
+      .join(statsA, Seq("uid_a", "dt"))
+      .join(statsB, Seq("uid_b", "dt"))
+      .select(col("uid_a"), col("uid_b"), col("dt").as("day_date"),
+        col("hA"), col("hB"), col("gA"), col("gB"), col("hT"), col("gT"),
+        overlap_coef(col("hT"), col("hA"), col("hB")).as("temporal_o"),
+        overlap_coef(col("gT"), col("gA"), col("gB")).as("spatial_o"))
+      .withColumn("gto", lit(0.5) * (col("temporal_o") + col("spatial_o")))
+  }
+
+  /** All-time per-pair summary (`sql/gold/create_pairs_total.sql:11-21`):
+    * days observed, days above the GTO threshold, min/max/avg/median GTO.
+    * Exact `percentile` (not approx) for oracle determinism (SURVEY.md §7.5).
+    */
+  def pairsTotal(pairsDaily: DataFrame, threshold: Double): DataFrame =
+    pairsDaily.groupBy("uid_a", "uid_b").agg(
+      countDistinct(col("day_date")).as("total_days_observed"),
+      sum(when(col("gto") >= threshold, 1L).otherwise(0L)).as("days_above_threshold"),
+      max(col("gto")).as("max_gto"),
+      min(col("gto")).as("min_gto"),
+      avg(col("gto")).as("avg_gto"),
+      expr("percentile(gto, 0.5)").as("median_gto"))
+}

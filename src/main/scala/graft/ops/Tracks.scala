@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Track/cohort serving queries: the Spark re-expression of
+  * `apps/export_tracks_to_explore.py` (parameterized cohort export) and
+  * `apps/track_explorer.py` (path assembly, top-k selection).
+  */
+object Tracks {
+
+  /** Cohort export (J3 + P2/P4 + O1): semi-join on a small id cohort, half-open
+    * time window, position range filter, global sort
+    * (`export_tracks_to_explore.py:31-69`). The cohort is tiny (a `VALUES`
+    * list in the reference) → broadcast left-semi join; at 100 TB the big side
+    * never shuffles for this join.
+    */
+  def trackExport(events: DataFrame, cohort: Seq[Long],
+                  tsFrom: String, tsUntil: String): DataFrame = {
+    val cohortDf = events.sparkSession.createDataFrame(
+      cohort.map(java.lang.Long.valueOf).map(Tuple1(_))).toDF("user_id")
+    events
+      .join(broadcast(cohortDf), Seq("user_id"), "left_semi")
+      .filter(col("ts") >= lit(tsFrom).cast("timestamp") &&
+        col("ts") < lit(tsUntil).cast("timestamp") &&
+        col("value").between(0.0, 500.0))
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .orderBy(col("ts_ms"), col("user_id"), col("event_id"))
+  }
+
+  /** Trajectory path assembly (A11, `track_explorer.py:53-84`): per-track
+    * ordered point list. Encoded as a canonical string (`ts_ms,event_id,pos_u`
+    * joined by `|`) so the DuckDB oracle (`string_agg ... ORDER BY`) hashes
+    * identically — raw float formatting differs across engines, so positions
+    * are scaled to integer micro-units first.
+    */
+  def trackPaths(events: DataFrame, minPoints: Int): DataFrame = {
+    val pts = events.select(
+      col("user_id"),
+      unix_millis(col("ts")).as("ts_ms"),
+      col("event_id"),
+      floor(col("value") * lit(1000000.0)).as("pos_u"))
+    pts
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts_ms"), col("event_id"), col("pos_u"))))
+        .as("pts"))
+      .filter(size(col("pts")) > minPoints)
+      .select(col("user_id"), size(col("pts")).as("n_points"),
+        array_join(transform(col("pts"), p =>
+          concat_ws(",", p("ts_ms"), p("event_id"), p("pos_u"))), "|").as("path"))
+      .orderBy("user_id")
+  }
+
+  /** Top-k tracks by sample count (O3, `track_explorer.py:221,234`); ties broken
+    * by id for determinism.
+    */
+  def topTracks(events: DataFrame, k: Int): DataFrame =
+    events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .orderBy(col("n_events").desc, col("user_id"))
+      .limit(k)
+
+  /** Latest-row-per-key dedup via window (the data-contract-recommended
+    * consumer pattern, `docs/data_contracts.md:113`): keep the newest event per
+    * (user_id, hour), full deterministic tie-break.
+    */
+  def windowDedup(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // order on epoch micros, not raw ts: the parquet stores ns, Spark reads µs,
+    // so the oracle must rank at the same (µs) precision
+    val w = Window.partitionBy(col("user_id"), date_trunc("hour", col("ts")))
+      .orderBy(unix_micros(col("ts")).desc, col("event_id").desc)
+    events
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), unix_millis(date_trunc("hour", col("ts"))).as("hour_ms"),
+        col("event_id"), col("value"))
+      .orderBy(col("user_id"), col("hour_ms"))
+  }
+}

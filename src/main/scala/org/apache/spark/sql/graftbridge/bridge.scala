@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge between the public Column API and catalyst Expressions.
+  *
+  * Spark 4 Columns wrap ColumnNodes, not Expressions, and the converter
+  * (`ExpressionUtils`) is `private[sql]` — so this one file lives under the
+  * `org.apache.spark.sql` namespace to reach it. Everything else in the
+  * engine stays in `graft.*` against public API only.
+  */
+object bridge {
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+}
