@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.ops.{CoMovement, Tracks}
+import graft.ops.{CoMovement, Dedup, Similarity, TextOps, Tracks}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -37,7 +37,7 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // A1 + U1: hourly rollup with grid cell (create_uid_hourly_h3.sql:56-72)
     "uid_hourly" -> ((s, d) => hourly(s, d)
       .select(col("uid").as("user_id"), unix_millis(col("hour_ts")).as("hour_ms"),
@@ -90,6 +90,72 @@ object SparkEntry {
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")),
+  ) ++ textQueries ++ embedQueries
+
+  /** Training-data pipeline: text analysis + dedup ladder over `documents`. */
+  private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting (whitespace + BPE-ish regex)
+    "token_count" -> ((s, d) =>
+      TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // language-ID (stopword-marker heuristic, deterministic argmax)
+    "lang_id" -> ((s, d) =>
+      TextOps.languageId(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // quality scoring (length/punct/stopword/case ratios + composite)
+    "text_quality" -> ((s, d) =>
+      TextOps.qualityScores(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // exact dedup: canonical md5 fingerprint + keep-first flag
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // n-gram Jaccard near-dup pairs (3-token shingles, keyed join)
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    // MinHash + LSH candidate pairs (k=8 string-ordered minhashes, bands of 2)
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          k = 8, rowsPerBand = 2, n = 3)
+        .orderBy("doc_a", "doc_b")),
+
+    // SimHash-64 signatures (two unsigned 32-bit halves)
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+  )
+
+  /** Similarity search over the `embeddings` table (64-dim float vectors). */
+  val LshPlanes = 8
+  val EmbedDims = 64
+  val EmbedDupThreshold = 0.3
+
+  private def embedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force exact cosine top-k (the ANN correctness baseline)
+    "embed_topk" -> ((s, d) =>
+      Similarity.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+        .select(col("q"), col("n").as("n_id"), round(col("sim"), 6).as("sim"), col("rn"))
+        .orderBy("q", "rn")),
+
+    // random-hyperplane LSH buckets (the scale path's candidate generator)
+    "embed_lsh" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Similarity.lshBuckets(Tables.embeddings(s, d), "vec_id", "embedding",
+          LshPlanes, EmbedDims)
+        .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .orderBy("vec_id")
+    }),
+
+    // embedding-cosine near-dup pairs, LSH-bucketed
+    "dedup_embed" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          LshPlanes, EmbedDims, EmbedDupThreshold)
+        .select(col("id_a"), col("id_b"), col("bucket"), round(col("sim"), 6).as("sim"))
+        .orderBy("id_a", "id_b")),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -206,5 +272,172 @@ object SparkEntry {
         |       round(avg(l_discount), 6) AS avg_disc,
         |       CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  ) ++ textOracle ++ embedOracle
+
+  // ------------------------------------------------- text / dedup oracle SQL
+
+  private def markerList(lang: String): String =
+    TextOps.LangMarkers.find(_._1 == lang).get._2.map(m => s"'$m'").mkString(", ")
+
+  /** Distinct 3-token shingles per doc (list comprehension; empty for <3 toks
+    * exactly like the Spark-side `when(size >= 3, ...)` guard).
+    */
+  private val ShingleCte =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      |sh AS (SELECT doc_id,
+      |  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+      |                        for i in range(1, len(ts)-1)])) AS shingle
+      |FROM toks)""".stripMargin
+
+  private def textOracle: Map[String, String] = Map(
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS bpe_tokens,
+        |  CAST(length(text) AS INTEGER) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" -> {
+      val scores = TextOps.LangMarkers.map { case (l, _) =>
+        s"CAST(len(list_filter(ts, t -> t IN (${markerList(l)}))) AS INTEGER) AS score_$l"
+      }.mkString(",\n  ")
+      val scoreCols = TextOps.LangMarkers.map { case (l, _) => s"score_$l" }
+      val best = scoreCols.mkString("greatest(", ", ", ")")
+      val pred = TextOps.LangMarkers.map { case (l, _) =>
+        s"WHEN score_$l = $best THEN '$l'"
+      }.mkString("CASE ", " ", "END")
+      s"""WITH s AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |sc AS (SELECT doc_id,
+         |  $scores
+         |FROM s)
+         |SELECT doc_id, ${scoreCols.mkString(", ")}, $pred AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "text_quality" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  CAST(length(text) AS DOUBLE) AS n_chars,
+         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+         |  CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper_c,
+         |  CAST(len(list_filter(string_split(text, ' '),
+         |       t -> t IN (${markerList("en")}))) AS DOUBLE) AS stop_c
+         |FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  round(punct / n_chars, 6) AS punct_ratio,
+         |  round(stop_c / n_tokens, 6) AS stopword_ratio,
+         |  round(upper_c / n_chars, 6) AS upper_ratio,
+         |  round(CAST(0.4 AS DOUBLE) * (CASE WHEN n_chars BETWEEN 100 AND 400 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END)
+         |      + CAST(0.3 AS DOUBLE) * (CASE WHEN stop_c / n_tokens BETWEEN 0.01 AND 0.5 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |      + CAST(0.3 AS DOUBLE) * (CASE WHEN punct / n_chars <= 0.1 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 6)
+         |    AS quality_score
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents),
+        |r AS (SELECT doc_id, fp,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
+        |SELECT doc_id, fp, rn > 1 AS is_dup FROM r ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""$ShingleCte,
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+         |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""$ShingleCte,
+         |mh AS (SELECT doc_id, i,
+         |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM sh, range(8) r(i) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+         |    string_agg(h, '|' ORDER BY i) AS bucket
+         |  FROM mh GROUP BY 1, 2)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS bands_shared
+         |FROM sig a JOIN sig b
+         |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |bits AS (SELECT doc_id, j,
+        |    ((strpos('0123456789abcdef',
+        |              substr(md5(tok), CAST(j // 4 AS INTEGER) + 1, 1)) - 1)
+        |     // CAST(pow(2, j % 4) AS INTEGER)) % 2 AS bit
+        |  FROM tk, range(64) r(j)),
+        |acc AS (SELECT doc_id, j, sum(2 * bit - 1) AS s FROM bits GROUP BY 1, 2),
+        |sb AS (SELECT doc_id, j, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b FROM acc)
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN j < 32 THEN b * pow(2, j) ELSE 0 END) AS BIGINT) AS simhash_lo,
+        |  CAST(sum(CASE WHEN j >= 32 THEN b * pow(2, j - 32) ELSE 0 END) AS BIGINT) AS simhash_hi
+        |FROM sb GROUP BY 1 ORDER BY doc_id""".stripMargin,
+  )
+
+  // ------------------------------------------------- similarity oracle SQL
+
+  /** Left-associative explicit dot-product chain — bit-matches the strict
+    * in-order fold of [[graft.expressions.VecDot]].
+    */
+  private def dotChain(a: String, b: String): String =
+    (1 to EmbedDims).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+
+  /** `0 ± v[1] ± v[2] …` hyperplane projection with the same md5-parity signs
+    * the Spark side bakes in via [[Similarity.planeSigns]].
+    */
+  private def signChain(signs: Array[Double], v: String): String =
+    "0" + signs.zipWithIndex.map { case (s, i) =>
+      (if (s > 0) " + " else " - ") + s"$v[${i + 1}]"
+    }.mkString
+
+  private def bucketSql(v: String): String = {
+    val signs = Similarity.planeSigns(LshPlanes, EmbedDims)
+    (0 until LshPlanes).map { p =>
+      s"(CASE WHEN ${signChain(signs(p), v)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString(" + ")
+  }
+
+  private val NormCte =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |nrm AS (SELECT vec_id, v, sqrt(${dotChain("v", "v")}) AS nr FROM e)""".stripMargin
+
+  private def embedOracle: Map[String, String] = Map(
+    "embed_topk" ->
+      s"""$NormCte,
+         |p AS (SELECT a.vec_id AS q, b.vec_id AS n_id,
+         |    (${dotChain("a.v", "b.v")}) / nullif(a.nr * b.nr, 0) AS sim
+         |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER
+         |    (PARTITION BY q ORDER BY sim DESC, n_id) AS rn FROM p)
+         |SELECT q, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 5
+         |ORDER BY q, rn""".stripMargin,
+
+    "embed_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, ${bucketSql("v")} AS bucket FROM e)
+         |SELECT vec_id, bucket,
+         |  CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
+         |FROM b ORDER BY vec_id""".stripMargin,
+
+    "dedup_embed" ->
+      s"""$NormCte,
+         |bk AS (SELECT vec_id, ${bucketSql("v")} AS bucket FROM e),
+         |j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ba.bucket,
+         |    (${dotChain("a.v", "b.v")}) / nullif(a.nr * b.nr, 0) AS sim
+         |  FROM nrm a JOIN bk ba ON ba.vec_id = a.vec_id
+         |  JOIN bk bb ON bb.bucket = ba.bucket
+         |  JOIN nrm b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b, bucket, round(sim, 6) AS sim
+         |FROM j WHERE sim >= $EmbedDupThreshold ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -59,6 +59,13 @@ object functions {
     coalesce(plain, plainFrac, isoT, isoTFrac, zoned)
   }
 
+  /** Codegen'd dot product of two array<double> columns — see
+    * [[graft.expressions.VecDot]]. Strict in-order summation (bit-matches a
+    * left-associative SQL `a[1]*b[1] + …` chain).
+    */
+  def vec_dot(a: Column, b: Column): Column =
+    expressions.col(expressions.VecDot(expressions.expr(a), expressions.expr(b)))
+
   /** Szymkiewicz–Simpson overlap coefficient `|A∩B| / min(|A|,|B|)` with the
     * reference's NULLIF zero-denominator guard (`create_pairs_daily.sql:23-27`,
     * metric rationale `README.md:155-170`).

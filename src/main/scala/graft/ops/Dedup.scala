@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`.
+  * Four tiers, cheapest first — the standard large-corpus dedup ladder:
+  *
+  *   1. exact (hash-groupBy on a canonical fingerprint)        — one shuffle
+  *   2. MinHash + LSH (shingle → minhash sig → band buckets)   — candidate
+  *      pairs come from equi-joins on band buckets, never an all-pairs join
+  *   3. SimHash (64-bit near-dup signature, one narrow pass)
+  *   4. n-gram Jaccard (exact set overlap on candidate pairs)
+  *
+  * Scale design: every pairwise step is keyed (shingle id or band bucket), so
+  * the join fanout is bounded by real collisions, not n². At 100 TB the
+  * shingle→doc list is the classic skew risk (stopword-like shingles); the
+  * declared queries shingle at 3 tokens which keeps per-key fanout bounded,
+  * and a `maxDocsPerShingle` guard drops degenerate keys the way production
+  * MinHash pipelines drop stop-shingles.
+  */
+object Dedup {
+
+  /** 3-token shingles (distinct): the unit of near-dup comparison. Guarded for
+    * texts shorter than `n` tokens (Spark `sequence(1,0)` would descend).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ts = TextOps.tokens(text)
+    when(size(ts) >= n,
+      array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup (hash-groupBy): fingerprint + keep-first flag per group.
+    * `is_dup` marks every row after the lowest id with an identical
+    * fingerprint — the exact-hash tier of the dedup ladder.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
+      .withColumn("rn", row_number().over(w))
+      .select(col(idCol), col("fp"), (col("rn") > 1).as("is_dup"))
+  }
+
+  /** n-gram Jaccard near-dup pairs: explode distinct shingles, equi-join on
+    * shingle (keyed, not all-pairs), Jaccard = |∩| / |∪|. `threshold` prunes
+    * the candidate set; `maxDocsPerShingle` drops degenerate high-frequency
+    * shingles before the join (skew guard — a shingle shared by d docs costs
+    * d² pair rows).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        maxDocsPerShingle: Int = Int.MaxValue): DataFrame = {
+    val sh0 = df.select(col(idCol).as("doc_id"),
+        explode(shingles(col(textCol), n)).as("shingle"))
+    val sh =
+      if (maxDocsPerShingle == Int.MaxValue) sh0
+      else {
+        val wc = Window.partitionBy(col("shingle"))
+        sh0.withColumn("df_cnt", count(lit(1)).over(wc))
+          .filter(col("df_cnt") <= maxDocsPerShingle).drop("df_cnt")
+      }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val shared = sh.toDF("doc_a", "shingle")
+      .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
+      .join(sizes.toDF("doc_b", "nb"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** MinHash signatures: k independent min-hashes per doc, where hash i of a
+    * shingle is the (lexicographically ordered) md5 of `"i:shingle"` — a
+    * string-ordered MinHash that both engines compute bit-identically. One
+    * explode + one groupBy; no pairwise work.
+    */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       k: Int, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .crossJoin(spark_range_df(df, k))
+      .groupBy("doc_id", "i")
+      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle")))).as("h"))
+
+  private def spark_range_df(df: DataFrame, k: Int): DataFrame =
+    df.sparkSession.range(k).toDF("i")
+
+  /** MinHash + LSH candidate pairs: band the k-row signature into
+    * `k / rowsPerBand` buckets; docs sharing any band bucket are candidates.
+    * The pair join is an equi-join on (band, bucket) — the LSH trick that
+    * makes near-dup detection linear-ish at corpus scale.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+    val sig = minhashSignature(df, idCol, textCol, k, n)
+      .groupBy(col("doc_id"), (col("i") / rowsPerBand).cast("int").as("band"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("i"), col("h")))), s => s("h")), "|")
+        .as("bucket"))
+    sig.toDF("doc_a", "band", "bucket")
+      .join(sig.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("bands_shared"))
+  }
+
+  /** SimHash-64: per-token md5, bit j of the hash votes ±1 on signature bit j;
+    * sign of the vote sum is the bit. Emitted as two unsigned 32-bit halves
+    * (lo = bits 0..31) so the value stays in signed BIGINT range on every
+    * engine. Bit j of md5 = bit (j mod 4) of hex digit (j div 4) — defined on
+    * the hex string so SQL engines reproduce it exactly.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bits = df.select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(63))).as("j"))
+      .select(col("doc_id"), col("j"),
+        (hexDigitVal(col("h"), col("j")) / pow(lit(2.0), col("j") % 4))
+          .cast("int").mod(2).as("bit"))
+    bits.groupBy("doc_id", "j")
+      .agg(sum(col("bit") * 2 - 1).as("s"))
+      .select(col("doc_id"), col("j"), when(col("s") > 0, 1).otherwise(0).as("b"))
+      .groupBy("doc_id")
+      .agg(
+        sum(when(col("j") < 32, col("b") * pow(lit(2.0), col("j"))).otherwise(0.0))
+          .cast("long").as("simhash_lo"),
+        sum(when(col("j") >= 32, col("b") * pow(lit(2.0), col("j") - 32)).otherwise(0.0))
+          .cast("long").as("simhash_hi"))
+  }
+
+  /** Value 0..15 of hex digit `j div 4` (1-based substr) of md5 hex string.
+    * `conv(c, 16, 10)` on one hex char — codegen'd, no locate-on-column needed.
+    */
+  private def hexDigitVal(h: Column, j: Column): Column =
+    conv(h.substr((j / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
+}

