@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.CoMovement
+
+/** Golden-fixture spec for the co-movement pipeline: the hand-computed
+  * scenario from FIXTURES.md §2 (mirroring README.md:164-168's motivating
+  * example): a sparse transmitter fully contained in a dense track scores
+  * overlap 1.0; single-shared-cell pairs are dropped by the gT>1 gate;
+  * symmetric/self pairs never appear.
+  */
+class CoMovementSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Res = 3 // width 62.5 over [0,500)
+
+  private def ts(hour: Int, min: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2025-01-01 $hour%02d:$min%02d:00")
+
+  // B (uid 2): 24 hours, cells cycling 0..7  → win=24, geo=8
+  // A (uid 1): hours 0..5 co-located with B  → win=6,  geo=6, subset of B
+  // C (uid 3): hour 0 only, co-located cell 0 → every pair with C has gT=1
+  private lazy val events = {
+    val b = (0 until 24).map(h => (2L, ts(h), (h % 8) * 62.5 + 1.0))
+    val a = (0 until 6).map(h => (1L, ts(h), (h % 8) * 62.5 + 1.0))
+    val c = Seq((3L, ts(0), 1.0))
+    (a ++ b ++ c).toDF("user_id", "ts", "value")
+  }
+
+  private lazy val hourly =
+    CoMovement.hourlyRollup(events, "user_id", "ts", "value", Res)
+  private lazy val pairs = CoMovement.pairsDaily(hourly).collect()
+
+  test("hourly rollup: one row per (uid, hour), correct counts") {
+    val h = hourly.collect()
+    assert(h.length === 6 + 24 + 1)
+    val byUid = h.groupBy(_.getAs[Long]("uid")).view.mapValues(_.length).toMap
+    assert(byUid === Map(1L -> 6, 2L -> 24, 3L -> 1))
+  }
+
+  test("subset track scores overlap 1.0 on both axes (the GTO motivating case)") {
+    assert(pairs.length === 1) // only (1,2); pairs with C die on gT>1
+    val p = pairs.head
+    assert(p.getAs[Long]("uid_a") === 1L && p.getAs[Long]("uid_b") === 2L)
+    assert(p.getAs[Long]("hT") === 6L && p.getAs[Long]("gT") === 6L)
+    assert(p.getAs[Long]("hA") === 6L && p.getAs[Long]("hB") === 24L)
+    assert(p.getAs[Long]("gA") === 6L && p.getAs[Long]("gB") === 8L)
+    assert(p.getAs[Double]("temporal_o") === 1.0)
+    assert(p.getAs[Double]("spatial_o") === 1.0)
+    assert(p.getAs[Double]("gto") === 1.0)
+  }
+
+  test("pair table never contains uid_a >= uid_b") {
+    // also check on the real testdata at smoke scale
+    val real = CoMovement.pairsDaily(
+      CoMovement.hourlyRollup(
+        graft.engine.Tables.events(spark, "/root/testdata/sf0.001"),
+        "user_id", "ts", "value", SparkEntry.Res))
+    assert(real.filter(col("uid_a") >= col("uid_b")).count() === 0L)
+  }
+
+  test("pairs_total lifetime summary aggregates correctly on the fixture") {
+    val total = CoMovement.pairsTotal(
+      CoMovement.pairsDaily(hourly), threshold = 0.4).collect()
+    assert(total.length === 1)
+    val t = total.head
+    assert(t.getAs[Long]("total_days_observed") === 1L)
+    assert(t.getAs[Long]("days_above_threshold") === 1L)
+    assert(t.getAs[Double]("max_gto") === 1.0)
+    assert(t.getAs[Double]("median_gto") === 1.0)
+  }
+
+  test("out-of-range and null positions are filtered before rollup") {
+    val dirty = Seq(
+      (1L, ts(0), 600.0),           // out of [0,500]
+      (1L, ts(0), -1.0),
+      (2L, ts(1), 10.0)).toDF("user_id", "ts", "value")
+      .union(Seq((3L, Option.empty[Timestamp], Option(5.0)))
+        .toDF("user_id", "ts", "value"))
+    val h = CoMovement.hourlyRollup(dirty, "user_id", "ts", "value", Res).collect()
+    assert(h.length === 1)
+    assert(h.head.getAs[Long]("uid") === 2L)
+  }
+}

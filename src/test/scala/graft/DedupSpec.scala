@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Dedup, Similarity, TextOps}
+
+/** Unit specs for the dedup ladder + similarity ops (the oracle checks the
+  * full queries end-to-end; these pin the building blocks).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shingles: distinct 3-grams; short texts yield empty, not descending sequence") {
+    val df = Seq("a b c d", "a b", "", "x y z x y z").toDF("text")
+    val got = df.select(Dedup.shingles(col("text")).as("s"))
+      .as[Seq[String]].collect()
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq.empty)
+    assert(got(3) === Seq("x y z", "y z x", "z x y")) // distinct
+  }
+
+  test("exact dedup flags every copy after the first by id") {
+    val df = Seq((10L, "same  Text"), (7L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    // fingerprint collapses whitespace + case → 7 and 10 collide, 7 kept
+    val got = Dedup.exact(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getAs[Boolean]("is_dup")).toSeq === Seq(false, false, true))
+  }
+
+  test("ngram jaccard: identical docs score 1.0; skew guard drops hot shingles") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "q r s t u"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Double]("jaccard") === 1.0)
+    // guard: with maxDocsPerShingle=1 the shared shingles are dropped → no pairs
+    val guarded = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.0,
+      maxDocsPerShingle = 1).collect()
+    assert(guarded.isEmpty)
+  }
+
+  test("minhash LSH: identical docs share all bands, disjoint docs none") {
+    val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashLshPairs(df, "doc_id", "text", k = 8, rowsPerBand = 2)
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("doc_a") === 1L)
+    assert(got.head.getAs[Long]("doc_b") === 2L)
+    assert(got.head.getAs[Long]("bands_shared") === 4L)
+  }
+
+  test("simhash matches an independent scala recomputation") {
+    val text = "spark join shuffle spark"
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val row = Dedup.simhash(df, "doc_id", "text").collect().head
+
+    // independent model: per-token md5, hex-digit bit votes
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+    val votes = Array.fill(64)(0)
+    text.split(" ").foreach { tok =>
+      val h = md5hex(tok)
+      (0 until 64).foreach { j =>
+        val digit = Integer.parseInt(h.charAt(j / 4).toString, 16)
+        val bit = (digit >> (j % 4)) & 1
+        votes(j) += (if (bit == 1) 1 else -1)
+      }
+    }
+    def pack(lo: Int, hi: Int): Long =
+      (lo until hi).map(j => if (votes(j) > 0) 1L << (j - lo) else 0L).sum
+    assert(row.getAs[Long]("simhash_lo") === pack(0, 32))
+    assert(row.getAs[Long]("simhash_hi") === pack(32, 64))
+  }
+
+  test("plane signs are deterministic and balanced-ish") {
+    val s1 = Similarity.planeSigns(8, 64)
+    val s2 = Similarity.planeSigns(8, 64)
+    assert(s1.map(_.toSeq).toSeq === s2.map(_.toSeq).toSeq)
+    assert(s1.flatten.forall(v => v == 1.0 || v == -1.0))
+    val pos = s1.flatten.count(_ > 0)
+    assert(pos > 150 && pos < 350) // md5 parity ≈ balanced over 512 entries
+  }
+
+  test("lsh bucket co-location implies real similarity ordering (smoke on testdata)") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pairs = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      planes = 8, dims = 64, threshold = -1.0)
+    // all returned sims are valid cosines
+    val sims = pairs.select("sim").as[Double].collect()
+    assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
+  }
+
+  test("language id tie-break picks first language in marker order") {
+    val df = Seq((1L, "nothing matches here")).toDF("doc_id", "text")
+    val got = TextOps.languageId(df, "doc_id", "text").collect().head
+    assert(got.getAs[String]("pred_lang") === TextOps.LangMarkers.head._1)
+  }
+}

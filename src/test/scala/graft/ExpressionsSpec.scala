@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{GeoCell, StableHashBucket, VecDot}
+import graft.functions.{geo_cell, normalize_ts, overlap_coef, stable_bucket, vec_dot}
+
+/** Unit specs for the custom Catalyst expressions and column functions. */
+class ExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- GeoCell
+
+  test("GeoCell.cellId quantizes deterministically (width = 1/2^res)") {
+    assert(GeoCell.cellId(0.0, 0.0, 7) === "7:0:0")
+    assert(GeoCell.cellId(37.7749, -122.4194, 7) === s"7:${math.floor(37.7749 * 128).toLong}:${math.floor(-122.4194 * 128).toLong}")
+    // floor, not truncate: negative coords go down
+    assert(GeoCell.cellId(-0.001, -0.001, 0) === "0:-1:-1")
+  }
+
+  test("geo_cell column matches the scala function (eval + codegen paths)") {
+    val df = Seq((37.7749, -122.4194), (-33.8688, 151.2093), (0.0, 0.0))
+      .toDF("lat", "lon")
+    val rows = df.select(geo_cell(col("lat"), col("lon"), 7)).as[String].collect()
+    val want = Seq((37.7749, -122.4194), (-33.8688, 151.2093), (0.0, 0.0))
+      .map { case (a, b) => GeoCell.cellId(a, b, 7) }
+    assert(rows.toSeq === want)
+  }
+
+  test("geo_cell is null-safe") {
+    val df = Seq((Some(1.0), None: Option[Double])).toDF("lat", "lon")
+    assert(df.select(geo_cell(col("lat"), col("lon"), 7)).first().isNullAt(0))
+  }
+
+  // ------------------------------------------------------- StableHashBucket
+
+  test("StableHashBucket matches the reference python semantics bit-exactly") {
+    // expected = int(sha256(str(v).encode()).hexdigest()[:16], 16) % n
+    // (pipelines/ais_pipeline.py:532-535), vectors precomputed externally
+    val vectors96 = Seq(
+      ("123456789", 11L), ("987654321", 16L), ("0", 24L),
+      ("hello", 46L), ("366123456", 30L))
+    vectors96.foreach { case (s, want) =>
+      assert(StableHashBucket.bucket(s, 96) === want, s"bucket96($s)")
+    }
+    assert(StableHashBucket.bucket("123456789", 64) === 43L)
+    assert(StableHashBucket.bucket("987654321", 64) === 16L)
+  }
+
+  test("stable_bucket column is stable across invocations and rows") {
+    val df = Seq("123456789", "987654321", "hello").toDF("mmsi")
+    val a = df.select(stable_bucket(col("mmsi"), 96)).as[Long].collect().toSeq
+    val b = df.select(stable_bucket(col("mmsi"), 96)).as[Long].collect().toSeq
+    assert(a === b)
+    assert(a === Seq(11L, 16L, 46L))
+  }
+
+  // ----------------------------------------------------------------- VecDot
+
+  test("VecDot strict in-order fold matches manual loop") {
+    val a = Array(0.1, -0.2, 0.3, 1e-17, 1.0)
+    val b = Array(1.0, 2.0, -3.0, 1.0, 1e-17)
+    var want = 0.0
+    (0 until 5).foreach(i => want += a(i) * b(i))
+    val df = Seq((a.toSeq, b.toSeq)).toDF("a", "b")
+    val got = df.select(vec_dot(col("a"), col("b"))).as[Double].first()
+    assert(got === want) // bit-exact, not approx
+  }
+
+  test("vec_dot handles length mismatch via min-length") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0))).toDF("a", "b")
+    assert(df.select(vec_dot(col("a"), col("b"))).as[Double].first() === 14.0)
+  }
+
+  // ----------------------------------------------------------- overlap_coef
+
+  test("overlap coefficient: NULLIF zero-denominator yields null, subset yields 1.0") {
+    val df = Seq((6L, 6L, 24L), (3L, 0L, 5L), (2L, 4L, 4L)).toDF("shared", "a", "b")
+    val got = df.select(overlap_coef(col("shared"), col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) === 1.0)  // A ⊂ B: |A∩B|/min = 6/6 (README.md:164-168)
+    assert(got(1).isNullAt(0))           // min(0,5)=0 → NULLIF → null
+    assert(got(2).getDouble(0) === 0.5)
+  }
+
+  // ----------------------------------------------------------- normalize_ts
+
+  test("normalize_ts accepts every reference timestamp format branch") {
+    // branches of sql/gold/create_uid_hourly_h3.sql:30-43
+    val inputs = Seq(
+      "2025-01-01 00:03:07",        // plain, space separator
+      "2025-01-01T00:03:07",        // ISO T
+      "2025-01-01T00:03:07Z",       // zulu suffix
+      "2025-01-01T01:03:07+01:00",  // offset → same UTC instant
+      "2025-01-01 00:03:07.123456", // fractional
+      "notatime",                   // garbage → null
+      null)                         // null → null
+    val df = inputs.toDF("s").select(normalize_ts(col("s")).as("ts"))
+    val got = df.select(unix_micros(col("ts"))).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val base = 1735689787000000L // 2025-01-01T00:03:07Z in epoch micros
+    assert(got(0) === Some(base))
+    assert(got(1) === Some(base))
+    assert(got(2) === Some(base))
+    assert(got(3) === Some(base))
+    assert(got(4) === Some(base + 123456L))
+    assert(got(5) === None)
+    assert(got(6) === None)
+  }
+}
