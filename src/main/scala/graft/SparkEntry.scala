@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.ops.{CoMovement, Dedup, Similarity, TextOps, Tracks}
+import graft.ops.{CoMovement, Dedup, QualityChecks, Similarity, SilverIngest, TextOps, Tracks}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -90,7 +90,57 @@ object SparkEntry {
         round(avg(col("l_discount")), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")),
-  ) ++ textQueries ++ embedQueries
+  ) ++ aisExtraQueries ++ textQueries ++ embedQueries
+
+  /** Remaining reference-surface operators: the silver cleaning projection
+    * (F1/F14/P1/P5/P8/P9 — lineage columns excluded from the declared output
+    * because they are nondeterministic), DQ reconciliation (A10), quantile
+    * profiling (A7), and the days-seen histogram (A9).
+    */
+  private def aisExtraQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1+F14+P1/P5/P9: messy-string cleaning with the tiered normalizer and
+    // the reference's SHA-256 bucket assignment (96 buckets, ais_pipeline.py:151)
+    "silver_clean" -> ((s, d) => {
+      val messy = Tables.events(s, d).select(
+        col("event_id"),
+        when(col("event_id") % 37 === 0, lit(null))
+          .otherwise(col("user_id").cast("string")).as("MMSI"),
+        when(col("event_id") % 3 === 0, date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .when(col("event_id") % 3 === 1, date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .otherwise(concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")))
+          .as("BaseDateTime"),
+        col("value"))
+      SilverIngest.clean(messy, numBuckets = 96)
+        .select(col("event_id"), col("mmsi"),
+          unix_millis(col("event_ts")).as("ts_ms"),
+          col("year"), col("month"), col("day"), col("bucket_id"))
+        .orderBy("event_id")
+    }),
+
+    // A10: gold↔silver reconciliation checks as a tall frame
+    "reconciliation" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val filtered = ev.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").between(0.0, 500.0))
+      QualityChecks.reconcile(filtered, hourly(s, d)).orderBy("check")
+    }),
+
+    // A7: quantile profiling of the GTO score distribution (exact percentiles)
+    "pair_quantiles" -> ((s, d) => CoMovement.pairsDaily(hourly(s, d))
+      .agg(
+        round(expr("percentile(gto, 0.5)"), 6).as("p50"),
+        round(expr("percentile(gto, 0.75)"), 6).as("p75"),
+        round(expr("percentile(gto, 0.9)"), 6).as("p90"),
+        round(expr("percentile(gto, 0.95)"), 6).as("p95"),
+        round(expr("percentile(gto, 0.99)"), 6).as("p99"))),
+
+    // A9: days-seen histogram over pair lifetimes
+    "days_seen_hist" -> ((s, d) => CoMovement.pairsDaily(hourly(s, d))
+      .groupBy("uid_a", "uid_b")
+      .agg(countDistinct(col("day_date")).as("days_seen"))
+      .groupBy("days_seen").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("days_seen")),
+  )
 
   /** Training-data pipeline: text analysis + dedup ladder over `documents`. */
   private def textQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -272,7 +322,57 @@ object SparkEntry {
         |       round(avg(l_discount), 6) AS avg_disc,
         |       CAST(count(*) AS BIGINT) AS count_order
         |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
-  ) ++ textOracle ++ embedOracle
+  ) ++ aisExtraOracle ++ textOracle ++ embedOracle
+
+  private def aisExtraOracle: Map[String, String] = Map(
+    "silver_clean" ->
+      """WITH messy AS (SELECT event_id,
+        |  CASE WHEN event_id % 37 = 0 THEN NULL
+        |       ELSE CAST(user_id AS VARCHAR) END AS mmsi_raw,
+        |  CASE WHEN event_id % 3 = 0 THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |       WHEN event_id % 3 = 1 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+        |       ELSE strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z' END AS s
+        |FROM events),
+        |c AS (SELECT event_id, mmsi_raw AS mmsi,
+        |  coalesce(try_strptime(s, '%Y-%m-%d %H:%M:%S'),
+        |           try_strptime(s, '%Y-%m-%dT%H:%M:%S'),
+        |           try_strptime(s, '%Y-%m-%dT%H:%M:%SZ')) AS event_ts
+        |FROM messy WHERE mmsi_raw IS NOT NULL)
+        |SELECT event_id, mmsi, epoch_ms(event_ts) AS ts_ms,
+        |  CAST(year(event_ts) AS INTEGER) AS year,
+        |  CAST(month(event_ts) AS INTEGER) AS month,
+        |  CAST(day(event_ts) AS INTEGER) AS day,
+        |  CAST(('0x' || substr(sha256(mmsi), 1, 16))::UBIGINT % 96 AS BIGINT) AS bucket_id
+        |FROM c WHERE event_ts IS NOT NULL ORDER BY event_id""".stripMargin,
+
+    "reconciliation" ->
+      s"""$HourlyCte,
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS grc,
+         |       CAST(coalesce(sum(message_count), 0) AS BIGINT) AS smc FROM hourly),
+         |sv AS (SELECT CAST(count(*) AS BIGINT) AS sfc FROM events
+         |       WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value BETWEEN 0 AND 500)
+         |SELECT 'delta_messages' AS "check", smc - sfc AS value FROM g, sv
+         |UNION ALL SELECT 'gold_row_count', grc FROM g, sv
+         |UNION ALL SELECT 'silver_filtered_count', sfc FROM g, sv
+         |UNION ALL SELECT 'sum_message_count', smc FROM g, sv
+         |ORDER BY "check"""".stripMargin,
+
+    "pair_quantiles" ->
+      s"""$PairsCte
+         |SELECT round(quantile_cont(gto, 0.5), 6) AS p50,
+         |       round(quantile_cont(gto, 0.75), 6) AS p75,
+         |       round(quantile_cont(gto, 0.9), 6) AS p90,
+         |       round(quantile_cont(gto, 0.95), 6) AS p95,
+         |       round(quantile_cont(gto, 0.99), 6) AS p99
+         |FROM pairs_g""".stripMargin,
+
+    "days_seen_hist" ->
+      s"""$PairsCte,
+         |ds AS (SELECT uid_a, uid_b, CAST(count(DISTINCT day_date) AS BIGINT) AS days_seen
+         |       FROM pairs_g GROUP BY 1, 2)
+         |SELECT days_seen, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM ds GROUP BY 1 ORDER BY days_seen""".stripMargin,
+  )
 
   // ------------------------------------------------- text / dedup oracle SQL
 
