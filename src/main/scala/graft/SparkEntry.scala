@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.Tables
-import graft.ops.{CoMovement, Dedup, QualityChecks, Similarity, SilverIngest, TextOps, Tracks}
+import graft.ops.{CoMovement, Dedup, Multimodal, QualityChecks, Similarity, SilverIngest, TextOps, Tracks}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -177,6 +177,17 @@ object SparkEntry {
     // SimHash-64 signatures (two unsigned 32-bit halves)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // multimodal plumbing: binary payloads through the batched decode stub;
+    // metadata contract (sizes, stub dims, payload sha) is oracle-checked
+    "media_features" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Multimodal.mediaFeatures(docs)
+        .join(docs.select(col("doc_id").as("media_id"),
+          substring(sha2(encode(col("text"), "UTF-8"), 256), 1, 16).as("sha16")),
+          "media_id")
+        .orderBy("media_id")
+    }),
   )
 
   /** Similarity search over the `embeddings` table (64-dim float vectors). */
@@ -482,6 +493,14 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN j < 32 THEN b * pow(2, j) ELSE 0 END) AS BIGINT) AS simhash_lo,
         |  CAST(sum(CASE WHEN j >= 32 THEN b * pow(2, j - 32) ELSE 0 END) AS BIGINT) AS simhash_hi
         |FROM sb GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "media_features" ->
+      """SELECT doc_id AS media_id, 'text' AS kind,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS INTEGER) AS width,
+        |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 480 AS INTEGER) AS height,
+        |  substr(sha256(text), 1, 16) AS sha16
+        |FROM documents ORDER BY media_id""".stripMargin,
   )
 
   // ------------------------------------------------- similarity oracle SQL

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Silver→gold materialization: the Spark re-expression of
+  * `pipelines/refresh_gold_tables.py` (the reference's analytics core).
+  *
+  * The reference's day-at-a-time CTAS loop + temp-table-promote + MSCK exists
+  * to keep each Athena query on one silver partition and to fake atomic
+  * replace (`refresh_gold_tables.py:648-669,154-181`). In Spark the whole
+  * lifecycle collapses to two jobs with dynamic partition overwrite:
+  * partition pruning bounds each refresh to the requested day range, and the
+  * overwrite is atomic per partition — no temp tables, no repair step.
+  *
+  * Layout mirrors the reference's gold contract:
+  *   - uid_hourly:  partitioned dt=/hour=, intended bucketing 64 by uid
+  *     (`sql/gold/create_uid_hourly_h3.sql:19-21`)
+  *   - pairs_daily: partitioned year=/month=/day=, bucketing 32 by (uid_a,
+  *     uid_b) (`sql/gold/create_pairs_daily.sql:9-11`)
+  * Bucketing on path-based tables is expressed as a `repartition` on the
+  * bucket keys (Spark's `bucketBy` requires a catalog table, SURVEY.md §7.5);
+  * the shuffle both co-locates writers and bounds file counts.
+  */
+object GoldPipeline {
+
+  /** Refresh the hourly gold table for a day range (inclusive), mode
+    * append/replace per the reference's `--mode` flag. `hourly` must carry
+    * (uid, hour_ts, dt, hr, message_count, avg_pos, cell).
+    */
+  def refreshUidHourly(hourly: DataFrame, outRoot: String,
+                       fromDay: String, untilDay: String,
+                       replace: Boolean = true, buckets: Int = 64): Unit = {
+    val spark = hourly.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    hourly
+      .filter(col("dt").between(lit(fromDay).cast("date"), lit(untilDay).cast("date")))
+      .repartition(buckets, col("uid")) // bucket-role shuffle; bounds files/partition
+      .write.mode(if (replace) "overwrite" else "append")
+      .partitionBy("dt", "hr")
+      .option("compression", "snappy")
+      .parquet(outRoot)
+  }
+
+  /** Refresh pairs_daily for a day range from an (already day-filtered or
+    * full) hourly frame. The day filter is applied BEFORE the self-join —
+    * the pruning the reference gets from per-day CTAS (`README.md:137`).
+    */
+  def refreshPairsDaily(hourly: DataFrame, outRoot: String,
+                        fromDay: String, untilDay: String,
+                        replace: Boolean = true, buckets: Int = 32): Unit = {
+    val spark = hourly.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val bounded = hourly.filter(
+      col("dt").between(lit(fromDay).cast("date"), lit(untilDay).cast("date")))
+    CoMovement.pairsDaily(bounded)
+      .withColumn("year", year(col("day_date")))
+      .withColumn("month", month(col("day_date")))
+      .withColumn("day", dayofmonth(col("day_date")))
+      .repartition(buckets, col("uid_a"), col("uid_b"))
+      .write.mode(if (replace) "overwrite" else "append")
+      .partitionBy("year", "month", "day")
+      .option("compression", "snappy")
+      .parquet(outRoot)
+  }
+
+  /** Full-range pairs_total rebuild (small output; the reference rebuilds it
+    * wholesale each run, `sql/gold/create_pairs_total.sql`).
+    */
+  def refreshPairsTotal(pairsDailyRoot: String, outRoot: String,
+                        threshold: Double, spark: SparkSession): Unit =
+    CoMovement.pairsTotal(spark.read.parquet(pairsDailyRoot), threshold)
+      .coalesce(1) // per-pair lifetime summary is tiny relative to inputs
+      .write.mode("overwrite").option("compression", "snappy").parquet(outRoot)
+}

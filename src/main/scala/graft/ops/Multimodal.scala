@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, processed in partition-local batches.
+  *
+  * The decode step is a clearly-marked deterministic STUB (no image/audio
+  * codecs ship in this environment); everything around it — the schema, the
+  * batch shape, the partition-local iteration, the feature-vector contract —
+  * is the real plumbing a decode kernel drops into. The batching mirrors
+  * Arrow-batch processing (`mapInPandas`-style): the kernel receives a
+  * `Seq[MediaRow]` of bounded size, never one row at a time and never a whole
+  * partition materialized.
+  *
+  * Scale: decode is the classic CPU-heavy narrow stage — no shuffle, scales
+  * with input splits; `repartition(n)` upstream controls decode parallelism
+  * independently of file layout, and binary columns stay off-heap in Tungsten
+  * until the kernel touches them.
+  */
+object Multimodal {
+
+  /** A media object: opaque payload + the metadata a lakehouse would carry. */
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
+
+  /** Extracted features: stub decode output with the real contract shape. */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           width: Int, height: Int, histogram: Seq[Float])
+
+  /** STUB decode kernel — deterministic fake standing in for an image/audio
+    * decoder. Real implementation would parse the codec header; the fake
+    * derives "dimensions" from the payload length and a 16-bin byte
+    * histogram (which IS computed from the real bytes, so the data path
+    * through the binary column is exercised end-to-end).
+    */
+  def decodeStub(batch: Seq[MediaRow]): Seq[MediaFeatures] = batch.map { m =>
+    val n = m.bytes.length
+    val hist = new Array[Float](16)
+    var i = 0
+    while (i < n) { hist((m.bytes(i) & 0xff) / 16) += 1f; i += 1 }
+    if (n > 0) { var j = 0; while (j < 16) { hist(j) /= n; j += 1 } }
+    MediaFeatures(m.media_id, m.kind, n, width = n % 640, height = (n * 7) % 480,
+      histogram = hist.toSeq)
+  }
+
+  /** Partition-local batched feature extraction over a binary column.
+    * `batchSize` bounds kernel working-set (the mapInPandas batch analog).
+    */
+  def extractFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(decodeStub))
+  }
+
+  /** Adapt the `documents` table into a media frame (text bytes as payload) —
+    * the environment has no real image fixtures; the binary-column plumbing
+    * is identical.
+    */
+  def mediaFromDocuments(documents: DataFrame): Dataset[MediaRow] = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents.select(col("doc_id").as("media_id"), lit("text").as("kind"),
+      encode(col("text"), "UTF-8").as("bytes")).as[MediaRow]
+  }
+
+  /** Declared-query shape: deterministic feature projection (histogram
+    * excluded — its float formatting is kernel-internal; the oracle checks
+    * the metadata contract: sizes, stub dimensions, payload sha).
+    */
+  def mediaFeatures(documents: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    extractFeatures(mediaFromDocuments(documents), batchSize)
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("width"), col("height"))
+  }
+}

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.pos_cell
+
+/** Structured Streaming variant of the hourly rollup (A1/U1 as a stream).
+  *
+  * The reference is batch-only — its "streaming" is bounded-memory chunked
+  * ingestion plus day-at-a-time incremental refresh (SURVEY.md §2.10). This
+  * module is the Spark-native generalization: the same rollup semantics on an
+  * unbounded source, with watermarked tumbling windows standing in for the
+  * `date_trunc('hour')` grain (`sql/gold/create_uid_hourly_h3.sql:56-72`) and
+  * late-data tolerance replacing the reference's partition-rebuild correction
+  * path (`pipelines/refresh_gold_tables.py:633-646`).
+  *
+  * Scale: stateful agg keyed by (uid, window) — state is bounded by the
+  * watermark horizon × active vessels, and the shuffle key matches the batch
+  * rollup so the same partitioning advice applies.
+  */
+object StreamingRollup {
+
+  /** Watermarked hourly rollup. Works on any streaming (or batch) frame with
+    * (uidCol, tsCol, posCol). Append-mode compatible: emits a (uid, hour)
+    * row once the watermark passes the window end.
+    */
+  def hourly(events: DataFrame, uidCol: String, tsCol: String, posCol: String,
+             res: Int, watermark: String = "2 hours"): DataFrame =
+    events
+      .filter(col(uidCol).isNotNull && col(tsCol).isNotNull &&
+        col(posCol).between(0.0, 500.0))
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(uidCol).as("uid"), window(col(tsCol), "1 hour").as("w"))
+      .agg(count(lit(1)).as("message_count"), avg(col(posCol)).as("avg_pos"))
+      .select(col("uid"), col("w.start").as("hour_ts"),
+        to_date(col("w.start")).as("dt"), hour(col("w.start")).as("hr"),
+        col("message_count"), col("avg_pos"),
+        pos_cell(col("avg_pos"), res).as("cell"))
+
+  /** File-source incremental ingestion: the reference's "process only new
+    * daily archives" loop as a self-checkpointing stream. With
+    * `Trigger.AvailableNow` this is the batch day-walk (`refresh_gold_tables
+    * .py:648-669`) without the hand-rolled bookkeeping: the checkpoint tracks
+    * which files are done, idempotently.
+    */
+  def fileStream(spark: org.apache.spark.sql.SparkSession, glob: String,
+                 schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", "16").csv(glob)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{CoMovement, GoldPipeline}
+
+/** Gold materialization spec: day-ranged refresh with dynamic partition
+  * overwrite, append mode for incremental days, layout contract.
+  */
+class GoldPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int): Timestamp =
+    Timestamp.valueOf(f"2025-01-$day%02d $hour%02d:00:00")
+
+  // two vessels co-located on days 1 and 2 (2 cells each day)
+  private lazy val events = (for {
+    day <- 1 to 2; uid <- Seq(1L, 2L); h <- 0 to 3
+  } yield (uid, ts(day, h), (h % 2) * 62.5 + 1.0)).toDF("user_id", "ts", "value")
+
+  private lazy val hourly =
+    CoMovement.hourlyRollup(events, "user_id", "ts", "value", 3)
+
+  test("uid_hourly refresh writes dt/hr partitions, day-bounded") {
+    val out = Files.createTempDirectory("gold_uid").toString
+    GoldPipeline.refreshUidHourly(hourly, out, "2025-01-01", "2025-01-01", buckets = 2)
+    val got = spark.read.parquet(out)
+    assert(got.select("dt").distinct().count() === 1) // only day 1 in range
+    assert(got.count() === 8) // 2 uids × 4 hours
+    assert(got.columns.contains("hr"))
+  }
+
+  test("pairs_daily refresh: append adds new days without touching old ones") {
+    val out = Files.createTempDirectory("gold_pairs").toString
+    GoldPipeline.refreshPairsDaily(hourly, out, "2025-01-01", "2025-01-01", buckets = 2)
+    val d1 = spark.read.parquet(out)
+    assert(d1.select("day").distinct().as[Int].collect().toSeq === Seq(1))
+
+    GoldPipeline.refreshPairsDaily(hourly, out, "2025-01-02", "2025-01-02",
+      replace = false, buckets = 2)
+    val d12 = spark.read.parquet(out)
+    assert(d12.select("day").distinct().as[Int].collect().sorted.toSeq === Seq(1, 2))
+    // pair (1,2) present each day with full overlap
+    assert(d12.filter(col("uid_a") === 1 && col("uid_b") === 2).count() === 2)
+    assert(d12.select(min(col("gto"))).as[Double].head() === 1.0)
+  }
+
+  test("pairs_total rebuild aggregates across the materialized days") {
+    val pairsOut = Files.createTempDirectory("gold_pairs2").toString
+    GoldPipeline.refreshPairsDaily(hourly, pairsOut, "2025-01-01", "2025-01-02", buckets = 2)
+    val totalOut = Files.createTempDirectory("gold_total").toString
+    GoldPipeline.refreshPairsTotal(pairsOut, totalOut, 0.4, spark)
+    val t = spark.read.parquet(totalOut).collect()
+    assert(t.length === 1)
+    assert(t.head.getAs[Long]("total_days_observed") === 2L)
+  }
+}

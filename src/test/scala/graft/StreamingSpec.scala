@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{SessionTracks, StreamingRollup}
+import graft.ops.Multimodal
+
+/** Streaming + multimodal specs: watermarked rollup via MemoryStream,
+  * stateful gap-based trip segmentation, and the batched decode plumbing.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s"2025-01-01 $s:00")
+
+  test("watermarked streaming hourly rollup emits finalized windows only") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val rolled = StreamingRollup.hourly(
+      mem.toDF.toDF("user_id", "ts", "value"), "user_id", "ts", "value",
+      res = 3, watermark = "1 hour")
+    val q = rolled.writeStream.format("memory").queryName("hourly_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, ts("10:05"), 10.0), (1L, ts("10:35"), 20.0))
+      q.processAllAvailable()
+      // watermark still at 10:35-1h → the 10:00 window is not final yet
+      assert(spark.table("hourly_out").isEmpty)
+
+      mem.addData((2L, ts("13:00"), 100.0)) // watermark → 12:00, closes 10:00
+      q.processAllAvailable()
+      val out = spark.table("hourly_out").collect()
+      assert(out.length === 1)
+      val r = out.head
+      assert(r.getAs[Long]("uid") === 1L)
+      assert(r.getAs[Long]("message_count") === 2L)
+      assert(r.getAs[Double]("avg_pos") === 15.0)
+      assert(r.getAs[Long]("cell") === 0L) // floor(15/62.5)
+      assert(r.getAs[Int]("hr") === 10)
+    } finally q.stop()
+  }
+
+  test("stateful trip segmentation splits on gaps, keeps open tail in state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SessionTracks.Point]
+    val trips = SessionTracks.trips(mem.toDS(), gapMinutes = 60)
+    val q = trips.writeStream.format("memory").queryName("trips_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        SessionTracks.Point(1L, ts("00:00"), 1.0),
+        SessionTracks.Point(1L, ts("00:30"), 2.0),
+        SessionTracks.Point(1L, ts("03:00"), 3.0), // gap > 60min → closes trip 1
+        SessionTracks.Point(2L, ts("00:00"), 9.0))
+      q.processAllAvailable()
+      val out = spark.table("trips_out").as[SessionTracks.Trip].collect()
+      assert(out.length === 1) // uid 1 first trip closed; tails stay open
+      val t = out.head
+      assert(t.uid === 1L && t.nPoints === 2)
+      assert(t.positions === Seq(1.0, 2.0))
+
+      // a further point continues uid 1's open trip, then a gap closes it
+      mem.addData(SessionTracks.Point(1L, ts("03:20"), 4.0),
+        SessionTracks.Point(1L, ts("08:00"), 5.0))
+      q.processAllAvailable()
+      val out2 = spark.table("trips_out").as[SessionTracks.Trip].collect()
+      assert(out2.length === 2)
+      val t2 = out2.maxBy(_.startTs.getTime)
+      assert(t2.nPoints === 2 && t2.positions === Seq(3.0, 4.0))
+    } finally q.stop()
+  }
+
+  test("multimodal batched decode: histogram computed from real bytes, batch shape bounded") {
+    val media = Seq(
+      Multimodal.MediaRow(1L, "img", Array.fill[Byte](256)(0)),
+      Multimodal.MediaRow(2L, "img", (0 until 256).map(_.toByte).toArray))
+      .toDS()
+    val feats = Multimodal.extractFeatures(media, batchSize = 1)
+      .collect().sortBy(_.media_id)
+    assert(feats(0).histogram.head === 1.0f) // all bytes in bin 0
+    assert(feats(0).histogram.tail.forall(_ === 0.0f))
+    assert(feats(1).histogram.forall(_ === 1.0f / 16)) // uniform bytes
+    assert(feats(0).n_bytes === 256 && feats(0).width === 256 % 640)
+  }
+
+  test("media features on documents match the driver-facing contract") {
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    val f = Multimodal.mediaFeatures(docs).collect()
+    assert(f.nonEmpty)
+    assert(f.forall(r => r.getAs[Int]("n_bytes") > 0))
+    assert(f.forall(r => r.getAs[Int]("width") === r.getAs[Int]("n_bytes") % 640))
+  }
+}
