@@ -140,6 +140,38 @@ object SparkEntry {
       .agg(countDistinct(col("day_date")).as("days_seen"))
       .groupBy("days_seen").agg(count(lit(1)).as("n_pairs"))
       .orderBy("days_seen")),
+
+    // A6: the notebooks' extended pairs_total mirror — GTJ (Jaccard) metric
+    // variant alongside GTO, avg/median of hT and gT, 0.75 threshold
+    // (pairs_daily_analysis_GTO.ipynb cell 8 / _GTJ.ipynb cell 8)
+    "pairs_total_ext" -> ((s, d) => CoMovement.pairsDaily(hourly(s, d))
+      .withColumn("gtj", lit(0.5) *
+        (col("hT").cast("double") / (col("hA") + col("hB") - col("hT")) +
+         col("gT").cast("double") / (col("gA") + col("gB") - col("gT"))))
+      .groupBy("uid_a", "uid_b")
+      .agg(
+        countDistinct(col("day_date")).as("days_seen"),
+        sum(when(col("gto") >= 0.75, 1L).otherwise(0L)).as("days_gto_075"),
+        round(avg(col("gto")), 6).as("avg_gto"),
+        round(avg(col("gtj")), 6).as("avg_gtj"),
+        round(avg(col("hT")), 6).as("avg_ht"),
+        round(expr("percentile(hT, 0.5)"), 6).as("median_ht"),
+        round(avg(col("gT")), 6).as("avg_gt"),
+        round(expr("percentile(gT, 0.5)"), 6).as("median_gt"))
+      .orderBy("uid_a", "uid_b")),
+
+    // §2.5: percent-rank curve over pair max GTO (the notebook's procedural
+    // sort+index, as a window function). Global rank needs a single ordered
+    // partition — fine on the (small) pair summary, never on raw events.
+    "gto_rank_curve" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      CoMovement.pairsDaily(hourly(s, d))
+        .groupBy("uid_a", "uid_b").agg(max(col("gto")).as("max_gto"))
+        .select(col("uid_a"), col("uid_b"), round(col("max_gto"), 6).as("max_gto"),
+          round(percent_rank().over(
+            Window.orderBy(col("max_gto"), col("uid_a"), col("uid_b"))), 6).as("pr"))
+        .orderBy("uid_a", "uid_b")
+    }),
   )
 
   /** Training-data pipeline: text analysis + dedup ladder over `documents`. */
@@ -383,6 +415,30 @@ object SparkEntry {
          |       FROM pairs_g GROUP BY 1, 2)
          |SELECT days_seen, CAST(count(*) AS BIGINT) AS n_pairs
          |FROM ds GROUP BY 1 ORDER BY days_seen""".stripMargin,
+
+    "pairs_total_ext" ->
+      s"""$PairsCte,
+         |pg AS (SELECT *, CAST(0.5 AS DOUBLE) *
+         |    (CAST(hT AS DOUBLE) / (hA + hB - hT) +
+         |     CAST(gT AS DOUBLE) / (gA + gB - gT)) AS gtj FROM pairs_g)
+         |SELECT uid_a, uid_b,
+         |  CAST(count(DISTINCT day_date) AS BIGINT) AS days_seen,
+         |  CAST(sum(CASE WHEN gto >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS days_gto_075,
+         |  round(avg(gto), 6) AS avg_gto,
+         |  round(avg(gtj), 6) AS avg_gtj,
+         |  round(avg(hT), 6) AS avg_ht,
+         |  round(quantile_cont(hT, 0.5), 6) AS median_ht,
+         |  round(avg(gT), 6) AS avg_gt,
+         |  round(quantile_cont(gT, 0.5), 6) AS median_gt
+         |FROM pg GROUP BY 1, 2 ORDER BY uid_a, uid_b""".stripMargin,
+
+    "gto_rank_curve" ->
+      s"""$PairsCte,
+         |mx AS (SELECT uid_a, uid_b, max(gto) AS max_gto
+         |       FROM pairs_g GROUP BY 1, 2)
+         |SELECT uid_a, uid_b, round(max_gto, 6) AS max_gto,
+         |  round(percent_rank() OVER (ORDER BY max_gto, uid_a, uid_b), 6) AS pr
+         |FROM mx ORDER BY uid_a, uid_b""".stripMargin,
   )
 
   // ------------------------------------------------- text / dedup oracle SQL

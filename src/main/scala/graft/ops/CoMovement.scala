@@ -48,7 +48,18 @@ object CoMovement {
     * gB, hT, gT, temporal_o, spatial_o, gto.
     */
   def pairsDaily(hourly: DataFrame): DataFrame = {
+    // The hourly frame feeds FOUR consumers (both self-join sides + both
+    // ship-day stat legs); Catalyst cannot reuse the subplan through the
+    // broadcast joins, so without an explicit persist the scan+rollup runs
+    // four times (verified via explain: 4 parquet scans). The hourly table is
+    // ~3 orders of magnitude smaller than raw events (one row per vessel-hour)
+    // — exactly the frame the reference materializes as a gold table.
+    // repartition on the self-join key BEFORE caching: the rollup's AQE-
+    // coalesced output would otherwise cache as ~1 partition and serialize
+    // every downstream join that streams it
     val h = hourly.select("uid", "dt", "hr", "cell")
+      .repartition(col("dt"), col("hr"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // self-join on the quantized space-time key; uid_a < uid_b kills
     // self-pairs and symmetric duplicates (create_pairs_daily.sql:52)
@@ -57,8 +68,13 @@ object CoMovement {
     val pairHours = a.join(b, Seq("dt", "hr", "cell"))
       .filter(col("uid_a") < col("uid_b"))
 
+    // hT = distinct shared hours; since the hourly input has exactly one row
+    // per (uid, hour), pair rows are already unique per hour and count(*)
+    // equals COUNT(DISTINCT hr) (create_pairs_daily.sql:34-39) — using count
+    // keeps the aggregate single-distinct, so Catalyst plans no Expand
+    // (double-distinct would shuffle 2× the pair-hour rows)
     val pairAgg = pairHours.groupBy("uid_a", "uid_b", "dt")
-      .agg(countDistinct(col("hr")).as("hT"), countDistinct(col("cell")).as("gT"))
+      .agg(count(lit(1)).as("hT"), countDistinct(col("cell")).as("gT"))
       .filter(col("gT") > 1) // quality gate (create_pairs_daily.sql:79), pushed early
 
     // per-ship-day stats: computed ONCE, joined to both pair legs

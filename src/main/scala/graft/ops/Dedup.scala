@@ -53,15 +53,20 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxDocsPerShingle: Int = Int.MaxValue): DataFrame = {
-    val sh0 = df.select(col(idCol).as("doc_id"),
+    val sh0 = fanout(df).select(col(idCol).as("doc_id"),
         explode(shingles(col(textCol), n)).as("shingle"))
-    val sh =
+    val shUnp =
       if (maxDocsPerShingle == Int.MaxValue) sh0
       else {
         val wc = Window.partitionBy(col("shingle"))
         sh0.withColumn("df_cnt", count(lit(1)).over(wc))
           .filter(col("df_cnt") <= maxDocsPerShingle).drop("df_cnt")
       }
+    // three consumers (both join sides + sizes); shingle explosion is the
+    // expensive part — materialize once, partitioned by the join key so the
+    // cached frame doesn't serialize the equi-join (AQE would coalesce it)
+    val sh = shUnp.repartition(col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val shared = sh.toDF("doc_a", "shingle")
       .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
@@ -83,13 +88,20 @@ object Dedup {
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        k: Int, n: Int = 3): DataFrame =
-    df.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .crossJoin(spark_range_df(df, k))
+    fanout(df)
+      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .select(col("doc_id"), col("shingle"),
+        explode(sequence(lit(0), lit(k - 1))).as("i")) // narrow k-fold, no join
       .groupBy("doc_id", "i")
       .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle")))).as("h"))
 
-  private def spark_range_df(df: DataFrame, k: Int): DataFrame =
-    df.sparkSession.range(k).toDF("i")
+  /** Small single-file tables scan as one partition; the heavy narrow chains
+    * (shingle explode, per-token hashing) need real parallelism before the
+    * first shuffle. At 100 TB the scan is already split — this is a no-op
+    * there (cheap row-count-preserving round-robin of input splits).
+    */
+  private def fanout(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   /** MinHash + LSH candidate pairs: band the k-row signature into
     * `k / rowsPerBand` buckets; docs sharing any band bucket are candidates.
@@ -103,6 +115,11 @@ object Dedup {
       .agg(array_join(transform(
         array_sort(collect_list(struct(col("i"), col("h")))), s => s("h")), "|")
         .as("bucket"))
+      // both join sides read the signature; the k-way shingle hash explosion
+      // behind it is the expensive part — materialize once, partitioned on
+      // the band-bucket join key to keep the candidate join parallel
+      .repartition(col("band"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.toDF("doc_a", "band", "bucket")
       .join(sig.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
@@ -116,7 +133,7 @@ object Dedup {
     * the hex string so SQL engines reproduce it exactly.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bits = df.select(col(idCol).as("doc_id"),
+    val bits = fanout(df).select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"),
         explode(sequence(lit(0), lit(63))).as("j"))

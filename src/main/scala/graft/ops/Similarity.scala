@@ -43,8 +43,12 @@ object Similarity {
   def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val e = emb.select(col(idCol).as("vid"), vecd(col(vecCol)).as("v"))
       .withColumn("nrm", l2norm(col("v")))
-    val a = e.toDF("q", "va", "na")
-    val b = e.toDF("n", "vb", "nb")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both sides
+    // stream the left side with real parallelism (the cached frame is tiny
+    // and would otherwise be 1-2 partitions → serial n² loop); broadcast the
+    // right side explicitly — at scale `b` is the small query cohort
+    val a = e.toDF("q", "va", "na").repartition(col("q"))
+    val b = broadcast(e.toDF("n", "vb", "nb"))
     val sims = a.join(b, col("q") =!= col("n"))
       .select(col("q"), col("n"),
         (vec_dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)))
