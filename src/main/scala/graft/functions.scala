@@ -66,6 +66,12 @@ object functions {
   def vec_dot(a: Column, b: Column): Column =
     expressions.col(expressions.VecDot(expressions.expr(a), expressions.expr(b)))
 
+  /** Deterministic display color from a track id (F15,
+    * `apps/track_explorer.py:251-257`): first 6 hex chars of SHA-256 as RGB.
+    */
+  def track_color(id: Column): Column =
+    concat(lit("#"), substring(sha2(id.cast("string"), 256), 1, 6))
+
   /** Szymkiewicz–Simpson overlap coefficient `|A∩B| / min(|A|,|B|)` with the
     * reference's NULLIF zero-denominator guard (`create_pairs_daily.sql:23-27`,
     * metric rationale `README.md:155-170`).

@@ -64,6 +64,18 @@ object GoldPipeline {
       .parquet(outRoot)
   }
 
+  /** Register a path-backed gold table in the catalog and discover its
+    * partitions (K5): the reference's `CREATE EXTERNAL TABLE` + `MSCK REPAIR
+    * TABLE` step (`refresh_gold_tables.py:298-358,671-678`). Idempotent.
+    */
+  def registerExternalTable(spark: SparkSession, table: String,
+                            location: String): Unit = {
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $table USING PARQUET LOCATION '$location'")
+    // partition discovery — only meaningful (and legal) for partitioned layouts
+    try spark.catalog.recoverPartitions(table)
+    catch { case _: org.apache.spark.sql.AnalysisException => () }
+  }
+
   /** Full-range pairs_total rebuild (small output; the reference rebuilds it
     * wholesale each run, `sql/gold/create_pairs_total.sql`).
     */

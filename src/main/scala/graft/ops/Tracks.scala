@@ -60,6 +60,20 @@ object Tracks {
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(k)
 
+  /** CSV export sink (K7, `export_tracks_to_explore.py:93-102,147-151`):
+    * header CSV at a templated path. `coalesce(1)` mirrors the reference's
+    * single-file contract — exports are cohort-sized by construction (the
+    * semi-join in [[trackExport]] bounds them); never use on full tables.
+    */
+  def exportCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Templated export filename (`tracks_{start}_{stop}.csv` shape). */
+  def exportFileName(prefix: String, from: String, until: String): String = {
+    def clean(s: String) = s.replaceAll("[^0-9A-Za-z]", "")
+    s"${prefix}_${clean(from)}_${clean(until)}.csv"
+  }
+
   /** Latest-row-per-key dedup via window (the data-contract-recommended
     * consumer pattern, `docs/data_contracts.md:113`): keep the newest event per
     * (user_id, hour), full deterministic tie-break.

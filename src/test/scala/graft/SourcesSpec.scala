@@ -1,0 +1,103 @@
+package graft
+
+import java.io.FileOutputStream
+import java.nio.file.Files
+import java.time.LocalDate
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GoldPipeline, SilverIngest, Tracks}
+import graft.sources.{ArchiveIndex, ArchiveSource}
+
+/** Specs for archive sources (zip members, zstd streams), date-templated
+  * discovery, external-table registration, and the CSV export sink.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val CsvHeader = "MMSI,BaseDateTime,LAT,LON,SOG"
+  private val CsvRows = Seq(
+    "366123456,2025-01-01 00:03:07,37.7,-122.4,5.1",
+    "367000001,2025-01-01 01:03:07,10.0,10.0,1.0")
+
+  private lazy val archiveDir = {
+    val dir = Files.createTempDirectory("archives")
+    // zip with two csv members + one non-csv member to be skipped
+    val zout = new ZipOutputStream(new FileOutputStream(s"$dir/AIS_2025_01_01.zip"))
+    def member(name: String, content: String): Unit = {
+      zout.putNextEntry(new ZipEntry(name)); zout.write(content.getBytes("UTF-8"))
+      zout.closeEntry()
+    }
+    member("day1_a.csv", (CsvHeader +: CsvRows.take(1)).mkString("\n"))
+    member("readme.txt", "not a csv")
+    member("day1_b.csv", (CsvHeader +: CsvRows.drop(1)).mkString("\n"))
+    zout.close()
+    // zstd-compressed csv
+    val zst = new com.github.luben.zstd.ZstdOutputStream(
+      new FileOutputStream(s"$dir/AIS_2025_01_02.csv.zst"))
+    zst.write((CsvHeader +: CsvRows).mkString("\n").getBytes("UTF-8"))
+    zst.close()
+    dir.toString
+  }
+
+  test("zip archive: csv members stream out with lineage, non-csv skipped") {
+    val got = ArchiveSource.archiveLines(spark, s"$archiveDir/AIS_2025_01_01.zip")
+      .collect()
+    assert(got.count(_.line == CsvHeader) === 2) // one header per member
+    assert(got.map(_.member).distinct.sorted.toSeq === Seq("day1_a.csv", "day1_b.csv"))
+    assert(got.length === 4)
+  }
+
+  test("zstd archive: lines decode through zstd-jni") {
+    val got = ArchiveSource.archiveLines(spark, s"$archiveDir/AIS_2025_01_02.csv.zst")
+      .collect()
+    assert(got.length === 3)
+    assert(got.head.member === "AIS_2025_01_02.csv")
+  }
+
+  test("archives → csv → silver clean end-to-end") {
+    val df = ArchiveSource.csv(spark, archiveDir)
+    assert(df.columns.toSeq === Seq("MMSI", "BaseDateTime", "LAT", "LON", "SOG"))
+    assert(df.count() === 4) // 2 rows per day
+    val cleaned = SilverIngest.clean(df, numBuckets = 96)
+    assert(cleaned.count() === 4)
+    assert(cleaned.select("bucket_id").distinct().count() === 2)
+  }
+
+  test("date-templated discovery probes existence with extension fallback") {
+    val idx = new ArchiveIndex.LocalDirIndex(archiveDir, "AIS_%Y_%m_%d.zip")
+    val found = idx.listFilesBetween(
+      LocalDate.of(2025, 1, 1), LocalDate.of(2025, 1, 3))
+    assert(found.length === 2) // day1 zip, day2 via .csv.zst fallback; day3 missing
+    assert(found.head.endsWith("AIS_2025_01_01.zip"))
+    assert(found(1).endsWith("AIS_2025_01_02.csv.zst"))
+    assert(ArchiveIndex.candidates("x_%Y%m%d", LocalDate.of(2025, 2, 27),
+      LocalDate.of(2025, 3, 1)) === Seq("x_20250227", "x_20250228", "x_20250301"))
+  }
+
+  test("external table registration + partition recovery (K5)") {
+    val loc = Files.createTempDirectory("ext_tbl").toString + "/t"
+    Seq((1L, "2025-01-01 00:00:00"), (2L, "2025-01-02 00:00:00"))
+      .toDF("mmsi", "ts")
+      .withColumn("day", dayofmonth(col("ts").cast("timestamp")))
+      .write.partitionBy("day").parquet(loc)
+    GoldPipeline.registerExternalTable(spark, "ext_gold_test", loc)
+    try {
+      assert(spark.sql("SELECT count(*) FROM ext_gold_test").as[Long].head() === 2L)
+      assert(spark.sql("SELECT DISTINCT day FROM ext_gold_test").as[Int]
+        .collect().sorted.toSeq === Seq(1, 2))
+    } finally spark.sql("DROP TABLE IF EXISTS ext_gold_test")
+  }
+
+  test("csv export sink writes single header file (K7)") {
+    val out = Files.createTempDirectory("csv_out").toString + "/export"
+    Tracks.exportCsv(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), out)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length === 1)
+    val lines = scala.io.Source.fromFile(files.head).getLines().toSeq
+    assert(lines.head === "id,v" && lines.length === 3)
+    assert(Tracks.exportFileName("tracks", "2024-01-05 00:00", "2024-01-25") ===
+      "tracks_20240105 0000_20240125.csv".replace(" ", ""))
+  }
+}
