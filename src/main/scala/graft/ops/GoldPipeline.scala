@@ -64,6 +64,23 @@ object GoldPipeline {
       .parquet(outRoot)
   }
 
+  /** Hash-bucketed catalog table (K4): the real CTAS `bucketed_by` analog
+    * (`sql/gold/create_uid_hourly_h3.sql:14-22`). Spark's `bucketBy` requires
+    * a catalog table (`saveAsTable`); joins/aggregations keyed on the bucket
+    * columns then skip their shuffle entirely — the reference's reason for
+    * bucketing gold by mmsi / (uid_a, uid_b). Partition columns are optional.
+    */
+  def saveAsBucketedTable(df: DataFrame, table: String, buckets: Int,
+                          bucketCols: Seq[String], sortCols: Seq[String] = Nil,
+                          partitionCols: Seq[String] = Nil): Unit = {
+    var w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .option("compression", "snappy")
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+    w.saveAsTable(table)
+  }
+
   /** Register a path-backed gold table in the catalog and discover its
     * partitions (K5): the reference's `CREATE EXTERNAL TABLE` + `MSCK REPAIR
     * TABLE` step (`refresh_gold_tables.py:298-358,671-678`). Idempotent.

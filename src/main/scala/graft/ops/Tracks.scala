@@ -60,6 +60,16 @@ object Tracks {
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(k)
 
+  /** Synthetic-id repair (P11, `apps/track_explorer.py:180-185`): rows with
+    * a missing track id get a unique `track_<n>` id. `monotonically_
+    * increasing_id` is partition-prefixed — unique and stable within a job
+    * without any coordination, exactly the property needed at scale (the
+    * reference's pandas row-index trick does not survive distribution).
+    */
+  def repairTrackId(df: DataFrame, idCol: String): DataFrame =
+    df.withColumn(idCol, coalesce(col(idCol).cast("string"),
+      concat(lit("track_"), monotonically_increasing_id())))
+
   /** CSV export sink (K7, `export_tracks_to_explore.py:93-102,147-151`):
     * header CSV at a templated path. `coalesce(1)` mirrors the reference's
     * single-file contract — exports are cohort-sized by construction (the
