@@ -76,20 +76,27 @@ object SparkEntry {
     // §2.5: row_number dedup view (docs/data_contracts.md:113)
     "window_dedup" -> ((s, d) => Tracks.windowDedup(Tables.events(s, d))),
 
-    // A1-analog pricing rollup on lineitem: wide hash agg with decimal-exact
-    // sums (engines' double summation order differs; decimals are exact)
-    "q1_agg" -> ((s, d) => Tables.lineitem(s, d)
-      .groupBy("l_returnflag", "l_linestatus")
-      .agg(
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-        sum(col("l_extendedprice").cast("decimal(18,4)") *
-          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
-          .cast("double").as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
-        count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")),
+    // A1-analog pricing rollup on lineitem: wide hash agg. Money columns are
+    // 2-decimal by construction, so sums run in integer cents/basis-points —
+    // exact and engine-independent at any SF (double→decimal casts round
+    // differently across engines and drift by ulps on large sums; integer
+    // sums cannot). Headroom: cents × bp ≈ 1e9/row → overflows i64 around
+    // sf≈10^4; switch to decimal(38,_) accumulators beyond that.
+    "q1_agg" -> ((s, d) => {
+      val qc = round(col("l_quantity") * 100).cast("long")        // qty cents
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      val dbp = round(col("l_discount") * 100).cast("long")       // basis pts
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(qc) / lit(100.0), 2).as("sum_qty"),
+          round(sum(cents) / lit(100.0), 2).as("sum_base_price"),
+          round(sum(cents * (lit(100L) - dbp)) / lit(10000.0), 4).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
   ) ++ aisExtraQueries ++ textQueries ++ embedQueries
 
   /** Remaining reference-surface operators: the silver cleaning projection
@@ -356,15 +363,19 @@ object SparkEntry {
         |ORDER BY user_id, hour_ms""".stripMargin,
 
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |                (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      """WITH c AS (SELECT l_returnflag, l_linestatus, l_quantity, l_discount,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |  CAST(round(l_discount * 100) AS BIGINT) AS dbp
+        |FROM lineitem)
+        |SELECT l_returnflag, l_linestatus,
+        |       round(CAST(sum(qc) AS DOUBLE) / 100.0, 2) AS sum_qty,
+        |       round(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS sum_base_price,
+        |       round(CAST(sum(cents * (100 - dbp)) AS DOUBLE) / 10000.0, 4) AS sum_disc_price,
         |       round(avg(l_quantity), 6) AS avg_qty,
         |       round(avg(l_discount), 6) AS avg_disc,
         |       CAST(count(*) AS BIGINT) AS count_order
-        |FROM lineitem GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+        |FROM c GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
   ) ++ aisExtraOracle ++ textOracle ++ embedOracle
 
   private def aisExtraOracle: Map[String, String] = Map(
