@@ -1,0 +1,89 @@
+package graft
+
+import java.time.LocalDate
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.expressions.{GeoCell, StableHashBucket}
+import graft.ops.Similarity
+import graft.sources.ArchiveIndex
+
+/** Property-based tests (SURVEY.md §5) over the pure kernels — no Spark
+  * session needed, so these run in milliseconds and cover wide input space.
+  */
+object GraftProperties extends Properties("graft") {
+
+  val lat: Gen[Double] = Gen.chooseNum(-90.0, 90.0)
+  val lon: Gen[Double] = Gen.chooseNum(-180.0, 180.0)
+  val res: Gen[Int] = Gen.chooseNum(0, 15)
+
+  property("geocell: deterministic") = forAll(lat, lon, res) { (la, lo, r) =>
+    GeoCell.cellId(la, lo, r) == GeoCell.cellId(la, lo, r)
+  }
+
+  property("geocell: same cell ⇒ within one cell width") =
+    forAll(lat, lon, lat, lon, res) { (a1, o1, a2, o2, r) =>
+      val w = 1.0 / (1L << r)
+      (GeoCell.cellId(a1, o1, r) != GeoCell.cellId(a2, o2, r)) ||
+        (math.abs(a1 - a2) < w && math.abs(o1 - o2) < w)
+    }
+
+  property("geocell: resolution is encoded (no cross-res collisions)") =
+    forAll(lat, lon, res, res) { (la, lo, r1, r2) =>
+      r1 == r2 || GeoCell.cellId(la, lo, r1) != GeoCell.cellId(la, lo, r2)
+    }
+
+  val key: Gen[String] = Gen.alphaNumStr.suchThat(_.nonEmpty)
+  val buckets: Gen[Int] = Gen.chooseNum(1, 4096)
+
+  property("stable bucket ∈ [0, n)") = forAll(key, buckets) { (s, n) =>
+    val b = StableHashBucket.bucket(s, n)
+    b >= 0 && b < n
+  }
+
+  property("stable bucket: deterministic across calls") = forAll(key, buckets) {
+    (s, n) => StableHashBucket.bucket(s, n) == StableHashBucket.bucket(s, n)
+  }
+
+  // overlap coefficient model (the Column function mirrors this arithmetic)
+  private def overlap(shared: Long, a: Long, b: Long): Option[Double] = {
+    val m = math.min(a, b).toDouble
+    if (m == 0) None else Some(shared / m)
+  }
+
+  val cnt: Gen[Long] = Gen.chooseNum(0L, 10000L)
+
+  property("overlap ∈ [0,1] when shared ≤ min(a,b) > 0") =
+    forAll(cnt, cnt) { (a, b) =>
+      val m = math.min(a, b)
+      m == 0L || {
+        val sh = m / 2
+        val o = overlap(sh, a, b).get
+        o >= 0.0 && o <= 1.0
+      }
+    }
+
+  property("subset track scores exactly 1.0 (README.md:164-168)") =
+    forAll(Gen.chooseNum(1L, 10000L), Gen.chooseNum(0L, 10000L)) { (a, extra) =>
+      overlap(a, a, a + extra).contains(1.0)
+    }
+
+  property("zero denominator yields null/none (NULLIF guard)") =
+    forAll(cnt) { a => overlap(0, 0, a).isEmpty }
+
+  property("archive candidates: one per day, inclusive bounds") =
+    forAll(Gen.chooseNum(0L, 3650L), Gen.chooseNum(0L, 400L)) { (startOff, len) =>
+      val from = LocalDate.of(2020, 1, 1).plusDays(startOff)
+      val until = from.plusDays(len)
+      val c = ArchiveIndex.candidates("x_%Y%m%d.zip", from, until)
+      c.length == len + 1 && c.distinct.length == c.length
+    }
+
+  property("plane signs: ±1 only and deterministic") =
+    forAll(Gen.chooseNum(1, 16), Gen.chooseNum(1, 128)) { (p, d) =>
+      val s = Similarity.planeSigns(p, d)
+      s.flatten.forall(v => v == 1.0 || v == -1.0) &&
+        s.map(_.toSeq).toSeq == Similarity.planeSigns(p, d).map(_.toSeq).toSeq
+    }
+}
