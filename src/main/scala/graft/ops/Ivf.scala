@@ -1,0 +1,80 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.vec_dot
+
+/** IVF (inverted-file) approximate nearest neighbor — the scale path beyond
+  * [[Similarity.lshBuckets]]: a coarse k-means quantizer assigns every vector
+  * to one of `nLists` cells; a query probes only its `nProbe` nearest cells
+  * and runs exact cosine inside them. Search cost drops from O(n·d) per query
+  * to O((nProbe/nLists)·n·d) with recall controlled by nProbe — the standard
+  * accuracy/throughput dial of production vector search.
+  *
+  * Scale design: the index is a DataFrame keyed by `list_id` — searches are
+  * equi-joins on the probed list ids (shuffle bounded by probed fraction),
+  * centroids are a driver-side array (nLists × d doubles — tiny) broadcast
+  * into the probe computation. Training samples the corpus; assignment is one
+  * narrow pass. NOT oracle-matched: distributed k-means is seeded but not
+  * bit-stable across cluster layouts, so this ships with recall tests against
+  * the exact brute-force baseline instead of a DuckDB twin.
+  */
+object Ivf {
+
+  case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
+
+  /** Train the coarse quantizer and assign every vector to its list. */
+  def build(emb: DataFrame, idCol: String, vecCol: String,
+            nLists: Int, seed: Long = 42L): Index = {
+    val data = emb.select(col(idCol).as("vid"),
+        Similarity.vecd(col(vecCol)).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(data)
+    val assigned = model.transform(data)
+      .select(col("vid"), col("v"), col("list_id"))
+    Index(model.clusterCenters.map(_.toArray), assigned)
+  }
+
+  /** Nearest `nProbe` list ids for a vector, by (squared) L2 distance to the
+    * centroids — computed as a plan-time literal expression chain so probing
+    * stays inside codegen (no UDF).
+    */
+  private def probeLists(v: org.apache.spark.sql.Column,
+                         centroids: Array[Array[Double]], nProbe: Int) = {
+    // dist²(v, c) = |v|² - 2 v·c + |c|²; |v|² is rank-invariant → use |c|² - 2 v·c
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * vec_dot(v, typedLit(c.toSeq))).as("d"),
+        lit(i).as("list_id"))
+    }
+    slice(array_sort(array(scored: _*)), 1, nProbe)
+  }
+
+  /** Approximate top-k cosine neighbors for every vector in `queries`.
+    * Output: (q, n_id, sim, rn) like [[Similarity.cosineTopK]].
+    */
+  def search(index: Index, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, nProbe: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("q"), Similarity.vecd(col(vecCol)).as("qv"))
+      .withColumn("qn", Similarity.l2norm(col("qv")))
+      .withColumn("probe", explode(probeLists(col("qv"), index.centroids, nProbe)))
+      .select(col("q"), col("qv"), col("qn"), col("probe.list_id").as("list_id"))
+    val cand = index.assigned
+      .withColumn("nn", Similarity.l2norm(col("v")))
+      .select(col("vid").as("n_id"), col("v"), col("nn"), col("list_id"))
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("n_id"))
+    q.join(cand, Seq("list_id")) // equi-join on probed lists only
+      .filter(col("q") =!= col("n_id"))
+      .select(col("q"), col("n_id"),
+        (vec_dot(col("qv"), col("v")) / nullif(col("qn") * col("nn"), lit(0.0)))
+          .as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Ivf, Similarity}
+
+/** IVF ANN spec: recall against the exact brute-force baseline, probe-fraction
+  * cost model, and full-probe equivalence.
+  */
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  private lazy val exact = Similarity
+    .cosineTopK(emb, "vec_id", "embedding", k = 5)
+    .select("q", "n", "rn").as[(Long, Long, Int)].collect()
+    .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  test("full probe (nProbe = nLists) reproduces the exact top-k") {
+    val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 8)
+    val got = Ivf.search(idx, emb, "vec_id", "embedding", k = 5, nProbe = 8)
+      .select("q", "n_id", "rn").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet === exact.keySet)
+    val agree = exact.keys.count(q => got(q) == exact(q))
+    assert(agree === exact.size, s"full probe must equal exact; agreed $agree/${exact.size}")
+  }
+
+  test("partial probe trades recall for candidate volume") {
+    val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 8)
+    val got = Ivf.search(idx, emb, "vec_id", "embedding", k = 5, nProbe = 3)
+      .select("q", "n_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // recall@5 over all queries
+    val hits = exact.toSeq.map { case (q, nbrs) =>
+      got.get(q).map(g => (g & nbrs).size).getOrElse(0)
+    }.sum
+    val recall = hits.toDouble / (exact.size * 5)
+    assert(recall > 0.25, s"recall@5 unreasonably low: $recall")
+    assert(recall < 1.01)
+    // candidate volume must be bounded by the probed fraction (≈3/8 + skew)
+    val cands = Ivf.search(idx, emb, "vec_id", "embedding", k = 1000, nProbe = 3)
+      .count()
+    val full = emb.count() * (emb.count() - 1)
+    assert(cands < full, s"partial probe must prune candidates ($cands vs $full)")
+  }
+}
