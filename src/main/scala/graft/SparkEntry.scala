@@ -76,6 +76,11 @@ object SparkEntry {
     // §2.5: row_number dedup view (docs/data_contracts.md:113)
     "window_dedup" -> ((s, d) => Tracks.windowDedup(Tables.events(s, d))),
 
+    // batch twin of the streaming gap-based trip splitter (SessionTracks):
+    // session-window semantics via lag + cumulative sum, 30-day gap
+    "trip_segments" -> ((s, d) =>
+      Tracks.tripSegments(Tables.events(s, d), gapMs = 30L * 86400 * 1000)),
+
     // A1-analog pricing rollup on lineitem: wide hash agg. Money columns are
     // 2-decimal by construction, so sums run in integer cents/basis-points —
     // exact and engine-independent at any SF (double→decimal casts round
@@ -352,6 +357,19 @@ object SparkEntry {
     "top_tracks" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
         |FROM events GROUP BY 1 ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin,
+
+    "trip_segments" ->
+      """WITH pts AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id FROM events),
+        |f AS (SELECT user_id, ts_ms, event_id,
+        |  CASE WHEN ts_ms - lag(ts_ms) OVER w > 2592000000 THEN 1 ELSE 0 END AS new_trip
+        |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |t AS (SELECT user_id, ts_ms,
+        |  CAST(sum(new_trip) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trip_seq
+        |  FROM f)
+        |SELECT user_id, trip_seq, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
+        |  CAST(count(*) AS BIGINT) AS n_points
+        |FROM t GROUP BY 1, 2 ORDER BY user_id, trip_seq""".stripMargin,
 
     "window_dedup" ->
       """WITH r AS (

@@ -60,6 +60,27 @@ object Tracks {
       .orderBy(col("n_events").desc, col("user_id"))
       .limit(k)
 
+  /** Batch trip segmentation: the lag-and-cumsum twin of
+    * [[graft.streaming.SessionTracks]] — a new trip starts where the gap to
+    * the previous point exceeds `gapMs`. One window pass keyed by track id;
+    * same keying as the silver bucketing, so a bucketed source feeds it
+    * shuffle-free.
+    */
+  def tripSegments(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("event_id"))
+      .withColumn("new_trip",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) > gapMs, 1).otherwise(0))
+      .withColumn("trip_seq", sum(col("new_trip"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "trip_seq")
+      .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
+        count(lit(1)).as("n_points"))
+      .orderBy("user_id", "trip_seq")
+  }
+
   /** Synthetic-id repair (P11, `apps/track_explorer.py:180-185`): rows with
     * a missing track id get a unique `track_<n>` id. `monotonically_
     * increasing_id` is partition-prefixed — unique and stable within a job
