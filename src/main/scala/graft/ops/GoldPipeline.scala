@@ -31,12 +31,12 @@ object GoldPipeline {
   def refreshUidHourly(hourly: DataFrame, outRoot: String,
                        fromDay: String, untilDay: String,
                        replace: Boolean = true, buckets: Int = 64): Unit = {
-    val spark = hourly.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     hourly
       .filter(col("dt").between(lit(fromDay).cast("date"), lit(untilDay).cast("date")))
       .repartition(buckets, col("uid")) // bucket-role shuffle; bounds files/partition
       .write.mode(if (replace) "overwrite" else "append")
+      // per-write scope — doesn't leak into the caller's session conf
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("dt", "hr")
       .option("compression", "snappy")
       .parquet(outRoot)
@@ -49,8 +49,6 @@ object GoldPipeline {
   def refreshPairsDaily(hourly: DataFrame, outRoot: String,
                         fromDay: String, untilDay: String,
                         replace: Boolean = true, buckets: Int = 32): Unit = {
-    val spark = hourly.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val bounded = hourly.filter(
       col("dt").between(lit(fromDay).cast("date"), lit(untilDay).cast("date")))
     CoMovement.pairsDaily(bounded)
@@ -59,6 +57,7 @@ object GoldPipeline {
       .withColumn("day", dayofmonth(col("day_date")))
       .repartition(buckets, col("uid_a"), col("uid_b"))
       .write.mode(if (replace) "overwrite" else "append")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("year", "month", "day")
       .option("compression", "snappy")
       .parquet(outRoot)

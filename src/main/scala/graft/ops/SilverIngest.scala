@@ -71,10 +71,12 @@ object SilverIngest {
     * drop-and-rebuild/append day lifecycle).
     */
   def writeSilver(df: DataFrame, outRoot: String, overwrite: Boolean = false): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     df.repartition(col("year"), col("month"), col("day"), col("bucket_id"))
       .write
       .mode(if (overwrite) "overwrite" else "append")
+      // per-write scope: never mutates the caller's session-wide overwrite
+      // semantics for unrelated partitioned writes
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("year", "month", "day", "bucket_id")
       .option("compression", "snappy")
       .parquet(outRoot)
