@@ -223,7 +223,7 @@ object SparkEntry {
     // n-gram Jaccard near-dup pairs (3-token shingles, keyed join)
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-          n = 3, threshold = 0.5)
+          n = 3, threshold = 0.5, maxDocsPerShingle = 50)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
@@ -257,10 +257,15 @@ object SparkEntry {
 
   private def embedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force exact cosine top-k (the ANN correctness baseline)
-    "embed_topk" -> ((s, d) =>
-      Similarity.cosineTopK(Tables.embeddings(s, d), "vec_id", "embedding", k = 5)
+    "embed_topk" -> ((s, d) => {
+      // cohort × corpus: bounded query set (every 10th id) against the full
+      // table — only the cohort is broadcast; the corpus streams
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", k = 5)
         .select(col("q"), col("n").as("n_id"), round(col("sim"), 6).as("sim"), col("rn"))
-        .orderBy("q", "rn")),
+        .orderBy("q", "rn")
+    }),
 
     // random-hyperplane LSH buckets (the scale path's candidate generator)
     "embed_lsh" -> ((s, d) => {
@@ -554,10 +559,13 @@ object SparkEntry {
 
     "dedup_ngram" ->
       s"""$ShingleCte,
-         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 50),
+         |shg AS (SELECT doc_id, shingle FROM sh
+         |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shg GROUP BY 1),
          |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    CAST(count(*) AS BIGINT) AS inter
-         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM shg a JOIN shg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
          |  round(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
@@ -636,7 +644,8 @@ object SparkEntry {
       s"""$NormCte,
          |p AS (SELECT a.vec_id AS q, b.vec_id AS n_id,
          |    (${dotChain("a.v", "b.v")}) / nullif(a.nr * b.nr, 0) AS sim
-         |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id),
+         |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 10 = 0),
          |r AS (SELECT *, row_number() OVER
          |    (PARTITION BY q ORDER BY sim DESC, n_id) AS rn FROM p)
          |SELECT q, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 5

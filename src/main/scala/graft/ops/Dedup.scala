@@ -58,9 +58,15 @@ object Dedup {
     val shUnp =
       if (maxDocsPerShingle == Int.MaxValue) sh0
       else {
-        val wc = Window.partitionBy(col("shingle"))
-        sh0.withColumn("df_cnt", count(lit(1)).over(wc))
-          .filter(col("df_cnt") <= maxDocsPerShingle).drop("df_cnt")
+        // stop-shingle guard via groupBy-count + anti-join: partial (map-side)
+        // aggregation collapses each shingle before the shuffle, and the hot
+        // set is tiny so AQE broadcasts the anti-join — strictly cheaper than
+        // a windowed count (full sort of every partition by shingle)
+        val hot = sh0.groupBy("shingle").agg(count(lit(1)).as("df_cnt"))
+          .filter(col("df_cnt") > maxDocsPerShingle)
+          .select("shingle")
+        // USING join puts the key first — restore (doc_id, shingle) order
+        sh0.join(hot, Seq("shingle"), "left_anti").select("doc_id", "shingle")
       }
     // three consumers (both join sides + sizes); shingle explosion is the
     // expensive part — materialize once, partitioned by the join key so the

@@ -41,19 +41,28 @@ object Ivf {
     Index(model.clusterCenters.map(_.toArray), assigned)
   }
 
-  /** Nearest `nProbe` list ids for a vector, by (squared) L2 distance to the
-    * centroids — computed as a plan-time literal expression chain so probing
-    * stays inside codegen (no UDF).
+  /** Nearest `nProbe` list ids per query, via a broadcast join against the
+    * centroid table. The centroids live in ONE broadcast relation, so plan
+    * size and codegen are O(1) in `nLists` (a literal-per-centroid chain
+    * explodes the expression tree at production nLists of 4k-64k). The
+    * `pr <= nProbe` filter over `row_number` compiles to WindowGroupLimit:
+    * each task pre-prunes to its local nProbe per query, so the window
+    * exchange carries O(|queries|·nProbe) rows.
     */
-  private def probeLists(v: org.apache.spark.sql.Column,
-                         centroids: Array[Array[Double]], nProbe: Int) = {
+  private def probeLists(queries: DataFrame,
+                         centroids: Array[Array[Double]], nProbe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
     // dist²(v, c) = |v|² - 2 v·c + |c|²; |v|² is rank-invariant → use |c|² - 2 v·c
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - lit(2.0) * vec_dot(v, typedLit(c.toSeq))).as("d"),
-        lit(i).as("list_id"))
-    }
-    slice(array_sort(array(scored: _*)), 1, nProbe)
+    val cents = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq, c.map(x => x * x).sum) }.toSeq
+      .toDF("list_id", "cv", "c2")
+    val pw = Window.partitionBy(col("q")).orderBy(col("d"), col("list_id"))
+    queries.join(broadcast(cents))
+      .withColumn("d", col("c2") - lit(2.0) * vec_dot(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= nProbe)
+      .select(col("q"), col("qv"), col("qn"), col("list_id"))
   }
 
   /** Approximate top-k cosine neighbors for every vector in `queries`.
@@ -61,10 +70,10 @@ object Ivf {
     */
   def search(index: Index, queries: DataFrame, idCol: String, vecCol: String,
              k: Int, nProbe: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("q"), Similarity.vecd(col(vecCol)).as("qv"))
-      .withColumn("qn", Similarity.l2norm(col("qv")))
-      .withColumn("probe", explode(probeLists(col("qv"), index.centroids, nProbe)))
-      .select(col("q"), col("qv"), col("qn"), col("probe.list_id").as("list_id"))
+    val q = probeLists(
+      queries.select(col(idCol).as("q"), Similarity.vecd(col(vecCol)).as("qv"))
+        .withColumn("qn", Similarity.l2norm(col("qv"))),
+      index.centroids, nProbe)
     val cand = index.assigned
       .withColumn("nn", Similarity.l2norm(col("v")))
       .select(col("vid").as("n_id"), col("v"), col("nn"), col("list_id"))

@@ -35,26 +35,37 @@ object Similarity {
 
   def l2norm(v: Column): Column = sqrt(vec_dot(v, v))
 
-  /** Exact cosine top-k neighbors for every vector (all-pairs). `k` smallest
-    * rank kept; ties broken by neighbor id. The join is a broadcast cross
-    * join: at scale the right side is the (small) query cohort — here the
-    * whole table plays both roles.
+  /** Exact cosine top-k: every cohort vector against the full corpus. The
+    * 100-TB shape: ONLY the (bounded) cohort is broadcast; the corpus streams
+    * through the scan with full parallelism and is never collected or
+    * replicated. The `rn <= k` filter over `row_number` compiles to Spark's
+    * WindowGroupLimit, so each task keeps only its local top-k per query
+    * before the shuffle — the exchange carries O(|cohort|·k·partitions)
+    * rows, not O(|cohort|·n).
     */
-  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
-    val e = emb.select(col(idCol).as("vid"), vecd(col(vecCol)).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) // both sides
-    // stream the left side with real parallelism (the cached frame is tiny
-    // and would otherwise be 1-2 partitions → serial n² loop); broadcast the
-    // right side explicitly — at scale `b` is the small query cohort
-    val a = e.toDF("q", "va", "na").repartition(col("q"))
-    val b = broadcast(e.toDF("n", "vb", "nb"))
-    val sims = a.join(b, col("q") =!= col("n"))
+  def cosineTopK(corpus: DataFrame, cohort: DataFrame,
+                 idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("n"), vecd(col(vecCol)).as("vb"))
+      .withColumn("nb", l2norm(col("vb")))
+    val q = broadcast(cohort.select(col(idCol).as("q"), vecd(col(vecCol)).as("va"))
+      .withColumn("na", l2norm(col("va"))))
+    val sims = c.join(q, col("q") =!= col("n"))
       .select(col("q"), col("n"),
         (vec_dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)))
           .as("sim"))
     val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("n"))
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** All-pairs exact top-k (the table plays both roles): the small-scale
+    * correctness baseline that IVF/LSH recall tests compare against. O(n²·d)
+    * by construction — never the declared 100-TB shape; use the cohort
+    * overload (or [[graft.ops.Ivf]]) for real corpora.
+    */
+  def cosineTopK(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    // repartition before self-join: the source is often a tiny cached/
+    // single-file frame whose 1-2 partitions would serialize the n² loop
+    cosineTopK(emb.repartition(col(idCol)), emb, idCol, vecCol, k)
   }
 
   /** Deterministic ±1 hyperplane weights: sign(p,d) from md5("p:d") parity. */

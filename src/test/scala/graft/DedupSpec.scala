@@ -44,6 +44,19 @@ class DedupSpec extends SparkSpec {
     assert(guarded.isEmpty)
   }
 
+  test("ngram guard drops only hot shingles; real pairs survive") {
+    // "x y z" is in all 4 docs (df=4, hot under cap=3); every other shingle
+    // has df=2. The guard must drop only the hot key — the two true pairs
+    // still match on their remaining shingles with jaccard 1.0.
+    val df = Seq((1L, "x y z a b c"), (2L, "x y z a b c"),
+                 (3L, "x y z p q r"), (4L, "x y z p q r")).toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5,
+      maxDocsPerShingle = 3).orderBy("doc_a", "doc_b").collect()
+    assert(got.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+      === Seq((1L, 2L), (3L, 4L)))
+    assert(got.forall(_.getAs[Double]("jaccard") === 1.0))
+  }
+
   test("minhash LSH: identical docs share all bands, disjoint docs none") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
       .toDF("doc_id", "text")

@@ -28,6 +28,25 @@ class IvfSpec extends SparkSpec {
     assert(agree === exact.size, s"full probe must equal exact; agreed $agree/${exact.size}")
   }
 
+  test("probe plan is O(1) in nLists: 1024 centroids stay out of the plan") {
+    val nLists = 1024
+    // centroids on a line at x = i; query at x = 7 probes exactly list 7
+    val centroids = Array.tabulate(nLists)(i => Array(i.toDouble, 0.0))
+    val assigned = (0 until 4096)
+      .map(i => (i.toLong, Seq((i % nLists).toDouble, 1.0), i % nLists))
+      .toDF("vid", "v", "list_id")
+    val idx = Ivf.Index(centroids, assigned)
+    val queries = Seq((9999L, Seq(7.0f, 1.0f))).toDF("vec_id", "embedding")
+    val res = Ivf.search(idx, queries, "vec_id", "embedding", k = 3, nProbe = 1)
+    val got = res.select("n_id").as[Long].collect().toSet
+    assert(got.nonEmpty && got.forall(_ % nLists == 7),
+      s"nProbe=1 must draw candidates only from the probed list, got $got")
+    // broadcast-relation centroids: no literal-per-centroid expression chain
+    val plan = res.queryExecution.optimizedPlan.toString
+    assert(plan.length < 50000,
+      s"plan grew with nLists (len=${plan.length}) — centroids are being inlined")
+  }
+
   test("partial probe trades recall for candidate volume") {
     val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 8)
     val got = Ivf.search(idx, emb, "vec_id", "embedding", k = 5, nProbe = 3)
