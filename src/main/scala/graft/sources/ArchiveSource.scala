@@ -80,13 +80,18 @@ object ArchiveSource {
     import spark.implicits._
     val raw = archiveLines(spark, glob)
     val header = raw.head().line
-    val body = raw.filter(r => r.line != header)
-    val parsed = spark.read.option("header", "true")
-      .csv(spark.createDataset(Seq(header)).union(body.map(_.line)))
-    // re-join lineage: csv() loses row provenance, so lineage is attached at
-    // archive granularity via input metadata when ingesting per-archive; for
-    // multi-archive globs the caller keeps `archiveLines` provenance instead
-    parsed
+    // column names via the real CSV header rules (quoting etc.), no inference:
+    // a header-only read yields the schema and zero rows
+    val schema = spark.read.option("header", "true")
+      .csv(spark.createDataset(Seq(header))).schema
+    // from_csv per line keeps (path, member) provenance on every row — the
+    // reference's source_file/source_member contract (data_contracts.md:32-35)
+    raw.filter(r => r.line != header)
+      .select(
+        from_csv(col("line"), schema, Map.empty[String, String]).as("rec"),
+        col("path").as("_archive_path"),
+        col("member").as("_archive_member"))
+      .select(col("rec.*"), col("_archive_path"), col("_archive_member"))
   }
 }
 

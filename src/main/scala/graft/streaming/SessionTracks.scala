@@ -14,9 +14,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * is `flatMapGroupsWithState`: state = the open trip per vessel, emitted
   * when a gap (or processing-time timeout) closes it.
   *
-  * Scale: state per key is one open trip (bounded by trip length, not stream
-  * length); keys shard across executors by uid hash — the same key the
-  * silver layer buckets on, so a co-partitioned source avoids a shuffle.
+  * Scale: state per key is one open trip, hard-capped at `maxOpenPoints`
+  * (a never-silent vessel force-flushes full segments instead of growing
+  * without bound); keys shard across executors by uid hash — the same key
+  * the silver layer buckets on, so a co-partitioned source avoids a shuffle.
   */
 object SessionTracks {
 
@@ -35,9 +36,17 @@ object SessionTracks {
     * end is followed by a gap > gapMinutes; keeps the open tail in state.
     * `armTimeout` additionally schedules a processing-time flush of the open
     * trip (only legal when the query runs with ProcessingTimeTimeout).
+    *
+    * `maxOpenPoints` bounds per-key state: a vessel that never pauses longer
+    * than the gap would otherwise accumulate its whole history in state. When
+    * the open run reaches the cap it is force-flushed in `maxOpenPoints`-sized
+    * segments (the split is artificial, like any sessionizer's max-length
+    * cut); only the sub-cap tail stays in state.
     */
-  def updateTrips(gapMinutes: Long, armTimeout: Boolean)(
+  def updateTrips(gapMinutes: Long, armTimeout: Boolean,
+                  maxOpenPoints: Int = 10000)(
       uid: Long, rows: Iterator[Point], state: GroupState[TripState]): Iterator[Trip] = {
+    require(maxOpenPoints > 0, "maxOpenPoints must be positive")
     val gapMs = gapMinutes * 60000L
     if (state.hasTimedOut) {
       val out = state.getOption.map(s => toTrip(s.points)).iterator
@@ -57,11 +66,20 @@ object SessionTracks {
           case _ => (done :+ cur.reverse, List(p))
         }
     }
-    if (open.nonEmpty) {
-      state.update(TripState(open.reverse))
+    // force-flush full segments of an over-long open run; keep only the tail
+    val openOrdered = open.reverse
+    val (forced, tail) =
+      if (openOrdered.length < maxOpenPoints) (Nil, openOrdered)
+      else {
+        val groups = openOrdered.grouped(maxOpenPoints).toList
+        if (groups.last.length == maxOpenPoints) (groups, Nil)
+        else (groups.init, groups.last)
+      }
+    if (tail.nonEmpty) {
+      state.update(TripState(tail))
       if (armTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
     } else state.remove()
-    closed.map(toTrip).iterator
+    (closed ++ forced).map(toTrip).iterator
   }
 
   /** Wire the stateful trip splitter over a streaming Dataset[Point].
@@ -74,7 +92,8 @@ object SessionTracks {
     * production streams, never in tests or AvailableNow backfills.
     */
   def trips(points: Dataset[Point], gapMinutes: Long = 60,
-            flushSilentVessels: Boolean = false): Dataset[Trip] = {
+            flushSilentVessels: Boolean = false,
+            maxOpenPoints: Int = 10000): Dataset[Trip] = {
     val spark = points.sparkSession
     import spark.implicits._
     val timeout =
@@ -82,6 +101,6 @@ object SessionTracks {
       else GroupStateTimeout.NoTimeout()
     points.groupByKey(_.uid)
       .flatMapGroupsWithState[TripState, Trip](OutputMode.Append(), timeout)(
-        updateTrips(gapMinutes, flushSilentVessels))
+        updateTrips(gapMinutes, flushSilentVessels, maxOpenPoints))
   }
 }

@@ -56,10 +56,17 @@ class SourcesSpec extends SparkSpec {
     assert(got.head.member === "AIS_2025_01_02.csv")
   }
 
-  test("archives → csv → silver clean end-to-end") {
+  test("archives → csv → silver clean end-to-end, lineage per row") {
     val df = ArchiveSource.csv(spark, archiveDir)
-    assert(df.columns.toSeq === Seq("MMSI", "BaseDateTime", "LAT", "LON", "SOG"))
+    assert(df.columns.toSeq === Seq("MMSI", "BaseDateTime", "LAT", "LON", "SOG",
+      "_archive_path", "_archive_member"))
     assert(df.count() === 4) // 2 rows per day
+    // per-row member lineage survives parsing: each zip member's row keeps
+    // the member it came from (the reference's source_member contract)
+    val byMember = df.filter(col("_archive_path").endsWith(".zip"))
+      .select("MMSI", "_archive_member").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byMember === Map("366123456" -> "day1_a.csv", "367000001" -> "day1_b.csv"))
     val cleaned = SilverIngest.clean(df, numBuckets = 96)
     assert(cleaned.count() === 4)
     assert(cleaned.select("bucket_id").distinct().count() === 2)

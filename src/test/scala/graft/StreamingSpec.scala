@@ -73,6 +73,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("never-silent vessel: open-trip state is force-flushed at maxOpenPoints") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[SessionTracks.Point]
+    // 25 gap-free points, cap 10 → two forced 10-point trips; 5 stay in state
+    val trips = SessionTracks.trips(mem.toDS(), gapMinutes = 60, maxOpenPoints = 10)
+    val q = trips.writeStream.format("memory").queryName("trips_capped")
+      .outputMode("append").start()
+    try {
+      mem.addData((0 until 25).map(i =>
+        SessionTracks.Point(1L, ts(f"${i / 60}%02d:${i % 60}%02d"), i.toDouble)): _*)
+      q.processAllAvailable()
+      val out = spark.table("trips_capped").as[SessionTracks.Trip].collect()
+        .sortBy(_.startTs.getTime)
+      assert(out.length === 2)
+      assert(out.forall(_.nPoints === 10))
+      assert(out(0).positions === (0 until 10).map(_.toDouble))
+      assert(out(1).positions === (10 until 20).map(_.toDouble))
+
+      // the 5-point tail is still open state: a later gap-free point extends
+      // it; a big gap then closes a 6-point trip — proving the tail survived
+      mem.addData(SessionTracks.Point(1L, ts("00:25"), 25.0),
+        SessionTracks.Point(1L, ts("09:00"), 99.0))
+      q.processAllAvailable()
+      val out2 = spark.table("trips_capped").as[SessionTracks.Trip].collect()
+        .sortBy(_.startTs.getTime)
+      assert(out2.length === 3)
+      assert(out2.last.nPoints === 6)
+      assert(out2.last.positions === Seq(20.0, 21.0, 22.0, 23.0, 24.0, 25.0))
+    } finally q.stop()
+  }
+
   test("multimodal batched decode: histogram computed from real bytes, batch shape bounded") {
     val media = Seq(
       Multimodal.MediaRow(1L, "img", Array.fill[Byte](256)(0)),
