@@ -61,6 +61,27 @@ object SparkEntry {
         col("message_count"), round(col("avg_pos"), 6).as("avg_value"), col("cell"))
       .orderBy("user_id", "hour_ms")),
 
+    // U1 2-D: the reference's uid_hourly_h3 gold shape — hex cell address from
+    // post-AVG coordinates (create_uid_hourly_h3.sql:61 applies the H3 UDF to
+    // AVG(lat), AVG(lon)). events has one position axis, so a deterministic
+    // synthetic (lat, lon) pair is derived from `value`; the ternary GeoCell
+    // expression (incl. its codegen path) is what's under oracle test here.
+    "uid_hourly_h3" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"),
+          (col("value") % 180.0 - 90.0).as("lat"),
+          ((col("value") * 2.0) % 360.0 - 180.0).as("lon"))
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(avg(col("lat")).as("raw_lat"), avg(col("lon")).as("raw_lon"),
+          count(lit(1)).as("message_count"))
+        .select(col("user_id"), unix_millis(col("hour_ts")).as("hour_ms"),
+          round(col("raw_lat"), 6).as("avg_lat"), round(col("raw_lon"), 6).as("avg_lon"),
+          graft.functions.geo_cell(col("raw_lat"), col("raw_lon"), 7).as("h3_index"),
+          col("message_count"))
+        .orderBy("user_id", "hour_ms")
+    }),
+
     // J1+J2+A2-A4+P6: the flagship pairs pipeline (create_pairs_daily.sql)
     "pairs_daily" -> ((s, d) => pairsGold(s, d)
       .select(col("uid_a"), col("uid_b"), col("day_date"),
@@ -336,6 +357,39 @@ object SparkEntry {
          |SELECT uid AS user_id, epoch_ms(hour_ts) AS hour_ms, message_count,
          |       round(avg_pos, 6) AS avg_value, cell
          |FROM hourly ORDER BY user_id, hour_ms""".stripMargin,
+
+    // mirrors GeoCell.cellId exactly: same rational-constant lattice map,
+    // same floor(v+0.5) cube rounding, same 60-bit packing; DuckDB's to_hex
+    // is uppercase, hence lower()
+    "uid_hourly_h3" ->
+      """WITH base AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour_ts,
+        |         (value % 180.0) - 90.0 AS lat,
+        |         ((value * 2.0) % 360.0) - 180.0 AS lon
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |h AS (
+        |  SELECT user_id, hour_ts, avg(lat) AS raw_lat, avg(lon) AS raw_lon,
+        |         CAST(count(*) AS BIGINT) AS message_count
+        |  FROM base GROUP BY 1, 2),
+        |c1 AS (SELECT *, raw_lon * 128.0 / 2.0 - raw_lat * 128.0 / 3.0 AS qf,
+        |               raw_lat * 128.0 * 2.0 / 3.0 AS rf FROM h),
+        |c2 AS (SELECT *, -qf - rf AS sf FROM c1),
+        |c3 AS (SELECT *, floor(qf + 0.5) AS q0, floor(rf + 0.5) AS r0,
+        |               floor(sf + 0.5) AS s0 FROM c2),
+        |c4 AS (SELECT *,
+        |  CASE WHEN abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf)
+        |       THEN -r0-s0 ELSE q0 END AS q,
+        |  CASE WHEN NOT (abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf))
+        |            AND abs(r0-rf) > abs(s0-sf)
+        |       THEN -q0-s0 ELSE r0 END AS r
+        |  FROM c3)
+        |SELECT user_id, epoch_ms(hour_ts) AS hour_ms,
+        |  round(raw_lat, 6) AS avg_lat, round(raw_lon, 6) AS avg_lon,
+        |  lower(lpad(to_hex((CAST(7 AS BIGINT) << 56)
+        |    | ((CAST(q AS BIGINT) + 134217728) << 28)
+        |    | (CAST(r AS BIGINT) + 134217728)), 15, '0')) AS h3_index,
+        |  message_count
+        |FROM c4 ORDER BY user_id, hour_ms""".stripMargin,
 
     "pairs_daily" ->
       s"""$PairsCte

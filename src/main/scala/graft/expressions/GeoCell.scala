@@ -1,23 +1,42 @@
 package graft.expressions
 
-import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Deterministic grid-cell quantizer: the Spark-native stand-in for the
-  * reference's remote H3 Lambda UDF `lat_lng_to_cell_address(lat, lon, res)`
+/** Hexagonal cell address from (lat, lon, res) — the Spark-native counterpart
+  * of the reference's remote H3 Lambda UDF `lat_lng_to_cell_address`
   * (declared `sql/gold/create_uid_hourly_h3.sql:24-26`, applied at `:61` on
-  * post-aggregation AVG(lat)/AVG(lon)).
+  * post-aggregation AVG(lat)/AVG(lon); validity contract
+  * `docs/data_contracts.md:88`: a 15-hex-character cell string).
   *
-  * Role parity, not bit parity: the H3 cell's only job in the reference is to
-  * be an *equi-joinable spatial key* ("equality on cell id instead of distance
-  * math", `README.md:130`). We quantize to a square grid where
-  * `width = 1 / 2^res` degrees and emit `"res:floor(lat*2^res):floor(lon*2^res)"`.
-  * This is SQL-expressible (`concat(res, ':', floor(lat*pow(2,res)), ':', ...)`)
-  * so the DuckDB oracle can compute the identical key. Divergence from true
-  * hexagonal adjacency is documented in SURVEY.md §7.5.
+  * Faithful to the H3 *model*, not its bit layout: cells form a true
+  * hexagonal tessellation with 6-neighbor adjacency (axial/cube coordinates
+  * on an affine hex lattice over lat/lon), the address is a 64-bit value
+  * rendered as exactly 15 lowercase hex characters, and resolution scales the
+  * lattice (cell width halves per res step; res 7 ≈ 0.9 km in longitude,
+  * comparable to H3 res 7's ~1.2 km edge). The full icosahedral H3 port
+  * (gnomonic face projection + 122 base cells) is deliberately out of scope —
+  * what every reference query needs from the cell is an equi-joinable spatial
+  * key with hex adjacency for neighborhood expansion, which this provides
+  * with engine-reproducible arithmetic (the DuckDB oracle computes the
+  * identical address from the same SQL-expressible chain; see
+  * `SparkEntry.oracleSql("uid_hourly_h3")`).
+  *
+  * Address layout (60 bits, so always 15 hex chars with %015x):
+  * {{{
+  *   [res : 4 bits][q + 2^27 : 28 bits][r + 2^27 : 28 bits]
+  * }}}
+  * where (q, r) are the axial coordinates of the cell. Lattice map (pure
+  * rational constants, so C++ and JVM IEEE arithmetic agree bit-for-bit):
+  * {{{
+  *   scale = 2^res
+  *   qf = lon*scale/2 - lat*scale/3
+  *   rf = lat*scale*2/3
+  * }}}
+  * followed by standard cube rounding with explicit half-up rounding
+  * (`floor(v + 0.5)` — identical in every engine, unlike round()).
   *
   * Implemented as a native Catalyst Expression with codegen (no UDF): stays
   * inside WholeStageCodegen at full scan width.
@@ -45,11 +64,78 @@ case class GeoCell(first: Expression, second: Expression, third: Expression)
 }
 
 object GeoCell {
-  /** width = 1/2^res degrees; floor-quantize each axis. Pure, deterministic. */
-  def cellId(lat: Double, lon: Double, res: Int): String = {
+
+  private val Offset = 1L << 27 // centers the signed axial coords in 28 bits
+
+  /** Axial (q, r) cell coordinates of a point at `res`. Cube rounding per
+    * the standard hex-grid algorithm, with `floor(v + 0.5)` rounding so the
+    * DuckDB oracle reproduces every branch bit-exactly.
+    */
+  def axial(lat: Double, lon: Double, res: Int): (Long, Long) = {
     val scale = (1L << res).toDouble
-    val y = math.floor(lat * scale).toLong
-    val x = math.floor(lon * scale).toLong
-    s"$res:$y:$x"
+    val qf = lon * scale / 2.0 - lat * scale / 3.0
+    val rf = lat * scale * 2.0 / 3.0
+    val sf = -qf - rf
+    var q = math.floor(qf + 0.5)
+    var r = math.floor(rf + 0.5)
+    val s = math.floor(sf + 0.5)
+    val dq = math.abs(q - qf)
+    val dr = math.abs(r - rf)
+    val ds = math.abs(s - sf)
+    if (dq > dr && dq > ds) q = -r - s
+    else if (dr > ds) r = -q - s
+    // (s would be fixed up in the remaining branch; it isn't encoded)
+    (q.toLong, r.toLong)
+  }
+
+  /** 15-hex-char cell address. Pure, deterministic, total for
+    * lat ∈ [-90, 90], lon ∈ [-180, 180], res ∈ [0, 15].
+    */
+  def cellId(lat: Double, lon: Double, res: Int): String = {
+    val (q, r) = axial(lat, lon, res)
+    val v = (res.toLong << 56) | ((q + Offset) << 28) | (r + Offset)
+    f"$v%015x"
+  }
+
+  /** Inverse of [[cellId]]'s packing: (res, q, r). */
+  def decode(cell: String): (Int, Long, Long) = {
+    val v = java.lang.Long.parseLong(cell, 16)
+    ((v >>> 56).toInt, ((v >>> 28) & 0xfffffffL) - Offset, (v & 0xfffffffL) - Offset)
+  }
+
+  /** Center of a cell (lat, lon) — inverse of the lattice map. */
+  def center(cell: String): (Double, Double) = {
+    val (res, q, r) = decode(cell)
+    val scale = (1L << res).toDouble
+    val lat = r * 3.0 / (2.0 * scale)
+    val lon = (2.0 * q + r) / scale
+    (lat, lon)
+  }
+
+  private val AxialDirections =
+    Seq((1L, 0L), (1L, -1L), (0L, -1L), (-1L, 0L), (-1L, 1L), (0L, 1L))
+
+  /** The 6 edge-adjacent cells — true hexagonal adjacency. */
+  def neighbors(cell: String): Seq[String] = {
+    val (res, q, r) = decode(cell)
+    AxialDirections.map { case (dq, dr) =>
+      val v = (res.toLong << 56) | ((q + dq + Offset) << 28) | (r + dr + Offset)
+      f"$v%015x"
+    }
+  }
+
+  /** All cells within hex distance `k` (includes the cell itself):
+    * 1 + 3k(k+1) cells.
+    */
+  def kRing(cell: String, k: Int): Seq[String] = {
+    require(k >= 0, "k must be non-negative")
+    val (res, q, r) = decode(cell)
+    for {
+      dq <- -k.toLong to k.toLong
+      dr <- math.max(-k.toLong, -dq - k) to math.min(k.toLong, -dq + k)
+    } yield {
+      val v = (res.toLong << 56) | ((q + dq + Offset) << 28) | (r + dr + Offset)
+      f"$v%015x"
+    }
   }
 }

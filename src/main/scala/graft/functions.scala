@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   */
 object functions {
 
-  /** H3-role grid cell from (lat, lon, res) — see [[graft.expressions.GeoCell]]. */
+  /** Hexagonal cell address (15 hex chars, true hex adjacency) from
+    * (lat, lon, res) — see [[graft.expressions.GeoCell]].
+    */
   def geo_cell(lat: Column, lon: Column, res: Column): Column =
     expressions.col(expressions.GeoCell(
       expressions.expr(lat), expressions.expr(lon), expressions.expr(res)))

@@ -11,11 +11,43 @@ class ExpressionsSpec extends SparkSpec {
 
   // ---------------------------------------------------------------- GeoCell
 
-  test("GeoCell.cellId quantizes deterministically (width = 1/2^res)") {
-    assert(GeoCell.cellId(0.0, 0.0, 7) === "7:0:0")
-    assert(GeoCell.cellId(37.7749, -122.4194, 7) === s"7:${math.floor(37.7749 * 128).toLong}:${math.floor(-122.4194 * 128).toLong}")
-    // floor, not truncate: negative coords go down
-    assert(GeoCell.cellId(-0.001, -0.001, 0) === "0:-1:-1")
+  test("GeoCell.cellId: 15-hex-char contract, packing, fixture vector") {
+    // origin at res 7: q=r=0 → [7][2^27][2^27] = 0x0780000008000000
+    assert(GeoCell.cellId(0.0, 0.0, 7) === "780000008000000")
+    val hex15 = "^[0-9a-f]{15}$".r
+    for ((la, lo) <- Seq((37.7749, -122.4194), (-33.8688, 151.2093),
+        (89.9999, -179.9999), (-90.0, 180.0), (0.0, 0.0))) {
+      val c = GeoCell.cellId(la, lo, 7)
+      assert(hex15.matches(c), s"not 15 hex chars: $c")
+      // decode inverts the packing; res travels in the top 4 bits
+      val (res, q, r) = GeoCell.decode(c)
+      assert(res === 7)
+      assert(GeoCell.axial(la, lo, 7) === ((q, r)))
+    }
+  }
+
+  test("GeoCell: hex adjacency — 6 symmetric neighbors, k-ring sizes") {
+    val c = GeoCell.cellId(37.7749, -122.4194, 7)
+    val ns = GeoCell.neighbors(c)
+    assert(ns.length === 6 && ns.distinct.length === 6 && !ns.contains(c))
+    // edge adjacency is symmetric and res-preserving
+    ns.foreach { n =>
+      assert(GeoCell.neighbors(n).contains(c))
+      assert(GeoCell.decode(n)._1 === 7)
+    }
+    // k-ring: 1 + 3k(k+1) cells, ring 1 = self + the 6 neighbors
+    assert(GeoCell.kRing(c, 0) === Seq(c))
+    assert(GeoCell.kRing(c, 1).toSet === (ns :+ c).toSet)
+    assert(GeoCell.kRing(c, 3).length === 1 + 3 * 3 * 4)
+  }
+
+  test("GeoCell: cell center maps back to its own cell") {
+    for ((la, lo) <- Seq((37.7749, -122.4194), (-33.8688, 151.2093), (0.1, 0.1));
+         res <- Seq(3, 7, 11)) {
+      val c = GeoCell.cellId(la, lo, res)
+      val (cla, clo) = GeoCell.center(c)
+      assert(GeoCell.cellId(cla, clo, res) === c)
+    }
   }
 
   test("geo_cell column matches the scala function (eval + codegen paths)") {

@@ -22,12 +22,30 @@ object GraftProperties extends Properties("graft") {
     GeoCell.cellId(la, lo, r) == GeoCell.cellId(la, lo, r)
   }
 
-  property("geocell: same cell ⇒ within one cell width") =
+  property("geocell: always 15 lowercase hex chars") = forAll(lat, lon, res) {
+    (la, lo, r) => GeoCell.cellId(la, lo, r).matches("[0-9a-f]{15}")
+  }
+
+  property("geocell: same cell ⇒ nearby (hex cell diameter bound)") =
     forAll(lat, lon, lat, lon, res) { (a1, o1, a2, o2, r) =>
+      // cube rounding keeps |Δrf| < 2 and |Δqf| < 2 within one cell, so
+      // |Δlat| < 3/scale and |Δlon| < 6/scale (loose affine-lattice bounds)
       val w = 1.0 / (1L << r)
       (GeoCell.cellId(a1, o1, r) != GeoCell.cellId(a2, o2, r)) ||
-        (math.abs(a1 - a2) < w && math.abs(o1 - o2) < w)
+        (math.abs(a1 - a2) < 3 * w && math.abs(o1 - o2) < 6 * w)
     }
+
+  property("geocell: decode inverts encode") = forAll(lat, lon, res) {
+    (la, lo, r) =>
+      val (q, rr) = GeoCell.axial(la, lo, r)
+      GeoCell.decode(GeoCell.cellId(la, lo, r)) == ((r, q, rr))
+  }
+
+  property("geocell: neighbor adjacency is symmetric") = forAll(lat, lon, res) {
+    (la, lo, r) =>
+      val c = GeoCell.cellId(la, lo, r)
+      GeoCell.neighbors(c).forall(n => GeoCell.neighbors(n).contains(c))
+  }
 
   property("geocell: resolution is encoded (no cross-res collisions)") =
     forAll(lat, lon, res, res) { (la, lo, r1, r2) =>
