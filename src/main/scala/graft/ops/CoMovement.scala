@@ -46,6 +46,13 @@ object CoMovement {
     * (uid, dt, hr, cell). Output matches the reference's pairs_daily contract
     * (`refresh_gold_tables.py:336-350`): uid_a, uid_b, day_date, hA, hB, gA,
     * gB, hT, gT, temporal_o, spatial_o, gto.
+    *
+    * Cache lifecycle: persists a shared intermediate for its multi-consumer
+    * plan and (by design) does not unpersist — unpersisting before the caller
+    * acts would defeat the cache. Long-lived sessions composing many operator
+    * calls should `spark.catalog.clearCache()` between logical jobs, or read
+    * the result through a materialization boundary ([[graft.engine.GoldCache]])
+    * as the declared queries do.
     */
   def pairsDaily(hourly: DataFrame): DataFrame = {
     // The hourly frame feeds FOUR consumers (both self-join sides + both

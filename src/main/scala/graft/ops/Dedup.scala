@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   * declared queries shingle at 3 tokens which keeps per-key fanout bounded,
   * and a `maxDocsPerShingle` guard drops degenerate keys the way production
   * MinHash pipelines drop stop-shingles.
+  *
+  * Cache lifecycle: the pair operators persist a shared intermediate (the
+  * exploded shingle / signature frame feeds both join sides) and do not
+  * unpersist it — callers own the cache boundary; `spark.catalog.clearCache()`
+  * between logical jobs in long-lived sessions.
   */
 object Dedup {
 

@@ -20,6 +20,48 @@ trait ArchiveIndex {
 
 object ArchiveIndex {
 
+  /** A dated archive link discovered from an index page. */
+  case class IndexedFile(date: LocalDate, href: String)
+
+  private val AnchorRe = """(?is)<a\b([^>]*)>(.*?)</a>""".r
+  // value may contain the other quote kind (onclick="download('x')"), so
+  // match to the SAME closing quote that opened the attribute
+  private val HrefRe = """(?is)href\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
+  private val OnclickRe = """(?is)onclick\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
+  // the reference's file-name pattern (`ais_pipeline.py:194`):
+  // AIS[_-]YYYY[_-]MM[_-]DD followed by the rest of the name
+  private val FileNameRe = """(?i)AIS[_-](\d{4})[_-](\d{2})[_-](\d{2})[^\s"']*""".r
+
+  /** Parse an index page's anchors into dated archive links — the engine-side
+    * (transport-free) half of the reference's `_scrape_index`
+    * (`ais_pipeline.py:230-266`): per anchor, try href → onclick → text for a
+    * date-bearing file name, validate the calendar date, keep only
+    * `.zip`/`.zst`, and resolve relative names against the index URL.
+    */
+  def parseHtmlIndex(html: String, indexUrl: String): Seq[IndexedFile] =
+    AnchorRe.findAllMatchIn(html).flatMap { m =>
+      val attrs = m.group(1)
+      def attrVal(re: scala.util.matching.Regex): Option[String] =
+        re.findFirstMatchIn(attrs).map(a => Option(a.group(1)).getOrElse(a.group(2)))
+      val candidates = Seq(attrVal(HrefRe), attrVal(OnclickRe), Some(m.group(2))).flatten
+      candidates.iterator.flatMap(FileNameRe.findFirstMatchIn).nextOption()
+        .flatMap { fm =>
+          val name = fm.group(0)
+          val lower = name.toLowerCase
+          val supported = lower.endsWith(".zip") || lower.endsWith(".zst")
+          val date =
+            try Some(LocalDate.of(fm.group(1).toInt, fm.group(2).toInt, fm.group(3).toInt))
+            catch { case _: java.time.DateTimeException => None }
+          date.filter(_ => supported).map { d =>
+            val resolved =
+              try java.net.URI.create(indexUrl).resolve(name).toString
+              catch { case _: IllegalArgumentException =>
+                indexUrl.replaceAll("/[^/]*$", "/") + name }
+            IndexedFile(d, resolved)
+          }
+        }
+    }.toSeq
+
   /** Expand a date-templated name (`AIS_%Y_%m_%d.zip` style, reference
     * default `ais_pipeline.py:149`) over an inclusive date range.
     */

@@ -83,6 +83,27 @@ class SourcesSpec extends SparkSpec {
       LocalDate.of(2025, 3, 1)) === Seq("x_20250227", "x_20250228", "x_20250301"))
   }
 
+  test("HTML index parse: href/onclick/text anchors, date + suffix filters") {
+    val html =
+      """<html><body>
+        |<a href="AIS_2025_01_01.zip">day 1</a>
+        |<a href="/data/2025/AIS_2025_01_02.csv.zst">day 2</a>
+        |<a onclick="download('AIS_2025_01_03.zip')">day 3 (onclick)</a>
+        |<a href="#">AIS_2025_01_04.zip</a>
+        |<a href="AIS_2025_13_40.zip">bad calendar date</a>
+        |<a href="AIS_2025_01_05.txt">unsupported suffix</a>
+        |<a href="readme.html">no date at all</a>
+        |</body></html>""".stripMargin
+    val got = ArchiveIndex.parseHtmlIndex(html, "https://host/2025/index.html")
+    assert(got.map(_.date.getDayOfMonth) === Seq(1, 2, 3, 4))
+    assert(got(0).href === "https://host/2025/AIS_2025_01_01.zip") // relative
+    // like the reference, only the matched file NAME resolves against the
+    // index URL (ais_pipeline.py:268-275 returns match.group(0), not the path)
+    assert(got(1).href === "https://host/2025/AIS_2025_01_02.csv.zst")
+    assert(got(2).href === "https://host/2025/AIS_2025_01_03.zip") // from onclick
+    assert(got(3).href === "https://host/2025/AIS_2025_01_04.zip") // from anchor text
+  }
+
   test("external table registration + partition recovery (K5)") {
     val loc = Files.createTempDirectory("ext_tbl").toString + "/t"
     Seq((1L, "2025-01-01 00:00:00"), (2L, "2025-01-02 00:00:00"))
