@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{CoMovement, Dedup, Multimodal, QualityChecks, Similarity, SilverIngest, TextOps, Tracks}
+import graft.ops.{CoMovement, Curation, Dedup, Multimodal, QualityChecks, Similarity, SilverIngest, TextOps, Tracks}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,6 +24,11 @@ object SparkEntry {
     */
   val Res = 3
   private val WidthSql = "62.5"
+
+  /** Query-term bag for the declared BM25 query (all present in the corpus). */
+  private val Bm25Terms = Seq("join", "hash", "spark")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
   val GtoThreshold = 0.4
 
   private def hourly(spark: SparkSession, dir: String): DataFrame =
@@ -112,6 +117,17 @@ object SparkEntry {
 
     // §2.5: row_number dedup view (docs/data_contracts.md:113)
     "window_dedup" -> ((s, d) => Tracks.windowDedup(Tables.events(s, d))),
+
+    // HLL sketch: approximate distinct users per day. Deliberately has NO
+    // DuckDB oracle (sketches differ across engines — driver records the
+    // weaker rows-only check); SketchSpec bounds the error vs exact instead.
+    "approx_users_daily" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day_date"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy("day_date")),
 
     // batch twin of the streaming gap-based trip splitter (SessionTracks):
     // session-window semantics via lag + cumulative sum, 30-day gap
@@ -236,6 +252,33 @@ object SparkEntry {
     // quality scoring (length/punct/stopword/case ratios + composite)
     "text_quality" -> ((s, d) =>
       TextOps.qualityScores(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // BM25 relevance for a fixed query-term bag (corpus stats broadcast)
+    "bm25_score" -> ((s, d) =>
+      TextOps.bm25(Tables.documents(s, d), "doc_id", "text", Bm25Terms)
+        .orderBy("doc_id")),
+
+    // deterministic stratified sample: sha256 bucket under per-lang rate
+    "doc_sample" -> ((s, d) =>
+      Curation.stratifiedHashSample(Tables.documents(s, d), "doc_id", "lang",
+          Map("en" -> 10, "de" -> 50), defaultRate = 25)
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    // concat-and-chunk token packing, shard-local (512-token chunks)
+    "token_packing" -> ((s, d) =>
+      Curation.concatChunkPacking(
+          Tables.documents(s, d).withColumn("n_tokens",
+            size(TextOps.tokens(col("text")))),
+          shardCol = "source", orderCol = "doc_id",
+          tokensCol = col("n_tokens"), chunkTokens = 512)
+        .select("doc_id", "source", "n_tokens", "tok_start", "tok_end",
+          "first_chunk", "last_chunk")
+        .orderBy("doc_id")),
+
+    // C4-style quality filter: keep flag + drop-reason bitmask per doc
+    "quality_filter" -> ((s, d) =>
+      Curation.qualityFilter(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // exact dedup: canonical md5 fingerprint + keep-first flag
     "dedup_exact" -> ((s, d) =>
@@ -561,6 +604,73 @@ object SparkEntry {
       |FROM toks)""".stripMargin
 
   private def textOracle: Map[String, String] = Map(
+    // constants are interpolated from the SAME Scala doubles the query uses,
+    // passed through CAST('…' AS DOUBLE) so DuckDB parses the exact double
+    // rather than a DECIMAL (ln() ulp noise is absorbed by round(,6))
+    "bm25_score" -> {
+      val terms = Bm25Terms.zipWithIndex
+      val k1p1 = s"CAST('${Bm25K1 + 1.0}' AS DOUBLE)"
+      val k1 = s"CAST('$Bm25K1' AS DOUBLE)"
+      val oneMinusB = s"CAST('${1.0 - Bm25B}' AS DOUBLE)"
+      val bLit = s"CAST('$Bm25B' AS DOUBLE)"
+      val tfCols = terms.map { case (t, i) =>
+        s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) AS tf_$i" }.mkString(",\n  ")
+      val dfAggs = terms.map { case (_, i) =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i" }.mkString(", ")
+      val scoreSum = terms.map { case (_, i) =>
+        s"""ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0) * (tf_$i * $k1p1)
+           | / (tf_$i + $k1 * ($oneMinusB + $bLit * (dl / avgdl)))""".stripMargin
+      }.mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |d AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+         |  $tfCols
+         |FROM t),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+         |  $dfAggs FROM d)
+         |SELECT doc_id, round($scoreSum, 6) AS bm25
+         |FROM d, s ORDER BY doc_id""".stripMargin
+    },
+
+    "doc_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |        % 100 AS BIGINT)
+        |  < CASE WHEN lang = 'en' THEN 10 WHEN lang = 'de' THEN 50 ELSE 25 END
+        |ORDER BY doc_id""".stripMargin,
+
+    "token_packing" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (SELECT *, sum(n_tokens) OVER
+        |    (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS tok_end
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens,
+        |  tok_end - n_tokens AS tok_start, tok_end,
+        |  CAST(floor((tok_end - n_tokens) / 512) AS BIGINT) AS first_chunk,
+        |  CASE WHEN n_tokens > 0
+        |       THEN CAST(floor((tok_end - 1) / 512) AS BIGINT) END AS last_chunk
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "quality_filter" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(ts) AS DOUBLE) AS n_toks,
+        |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CAST(len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'and', 'is')))
+        |    AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS stop_ratio
+        |FROM t),
+        |r AS (SELECT doc_id,
+        |  (CASE WHEN n_toks < 5 THEN 1 ELSE 0 END
+        |   + CASE WHEN n_toks > 1000 THEN 2 ELSE 0 END
+        |   + CASE WHEN punct_ratio > CAST('0.1' AS DOUBLE) THEN 4 ELSE 0 END
+        |   + CASE WHEN stop_ratio < CAST('0.005' AS DOUBLE) THEN 8 ELSE 0 END)
+        |  AS drop_reasons FROM m)
+        |SELECT doc_id, CAST(drop_reasons AS INTEGER) AS drop_reasons,
+        |  drop_reasons = 0 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "token_count" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,

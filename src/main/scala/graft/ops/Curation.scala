@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.stable_bucket
+
+/** Corpus-curation operators for a training-data pipeline: deterministic
+  * sampling, token-budget packing, and composite quality filtering. These
+  * extend the reference's capability surface with the standard LLM-data-prep
+  * curation stages that sit between dedup and tokenization.
+  *
+  * Scale design: sampling and filtering are narrow, codegen'd row maps (no
+  * shuffle, no RNG state — reruns and retried tasks produce identical
+  * output). Packing shuffles once on the shard key and windows within each
+  * shard only — never a global sort.
+  */
+object Curation {
+
+  /** Deterministic stratified sample: keep a row iff its stable hash bucket
+    * (sha256-based, 0..99) falls under its stratum's percentage. No RNG —
+    * the sample is reproducible across reruns, retries, and engines (the
+    * reference derives its bucket hash the same way, `ais_pipeline.py:532-535`),
+    * and membership is decided per row with zero shuffle.
+    *
+    * `rates`: stratum value → keep-percentage (0..100); `defaultRate` applies
+    * to unlisted strata.
+    */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           rates: Map[String, Int], defaultRate: Int): DataFrame = {
+    require((rates.values.toSeq :+ defaultRate).forall(r => r >= 0 && r <= 100),
+      "rates are percentages in [0, 100]")
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(strataCol) === lit(s), lit(r)).otherwise(acc)
+    }
+    df.filter(stable_bucket(col(keyCol).cast("string"), 100) < rate)
+  }
+
+  /** Concat-and-chunk token packing (GPT-style pretraining batches): within
+    * each shard, documents are laid end-to-end in `orderCol` order and the
+    * token stream is cut every `chunkTokens`. Emits each document's position:
+    * the half-open token interval [tok_start, tok_end) and the chunk range
+    * [first_chunk, last_chunk] it lands in — a doc spanning a cut appears in
+    * multiple chunks, exactly like fixed-length pretraining examples.
+    *
+    * The window partitions by `shardCol` (shard-local packing, the way a
+    * multi-worker loader packs per shard) — no global sort at any scale.
+    */
+  def concatChunkPacking(df: DataFrame, shardCol: String, orderCol: String,
+                         tokensCol: Column, chunkTokens: Int): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val end = sum(tokensCol.cast("long")).over(w)
+    df.select(col(shardCol), col(orderCol), tokensCol.cast("long").as("n_tokens"))
+      .withColumn("tok_end", end)
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+      .withColumn("first_chunk",
+        floor(col("tok_start") / chunkTokens.toLong).cast("long"))
+      .withColumn("last_chunk",
+        when(col("n_tokens") > 0,
+          floor((col("tok_end") - 1L) / chunkTokens.toLong)).otherwise(null)
+          .cast("long"))
+  }
+
+  /** C4-style composite quality filter: every heuristic votes, failures are
+    * recorded as a bitmask (1 = too short, 2 = too long, 4 = punctuation
+    * noise, 8 = unnatural stopword density), `keep` = no bits set. Keeping
+    * the reasons per row (instead of just dropping) is what lets a 100 TB
+    * curation run audit WHY mass was removed — the standard practice in
+    * published corpus pipelines.
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 5, maxTokens: Int = 1000,
+                    maxPunctRatio: Double = 0.1,
+                    minStopRatio: Double = 0.005): DataFrame = {
+    val t = col(textCol)
+    val toks = TextOps.tokens(t)
+    val nToks = size(toks).cast("double")
+    val punctRatio =
+      size(regexp_extract_all(t, lit("[^\\w\\s]"), lit(0))).cast("double") / length(t)
+    val stopRatio = size(filter(toks, x =>
+      TextOps.LangMarkers.head._2.map(m => x === lit(m)).reduce(_ || _)))
+      .cast("double") / nToks
+    val reasons =
+      when(nToks < minTokens, 1).otherwise(0) +
+      when(nToks > maxTokens, 2).otherwise(0) +
+      when(punctRatio > maxPunctRatio, 4).otherwise(0) +
+      when(stopRatio < minStopRatio, 8).otherwise(0)
+    df.select(col(idCol), reasons.as("drop_reasons"),
+      (reasons === 0).as("keep"))
+  }
+}

@@ -97,4 +97,34 @@ object TextOps {
     */
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  /** BM25 relevance of every document for a bag of query terms (Lucene-style
+    * idf: `ln((N - df + 0.5)/(df + 0.5) + 1)`). Two corpus-level scalars
+    * (N, avgdl) and one df per term are computed in a single tiny aggregate
+    * and broadcast back over the scan — the per-document work is a narrow,
+    * codegen'd map. No shuffle of the corpus at any scale.
+    */
+  def bm25(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = df.select(col(idCol), tokens(col(textCol)).as("ts"))
+      .withColumn("dl", size(col("ts")).cast("double"))
+    val withTf = terms.zipWithIndex.foldLeft(base) { case (acc, (t, i)) =>
+      acc.withColumn(s"tf_$i", size(filter(col("ts"), x => x === lit(t))).cast("double"))
+    }
+    val aggs =
+      count(lit(1)).cast("double").as("n_docs") ::
+      avg(col("dl")).as("avgdl") ::
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i")).toList
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val idf = log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * (col("dl") / col("avgdl"))))
+    }.reduce(_ + _)
+    scored.select(col(idCol), round(score, 6).as("bm25"))
+  }
 }
