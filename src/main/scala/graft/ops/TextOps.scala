@@ -123,7 +123,7 @@ object TextOps {
       val tf = col(s"tf_$i")
       val idf = log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
       idf * (tf * (k1 + 1.0)) /
-        (tf + k1 * ((1.0 - b) + b * (col("dl") / col("avgdl"))))
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))
     }.reduce(_ + _)
     scored.select(col(idCol), round(score, 6).as("bm25"))
   }
