@@ -52,9 +52,8 @@ object Curation {
     require(chunkTokens > 0, "chunkTokens must be positive")
     val w = Window.partitionBy(col(shardCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val end = sum(tokensCol.cast("long")).over(w)
     df.select(col(shardCol), col(orderCol), tokensCol.cast("long").as("n_tokens"))
-      .withColumn("tok_end", end)
+      .withColumn("tok_end", sum(col("n_tokens")).over(w))
       .withColumn("tok_start", col("tok_end") - col("n_tokens"))
       .withColumn("first_chunk",
         floor(col("tok_start") / chunkTokens.toLong).cast("long"))

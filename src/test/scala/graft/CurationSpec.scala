@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Curation, TextOps}
+
+/** Unit specs for the curation operators (stratified sampling, token packing,
+  * composite quality filter) and BM25 scoring — the oracle checks the declared
+  * queries end-to-end; these pin the operator semantics on hand-built fixtures
+  * with independently recomputed expectations.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- BM25 -------------------------------------------------------------
+
+  test("bm25: all-terms doc outscores partial match; no-match doc scores 0") {
+    val df = Seq(
+      (1L, "spark shuffle join"),
+      (2L, "spark spark spark"),
+      (3L, "cat dog bird")).toDF("doc_id", "text")
+    val got = TextOps.bm25(df, "doc_id", "text", Seq("spark", "shuffle"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25"))
+      .toMap
+
+    // independent recompute: N=3, avgdl=3, df(spark)=2, df(shuffle)=1
+    val k1 = 1.2; val b = 0.75
+    def idf(dfT: Double) = math.log((3.0 - dfT + 0.5) / (dfT + 0.5) + 1.0)
+    def term(tf: Double, dfT: Double, dl: Double) =
+      if (tf == 0) 0.0
+      else idf(dfT) * (tf * (k1 + 1.0)) /
+        (tf + k1 * ((1.0 - b) + b * (dl / 3.0)))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    assert(got(1L) === r6(term(1, 2, 3) + term(1, 1, 3)))
+    assert(got(2L) === r6(term(3, 2, 3)))
+    assert(got(3L) === 0.0)
+    assert(got(1L) > got(2L)) // both query terms beat one repeated term
+  }
+
+  test("bm25: idf stays positive when a term is in more than half the corpus") {
+    // "the" appears in 3 of 4 docs (df > N/2): classic BM25 idf would go
+    // negative; the Lucene-style +1 keeps it positive, so a match must still
+    // score strictly above a non-match.
+    val df = Seq(
+      (1L, "the cat"), (2L, "the dog"), (3L, "the bird"), (4L, "fish fin"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25(df, "doc_id", "text", Seq("the"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25"))
+      .toMap
+    assert(got(1L) > 0.0)
+    assert(got(4L) === 0.0)
+  }
+
+  // ---- Stratified hash sampling ----------------------------------------
+
+  test("stratified sample: rate-0 stratum drops all, rate-100 keeps all, deterministic") {
+    val df = (1L to 200L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "stratum")
+    val run1 = Curation.stratifiedHashSample(df, "doc_id", "stratum",
+      Map("a" -> 0, "b" -> 100), defaultRate = 50)
+      .select("doc_id").as[Long].collect().sorted
+    assert(run1.forall(_ % 2 == 1)) // every "a" row gone
+    assert(run1.length === 100)     // every "b" row kept
+
+    // partial rate is deterministic across reruns (hash, not RNG)
+    val p1 = Curation.stratifiedHashSample(df, "doc_id", "stratum",
+      Map.empty, defaultRate = 37).select("doc_id").as[Long].collect().sorted
+    val p2 = Curation.stratifiedHashSample(df, "doc_id", "stratum",
+      Map.empty, defaultRate = 37).select("doc_id").as[Long].collect().sorted
+    assert(p1.toSeq === p2.toSeq)
+    assert(p1.nonEmpty && p1.length < 200) // 37% keeps a real subset
+  }
+
+  // ---- Concat-and-chunk token packing ----------------------------------
+
+  test("token packing: doc spanning a chunk cut lands in both chunks") {
+    // one shard, docs of 4/5/3 tokens, chunks of 6:
+    //   d1 [0,4)  → chunk 0 only
+    //   d2 [4,9)  → crosses the cut at 6: chunks 0..1
+    //   d3 [9,12) → chunk 1 only
+    val df = Seq((0, 1L, 4), (0, 2L, 5), (0, 3L, 3)).toDF("shard", "pos", "toks")
+    val got = Curation.concatChunkPacking(df, "shard", "pos", col("toks"), 6)
+      .orderBy("pos")
+      .select("pos", "tok_start", "tok_end", "first_chunk", "last_chunk")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq((0L, 4L, 0L, 0L), (4L, 9L, 0L, 1L), (9L, 12L, 1L, 1L)))
+  }
+
+  test("token packing: zero-token doc has empty interval and null last_chunk") {
+    val df = Seq((0, 1L, 2), (0, 2L, 0), (0, 3L, 2)).toDF("shard", "pos", "toks")
+    val got = Curation.concatChunkPacking(df, "shard", "pos", col("toks"), 4)
+      .orderBy("pos").collect()
+    val empty = got(1)
+    assert(empty.getAs[Long]("tok_start") === empty.getAs[Long]("tok_end"))
+    assert(empty.isNullAt(empty.fieldIndex("last_chunk")))
+    // and the neighbours are unaffected: d3 starts where d1 ended
+    assert(got(2).getAs[Long]("tok_start") === 2L)
+  }
+
+  test("token packing is shard-local: same order key restarts per shard") {
+    val df = Seq((0, 1L, 3), (1, 1L, 3)).toDF("shard", "pos", "toks")
+    val got = Curation.concatChunkPacking(df, "shard", "pos", col("toks"), 8)
+      .select("tok_start").as[Long].collect()
+    assert(got.toSeq === Seq(0L, 0L)) // both shards start at token 0
+  }
+
+  // ---- C4-style quality filter -----------------------------------------
+
+  test("quality filter: each bitmask bit fires in isolation") {
+    val longText = Seq.fill(1001)("the").mkString(" ")
+    val df = Seq(
+      (0L, "the cat and dog is here"),         // all checks pass
+      (1L, "the and is"),                       // 3 tokens < 5 → bit 1
+      (2L, longText),                           // 1001 tokens > 1000 → bit 2
+      (3L, "the cat and a dog is !!!! ,,,,"),   // punct-heavy → bit 4
+      (4L, "cat dog bird fish mouse wolf")      // zero stopwords → bit 8
+    ).toDF("doc_id", "text")
+    val got = Curation.qualityFilter(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Int]("drop_reasons"), r.getAs[Boolean]("keep")))
+    assert(got.toSeq === Seq((0, true), (1, false), (2, false), (4, false), (8, false)))
+  }
+}
