@@ -314,18 +314,23 @@ object SparkEntry {
     }),
   )
 
-  /** Similarity search over the `embeddings` table (64-dim float vectors). */
+  /** Similarity search over the `embeddings` table (64-dim float vectors).
+    * `LshPlanes` is per-band; at real corpus sizes derive it with
+    * [[Similarity.planesFor]] (the oracle needs a fixed count to inline the
+    * same hyperplanes in static SQL, so the declared queries pin it).
+    */
   val LshPlanes = 8
+  val LshBands = 2
   val EmbedDims = 64
   val EmbedDupThreshold = 0.3
 
   private def embedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force exact cosine top-k (the ANN correctness baseline)
     "embed_topk" -> ((s, d) => {
-      // cohort × corpus: bounded query set (every 10th id) against the full
-      // table — only the cohort is broadcast; the corpus streams
+      // cohort × corpus: FIXED-size query set (first 50 ids) against the full
+      // table — the broadcast side is O(1) in corpus size; the corpus streams
       val emb = Tables.embeddings(s, d)
-      Similarity.cosineTopK(emb, emb.filter(col("vec_id") % 10 === 0),
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 50),
           "vec_id", "embedding", k = 5)
         .select(col("q"), col("n").as("n_id"), round(col("sim"), 6).as("sim"), col("rn"))
         .orderBy("q", "rn")
@@ -340,11 +345,13 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
-    // embedding-cosine near-dup pairs, LSH-bucketed
+    // embedding-cosine near-dup pairs, banded-LSH candidates (the scale path:
+    // per-band bucket count sizes with planesFor, bands preserve recall)
     "dedup_embed" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-          LshPlanes, EmbedDims, EmbedDupThreshold)
-        .select(col("id_a"), col("id_b"), col("bucket"), round(col("sim"), 6).as("sim"))
+      Similarity.cosineNearDupPairsBanded(Tables.embeddings(s, d), "vec_id",
+          "embedding", LshBands, LshPlanes, EmbedDims, EmbedDupThreshold)
+        .select(col("id_a"), col("id_b"), col("bands_shared"),
+          round(col("sim"), 6).as("sim"))
         .orderBy("id_a", "id_b")),
   )
 
@@ -792,10 +799,14 @@ object SparkEntry {
       (if (s > 0) " + " else " - ") + s"$v[${i + 1}]"
     }.mkString
 
-  private def bucketSql(v: String): String = {
-    val signs = Similarity.planeSigns(LshPlanes, EmbedDims)
+  /** Per-band bucket expression; band 0 over the first `LshPlanes` sign rows
+    * is identical to the single-band layout (planeSigns tabulates by (p, d)),
+    * so `embed_lsh` keeps its historical buckets.
+    */
+  private def bucketSql(v: String, band: Int = 0): String = {
+    val signs = Similarity.planeSigns(LshBands * LshPlanes, EmbedDims)
     (0 until LshPlanes).map { p =>
-      s"(CASE WHEN ${signChain(signs(p), v)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      s"(CASE WHEN ${signChain(signs(band * LshPlanes + p), v)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
   }
 
@@ -809,7 +820,7 @@ object SparkEntry {
          |p AS (SELECT a.vec_id AS q, b.vec_id AS n_id,
          |    (${dotChain("a.v", "b.v")}) / nullif(a.nr * b.nr, 0) AS sim
          |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
-         |  WHERE a.vec_id % 10 = 0),
+         |  WHERE a.vec_id < 50),
          |r AS (SELECT *, row_number() OVER
          |    (PARTITION BY q ORDER BY sim DESC, n_id) AS rn FROM p)
          |SELECT q, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 5
@@ -822,15 +833,25 @@ object SparkEntry {
          |  CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
          |FROM b ORDER BY vec_id""".stripMargin,
 
-    "dedup_embed" ->
+    "dedup_embed" -> {
+      val bandSelects = (0 until LshBands).map(bnd =>
+        s"SELECT vec_id, $bnd AS band, ${bucketSql("v", bnd)} AS bucket FROM e")
+        .mkString("\n  UNION ALL\n  ")
       s"""$NormCte,
-         |bk AS (SELECT vec_id, ${bucketSql("v")} AS bucket FROM e),
-         |j AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, ba.bucket,
+         |bk AS (
+         |  $bandSelects),
+         |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS bands_shared
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT c.id_a, c.id_b, c.bands_shared,
          |    (${dotChain("a.v", "b.v")}) / nullif(a.nr * b.nr, 0) AS sim
-         |  FROM nrm a JOIN bk ba ON ba.vec_id = a.vec_id
-         |  JOIN bk bb ON bb.bucket = ba.bucket
-         |  JOIN nrm b ON b.vec_id = bb.vec_id AND a.vec_id < b.vec_id)
-         |SELECT id_a, id_b, bucket, round(sim, 6) AS sim
-         |FROM j WHERE sim >= $EmbedDupThreshold ORDER BY id_a, id_b""".stripMargin,
+         |  FROM cand c
+         |  JOIN nrm a ON a.vec_id = c.id_a
+         |  JOIN nrm b ON b.vec_id = c.id_b)
+         |SELECT id_a, id_b, bands_shared, round(sim, 6) AS sim
+         |FROM j WHERE sim >= $EmbedDupThreshold ORDER BY id_a, id_b""".stripMargin
+    },
   )
 }

@@ -79,6 +79,19 @@ object Similarity {
     }
   }
 
+  /** Plane count sized to the corpus: enough sign bits that the EXPECTED
+    * bucket occupancy is ~`targetOccupancy` (2^planes ≈ n / target), so the
+    * within-bucket candidate join stays linear in n instead of n²/constant.
+    * Pair with banding ([[bandedLshBuckets]]) so recall survives the longer
+    * signatures — more planes alone shrinks buckets AND recall.
+    */
+  def planesFor(n: Long, targetOccupancy: Int = 8): Int = {
+    require(targetOccupancy > 0, "targetOccupancy must be positive")
+    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy))
+      / math.log(2.0)).toInt
+    math.min(62, math.max(1, needed))
+  }
+
   /** Random-hyperplane LSH bucket id per vector: bit p = [dot(v, plane_p) > 0],
     * bucket = Σ bit_p · 2^p. One narrow pass, no shuffle.
     */
@@ -91,6 +104,60 @@ object Similarity {
       when(vec_dot(v, w) > 0, 1L << p).otherwise(0L)
     }.reduce(_ + _)
     emb.select(col(idCol), bucket.as("bucket"))
+  }
+
+  /** Banded random-hyperplane LSH: `bands` independent signatures of
+    * `planesPerBand` sign bits each (planes `b*r .. b*r+r-1` feed band `b`).
+    * Emits one (id, band, bucket) row per band via a single narrow
+    * map + explode — no shuffle. Candidates share ANY band's bucket, the
+    * sign-bit analogue of MinHash banding: per-band bucket count scales as
+    * 2^planesPerBand (size with [[planesFor]]) while multiple bands keep
+    * recall that a single long signature would destroy.
+    */
+  def bandedLshBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                       bands: Int, planesPerBand: Int, dims: Int): DataFrame = {
+    require(bands > 0 && planesPerBand > 0 && planesPerBand <= 62,
+      "bands >= 1, 1 <= planesPerBand <= 62")
+    val signs = planeSigns(bands * planesPerBand, dims)
+    val v = vecd(col(vecCol))
+    val perBand = (0 until bands).map { bnd =>
+      val bucket = (0 until planesPerBand).map { p =>
+        val w = typedLit(signs(bnd * planesPerBand + p).toSeq)
+        when(vec_dot(v, w) > 0, 1L << p).otherwise(0L)
+      }.reduce(_ + _)
+      struct(lit(bnd).as("band"), bucket.as("bucket"))
+    }
+    emb.select(col(idCol), explode(array(perBand: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Banded embedding near-dup pairs — the 100-TB shape for embedding-cosine
+    * dedup. Candidates are pairs sharing any (band, bucket); the pair list is
+    * deduped on ids BEFORE vectors are re-attached, so the shuffle carries
+    * (id, id, bands_shared) triples — never vector payloads — and each
+    * surviving pair costs exactly one exact-cosine check. Size
+    * `planesPerBand` with [[planesFor]] so per-band occupancy (and therefore
+    * join fanout) stays constant as the corpus grows.
+    */
+  def cosineNearDupPairsBanded(emb: DataFrame, idCol: String, vecCol: String,
+                               bands: Int, planesPerBand: Int, dims: Int,
+                               threshold: Double): DataFrame = {
+    val bk = bandedLshBuckets(emb, idCol, vecCol, bands, planesPerBand, dims)
+    val a = bk.toDF("id_a", "band", "bucket")
+    val b = bk.toDF("id_b", "band", "bucket")
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("bands_shared"))
+    val e = emb.select(col(idCol).as("vid"), vecd(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    cand
+      .join(e.select(col("vid").as("id_a"), col("v").as("va"), col("nrm").as("na")), "id_a")
+      .join(e.select(col("vid").as("id_b"), col("v").as("vb"), col("nrm").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("bands_shared"),
+        (vec_dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
   }
 
   /** Embedding near-dup pairs, LSH-accelerated: candidates share a bucket

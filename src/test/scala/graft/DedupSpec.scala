@@ -109,6 +109,57 @@ class DedupSpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
   }
 
+  test("planesFor sizes signatures to hold expected occupancy constant") {
+    assert(Similarity.planesFor(512, 8) === 6)            // 2^6 buckets ≈ 512/8
+    assert(Similarity.planesFor(1L << 20, 8) === 17)
+    assert(Similarity.planesFor(1L << 40, 8) === 37)      // grows with log2(n)
+    assert(Similarity.planesFor(4, 8) === 1)              // tiny corpora: floor 1
+    assert(Similarity.planesFor(Long.MaxValue, 1) === 62) // bit-width ceiling
+  }
+
+  test("banded LSH: planesFor-sized buckets stay small; planted dups still found") {
+    // deterministic "random" fixture: 512 spread vectors + 8 planted
+    // near-identical pairs on top
+    val rnd = new scala.util.Random(42)
+    val dims = 16
+    val spread = (0 until 512).map { i =>
+      (i.toLong, Array.fill(dims)(rnd.nextGaussian().toFloat))
+    }
+    val planted = (0 until 8).map { i =>
+      val v = spread(i * 7)._2
+      (10000L + i, v.map(x => x + 0.001f * (i + 1)))
+    }
+    val df = (spread ++ planted).toDF("vec_id", "embedding")
+    val n = 520L
+    val planes = Similarity.planesFor(n, targetOccupancy = 8)
+
+    // occupancy: with log-sized signatures no (band, bucket) degenerates into
+    // a quadratic hotspot on a diverse corpus
+    val occ = Similarity.bandedLshBuckets(df, "vec_id", "embedding",
+        bands = 2, planesPerBand = planes, dims = dims)
+      .groupBy("band", "bucket").count()
+      .agg(max("count")).as[Long].collect().head
+    assert(occ <= 8 * 8, s"max bucket occupancy $occ should stay near target 8")
+
+    // recall: every planted near-identical pair survives banding (cosine ≈ 1,
+    // same side of every hyperplane in at least one band)
+    val pairs = Similarity.cosineNearDupPairsBanded(df, "vec_id", "embedding",
+        bands = 2, planesPerBand = planes, dims = dims, threshold = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (0 until 8).map(i => (spread(i * 7)._1, 10000L + i)).toSet
+    assert(want.subsetOf(pairs), s"missing planted pairs: ${want -- pairs}")
+  }
+
+  test("banded LSH bucket ids: band 0 matches the single-band layout") {
+    val emb = graft.engine.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val single = Similarity.lshBuckets(emb, "vec_id", "embedding", 8, 64)
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    val band0 = Similarity.bandedLshBuckets(emb, "vec_id", "embedding", 2, 8, 64)
+      .filter(col("band") === 0).select("vec_id", "bucket")
+      .orderBy("vec_id").as[(Long, Long)].collect().toSeq
+    assert(single === band0)
+  }
+
   test("language id tie-break picks first language in marker order") {
     val df = Seq((1L, "nothing matches here")).toDF("doc_id", "text")
     val got = TextOps.languageId(df, "doc_id", "text").collect().head
