@@ -4,10 +4,14 @@ import java.io.{BufferedReader, ByteArrayInputStream, InputStream, InputStreamRe
 import java.nio.charset.StandardCharsets
 import java.util.zip.ZipInputStream
 
-import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Archive-aware CSV source: the Spark re-expression of the reference's
   * zip-member extraction (S4, `pipelines/ais_pipeline.py:399-417`) and zstd
@@ -15,15 +19,19 @@ import org.apache.spark.sql.functions._
   *
   * NOAA serves daily AIS archives as `.zip` (one or more `.csv` members) or
   * `.csv.zst`. Spark's text/csv readers can't open zip members, and this
-  * environment lacks the native Hadoop zstd codec — so archives are read via
-  * the `binaryFile` source and decoded with JVM streams (java.util.zip;
-  * zstd-jni, which ships with Spark for parquet/shuffle compression).
+  * environment lacks the native Hadoop zstd codec — so archives are decoded
+  * with JVM streams (java.util.zip; zstd-jni, which ships with Spark for
+  * parquet/shuffle compression).
   *
-  * Scale: one task per archive (binaryFile splits at file granularity — the
-  * right granularity: a zip member is not splittable). Decode streams; only
-  * the produced lines are materialized. Parallelism = number of daily
-  * archives, which matches the reference's per-file loop — repartition after
-  * parsing if a day's CSV needs wider fan-out.
+  * Scale: one task per archive (a zip member is not splittable, so file
+  * granularity is the right granularity). The `binaryFile` source is used for
+  * LISTING only — the `content` column is never selected, so Spark prunes it
+  * and no archive bytes are read during planning. Each task opens its
+  * archive as a filesystem stream and decodes lazily: at any moment the task
+  * holds one decompressor's buffers and one line, never a whole member or
+  * archive. A multi-GB daily therefore streams through a constant-memory
+  * window. Parallelism = number of daily archives, matching the reference's
+  * per-file loop — repartition after parsing if a day needs wider fan-out.
   */
 object ArchiveSource {
 
@@ -37,58 +45,107 @@ object ArchiveSource {
     Iterator.continually(r.readLine()).takeWhile(_ != null)
   }
 
-  /** Decode one archive's bytes into (member, line) pairs by extension. */
-  def decode(path: String, content: Array[Byte]): Iterator[(String, String)] = {
+  /** Runs `close` exactly once, when the wrapped iterator is exhausted.
+    * (Limit-truncated consumers that abandon the iterator early are covered
+    * by the task-completion hook in [[archiveLines]].)
+    */
+  private def closeOnExhaust[A](it: Iterator[A], close: () => Unit): Iterator[A] =
+    new Iterator[A] {
+      private var closed = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; close() }
+        h
+      }
+      override def next(): A = it.next()
+    }
+
+  /** Lazily decode one archive into (member, line) pairs by extension. `open`
+    * is invoked once; the returned iterator pulls from the stream on demand —
+    * zip members are walked entry-by-entry (the shared `ZipInputStream`
+    * advances only after a member's lines are consumed) and nothing beyond
+    * the decompressor's fixed read-ahead buffers is ever materialized.
+    */
+  def decodeStream(path: String, open: () => InputStream): Iterator[(String, String)] = {
     val lower = path.toLowerCase
     if (lower.endsWith(".zip")) {
-      val zin = new ZipInputStream(new ByteArrayInputStream(content))
-      // materialize per-member to keep a simple iterator contract; zip members
-      // must be consumed before advancing the shared stream anyway
-      val out = ArrayBuffer.empty[(String, String)]
-      var e = zin.getNextEntry
-      while (e != null) {
-        if (!e.isDirectory && e.getName.toLowerCase.endsWith(".csv"))
-          lines(new FilterCloseInputStream(zin)).foreach(l => out += ((e.getName, l)))
-        e = zin.getNextEntry
-      }
-      out.iterator
+      val zin = new ZipInputStream(open())
+      val it = Iterator.continually(zin.getNextEntry).takeWhile(_ != null)
+        .filter(e => !e.isDirectory && e.getName.toLowerCase.endsWith(".csv"))
+        .flatMap { e =>
+          val name = e.getName // capture: entry mutates as the walk advances
+          lines(new FilterCloseInputStream(zin)).map(l => (name, l))
+        }
+      closeOnExhaust(it, () => zin.close())
     } else if (lower.endsWith(".zst")) {
       val member = path.split('/').last.stripSuffix(".zst")
-      lines(new com.github.luben.zstd.ZstdInputStream(
-        new ByteArrayInputStream(content))).map(l => (member, l))
+      val in = new com.github.luben.zstd.ZstdInputStream(open())
+      closeOnExhaust(lines(in).map(l => (member, l)), () => in.close())
     } else {
       val member = path.split('/').last
-      lines(new ByteArrayInputStream(content)).map(l => (member, l))
+      val in = open()
+      closeOnExhaust(lines(in).map(l => (member, l)), () => in.close())
     }
   }
 
-  /** All CSV lines of every archive under `glob`, with lineage columns. */
+  /** In-memory convenience overload (tests, pre-fetched buffers). */
+  def decode(path: String, content: Array[Byte]): Iterator[(String, String)] =
+    decodeStream(path, () => new ByteArrayInputStream(content))
+
+  /** All CSV lines of every archive under `glob`, with lineage columns.
+    * Listing happens on the driver (path column only — no bytes); each task
+    * streams its archives straight from the filesystem. Streams left open by
+    * early-terminating consumers (e.g. `LIMIT 1` header probes) are closed by
+    * a task-completion hook.
+    */
   def archiveLines(spark: SparkSession, glob: String): Dataset[ArchiveLine] = {
     import spark.implicits._
+    // Hadoop Configuration is not serializable: ship its entries and rebuild
+    val confKV = spark.sparkContext.hadoopConfiguration.asScala
+      .map(e => (e.getKey, e.getValue)).toArray
     spark.read.format("binaryFile").load(glob)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, c) => decode(p, c).map { case (m, l) => ArchiveLine(p, m, l) } }
+      .select(col("path"))
+      .as[String]
+      .mapPartitions { paths =>
+        val conf = new Configuration(false)
+        confKV.foreach { case (k, v) => conf.set(k, v) }
+        val tc = TaskContext.get()
+        paths.flatMap { p =>
+          val hp = new HadoopPath(p)
+          val open = () => {
+            val s = hp.getFileSystem(conf).open(hp)
+            if (tc != null) tc.addTaskCompletionListener[Unit](_ => s.close())
+            s: InputStream
+          }
+          decodeStream(p, open).map { case (m, l) => ArchiveLine(p, m, l) }
+        }
+      }
   }
 
   /** Archives → stringly CSV DataFrame (header resolved per the usual CSV
     * rules), ready for [[graft.ops.SilverIngest.clean]]. Lineage travels in
     * `_archive_path` / `_archive_member`. Assumes members share one schema
     * (true for NOAA dailies; the reference makes the same assumption).
+    *
+    * The header probe is a LIMIT-1 job that, thanks to the lazy decode,
+    * reads only the first archive's first line — not a full decode pass.
+    * Pass `schema` to skip the name-resolution micro-job entirely.
     */
-  def csv(spark: SparkSession, glob: String): DataFrame = {
+  def csv(spark: SparkSession, glob: String,
+          schema: Option[StructType] = None): DataFrame = {
     import spark.implicits._
     val raw = archiveLines(spark, glob)
     val header = raw.head().line
     // column names via the real CSV header rules (quoting etc.), no inference:
     // a header-only read yields the schema and zero rows
-    val schema = spark.read.option("header", "true")
-      .csv(spark.createDataset(Seq(header))).schema
+    val resolved = schema.getOrElse(
+      spark.read.option("header", "true")
+        .csv(spark.createDataset(Seq(header))).schema)
     // from_csv per line keeps (path, member) provenance on every row — the
     // reference's source_file/source_member contract (data_contracts.md:32-35)
     raw.filter(r => r.line != header)
       .select(
-        from_csv(col("line"), schema, Map.empty[String, String]).as("rec"),
+        from_csv(col("line"), resolved, Map.empty[String, String]).as("rec"),
         col("path").as("_archive_path"),
         col("member").as("_archive_member"))
       .select(col("rec.*"), col("_archive_path"), col("_archive_member"))

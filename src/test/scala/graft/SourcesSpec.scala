@@ -72,6 +72,52 @@ class SourcesSpec extends SparkSpec {
     assert(cleaned.select("bucket_id").distinct().count() === 2)
   }
 
+  test("zip decode is lazy: reading the first lines leaves later members untouched") {
+    // two ~60 KB members of poorly-compressible content; a counting stream
+    // proves bounded buffering — consuming member 1's first line must not
+    // pull member 2 (or even the bulk of member 1) through the decoder
+    val rnd = new scala.util.Random(7)
+    def bigMember(n: Int) =
+      (0 until 800).map(i => s"$n,$i,${rnd.alphanumeric.take(64).mkString}")
+        .mkString("\n")
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zout = new ZipOutputStream(bos)
+      Seq(1, 2).foreach { n =>
+        zout.putNextEntry(new ZipEntry(s"m$n.csv"))
+        zout.write(bigMember(n).getBytes("UTF-8"))
+        zout.closeEntry()
+      }
+      zout.close()
+      bos.toByteArray
+    }
+    assert(bytes.length > 80000) // random payload stays ~incompressible
+
+    var readCount = 0L
+    var closed = false
+    def countingStream(): java.io.InputStream =
+      new java.io.FilterInputStream(new java.io.ByteArrayInputStream(bytes)) {
+        override def read(): Int = { val r = super.read(); if (r >= 0) readCount += 1; r }
+        override def read(b: Array[Byte], off: Int, len: Int): Int = {
+          val r = super.read(b, off, len); if (r > 0) readCount += r; r
+        }
+        override def close(): Unit = { closed = true; super.close() }
+      }
+
+    val it = ArchiveSource.decodeStream("x.zip", countingStream)
+    val first = it.next()
+    assert(first._1 === "m1.csv" && first._2.startsWith("1,0,"))
+    assert(readCount < 40000,
+      s"read $readCount of ${bytes.length} bytes for one line — decode is not lazy")
+    assert(!closed)
+
+    // full consumption still yields every line of both members, then closes
+    val rest = it.toSeq
+    assert(1 + rest.length === 1600)
+    assert(rest.last._1 === "m2.csv")
+    assert(closed)
+  }
+
   test("date-templated discovery probes existence with extension fallback") {
     val idx = new ArchiveIndex.LocalDirIndex(archiveDir, "AIS_%Y_%m_%d.zip")
     val found = idx.listFilesBetween(
