@@ -1,11 +1,15 @@
 package graft
 
+import java.io.FileOutputStream
 import java.nio.file.Files
 import java.sql.Timestamp
+import java.time.LocalDate
+import java.util.zip.{ZipEntry, ZipOutputStream}
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.{CoMovement, GoldPipeline}
+import graft.ops.{CoMovement, GoldPipeline, SilverIngest}
+import graft.sources.{ArchiveIndex, ArchiveSource, BronzeLanding}
 
 /** Gold materialization spec: day-ranged refresh with dynamic partition
   * overwrite, append mode for incremental days, layout contract.
@@ -46,6 +50,40 @@ class GoldPipelineSpec extends SparkSpec {
     // pair (1,2) present each day with full overlap
     assert(d12.filter(col("uid_a") === 1 && col("uid_b") === 2).count() === 2)
     assert(d12.select(min(col("gto"))).as[Double].head() === 1.0)
+  }
+
+  test("bronze→silver→gold: discover, land skip-if-exists, build co-movement (K1)") {
+    // a NOAA-shaped source dir with one daily zip
+    val srcDir = Files.createTempDirectory("noaa_src").toString
+    val zout = new ZipOutputStream(new FileOutputStream(s"$srcDir/AIS_2025_01_01.zip"))
+    zout.putNextEntry(new ZipEntry("day1.csv"))
+    val rows = for { uid <- Seq(111, 222); h <- 0 to 3 }
+      yield f"$uid,2025-01-01 0$h%d:10:00,${(h % 2) * 62.5 + 1.0}%.1f,-122.4,5.0"
+    zout.write(("MMSI,BaseDateTime,LAT,LON,SOG" +: rows).mkString("\n").getBytes("UTF-8"))
+    zout.closeEntry(); zout.close()
+
+    // discover + land; second landing must move no bytes
+    val bronze = Files.createTempDirectory("bronze").toString
+    val idx = new ArchiveIndex.LocalDirIndex(srcDir, "AIS_%Y_%m_%d.zip")
+    val landed = BronzeLanding.landRange(spark, idx, bronze,
+      LocalDate.of(2025, 1, 1), LocalDate.of(2025, 1, 2))
+    assert(landed.map(_.copied) === Seq(true))
+    assert(landed.head.target.endsWith("AIS_2025_01_01.zip"))
+    val again = BronzeLanding.landRange(spark, idx, bronze,
+      LocalDate.of(2025, 1, 1), LocalDate.of(2025, 1, 2))
+    assert(again.map(_.copied) === Seq(false))
+
+    // bronze → silver → hourly → gold + pairs, one walk
+    val silver = SilverIngest.clean(ArchiveSource.csv(spark, bronze), numBuckets = 8)
+    val hourlyE2e = CoMovement.hourlyRollup(
+      silver.withColumn("lat", col("LAT").cast("double")),
+      "mmsi", "event_ts", "lat", 3)
+    val out = Files.createTempDirectory("gold_e2e").toString
+    GoldPipeline.refreshUidHourly(hourlyE2e, out, "2025-01-01", "2025-01-01", buckets = 2)
+    assert(spark.read.parquet(out).count() === 8) // 2 vessels × 4 hours
+    val pairs = CoMovement.pairsDaily(hourlyE2e).collect()
+    assert(pairs.length === 1) // the co-located pair, both cells shared
+    assert(pairs.head.getAs[Double]("gto") === 1.0)
   }
 
   test("pairs_total rebuild aggregates across the materialized days") {
