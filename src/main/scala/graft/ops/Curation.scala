@@ -74,8 +74,10 @@ object Curation {
                     minTokens: Int = 5, maxTokens: Int = 1000,
                     maxPunctRatio: Double = 0.1,
                     minStopRatio: Double = 0.005): DataFrame = {
+    val pre = df.select(col(idCol), col(textCol),
+      TextOps.tokens(col(textCol)).as("__toks"))
     val t = col(textCol)
-    val toks = TextOps.tokens(t)
+    val toks = col("__toks")
     val nToks = size(toks).cast("double")
     val punctRatio =
       size(regexp_extract_all(t, lit("[^\\w\\s]"), lit(0))).cast("double") / length(t)
@@ -87,7 +89,7 @@ object Curation {
       when(nToks > maxTokens, 2).otherwise(0) +
       when(punctRatio > maxPunctRatio, 4).otherwise(0) +
       when(stopRatio < minStopRatio, 8).otherwise(0)
-    df.select(col(idCol), reasons.as("drop_reasons"),
+    pre.select(col(idCol), reasons.as("drop_reasons"),
       (reasons === 0).as("keep"))
   }
 }

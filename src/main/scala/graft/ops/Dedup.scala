@@ -27,16 +27,32 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** 3-token shingles (distinct): the unit of near-dup comparison. Guarded for
+  /** 3-token shingles (distinct) from a pre-split token array. Guarded for
     * texts shorter than `n` tokens (Spark `sequence(1,0)` would descend).
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ts = TextOps.tokens(text)
+  def shinglesOfTokens(ts: Column, n: Int = 3): Column =
     when(size(ts) >= n,
       array_distinct(transform(sequence(lit(1), size(ts) - (n - 1)), i =>
         concat_ws(" ", (0 until n).map(k => element_at(ts, i + k)): _*))))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** 3-token shingles of a text column. Composition convenience — hot paths
+    * should go through [[shingleRows]], which materializes the token split
+    * once per row first (`element_at` inside the transform lambda references
+    * the array 3n times, and lambda captures defeat common-subexpression
+    * elimination, so inlining the split re-splits the text per shingle term).
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesOfTokens(TextOps.tokens(text), n)
+
+  /** Exploded (doc_id, shingle) rows with the token split materialized in its
+    * own projection — the shared front of every shingle-based tier.
+    */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                          n: Int): DataFrame =
+    fanout(df)
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(shinglesOfTokens(col("toks"), n)).as("shingle"))
 
   /** Exact dedup (hash-groupBy): fingerprint + keep-first flag per group.
     * `is_dup` marks every row after the lowest id with an identical
@@ -58,8 +74,7 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxDocsPerShingle: Int = Int.MaxValue): DataFrame = {
-    val sh0 = fanout(df).select(col(idCol).as("doc_id"),
-        explode(shingles(col(textCol), n)).as("shingle"))
+    val sh0 = shingleRows(df, idCol, textCol, n)
     val shUnp =
       if (maxDocsPerShingle == Int.MaxValue) sh0
       else {
@@ -92,19 +107,30 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** MinHash signatures: k independent min-hashes per doc, where hash i of a
-    * shingle is the (lexicographically ordered) md5 of `"i:shingle"` — a
-    * string-ordered MinHash that both engines compute bit-identically. One
-    * explode + one groupBy; no pairwise work.
+  /** MinHash signatures, wide: one row per doc with columns h0..h(k-1), where
+    * hash i of a shingle is the (lexicographically ordered) md5 of
+    * `"i:shingle"` — a string-ordered MinHash that both engines compute
+    * bit-identically. The k mins run as k aggregates over ONE pass of the
+    * shingle rows (partial map-side aggregation shrinks the shuffle to one
+    * k-string row per doc per task) — no ×k row explosion.
+    */
+  def minhashSignatureWide(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, n: Int = 3): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    shingleRows(df, idCol, textCol, n)
+      .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash signatures in long form (doc_id, i, h) — the narrow-schema view
+    * of [[minhashSignatureWide]] for consumers that iterate hash index.
     */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
-                       k: Int, n: Int = 3): DataFrame =
-    fanout(df)
-      .select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("shingle"))
-      .select(col("doc_id"), col("shingle"),
-        explode(sequence(lit(0), lit(k - 1))).as("i")) // narrow k-fold, no join
-      .groupBy("doc_id", "i")
-      .agg(min(md5(concat(col("i").cast("string"), lit(":"), col("shingle")))).as("h"))
+                       k: Int, n: Int = 3): DataFrame = {
+    val pairs = (0 until k).flatMap(i => Seq(lit(i).cast("int"), col(s"h$i")))
+    minhashSignatureWide(df, idCol, textCol, k, n)
+      .select(col("doc_id"), explode(map(pairs: _*)).as(Seq("i", "h")))
+  }
 
   /** Small single-file tables scan as one partition; the heavy narrow chains
     * (shingle explode, per-token hashing) need real parallelism before the
@@ -121,14 +147,17 @@ object Dedup {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
-    val sig = minhashSignature(df, idCol, textCol, k, n)
-      .groupBy(col("doc_id"), (col("i") / rowsPerBand).cast("int").as("band"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("i"), col("h")))), s => s("h")), "|")
-        .as("bucket"))
-      // both join sides read the signature; the k-way shingle hash explosion
-      // behind it is the expensive part — materialize once, partitioned on
-      // the band-bucket join key to keep the candidate join parallel
+    require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
+    val bands = (0 until k / rowsPerBand).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), concat_ws("|", hs: _*).as("bucket"))
+    }
+    // both join sides read the signature; the shingle hashing behind it is
+    // the expensive part — materialize once, partitioned on the band-bucket
+    // join key to keep the candidate join parallel
+    val sig = minhashSignatureWide(df, idCol, textCol, k, n)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
       .repartition(col("band"), col("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sig.toDF("doc_a", "band", "bucket")

@@ -48,11 +48,14 @@ object TextOps {
     * [[LangMarkers]] order (first language equal to the max wins).
     */
   def languageId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = df.select(
-      col(idCol) +: LangMarkers.map { case (lang, ms) =>
-        markerCount(toks, ms).as(s"score_$lang")
-      }: _*)
+    // token split in its own projection: each markerCount references the
+    // array, and inlining the split would re-split the text per language
+    val toks = col("__toks")
+    val scored = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(
+        col(idCol) +: LangMarkers.map { case (lang, ms) =>
+          markerCount(toks, ms).as(s"score_$lang")
+        }: _*)
     val best = greatest(LangMarkers.map { case (l, _) => col(s"score_$l") }: _*)
     val pred = LangMarkers.tail.foldLeft(
       when(col(s"score_${LangMarkers.head._1}") === best, LangMarkers.head._1)) {
@@ -68,8 +71,9 @@ object TextOps {
     * (length-window, low punctuation noise, natural stopword density).
     */
   def qualityScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pre = df.select(col(idCol), col(textCol), tokens(col(textCol)).as("__toks"))
     val t = col(textCol)
-    val toks = tokens(t)
+    val toks = col("__toks")
     val nChars = length(t).cast("double")
     val nToks = size(toks).cast("double")
     val punct = size(regexp_extract_all(t, lit("[^\\w\\s]"), lit(0))).cast("double")
@@ -79,7 +83,7 @@ object TextOps {
     val punctRatio = punct / nChars
     val stopRatio = stop / nToks
     val upperRatio = upper / nChars
-    df.select(
+    pre.select(
       col(idCol),
       size(toks).as("n_tokens"),
       round(punctRatio, 6).as("punct_ratio"),
