@@ -27,6 +27,12 @@ object SparkEntry {
 
   /** Query-term bag for the declared BM25 query (all present in the corpus). */
   private val Bm25Terms = Seq("join", "hash", "spark")
+
+  /** Rolling-fingerprint parameters: 8-byte k-grams, keep hashes ≡ 0 mod 16
+    * (~1/16 density — a few dozen fingerprints per testdata doc).
+    */
+  private val FpK = 8
+  private val FpModP = 16
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
   val GtoThreshold = 0.4
@@ -258,6 +264,12 @@ object SparkEntry {
       TextOps.bm25(Tables.documents(s, d), "doc_id", "text", Bm25Terms)
         .orderBy("doc_id")),
 
+    // mod-p rolling-hash fingerprints (Rabin–Karp k-grams, content-anchored)
+    "doc_fingerprint" -> ((s, d) =>
+      TextOps.rollingFingerprints(Tables.documents(s, d), "doc_id", "text",
+          k = FpK, p = FpModP)
+        .orderBy("doc_id", "pos")),
+
     // deterministic stratified sample: sha256 bucket under per-lang rate
     "doc_sample" -> ((s, d) =>
       Curation.stratifiedHashSample(Tables.documents(s, d), "doc_id", "lang",
@@ -273,6 +285,13 @@ object SparkEntry {
           tokensCol = col("n_tokens"), chunkTokens = 512)
         .select("doc_id", "source", "n_tokens", "tok_start", "tok_end",
           "first_chunk", "last_chunk")
+        .orderBy("doc_id")),
+
+    // PII scrub: per-type counts + sequentially redacted text (md5 digest)
+    "pii_redact" -> ((s, d) =>
+      Curation.redactPii(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id"), col("n_urls"), col("n_emails"), col("n_ips"),
+          col("n_phones"), md5(col("redacted")).as("redacted_md5"))
         .orderBy("doc_id")),
 
     // C4-style quality filter: keep flag + drop-reason bitmask per doc
@@ -301,6 +320,15 @@ object SparkEntry {
     // SimHash-64 signatures (two unsigned 32-bit halves)
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // near-dup cluster resolution: connected components over the minhash
+    // pair graph; is_canonical = keep-one-per-cluster decision
+    "dup_clusters" -> ((s, d) =>
+      Dedup.dupClusters(
+          Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+            k = 8, rowsPerBand = 2, n = 3),
+          "doc_a", "doc_b")
+        .orderBy("id")),
 
     // multimodal plumbing: binary payloads through the batched decode stub;
     // metadata contract (sizes, stub dims, payload sha) is oracle-checked
@@ -685,6 +713,34 @@ object SparkEntry {
         |  CAST(length(text) AS INTEGER) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // generated from the SAME PiiPatterns the engine applies (RE2 ∩ Java
+    // regex subset); DuckDB regexp_replace needs the explicit 'g' flag
+    "pii_redact" -> {
+      val countCols = Curation.PiiPatterns.map { case (name, re, _) =>
+        s"CAST(len(regexp_extract_all(text, '$re')) AS INTEGER) AS n_$name"
+      }.mkString(",\n  ")
+      val redacted = Curation.PiiPatterns.foldLeft("text") {
+        case (acc, (_, re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
+      }
+      s"""SELECT doc_id,
+         |  $countCols,
+         |  md5($redacted) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // direct per-position polynomial (HUGEINT) — must agree with the engine's
+    // O(n) rolling form mod 2^31-1; ASCII corpus ⇒ ascii() = UTF-8 byte
+    "doc_fingerprint" ->
+      s"""WITH g AS (SELECT doc_id, unnest(
+         |    [{'pos': j, 'h': list_reduce(
+         |        list_prepend(0::HUGEINT,
+         |          [ascii(substr(text, i, 1))::HUGEINT for i in range(j, j + $FpK)]),
+         |        (acc, b) -> (acc * 257 + b) % 2147483647)}
+         |     for j in range(1, len(text) - $FpK + 2)]) AS u
+         |  FROM documents)
+         |SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, CAST(u.h AS BIGINT) AS h
+         |FROM g WHERE u.h % $FpModP = 0 ORDER BY doc_id, pos""".stripMargin,
+
     "lang_id" -> {
       val scores = TextOps.LangMarkers.map { case (l, _) =>
         s"CAST(len(list_filter(ts, t -> t IN (${markerList(l)}))) AS INTEGER) AS score_$l"
@@ -759,6 +815,28 @@ object SparkEntry {
          |FROM sig a JOIN sig b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same pair graph, closed transitively: min reachable doc id per node
+    "dup_clusters" ->
+      s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |mh AS (SELECT doc_id, i,
+         |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM sh, range(8) r(i) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+         |    string_agg(h, '|' ORDER BY i) AS bucket
+         |  FROM mh GROUP BY 1, 2),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT doc_a AS id, doc_b AS nbr FROM p
+         |        UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT id, id FROM sym
+         |  UNION
+         |  SELECT s.id, reach.r FROM sym s JOIN reach ON s.nbr = reach.id)
+         |SELECT id, min(r) AS cluster, id = min(r) AS is_canonical
+         |FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -68,6 +68,13 @@ object functions {
   def vec_dot(a: Column, b: Column): Column =
     expressions.col(expressions.VecDot(expressions.expr(a), expressions.expr(b)))
 
+  /** Rabin–Karp rolling hash of every k-gram (array<long>, base 257 mod
+    * 2^31−1 over UTF-8 bytes) — see [[graft.expressions.RollingKgramHash]].
+    */
+  def rolling_kgrams(text: Column, k: Int): Column =
+    expressions.col(expressions.RollingKgramHash(
+      expressions.expr(text), expressions.expr(lit(k))))
+
   /** Deterministic display color from a track id (F15,
     * `apps/track_explorer.py:251-257`): first 6 hex chars of SHA-256 as RGB.
     */

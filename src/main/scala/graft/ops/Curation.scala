@@ -63,6 +63,34 @@ object Curation {
           .cast("long"))
   }
 
+  /** Redaction patterns shared by the engine and the DuckDB oracle — kept to
+    * the regex subset with identical semantics in Java regex and RE2 (no
+    * lookaround, no backrefs). Order matters: URLs first, so an email inside
+    * a URL redacts as part of the URL, then emails, IPv4s, phones.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("urls", "https?://\\S+", "[URL]"),
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ips", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
+    ("phones", "\\b\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "[PHONE]"))
+
+  /** PII scrub (emails / URLs / IPv4 / phone shapes): per-type match counts
+    * for the removal audit plus the sequentially redacted text — the standard
+    * pre-training scrub stage. Counts are measured on the ORIGINAL text (what
+    * was there), redaction applies the patterns in [[PiiPatterns]] order (so
+    * nested matches redact once, deterministically). Narrow codegen'd row map;
+    * no shuffle at any scale.
+    */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0))).as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (acc, (_, re, tag)) => regexp_replace(acc, re, tag)
+    }
+    df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
+  }
+
   /** C4-style composite quality filter: every heuristic votes, failures are
     * recorded as a bitmask (1 = too short, 2 = too long, 4 = punctuation
     * noise, 8 = unnatural stopword density), `keep` = no bits set. Keeping

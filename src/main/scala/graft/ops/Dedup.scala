@@ -196,4 +196,49 @@ object Dedup {
     */
   private def hexDigitVal(h: Column, j: Column): Column =
     conv(h.substr((j / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
+
+  /** Connected components over an undirected near-dup pair list: every doc in
+    * the pair graph gets `cluster` = the minimum doc id reachable from it, and
+    * `is_canonical` marks the cluster representative — the keep-one-per-cluster
+    * resolution step that turns pairwise similarity output into dedup
+    * decisions. Iterative min-label propagation: each round joins labels to
+    * edges and takes the neighborhood minimum, checkpointing per round to cut
+    * lineage (no exponential plan growth), until a fixpoint.
+    *
+    * Scale: label frame = nodes OF THE PAIR GRAPH (docs with ≥1 near-dup),
+    * typically a small fraction of the corpus; each round is one shuffle join
+    * keyed on doc id. Rounds = component diameter — near-dup clusters are
+    * shallow (copies of one document), so this converges in a handful of
+    * rounds; pathological chain-shaped graphs would want the large-star/
+    * small-star variant (Kiveris et al. 2014), which this deliberately keeps
+    * simpler than.
+    */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                  maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("id"), col(bCol).as("nbr"))
+      .union(pairs.select(col(bCol).as("id"), col(aCol).as("nbr")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("id")).distinct()
+      .select(col("id"), col("id").as("cluster"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nbr"), col("cluster").as("nbr_cluster")), "nbr")
+        .groupBy("id").agg(min("nbr_cluster").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint() // eager: materializes this round, truncates lineage
+      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
+        .filter(col("cluster") =!= col("prev")).count()
+      labels = next
+      round += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("cluster"),
+      (col("id") === col("cluster")).as("is_canonical"))
+  }
 }

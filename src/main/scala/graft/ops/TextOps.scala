@@ -102,6 +102,25 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  /** Mod-p rolling-hash document fingerprints (Manber-style content
+    * fingerprinting): hash every k-gram with the O(n) rolling polynomial
+    * ([[graft.expressions.RollingKgramHash]]) and keep positions whose hash
+    * ≡ 0 (mod p) — an expected 1/p density, content-anchored selection, so
+    * shared substrings select the SAME fingerprints in both documents
+    * regardless of alignment. Output: one row per selected k-gram
+    * (id, pos, h), 1-based positions. A narrow map + filter: no shuffle, and
+    * the per-doc fingerprint count is ~len/p — the overlap-join input at
+    * corpus scale is p× smaller than the shingle explode.
+    */
+  def rollingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, p: Int = 16): DataFrame = {
+    require(p > 0, "selection modulus p must be positive")
+    df.select(col(idCol),
+        posexplode(graft.functions.rolling_kgrams(col(textCol), k)).as(Seq("pos0", "h")))
+      .filter(col("h") % p === 0)
+      .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+  }
+
   /** BM25 relevance of every document for a bag of query terms (Lucene-style
     * idf: `ln((N - df + 0.5)/(df + 0.5) + 1)`). Two corpus-level scalars
     * (N, avgdl) and one df per term are computed in a single tiny aggregate

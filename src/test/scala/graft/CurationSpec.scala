@@ -105,6 +105,34 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq === Seq(0L, 0L)) // both shards start at token 0
   }
 
+  // ---- PII redaction ----------------------------------------------------
+
+  test("pii redaction: counts per type; nested email redacts as part of its URL") {
+    val df = Seq(
+      (1L, "mail me at jo.doe+x@test.org or visit https://x.io/a?u=a@b.co now"),
+      (2L, "server 10.0.255.7 and call 555-123-4567 or +44 123 4567"),
+      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+    val got = Curation.redactPii(df, "doc_id", "text").orderBy("doc_id").collect()
+
+    // doc 1: one bare email + one URL (the a@b.co inside the URL counts as an
+    // email on the original text, but redacts inside [URL])
+    assert(got(0).getAs[Int]("n_urls") === 1)
+    assert(got(0).getAs[Int]("n_emails") === 2)
+    assert(got(0).getAs[String]("redacted") ===
+      "mail me at [EMAIL] or visit [URL] now")
+
+    // doc 2: ip + one standard phone; "+44 123 4567" lacks the 3-3-4 shape
+    assert(got(1).getAs[Int]("n_ips") === 1)
+    assert(got(1).getAs[Int]("n_phones") === 1)
+    assert(got(1).getAs[String]("redacted") ===
+      "server [IP] and call [PHONE] or +44 123 4567")
+
+    // doc 3 untouched
+    assert(got(2).getAs[String]("redacted") === "nothing sensitive here")
+    assert(Seq("n_urls", "n_emails", "n_ips", "n_phones")
+      .forall(c => got(2).getAs[Int](c) === 0))
+  }
+
   // ---- C4-style quality filter -----------------------------------------
 
   test("quality filter: each bitmask bit fires in isolation") {

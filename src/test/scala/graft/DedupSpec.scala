@@ -109,6 +109,19 @@ class DedupSpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
   }
 
+  test("dup clusters: multi-hop chains collapse to the min id, canonical flagged") {
+    // components: {1,2,3,9} via chain 9-2, 2-3, 1-3 (diameter 3) and {5,6};
+    // 7-7-free singletons never appear (no edges)
+    val pairs = Seq((2L, 9L), (2L, 3L), (1L, 3L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(pairs, "doc_a", "doc_b")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (5L, 5L, true), (6L, 5L, false), (9L, 1L, false)))
+  }
+
   test("planesFor sizes signatures to hold expected occupancy constant") {
     assert(Similarity.planesFor(512, 8) === 6)            // 2^6 buckets ≈ 512/8
     assert(Similarity.planesFor(1L << 20, 8) === 17)

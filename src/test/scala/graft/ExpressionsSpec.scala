@@ -114,6 +114,42 @@ class ExpressionsSpec extends SparkSpec {
     assert(got(2).getDouble(0) === 0.5)
   }
 
+  // ----------------------------------------------------- rolling kgram hash
+
+  test("rolling kgram hash matches the direct polynomial; short text is empty") {
+    // independent direct recompute: h(j) = Σ byte·257^(k-1-i) mod 2^31-1
+    def direct(s: String, k: Int): Seq[Long] = {
+      val b = s.getBytes("UTF-8").map(_ & 0xff)
+      (0 to b.length - k).map { j =>
+        b.slice(j, j + k).foldLeft(0L)((acc, x) => (acc * 257 + x) % 2147483647L)
+      }
+    }
+    val texts = Seq("hello world", "aaaaaaaaaa", "spark shuffle join", "abc", "")
+    val got = texts.toDF("t")
+      .select(graft.functions.rolling_kgrams(col("t"), 4).as("h"))
+      .as[Seq[Long]].collect()
+    texts.zip(got).foreach { case (t, hs) =>
+      assert(hs === direct(t, 4), s"mismatch for '$t'")
+    }
+    assert(got(3) === Seq.empty) // len 3 < k=4
+    assert(got(4) === Seq.empty)
+  }
+
+  test("rolling fingerprints are content-anchored: shared substring, same hashes") {
+    // the same long substring embedded at different offsets must select the
+    // same fingerprint hashes in both docs (alignment independence)
+    val core = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq((1L, s"XX $core YY"), (2L, s"completely different prefix $core"))
+      .toDF("doc_id", "text")
+    val fp = graft.ops.TextOps.rollingFingerprints(df, "doc_id", "text", k = 8, p = 4)
+    val byDoc = fp.collect().groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.map(_.getAs[Long]("h")).toSet }
+    val shared = byDoc(1L) intersect byDoc(2L)
+    assert(shared.nonEmpty, "no shared fingerprints selected from a shared core")
+    // every selected hash is ≡ 0 mod p
+    assert(byDoc.values.flatten.forall(_ % 4 == 0))
+  }
+
   // ----------------------------------------------------------- normalize_ts
 
   test("normalize_ts accepts every reference timestamp format branch") {
