@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{CoMovement, Curation, Dedup, Multimodal, QualityChecks, Similarity, SilverIngest, TextOps, Tracks}
+import graft.ops.{CoMovement, Curation, Dedup, Ivf, Multimodal, QualityChecks, Similarity, SilverIngest, TextOps, Tracks}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -351,6 +351,7 @@ object SparkEntry {
   val LshBands = 2
   val EmbedDims = 64
   val EmbedDupThreshold = 0.3
+  val IvfCentroids = 8
 
   private def embedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force exact cosine top-k (the ANN correctness baseline)
@@ -370,6 +371,18 @@ object SparkEntry {
       Similarity.lshBuckets(Tables.embeddings(s, d), "vec_id", "embedding",
           LshPlanes, EmbedDims)
         .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+        .orderBy("vec_id")
+    }),
+
+    // IVF coarse-quantizer assignment with a FIXED codebook (the first
+    // IvfCentroids embedding vectors): deterministic argmin, oracle-checked;
+    // k-means training stays recall-tested only (not bit-stable)
+    "ivf_assign" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < IvfCentroids).orderBy("vec_id")
+        .select(Similarity.vecd(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray) // tiny codebook → driver ok
+      Ivf.assignToCentroids(emb, "vec_id", "embedding", cents)
         .orderBy("vec_id")
     }),
 
@@ -903,6 +916,21 @@ object SparkEntry {
          |    (PARTITION BY q ORDER BY sim DESC, n_id) AS rn FROM p)
          |SELECT q, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 5
          |ORDER BY q, rn""".stripMargin,
+
+    // same |c|² − 2 v·c ranking the engine computes, over the same fixed
+    // codebook rows; 2.0 forced to DOUBLE (DuckDB decimal-literal trap)
+    "ivf_assign" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+         |    v AS cv, (${dotChain("v", "v")}) AS c2
+         |  FROM e WHERE vec_id < $IvfCentroids),
+         |d AS (SELECT e.vec_id, c.list_id,
+         |    c.c2 - CAST('2.0' AS DOUBLE) * (${dotChain("e.v", "c.cv")}) AS dd
+         |  FROM e, c),
+         |r AS (SELECT vec_id, list_id, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY dd, list_id) AS pr FROM d)
+         |SELECT vec_id, CAST(list_id AS INTEGER) AS list_id
+         |FROM r WHERE pr = 1 ORDER BY vec_id""".stripMargin,
 
     "embed_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -65,6 +65,23 @@ object Ivf {
       .select(col("q"), col("qv"), col("qn"), col("list_id"))
   }
 
+  /** Nearest-centroid assignment for FIXED centroids (no k-means): the
+    * deterministic half of the IVF build, exposed so the quantizer itself is
+    * oracle-checkable — k-means training is seeded but not bit-stable across
+    * cluster layouts, while argmin-distance to given centroids is pure
+    * arithmetic any engine reproduces (rank by |c|² − 2·v·c, ties to the
+    * lowest list id). Same broadcast + WindowGroupLimit shape as search-time
+    * probing, so this also IS the assignment path a precomputed-codebook
+    * deployment (train offline, assign at scale) runs in production.
+    */
+  def assignToCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                        centroids: Array[Array[Double]]): DataFrame =
+    probeLists(
+      emb.select(col(idCol).as("q"), Similarity.vecd(col(vecCol)).as("qv"))
+        .withColumn("qn", Similarity.l2norm(col("qv"))),
+      centroids, nProbe = 1)
+      .select(col("q").as(idCol), col("list_id"))
+
   /** Approximate top-k cosine neighbors for every vector in `queries`.
     * Output: (q, n_id, sim, rn) like [[Similarity.cosineTopK]].
     */

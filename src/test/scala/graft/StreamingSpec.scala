@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{SessionTracks, StreamingRollup}
+import graft.streaming.{SessionTracks, StreamingDedup, StreamingRollup}
 import graft.ops.Multimodal
 
 /** Streaming + multimodal specs: watermarked rollup via MemoryStream,
@@ -40,6 +40,30 @@ class StreamingSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_pos") === 15.0)
       assert(r.getAs[Long]("cell") === 0L) // floor(15/62.5)
       assert(r.getAs[Int]("hr") === 10)
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops repeated fingerprints within the watermark") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val deduped = StreamingDedup.dedupStream(
+      mem.toDF.toDF("doc_id", "ts", "text"), "text", "ts", watermark = "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // fingerprint canonicalizes case + whitespace: doc 2 dups doc 1
+      mem.addData(
+        (1L, ts("10:00"), "Same  Text"),
+        (2L, ts("10:05"), "same text"),
+        (3L, ts("10:10"), "different"))
+      q.processAllAvailable()
+      mem.addData((4L, ts("10:20"), "same text")) // still within horizon → drop
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      assert(ids === Seq(1L, 3L)) // first arrival wins; 2 and 4 suppressed
+      // lineage column present and canonical across the kept rows
+      assert(spark.table("dedup_out").select("fp").distinct().count() === 2)
     } finally q.stop()
   }
 
