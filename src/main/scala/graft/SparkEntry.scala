@@ -161,6 +161,70 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+
+    // TPC-H Q3 shape: dim-filtered 3-way join → revenue top-k. customer is
+    // the small side (broadcast); lineitem never shuffles for the join
+    "q3_topk" -> ((s, d) => {
+      val cut = lit("1998-07-01").cast("timestamp")
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
+        .join(broadcast(Tables.orders(s, d).filter(col("o_orderdate") < cut)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(rev) / lit(10000.0), 4).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"),
+          // o_orderdate is TIMESTAMP_NTZ; UTC session makes the cast an
+          // identity on the wall time, matching DuckDB's epoch_ms
+          unix_millis(col("o_orderdate").cast("timestamp")).as("order_ms"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 6-table star join through nation/region; every dim
+    // side broadcasts, the fact table shuffles once for the final groupBy
+    "q5_region" -> ((s, d) => {
+      val rev = round(col("l_extendedprice") * 100).cast("long") *
+        (lit(100L) - round(col("l_discount") * 100).cast("long"))
+      val nations = broadcast(Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey")))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.orders(s, d)
+          .filter(col("o_orderdate").between(
+            lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(nations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(rev) / lit(10000.0), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // anti-join: customers with no order since the cutoff — per-segment count
+    // + exact average balance (integer-cents avg, engine-independent)
+    "cust_inactive" -> ((s, d) => {
+      val cut = lit("2000-01-01").cast("timestamp")
+      val recent = Tables.orders(s, d).filter(col("o_orderdate") >= cut)
+        .select(col("o_custkey").as("c_custkey"))
+      Tables.customer(s, d)
+        .join(recent, Seq("c_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          // total (not avg): cents/100 has exactly 2 decimals, so this is
+          // exact in both engines; an avg's /n division lands on half-cent
+          // values whose rounding direction differs across engines
+          round(sum(round(col("c_acctbal") * 100).cast("long")) / lit(100.0), 2)
+            .as("total_acctbal"))
+        .orderBy("c_mktsegment")
+    }),
   ) ++ aisExtraQueries ++ textQueries ++ embedQueries
 
   /** Remaining reference-surface operators: the silver cleaning projection
@@ -560,6 +624,47 @@ object SparkEntry {
         |       round(avg(l_discount), 6) AS avg_disc,
         |       CAST(count(*) AS BIGINT) AS count_order
         |FROM c GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk" ->
+      """SELECT l_orderkey,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+        |    / 10000.0, 4) AS revenue,
+        |  epoch_ms(o_orderdate) AS order_ms, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-07-01'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+        |    / 10000.0, 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "cust_inactive" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100.0, 2) AS total_acctbal
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   ) ++ aisExtraOracle ++ textOracle ++ embedOracle
 
   private def aisExtraOracle: Map[String, String] = Map(
