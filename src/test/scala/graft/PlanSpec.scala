@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Physical-plan contracts for the declared queries: the shapes that matter
+  * at 100 TB (pushdown, pruning, broadcast, map-side top-k) are asserted so a
+  * refactor that silently reintroduces a full scan or a sort-merge join of a
+  * dimension table fails CI, not a cluster bill.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String = {
+    val qe: QueryExecution = df.queryExecution
+    qe.executedPlan.toString
+  }
+
+  test("q3_topk: dimension sides broadcast; the fact side never sort-merges") {
+    val plan = planOf(SparkEntry.queries("q3_topk")(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "no fact-side sort-merge for dim joins")
+  }
+
+  test("q3_topk: segment filter is pushed to the customer scan") {
+    val plan = planOf(SparkEntry.queries("q3_topk")(spark, Sf))
+    assert(plan.contains("PushedFilters") &&
+      plan.matches("(?s).*PushedFilters: \\[[^\\]]*EqualTo\\(c_mktsegment,BUILDING\\).*"),
+      "c_mktsegment = BUILDING must reach the parquet scan")
+  }
+
+  test("token_count: scan is pruned to (doc_id, text) — no full-row read") {
+    val plan = planOf(SparkEntry.queries("token_count")(spark, Sf))
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach { rs =>
+      assert(!rs.contains("lang") && !rs.contains("source"),
+        s"documents scan reads more than it projects: $rs")
+    }
+  }
+
+  test("embed_topk: map-side top-k (WindowGroupLimit) + broadcast cohort") {
+    val plan = planOf(SparkEntry.queries("embed_topk")(spark, Sf))
+    assert(plan.contains("WindowGroupLimit"),
+      "rn <= k must compile to a map-side group limit, not a full window sort")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "the fixed-size cohort must broadcast")
+  }
+
+  test("track_export: cohort membership is a broadcast semi-join") {
+    val plan = planOf(SparkEntry.queries("track_export")(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "membership filter must be a broadcast left-semi join")
+  }
+
+  test("cust_inactive: NOT EXISTS plans as a broadcast anti-join") {
+    val plan = planOf(SparkEntry.queries("cust_inactive")(spark, Sf))
+    assert(plan.contains("LeftAnti"), "anti-join expected")
+    assert(!plan.contains("SortMergeJoin"), "anti side should broadcast at dim size")
+  }
+
+  test("pairs pipeline: all four hourly consumers read the persisted stage") {
+    // (the DECLARED pairs_daily reads the GoldCache parquet — the self-join
+    // runs once inside the gold build, which is itself the point; this pins
+    // the operator's own plan when called on a live hourly frame)
+    val hourly = graft.ops.CoMovement.hourlyRollup(
+      graft.engine.Tables.events(spark, Sf), "user_id", "ts", "value", 3)
+    val pairs = graft.ops.CoMovement.pairsDaily(hourly)
+    val plan = planOf(pairs)
+    val cacheScans = "InMemoryTableScan|TableCacheQueryStage".r
+      .findAllIn(plan).length
+    assert(cacheScans >= 3,
+      s"self-join sides + stat legs must read the persisted hourly stage " +
+        s"(saw $cacheScans cache scans)\n${plan.take(800)}")
+    spark.catalog.clearCache()
+  }
+}
