@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.expressions.{GeoCell, StableHashBucket}
+import graft.expressions.{GeoCell, RollingKgramHash, StableHashBucket}
 import graft.ops.Similarity
 import graft.sources.ArchiveIndex
 
@@ -103,5 +103,45 @@ object GraftProperties extends Properties("graft") {
       val s = Similarity.planeSigns(p, d)
       s.flatten.forall(v => v == 1.0 || v == -1.0) &&
         s.map(_.toSeq).toSeq == Similarity.planeSigns(p, d).map(_.toSeq).toSeq
+    }
+
+  // rolling kgram hash kernel (graft.expressions.RollingKgramHash)
+
+  private def directKgramHash(bytes: Array[Byte], k: Int): Seq[Long] =
+    (0 to bytes.length - k).map { j =>
+      bytes.slice(j, j + k).foldLeft(0L)((acc, b) =>
+        (acc * RollingKgramHash.Base + (b & 0xff)) % RollingKgramHash.Mod)
+    }
+
+  val text: Gen[String] = Gen.asciiPrintableStr
+  val kLen: Gen[Int] = Gen.chooseNum(1, 12)
+
+  property("rolling hash ≡ direct polynomial for every position") =
+    forAll(text, kLen) { (s, k) =>
+      val bytes = s.getBytes("UTF-8")
+      RollingKgramHash.hashes(bytes, k).toSeq == directKgramHash(bytes, k)
+    }
+
+  property("rolling hash: values in [0, M); count = max(0, n-k+1)") =
+    forAll(text, kLen) { (s, k) =>
+      val hs = RollingKgramHash.hashes(s.getBytes("UTF-8"), k)
+      hs.forall(h => h >= 0 && h < RollingKgramHash.Mod) &&
+        hs.length == math.max(0, s.getBytes("UTF-8").length - k + 1)
+    }
+
+  property("rolling hash: equal k-grams hash equal (shift invariance)") =
+    forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr, kLen) { (pre, core, k) =>
+      core.getBytes("UTF-8").length < k || {
+        val a = RollingKgramHash.hashes(core.getBytes("UTF-8"), k)
+        val shifted = RollingKgramHash.hashes((pre + core).getBytes("UTF-8"), k)
+          .drop(pre.getBytes("UTF-8").length)
+        a.toSeq == shifted.toSeq
+      }
+    }
+
+  property("planesFor: within bit bounds and monotone in n") =
+    forAll(Gen.chooseNum(1L, Long.MaxValue / 2), Gen.chooseNum(1, 64)) { (n, t) =>
+      val p = Similarity.planesFor(n, t)
+      p >= 1 && p <= 62 && Similarity.planesFor(n * 2, t) >= p
     }
 }
