@@ -15,14 +15,24 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // operators may persist shared frames
     }
+    // loud summary on stdout; exit code stays 0 so the per-query dumps that
+    // DID succeed still reach the driver compare (it records the missing
+    // parquet dirs as per-query errors)
+    if (failed.nonEmpty)
+      println(s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: " +
+        failed.sorted.mkString(", "))
+    else
+      println(s"[verify] all ${SparkEntry.queries.size} queries dumped")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
