@@ -385,6 +385,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
+    // SimHash hamming-≤3 near-dup pairs: 4×16-bit pigeonhole bands, exact
+    // bit_count(xor) only on band-collision candidates
+    "simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+
     // near-dup cluster resolution: connected components over the minhash
     // pair graph; is_canonical = keep-one-per-cluster decision
     "dup_clusters" -> ((s, d) =>
@@ -933,6 +939,34 @@ object SparkEntry {
          |FROM sig a JOIN sig b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same signature bits; band keys via integer div/mod, hamming via
+    // bit_count(xor) exactly like the engine
+    "simhash_pairs" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |bits AS (SELECT doc_id, j,
+        |    ((strpos('0123456789abcdef',
+        |              substr(md5(tok), CAST(j // 4 AS INTEGER) + 1, 1)) - 1)
+        |     // CAST(pow(2, j % 4) AS INTEGER)) % 2 AS bit
+        |  FROM tk, range(64) r(j)),
+        |acc AS (SELECT doc_id, j, sum(2 * bit - 1) AS s FROM bits GROUP BY 1, 2),
+        |sb AS (SELECT doc_id, j, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b FROM acc),
+        |sig AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN j < 32 THEN b * pow(2, j) ELSE 0 END) AS BIGINT) AS lo,
+        |  CAST(sum(CASE WHEN j >= 32 THEN b * pow(2, j - 32) ELSE 0 END) AS BIGINT) AS hi
+        |FROM sb GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, lo, hi, b.band,
+        |    CASE b.band WHEN 0 THEN lo % 65536 WHEN 1 THEN (lo // 65536) % 65536
+        |                WHEN 2 THEN hi % 65536 ELSE (hi // 65536) % 65536 END AS key
+        |  FROM sig, range(4) b(band)),
+        |p AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT)
+        |      AS hamming
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, hamming FROM p
+        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
 
     // same pair graph, closed transitively: min reachable doc id per node
     "dup_clusters" ->

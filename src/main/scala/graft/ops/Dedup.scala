@@ -197,6 +197,40 @@ object Dedup {
   private def hexDigitVal(h: Column, j: Column): Column =
     conv(h.substr((j / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
 
+  /** SimHash near-dup pairs via the pigeonhole band trick (Charikar 2002 /
+    * Manku et al. 2007): split the 64-bit signature into 4 bands of 16 bits —
+    * any pair within hamming distance 3 MUST share at least one band exactly,
+    * so candidates come from an equi-join on (band, 16-bit key) and only
+    * candidates pay the exact `bit_count(xor)` check. Never all-pairs; the
+    * band key space (65536 per band) bounds bucket occupancy at corpus scale
+    * the same way LSH bands do.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only to hamming 3")
+    val sig = simhash(df, idCol, textCol)
+      .repartition(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until 4).map { b =>
+      val half = if (b < 2) col("simhash_lo") else col("simhash_hi")
+      val key = shiftright(half, (b % 2) * 16).mod(65536L)
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    val banded = sig.select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+      explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash_lo"), col("simhash_hi"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.toDF("doc_a", "lo_a", "hi_a", "band", "key")
+    val b = banded.toDF("doc_b", "lo_b", "hi_b", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may share several bands
+  }
+
   /** Connected components over an undirected near-dup pair list: every doc in
     * the pair graph gets `cluster` = the minimum doc id reachable from it, and
     * `is_canonical` marks the cluster representative — the keep-one-per-cluster

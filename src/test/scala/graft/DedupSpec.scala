@@ -109,6 +109,19 @@ class DedupSpec extends SparkSpec {
     assert(sims.forall(s => s >= -1.0001 && s <= 1.0001))
   }
 
+  test("simhash pairs: identical docs pair at hamming 0; disjoint docs don't pair") {
+    val df = Seq(
+      (1L, "spark shuffle join partition spark"),
+      (2L, "spark shuffle join partition spark"), // identical → hamming 0
+      (3L, "q r s t u v w x y z"))                // disjoint vocabulary
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 3).collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("doc_a") === 1L)
+    assert(got.head.getAs[Long]("doc_b") === 2L)
+    assert(got.head.getAs[Long]("hamming") === 0L)
+  }
+
   test("dup clusters: multi-hop chains collapse to the min id, canonical flagged") {
     // components: {1,2,3,9} via chain 9-2, 2-3, 1-3 (diameter 3) and {5,6};
     // 7-7-free singletons never appear (no edges)
