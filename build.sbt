@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally goes through sbt's logger, which prefixes every
+// line with "[info] " — that corrupts the one-line JSON contract of
+// graft.Bench / graft.Verify (the driver parses bare JSON from stdout).
+// StdoutOutput lets the forked JVM inherit stdout unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
