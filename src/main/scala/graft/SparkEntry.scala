@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{CoMovement, Curation, Dedup, Ivf, Multimodal, QualityChecks, Similarity, SilverIngest, TextOps, Tracks}
+import graft.ops.{CoMovement, Curation, Decontam, Dedup, Ivf, Multimodal, QualityChecks, Similarity, SilverIngest, TextOps, Tracks}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -33,6 +33,12 @@ object SparkEntry {
     */
   private val FpK = 8
   private val FpModP = 16
+
+  /** Decontamination eval cohort: docs with id below this bound play the
+    * benchmark suite — a FIXED-SIZE set, so the broadcast n-gram relation is
+    * O(1) in corpus size (the same rule the verdict applied to `embed_topk`).
+    */
+  private val EvalCohortMax = 25
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
   val GtoThreshold = 0.4
@@ -362,6 +368,18 @@ object SparkEntry {
     "quality_filter" -> ((s, d) =>
       Curation.qualityFilter(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+
+    // benchmark decontamination: per-train-doc 3-gram overlap against a
+    // fixed-size eval cohort (doc_id < 25); the eval n-gram set is broadcast
+    // so the training corpus is scanned once with no corpus-side shuffle
+    // before the per-doc aggregate
+    "decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontam.evalOverlap(docs.filter(col("doc_id") >= EvalCohortMax),
+          docs.filter(col("doc_id") < EvalCohortMax), "doc_id", "text",
+          n = 3, minHits = 1)
+        .orderBy("doc_id")
+    }),
 
     // exact dedup: canonical md5 fingerprint + keep-first flag
     "dedup_exact" -> ((s, d) =>
@@ -851,6 +869,21 @@ object SparkEntry {
          |  md5($redacted) AS redacted_md5
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "decontam" ->
+      s"""$ShingleCte,
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $EvalCohortMax),
+         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= $EvalCohortMax),
+         |agg AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+         |    CAST(count(e.shingle) AS BIGINT) AS hits
+         |  FROM tr t LEFT JOIN ev e ON t.shingle = e.shingle GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_sh, 0) AS n_sh, coalesce(hits, 0) AS hits,
+         |  round(CASE WHEN coalesce(n_sh, 0) > 0
+         |    THEN CAST(hits AS DOUBLE) / n_sh ELSE 0.0 END, 6) AS overlap_frac,
+         |  coalesce(hits, 0) >= 1 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id >= $EvalCohortMax) d
+         |LEFT JOIN agg ON agg.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // direct per-position polynomial (HUGEINT) — must agree with the engine's
     // O(n) rolling form mod 2^31-1; ASCII corpus ⇒ ascii() = UTF-8 byte

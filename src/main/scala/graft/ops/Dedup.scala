@@ -137,7 +137,7 @@ object Dedup {
     * first shuffle. At 100 TB the scan is already split — this is a no-op
     * there (cheap row-count-preserving round-robin of input splits).
     */
-  private def fanout(df: DataFrame): DataFrame =
+  private[ops] def fanout(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   /** MinHash + LSH candidate pairs: band the k-row signature into
