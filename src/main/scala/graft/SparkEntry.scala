@@ -369,6 +369,18 @@ object SparkEntry {
       Curation.qualityFilter(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Gopher-style repetition filters: top-token + duplicate-2-gram fractions
+    "repetition" -> ((s, d) =>
+      TextOps.repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // deterministic train/val/test assignment: stable-hash buckets routed
+    // through cumulative weights (90/5/5) — rows never migrate across runs
+    "corpus_split" -> ((s, d) =>
+      Curation.splitAssign(Tables.documents(s, d), "doc_id",
+          Seq("train" -> 90, "val" -> 5, "test" -> 5))
+        .select("doc_id", "split").orderBy("doc_id")),
+
     // benchmark decontamination: per-train-doc 3-gram overlap against a
     // fixed-size eval cohort (doc_id < 25); the eval n-gram set is broadcast
     // so the training corpus is scanned once with no corpus-side shuffle
@@ -815,6 +827,16 @@ object SparkEntry {
         |  < CASE WHEN lang = 'en' THEN 10 WHEN lang = 'de' THEN 50 ELSE 25 END
         |ORDER BY doc_id""".stripMargin,
 
+    "corpus_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END
+        |    AS split
+        |FROM (SELECT doc_id,
+        |    CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+        |      % 100 AS BIGINT) AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     "token_packing" ->
       """WITH d AS (SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
@@ -869,6 +891,22 @@ object SparkEntry {
          |  md5($redacted) AS redacted_md5
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |r AS (SELECT doc_id, CAST(len(ts) AS INTEGER) AS n_toks,
+        |  round(CAST(list_max(list_transform(list_distinct(ts),
+        |      t -> len(list_filter(ts, x -> x = t)))) AS DOUBLE) / len(ts), 6)
+        |    AS top_tok_frac,
+        |  round(CASE WHEN len(ts) >= 2 THEN
+        |      1.0 - CAST(len(list_distinct([ts[i] || ' ' || ts[i+1]
+        |                   for i in range(1, len(ts))])) AS DOUBLE) / (len(ts) - 1)
+        |    ELSE 0.0 END, 6) AS dup_2gram_frac
+        |  FROM toks)
+        |SELECT doc_id, n_toks, top_tok_frac, dup_2gram_frac,
+        |  (top_tok_frac > CAST('0.2' AS DOUBLE)
+        |    OR dup_2gram_frac > CAST('0.2' AS DOUBLE)) AS repetitive
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     "decontam" ->
       s"""$ShingleCte,

@@ -37,6 +37,28 @@ object Curation {
     df.filter(stable_bucket(col(keyCol).cast("string"), 100) < rate)
   }
 
+  /** Deterministic train/val/test split assignment: the stable hash bucket
+    * (0..99) of the key is routed through cumulative split weights, so every
+    * row lands in exactly one named split, reproducibly across reruns,
+    * retries, and engines — the property a multi-epoch training pipeline
+    * needs so eval rows NEVER migrate into train between runs. Narrow
+    * codegen'd row map; no shuffle, no RNG.
+    *
+    * `splits`: ordered (name, percent) with percents summing to 100.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+                  splits: Seq[(String, Int)]): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0) &&
+      splits.map(_._2).sum == 100, "split percents must be >= 0 and sum to 100")
+    val bucket = stable_bucket(col(keyCol).cast("string"), 100)
+    val cum = splits.scanLeft(0) { case (acc, (_, p)) => acc + p }.tail
+    val assigned = splits.zip(cum).tail
+      .foldLeft(when(bucket < cum.head, splits.head._1)) {
+        case (acc, ((name, _), hi)) => acc.when(bucket < hi, name)
+      }
+    df.withColumn("split", assigned)
+  }
+
   /** Concat-and-chunk token packing (GPT-style pretraining batches): within
     * each shard, documents are laid end-to-end in `orderCol` order and the
     * token stream is cut every `chunkTokens`. Emits each document's position:

@@ -96,6 +96,34 @@ object TextOps {
         6).as("quality_score"))
   }
 
+  /** Repetition signals (the Gopher/C4 repetitive-content filters): fraction
+    * of tokens taken by the single most frequent token, and the fraction of
+    * duplicate 2-grams; `repetitive` flags docs where either exceeds
+    * `threshold` (Gopher uses 0.2 for dup-2-gram). All array built-ins — a
+    * narrow, shuffle-free map over the scan; the per-row cost is
+    * O(distinct·tokens), bounded by document length, never corpus size.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.2): DataFrame = {
+    val toks = col("__toks")
+    val counts = transform(array_distinct(toks), t => size(filter(toks, x => x === t)))
+    val grams2 = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(toks).as("n_toks"),
+        counts.as("__cnts"), grams2.as("__g2"))
+      .select(col(idCol), col("n_toks"),
+        round(array_max(col("__cnts")).cast("double") / col("n_toks"), 6)
+          .as("top_tok_frac"),
+        round(when(size(col("__g2")) > 0,
+          lit(1.0) - size(array_distinct(col("__g2"))).cast("double")
+            / size(col("__g2"))).otherwise(0.0), 6).as("dup_2gram_frac"))
+      .withColumn("repetitive",
+        col("top_tok_frac") > threshold || col("dup_2gram_frac") > threshold)
+  }
+
   /** Canonical document fingerprint: md5 of whitespace-collapsed, lowercased
     * text — the exact-dedup key. Cross-engine reproducible (md5 is md5).
     */

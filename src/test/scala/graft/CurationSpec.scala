@@ -12,6 +12,57 @@ import graft.ops.{Curation, TextOps}
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  // ---- repetition signals -----------------------------------------------
+
+  test("repetition: uniform doc clean; repeated token and 2-gram loop flagged") {
+    val df = Seq(
+      (1L, "a b c d e"),       // all distinct: top 1/5, no dup 2-grams
+      (2L, "x x x x y"),       // top_tok_frac 4/5
+      (3L, "a b a b a b"),     // 2-grams: ab ba ab ba ab → 2 distinct of 5
+      (4L, "solo")             // single token: zero 2-grams, frac 0
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_toks", "top_tok_frac", "dup_2gram_frac", "repetitive")
+      .as[(Long, Int, Double, Double, Boolean)].collect()
+    assert(got(0) === ((1L, 5, 0.2, 0.0, false))) // 0.2 is not > 0.2
+    assert(got(1) === ((2L, 5, 0.8, 0.5, true))) // grams xx xx xx xy → 2 of 4
+    assert(got(2) === ((3L, 6, 0.5, 0.6, true)))
+    assert(got(3) === ((4L, 1, 1.0, 0.0, true))) // degenerate: one token is 100%
+  }
+
+  // ---- split assignment ---------------------------------------------------
+
+  test("splitAssign: total, deterministic, and consistent with stable_bucket") {
+    val df = (0L until 200L).toDF("doc_id")
+    val splits = Seq("train" -> 90, "val" -> 5, "test" -> 5)
+    val got = Curation.splitAssign(df, "doc_id", splits)
+      .select(col("doc_id"),
+        graft.functions.stable_bucket(col("doc_id").cast("string"), 100).as("b"),
+        col("split"))
+      .as[(Long, Long, String)].collect()
+    assert(got.length === 200)
+    got.foreach { case (_, b, s) =>
+      val want = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(s === want)
+    }
+    // deterministic across evaluations
+    val again = Curation.splitAssign(df, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect()
+    assert(again.toSeq === got.map(g => (g._1, g._3)).toSeq)
+  }
+
+  test("splitAssign: zero-weight split never matches; weights must sum to 100") {
+    val df = (0L until 100L).toDF("doc_id")
+    val got = Curation.splitAssign(df, "doc_id",
+        Seq("train" -> 100, "val" -> 0))
+      .select("split").as[String].collect()
+    assert(got.forall(_ == "train"))
+    assertThrows[IllegalArgumentException] {
+      Curation.splitAssign(df, "doc_id", Seq("a" -> 50, "b" -> 40))
+    }
+  }
+
   // ---- BM25 -------------------------------------------------------------
 
   test("bm25: all-terms doc outscores partial match; no-match doc scores 0") {
