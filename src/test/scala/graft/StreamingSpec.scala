@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{SessionTracks, StreamingDedup, StreamingRollup}
+import graft.streaming.{SessionTracks, StreamingDedup, StreamingJoin, StreamingRollup}
 import graft.ops.Multimodal
 
 /** Streaming + multimodal specs: watermarked rollup via MemoryStream,
@@ -125,6 +125,39 @@ class StreamingSpec extends SparkSpec {
       assert(out2.length === 3)
       assert(out2.last.nPoints === 6)
       assert(out2.last.positions === Seq(20.0, 21.0, 22.0, 23.0, 24.0, 25.0))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs events within the lag bound only") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pings = MemoryStream[(Long, Timestamp, Double)]
+    val alerts = MemoryStream[(Long, Timestamp, String)]
+    val joined = StreamingJoin.intervalJoin(
+      pings.toDF.toDF("uid", "ping_ts", "pos"),
+      alerts.toDF.toDF("uid", "alert_ts", "kind"),
+      key = "uid", leftTs = "ping_ts", rightTs = "alert_ts",
+      maxLag = "10 minutes", watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("sj_out")
+      .outputMode("append").start()
+    try {
+      pings.addData((1L, ts("10:00"), 5.0), (2L, ts("10:00"), 7.0))
+      alerts.addData(
+        (1L, ts("10:05"), "in_bound"),   // 5 min after ping 1 → match
+        (1L, ts("10:30"), "too_late"),   // 30 min after → no match
+        (2L, ts("09:55"), "before"),     // before the ping → no match
+        (3L, ts("10:02"), "other_key"))  // key never pings → no match
+      q.processAllAvailable()
+      val out = spark.table("sj_out")
+        .select("uid", "pos", "kind").as[(Long, Double, String)].collect()
+      assert(out.toSeq === Seq((1L, 5.0, "in_bound")))
+
+      // a second ping matches the previously-buffered alert (right-side
+      // state within watermark + lag is retained and re-probed)
+      pings.addData((1L, ts("10:25"), 6.0))
+      q.processAllAvailable()
+      val out2 = spark.table("sj_out")
+        .select("uid", "pos", "kind").as[(Long, Double, String)].collect()
+      assert(out2.toSet === Set((1L, 5.0, "in_bound"), (1L, 6.0, "too_late")))
     } finally q.stop()
   }
 
