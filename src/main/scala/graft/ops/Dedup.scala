@@ -173,29 +173,27 @@ object Dedup {
     * the hex string so SQL engines reproduce it exactly.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val bits = fanout(df).select(col(idCol).as("doc_id"),
+    val toks = fanout(df).select(col(idCol).as("doc_id"),
         explode(TextOps.tokens(col(textCol))).as("tok"))
-      .select(col("doc_id"), md5(col("tok")).as("h"),
-        explode(sequence(lit(0), lit(63))).as("j"))
-      .select(col("doc_id"), col("j"),
-        (hexDigitVal(col("h"), col("j")) / pow(lit(2.0), col("j") % 4))
-          .cast("int").mod(2).as("bit"))
-    bits.groupBy("doc_id", "j")
-      .agg(sum(col("bit") * 2 - 1).as("s"))
-      .select(col("doc_id"), col("j"), when(col("s") > 0, 1).otherwise(0).as("b"))
-      .groupBy("doc_id")
-      .agg(
-        sum(when(col("j") < 32, col("b") * pow(lit(2.0), col("j"))).otherwise(0.0))
-          .cast("long").as("simhash_lo"),
-        sum(when(col("j") >= 32, col("b") * pow(lit(2.0), col("j") - 32)).otherwise(0.0))
-          .cast("long").as("simhash_hi"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    // one ±1 vote sum per signature bit, all 64 in a SINGLE groupBy: the
+    // partial (map-side) aggregate carries 64 longs per doc instead of the
+    // 64× exploded bit rows through two shuffles — shuffle volume is
+    // O(docs·64 longs), independent of token count. Bit j of md5 = bit
+    // (j mod 4) of hex digit (j div 4); j is a literal here so the digit
+    // index and shift constant-fold into codegen.
+    val votes = (0 until 64).map { j =>
+      val digit = conv(col("h").substr(j / 4 + 1, 1), 16, 10).cast("int")
+      sum(shiftright(digit, j % 4).mod(2) * 2 - 1).as(s"s$j")
+    }
+    def half(lo: Int): Column = (0 until 32).map { b =>
+      when(col(s"s${lo + b}") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        half(0).cast("long").as("simhash_lo"),
+        half(32).cast("long").as("simhash_hi"))
   }
-
-  /** Value 0..15 of hex digit `j div 4` (1-based substr) of md5 hex string.
-    * `conv(c, 16, 10)` on one hex char — codegen'd, no locate-on-column needed.
-    */
-  private def hexDigitVal(h: Column, j: Column): Column =
-    conv(h.substr((j / 4).cast("int") + 1, lit(1)), 16, 10).cast("int")
 
   /** SimHash near-dup pairs via the pigeonhole band trick (Charikar 2002 /
     * Manku et al. 2007): split the 64-bit signature into 4 bands of 16 bits —
@@ -264,11 +262,11 @@ object Dedup {
         .groupBy("id").agg(min("nbr_cluster").as("nbr_min"))
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("moved"))
         .localCheckpoint() // eager: materializes this round, truncates lineage
-      changed = next.join(labels.withColumnRenamed("cluster", "prev"), "id")
-        .filter(col("cluster") =!= col("prev")).count()
-      labels = next
+      changed = next.filter(col("moved")).count() // reads the checkpoint, no re-join
+      labels = next.select("id", "cluster")
       round += 1
     }
     edges.unpersist()
