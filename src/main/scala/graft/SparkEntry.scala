@@ -41,6 +41,16 @@ object SparkEntry {
   private val EvalCohortMax = 25
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
+
+  /** Per-domain cap / chunking / vocab parameters for the declared curation
+    * queries (cap below the smallest per-source count so both keep outcomes
+    * appear at every scale; chunks sized against the 10–99-token testdata).
+    */
+  private val DomainCapN = 15
+  private val ChunkTokens = 32
+  private val ChunkOverlap = 8
+  private val VocabN = 2
+  private val VocabTopK = 100
   val GtoThreshold = 0.4
 
   private def hourly(spark: SparkSession, dir: String): DataFrame =
@@ -380,6 +390,22 @@ object SparkEntry {
       Curation.splitAssign(Tables.documents(s, d), "doc_id",
           Seq("train" -> 90, "val" -> 5, "test" -> 5))
         .select("doc_id", "split").orderBy("doc_id")),
+
+    // per-domain cap: deterministic hash-order rank within each source,
+    // keep-first-N — RefinedWeb-style domain down-weighting, auditable
+    "domain_cap" -> ((s, d) =>
+      Curation.domainCap(Tables.documents(s, d), "doc_id", "source", DomainCapN)
+        .orderBy("doc_id")),
+
+    // sliding-window chunking with overlap (RAG / fixed-context prep)
+    "doc_chunks" -> ((s, d) =>
+      Curation.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+          ChunkTokens, ChunkOverlap)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // corpus 2-gram vocabulary: top-K by occurrence count (BPE prep)
+    "vocab_topk" -> ((s, d) =>
+      TextOps.ngramVocab(Tables.documents(s, d), "text", VocabN, VocabTopK)),
 
     // benchmark decontamination: per-train-doc 3-gram overlap against a
     // fixed-size eval cohort (doc_id < 25); the eval n-gram set is broadcast
@@ -836,6 +862,39 @@ object SparkEntry {
         |      % 100 AS BIGINT) AS b
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "domain_cap" ->
+      s"""SELECT doc_id, source, cap_rank, cap_rank <= $DomainCapN AS keep
+         |FROM (SELECT doc_id, source,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+         |      AS cap_rank
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin,
+
+    "doc_chunks" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |c AS (SELECT doc_id, ts, len(ts) AS n,
+         |    unnest(range(1, greatest(len(ts), 1) + 1,
+         |                 ${ChunkTokens - ChunkOverlap})) AS chunk_start
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST((chunk_start - 1) // ${ChunkTokens - ChunkOverlap} AS BIGINT)
+         |    AS chunk_idx,
+         |  CAST(chunk_start AS BIGINT) AS chunk_start,
+         |  CAST(least($ChunkTokens, n - chunk_start + 1) AS BIGINT) AS chunk_len,
+         |  md5(array_to_string(ts[chunk_start : chunk_start + ${ChunkTokens - 1}],
+         |      ' ')) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "vocab_topk" ->
+      s"""WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+         |g AS (SELECT unnest([array_to_string(ts[i : i + ${VocabN - 1}], ' ')
+         |    for i in range(1, len(ts) - ${VocabN - 2})]) AS gram
+         |  FROM t WHERE len(ts) >= $VocabN)
+         |SELECT gram, CAST(count(*) AS BIGINT) AS freq
+         |FROM g GROUP BY gram
+         |ORDER BY freq DESC, gram LIMIT $VocabTopK""".stripMargin,
 
     "token_packing" ->
       """WITH d AS (SELECT doc_id, source,

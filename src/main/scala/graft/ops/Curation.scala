@@ -85,6 +85,56 @@ object Curation {
           .cast("long"))
   }
 
+  /** Per-domain document cap (RefinedWeb/C4-style): rank each domain's
+    * documents in deterministic stable-hash order (md5 of the id, ties by
+    * id) and keep the first `maxDocs` — so over-represented domains are
+    * down-weighted reproducibly, with no RNG and no dependence on scan
+    * order. Emits the rank and keep decision rather than dropping, so a
+    * curation run can audit how much mass each domain lost.
+    *
+    * Scale: one shuffle on the domain key; per-partition work is a heap-free
+    * running rank. A pathologically hot mega-domain concentrates its rows in
+    * one partition — at that scale, pre-thin with a per-domain count +
+    * hash-threshold pass (two-phase cap) before the exact rank.
+    */
+  def domainCap(df: DataFrame, idCol: String, domainCol: String,
+                maxDocs: Int): DataFrame = {
+    require(maxDocs > 0, "maxDocs must be positive")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.select(col(idCol), col(domainCol))
+      .withColumn("cap_rank", row_number().over(w).cast("long"))
+      .withColumn("keep", col("cap_rank") <= maxDocs)
+  }
+
+  /** Sliding-window document chunking (RAG / fixed-context pretraining prep):
+    * cut each document's token stream into `chunkTokens`-sized pieces whose
+    * starts step by `chunkTokens - overlap`, so consecutive chunks share
+    * `overlap` tokens. The final chunk may be short (it clamps at the end of
+    * the document). Emits the chunk index, 1-based token start, actual chunk
+    * length, and an md5 digest of the chunk text.
+    *
+    * Scale: narrow map + explode — per-row fanout is ceil(n/stride), bounded
+    * by document length, never corpus size; no shuffle at any scale.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+                chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      "need 0 <= overlap < chunkTokens")
+    val stride = chunkTokens - overlap
+    df.select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("__toks"), size(col("__toks")).as("n"),
+        explode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
+          lit(stride))).as("chunk_start"))
+      .select(col("doc_id"),
+        ((col("chunk_start") - 1) / stride).cast("long").as("chunk_idx"),
+        col("chunk_start").cast("long").as("chunk_start"),
+        least(lit(chunkTokens), col("n") - col("chunk_start") + 1)
+          .cast("long").as("chunk_len"),
+        md5(array_join(slice(col("__toks"), col("chunk_start"), lit(chunkTokens)),
+          " ")).as("chunk_md5"))
+  }
+
   /** Redaction patterns shared by the engine and the DuckDB oracle — kept to
     * the regex subset with identical semantics in Java regex and RE2 (no
     * lookaround, no backrefs). Order matters: URLs first, so an email inside

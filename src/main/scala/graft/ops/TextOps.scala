@@ -178,4 +178,28 @@ object TextOps {
     }.reduce(_ + _)
     scored.select(col(idCol), round(score, 6).as("bm25"))
   }
+
+  /** Corpus n-gram vocabulary: the `topK` most frequent token n-grams with
+    * their occurrence counts (every occurrence counts, not once-per-doc) —
+    * the frequency table a BPE/vocab-building pass starts from. Deterministic
+    * tie-break at the cut: equal counts order by gram text.
+    *
+    * Scale: explode is a narrow per-doc fanout (n_tokens rows per doc); the
+    * count is ONE shuffle with map-side partial aggregation, and the top-k is
+    * TakeOrdered (per-partition heaps, no global sort). At open-vocabulary
+    * 100 TB scale, cap the key space first (min-frequency pre-filter per
+    * partition, or a count-min sketch pass) before the exact count.
+    */
+  def ngramVocab(df: DataFrame, textCol: String, n: Int, topK: Int): DataFrame = {
+    require(n > 0 && topK > 0, "n and topK must be positive")
+    val toks = col("__toks")
+    df.select(tokens(col(textCol)).as("__toks"))
+      .select(explode(when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)), i =>
+          array_join(slice(toks, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("gram"))
+      .limit(topK)
+  }
 }

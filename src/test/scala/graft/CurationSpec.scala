@@ -184,6 +184,61 @@ class CurationSpec extends SparkSpec {
       .forall(c => got(2).getAs[Int](c) === 0))
   }
 
+  // ---- Per-domain cap ---------------------------------------------------
+
+  test("domain cap: keeps exactly N per domain, ranks restart per domain, hash-ordered") {
+    val df = (1L to 5L).map(i => (i, "a")).toDF("doc_id", "source")
+      .union(Seq((10L, "b"), (11L, "b")).toDF("doc_id", "source"))
+    val got = Curation.domainCap(df, "doc_id", "source", maxDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[Long]("cap_rank"), r.getAs[Boolean]("keep")))
+    assert(got.count(g => g._2 == "a" && g._4) === 3)
+    assert(got.filter(_._2 == "b").map(_._3).sorted.toSeq === Seq(1L, 2L)) // both kept
+    assert(got.filter(_._2 == "a").map(_._3).sorted.toSeq === (1L to 5L))
+    // rank order is the md5 order of the id string, not the id order
+    val expectOrder = (1L to 5L).sortBy(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    val byRank = got.filter(_._2 == "a").sortBy(_._3).map(_._1)
+    assert(byRank.toSeq === expectOrder)
+  }
+
+  // ---- Sliding-window chunking ------------------------------------------
+
+  test("chunking: overlap shared, final chunk clamps, short doc single chunk") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
+    val got = Curation.chunkDocs(df, "doc_id", "text", chunkTokens = 4, overlap = 2)
+      .orderBy("doc_id", "chunk_idx").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[Long]("chunk_start"), r.getAs[Long]("chunk_len")))
+    // doc 1 (7 tokens, stride 2): starts 1,3,5,7 → lens 4,4,3,1
+    assert(got.filter(_._1 == 1L).toSeq ===
+      Seq((1L, 0L, 1L, 4L), (1L, 1L, 3L, 4L), (1L, 2L, 5L, 3L), (1L, 3L, 7L, 1L)))
+    // doc 2 fits in one chunk
+    assert(got.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 1L, 2L)))
+    // chunk text digest is over the joined token slice
+    val md5First = Curation.chunkDocs(df, "doc_id", "text", 4, 2)
+      .filter(col("doc_id") === 1L && col("chunk_idx") === 0L)
+      .select("chunk_md5").as[String].head()
+    val want = java.security.MessageDigest.getInstance("MD5")
+      .digest("a b c d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(md5First === want)
+  }
+
+  // ---- n-gram vocabulary ------------------------------------------------
+
+  test("vocab: every occurrence counts, ties break by gram text, topK cuts") {
+    val df = Seq((1L, "a b a b c"), (2L, "a b z z")).toDF("doc_id", "text")
+    val got = TextOps.ngramVocab(df, "text", n = 2, topK = 3)
+      .as[(String, Long)].collect()
+    // 2-grams: doc1 → "a b","b a","a b","b c"; doc2 → "a b","b z","z z"
+    assert(got.toSeq === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+    // short docs contribute nothing and don't crash
+    val single = TextOps.ngramVocab(Seq((1L, "solo")).toDF("doc_id", "text"), "text", 2, 10)
+    assert(single.count() === 0L)
+  }
+
   // ---- C4-style quality filter -----------------------------------------
 
   test("quality filter: each bitmask bit fires in isolation") {
