@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{CoMovement, Curation, Decontam, Dedup, Ivf, Multimodal, QualityChecks, Similarity, SilverIngest, TextOps, Tracks}
+import graft.ops.{AsOf, CoMovement, Curation, Decontam, Dedup, Ivf, Multimodal, QualityChecks, Similarity, SilverIngest, TextOps, Tracks}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -520,6 +520,32 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), col("bands_shared"),
           round(col("sim"), 6).as("sim"))
         .orderBy("id_a", "id_b")),
+
+    // per-label embedding centroids: elementwise mean as dims independent
+    // avgs in one map-side-combinable groupBy (k-means codebook refresh)
+    "embed_centroids" -> ((s, d) =>
+      Similarity.centroids(Tables.embeddings(s, d), "label", "embedding",
+          EmbedDims)
+        .orderBy("label")),
+
+    // backward as-of join: each purchase picks the user's latest
+    // at-or-before click via the union + running-last window (one shuffle,
+    // no range explode); the click side is pre-deduped per (user, ts) by
+    // max event_id so the match is deterministic on every engine
+    "asof_enrich" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as("click_value"))
+      AsOf.asofJoin(purchases, clicks, "user_id", "ts", Seq("click_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_millis(col("ts")).as("ts_ms"), round(col("value"), 6).as("value"),
+          unix_millis(col("r_ts")).as("click_ms"),
+          round(col("r_click_value"), 6).as("click_value"))
+        .orderBy("event_id")
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1228,5 +1254,28 @@ object SparkEntry {
          |SELECT id_a, id_b, bands_shared, round(sim, 6) AS sim
          |FROM j WHERE sim >= $EmbedDupThreshold ORDER BY id_a, id_b""".stripMargin
     },
+
+    "embed_centroids" -> {
+      val comps = (1 to EmbedDims)
+        .map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), 6)")
+        .mkString(",\n  ")
+      s"""SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |  [$comps] AS centroid
+         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+    },
+
+    // DuckDB's native ASOF JOIN verifies the union+window engine shape; the
+    // click side is deduped per (user, ts) by max event_id on both engines
+    "asof_enrich" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
+        |      FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, epoch_ms(p.ts) AS ts_ms,
+        |  round(p.value, 6) AS value,
+        |  epoch_ms(c.ts) AS click_ms, round(c.click_value, 6) AS click_value
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY event_id""".stripMargin,
   )
 }

@@ -182,4 +182,24 @@ object Similarity {
           .as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Per-label embedding centroids: elementwise mean vector + member count —
+    * the k-means/IVF codebook refresh step and the standard class-prototype
+    * aggregate. Means are computed as `dims` independent `avg(element_at)`
+    * aggregates in ONE groupBy, so the shuffle carries `dims` doubles per
+    * (partition, label) partial — map-side combined, never a per-row vector
+    * explode and never a collect. Output vector components round to 6 dp for
+    * cross-engine comparability.
+    */
+  def centroids(emb: DataFrame, labelCol: String, vecCol: String,
+                dims: Int): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val means = (1 to dims).map(i =>
+      avg(element_at(col(vecCol), i).cast("double")).as(s"m$i"))
+    val aggs = count(lit(1)).as("n") +: means
+    emb.groupBy(col(labelCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(labelCol), col("n"),
+        array((1 to dims).map(i => round(col(s"m$i"), 6)): _*).as("centroid"))
+  }
 }

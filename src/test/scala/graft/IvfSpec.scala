@@ -65,4 +65,19 @@ class IvfSpec extends SparkSpec {
     val full = emb.count() * (emb.count() - 1)
     assert(cands < full, s"partial probe must prune candidates ($cands vs $full)")
   }
+
+  test("centroids: elementwise mean and member count per label") {
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f), 0),
+      (2L, Array(3.0f, 4.0f, 5.0f), 0),
+      (3L, Array(10.0f, 0.0f, -2.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroids(df, "label", "embedding", dims = 3)
+      .orderBy("label")
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toSeq))
+    assert(got.toSeq === Seq(
+      (0, 2L, Seq(2.0, 3.0, 4.0)),
+      (1, 1L, Seq(10.0, 0.0, -2.0))))
+  }
 }
