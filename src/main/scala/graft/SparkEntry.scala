@@ -34,6 +34,12 @@ object SparkEntry {
   private val FpK = 8
   private val FpModP = 16
 
+  /** Fingerprint-overlap pairing: ≥3 shared selected substrings, with the
+    * stop-hash guard at the same df cap the n-gram query uses.
+    */
+  private val FpMinShared = 3
+  private val FpMaxDocs = 50
+
   /** Decontamination eval cohort: docs with id below this bound play the
     * benchmark suite — a FIXED-SIZE set, so the broadcast n-gram relation is
     * O(1) in corpus size (the same rule the verdict applied to `embed_topk`).
@@ -68,9 +74,19 @@ object SparkEntry {
     GoldCache.table(spark, "pairs_daily", dir)(
       CoMovement.pairsDaily(hourlyGold(spark, dir)))
 
+  /** MinHash LSH candidate pairs feed two declared queries (the pair report
+    * and cluster resolution) — same refresh-once lifecycle as the AIS gold
+    * stages: the shingle→signature→band join runs once per JVM.
+    */
+  private def minhashPairsGold(spark: SparkSession, dir: String): DataFrame =
+    GoldCache.table(spark, "minhash_pairs", dir)(
+      Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+        k = 8, rowsPerBand = 2, n = 3))
+
   /** Force-build the shared gold stages (bench warm-up hook). */
   def warmGold(spark: SparkSession, dir: String): Unit = {
-    pairsGold(spark, dir).count(); ()
+    pairsGold(spark, dir).count()
+    minhashPairsGold(spark, dir).count(); ()
   }
 
   /** Flagship: the reference's semantic heart (daily co-movement pairs) on
@@ -350,6 +366,14 @@ object SparkEntry {
           k = FpK, p = FpModP)
         .orderBy("doc_id", "pos")),
 
+    // substring-level near-dup pairs: docs sharing >= FpMinShared selected
+    // rolling-hash fingerprints (content-defined chunk overlap; keyed join
+    // on the hash with the stop-hash guard, never all-pairs)
+    "fp_overlap" -> ((s, d) =>
+      TextOps.fingerprintOverlapPairs(Tables.documents(s, d), "doc_id", "text",
+          k = FpK, p = FpModP, minShared = FpMinShared, maxDocsPerHash = FpMaxDocs)
+        .orderBy("doc_a", "doc_b")),
+
     // deterministic stratified sample: sha256 bucket under per-lang rate
     "doc_sample" -> ((s, d) =>
       Curation.stratifiedHashSample(Tables.documents(s, d), "doc_id", "lang",
@@ -433,9 +457,7 @@ object SparkEntry {
 
     // MinHash + LSH candidate pairs (k=8 string-ordered minhashes, bands of 2)
     "dedup_minhash" -> ((s, d) =>
-      Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-          k = 8, rowsPerBand = 2, n = 3)
-        .orderBy("doc_a", "doc_b")),
+      minhashPairsGold(s, d).orderBy("doc_a", "doc_b")),
 
     // SimHash-64 signatures (two unsigned 32-bit halves)
     "dedup_simhash" -> ((s, d) =>
@@ -450,10 +472,7 @@ object SparkEntry {
     // near-dup cluster resolution: connected components over the minhash
     // pair graph; is_canonical = keep-one-per-cluster decision
     "dup_clusters" -> ((s, d) =>
-      Dedup.dupClusters(
-          Dedup.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
-            k = 8, rowsPerBand = 2, n = 3),
-          "doc_a", "doc_b")
+      Dedup.dupClusters(minhashPairsGold(s, d), "doc_a", "doc_b")
         .orderBy("id")),
 
     // multimodal plumbing: binary payloads through the batched decode stub;
@@ -1020,6 +1039,27 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, CAST(u.h AS BIGINT) AS h
          |FROM g WHERE u.h % $FpModP = 0 ORDER BY doc_id, pos""".stripMargin,
+
+    // same rolling-hash selection, paired: distinct (doc, h), df-capped, then
+    // the keyed self-join the engine runs
+    "fp_overlap" ->
+      s"""WITH g AS (SELECT doc_id, unnest(
+         |    [list_reduce(
+         |        list_prepend(0::HUGEINT,
+         |          [ascii(substr(text, i, 1))::HUGEINT for i in range(j, j + $FpK)]),
+         |        (acc, b) -> (acc * 257 + b) % 2147483647)
+         |     for j in range(1, len(text) - $FpK + 2)]) AS h
+         |  FROM documents),
+         |fp AS (SELECT DISTINCT doc_id, CAST(h AS BIGINT) AS h FROM g
+         |       WHERE h % $FpModP = 0),
+         |d AS (SELECT h, count(*) AS dc FROM fp GROUP BY 1),
+         |ok AS (SELECT fp.doc_id, fp.h FROM fp JOIN d USING (h)
+         |       WHERE d.dc <= $FpMaxDocs)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST(count(*) AS BIGINT) AS shared
+         |FROM ok a JOIN ok b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $FpMinShared
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "lang_id" -> {
       val scores = TextOps.LangMarkers.map { case (l, _) =>

@@ -149,6 +149,40 @@ object TextOps {
       .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("h"))
   }
 
+  /** Substring-level near-dup pairs from shared rolling-hash fingerprints
+    * (the content-defined-chunking dedup tier between exact-hash and
+    * token-shingle methods): two documents sharing `minShared`+ selected
+    * k-gram fingerprints share that many (probabilistically distinct) raw
+    * substrings — robust to token-boundary edits that break word shingles.
+    *
+    * Scale shape mirrors [[Dedup.ngramJaccardPairs]]: distinct (doc, hash)
+    * rows, a stop-hash guard (a fingerprint in d docs costs d² candidate
+    * rows — drop non-discriminative hashes via groupBy-count + broadcast
+    * anti-join), then a keyed equi-join on the hash — never all-pairs.
+    */
+  def fingerprintOverlapPairs(df: DataFrame, idCol: String, textCol: String,
+                              k: Int = 8, p: Int = 16, minShared: Int = 2,
+                              maxDocsPerHash: Int = Int.MaxValue): DataFrame = {
+    require(minShared >= 1, "minShared must be at least 1")
+    val fp0 = rollingFingerprints(df, idCol, textCol, k, p)
+      .select(col(idCol).as("doc_id"), col("h")).distinct()
+    val fpUnp =
+      if (maxDocsPerHash == Int.MaxValue) fp0
+      else {
+        val hot = fp0.groupBy("h").agg(count(lit(1)).as("df_cnt"))
+          .filter(col("df_cnt") > maxDocsPerHash)
+          .select("h")
+        fp0.join(hot, Seq("h"), "left_anti").select("doc_id", "h")
+      }
+    val fps = fpUnp.repartition(col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    fps.toDF("doc_a", "h")
+      .join(fps.toDF("doc_b", "h"), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** BM25 relevance of every document for a bag of query terms (Lucene-style
     * idf: `ln((N - df + 0.5)/(df + 0.5) + 1)`). Two corpus-level scalars
     * (N, avgdl) and one df per term are computed in a single tiny aggregate

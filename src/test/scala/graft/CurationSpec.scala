@@ -184,6 +184,25 @@ class CurationSpec extends SparkSpec {
       .forall(c => got(2).getAs[Int](c) === 0))
   }
 
+  // ---- Fingerprint overlap pairs ----------------------------------------
+
+  test("fp overlap: shared substring pairs docs regardless of alignment; guard drops hot hashes") {
+    val core = "the quick brown fox jumps over the lazy dog again and again"
+    val df = Seq(
+      (1L, core + " tail one"),
+      (2L, "prefix shift " + core),   // same substring, different alignment
+      (3L, "completely different words with no common runs at all here")
+    ).toDF("doc_id", "text")
+    val pairs = TextOps.fingerprintOverlapPairs(df, "doc_id", "text",
+        k = 8, p = 4, minShared = 2)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L))) // content-anchored: alignment-free
+    // a df cap of 1 drops every hash two docs share → no pairs survive
+    val guarded = TextOps.fingerprintOverlapPairs(df, "doc_id", "text",
+        k = 8, p = 4, minShared = 1, maxDocsPerHash = 1)
+    assert(guarded.count() === 0L)
+  }
+
   // ---- Per-domain cap ---------------------------------------------------
 
   test("domain cap: keeps exactly N per domain, ranks restart per domain, hash-ordered") {
