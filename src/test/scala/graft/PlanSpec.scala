@@ -60,6 +60,49 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "anti side should broadcast at dim size")
   }
 
+  test("asof_enrich: union+window shape — no join operator anywhere") {
+    val plan = planOf(SparkEntry.queries("asof_enrich")(spark, Sf))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin") &&
+      !plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      "the as-of join must compile to union + running-last window, not a join:\n" +
+        plan.take(600))
+    assert(plan.contains("Window"), "running-last window expected")
+  }
+
+  test("embed_centroids: one aggregation, no per-component explode") {
+    val plan = planOf(SparkEntry.queries("embed_centroids")(spark, Sf))
+    assert(!plan.contains("Generate"),
+      "centroid means must be dims independent aggregates, not a posexplode")
+    assert(plan.contains("HashAggregate"), "hash aggregate expected")
+  }
+
+  test("dedup_simhash: single token explode — the 64x bit fanout stays gone") {
+    val plan = planOf(SparkEntry.queries("dedup_simhash")(spark, Sf))
+    assert("Generate".r.findAllIn(plan).length <= 1,
+      "simhash must explode tokens once; per-bit rows are vote aggregates")
+  }
+
+  test("vocab_topk: top-k is TakeOrdered (per-partition heaps), no global sort") {
+    val plan = planOf(SparkEntry.queries("vocab_topk")(spark, Sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT must compile to TakeOrderedAndProject")
+  }
+
+  test("domain_cap: documents scan never reads the text column") {
+    val plan = planOf(SparkEntry.queries("domain_cap")(spark, Sf))
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach(rs =>
+      assert(!rs.contains("text"), s"cap rank needs only (doc_id, source): $rs"))
+  }
+
+  test("fp_overlap: candidate generation is keyed — no product join") {
+    val plan = planOf(SparkEntry.queries("fp_overlap")(spark, Sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "pairs must come from the hash equi-join, never all-pairs")
+  }
+
   test("pairs pipeline: all four hourly consumers read the persisted stage") {
     // (the DECLARED pairs_daily reads the GoldCache parquet — the self-join
     // runs once inside the gold build, which is itself the point; this pins
