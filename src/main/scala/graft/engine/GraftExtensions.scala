@@ -1,0 +1,69 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.expressions.{GeoCell, RollingKgramHash, StableHashBucket, VecDot}
+
+/** SQL surface for the engine's native Catalyst expressions: registers
+  * `geo_cell`, `stable_bucket`, `vec_dot`, and `rolling_kgrams` as SQL
+  * functions so `spark.sql("SELECT geo_cell(lat, lon, 9) ...")` works
+  * anywhere the DataFrame facade ([[graft.functions]]) does.
+  *
+  * Two entry points, same builders:
+  *   - cluster-wide: `--conf spark.sql.extensions=graft.engine.GraftExtensions`
+  *     (the standard extensions hook — applied to every new session).
+  *   - per-session: [[GraftExtensions.register]] on a live session (tests,
+  *     notebooks).
+  *
+  * The expressions stay codegen'd through the SQL path — registration hands
+  * Catalyst the same Expression nodes the column functions build, so plans
+  * are identical whichever API declared them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  /** (identifier, info, builder) triples for every engine SQL function. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("geo_cell"),
+      info("geo_cell", "geo_cell(lat, lon, res) - hex cell address (15 hex chars)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "geo_cell(lat, lon, res) takes 3 arguments")
+        GeoCell(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("stable_bucket"),
+      info("stable_bucket", "stable_bucket(str, n) - sha256-based bucket in [0, n)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "stable_bucket(str, n) takes 2 arguments")
+        StableHashBucket(args(0), args(1))
+      }),
+    (FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - strict in-order dot product of double arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_dot(a, b) takes 2 arguments")
+        VecDot(args(0), args(1))
+      }),
+    (FunctionIdentifier("rolling_kgrams"),
+      info("rolling_kgrams", "rolling_kgrams(text, k) - mod-p polynomial hash per k-gram"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "rolling_kgrams(text, k) takes 2 arguments")
+        RollingKgramHash(args(0), args(1))
+      }))
+
+  /** Register every engine function on a live session (the per-session form
+    * of the extensions hook).
+    */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, inf, builder) =>
+      org.apache.spark.sql.graftbridge.bridge.registerFunction(spark, id, inf, builder)
+    }
+}

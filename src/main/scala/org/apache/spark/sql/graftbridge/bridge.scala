@@ -1,7 +1,8 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Bridge between the public Column API and catalyst Expressions.
@@ -14,4 +15,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object bridge {
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Per-session function registration (`SparkSession.sessionState` is
+    * `private[sql]` too) — the live-session form of the extensions hook.
+    */
+  def registerFunction(spark: SparkSession, id: FunctionIdentifier,
+                       info: ExpressionInfo,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
 }
