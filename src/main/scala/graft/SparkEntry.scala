@@ -475,6 +475,15 @@ object SparkEntry {
       Dedup.dupClusters(minhashPairsGold(s, d), "doc_a", "doc_b")
         .orderBy("id")),
 
+    // multimodal frame sampling: payload as fixed-size frame records, every
+    // stride-th kept; batched kernel does real byte work (slice + sha256)
+    "frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d)),
+          frameBytes = 16, stride = 2)
+        .toDF()
+        .orderBy("media_id", "frame_idx")),
+
     // multimodal plumbing: binary payloads through the batched decode stub;
     // metadata contract (sizes, stub dims, payload sha) is oracle-checked
     "media_features" -> ((s, d) => {
@@ -1199,6 +1208,16 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN j < 32 THEN b * pow(2, j) ELSE 0 END) AS BIGINT) AS simhash_lo,
         |  CAST(sum(CASE WHEN j >= 32 THEN b * pow(2, j - 32) ELSE 0 END) AS BIGINT) AS simhash_hi
         |FROM sb GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    // frames recomputed in string space (the testdata payload is UTF-8 text,
+    // so byte slices == char slices); sha256 hex is lowercase in both engines
+    "frame_sample" ->
+      """WITH f AS (SELECT doc_id, text, unnest(range(0,
+        |    CAST(ceil(length(text) / 16.0) AS BIGINT))) AS j FROM documents)
+        |SELECT doc_id AS media_id, CAST(j AS INTEGER) AS frame_idx,
+        |  CAST(least(16, length(text) - j * 16) AS INTEGER) AS n_bytes,
+        |  sha256(substr(text, CAST(j * 16 + 1 AS INTEGER), 16)) AS frame_sha
+        |FROM f WHERE j % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin,
 
     "media_features" ->
       """SELECT doc_id AS media_id, 'text' AS kind,

@@ -64,6 +64,53 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("bytes")).as[MediaRow]
   }
 
+  /** One sampled frame: payload slice metadata + content digest. */
+  case class Frame(media_id: Long, frame_idx: Int, n_bytes: Int, frame_sha: String)
+
+  /** Frame sampling over a video-role binary column: the payload is treated
+    * as fixed-`frameBytes` frame records and every `stride`-th frame is kept
+    * (the standard 1-in-N video sampling prep). The kernel is deterministic
+    * real byte work — slice + sha256 — standing where a codec's keyframe
+    * extractor drops in; the Spark side (batched partition-local iteration,
+    * per-row fanout bounded by frames/stride, never a whole-partition
+    * materialization) is the production plumbing.
+    */
+  def sampleFrames(media: Dataset[MediaRow], frameBytes: Int, stride: Int,
+                   batchSize: Int = 64): Dataset[Frame] = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.flatMap { m =>
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      val nFrames = (m.bytes.length + frameBytes - 1) / frameBytes
+      (0 until nFrames).filter(_ % stride == 0).map { j =>
+        val from = j * frameBytes
+        val until = math.min(from + frameBytes, m.bytes.length)
+        val sha = digest.digest(java.util.Arrays.copyOfRange(m.bytes, from, until))
+          .map("%02x".format(_)).mkString
+        digest.reset()
+        Frame(m.media_id, j, until - from, sha)
+      }
+    }))
+  }
+
+  /** Resize stub: keep every `factor`-th payload byte — a deterministic
+    * stand-in for an image downscale kernel (binary in → smaller binary out,
+    * the contract a real resizer satisfies). Batched like the decode path.
+    */
+  def resizeStub(media: Dataset[MediaRow], factor: Int,
+                 batchSize: Int = 64): Dataset[MediaRow] = {
+    require(factor > 0, "factor must be positive")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(_.map { m =>
+      val out = new Array[Byte]((m.bytes.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = m.bytes(i * factor); i += 1 }
+      MediaRow(m.media_id, m.kind, out)
+    }))
+  }
+
   /** Declared-query shape: deterministic feature projection (histogram
     * excluded — its float formatting is kernel-internal; the oracle checks
     * the metadata contract: sizes, stub dimensions, payload sha).

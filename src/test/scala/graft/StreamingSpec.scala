@@ -181,4 +181,24 @@ class StreamingSpec extends SparkSpec {
     assert(f.forall(r => r.getAs[Int]("n_bytes") > 0))
     assert(f.forall(r => r.getAs[Int]("width") === r.getAs[Int]("n_bytes") % 640))
   }
+
+  test("frame sampling: every stride-th fixed-size frame, short tail clamped") {
+    // 10 bytes, frames of 4 → frames 0,1,2 (lens 4,4,2); stride 2 keeps 0,2
+    val media = Seq(Multimodal.MediaRow(1L, "vid",
+      (1 to 10).map(_.toByte).toArray)).toDS()
+    val frames = Multimodal.sampleFrames(media, frameBytes = 4, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(f => (f.frame_idx, f.n_bytes)).toSeq === Seq((0, 4), (2, 2)))
+    val sha0 = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(Array[Byte](1, 2, 3, 4)).map("%02x".format(_)).mkString
+    assert(frames(0).frame_sha === sha0)
+  }
+
+  test("resize stub: every factor-th byte kept, binary-in binary-out") {
+    val media = Seq(Multimodal.MediaRow(1L, "img",
+      (0 until 9).map(_.toByte).toArray)).toDS()
+    val out = Multimodal.resizeStub(media, factor = 3).collect().head
+    assert(out.bytes.toSeq === Seq[Byte](0, 3, 6))
+    assert(out.media_id === 1L && out.kind === "img")
+  }
 }
