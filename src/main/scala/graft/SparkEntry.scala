@@ -52,6 +52,14 @@ object SparkEntry {
     * queries (cap below the smallest per-source count so both keep outcomes
     * appear at every scale; chunks sized against the 10–99-token testdata).
     */
+  /** Fixed logistic-model coefficients for the classifier-filter stand-in
+    * (ln_toks, punct_ratio, stop_ratio, mean_token_len) — plan-time
+    * constants, the way broadcast trained coefficients would arrive.
+    */
+  private val ClfWeights = Seq(0.8, -20.0, 5.0, -0.4)
+  private val ClfBias = -1.0
+  private val ClfMinScore = 0.5
+
   private val DomainCapN = 15
   private val ChunkTokens = 32
   private val ChunkOverlap = 8
@@ -401,6 +409,13 @@ object SparkEntry {
     // C4-style quality filter: keep flag + drop-reason bitmask per doc
     "quality_filter" -> ((s, d) =>
       Curation.qualityFilter(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // model-based quality filter: fixed-weight logistic over text features
+    // (the fastText-classifier stage as a deterministic narrow map)
+    "quality_clf" -> ((s, d) =>
+      Curation.classifierScore(Tables.documents(s, d), "doc_id", "text",
+          ClfWeights, ClfBias, ClfMinScore)
         .orderBy("doc_id")),
 
     // Gopher-style repetition filters: top-token + duplicate-2-gram fractions
@@ -963,6 +978,27 @@ object SparkEntry {
         |  CASE WHEN n_tokens > 0
         |       THEN CAST(floor((tok_end - 1) / 512) AS BIGINT) END AS last_chunk
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "quality_clf" -> {
+      val Seq(w1, w2, w3, w4) = ClfWeights
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),
+         |f AS (SELECT doc_id,
+         |  ln(CAST(len(ts) AS DOUBLE) + 1.0) AS f1,
+         |  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         |    / length(text) AS f2,
+         |  CAST(len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'and', 'is')))
+         |    AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS f3,
+         |  (length(text) - CAST(len(ts) AS DOUBLE) + 1.0)
+         |    / CAST(len(ts) AS DOUBLE) AS f4
+         |FROM t),
+         |s AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(
+         |    f1 * CAST('$w1' AS DOUBLE) + f2 * CAST('$w2' AS DOUBLE)
+         |    + f3 * CAST('$w3' AS DOUBLE) + f4 * CAST('$w4' AS DOUBLE)
+         |    + CAST('$ClfBias' AS DOUBLE)))), 6) AS score
+         |FROM f)
+         |SELECT doc_id, score, score >= CAST('$ClfMinScore' AS DOUBLE) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     "quality_filter" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts FROM documents),

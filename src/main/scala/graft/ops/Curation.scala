@@ -163,6 +163,39 @@ object Curation {
     df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
   }
 
+  /** Model-based quality scoring (the fastText-classifier stage of published
+    * corpus pipelines, as a deterministic stand-in): a fixed-weight logistic
+    * model over cheap text features — log token count, punctuation ratio,
+    * stopword ratio, mean token length. Weights are plan-time constants (a
+    * trained model would arrive the same way: broadcast coefficients), so the
+    * whole scorer is a narrow codegen'd row map — zero shuffle, full scan
+    * throughput at any corpus size, and bit-reproducible across reruns.
+    *
+    * `keep` thresholds the sigmoid at `minScore` — the binary decision a
+    * pacing/filtering stage consumes.
+    */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+                      weights: Seq[Double], bias: Double,
+                      minScore: Double): DataFrame = {
+    require(weights.length == 4, "model has 4 features: ln_toks, punct, stop, mean_len")
+    val toks = col("__toks")
+    val pre = df.select(col(idCol), col(textCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val nToks = size(toks).cast("double")
+    val features = Seq(
+      log(nToks + 1.0),
+      size(regexp_extract_all(col(textCol), lit("[^\\w\\s]"), lit(0))).cast("double")
+        / length(col(textCol)),
+      size(filter(toks, x =>
+        TextOps.LangMarkers.head._2.map(m => x === lit(m)).reduce(_ || _)))
+        .cast("double") / nToks,
+      (length(col(textCol)) - nToks + 1.0) / nToks) // mean token length
+    val z = features.zip(weights).map { case (f, w) => f * w }
+      .reduce(_ + _) + bias
+    val score = lit(1.0) / (lit(1.0) + exp(-z))
+    pre.select(col(idCol), round(score, 6).as("score"),
+      (round(score, 6) >= minScore).as("keep"))
+  }
+
   /** C4-style composite quality filter: every heuristic votes, failures are
     * recorded as a bitmask (1 = too short, 2 = too long, 4 = punctuation
     * noise, 8 = unnatural stopword density), `keep` = no bits set. Keeping

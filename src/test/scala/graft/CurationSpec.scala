@@ -260,6 +260,28 @@ class CurationSpec extends SparkSpec {
 
   // ---- C4-style quality filter -----------------------------------------
 
+  test("classifier score: independent logistic recompute, punct noise demotes") {
+    val df = Seq(
+      (1L, "the cat and the dog is here today"),
+      (2L, "the cat and the dog is here !!!! ,,,, ;;;;")).toDF("doc_id", "text")
+    val w = Seq(0.8, -20.0, 5.0, -0.4); val b = -1.0
+    val got = Curation.classifierScore(df, "doc_id", "text", w, b, minScore = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Double]("score"), r.getAs[Boolean]("keep")))
+
+    // doc 1 by hand: 8 toks (stopwords the×2, and, is → 4), 33 chars, no punct
+    val text1 = "the cat and the dog is here today"
+    val n = 8.0
+    val f = Seq(math.log(n + 1), 0.0, 4.0 / n, (text1.length - n + 1) / n)
+    val z = f.zip(w).map { case (a, c) => a * c }.sum + b
+    val expect = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0)._1 === expect)
+    assert(got(0)._2 === (expect >= 0.5))
+    // punctuation noise must strictly demote
+    assert(got(1)._1 < got(0)._1)
+  }
+
   test("quality filter: each bitmask bit fires in isolation") {
     val longText = Seq.fill(1001)("the").mkString(" ")
     val df = Seq(
