@@ -45,6 +45,36 @@ class AsOfSpec extends SparkSpec {
     assert(got.toSeq === Seq(7.0))
   }
 
+  test("asof: agrees with a brute-force per-key reference on randomized data") {
+    val rnd = new scala.util.Random(42)
+    val base = 1700000000000L
+    val lefts = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(8) + 1).toLong,
+        new Timestamp(base + rnd.nextInt(100000) * 1000L)))
+    val rightsRaw = (1 to 400).map(_ =>
+      ((rnd.nextInt(8) + 1).toLong,
+        new Timestamp(base + rnd.nextInt(100000) * 1000L), rnd.nextDouble()))
+    // unique per (key, ts) — the operator's documented precondition
+    val rights = rightsRaw.groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+
+    val got = AsOf.asofJoin(
+        lefts.toDF("event_id", "uid", "ts"),
+        rights.toDF("uid", "ts", "q"), "uid", "ts", Seq("q"))
+      .select(col("event_id"), col("r_q"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+
+    val byKey = rights.groupBy(_._1)
+    lefts.foreach { case (id, uid, lts) =>
+      val want = byKey.getOrElse(uid, Seq.empty)
+        .filter(!_._2.after(lts))
+        .sortBy(_._2.getTime)
+        .lastOption.map(_._3)
+      assert(got(id) === want, s"event $id (uid $uid, ts $lts)")
+    }
+  }
+
   test("asof: matched right timestamp is carried through as r_ts") {
     val left = Seq((1L, 5L, ts("12:00"))).toDF("event_id", "uid", "ts")
     val right = Seq((5L, ts("10:00"), 1.0), (5L, ts("11:00"), 2.0))

@@ -245,6 +245,37 @@ class CurationSpec extends SparkSpec {
     assert(md5First === want)
   }
 
+  test("chunking invariants: full token coverage, exact overlap, randomized") {
+    val rnd = new scala.util.Random(7)
+    val docs = (1L to 40L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(120))("w" + rnd.nextInt(50)).mkString(" "))
+    }
+    val chunkTokens = 16; val overlap = 5
+    val got = Curation.chunkDocs(docs.toDF("doc_id", "text"), "doc_id", "text",
+        chunkTokens, overlap)
+      .select("doc_id", "chunk_idx", "chunk_start", "chunk_len")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ").length
+      val chunks = got(id)
+      // every token position covered by at least one chunk
+      val covered = chunks.flatMap(c => c._3 until (c._3 + c._4)).toSet
+      assert(covered === (1L to n).toSet, s"doc $id coverage")
+      // consecutive chunk starts step by exactly chunkTokens - overlap
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 - a._3 === (chunkTokens - overlap).toLong)
+        case _ =>
+      }
+      // chunks never exceed the configured size and never run past the doc
+      chunks.foreach { c =>
+        assert(c._4 <= chunkTokens.toLong)
+        assert(c._3 + c._4 - 1 <= n.toLong)
+      }
+    }
+  }
+
   // ---- n-gram vocabulary ------------------------------------------------
 
   test("vocab: every occurrence counts, ties break by gram text, topK cuts") {
