@@ -161,6 +161,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation pipeline: dedup + quality filter compose to a parquet sink") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp, String)]
+    val docs = in.toDF.toDF("doc_id", "ts", "text")
+    // online suppression → heuristic filter → append-mode file sink: the
+    // full streaming half of the curation ladder in one query
+    val curated = graft.ops.Curation
+      .qualityFilter(StreamingDedup.dedupStream(docs, "text", "ts"),
+        "doc_id", "text")
+      .filter(col("keep"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft-scur-out").toString
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-scur-cp").toString
+    val q = curated.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", cpDir)
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, ts("10:00"), "the cat and a dog is here today"), // survives
+        (2L, ts("10:01"), "the cat and a dog is here today"), // exact dup → dropped
+        (3L, ts("10:02"), "x"),                               // fails quality
+        (4L, ts("10:03"), "the fish and a bird is also here")) // survives
+      q.processAllAvailable()
+      val got = spark.read.parquet(outDir).select("doc_id").as[Long]
+        .collect().sorted
+      assert(got.toSeq === Seq(1L, 4L))
+    } finally q.stop()
+  }
+
   test("multimodal batched decode: histogram computed from real bytes, batch shape bounded") {
     val media = Seq(
       Multimodal.MediaRow(1L, "img", Array.fill[Byte](256)(0)),
