@@ -180,6 +180,35 @@ object SparkEntry {
     "trip_segments" -> ((s, d) =>
       Tracks.tripSegments(Tables.events(s, d), gapMs = 30L * 86400 * 1000)),
 
+    // multi-granularity OLAP rollup: (day, type) / day / grand total in ONE
+    // pass — Spark's rollup compiles to a single Expand + hash agg, the
+    // shape that replaces N separate scans at warehouse scale
+    "events_rollup" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("ts").isNotNull)
+        .rollup(to_date(col("ts")).as("day_date"), col("event_type"))
+        // exact integer sum (value in 1e-4 units) — double-sum association
+        // order differs across engines at 100k-row granularity (q1 pattern)
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_events"),
+          round(sum(round(col("value") * 10000).cast("long")) / 10000.0, 4)
+            .as("sum_value"))
+        .select(col("day_date"), col("event_type"), col("gid"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("gid"), col("day_date"), col("event_type"))),
+
+    // pivoted per-day event-type counts: groupBy.pivot with an EXPLICIT
+    // value list — at scale the list keeps the plan one-pass (no distinct
+    // pre-scan) and the output schema static
+    "events_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("ts").isNotNull)
+        .groupBy(to_date(col("ts")).as("day_date"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day_date")),
+
     // A1-analog pricing rollup on lineitem: wide hash agg. Money columns are
     // 2-decimal by construction, so sums run in integer cents/basis-points —
     // exact and engine-independent at any SF (double→decimal casts round
@@ -731,6 +760,30 @@ object SparkEntry {
         |SELECT user_id, trip_seq, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
         |  CAST(count(*) AS BIGINT) AS n_points
         |FROM t GROUP BY 1, 2 ORDER BY user_id, trip_seq""".stripMargin,
+
+    // ROLLUP grouping-set parity: gid = GROUPING(day)*2 + GROUPING(type)
+    // matches Spark's grouping_id bit order (first col = MSB); value summed
+    // in exact 1e-4 integer units (the q1 pattern)
+    "events_rollup" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS day_date, event_type,
+        |    CAST(round(value * 10000) AS BIGINT) AS v4 FROM events
+        |  WHERE ts IS NOT NULL)
+        |SELECT day_date, event_type,
+        |  CAST(GROUPING(day_date) * 2 + GROUPING(event_type) AS INTEGER) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(v4) AS DOUBLE) / 10000.0, 4) AS sum_value
+        |FROM e GROUP BY ROLLUP (day_date, event_type)
+        |ORDER BY gid, day_date, event_type""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT CAST(ts AS DATE) AS day_date,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events WHERE ts IS NOT NULL
+        |GROUP BY 1 ORDER BY day_date""".stripMargin,
 
     "window_dedup" ->
       """WITH r AS (

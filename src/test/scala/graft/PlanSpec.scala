@@ -103,6 +103,12 @@ class PlanSpec extends SparkSpec {
       "pairs must come from the hash equi-join, never all-pairs")
   }
 
+  test("events_rollup: grouping sets are one Expand + one agg, not a per-set union") {
+    val plan = planOf(SparkEntry.queries("events_rollup")(spark, Sf))
+    assert(plan.contains("Expand"), "rollup compiles to Expand")
+    assert(!plan.contains("Union"), "one pass over events, not a scan per granularity")
+  }
+
   test("pairs pipeline: all four hourly consumers read the persisted stage") {
     // (the DECLARED pairs_daily reads the GoldCache parquet — the self-join
     // runs once inside the gold build, which is itself the point; this pins
