@@ -180,6 +180,15 @@ object SparkEntry {
     "trip_segments" -> ((s, d) =>
       Tracks.tripSegments(Tables.events(s, d), gapMs = 30L * 86400 * 1000)),
 
+    // per-group z-score outlier flags: exact integer sums → broadcast stats
+    // → narrow map (no fact-table shuffle); threshold 1.7 sits inside the
+    // uniform value distribution so both flag outcomes appear
+    "value_outliers" -> ((s, d) =>
+      QualityChecks.zscoreOutliers(
+          Tables.events(s, d).filter(col("value").isNotNull),
+          "event_id", "event_type", "value", threshold = 1.7)
+        .orderBy("event_id")),
+
     // multi-granularity OLAP rollup: (day, type) / day / grand total in ONE
     // pass — Spark's rollup compiles to a single Expand + hash agg, the
     // shape that replaces N separate scans at warehouse scale
@@ -760,6 +769,24 @@ object SparkEntry {
         |SELECT user_id, trip_seq, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
         |  CAST(count(*) AS BIGINT) AS n_points
         |FROM t GROUP BY 1, 2 ORDER BY user_id, trip_seq""".stripMargin,
+
+    // identical op tree: exact integer sums cast to double, same
+    // mean/variance expression order, round-then-abs for the flag
+    "value_outliers" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CAST(round(value * 10000) AS BIGINT) AS u
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(u) AS DOUBLE) AS s1, CAST(sum(u * u) AS DOUBLE) AS s2
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT event_type, s1 / n AS mean_u,
+        |    s2 / n - (s1 / n) * (s1 / n) AS var_u FROM st),
+        |z AS (SELECT e.event_id, e.event_type,
+        |    round(CASE WHEN var_u > 0 THEN (u - mean_u) / sqrt(var_u) END, 6) AS z
+        |  FROM e JOIN m USING (event_type))
+        |SELECT event_id, event_type, z,
+        |  abs(z) > CAST('1.7' AS DOUBLE) AS is_outlier
+        |FROM z ORDER BY event_id""".stripMargin,
 
     // ROLLUP grouping-set parity: gid = GROUPING(day)*2 + GROUPING(type)
     // matches Spark's grouping_id bit order (first col = MSB); value summed

@@ -40,4 +40,31 @@ object QualityChecks {
   def perDayCounts(hourly: DataFrame, dayCol: String = "dt"): DataFrame =
     hourly.groupBy(col(dayCol)).agg(count(lit(1)).as("n_rows"))
       .orderBy(col(dayCol))
+
+  /** Per-group z-score outlier flagging — the standard monitoring check for a
+    * value column (is this reading anomalous for its group?). Group stats are
+    * computed as EXACT integer sums of `unitScale`-scaled values (count, Σv,
+    * Σv² in decimal — no double-association-order drift, so every engine
+    * derives bit-identical mean/std), then broadcast back over the scan: one
+    * tiny aggregate + a narrow map, no shuffle of the fact table at any
+    * scale. Population std; groups with zero variance emit null z.
+    */
+  def zscoreOutliers(df: DataFrame, idCol: String, groupCol: String,
+                     valueCol: String, threshold: Double,
+                     unitScale: Int = 10000): DataFrame = {
+    val units = round(col(valueCol) * unitScale).cast("decimal(20,0)")
+    val stats = df.select(col(groupCol), units.as("u"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("u")).cast("double").as("s1"),
+        sum(col("u") * col("u")).cast("double").as("s2"))
+      .select(col(groupCol), (col("s1") / col("n")).as("mean_u"),
+        (col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")))
+          .as("var_u"))
+    df.join(broadcast(stats), groupCol)
+      .select(col(idCol), col(groupCol),
+        round(when(col("var_u") > 0,
+          (units - col("mean_u")) / sqrt(col("var_u"))), 6).as("z"))
+      .withColumn("is_outlier", abs(col("z")) > threshold)
+  }
 }

@@ -91,4 +91,24 @@ class SilverIngestSpec extends SparkSpec {
     assert(checks("delta_messages") === 0L)
     assert(checks("sum_message_count") === checks("silver_filtered_count"))
   }
+
+  test("zscore outliers: hand-computed z per group, zero-variance group emits null") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), // mean 2, pop-std sqrt(2/3)
+      (4L, "b", 7.0), (5L, "b", 7.0)                  // zero variance
+    ).toDF("event_id", "grp", "value")
+    val got = QualityChecks.zscoreOutliers(df, "event_id", "grp", "value",
+        threshold = 1.0)
+      .orderBy("event_id").collect()
+      .map(r => (if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getBoolean(3))))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val std = math.sqrt(2.0 / 3.0)
+    assert(got(0)._1 === Some(r6(-1 / std)) && got(0)._2 === Some(true))
+    assert(got(1)._1 === Some(0.0) && got(1)._2 === Some(false))
+    assert(got(2)._1 === Some(r6(1 / std)) && got(2)._2 === Some(true))
+    assert(got(3) === ((None, None)) && got(4) === ((None, None)))
+  }
 }
