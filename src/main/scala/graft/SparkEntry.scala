@@ -91,10 +91,20 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
         k = 8, rowsPerBand = 2, n = 3))
 
-  /** Force-build the shared gold stages (bench warm-up hook). */
+  /** Force-build the shared gold stages (bench warm-up hook). The AIS chain
+    * (hourly → pairs) and the minhash pair stage are independent — they build
+    * CONCURRENTLY, the way independent gold refreshes should share a cluster:
+    * Spark's scheduler interleaves their jobs, so warm-up wall time is the
+    * longer chain, not the sum.
+    */
   def warmGold(spark: SparkSession, dir: String): Unit = {
-    pairsGold(spark, dir).count()
-    minhashPairsGold(spark, dir).count(); ()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val builds = Seq(
+      Future { pairsGold(spark, dir).count() },
+      Future { minhashPairsGold(spark, dir).count() })
+    Await.result(Future.sequence(builds), Duration.Inf); ()
   }
 
   /** Flagship: the reference's semantic heart (daily co-movement pairs) on

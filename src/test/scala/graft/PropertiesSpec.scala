@@ -144,4 +144,30 @@ object GraftProperties extends Properties("graft") {
       val p = Similarity.planesFor(n, t)
       p >= 1 && p <= 62 && Similarity.planesFor(n * 2, t) >= p
     }
+
+  // ---- SimHash pigeonhole-band recall guarantee --------------------------
+  // simhashPairs splits the 64-bit signature into 4×16-bit bands (lo bits
+  // 0-15, 16-31; hi bits 0-15, 16-31) and only band-collision pairs are
+  // candidates. Recall guarantee: any two signatures within hamming
+  // distance 3 MUST agree on at least one whole band (4 bands, ≤3 flips).
+  private def bands(lo: Long, hi: Long): Seq[Long] =
+    Seq(lo & 0xffffL, (lo >>> 16) & 0xffffL, hi & 0xffffL, (hi >>> 16) & 0xffffL)
+
+  private val sig32: Gen[Long] = Gen.chooseNum(0L, (1L << 32) - 1)
+  private val flips: Gen[List[Int]] =
+    Gen.chooseNum(0, 3).flatMap(n => Gen.listOfN(n, Gen.chooseNum(0, 63)))
+
+  property("simhash bands: hamming<=3 always shares a band (pigeonhole)") =
+    forAll(sig32, sig32, flips) { (lo, hi, fs) =>
+      val (lo2, hi2) = fs.foldLeft((lo, hi)) { case ((l, h), j) =>
+        if (j < 32) (l ^ (1L << j), h) else (l, h ^ (1L << (j - 32)))
+      }
+      bands(lo, hi).zip(bands(lo2, hi2)).exists { case (a, b) => a == b }
+    }
+
+  property("simhash bands: partition the signature exactly (no bit lost)") =
+    forAll(sig32, sig32) { (lo, hi) =>
+      val bs = bands(lo, hi)
+      (bs(0) | (bs(1) << 16)) == lo && (bs(2) | (bs(3) << 16)) == hi
+    }
 }
