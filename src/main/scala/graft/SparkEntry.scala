@@ -190,6 +190,19 @@ object SparkEntry {
     "trip_segments" -> ((s, d) =>
       Tracks.tripSegments(Tables.events(s, d), gapMs = 30L * 86400 * 1000)),
 
+    // §2.7 set ops: INTERSECT (retained) / EXCEPT (churned) audiences over
+    // the first vs second half of the event window — both compile to
+    // aggregate-style semi/anti joins on the distinct user sets, never a
+    // row-level comparison of the fact table
+    "user_churn" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("ts").isNotNull)
+      val half1 = ev.filter(dayofmonth(col("ts")) <= 15).select("user_id").distinct()
+      val half2 = ev.filter(dayofmonth(col("ts")) > 15).select("user_id").distinct()
+      half1.intersect(half2).withColumn("status", lit("retained"))
+        .unionAll(half1.except(half2).withColumn("status", lit("churned")))
+        .orderBy("status", "user_id")
+    }),
+
     // per-group z-score outlier flags: exact integer sums → broadcast stats
     // → narrow map (no fact-table shuffle); threshold 1.7 sits inside the
     // uniform value distribution so both flag outcomes appear
@@ -779,6 +792,18 @@ object SparkEntry {
         |SELECT user_id, trip_seq, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
         |  CAST(count(*) AS BIGINT) AS n_points
         |FROM t GROUP BY 1, 2 ORDER BY user_id, trip_seq""".stripMargin,
+
+    "user_churn" ->
+      """WITH h1 AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ts IS NOT NULL AND extract(day FROM ts) <= 15),
+        |h2 AS (SELECT DISTINCT user_id FROM events
+        |  WHERE ts IS NOT NULL AND extract(day FROM ts) > 15)
+        |SELECT user_id, 'retained' AS status FROM (SELECT user_id FROM h1
+        |  INTERSECT SELECT user_id FROM h2)
+        |UNION ALL
+        |SELECT user_id, 'churned' AS status FROM (SELECT user_id FROM h1
+        |  EXCEPT SELECT user_id FROM h2)
+        |ORDER BY status, user_id""".stripMargin,
 
     // identical op tree: exact integer sums cast to double, same
     // mean/variance expression order, round-then-abs for the flag
