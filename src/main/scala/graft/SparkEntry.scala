@@ -60,6 +60,14 @@ object SparkEntry {
   private val ClfBias = -1.0
   private val ClfMinScore = 0.5
 
+  /** Mixture-sampling declared-query parameters: normalized per-lang weights
+    * and a token budget below every scale's corpus size, so every stratum
+    * gets a real (< 1) keep rate.
+    */
+  private val MixWeights = Seq(
+    "en" -> 0.5, "de" -> 0.2, "fr" -> 0.15, "es" -> 0.1, "zh" -> 0.05)
+  private val MixBudget = 10000L
+
   private val DomainCapN = 15
   private val ChunkTokens = 32
   private val ChunkOverlap = 8
@@ -490,6 +498,14 @@ object SparkEntry {
       Curation.splitAssign(Tables.documents(s, d), "doc_id",
           Seq("train" -> 90, "val" -> 5, "test" -> 5))
         .select("doc_id", "split").orderBy("doc_id")),
+
+    // mixture sampling (data mixing): per-lang keep rate from normalized
+    // weights × token budget over exact stratum token sums; tiny aggregate
+    // broadcast back, per-row stable-hash membership — corpus never shuffles
+    "mixture_sample" -> ((s, d) =>
+      Curation.mixtureSample(Tables.documents(s, d), "doc_id", "lang",
+          size(TextOps.tokens(col("text"))), MixWeights.toMap, MixBudget)
+        .orderBy("doc_id")),
 
     // per-domain cap: deterministic hash-order rank within each source,
     // keep-first-N — RefinedWeb-style domain down-weighting, auditable
@@ -1046,6 +1062,25 @@ object SparkEntry {
         |      % 100 AS BIGINT) AS b
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // same op tree: exact integer token sums, (w × B) / toks, round(…, 4),
+    // threshold on the ROUNDED rate × granularity vs the sha256 bucket
+    "mixture_sample" -> {
+      val wCase = MixWeights
+        .map { case (l, v) => s"WHEN '$l' THEN CAST('$v' AS DOUBLE)" }
+        .mkString(" ")
+      s"""WITH t AS (SELECT lang, sum(len(string_split(text, ' '))) AS toks
+         |  FROM documents GROUP BY 1),
+         |r AS (SELECT lang, round(least(CAST('1.0' AS DOUBLE),
+         |    (CASE lang $wCase ELSE CAST('0.0' AS DOUBLE) END)
+         |      * $MixBudget / toks), 4) AS rate
+         |  FROM t)
+         |SELECT d.doc_id, d.lang, r.rate,
+         |  CAST(('0x' || substr(sha256(CAST(d.doc_id AS VARCHAR)), 1, 16))::UBIGINT
+         |      % 10000 AS BIGINT)
+         |    < round(r.rate * 10000) AS keep
+         |FROM documents d JOIN r USING (lang) ORDER BY doc_id""".stripMargin
+    },
 
     "domain_cap" ->
       s"""SELECT doc_id, source, cap_rank, cap_rank <= $DomainCapN AS keep

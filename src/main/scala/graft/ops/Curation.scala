@@ -85,6 +85,38 @@ object Curation {
           .cast("long"))
   }
 
+  /** Mixture sampling (the data-mixing stage of pretraining pipelines —
+    * Pile/DoReMi-style): given NORMALIZED mixture weights per stratum and a
+    * total token budget, each stratum's keep rate is
+    * `min(1, weight × budget / stratum_tokens)`, and membership is decided
+    * per row by stable hash against that rate — deterministic across reruns,
+    * retries, and engines, like every sampler here.
+    *
+    * Scale: one tiny per-stratum aggregate (exact integer token sums,
+    * map-side combined) broadcast back over the scan, then a narrow row map —
+    * the corpus itself never shuffles. Emits the audit rate alongside the
+    * decision so a mixing run can report realized vs requested proportions.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+                    tokensCol: Column, weights: Map[String, Double],
+                    budgetTokens: Long, granularity: Int = 10000): DataFrame = {
+    require(math.abs(weights.values.sum - 1.0) < 1e-9,
+      "mixture weights must be normalized (sum to 1)")
+    require(budgetTokens > 0 && granularity > 0, "budget and granularity positive")
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(tokensCol.cast("long")).as("__toks"))
+    val w = weights.foldLeft(lit(0.0)) { case (acc, (s, v)) =>
+      when(col(strataCol) === lit(s), lit(v)).otherwise(acc)
+    }
+    val rate = least(lit(1.0), w * budgetTokens / col("__toks"))
+    df.join(broadcast(totals), strataCol)
+      .withColumn("rate", round(rate, 4))
+      .withColumn("keep",
+        stable_bucket(col(idCol).cast("string"), granularity)
+          < round(col("rate") * granularity))
+      .select(col(idCol), col(strataCol), col("rate"), col("keep"))
+  }
+
   /** Per-domain document cap (RefinedWeb/C4-style): rank each domain's
     * documents in deterministic stable-hash order (md5 of the id, ties by
     * id) and keep the first `maxDocs` — so over-represented domains are

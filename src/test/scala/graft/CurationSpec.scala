@@ -203,6 +203,34 @@ class CurationSpec extends SparkSpec {
     assert(guarded.count() === 0L)
   }
 
+  // ---- Mixture sampling -------------------------------------------------
+
+  test("mixture sampling: rates from weights x budget / stratum tokens, capped at 1") {
+    // stratum a: 100 tokens, weight .8, budget 50 → rate .4
+    // stratum b: 10 tokens, weight .2, budget 50 → min(1, 10/10) = 1 → all kept
+    val df = (1L to 10L).map(i => (i, "a", 10))
+      .union((11L to 12L).map(i => (i, "b", 5))).toDF("doc_id", "lang", "n")
+    val got = Curation.mixtureSample(df, "doc_id", "lang", col("n"),
+        Map("a" -> 0.8, "b" -> 0.2), budgetTokens = 50L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[Double]("rate"), r.getAs[Boolean]("keep")))
+    assert(got.filter(_._2 == "a").forall(_._3 === 0.4))
+    assert(got.filter(_._2 == "b").forall(g => g._3 === 1.0 && g._4))
+    // membership is exactly the stable-bucket rule, hence deterministic
+    val buckets = df.select(col("doc_id"),
+        graft.functions.stable_bucket(col("doc_id").cast("string"), 10000).as("b"))
+      .as[(Long, Long)].collect().toMap
+    got.filter(_._2 == "a").foreach { g =>
+      assert(g._4 === (buckets(g._1) < 4000), s"doc ${g._1}")
+    }
+    // unnormalized weights are rejected
+    assertThrows[IllegalArgumentException] {
+      Curation.mixtureSample(df, "doc_id", "lang", col("n"),
+        Map("a" -> 0.8, "b" -> 0.5), 50L)
+    }
+  }
+
   // ---- Per-domain cap ---------------------------------------------------
 
   test("domain cap: keeps exactly N per domain, ranks restart per domain, hash-ordered") {
