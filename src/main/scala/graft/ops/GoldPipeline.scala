@@ -100,4 +100,30 @@ object GoldPipeline {
     CoMovement.pairsTotal(spark.read.parquet(pairsDailyRoot), threshold)
       .coalesce(1) // per-pair lifetime summary is tiny relative to inputs
       .write.mode("overwrite").option("compression", "snappy").parquet(outRoot)
+
+  /** Small-file compaction (the OPTIMIZE / bin-packing maintenance pass):
+    * rewrite a parquet directory into ceil(totalBytes / targetBytes) files.
+    * Streaming sinks and per-day incremental refreshes accrete small files;
+    * at 100 TB unmanaged file counts dominate scan planning time and NN/
+    * metadata pressure, so compaction is a first-class lifecycle op, not
+    * housekeeping. Uses `coalesce` (no shuffle — packs existing partitions)
+    * and writes to a temp sibling then swaps, so a reader never sees a
+    * half-compacted directory.
+    */
+  def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(path)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    spark.read.parquet(dir).coalesce(nFiles)
+      .write.mode("overwrite").option("compression", "snappy")
+      .parquet(tmp.toString)
+    fs.delete(path, true)
+    fs.rename(tmp, path)
+    nFiles
+  }
 }

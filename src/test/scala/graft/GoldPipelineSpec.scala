@@ -86,6 +86,23 @@ class GoldPipelineSpec extends SparkSpec {
     assert(pairs.head.getAs[Double]("gto") === 1.0)
   }
 
+  test("compaction: many small files rewritten to the bin-packed count, data intact") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("gp_compact").toString + "/t"
+    val df = (1L to 2000L).map(i => (i, s"row$i")).toDF("id", "payload")
+    df.repartition(16).write.parquet(dir)
+    def parquetFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles === 16)
+    val n = GoldPipeline.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n === 1 && parquetFiles === 1)
+    val back = spark.read.parquet(dir).as[(Long, String)].collect().sortBy(_._1)
+    assert(back.length === 2000 && back.head === ((1L, "row1")))
+    // a tiny target splits into multiple bins
+    df.repartition(16).write.mode("overwrite").parquet(dir)
+    assert(GoldPipeline.compact(spark, dir, targetBytes = 8 * 1024L) > 1)
+  }
+
   test("pairs_total rebuild aggregates across the materialized days") {
     val pairsOut = Files.createTempDirectory("gold_pairs2").toString
     GoldPipeline.refreshPairsDaily(hourly, pairsOut, "2025-01-01", "2025-01-02", buckets = 2)
