@@ -198,6 +198,20 @@ object SparkEntry {
     "trip_segments" -> ((s, d) =>
       Tracks.tripSegments(Tables.events(s, d), gapMs = 30L * 86400 * 1000)),
 
+    // semi-structured props: from_json with an EXPLICIT schema (inference
+    // would cost a full pre-scan at 100 TB), pushed filter, exact integer agg
+    "props_parse" -> ((s, d) => {
+      val propsSchema = new org.apache.spark.sql.types.StructType()
+        .add("k", org.apache.spark.sql.types.IntegerType)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          from_json(col("props"), propsSchema).getField("k").as("k"))
+        .filter(col("k").isNotNull && col("k") >= 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("long").as("sum_k"))
+        .orderBy("event_type")
+    }),
+
     // §2.7 set ops: INTERSECT (retained) / EXCEPT (churned) audiences over
     // the first vs second half of the event window — both compile to
     // aggregate-style semi/anti joins on the distinct user sets, never a
@@ -808,6 +822,14 @@ object SparkEntry {
         |SELECT user_id, trip_seq, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
         |  CAST(count(*) AS BIGINT) AS n_points
         |FROM t GROUP BY 1, 2 ORDER BY user_id, trip_seq""".stripMargin,
+
+    "props_parse" ->
+      """WITH p AS (SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM p WHERE k IS NOT NULL AND k >= 50
+        |GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "user_churn" ->
       """WITH h1 AS (SELECT DISTINCT user_id FROM events
