@@ -621,7 +621,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, d)
       Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 50),
           "vec_id", "embedding", k = 5)
-        .select(col("q"), col("n").as("n_id"), round(col("sim"), 6).as("sim"), col("rn"))
+        .select(col("q"), col("n").as("n_id"), round(col("sim"), 6).as("sim"),
+          col("rn").cast("long").as("rn"))
         .orderBy("q", "rn")
     }),
 
@@ -656,10 +657,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")),
 
     // per-label embedding centroids: elementwise mean as dims independent
-    // avgs in one map-side-combinable groupBy (k-means codebook refresh)
+    // avgs in one map-side-combinable groupBy (k-means codebook refresh);
+    // the declared query flattens the centroid vector to scalar columns so
+    // the result is plain-typed (array cells are not hash/sort-comparable
+    // across engines)
     "embed_centroids" -> ((s, d) =>
       Similarity.centroids(Tables.embeddings(s, d), "label", "embedding",
           EmbedDims)
+        .select(col("label") +: col("n") +:
+          (1 to EmbedDims).map(i =>
+            element_at(col("centroid"), i).as(f"c$i%02d")): _*)
         .orderBy("label")),
 
     // backward as-of join: each purchase picks the user's latest
@@ -1141,8 +1148,9 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, source,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
-        |w AS (SELECT *, sum(n_tokens) OVER
-        |    (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS tok_end
+        |w AS (SELECT *, CAST(sum(n_tokens) OVER
+        |    (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS tok_end
         |  FROM d)
         |SELECT doc_id, source, n_tokens,
         |  tok_end - n_tokens AS tok_start, tok_end,
@@ -1524,10 +1532,10 @@ object SparkEntry {
 
     "embed_centroids" -> {
       val comps = (1 to EmbedDims)
-        .map(i => s"round(avg(CAST(embedding[$i] AS DOUBLE)), 6)")
+        .map(i => f"round(avg(CAST(embedding[$i] AS DOUBLE)), 6) AS c$i%02d")
         .mkString(",\n  ")
       s"""SELECT label, CAST(count(*) AS BIGINT) AS n,
-         |  [$comps] AS centroid
+         |  $comps
          |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
     },
 

@@ -69,6 +69,29 @@ def main(sf_dir, out_dir):
                     print(f"  row {i}:\n    spark : {a}\n    oracle: {b}")
             failures += 1
             continue
+        # The driver compares through pandas, which is stricter than raw
+        # fetchall: DuckDB HUGEINT (e.g. window sum of BIGINT) becomes
+        # float64 ("32.0" != "32" after stringify) and array cells are
+        # unsortable/unhashable. Mirror that path so those bugs fail here.
+        try:
+            want_df = con.sql(sql).df()
+            got_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+
+            def canonize(df):
+                df = df[sorted(df.columns)]
+                df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+                return df.astype(str)
+
+            ndiff = (canonize(got_df).values != canonize(want_df).values).sum()
+            if ndiff:
+                print(f"FAIL {name}: pandas-path mismatch ({ndiff} cells; "
+                      "likely a dtype canonicalization diff, e.g. HUGEINT)")
+                failures += 1
+                continue
+        except Exception as e:
+            print(f"FAIL {name}: pandas-path error (driver would err too): {e}")
+            failures += 1
+            continue
         print(f"OK   {name}: {len(g)} rows")
     print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
