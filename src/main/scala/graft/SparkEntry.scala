@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{AsOf, CoMovement, Curation, Decontam, Dedup, Ivf, Multimodal, QualityChecks, Similarity, SilverIngest, TextOps, Tracks}
+import graft.ops.{AsOf, CoMovement, Curation, Decontam, Dedup, Ivf, Merge, Multimodal, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, TextOps, Tracks}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,24 @@ object SparkEntry {
   private val VocabN = 2
   private val VocabTopK = 100
   val GtoThreshold = 0.4
+
+  /** CDC cutoff for the declared merge query: events before it form the
+    * snapshot, events at/after it form the changelog (the data spans
+    * January 2024 at every SF, so both sides are non-empty everywhere).
+    */
+  private val CdcCutoff = "2024-01-22 00:00:00"
+
+  /** Priority-sampling declared query: top-k per language stratum. */
+  private val PriSampleK = 20
+
+  /** Nucleus (top-p) per-domain token budget for the declared query. */
+  private val ToppP = 0.8
+
+  /** Bitset-distinct sketch parameters: 4096 bits ≈ 10× the sf0.1 distinct
+    * user count at load ≤ 0.75, 2 hash positions per value.
+    */
+  private val BloomM = 4096
+  private val BloomK = 2
 
   private def hourly(spark: SparkSession, dir: String): DataFrame =
     CoMovement.hourlyRollup(Tables.events(spark, dir), "user_id", "ts", "value", Res)
@@ -686,6 +704,80 @@ object SparkEntry {
           unix_millis(col("r_ts")).as("click_ms"),
           round(col("r_click_value"), 6).as("click_value"))
         .orderBy("event_id")
+    }),
+
+    // CDC merge: snapshot = per-user latest state before the cutoff;
+    // changelog = later events netted to latest-per-user, 'error' deletes.
+    // One small-side netting shuffle + one keyed full-outer merge — the
+    // incremental alternative to the reference's full gold replace
+    "cdc_apply" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cutoff = lit(CdcCutoff).cast("timestamp")
+      val snapshot = Merge.latestByKey(
+          ev.filter(col("ts") < cutoff), "user_id", "event_id")
+        .select(col("user_id"), col("value"), col("event_id"))
+      val changes = ev.filter(col("ts") >= cutoff)
+        .withColumn("op",
+          when(col("event_type") === "error", lit("D")).otherwise(lit("U")))
+        .select(col("user_id"), col("event_id"), col("op"), col("value"))
+      Merge.applyChangelog(snapshot, changes, "user_id", "event_id", "op",
+          Seq("value", "event_id"))
+        .select(col("user_id"), round(col("value"), 6).as("value"),
+          col("event_id").as("last_event_id"), col("changed"))
+        .orderBy("user_id")
+    }),
+
+    // SCD2 history: each purchase opens a validity interval on the user's
+    // value dimension; version + half-open [from, to) + current flag
+    "scd2_history" -> ((s, d) =>
+      Merge.scd2(Tables.events(s, d).filter(col("event_type") === "purchase"),
+          "user_id", "ts", "event_id", Seq("value"))
+        .select(col("user_id"), col("version"), round(col("value"), 6).as("value"),
+          unix_millis(col("valid_from")).as("from_ms"),
+          unix_millis(col("valid_to")).as("to_ms"), col("is_current"))
+        .orderBy("user_id", "version")),
+
+    // interval containment as an equi-join: value bands × events through the
+    // fixed-width bin explode — no nested-loop join at any scale
+    "range_join_bin" -> ((s, d) => {
+      import s.implicits._
+      val bands = Seq(
+        ("micro", 0.0, 1.0), ("tiny", 1.0, 5.0), ("small", 5.0, 20.0),
+        ("mid", 20.0, 60.0), ("large", 60.0, 150.0), ("huge", 150.0, 500.0))
+        .toDF("band", "lo", "hi")
+      RangeJoin.binnedRangeJoin(Tables.events(s, d), col("value"), bands,
+          "lo", "hi", binWidth = 25.0)
+        .groupBy("band", "lo", "hi")
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy("lo")
+    }),
+
+    // deterministic weighted sampling (priority sampling): heavier docs more
+    // likely, top-k per language, pure +,/ arithmetic — bit-stable ranks
+    "weighted_sample" -> ((s, d) =>
+      Curation.prioritySample(Tables.documents(s, d), "doc_id", "lang",
+          col("n_chars"), PriSampleK)
+        .orderBy("lang", "rk")),
+
+    // nucleus-style per-domain token budget: keep docs in stable-hash order
+    // until 80% of each source's tokens is covered (token-share cap)
+    "topp_cap" -> ((s, d) =>
+      Curation.topPByTokens(Tables.documents(s, d), "doc_id", "source",
+          size(TextOps.tokens(col("text"))), ToppP)
+        .orderBy("doc_id")),
+
+    // deterministic bitset distinct sketch (typed Aggregator UDAF): per-type
+    // distinct users — set-bit count + linear-counting estimate vs exact
+    "bloom_distinct" -> ((s, d) => {
+      val sk = Sketches.bitsetDistinct(BloomM, BloomK)
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(count_distinct(col("user_id")).as("n_exact"),
+          sk(col("user_id").cast("string")).as("sk"))
+        .select(col("event_type"), col("n_exact"),
+          col("sk.n_set").as("n_set"), col("sk.est_distinct").as("est_distinct"))
+        .orderBy("event_type")
     }),
   )
 
@@ -1552,5 +1644,102 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY event_id""".stripMargin,
+
+    "cdc_apply" ->
+      s"""WITH snap AS (
+         |  SELECT user_id, value, event_id FROM events
+         |  WHERE ts < TIMESTAMP '$CdcCutoff'
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+         |net AS (
+         |  SELECT user_id, event_id, value,
+         |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+         |  FROM events WHERE ts >= TIMESTAMP '$CdcCutoff'
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+         |SELECT coalesce(n.user_id, s.user_id) AS user_id,
+         |  round(coalesce(n.value, s.value), 6) AS value,
+         |  CAST(coalesce(n.event_id, s.event_id) AS BIGINT) AS last_event_id,
+         |  n.user_id IS NOT NULL AS changed
+         |FROM snap s FULL OUTER JOIN net n ON s.user_id = n.user_id
+         |WHERE n.op IS NULL OR n.op <> 'D'
+         |ORDER BY user_id""".stripMargin,
+
+    "scd2_history" ->
+      """SELECT user_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS version,
+        |  round(value, 6) AS value,
+        |  epoch_ms(ts) AS from_ms,
+        |  epoch_ms(lead(ts, 1) OVER w) AS to_ms,
+        |  lead(ts, 1) OVER w IS NULL AS is_current
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
+
+    "range_join_bin" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('micro', CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)),
+        |  ('tiny',  CAST(1 AS DOUBLE), CAST(5 AS DOUBLE)),
+        |  ('small', CAST(5 AS DOUBLE), CAST(20 AS DOUBLE)),
+        |  ('mid',   CAST(20 AS DOUBLE), CAST(60 AS DOUBLE)),
+        |  ('large', CAST(60 AS DOUBLE), CAST(150 AS DOUBLE)),
+        |  ('huge',  CAST(150 AS DOUBLE), CAST(500 AS DOUBLE)))
+        |SELECT band, lo, hi, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY band, lo, hi
+        |ORDER BY lo""".stripMargin,
+
+    // same op tree as Curation.prioritySample: u = (CAST(bucket AS DOUBLE)
+    // + 0.5) / 2^20, priority = CAST(w AS DOUBLE) / u — only +,/ so the
+    // double is bit-identical and the rank order cannot diverge
+    "weighted_sample" ->
+      s"""SELECT doc_id, lang, rk, priority FROM (
+         |  SELECT doc_id, lang,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY pri DESC, doc_id)
+         |      AS BIGINT) AS rk,
+         |    round(pri, 4) AS priority
+         |  FROM (SELECT doc_id, lang,
+         |      CAST(n_chars AS DOUBLE) /
+         |        ((CAST(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+         |            % ${1 << 20} AS BIGINT) AS DOUBLE)
+         |          + CAST('0.5' AS DOUBLE)) / ${1 << 20}) AS pri
+         |    FROM documents))
+         |WHERE rk <= $PriSampleK
+         |ORDER BY lang, rk""".stripMargin,
+
+    "topp_cap" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |w AS (SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         |      AS BIGINT) AS total_tokens
+         |  FROM d)
+         |SELECT doc_id, source, n_tokens, cum_tokens, total_tokens,
+         |  CAST(cum_tokens AS DOUBLE)
+         |    <= CAST('$ToppP' AS DOUBLE) * CAST(total_tokens AS DOUBLE) AS keep
+         |FROM w ORDER BY doc_id""".stripMargin,
+
+    // mirror of BitsetDistinct.finish: positions are the engine's stable
+    // sha256 bucket of "value#j", estimate is -m * ln(1 - n_set/m) rounded
+    "bloom_distinct" ->
+      s"""WITH pos AS (
+         |  SELECT event_type,
+         |    CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR) || '#'
+         |        || CAST(j AS VARCHAR)), 1, 16))::UBIGINT % $BloomM AS BIGINT) AS p
+         |  FROM events, (SELECT unnest([${(0 until BloomK).mkString(", ")}]) AS j) js
+         |  WHERE user_id IS NOT NULL),
+         |s AS (SELECT event_type, CAST(count(DISTINCT p) AS BIGINT) AS n_set
+         |  FROM pos GROUP BY 1),
+         |e AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events GROUP BY 1)
+         |SELECT event_type, n_exact, n_set,
+         |  round(-$BloomM * ln(1 - CAST(n_set AS DOUBLE) / $BloomM), 4)
+         |    AS est_distinct
+         |FROM e JOIN s USING (event_type)
+         |ORDER BY event_type""".stripMargin,
   )
 }

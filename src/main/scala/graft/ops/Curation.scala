@@ -117,6 +117,64 @@ object Curation {
       .select(col(idCol), col(strataCol), col("rate"), col("keep"))
   }
 
+  /** Deterministic weighted sampling without replacement — priority sampling
+    * (Duffield, Lund & Thorup, JACM 2007): each row draws a pseudo-uniform
+    * `u ∈ (0,1)` from its stable hash, gets priority `w / u`, and the top-k
+    * priorities per stratum are the sample. Heavier rows are proportionally
+    * more likely to be picked, the inclusion math supports unbiased subset-sum
+    * estimation, and — unlike RNG-based weighted sampling — the draw is a pure
+    * function of the key, so reruns, task retries, and other engines produce
+    * the SAME sample. Only +,/ arithmetic (no ln/pow), so the priority is
+    * bit-identical across engines — safe to rank on and to oracle-check.
+    *
+    * Scale: narrow map to compute priorities, then one shuffle on the stratum
+    * with a rank-limit window — Spark pushes `row_number <= k` into
+    * WindowGroupLimit, so each map task keeps only k rows per stratum before
+    * the shuffle (map-side top-k, same shape as `Similarity.cosineTopK`).
+    */
+  def prioritySample(df: DataFrame, idCol: String, strataCol: String,
+                     weightCol: Column, k: Int,
+                     granularity: Int = 1 << 20): DataFrame = {
+    require(k > 0 && granularity > 0, "k and granularity must be positive")
+    // u = (bucket + 0.5) / granularity — strictly inside (0,1), so w/u is finite
+    val u = (stable_bucket(col(idCol).cast("string"), granularity)
+      .cast("double") + 0.5) / granularity
+    val pri = weightCol.cast("double") / u
+    val w = Window.partitionBy(col(strataCol)).orderBy(pri.desc, col(idCol))
+    df.withColumn("priority", pri)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col(strataCol), col("rk"),
+        round(col("priority"), 4).as("priority"))
+  }
+
+  /** Per-domain top-p ("nucleus") token budget: walk each domain's documents
+    * in deterministic stable-hash order and keep them until `p` of the
+    * domain's total tokens is covered — the token-budget twin of
+    * [[domainCap]]'s document-count cap, matching how published pipelines
+    * bound a domain's token SHARE rather than its doc count. Emits the
+    * running and total token counts so a curation run can audit exactly
+    * where each domain's cut landed.
+    *
+    * Scale: one shuffle on the domain; the running sum and the domain total
+    * share the same window partitioning, so Catalyst evaluates both in one
+    * Window pass over one sort. Same hot-domain caveat as [[domainCap]].
+    */
+  def topPByTokens(df: DataFrame, idCol: String, domainCol: String,
+                   tokensCol: Column, p: Double): DataFrame = {
+    require(p > 0 && p <= 1, "p must be in (0, 1]")
+    val order = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    val run = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col(domainCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.select(col(idCol), col(domainCol), tokensCol.cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(run))
+      .withColumn("total_tokens", sum(col("n_tokens")).over(all))
+      .withColumn("keep",
+        col("cum_tokens").cast("double") <= lit(p) * col("total_tokens").cast("double"))
+  }
+
   /** Per-domain document cap (RefinedWeb/C4-style): rank each domain's
     * documents in deterministic stable-hash order (md5 of the id, ties by
     * id) and keep the first `maxDocs` — so over-represented domains are

@@ -1,0 +1,88 @@
+package graft.ops
+
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
+import org.apache.spark.sql.functions.udaf
+
+import graft.expressions.StableHashBucket
+
+/** Result of a [[BitsetDistinct]] aggregation: the number of set bits and
+  * the linear-counting estimate derived from it.
+  */
+case class BitsetDistinctResult(n_set: Long, est_distinct: Double)
+
+/** Deterministic distinct-count sketch as a typed `Aggregator` (the UDAF
+  * surface of SURVEY §2.9): a fixed `m`-bit bitset where each value sets `k`
+  * bit positions derived from the engine's stable SHA-256 bucket hash
+  * ([[graft.expressions.StableHashBucket]], `ais_pipeline.py:532-535`), and
+  * the finish step reports set-bit count plus the linear-counting estimate
+  * `-m · ln(1 − n_set/m)` (Whang et al., ACM TODS 1990).
+  *
+  * Unlike `approx_count_distinct`'s HLL++ (whose binary sketch is
+  * engine-private), every step here is public arithmetic: bit positions are
+  * reproducible in any engine that has sha256, and the bitwise-OR merge is
+  * commutative and associative — so the result is IDENTICAL regardless of
+  * partitioning, task retries, or merge order, and cross-checkable by a
+  * DuckDB oracle. That determinism is the property a data-contract gate
+  * needs from a sketch.
+  *
+  * Scale: the buffer is `m/8` bytes (512 B at the default m=4096) regardless
+  * of input size; partial aggregation ORs map-side, so the shuffle carries
+  * one buffer per group per partition — the same profile as any algebraic
+  * aggregate. Size `m` ≳ 10× the expected distinct count per group to keep
+  * the linear-counting load factor in its accurate range; at `n_set == m`
+  * the estimate saturates to +∞ (documented linear-counting behavior —
+  * use a bigger `m`).
+  */
+class BitsetDistinct(m: Int, k: Int)
+    extends Aggregator[String, Array[Long], BitsetDistinctResult] {
+  require(m > 0 && m % 64 == 0, "m must be a positive multiple of 64")
+  require(k > 0, "k must be positive")
+
+  override def zero: Array[Long] = new Array[Long](m / 64)
+
+  override def reduce(b: Array[Long], v: String): Array[Long] = {
+    if (v != null) {
+      var j = 0
+      while (j < k) {
+        // same hash family as every sampler in the engine: sha256 of the
+        // value with a "#j" salt, first 8 bytes unsigned, mod m
+        val pos = StableHashBucket.bucket(v + "#" + j, m).toInt
+        b(pos >> 6) |= 1L << (pos & 63)
+        j += 1
+      }
+    }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def finish(b: Array[Long]): BitsetDistinctResult = {
+    var n = 0L
+    var i = 0
+    while (i < b.length) { n += java.lang.Long.bitCount(b(i)); i += 1 }
+    // mirror the oracle's op tree exactly: -m * ln(1 - n/m), rounded to 4
+    val est = -m.toDouble * math.log(1.0 - n.toDouble / m)
+    val rounded =
+      if (est.isInfinite) est
+      else new JBigDecimal(est).setScale(4, RoundingMode.HALF_UP).doubleValue()
+    BitsetDistinctResult(n, rounded)
+  }
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[BitsetDistinctResult] =
+    Encoders.product[BitsetDistinctResult]
+}
+
+object Sketches {
+  /** Column-function form of [[BitsetDistinct]] for use in `agg(...)`. */
+  def bitsetDistinct(m: Int, k: Int): UserDefinedFunction =
+    udaf(new BitsetDistinct(m, k), Encoders.STRING)
+}

@@ -355,4 +355,55 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getAs[Int]("drop_reasons"), r.getAs[Boolean]("keep")))
     assert(got.toSeq === Seq((0, true), (1, false), (2, false), (4, false), (8, false)))
   }
+
+  // ---- priority (weighted) sampling --------------------------------------
+
+  test("priority sample: deterministic, top-k per stratum, weight-monotone") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, s"s${i % 2}", i.toLong * 10))
+      .toDF("id", "stratum", "w")
+    def run() = Curation.prioritySample(df, "id", "stratum", col("w"), k = 5)
+      .select("id", "stratum", "rk").as[(Long, String, Long)]
+      .collect().sortBy(r => (r._2, r._3)).toSeq
+    val a = run()
+    assert(a === run()) // rerun → identical sample (no RNG)
+    assert(a.count(_._2 == "s0") === 5 && a.count(_._2 == "s1") === 5)
+    assert(a.groupBy(_._2).values.forall(_.map(_._3).sorted == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("priority sample: a dominant weight is effectively always selected") {
+    import spark.implicits._
+    // one row carries ~all the weight: u >= 2^-21 bounds priority from below,
+    // so w=10^12 beats any unit-weight row's max priority of ~2^21
+    val df = ((1 to 100).map(i => (i.toLong, 1L)) :+ (999L, 1000000000000L))
+      .toDF("id", "w").withColumn("stratum", lit("s"))
+    val picked = Curation.prioritySample(df, "id", "stratum", col("w"), k = 1)
+      .select("id").as[Long].head()
+    assert(picked === 999L)
+  }
+
+  // ---- nucleus (top-p) token budget --------------------------------------
+
+  test("top-p cap: stops at the budget boundary, never overshoots") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, s"d${i % 2}", 10L))
+      .toDF("id", "domain", "toks")
+    val out = Curation.topPByTokens(df, "id", "domain", col("toks"), p = 0.5)
+    val byDomain = out.select("domain", "cum_tokens", "total_tokens", "keep")
+      .as[(String, Long, Long, Boolean)].collect().groupBy(_._1)
+    for ((_, rows) <- byDomain) {
+      val total = rows.head._3
+      val keptTokens = rows.filter(_._4).map(_ => 10L).sum
+      assert(keptTokens <= (0.5 * total).toLong) // never overshoots the budget
+      // kept set is exactly the prefix of the cum-token walk
+      assert(rows.filter(_._4).map(_._2).max <= rows.filterNot(_._4).map(_._2).min)
+    }
+  }
+
+  test("top-p cap: p=1 keeps everything") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, "d", i.toLong)).toDF("id", "domain", "toks")
+    val out = Curation.topPByTokens(df, "id", "domain", col("toks"), p = 1.0)
+    assert(out.filter(!col("keep")).count() === 0)
+  }
 }

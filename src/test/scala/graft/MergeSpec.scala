@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Merge
+
+class MergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def snapshot = Seq(
+    (1L, "a", 10L), (2L, "b", 11L), (3L, "c", 12L))
+    .toDF("k", "v", "seq")
+
+  test("applyChangelog upserts, deletes, and passes untouched keys through") {
+    // k=1 updated twice (latest wins), k=2 deleted, k=3 untouched,
+    // k=4 inserted, k=5 insert-then-delete (nets to absent)
+    val changes = Seq(
+      (1L, 20L, "U", "a2"), (1L, 21L, "U", "a3"),
+      (2L, 22L, "D", null), (4L, 23L, "I", "d1"),
+      (5L, 24L, "I", "e1"), (5L, 25L, "D", null))
+      .toDF("k", "seq", "op", "v")
+    val out = Merge.applyChangelog(snapshot, changes, "k", "seq", "op",
+      Seq("v", "seq"))
+      .orderBy("k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    assert(out === Seq(
+      (1L, "a3", 21L, true),   // latest update wins
+      (3L, "c", 12L, false),   // untouched snapshot row
+      (4L, "d1", 23L, true)))  // pure insert
+  }
+
+  test("applyChangelog with an empty changelog is the snapshot") {
+    val changes = Seq.empty[(Long, Long, String, String)]
+      .toDF("k", "seq", "op", "v")
+    val out = Merge.applyChangelog(snapshot, changes, "k", "seq", "op",
+      Seq("v", "seq"))
+    assert(out.count() === 3)
+    assert(out.filter(col("changed")).count() === 0)
+  }
+
+  test("scd2 builds contiguous validity intervals with one current row per key") {
+    val changes = Seq(
+      (1L, "2024-01-01 00:00:00", 1L, 1.0),
+      (1L, "2024-01-02 00:00:00", 2L, 2.0),
+      (1L, "2024-01-03 00:00:00", 3L, 3.0),
+      (2L, "2024-01-05 00:00:00", 4L, 9.0))
+      .toDF("k", "ts", "seq", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Merge.scd2(changes, "k", "ts", "seq", Seq("v"))
+    // versions are 1..n per key in ts order
+    assert(out.filter(col("k") === 1L).orderBy("version")
+      .select("version").as[Long].collect() === Seq(1L, 2L, 3L))
+    // each interval closes at the next one's start
+    val k1 = out.filter(col("k") === 1L).orderBy("version")
+      .select(col("valid_from").cast("long"), col("valid_to").cast("long"))
+      .as[(Long, Option[Long])].collect()
+    assert(k1.sliding(2).forall {
+      case Array((_, Some(to)), (from2, _)) => to == from2
+      case _ => true
+    })
+    // exactly one open (current) interval per key
+    assert(out.filter(col("is_current")).groupBy("k").count()
+      .select("count").as[Long].collect().forall(_ == 1L))
+    assert(out.filter(col("k") === 2L && col("is_current")).count() === 1)
+  }
+
+  test("scd2 tiebreaks equal timestamps by the sequence column") {
+    val changes = Seq(
+      (1L, "2024-01-01 00:00:00", 2L, 20.0),
+      (1L, "2024-01-01 00:00:00", 1L, 10.0))
+      .toDF("k", "ts", "seq", "v")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Merge.scd2(changes, "k", "ts", "seq", Seq("v"))
+      .orderBy("version").select("v").as[Double].collect()
+    assert(out === Seq(10.0, 20.0)) // seq=1 is version 1
+  }
+}

@@ -124,4 +124,39 @@ class PlanSpec extends SparkSpec {
         s"(saw $cacheScans cache scans)\n${plan.take(800)}")
     spark.catalog.clearCache()
   }
+
+  test("range_join_bin: interval containment is an equi-join, never a nested loop") {
+    val plan = planOf(SparkEntry.queries("range_join_bin")(spark, Sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "binned range join must not fall back to a theta join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      "bin-keyed equi-join expected")
+  }
+
+  test("weighted_sample: rank limit compiles to a map-side WindowGroupLimit") {
+    val plan = planOf(SparkEntry.queries("weighted_sample")(spark, Sf))
+    assert(plan.contains("WindowGroupLimit"),
+      "rk <= k must prune per-partition before the stratum shuffle")
+  }
+
+  test("topp_cap: running and total sums share one Window pass / one sort") {
+    val plan = planOf(SparkEntry.queries("topp_cap")(spark, Sf))
+    val windows = "(?m)^\\s*[+:*-]*\\s*Window ".r.findAllIn(plan).length
+    val sorts = "(?m)Sort ".r.findAllIn(plan).length
+    assert(windows <= 2, s"expected the two frames to share partitioning, saw $windows Window ops")
+    assert(sorts <= 3, s"too many sorts for a single-shuffle window query: $sorts")
+  }
+
+  test("scd2_history: row_number and lead evaluate in a single Window operator") {
+    val plan = planOf(SparkEntry.queries("scd2_history")(spark, Sf))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"SCD2 must shuffle once on the key, saw $exchanges")
+  }
+
+  test("bloom_distinct: sketch aggregate partial-aggregates map-side") {
+    val plan = planOf(SparkEntry.queries("bloom_distinct")(spark, Sf))
+    // two-phase agg: partial before the exchange, final after — the sketch
+    // buffer ORs map-side like any algebraic aggregate
+    assert(plan.contains("partial"), "expected a map-side partial aggregate")
+  }
 }

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.expressions.StableHashBucket
+import graft.ops.Sketches
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sk = Sketches.bitsetDistinct(4096, 2)
+
+  test("bitset distinct is exact-ish at low load and tracks the true count") {
+    val df = Seq.tabulate(500)(i => ("g", s"v$i")).toDF("g", "v")
+    val Array((nSet, est)) = df.groupBy("g").agg(sk(col("v")).as("s"))
+      .select(col("s.n_set"), col("s.est_distinct"))
+      .as[(Long, Double)].collect()
+    // 1000 positions drawn into 4096 bits: n_set close to 1000 minus collisions
+    assert(nSet > 800 && nSet <= 1000)
+    // linear-counting estimate of 2n (k=2 positions per value) within 10%
+    assert(math.abs(est / 2 - 500) < 50, s"est=$est")
+  }
+
+  test("result is identical under any partitioning (merge order independence)") {
+    val df = Seq.tabulate(300)(i => (s"g${i % 3}", s"v${i % 97}")).toDF("g", "v")
+    def run(parts: Int) =
+      df.repartition(parts).groupBy("g").agg(sk(col("v")).as("s"))
+        .select(col("g"), col("s.n_set"), col("s.est_distinct"))
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(1) === run(7))
+    assert(run(7) === run(32))
+  }
+
+  test("duplicate values set no new bits") {
+    val once = Seq(("g", "x")).toDF("g", "v")
+    val many = Seq.fill(50)(("g", "x")).toDF("g", "v")
+    def nSet(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(sk(col("v")).as("s"))
+        .select(col("s.n_set")).as[Long].head()
+    assert(nSet(once) === nSet(many))
+    assert(nSet(once) <= 2) // k=2 positions, possibly colliding
+  }
+
+  test("bit positions are the engine's stable sha256 bucket (cross-engine contract)") {
+    // the oracle recomputes positions as sha256("<value>#<j>") mod m — assert
+    // the Aggregator uses exactly that, via the shared StableHashBucket
+    val df = Seq(("g", "abc")).toDF("g", "v")
+    val nSet = df.groupBy("g").agg(sk(col("v")).as("s"))
+      .select(col("s.n_set")).as[Long].head()
+    val expected = Set(StableHashBucket.bucket("abc#0", 4096),
+      StableHashBucket.bucket("abc#1", 4096)).size
+    assert(nSet === expected.toLong)
+  }
+}
