@@ -39,6 +39,24 @@ class MergeSpec extends SparkSpec {
     assert(out.filter(col("changed")).count() === 0)
   }
 
+  test("applyChangelog is idempotent: replaying a batch is a no-op") {
+    // checkpoint-recovery replays the last micro-batch — the merged snapshot
+    // must absorb it without drift (what StreamingUpsert's contract needs)
+    val rng = new scala.util.Random(42)
+    val changes = (1 to 200).map { i =>
+      val k = rng.nextInt(30).toLong
+      (k, 100L + i, if (rng.nextInt(5) == 0) "D" else "U", s"v$i")
+    }.toDF("k", "seq", "op", "v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "v", "seq").as[(Long, String, Long)]
+        .collect().sortBy(_._1).toSeq
+    val once = Merge.applyChangelog(snapshot, changes, "k", "seq", "op",
+      Seq("v", "seq"))
+    val twice = Merge.applyChangelog(once.drop("changed"), changes,
+      "k", "seq", "op", Seq("v", "seq"))
+    assert(canon(once) === canon(twice))
+  }
+
   test("scd2 builds contiguous validity intervals with one current row per key") {
     val changes = Seq(
       (1L, "2024-01-01 00:00:00", 1L, 1.0),

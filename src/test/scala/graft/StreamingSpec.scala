@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{SessionTracks, StreamingDedup, StreamingJoin, StreamingRollup}
+import graft.streaming.{SessionTracks, StreamingDedup, StreamingJoin, StreamingRollup, StreamingUpsert}
 import graft.ops.Multimodal
 
 /** Streaming + multimodal specs: watermarked rollup via MemoryStream,
@@ -186,6 +186,31 @@ class StreamingSpec extends SparkSpec {
       val got = spark.read.parquet(outDir).select("doc_id").as[Long]
         .collect().sorted
       assert(got.toSeq === Seq(1L, 4L))
+    } finally q.stop()
+  }
+
+  test("streaming CDC upsert maintains a keyed snapshot across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long, String, Double)]
+    val changes = in.toDF.toDF("k", "seq", "op", "v")
+    val snapDir = java.nio.file.Files.createTempDirectory("graft-ups-snap").toString + "/t"
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-ups-cp").toString
+    val q = StreamingUpsert.upsertStream(changes, snapDir, cpDir,
+      "k", "seq", "op", Seq("v", "seq"))
+    try {
+      // batch 1: three inserts
+      in.addData((1L, 10L, "U", 1.0), (2L, 11L, "U", 2.0), (3L, 12L, "U", 3.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(snapDir).select("k", "v").as[(Long, Double)]
+        .collect().sortBy(_._1).toSeq === Seq((1L, 1.0), (2L, 2.0), (3L, 3.0)))
+
+      // batch 2: update k=1 (two changes, latest seq wins), delete k=2,
+      // insert k=4 — k=3 must survive untouched from the standing snapshot
+      in.addData((1L, 20L, "U", 1.5), (1L, 21L, "U", 1.9),
+        (2L, 22L, "D", 0.0), (4L, 23L, "U", 4.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(snapDir).select("k", "v").as[(Long, Double)]
+        .collect().sortBy(_._1).toSeq === Seq((1L, 1.9), (3L, 3.0), (4L, 4.0)))
     } finally q.stop()
   }
 
