@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{AsOf, CoMovement, Curation, Decontam, Dedup, Ivf, Merge, Multimodal, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, TextOps, Tracks}
+import graft.ops.{AsOf, CoMovement, Curation, Decontam, Dedup, Ivf, Merge, Multimodal, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -92,6 +92,15 @@ object SparkEntry {
     */
   private val BloomM = 4096
   private val BloomK = 2
+
+  /** Gap-fill cohort bound: user ids are dense from 0 at every SF, so `< 10`
+    * keeps a fixed-size cohort and the dense grid stays O(10 × span-hours).
+    */
+  private val GapFillMaxUid = 10
+
+  /** Winsorization clip quantiles for the declared query. */
+  private val WinsorLo = 0.05
+  private val WinsorHi = 0.95
 
   private def hourly(spark: SparkSession, dir: String): DataFrame =
     CoMovement.hourlyRollup(Tables.events(spark, dir), "user_id", "ts", "value", Res)
@@ -779,6 +788,31 @@ object SparkEntry {
           col("sk.n_set").as("n_set"), col("sk.est_distinct").as("est_distinct"))
         .orderBy("event_type")
     }),
+
+    // time-series densification: dense per-user hourly grid over each user's
+    // own observed span, zero-filled where the user was silent
+    "gap_fill" -> ((s, d) =>
+      TimeSeries.hourlyCountsDense(
+          Tables.events(s, d).filter(col("user_id") < GapFillMaxUid),
+          "user_id", "ts")
+        .select(col("user_id"), unix_millis(col("hour_ts")).as("hour_ms"),
+          col("n_events"))
+        .orderBy("user_id", "hour_ms")),
+
+    // quantile clipping: per-type exact p05/p95 bounds over integer cents,
+    // broadcast back, narrow clip map — the fact table never shuffles
+    "winsorize" -> ((s, d) =>
+      Stats.winsorize(Tables.events(s, d), "event_id", "event_type", "value",
+          WinsorLo, WinsorHi)
+        .orderBy("event_id")),
+
+    // equi-depth histogram: per-type value deciles (ntile + range/count per
+    // bucket); null values excluded in BOTH engines (null-order differs)
+    "value_deciles" -> ((s, d) =>
+      Stats.equiDepthHistogram(
+          Tables.events(s, d).filter(col("value").isNotNull),
+          "event_type", "value", "event_id", n = 10)
+        .orderBy("event_type", "bucket")),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1741,5 +1775,47 @@ object SparkEntry {
          |    AS est_distinct
          |FROM e JOIN s USING (event_type)
          |ORDER BY event_type""".stripMargin,
+
+    "gap_fill" ->
+      s"""WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS h,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events
+         |  WHERE user_id < $GapFillMaxUid AND user_id IS NOT NULL
+         |    AND ts IS NOT NULL
+         |  GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1),
+         |grid AS (SELECT user_id,
+         |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |  FROM span)
+         |SELECT g.user_id, epoch_ms(g.h) AS hour_ms,
+         |  CAST(coalesce(o.n, 0) AS BIGINT) AS n_events
+         |FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.h = o.h
+         |ORDER BY g.user_id, hour_ms""".stripMargin,
+
+    // same op tree as Stats.winsorize: integer-cent units → exact-input
+    // quantile interpolation → double clip → round at the edge
+    "winsorize" ->
+      s"""WITH u AS (SELECT event_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS uu
+         |  FROM events),
+         |b AS (SELECT event_type,
+         |    quantile_cont(uu, CAST('$WinsorLo' AS DOUBLE)) AS lo,
+         |    quantile_cont(uu, CAST('$WinsorHi' AS DOUBLE)) AS hi
+         |  FROM u GROUP BY 1)
+         |SELECT u.event_id, u.event_type,
+         |  round(least(greatest(CAST(uu AS DOUBLE), lo), hi) / 100, 6) AS clipped,
+         |  CAST(uu AS DOUBLE) < lo OR CAST(uu AS DOUBLE) > hi AS was_clipped
+         |FROM u JOIN b USING (event_type)
+         |ORDER BY event_id""".stripMargin,
+
+    "value_deciles" ->
+      """SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(min(value), 6) AS lo, round(max(value), 6) AS hi
+        |FROM (SELECT event_type, value, event_id, ntile(10) OVER
+        |    (PARTITION BY event_type ORDER BY value, event_id) AS bucket
+        |  FROM events WHERE value IS NOT NULL)
+        |GROUP BY 1, 2
+        |ORDER BY event_type, bucket""".stripMargin,
   )
 }

@@ -251,8 +251,12 @@ object Dedup {
       .union(pairs.select(col(bCol).as("id"), col(aCol).as("nbr")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("id")).distinct()
-      .select(col("id"), col("id").as("cluster"))
+    // seed with the one-hop minimum (id vs smallest neighbor): the node list
+    // needs a groupBy anyway, and for the common shallow near-dup cluster
+    // (copies of one document = a star) this converges in a single round
+    var labels = edges.groupBy(col("id"))
+      .agg(min(col("nbr")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("cluster"))
       .localCheckpoint()
     var round = 0
     var changed = 1L

@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-shaping operators: quantile clipping (winsorization) and
+  * equi-depth histograms. Together with `QualityChecks.zscoreOutliers` these
+  * are the standard value-hygiene stages of a monitoring / feature pipeline.
+  */
+object Stats {
+
+  /** Winsorize (clip) a value column at per-group exact quantiles: values
+    * below the `pLo` quantile or above the `pHi` quantile snap to the
+    * boundary. Quantiles are computed over `unitScale`-scaled integer units
+    * (exact inputs → both engines interpolate the same doubles —
+    * the same trick as `QualityChecks.zscoreOutliers`), broadcast back, and
+    * applied as a narrow map — the fact table never shuffles.
+    *
+    * Exact `percentile` buffers each group's values on the agg side; at
+    * 100 TB swap the bounds aggregate for `approx_percentile` (same plan
+    * shape, sketch-mergeable) — the clip map is unchanged. The exact form is
+    * kept default because it is cross-engine deterministic (oracle-checkable).
+    */
+  def winsorize(df: DataFrame, idCol: String, groupCol: String,
+                valueCol: String, pLo: Double, pHi: Double,
+                unitScale: Int = 100): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 1, "need 0 <= pLo < pHi <= 1")
+    val units = round(col(valueCol) * unitScale).cast("long")
+    val bounds = df.select(col(groupCol), units.as("__u"))
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(__u, $pLo)").as("__lo"),
+        expr(s"percentile(__u, $pHi)").as("__hi"))
+    df.join(broadcast(bounds), groupCol)
+      .select(col(idCol), col(groupCol),
+        round(least(greatest(units.cast("double"), col("__lo")), col("__hi"))
+          / unitScale, 6).as("clipped"),
+        (units.cast("double") < col("__lo") ||
+          units.cast("double") > col("__hi")).as("was_clipped"))
+  }
+
+  /** Equi-depth histogram: split each group's values into `n` equal-count
+    * buckets (`ntile`) and report each bucket's count and value range —
+    * the distribution profile a monitoring dashboard reads.
+    *
+    * ntile sorts each group inside one task — fine for bounded groups
+    * (per-type metrics, per-day slices); for corpus-scale groups derive cut
+    * points from `approx_percentile` instead and bucket with a narrow map
+    * (the [[winsorize]] broadcast shape). The exact window form is the
+    * declared/oracle-checked one because its output is deterministic to the
+    * row: ties are broken by `tieCol`, mirrored in the oracle's ORDER BY.
+    */
+  def equiDepthHistogram(df: DataFrame, groupCol: String, valueCol: String,
+                         tieCol: String, n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
+    df.select(col(groupCol), col(valueCol), col(tieCol))
+      .withColumn("bucket", ntile(n).over(w).cast("long"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col(valueCol)), 6).as("lo"),
+        round(max(col(valueCol)), 6).as("hi"))
+  }
+}

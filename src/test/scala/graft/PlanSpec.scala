@@ -153,6 +153,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 1, s"SCD2 must shuffle once on the key, saw $exchanges")
   }
 
+  test("winsorize: clip bounds broadcast; the fact side never sort-merges") {
+    val plan = planOf(SparkEntry.queries("winsorize")(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin"), "stats-aside bounds must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "fact table must not shuffle for the clip")
+  }
+
+  test("gap_fill: span and fill share the series key — no cartesian grid") {
+    val plan = planOf(SparkEntry.queries("gap_fill")(spark, Sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "grid must come from per-key spans, not a global cross join")
+  }
+
   test("bloom_distinct: sketch aggregate partial-aggregates map-side") {
     val plan = planOf(SparkEntry.queries("bloom_distinct")(spark, Sf))
     // two-phase agg: partial before the exchange, final after — the sketch

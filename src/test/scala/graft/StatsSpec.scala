@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Stats, TimeSeries}
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("winsorize clips at the group quantiles and flags only moved rows") {
+    // group g: units 1..100 → p05 = 5.95, p95 = 95.05 (linear interpolation)
+    val df = (1 to 100).map(i => (i.toLong, "g", i.toDouble / 100)).toDF("id", "grp", "v")
+    val out = Stats.winsorize(df, "id", "grp", "v", 0.05, 0.95)
+      .select("id", "clipped", "was_clipped").as[(Long, Double, Boolean)]
+      .collect().sortBy(_._1)
+    assert(out.count(_._3) === 10) // 5 below + 5 above move
+    assert(out.filter(_._1 <= 5).forall(_._2 == 0.0595))
+    assert(out.filter(_._1 >= 96).forall(_._2 == 0.950500))
+    // interior values pass through unclipped
+    assert(out.filter(r => r._1 > 6 && r._1 < 95).forall(!_._3))
+    assert(out.find(_._1 == 50).get._2 === 0.5)
+  }
+
+  test("winsorize groups clip independently") {
+    val df = ((1 to 10).map(i => (i.toLong, "a", i.toDouble)) ++
+      (11 to 20).map(i => (i.toLong, "b", i.toDouble * 100))).toDF("id", "grp", "v")
+    val out = Stats.winsorize(df, "id", "grp", "v", 0.0, 0.5)
+      .filter(col("grp") === "a")
+    // group a's median is 5.5 — no cross-contamination from b's huge values
+    assert(out.filter(col("clipped") > 5.5).count() === 0)
+  }
+
+  test("equi-depth histogram: equal counts, contiguous non-overlapping ranges") {
+    val df = (1 to 200).map(i => ("g", i.toDouble, i.toLong)).toDF("grp", "v", "id")
+    val out = Stats.equiDepthHistogram(df, "grp", "v", "id", 10)
+      .orderBy("bucket")
+      .select("bucket", "n_rows", "lo", "hi").as[(Long, Long, Double, Double)]
+      .collect()
+    assert(out.length === 10)
+    assert(out.forall(_._2 == 20L)) // 200 rows / 10 buckets
+    assert(out.sliding(2).forall { case Array(a, b) => a._4 < b._3; case _ => true })
+    assert(out.head._3 === 1.0 && out.last._4 === 200.0)
+  }
+
+  test("gap fill: dense hourly grid per key over the key's own span") {
+    val df = Seq(
+      (1L, "2024-01-01 00:10:00"), (1L, "2024-01-01 00:50:00"), // 2 in hour 0
+      (1L, "2024-01-01 03:05:00"),                              // gap: hours 1,2
+      (2L, "2024-01-05 10:00:00"))                              // separate span
+      .toDF("k", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val out = TimeSeries.hourlyCountsDense(df, "k", "ts")
+      .select(col("k"), col("hour_ts").cast("string"), col("n_events"))
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.filter(_._1 == 1L).map(_._3).toSeq === Seq(2L, 0L, 0L, 1L))
+    // key 2's grid is its own single hour — NOT stretched to key 1's span
+    assert(out.filter(_._1 == 2L).map(_._3).toSeq === Seq(1L))
+    assert(out.filter(_._1 == 1L).map(_._2).toSeq ===
+      (0 to 3).map(h => f"2024-01-01 0$h%d:00:00"))
+  }
+}
