@@ -65,11 +65,15 @@ object Dedup {
       .select(col(idCol), col("fp"), (col("rn") > 1).as("is_dup"))
   }
 
-  /** n-gram Jaccard near-dup pairs: explode distinct shingles, equi-join on
-    * shingle (keyed, not all-pairs), Jaccard = |∩| / |∪|. `threshold` prunes
-    * the candidate set; `maxDocsPerShingle` drops degenerate high-frequency
-    * shingles before the join (skew guard — a shingle shared by d docs costs
-    * d² pair rows).
+  /** n-gram Jaccard near-dup pairs: explode distinct shingles, group docs by
+    * shingle (keyed, not all-pairs), emit each shingle's C(d,2) pairs from
+    * the sorted doc list, Jaccard = |∩| / |∪|. `threshold` prunes the
+    * candidate set; `maxDocsPerShingle` drops degenerate high-frequency
+    * shingles in a cheap count pass BEFORE any doc list is collected (skew
+    * guard — a shingle shared by d docs costs d² pair rows, and the guard is
+    * also what bounds the per-shingle list buffer). Callers disabling the
+    * guard accept an unbounded list buffer on hot shingles — always set a cap
+    * at corpus scale.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
@@ -88,15 +92,26 @@ object Dedup {
         // USING join puts the key first — restore (doc_id, shingle) order
         sh0.join(hot, Seq("shingle"), "left_anti").select("doc_id", "shingle")
       }
-    // three consumers (both join sides + sizes); shingle explosion is the
-    // expensive part — materialize once, partitioned by the join key so the
-    // cached frame doesn't serialize the equi-join (AQE would coalesce it)
-    val sh = shUnp.repartition(col("shingle"))
+    // one doc-list row per surviving shingle: the guard above caps survivors
+    // at `maxDocsPerShingle` docs, so the collect_set buffer is bounded (the
+    // unguarded frame is never collected — a hot shingle dies in the cheap
+    // count pass, not in an unbounded list buffer). Generating pairs from the
+    // sorted list replaces the shingle self-join entirely: same C(d,2) fanout,
+    // but as a narrow explode after ONE groupBy instead of a second shuffle
+    // join over the full exploded frame — and the persisted intermediate is
+    // one row per shingle, not one per (doc, shingle)
+    val lists = shUnp.groupBy("shingle")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .select("ds")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val shared = sh.toDF("doc_a", "shingle")
-      .join(sh.toDF("doc_b", "shingle"), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    val sizes = lists.select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val pairsOfList = flatten(transform(col("ds"), (a, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
+        struct(a.as("doc_a"), b.as("doc_b")))))
+    val shared = lists.filter(size(col("ds")) >= 2)
+      .select(explode(pairsOfList).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     shared
       .join(sizes.toDF("doc_a", "na"), Seq("doc_a"))
