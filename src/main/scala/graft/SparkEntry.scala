@@ -813,6 +813,19 @@ object SparkEntry {
           Tables.events(s, d).filter(col("value").isNotNull),
           "event_type", "value", "event_id", n = 10)
         .orderBy("event_type", "bucket")),
+
+    // sub-document dedup: corpus-wide first-occurrence on fixed-size chunk
+    // digests, per-doc duplicate-mass report (C4/Dolma paragraph dedup at
+    // chunk granularity)
+    "chunk_dedup" -> ((s, d) =>
+      Dedup.chunkDedup(Tables.documents(s, d), "doc_id", "text", ChunkTokens)
+        .orderBy("doc_id")),
+
+    // release receipt: per-source row count, exact token total, and an
+    // order-independent XOR checksum — identical under any partitioning
+    "shard_manifest" -> ((s, d) =>
+      Curation.shardManifest(Tables.documents(s, d), "source", "doc_id", "text")
+        .orderBy("source")),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1817,5 +1830,36 @@ object SparkEntry {
         |  FROM events WHERE value IS NOT NULL)
         |GROUP BY 1, 2
         |ORDER BY event_type, bucket""".stripMargin,
+
+    // zero-overlap twin of the doc_chunks CTE, then corpus-wide
+    // first-occurrence rank on the chunk digest
+    "chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |c AS (SELECT doc_id, ts,
+         |    unnest(range(1, greatest(len(ts), 1) + 1, $ChunkTokens)) AS chunk_start
+         |  FROM t),
+         |ch AS (SELECT doc_id,
+         |    CAST((chunk_start - 1) // $ChunkTokens AS BIGINT) AS chunk_idx,
+         |    md5(array_to_string(ts[chunk_start : chunk_start + ${ChunkTokens - 1}],
+         |        ' ')) AS chunk_md5
+         |  FROM c),
+         |r AS (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY chunk_md5
+         |      ORDER BY doc_id, chunk_idx) AS rn
+         |  FROM ch)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS dup_frac
+         |FROM r GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "shard_manifest" ->
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+         |  bit_xor(CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '|'
+         |      || md5(text)), 1, 16))::UBIGINT % ${Int.MaxValue} AS BIGINT))
+         |    AS xor_sig
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
   )
 }

@@ -286,6 +286,29 @@ object Curation {
       (round(score, 6) >= minScore).as("keep"))
   }
 
+  /** Shard manifest — the reproducibility receipt a corpus release ships
+    * with: per shard, the row count, exact token total, and an
+    * order-independent content checksum (XOR of the stable SHA-256 hash of
+    * id and content digest; 31 bits here — `StableHashBucket`'s modulus —
+    * widen with a second salted half when collision odds matter). XOR is
+    * commutative/associative and
+    * overflow-free, so the checksum is IDENTICAL under any partitioning,
+    * retry, or engine — two sides of a data handoff can verify a 100 TB
+    * shard without agreeing on row order (the same determinism contract as
+    * [[graft.ops.Sketches]]).
+    *
+    * Scale: one map-side-combinable aggregate per shard; nothing else moves.
+    */
+  def shardManifest(df: DataFrame, shardCol: String, idCol: String,
+                    textCol: String): DataFrame =
+    df.select(col(shardCol), col(idCol),
+        TextOps.tokens(col(textCol)).as("__toks"),
+        concat(col(idCol).cast("string"), lit("|"), md5(col(textCol))).as("__sig"))
+      .groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(size(col("__toks")).cast("long")).as("n_tokens"),
+        bit_xor(stable_bucket(col("__sig"), Int.MaxValue)).as("xor_sig"))
+
   /** C4-style composite quality filter: every heuristic votes, failures are
     * recorded as a bitmask (1 = too short, 2 = too long, 4 = punctuation
     * noise, 8 = unnatural stopword density), `keep` = no bits set. Keeping

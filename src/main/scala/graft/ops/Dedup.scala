@@ -244,6 +244,33 @@ object Dedup {
       .distinct() // a pair may share several bands
   }
 
+  /** Cross-document chunk-level dedup (the sub-document granularity of
+    * C4/Dolma paragraph dedup, on synthetic fixed-size chunks since the
+    * corpus has no paragraph marks): chunk every document
+    * ([[Curation.chunkDocs]], zero overlap so each token belongs to one
+    * chunk), keep the FIRST occurrence of each chunk content corpus-wide
+    * (lowest doc id, then chunk index), and report each document's duplicate
+    * mass — how many of its chunks already exist elsewhere. `dup_frac` is
+    * the quality signal curation pipelines threshold on.
+    *
+    * Scale: one shuffle on the chunk digest (16-byte key) + one on the doc
+    * id for the rollup — the same two-shuffle profile as exact doc dedup,
+    * ×(chunks per doc) rows.
+    */
+  def chunkDedup(df: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int): DataFrame = {
+    val chunks = Curation.chunkDocs(df, idCol, textCol, chunkTokens, 0)
+    val w = Window.partitionBy(col("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      .withColumn("dup_frac",
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+  }
+
   /** Connected components over an undirected near-dup pair list: every doc in
     * the pair graph gets `cluster` = the minimum doc id reachable from it, and
     * `is_canonical` marks the cluster representative — the keep-one-per-cluster

@@ -356,6 +356,32 @@ class CurationSpec extends SparkSpec {
     assert(got.toSeq === Seq((0, true), (1, false), (2, false), (4, false), (8, false)))
   }
 
+  // ---- shard manifest ----------------------------------------------------
+
+  test("shard manifest checksum is identical under any partitioning") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, s"s${i % 3}", s"tok$i text body"))
+      .toDF("doc_id", "source", "text")
+    def run(parts: Int) =
+      Curation.shardManifest(df.repartition(parts), "source", "doc_id", "text")
+        .select("source", "n_rows", "n_tokens", "xor_sig")
+        .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val a = run(1)
+    assert(a === run(13))
+    assert(a.map(_._2).sum === 300L)
+    assert(a.forall(_._3 == 100L * 3)) // 3 tokens per doc, 100 docs per shard
+  }
+
+  test("shard manifest detects a single-row content change") {
+    import spark.implicits._
+    val base = (1 to 50).map(i => (i.toLong, "s", s"text $i"))
+    val changed = base.updated(24, (25L, "s", "text 25 CHANGED"))
+    def sig(rows: Seq[(Long, String, String)]) =
+      Curation.shardManifest(rows.toDF("doc_id", "source", "text"),
+        "source", "doc_id", "text").select("xor_sig").as[Long].head()
+    assert(sig(base) !== sig(changed))
+  }
+
   // ---- priority (weighted) sampling --------------------------------------
 
   test("priority sample: deterministic, top-k per stratum, weight-monotone") {

@@ -83,6 +83,22 @@ class MergeSpec extends SparkSpec {
     assert(out.filter(col("k") === 2L && col("is_current")).count() === 1)
   }
 
+  test("chunk dedup reports cross-document duplicate mass, first doc wins") {
+    import graft.ops.Dedup
+    val a = (1 to 8).map(i => s"w$i").mkString(" ")  // chunk A (8 tokens)
+    val b = (9 to 16).map(i => s"w$i").mkString(" ") // chunk B
+    val c = (17 to 24).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, s"$a $b"),  // defines A and B
+      (2L, s"$a $c"),  // A is a dup (doc 1 owns it), C fresh
+      (3L, s"$b $c")   // both chunks already seen
+    ).toDF("doc_id", "text")
+    val out = Dedup.chunkDedup(df, "doc_id", "text", chunkTokens = 8)
+      .select("doc_id", "n_chunks", "n_dup_chunks").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 2L, 0L), (2L, 2L, 1L), (3L, 2L, 2L)))
+  }
+
   test("scd2 tiebreaks equal timestamps by the sequence column") {
     val changes = Seq(
       (1L, "2024-01-01 00:00:00", 2L, 20.0),
