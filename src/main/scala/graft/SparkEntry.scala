@@ -640,6 +640,10 @@ object SparkEntry {
   val EmbedDupThreshold = 0.3
   val IvfCentroids = 8
 
+  /** IVF search declared query: fixed-size query cohort, 2-of-8 lists probed. */
+  private val IvfQueryMax = 20
+  private val IvfNProbe = 2
+
   private def embedQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force exact cosine top-k (the ANN correctness baseline)
     "embed_topk" -> ((s, d) => {
@@ -672,6 +676,22 @@ object SparkEntry {
         .collect().map(_.getSeq[Double](0).toArray) // tiny codebook → driver ok
       Ivf.assignToCentroids(emb, "vec_id", "embedding", cents)
         .orderBy("vec_id")
+    }),
+
+    // end-to-end IVF ANN search with the same fixed codebook: a fixed-size
+    // query cohort probes its IvfNProbe nearest lists and runs exact cosine
+    // inside them only — the full accuracy/throughput dial under oracle
+    "ivf_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < IvfCentroids).orderBy("vec_id")
+        .select(Similarity.vecd(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val index = Ivf.buildFixed(emb, "vec_id", "embedding", cents)
+      Ivf.search(index, emb.filter(col("vec_id") < IvfQueryMax),
+          "vec_id", "embedding", k = 5, nProbe = IvfNProbe)
+        .select(col("q"), col("n_id"), round(col("sim"), 6).as("sim"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("q", "rn")
     }),
 
     // embedding-cosine near-dup pairs, banded-LSH candidates (the scale path:
@@ -826,6 +846,17 @@ object SparkEntry {
     "shard_manifest" -> ((s, d) =>
       Curation.shardManifest(Tables.documents(s, d), "source", "doc_id", "text")
         .orderBy("source")),
+
+    // Z-order clustering key (codegen BitInterleave): the (cell, hour)
+    // multi-dimensional sort key a data-skipping layout writes files by
+    "zorder_key" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_id"),
+          graft.functions.pos_cell(col("value"), Res).as("cell"),
+          hour(col("ts")).cast("long").as("hr"))
+        .withColumn("zkey", graft.functions.z_order(col("cell"), col("hr")))
+        .orderBy("event_id")),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1626,6 +1657,34 @@ object SparkEntry {
          |SELECT q, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 5
          |ORDER BY q, rn""".stripMargin,
 
+    // full IVF search mirror: every vector's pr=1 list is its assignment,
+    // a query's pr<=nProbe lists are its probes; exact cosine only inside
+    // probed lists, top-5 by (sim desc, n_id) — identical op tree throughout
+    "ivf_topk" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, v, sqrt(${dotChain("v", "v")}) AS nr FROM e),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+         |    v AS cv, (${dotChain("v", "v")}) AS c2
+         |  FROM e WHERE vec_id < $IvfCentroids),
+         |a AS (SELECT e.vec_id, c.list_id, row_number() OVER
+         |    (PARTITION BY e.vec_id
+         |     ORDER BY c.c2 - CAST('2.0' AS DOUBLE) * (${dotChain("e.v", "c.cv")}),
+         |       c.list_id) AS pr
+         |  FROM e, c),
+         |asg AS (SELECT vec_id, list_id FROM a WHERE pr = 1),
+         |probe AS (SELECT vec_id AS q, list_id FROM a
+         |  WHERE pr <= $IvfNProbe AND vec_id < $IvfQueryMax),
+         |cand AS (SELECT p.q, s.vec_id AS n_id,
+         |    (${dotChain("qa.v", "nb.v")}) / nullif(qa.nr * nb.nr, 0) AS sim
+         |  FROM probe p
+         |  JOIN asg s ON s.list_id = p.list_id AND s.vec_id <> p.q
+         |  JOIN nrm qa ON qa.vec_id = p.q
+         |  JOIN nrm nb ON nb.vec_id = s.vec_id),
+         |r AS (SELECT *, row_number() OVER
+         |    (PARTITION BY q ORDER BY sim DESC, n_id) AS rn FROM cand)
+         |SELECT q, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 5
+         |ORDER BY q, rn""".stripMargin,
+
     // same |c|² − 2 v·c ranking the engine computes, over the same fixed
     // codebook rows; 2.0 forced to DOUBLE (DuckDB decimal-literal trap)
     "ivf_assign" ->
@@ -1861,5 +1920,19 @@ object SparkEntry {
          |      || md5(text)), 1, 16))::UBIGINT % ${Int.MaxValue} AS BIGINT))
          |    AS xor_sig
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // bit-for-bit Morton mirror: bit i of cell -> bit 2i, bit i of hr ->
+    // bit 2i+1 (8 bits cover cell 0..7 and hr 0..23 with headroom)
+    "zorder_key" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((cell >> $i) & 1) << ${2 * i})",
+        s"(((hr >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH b AS (SELECT event_id,
+         |    CAST(floor(value / $WidthSql) AS BIGINT) AS cell,
+         |    CAST(extract(hour FROM ts) AS BIGINT) AS hr
+         |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)
+         |SELECT event_id, cell, hr, CAST($terms AS BIGINT) AS zkey
+         |FROM b ORDER BY event_id""".stripMargin
+    },
   )
 }

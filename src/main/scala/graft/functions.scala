@@ -61,6 +61,15 @@ object functions {
     coalesce(plain, plainFrac, isoT, isoTFrac, zoned)
   }
 
+  /** Morton (Z-order) interleave of two non-negative keys into one 64-bit
+    * clustering sort key — see [[graft.expressions.BitInterleave]]. Sort or
+    * range-partition output files by this to get multi-dimensional
+    * data-skipping from parquet min/max stats.
+    */
+  def z_order(x: Column, y: Column): Column =
+    expressions.col(expressions.BitInterleave(
+      expressions.expr(x.cast("long")), expressions.expr(y.cast("long"))))
+
   /** Codegen'd dot product of two array<double> columns — see
     * [[graft.expressions.VecDot]]. Strict in-order summation (bit-matches a
     * left-associative SQL `a[1]*b[1] + …` chain).

@@ -82,6 +82,23 @@ object Ivf {
       centroids, nProbe = 1)
       .select(col("q").as(idCol), col("list_id"))
 
+  /** Deterministic [[Index]] over FIXED centroids (no k-means): assignment
+    * via the same broadcast argmin as [[assignToCentroids]], carrying the
+    * vector so the result feeds [[search]] directly. This is the
+    * precomputed-codebook deployment path — and, unlike the trained build,
+    * it is bit-reproducible on any engine, so end-to-end IVF search is
+    * oracle-checkable through it.
+    */
+  def buildFixed(emb: DataFrame, idCol: String, vecCol: String,
+                 centroids: Array[Array[Double]]): Index = {
+    val assigned = probeLists(
+      emb.select(col(idCol).as("q"), Similarity.vecd(col(vecCol)).as("qv"))
+        .withColumn("qn", Similarity.l2norm(col("qv"))),
+      centroids, nProbe = 1)
+      .select(col("q").as("vid"), col("qv").as("v"), col("list_id"))
+    Index(centroids, assigned)
+  }
+
   /** Approximate top-k cosine neighbors for every vector in `queries`.
     * Output: (q, n_id, sim, rn) like [[Similarity.cosineTopK]].
     */

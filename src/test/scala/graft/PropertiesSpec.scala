@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
-import graft.expressions.{GeoCell, RollingKgramHash, StableHashBucket}
+import graft.expressions.{BitInterleave, GeoCell, RollingKgramHash, StableHashBucket}
 import graft.ops.Similarity
 import graft.sources.ArchiveIndex
 
@@ -169,5 +169,27 @@ object GraftProperties extends Properties("graft") {
     forAll(sig32, sig32) { (lo, hi) =>
       val bs = bands(lo, hi)
       (bs(0) | (bs(1) << 16)) == lo && (bs(2) | (bs(3) << 16)) == hi
+    }
+
+  val u32: Gen[Long] = Gen.chooseNum(0L, 0xffffffffL)
+
+  property("morton: interleave is lossless (compact inverts spread)") =
+    forAll(u32, u32) { (x, y) =>
+      val z = BitInterleave.morton(x, y)
+      BitInterleave.compact(z) == x && BitInterleave.compact(z >>> 1) == y
+    }
+
+  property("morton: zero iff both inputs zero; sign bit is y's bit 31") =
+    forAll(u32, u32) { (x, y) =>
+      val z = BitInterleave.morton(x, y)
+      ((z == 0) == (x == 0 && y == 0)) && ((z < 0) == (y >= (1L << 31)))
+    }
+
+  property("morton: monotone along each axis (locality within a row/column)") =
+    // signed-long sort domain: keys below 2^31 (see BitInterleave doc)
+    forAll(Gen.chooseNum(0L, 0x7ffffffeL), Gen.chooseNum(0L, 0x7fffffffL)) {
+      (x, y) =>
+        BitInterleave.morton(x, y) < BitInterleave.morton(x + 1, y) &&
+          BitInterleave.morton(y, x) < BitInterleave.morton(y, x + 1)
     }
 }
