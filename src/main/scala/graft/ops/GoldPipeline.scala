@@ -126,4 +126,22 @@ object GoldPipeline {
     fs.rename(tmp, path)
     nFiles
   }
+
+  /** Z-order-clustered parquet write: range-partition on the Morton key of
+    * (xCol, yCol) and sort within each partition, so every output file owns
+    * a compact 2-D tile — parquet min/max row-group stats then prune scans
+    * filtered on EITHER column, not just a leading sort column. `nFiles`
+    * controls the file-count/tile-size trade (the same knob as bucket
+    * count). See SCALING.md "Layout for data skipping".
+    */
+  def writeZOrdered(df: DataFrame, outRoot: String, xCol: String, yCol: String,
+                    nFiles: Int): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    val zkey = graft.functions.z_order(col(xCol), col(yCol))
+    df.withColumn("__z", zkey)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").option("compression", "snappy").parquet(outRoot)
+  }
 }

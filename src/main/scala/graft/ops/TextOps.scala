@@ -158,7 +158,9 @@ object TextOps {
     * Scale shape mirrors [[Dedup.ngramJaccardPairs]]: distinct (doc, hash)
     * rows, a stop-hash guard (a fingerprint in d docs costs d² candidate
     * rows — drop non-discriminative hashes via groupBy-count + broadcast
-    * anti-join), then a keyed equi-join on the hash — never all-pairs.
+    * anti-join, which also bounds the list buffer below), then C(d,2) pairs
+    * exploded narrowly from each hash's sorted doc list — never all-pairs,
+    * and no self-join shuffle of the exploded frame.
     */
   def fingerprintOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                               k: Int = 8, p: Int = 16, minShared: Int = 2,
@@ -174,11 +176,18 @@ object TextOps {
           .select("h")
         fp0.join(hot, Seq("h"), "left_anti").select("doc_id", "h")
       }
-    val fps = fpUnp.repartition(col("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    fps.toDF("doc_a", "h")
-      .join(fps.toDF("doc_b", "h"), Seq("h"))
-      .filter(col("doc_a") < col("doc_b"))
+    // pairs from per-hash doc lists (the Dedup.ngramJaccardPairs shape): the
+    // guard above caps survivors at maxDocsPerHash docs, so the collect
+    // buffer is bounded and the C(d,2) fanout explodes narrowly from ONE
+    // groupBy instead of a self-join shuffle over the exploded frame
+    val lists = fpUnp.groupBy("h")
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val pairsOfList = flatten(transform(col("ds"), (a, i) =>
+      transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
+        struct(a.as("doc_a"), b.as("doc_b")))))
+    lists.select(explode(pairsOfList).as("pr"))
+      .select(col("pr.doc_a"), col("pr.doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
   }

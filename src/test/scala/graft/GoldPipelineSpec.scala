@@ -103,6 +103,30 @@ class GoldPipelineSpec extends SparkSpec {
     assert(GoldPipeline.compact(spark, dir, targetBytes = 8 * 1024L) > 1)
   }
 
+  test("z-ordered write: every file owns a compact 2-D tile in BOTH dims") {
+    import spark.implicits._
+    // full 64x64 grid → 16 range partitions on the Morton key = 16x16 tiles
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 }
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val dir = Files.createTempDirectory("gp_zorder").toString + "/t"
+    GoldPipeline.writeZOrdered(grid, dir, "x", "y", nFiles = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    assert(files.length === 16)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(max("x") - min("x"), max("y") - min("y"))
+        .as[(Long, Long)].head()
+      r
+    }
+    // perfect Morton tiling of a 64x64 grid into 16 files = 16x16 tiles;
+    // a single-column sort would leave the other dim's range at 63
+    assert(ranges.forall { case (rx, ry) => rx <= 15 && ry <= 15 },
+      s"expected 16x16 tiles, got ranges ${ranges.toSeq}")
+    // nothing lost in the layout rewrite
+    assert(spark.read.parquet(dir).count() === 64L * 64)
+  }
+
   test("pairs_total rebuild aggregates across the materialized days") {
     val pairsOut = Files.createTempDirectory("gold_pairs2").toString
     GoldPipeline.refreshPairsDaily(hourly, pairsOut, "2025-01-01", "2025-01-02", buckets = 2)
