@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{GeoCell, RollingKgramHash, StableHashBucket, VecDot}
+import graft.expressions.{BitInterleave, GeoCell, RollingKgramHash, StableHashBucket, VecDot}
 
 /** SQL surface for the engine's native Catalyst expressions: registers
   * `geo_cell`, `stable_bucket`, `vec_dot`, and `rolling_kgrams` as SQL
@@ -23,8 +23,12 @@ import graft.expressions.{GeoCell, RollingKgramHash, StableHashBucket, VecDot}
   * are identical whichever API declared them.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach(ext.injectFunction)
+    // optimizer surface: range-containment joins become binned equi-joins
+    // whenever spark.graft.rangeJoinBinWidth is set (see RangeJoinRewrite)
+    ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
+  }
 }
 
 object GraftExtensions {
@@ -57,6 +61,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "rolling_kgrams(text, k) takes 2 arguments")
         RollingKgramHash(args(0), args(1))
+      }),
+    (FunctionIdentifier("z_order"),
+      info("z_order", "z_order(x, y) - Morton bit-interleave of two keys (clustering sort key)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "z_order(x, y) takes 2 arguments")
+        BitInterleave(args(0), args(1))
       }))
 
   /** Register every engine function on a live session (the per-session form

@@ -57,6 +57,19 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql.length === 5) // 8 - 4 + 1 k-grams
   }
 
+  test("sql z_order matches the column function and the kernel") {
+    import org.apache.spark.sql.functions.col
+    val viaSql = spark.sql("SELECT z_order(5L, 3L) AS z").as[Long].head()
+    val viaCol = Seq((5L, 3L)).toDF("x", "y")
+      .select(graft.functions.z_order(col("x"), col("y")).as("z"))
+      .as[Long].head()
+    assert(viaSql === viaCol)
+    assert(viaSql === graft.expressions.BitInterleave.morton(5L, 3L))
+    // 5=101, 3=011 → interleaved x@even y@odd: 0b011011 = 27... verify by hand:
+    // bits x: 1@0,0@1,1@2 → 1@0,0@2,1@4; bits y: 1@0,1@1,0@2 → 1@1,1@3,0@5
+    assert(viaSql === ((1 << 0) | (1 << 1) | (1 << 3) | (1 << 4)))
+  }
+
   test("extensions class injects into a fresh session (spark.sql.extensions path)") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
