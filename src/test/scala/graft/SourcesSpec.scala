@@ -118,6 +118,27 @@ class SourcesSpec extends SparkSpec {
     assert(closed)
   }
 
+  test("DSv2: format(\"graft-archive\") matches the helper, partition-per-archive") {
+    val df = spark.read.format("graft-archive").load(s"$archiveDir/*")
+    val got = df.collect().map(r =>
+      (r.getString(0).split('/').last, r.getString(1), r.getString(2)))
+    val want = ArchiveSource.archiveLines(spark, s"$archiveDir/{*.zip,*.zst}")
+      .collect().map(a => (a.path.split('/').last, a.member, a.line))
+    assert(got.sorted.toSeq === want.sorted.toSeq)
+    // one input partition per archive (zip members are not splittable)
+    assert(df.rdd.getNumPartitions === 2)
+  }
+
+  test("DSv2: required-column pushdown prunes the scan schema") {
+    val df = spark.read.format("graft-archive").load(s"$archiveDir/*.zip")
+      .select("line")
+    val scanLine = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("graft-archive")).getOrElse("")
+    assert(!scanLine.contains("member"),
+      s"scan must carry only the selected column: $scanLine")
+    assert(df.collect().length === 4)
+  }
+
   test("date-templated discovery probes existence with extension fallback") {
     val idx = new ArchiveIndex.LocalDirIndex(archiveDir, "AIS_%Y_%m_%d.zip")
     val found = idx.listFilesBetween(
