@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{AsOf, CoMovement, Curation, Decontam, Dedup, Ivf, Merge, Multimodal, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks}
+import graft.ops.{AsOf, CoMovement, Curation, Decontam, Dedup, Fuzzy, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -101,6 +101,27 @@ object SparkEntry {
   /** Winsorization clip quantiles for the declared query. */
   private val WinsorLo = 0.05
   private val WinsorHi = 0.95
+
+  /** rolling_stats trailing RANGE window (seconds). */
+  private val RollWindowSec = 3600L
+
+  /** tfidf_topk terms kept per document. */
+  private val TfidfK = 5
+
+  /** fuzzy_pairs edit-distance cap; blocking key = name minus its last two
+    * characters (sorted-neighborhood-style prefix block, ~100 names/block on
+    * the TPC-H name format at every SF).
+    */
+  private val FuzzyMaxDist = 1
+
+  /** semdedup duplicate threshold — same dial as `dedup_embed`. */
+  private val SemDedupThreshold = 0.3
+
+  /** PQ layout for the declared query: 64 dims → 8 subspaces × 8 dims,
+    * 4 centroids per subspace (codebook = slices of the first 4 vectors).
+    */
+  private val PqM = 8
+  private val PqKsub = 4
 
   private def hourly(spark: SparkSession, dir: String): DataFrame =
     CoMovement.hourlyRollup(Tables.events(spark, dir), "user_id", "ts", "value", Res)
@@ -468,6 +489,12 @@ object SparkEntry {
     // language-ID (stopword-marker heuristic, deterministic argmax)
     "lang_id" -> ((s, d) =>
       TextOps.languageId(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // per-doc top-k TF-IDF terms: doc-term counts -> df from the same frame
+    // -> broadcast corpus size -> WindowGroupLimit top-k per doc
+    "tfidf_topk" -> ((s, d) =>
+      TextOps.tfidfTopK(Tables.documents(s, d), "doc_id", "text", TfidfK)
+        .orderBy("doc_id", "rk")),
 
     // quality scoring (length/punct/stopword/case ratios + composite)
     "text_quality" -> ((s, d) =>
@@ -857,6 +884,57 @@ object SparkEntry {
           hour(col("ts")).cast("long").as("hr"))
         .withColumn("zkey", graft.functions.z_order(col("cell"), col("hr")))
         .orderBy("event_id")),
+
+    // event-time trailing-window rolling stats (RANGE frame, not ROWS):
+    // per-user count/mean over the preceding hour; exact integer-unit sums
+    "rolling_stats" -> ((s, d) =>
+      TimeSeries.rollingRangeStats(Tables.events(s, d), "event_id", "user_id",
+          "ts", "value", RollWindowSec)
+        .orderBy("event_id")),
+
+    // full CUBE over (event_type, hour-of-day) with grouping_id: all four
+    // granularities in ONE Expand+agg pass (completes the rollup/pivot family)
+    "cube_agg" -> ((s, d) =>
+      Tables.events(s, d).filter(col("ts").isNotNull)
+        .cube(col("event_type"), hour(col("ts")).as("hod"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n_events"),
+          round(sum(round(col("value") * 10000).cast("long")) / 10000.0, 4)
+            .as("sum_value"))
+        .select(col("event_type"), col("hod"), col("gid"), col("n_events"),
+          col("sum_value"))
+        .orderBy("gid", "event_type", "hod")),
+
+    // distributed contiguous row numbering: range partition + per-partition
+    // offsets — the scale path where a global row_number window single-tasks
+    "global_index" -> ((s, d) =>
+      Indexing.globalIndex(Tables.events(s, d).select("event_id"), "event_id")
+        .orderBy("event_id")),
+
+    // blocked edit-distance similarity join (entity resolution): prefix
+    // block -> length prune -> exact levenshtein verify, never all-pairs
+    "fuzzy_pairs" -> ((s, d) =>
+      Fuzzy.editDistancePairs(Tables.customer(s, d), "c_custkey", "c_name",
+          expr("substring(c_name, 1, length(c_name) - 2)"), FuzzyMaxDist)
+        .orderBy("id_a", "id_b")),
+
+    // SemDeDup: fixed-codebook cell routing + within-cell cosine, keep-first
+    "semdedup" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < IvfCentroids).orderBy("vec_id")
+        .select(Similarity.vecd(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      Similarity.semDedup(emb, "vec_id", "embedding", cents, SemDedupThreshold)
+        .orderBy("vec_id")
+    }),
+
+    // product-quantization codes with a fixed codebook: one narrow argmin
+    // pass, m codes per vector (the compression layer under billion-vector ANN)
+    "pq_encode" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Pq.codebookFromFirst(emb, "vec_id", "embedding", PqM, PqKsub)
+      Pq.encode(emb, "vec_id", "embedding", cb).orderBy("vec_id")
+    }),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -1473,6 +1551,24 @@ object SparkEntry {
          |FROM sc ORDER BY doc_id""".stripMargin
     },
 
+    // score = tf · ln((N+1)/(df+1)); ln() ulp noise absorbed by round(,6),
+    // rank ties broken on the term string in both engines
+    "tfidf_topk" ->
+      s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks GROUP BY 1, 2),
+         |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df_cnt FROM tf GROUP BY 1),
+         |n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfc.df_cnt,
+         |    tf.tf * ln((n.n_docs + 1.0) / (dfc.df_cnt + 1.0)) AS score
+         |  FROM tf JOIN dfc USING (term), n),
+         |r AS (SELECT *, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM sc)
+         |SELECT doc_id, term, tf, df_cnt, round(score, 6) AS score,
+         |  CAST(rk AS BIGINT) AS rk
+         |FROM r WHERE rk <= $TfidfK ORDER BY doc_id, rk""".stripMargin,
+
     "text_quality" ->
       s"""WITH m AS (SELECT doc_id,
          |  CAST(length(text) AS DOUBLE) AS n_chars,
@@ -1933,6 +2029,102 @@ object SparkEntry {
          |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL)
          |SELECT event_id, cell, hr, CAST($terms AS BIGINT) AS zkey
          |FROM b ORDER BY event_id""".stripMargin
+    },
+
+    // identical RANGE frame over epoch-microsecond ordering; the rolling sum
+    // runs in exact 1e-4 units so only the closing division is floating
+    "rolling_stats" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+         |    epoch_ms(ts) AS ts_ms,
+         |    CAST(round(value * 10000) AS BIGINT) AS v4 FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |w AS (SELECT event_id, user_id, ts_ms,
+         |    CAST(count(v4) OVER win AS BIGINT) AS n_win,
+         |    CAST(sum(v4) OVER win AS BIGINT) AS sum_u
+         |  FROM e WINDOW win AS (PARTITION BY user_id ORDER BY us
+         |    RANGE BETWEEN ${RollWindowSec * 1000000L} PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, ts_ms, n_win,
+         |  round(CAST(sum_u AS DOUBLE) / (n_win * 10000), 6) AS avg_win
+         |FROM w ORDER BY event_id""".stripMargin,
+
+    "cube_agg" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(date_part('hour', ts) AS INTEGER) AS hod,
+        |    CAST(round(value * 10000) AS BIGINT) AS v4 FROM events
+        |  WHERE ts IS NOT NULL)
+        |SELECT event_type, hod,
+        |  CAST(GROUPING(event_type) * 2 + GROUPING(hod) AS INTEGER) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  round(CAST(sum(v4) AS DOUBLE) / 10000.0, 4) AS sum_value
+        |FROM e GROUP BY CUBE (event_type, hod)
+        |ORDER BY gid, event_type, hod""".stripMargin,
+
+    // the range-partition + offset protocol is bit-identical to a global
+    // row_number when the key is unique
+    "global_index" ->
+      """SELECT event_id,
+        |  CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS global_idx
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "fuzzy_pairs" ->
+      """WITH c AS (SELECT c_custkey AS id, c_name AS s,
+        |    substring(c_name, 1, length(c_name) - 2) AS blk FROM customer)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id
+        |WHERE abs(length(a.s) - length(b.s)) <= 1
+        |  AND levenshtein(a.s, b.s) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // same fixed-codebook routing CTE as ivf_assign, then within-cell
+    // pairwise cosine and keep-first dup marking
+    "semdedup" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, v, sqrt(${dotChain("v", "v")}) AS nr FROM e),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+         |    v AS cv, (${dotChain("v", "v")}) AS c2
+         |  FROM e WHERE vec_id < $IvfCentroids),
+         |a AS (SELECT e.vec_id, c.list_id, row_number() OVER
+         |    (PARTITION BY e.vec_id
+         |     ORDER BY c.c2 - CAST('2.0' AS DOUBLE) * (${dotChain("e.v", "c.cv")}),
+         |       c.list_id) AS pr
+         |  FROM e, c),
+         |asg AS (SELECT vec_id, list_id AS cell FROM a WHERE pr = 1),
+         |pair AS (SELECT y.vec_id AS vid,
+         |    (${dotChain("xa.v", "yb.v")}) / nullif(xa.nr * yb.nr, 0) AS sim
+         |  FROM asg x JOIN asg y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  JOIN nrm xa ON xa.vec_id = x.vec_id
+         |  JOIN nrm yb ON yb.vec_id = y.vec_id),
+         |dup AS (SELECT DISTINCT vid FROM pair WHERE sim >= CAST('$SemDedupThreshold' AS DOUBLE))
+         |SELECT s.vec_id, CAST(s.cell AS INTEGER) AS cell,
+         |  (d.vid IS NOT NULL) AS is_dup
+         |FROM asg s LEFT JOIN dup d ON d.vid = s.vec_id
+         |ORDER BY vec_id""".stripMargin,
+
+    // per-subspace |c|² − 2·v·c argmin, subspaces unrolled (indices must be
+    // literals), codes pivoted back to one row per vector
+    "pq_encode" -> {
+      val dsub = EmbedDims / PqM
+      val subSelects = (0 until PqM).map { s =>
+        val sq = (1 to dsub).map(i =>
+          s"c.v[${s * dsub + i}]*c.v[${s * dsub + i}]").mkString(" + ")
+        val cross = (1 to dsub).map(i =>
+          s"e.v[${s * dsub + i}]*c.v[${s * dsub + i}]").mkString(" + ")
+        s"""SELECT e.vec_id, $s AS s, c.j,
+           |    ($sq) - CAST('2.0' AS DOUBLE) * ($cross) AS dd
+           |  FROM e, c""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      val codeCols = (0 until PqM).map(s =>
+        s"CAST(max(CASE WHEN s = $s THEN j END) AS INTEGER) AS code$s").mkString(",\n  ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS j, v FROM e WHERE vec_id < $PqKsub),
+         |d AS (
+         |  $subSelects),
+         |r AS (SELECT vec_id, s, j, row_number() OVER
+         |    (PARTITION BY vec_id, s ORDER BY dd, j) AS pr FROM d)
+         |SELECT vec_id,
+         |  $codeCols
+         |FROM r WHERE pr = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
   )
 }

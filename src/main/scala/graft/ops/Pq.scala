@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.vec_dot
+
+/** Product quantization (Jégou et al. 2011) — the compression layer under
+  * billion-vector ANN: split each d-dim vector into `m` contiguous
+  * sub-vectors, quantize every sub-vector to its nearest centroid in that
+  * subspace's private codebook, and store only the m small codes
+  * (m × log2(ksub) bits instead of d floats — 64 floats → 8 bytes at
+  * m=8/ksub=256). Search-time ADC then scores candidates from per-subspace
+  * lookup tables without touching raw vectors.
+  *
+  * Like [[Ivf]], training a codebook (k-means per subspace) is not bit-stable
+  * across engines, so the operator takes FIXED centroids — the
+  * precomputed-codebook deployment path, which is also what runs at scale
+  * (train on a sample offline, encode the corpus with the frozen codebook).
+  *
+  * Encoding is one narrow codegen'd pass: per subspace, argmin over ksub
+  * distances, each distance a [[graft.expressions.VecDot]] over the slice —
+  * no shuffle, no UDF, full scan throughput. The codebook rides in the plan
+  * as literals (m × ksub × dsub doubles — fine for coarse PQ; at production
+  * ksub=256 move it to a broadcast join, the [[Ivf.assignToCentroids]]
+  * shape).
+  */
+object Pq {
+
+  /** Encode every vector: (id, code0 .. code{m-1}), where code_s is the index
+    * of the nearest centroid (squared-L2, ties to the lowest index) of
+    * `codebook(s)` to the vector's s-th `dsub`-wide slice.
+    *
+    * `codebook(s)(j)` = centroid j of subspace s; all centroids must share
+    * the subspace width dsub = d / m.
+    */
+  def encode(emb: DataFrame, idCol: String, vecCol: String,
+             codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebook.length
+    require(m > 0 && codebook.forall(_.nonEmpty), "codebook must be non-empty")
+    val dsub = codebook(0)(0).length
+    // materialize each slice once (a lambda-free projection) so the ksub
+    // distance expressions below share it instead of re-slicing per centroid
+    val sliced = emb.select(
+      col(idCol) +:
+        (0 until m).map(s =>
+          slice(Similarity.vecd(col(vecCol)), s * dsub + 1, dsub).as(s"__s$s")): _*)
+    val codes = (0 until m).map { s =>
+      // rank by |c|² − 2·v·c (|v|² is argmin-invariant); fold keeps the
+      // lowest index on ties — the same contract as Ivf assignment
+      val dists = codebook(s).zipWithIndex.map { case (c, j) =>
+        val d = lit(c.map(x => x * x).sum) -
+          lit(2.0) * vec_dot(col(s"__s$s"), typedLit(c.toSeq))
+        (d, j)
+      }
+      val best = dists.tail.foldLeft((dists.head._1, lit(0))) {
+        case ((bd, bj), (d, j)) =>
+          (when(d < bd, d).otherwise(bd), when(d < bd, lit(j)).otherwise(bj))
+      }
+      best._2.cast("int").as(s"code$s")
+    }
+    sliced.select(col(idCol) +: codes: _*)
+  }
+
+  /** Codebook from the corpus itself: subspace s's centroids are the s-th
+    * slices of the first `ksub` vectors by id — the deterministic stand-in
+    * for an offline-trained codebook (same role as the fixed [[Ivf]]
+    * centroids in the declared queries).
+    */
+  def codebookFromFirst(emb: DataFrame, idCol: String, vecCol: String,
+                        m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val first = emb.filter(col(idCol) < ksub).orderBy(idCol)
+      .select(Similarity.vecd(col(vecCol)).as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(first.length == ksub, s"need $ksub codebook rows, got ${first.length}")
+    val dsub = first(0).length / m
+    Array.tabulate(m, ksub) { (s, j) => first(j).slice(s * dsub, (s + 1) * dsub) }
+  }
+}

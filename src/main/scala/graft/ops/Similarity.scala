@@ -202,4 +202,42 @@ object Similarity {
       .select(col(labelCol), col("n"),
         array((1 to dims).map(i => round(col(s"m$i"), 6)): _*).as("centroid"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * coarse-quantize every vector to its nearest codebook centroid
+    * ([[Ivf.assignToCentroids]] — the cheap global routing step), then mark a
+    * vector as a semantic duplicate when an EARLIER id in the SAME cell sits
+    * within cosine ≥ `threshold`. Keep-first on id makes the decision
+    * deterministic and idempotent across reruns.
+    *
+    * Scale: pairwise cosine runs only WITHIN a cell — the equi-join on
+    * `cell` bounds the fanout at Σ cell² the same way LSH bands do, and the
+    * codebook (k centroids) is a broadcast, never a shuffle. Cell sizes are
+    * the skew dial: more centroids → smaller cells → fewer comparisons, at
+    * the cost of cross-cell recall (the paper's k ≈ √n heuristic).
+    *
+    * Output: one row per input vector — (id, cell, is_dup).
+    */
+  def semDedup(emb: DataFrame, idCol: String, vecCol: String,
+               centroids: Array[Array[Double]], threshold: Double): DataFrame = {
+    val cells = Ivf.assignToCentroids(emb, idCol, vecCol, centroids)
+      .toDF("vid", "cell")
+    val e = emb.select(col(idCol).as("vid"), vecd(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val member = cells.join(e, "vid")
+    val a = member.select(col("vid").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("cell"))
+    val b = member.select(col("vid").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("cell"))
+    val dups = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as("vid"),
+        (vec_dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)))
+          .as("sim"))
+      .filter(col("sim") >= threshold)
+      .select("vid").distinct()
+    cells.join(dups.withColumn("__d", lit(true)), Seq("vid"), "left")
+      .select(col("vid").as(idCol), col("cell"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
 }

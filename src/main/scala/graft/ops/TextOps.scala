@@ -245,4 +245,37 @@ object TextOps {
       .orderBy(col("freq").desc, col("gram"))
       .limit(topK)
   }
+
+  /** Per-document top-k TF-IDF terms — the classic keyword/feature extractor
+    * (retrieval features, topic fingerprints, cluster labeling).
+    * `score = tf · ln((N+1)/(df+1))` with the +1 smoothing that keeps
+    * corpus-wide terms finite; ties break on the term string so the ranking
+    * is total.
+    *
+    * Plan shape at scale: one shuffle for per-(doc, term) counts (map-side
+    * combined), the document-frequency table derives from THAT frame (already
+    * one row per doc-term — no second pass over the corpus), the corpus size
+    * joins in as a broadcast single-row aggregate, and `rk <= k` over the
+    * per-doc window compiles to WindowGroupLimit (per-task heaps before the
+    * shuffle). The term dictionary join is AQE-broadcast when it fits.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfCnt = tf.groupBy("term").agg(count(lit(1)).as("df_cnt"))
+    val nDocs = df.select(count_distinct(col(idCol)).as("n_docs"))
+    tf.join(dfCnt, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf") * log((col("n_docs") + lit(1.0)) / (col("df_cnt") + lit(1.0))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df_cnt"),
+        round(col("score"), 6).as("score"), col("rk").cast("long").as("rk"))
+  }
 }

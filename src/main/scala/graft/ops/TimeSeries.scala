@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Time-series densification: turn a sparse keyed series (rows only where
@@ -48,5 +49,40 @@ object TimeSeries {
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour_ts"))
       .agg(count(lit(1)).as("n_events"))
     densifyHours(obs, keyCol, "hour_ts", Seq("n_events" -> lit(0L)))
+  }
+
+  /** Event-time rolling aggregates over a RANGE frame: for every row, the
+    * count and mean of `valueCol` across the key's rows in the trailing
+    * `windowSec` seconds (inclusive of peers at the same instant — a range
+    * frame, not a row frame, so simultaneous events always see each other
+    * regardless of physical order). The standard trailing-window feature
+    * (activity in the last hour, rolling spend) computed engine-side.
+    *
+    * Determinism: the rolling sum runs over `unitScale`-scaled integer units
+    * (exact — double-sum association order differs across engines), and the
+    * single closing division is reproducible anywhere.
+    *
+    * Scale: one shuffle on the series key; each partition sorts its keys'
+    * rows once and evaluates every frame with a sliding two-pointer pass —
+    * cost O(rows), not O(rows × frame width). Keys are independent, so skew
+    * follows the hottest key, same as any per-entity window.
+    */
+  def rollingRangeStats(events: DataFrame, idCol: String, keyCol: String,
+                        tsCol: String, valueCol: String, windowSec: Long,
+                        unitScale: Int = 10000): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val us = unix_micros(col(tsCol))
+    val units = round(col(valueCol) * unitScale).cast("long")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__us"))
+      .rangeBetween(-windowSec * 1000000L, Window.currentRow)
+    events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(idCol), col(keyCol), us.as("__us"),
+        unix_millis(col(tsCol)).as("ts_ms"), units.as("__u"))
+      .withColumn("n_win", count(col("__u")).over(w))
+      .withColumn("sum_u", sum(col("__u")).over(w))
+      .select(col(idCol), col(keyCol), col("ts_ms"), col("n_win"),
+        round(col("sum_u").cast("double") / (col("n_win") * unitScale), 6)
+          .as("avg_win"))
   }
 }

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Fuzzy
+
+class FuzzySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture = Seq(
+    (1L, "cat"), (2L, "cap"), (3L, "cart"),     // block c: dists 1|2, 1|3 = 1
+    (4L, "dog"), (5L, "dig"),                   // block d: dist 1
+    (6L, "dodge"),                              // block d: len prune vs dog/dig
+    (7L, "zebra")                               // singleton block — no pairs
+  ).toDF("id", "name")
+
+  test("editDistancePairs: within-block verify at the distance cap") {
+    val out = Fuzzy.editDistancePairs(fixture, "id", "name",
+        substring(col("name"), 1, 1), maxDist = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._2))
+    // (cat,cap)=1, (cat,cart)=1, (cap,cart)=2 dropped, (dog,dig)=1,
+    // dodge pruned by |len| > 1 before levenshtein, zebra has no block peer
+    assert(out.toSeq === Seq((1L, 2L, 1), (1L, 3L, 1), (4L, 5L, 1)))
+  }
+
+  test("editDistancePairs: id_a < id_b — no self or symmetric duplicates") {
+    val out = Fuzzy.editDistancePairs(fixture, "id", "name",
+        substring(col("name"), 1, 1), maxDist = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(out.forall { case (a, b) => a < b })
+    assert(out.distinct.length === out.length)
+  }
+
+  test("editDistancePairs: exact duplicates surface at dist 0") {
+    val dups = Seq((1L, "same"), (2L, "same")).toDF("id", "name")
+    val out = Fuzzy.editDistancePairs(dups, "id", "name", lit("b"), maxDist = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(out.toSeq === Seq((1L, 2L, 0)))
+  }
+}

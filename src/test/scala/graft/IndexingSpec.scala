@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Indexing
+
+class IndexingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("globalIndex: contiguous 0-based ids in key order across partitions") {
+    // shuffled input over several partitions; keys 0..499 unique
+    val df = scala.util.Random.shuffle((0L until 500L).toList)
+      .toDF("k").repartition(7)
+    val out = Indexing.globalIndex(df, "k", numPartitions = 5)
+      .select("k", "global_idx").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2).toSeq === (0L until 500L))   // idx follows key order
+    assert(out.map(_._1).toSeq === (0L until 500L))
+  }
+
+  test("globalIndex matches row_number over the key and keeps other columns") {
+    val df = Seq((30L, "c"), (10L, "a"), (20L, "b")).toDF("k", "v")
+    val out = Indexing.globalIndex(df, "k").orderBy("global_idx")
+      .select("k", "v", "global_idx").as[(Long, String, Long)].collect()
+    assert(out.toSeq === Seq((10L, "a", 0L), (20L, "b", 1L), (30L, "c", 2L)))
+  }
+
+  test("globalIndex: empty input yields empty output with the stamped schema") {
+    val df = spark.range(0).toDF("k")
+    val out = Indexing.globalIndex(df, "k")
+    assert(out.columns.toSeq === Seq("k", "global_idx"))
+    assert(out.count() === 0)
+  }
+}

@@ -66,6 +66,36 @@ class IvfSpec extends SparkSpec {
     assert(cands < full, s"partial probe must prune candidates ($cands vs $full)")
   }
 
+  test("semDedup: within-cell keep-first marking, cells never mix") {
+    // two orthogonal cells; ids 1,2,3 route to cell 0 and 4,5 to cell 1.
+    // 2 duplicates 1 (same direction), 3 is orthogonal-ish only to cell-1
+    // vectors — near-dups ACROSS cells are deliberately not compared.
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(2.0f, 0.2f)),   // cos(1,2) = 1 → dup of 1
+      (3L, Array(1.0f, -0.9f)),  // cell 0 (closer to x-axis), far from 1 and 2
+      (4L, Array(0.1f, 1.0f)),
+      (5L, Array(0.1f, 1.0f))    // exact copy of 4 → dup
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(df, "vec_id", "embedding", cents, 0.95)
+      .orderBy("vec_id")
+      .select("vec_id", "cell", "is_dup").as[(Long, Int, Boolean)].collect()
+    assert(got.map(_._2).toSeq === Seq(0, 0, 0, 1, 1))
+    assert(got.map(_._3).toSeq === Seq(false, true, false, false, true))
+  }
+
+  test("semDedup is idempotent: dropping marked dups leaves no new dups") {
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(2.0f, 0.0f)), (3L, Array(3.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val first = Similarity.semDedup(df, "vec_id", "embedding", cents, 0.95)
+    val kept = df.join(first.filter(!col("is_dup")).select("vec_id"), "vec_id")
+    val second = Similarity.semDedup(kept, "vec_id", "embedding", cents, 0.95)
+    assert(second.filter(col("is_dup")).count() === 0)
+  }
+
   test("centroids: elementwise mean and member count per label") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f), 0),

@@ -109,6 +109,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Union"), "one pass over events, not a scan per granularity")
   }
 
+  test("cube_agg: all four granularities from one Expand pass") {
+    val plan = planOf(SparkEntry.queries("cube_agg")(spark, Sf))
+    assert(plan.contains("Expand"), "cube compiles to Expand")
+    assert(!plan.contains("Union"), "one pass over events, not a scan per granularity")
+  }
+
+  test("rolling_stats: range frame, single window pass, no self-join") {
+    val plan = planOf(SparkEntry.queries("rolling_stats")(spark, Sf))
+    assert(plan.contains("RangeFrame"), "range frame in the window spec")
+    // both rolling aggregates share ONE Window operator (one sort, one pass)
+    assert("(?m)^\\s*\\+?-?\\s*Window ".r.findAllIn(plan).size === 1)
+    assert(!plan.contains("Join"), "rolling stats never self-joins the series")
+  }
+
+  test("fuzzy_pairs: blocked equi-join, never a nested-loop all-pairs") {
+    val plan = planOf(SparkEntry.queries("fuzzy_pairs")(spark, Sf))
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      "candidates come from the block equi-join")
+  }
+
   test("pairs pipeline: all four hourly consumers read the persisted stage") {
     // (the DECLARED pairs_daily reads the GoldCache parquet — the self-join
     // runs once inside the gold build, which is itself the point; this pins

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Pq
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 4 vectors of 8 dims → m=2 subspaces × 4 dims, ksub=4. Values chosen so
+  // every subspace slice of every codebook row is distinct.
+  private val emb = Seq(
+    (0L, Seq(0f, 0f, 0f, 0f, 9f, 9f, 9f, 9f)),
+    (1L, Seq(1f, 1f, 1f, 1f, 5f, 5f, 5f, 5f)),
+    (2L, Seq(4f, 4f, 4f, 4f, 1f, 1f, 1f, 1f)),
+    (3L, Seq(8f, 8f, 8f, 8f, 0f, 0f, 0f, 0f)),
+    // near vec 1 in subspace 0, near vec 3 in subspace 1
+    (4L, Seq(1.2f, 1.2f, 0.8f, 0.9f, 0.1f, 0f, 0.2f, 0f)),
+    // near vec 3 in subspace 0, near vec 0 in subspace 1
+    (5L, Seq(7.5f, 8.1f, 8f, 8.2f, 9.4f, 8.8f, 9f, 9.1f))
+  ).toDF("vec_id", "embedding")
+
+  private lazy val cb = Pq.codebookFromFirst(emb, "vec_id", "embedding", m = 2, ksub = 4)
+
+  test("codebookFromFirst slices the first ksub vectors per subspace") {
+    assert(cb.length === 2 && cb(0).length === 4 && cb(0)(0).length === 4)
+    assert(cb(0)(3).toSeq === Seq(8.0, 8.0, 8.0, 8.0))
+    assert(cb(1)(0).toSeq === Seq(9.0, 9.0, 9.0, 9.0))
+  }
+
+  test("encode: codebook rows encode to their own index in every subspace") {
+    val out = Pq.encode(emb.filter(col("vec_id") < 4), "vec_id", "embedding", cb)
+      .orderBy("vec_id").select("code0", "code1").as[(Int, Int)].collect()
+    assert(out.toSeq === (0 until 4).map(j => (j, j)))
+  }
+
+  test("encode picks the argmin centroid independently per subspace") {
+    val out = Pq.encode(emb, "vec_id", "embedding", cb)
+      .filter(col("vec_id") >= 4).orderBy("vec_id")
+      .select("code0", "code1").as[(Int, Int)].collect()
+    assert(out.toSeq === Seq((1, 3), (3, 0)))
+  }
+}

@@ -42,6 +42,37 @@ class StatsSpec extends SparkSpec {
     assert(out.head._3 === 1.0 && out.last._4 === 200.0)
   }
 
+  test("rolling range stats: trailing window, inclusive bound, peers, keys isolated") {
+    def t(s: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val df = Seq(
+      (1L, 1L, t(0), 1.0),
+      (2L, 1L, t(30), 3.0),
+      (3L, 1L, t(90), 5.0),   // frame [30, 90]: includes id 2 (60 s back, inclusive)
+      (4L, 1L, t(151), 7.0),  // frame [91, 151]: id 3 at 90 just outside
+      (5L, 1L, t(151), 9.0),  // peer of id 4 — range frame sees both
+      (6L, 2L, t(30), 100.0)  // other key: never mixes
+    ).toDF("id", "k", "ts", "v")
+    val out = graft.ops.TimeSeries
+      .rollingRangeStats(df, "id", "k", "ts", "v", windowSec = 60)
+      .select("id", "n_win", "avg_win").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(out === Seq(
+      (1L, 1L, 1.0), (2L, 2L, 2.0), (3L, 2L, 4.0),
+      (4L, 2L, 8.0), (5L, 2L, 8.0), (6L, 1L, 100.0)))
+  }
+
+  test("rolling range stats: null values counted out of the mean, not the row set") {
+    def t(s: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val df = Seq((1L, 1L, t(0), Some(2.0)), (2L, 1L, t(10), None))
+      .toDF("id", "k", "ts", "v")
+    val out = graft.ops.TimeSeries
+      .rollingRangeStats(df, "id", "k", "ts", "v", windowSec = 60)
+      .select("id", "n_win", "avg_win").as[(Long, Long, Option[Double])]
+      .collect().sortBy(_._1).toSeq
+    // row 2 emits (its frame holds one non-null value), nulls never shrink rows
+    assert(out === Seq((1L, 1L, Some(2.0)), (2L, 1L, Some(2.0))))
+  }
+
   test("gap fill: dense hourly grid per key over the key's own span") {
     val df = Seq(
       (1L, "2024-01-01 00:10:00"), (1L, "2024-01-01 00:50:00"), // 2 in hour 0
