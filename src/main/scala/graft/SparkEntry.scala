@@ -935,6 +935,25 @@ object SparkEntry {
       val cb = Pq.codebookFromFirst(emb, "vec_id", "embedding", PqM, PqKsub)
       Pq.encode(emb, "vec_id", "embedding", cb).orderBy("vec_id")
     }),
+
+    // PQ ADC search: query cohort keeps real vectors + broadcast LUTs; the
+    // corpus streams as codes only (m ints/vector) — the full PQ search path
+    "pq_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = Pq.codebookFromFirst(emb, "vec_id", "embedding", PqM, PqKsub)
+      val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+      Pq.adcTopK(codes, emb.filter(col("vec_id") < IvfQueryMax),
+          "vec_id", "embedding", cb, k = 5)
+        .select(col("q"), col("n_id"), round(col("adc"), 6).as("adc"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("q", "rn")
+    }),
+
+    // self-trained word-bigram LM fluency score (the KenLM-perplexity role):
+    // per-doc mean transition log-prob, integer micro-nat sums
+    "lm_score" -> ((s, d) =>
+      TextOps.bigramLmScore(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
   )
 
   // ------------------------------------------------------------- oracle SQL
@@ -2126,5 +2145,66 @@ object SparkEntry {
          |  $codeCols
          |FROM r WHERE pr = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
     },
+
+    // corpus codes from the pq_encode CTE (long form), query-side full
+    // sub-distances (q·q − 2 q·c + |c|², the engine's exact LUT chain), pair
+    // distance = ordered per-subspace list folded left-to-right — the same
+    // strict summation order as the engine's fixed lookup+add chain
+    "pq_topk" -> {
+      val dsub = EmbedDims / PqM
+      def sq(v: String, s: Int) = (1 to dsub).map(i =>
+        s"$v[${s * dsub + i}]*$v[${s * dsub + i}]").mkString(" + ")
+      def cross(a: String, b: String, s: Int) = (1 to dsub).map(i =>
+        s"$a[${s * dsub + i}]*$b[${s * dsub + i}]").mkString(" + ")
+      val dSelects = (0 until PqM).map { s =>
+        s"""SELECT e.vec_id, $s AS s, c.j,
+           |    (${sq("c.v", s)}) - CAST('2.0' AS DOUBLE) * (${cross("e.v", "c.v", s)}) AS dd
+           |  FROM e, c""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      val qdSelects = (0 until PqM).map { s =>
+        s"""SELECT e.vec_id AS q, $s AS s, c.j,
+           |    (${sq("e.v", s)}) - CAST('2.0' AS DOUBLE) * (${cross("e.v", "c.v", s)}) + (${sq("c.v", s)}) AS dd
+           |  FROM e, c WHERE e.vec_id < $IvfQueryMax""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c AS (SELECT vec_id AS j, v FROM e WHERE vec_id < $PqKsub),
+         |d AS (
+         |  $dSelects),
+         |r AS (SELECT vec_id, s, j, row_number() OVER
+         |    (PARTITION BY vec_id, s ORDER BY dd, j) AS pr FROM d),
+         |codes AS (SELECT vec_id AS n_id, s, j FROM r WHERE pr = 1),
+         |qd AS (
+         |  $qdSelects),
+         |terms AS (SELECT qd.q, codes.n_id, qd.s, qd.dd
+         |  FROM codes JOIN qd ON qd.s = codes.s AND qd.j = codes.j
+         |  WHERE qd.q <> codes.n_id),
+         |adc AS (SELECT q, n_id,
+         |    list_reduce(list(dd ORDER BY s), (x, y) -> x + y) AS adc
+         |  FROM terms GROUP BY q, n_id),
+         |rr AS (SELECT *, row_number() OVER
+         |    (PARTITION BY q ORDER BY adc, n_id) AS rn FROM adc)
+         |SELECT q, n_id, round(adc, 6) AS adc, CAST(rn AS BIGINT) AS rn
+         |FROM rr WHERE rn <= 5 ORDER BY q, rn""".stripMargin
+    },
+
+    // micro-nat quantization BEFORE the per-doc sum keeps the aggregate
+    // integer-exact in both engines; ln() ulp noise is sub-quantum
+    "lm_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bgf AS (SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |  SELECT doc_id, unnest([{'w1': ts[i], 'w2': ts[i+1]}
+        |                         for i in range(1, len(ts))]) AS b
+        |  FROM toks)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bgf GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bgf GROUP BY 1),
+        |model AS (SELECT c2.w1, c2.w2,
+        |    CAST(round(ln(CAST(c2.c2 AS DOUBLE) / c1.c1) * 1000000) AS BIGINT) AS lp_u
+        |  FROM c2 JOIN c1 USING (w1)),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    CAST(sum(lp_u) AS BIGINT) AS lp_sum
+        |  FROM bgf JOIN model USING (w1, w2) GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  round(CAST(lp_sum AS DOUBLE) / 1000000.0 / n_bigrams, 6) AS avg_logp
+        |FROM sc ORDER BY doc_id""".stripMargin,
   )
 }

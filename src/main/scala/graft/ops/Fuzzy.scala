@@ -25,6 +25,10 @@ object Fuzzy {
   /** Within-block pairs (id_a < id_b) at Levenshtein distance ≤ `maxDist`.
     * Output: (id_a, id_b, dist). The length prune runs before the distance;
     * `blockKey` is evaluated once per row on the build side of the join.
+    * The verify uses the thresholded `levenshtein(a, b, maxDist)` form —
+    * banded DP, O(len·maxDist) per pair instead of O(len²), returning −1 as
+    * soon as the band exceeds the cap (then filtered). Distances of the
+    * surviving pairs are exact either way.
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         blockKey: Column, maxDist: Int): DataFrame = {
@@ -37,7 +41,7 @@ object Fuzzy {
       .filter(col("id_a") < col("id_b") &&
         abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
       .select(col("id_a"), col("id_b"),
-        levenshtein(col("s_a"), col("s_b")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("s_a"), col("s_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
   }
 }

@@ -62,6 +62,51 @@ object Pq {
     sliced.select(col(idCol) +: codes: _*)
   }
 
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query keeps its REAL
+    * vector; every corpus vector is represented only by its m codes. Distance
+    * ≈ Σ_s ‖q_s − centroid(code_s)‖², read from a per-query lookup table of
+    * m × ksub precomputed sub-distances — the search side of the PQ paper.
+    *
+    * Scale shape: the corpus side streams CODES ONLY (m ints per vector —
+    * the whole point: the scan is ~100× narrower than raw vectors); the
+    * query cohort with its LUT arrays is a broadcast; the per-pair distance
+    * is a fixed chain of m array lookups + adds inside codegen (strict
+    * left-to-right, so any engine reproduces it bit-for-bit); `rn <= k`
+    * compiles to WindowGroupLimit per-task heaps.
+    *
+    * Output: (q, n_id, adc, rn) — squared-L2 ADC distance, ascending.
+    */
+  def adcTopK(corpusCodes: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, codebook: Array[Array[Array[Double]]],
+              k: Int): DataFrame = {
+    val m = codebook.length
+    require(m > 0 && codebook.forall(_.nonEmpty), "codebook must be non-empty")
+    val dsub = codebook(0)(0).length
+    val qsliced = queries.select(
+      col(idCol).as("q") +:
+        (0 until m).map(s =>
+          slice(Similarity.vecd(col(vecCol)), s * dsub + 1, dsub).as(s"__s$s")): _*)
+    // LUT_s[j] = ‖q_s − c_j‖² expanded as (q·q − 2 q·c) + |c|², every term a
+    // fixed-order chain the oracle mirrors verbatim
+    val luts = (0 until m).map { s =>
+      val qs = col(s"__s$s")
+      array(codebook(s).map { c =>
+        vec_dot(qs, qs) - lit(2.0) * vec_dot(qs, typedLit(c.toSeq)) +
+          lit(c.map(x => x * x).sum)
+      }: _*).as(s"__lut$s")
+    }
+    val q = broadcast(qsliced.select(col("q") +: luts: _*))
+    val adc = (0 until m).map(s =>
+      element_at(col(s"__lut$s"), col(s"code$s") + 1)).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("adc"), col("n_id"))
+    corpusCodes.withColumnRenamed(corpusCodes.columns.head, "n_id")
+      .join(q, col("q") =!= col("n_id"))
+      .select(col("q"), col("n_id"), adc.as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Codebook from the corpus itself: subspace s's centroids are the s-th
     * slices of the first `ksub` vectors by id — the deterministic stand-in
     * for an offline-trained codebook (same role as the fixed [[Ivf]]

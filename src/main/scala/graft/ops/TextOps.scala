@@ -259,6 +259,45 @@ object TextOps {
     * per-doc window compiles to WindowGroupLimit (per-task heaps before the
     * shuffle). The term dictionary join is AQE-broadcast when it fits.
     */
+  /** Self-trained word-bigram language-model fluency score — the
+    * KenLM-perplexity role in a quality-filter stack (Gopher/CCNet rank
+    * documents by LM log-prob; a corpus-trained n-gram model is its
+    * deterministic, dependency-free stand-in). `P(w2|w1) = cnt(w1 w2) /
+    * cnt(w1 ·)` over the whole corpus; a document's score is the mean
+    * log-prob of its bigram transitions — low = disfluent/rare transitions.
+    *
+    * Determinism: each transition's log-prob quantizes to integer micro-nats
+    * BEFORE the per-doc sum, so the aggregate is an exact integer in any
+    * partitioning/engine; only the closing mean divides in floating point.
+    *
+    * Scale: two count shuffles over the bigram stream (map-side combined),
+    * one model join keyed on the bigram (dictionary-sized right side → AQE
+    * broadcast), one per-doc rollup. Docs with <2 tokens have no transitions
+    * and drop out — score them with a length prior upstream.
+    */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ts = col("__ts")
+    val bigrams = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
+      .select(col("doc_id"), explode(when(size(ts) >= 2,
+        transform(sequence(lit(1), size(ts) - 1), i =>
+          struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val model = c2.join(c1, "w1")
+      .select(col("w1"), col("w2"),
+        round(log(col("c2").cast("double") / col("c1")) * 1000000).cast("long")
+          .as("lp_u"))
+    bigrams.join(model, Seq("w1", "w2")) // self-trained: every transition hits
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_u")).as("lp_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("lp_sum").cast("double") / 1000000.0 / col("n_bigrams"), 6)
+          .as("avg_logp"))
+  }
+
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
     require(k > 0, "k must be positive")

@@ -40,4 +40,16 @@ class PqSpec extends SparkSpec {
       .select("code0", "code1").as[(Int, Int)].collect()
     assert(out.toSeq === Seq((1, 3), (3, 0)))
   }
+
+  test("adcTopK: lookup-table distances rank the coded corpus, self excluded") {
+    // query v0 = (0⁴, 9⁴): LUT₀ = [0,4,64,256], LUT₁ = [0,64,256,324];
+    // codes: v1=(1,1) → 68, v5=(3,0) → 256, v2=(2,2) → 320, v4=(1,3) → 328,
+    // v3=(3,3) → 580
+    val codes = Pq.encode(emb, "vec_id", "embedding", cb)
+    val got = Pq.adcTopK(codes, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", cb, k = 5)
+      .orderBy("rn").select("n_id", "adc").as[(Long, Double)].collect()
+    assert(got.map(_._1).toSeq === Seq(1L, 5L, 2L, 4L, 3L))
+    assert(got.map(_._2).toSeq === Seq(68.0, 256.0, 320.0, 328.0, 580.0))
+  }
 }

@@ -41,4 +41,24 @@ class TextFeaturesSpec extends SparkSpec {
     val out = TextOps.tfidfTopK(docs, "doc_id", "text", k = 10)
     assert(out.count() === 2)
   }
+
+  test("bigramLmScore: corpus transition probabilities, micro-nat quantized") {
+    // c1(a·) = 3; every transition has P = 1/3 → score ln(1/3) for both docs
+    val docs = Seq((1L, "a a b"), (2L, "a c"), (3L, "solo")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))   // <2-token doc has no score
+    assert(out.map(_._2).toSeq === Seq(2L, 1L))
+    out.foreach(r => assert(math.abs(r._3 - math.log(1.0 / 3)) < 1e-5))
+  }
+
+  test("bigramLmScore: fluent (frequent) transitions outscore rare ones") {
+    val docs = Seq((1L, "x y x y x y"), (2L, "x z")).toDF("doc_id", "text")
+    val out = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, Long, Double)].collect()
+    // doc1: 3×P(y|x)=3/4 + 2×P(x|y)=1 → avg ≈ −0.173; doc2: P(z|x)=1/4 → −1.386
+    assert(out(0)._3 > out(1)._3)
+    assert(math.abs(out(0)._3 - 3 * math.log(0.75) / 5) < 1e-5)
+    assert(math.abs(out(1)._3 - math.log(0.25)) < 1e-5)
+  }
 }
