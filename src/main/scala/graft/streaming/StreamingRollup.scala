@@ -47,4 +47,24 @@ object StreamingRollup {
   def fileStream(spark: org.apache.spark.sql.SparkSession, glob: String,
                  schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream.schema(schema).option("maxFilesPerTrigger", "16").csv(glob)
+
+  /** Session-window rollup via the BUILT-IN `session_window` aggregate — the
+    * declarative counterpart of [[SessionTracks]]' custom
+    * flatMapGroupsWithState trips: windows merge while events arrive within
+    * `gap` of each other and close when the watermark passes last-event +
+    * gap. State per (uid, open session) is managed by the engine — use this
+    * form when per-session output needs no custom per-event logic; drop to
+    * SessionTracks when it does (hard caps, custom emission).
+    */
+  def sessionized(events: DataFrame, uidCol: String, tsCol: String,
+                  posCol: String, gap: String,
+                  watermark: String = "2 hours"): DataFrame =
+    events
+      .filter(col(uidCol).isNotNull && col(tsCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(uidCol).as("uid"), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"), avg(col(posCol)).as("avg_pos"))
+      .select(col("uid"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"),
+        col("avg_pos"))
 }

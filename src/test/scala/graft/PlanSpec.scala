@@ -129,6 +129,31 @@ class PlanSpec extends SparkSpec {
       "candidates come from the block equi-join")
   }
 
+  test("tfidf_topk: per-doc top-k is a map-side group limit") {
+    val plan = planOf(SparkEntry.queries("tfidf_topk")(spark, Sf))
+    assert(plan.contains("WindowGroupLimit"),
+      "rk <= k must compile to per-task heaps, not a full window sort")
+  }
+
+  test("semdedup: cell routing broadcasts the codebook, pairs stay keyed") {
+    val plan = planOf(SparkEntry.queries("semdedup")(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "the centroid relation must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "within-cell pairs come from the cell equi-join")
+  }
+
+  test("pq_topk: search reads materialized codes — no corpus re-encode") {
+    val plan = planOf(SparkEntry.queries("pq_topk")(spark, Sf))
+    assert(plan.contains("WindowGroupLimit"),
+      "rn <= k must compile to per-task heaps")
+    // the corpus side scans the materialized gold parquet of codes (the
+    // query side still slices its own vectors for the LUTs — that is the
+    // broadcast cohort, not the corpus)
+    assert(plan.contains("graft-gold"),
+      "search must read the materialized code index, not re-encode the corpus")
+  }
+
   test("pairs pipeline: all four hourly consumers read the persisted stage") {
     // (the DECLARED pairs_daily reads the GoldCache parquet — the self-join
     // runs once inside the gold build, which is itself the point; this pins

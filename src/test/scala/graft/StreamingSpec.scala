@@ -43,6 +43,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window rollup merges gap-close events, splits on the gap") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = StreamingRollup.sessionized(
+      mem.toDF.toDF("user_id", "ts", "value"), "user_id", "ts", "value",
+      gap = "10 minutes", watermark = "1 hour")
+    val q = sessions.writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      // 10:00 + 10:05 merge (within gap); 10:30 starts a second session
+      mem.addData((1L, ts("10:00"), 10.0), (1L, ts("10:05"), 20.0),
+        (1L, ts("10:30"), 30.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts("13:00"), 0.0)) // advance watermark → close both
+      q.processAllAvailable()
+      val out = spark.table("session_out")
+        .filter(col("uid") === 1L).orderBy("session_start").collect()
+      assert(out.length === 2)
+      assert(out(0).getAs[Long]("n_events") === 2L)
+      assert(out(0).getAs[Double]("avg_pos") === 15.0)
+      // session end = last event + gap (merged window extends per event)
+      assert(out(0).getAs[Timestamp]("session_end") === ts("10:15"))
+      assert(out(1).getAs[Long]("n_events") === 1L)
+      assert(out(1).getAs[Timestamp]("session_end") === ts("10:40"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops repeated fingerprints within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
