@@ -78,7 +78,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         maxDocsPerShingle: Int = Int.MaxValue): DataFrame = {
-    val sh0 = shingleRows(df, idCol, textCol, n)
+    // the tokenize+explode is the single most expensive narrow stage and has
+    // TWO consumers under the guard (the hot count and the anti-join probe) —
+    // materialize it once, like any production dedup job's shingle table;
+    // callers own the cache boundary (see the object doc)
+    val sh0raw = shingleRows(df, idCol, textCol, n)
+    val sh0 =
+      if (maxDocsPerShingle == Int.MaxValue) sh0raw
+      else sh0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shUnp =
       if (maxDocsPerShingle == Int.MaxValue) sh0
       else {
