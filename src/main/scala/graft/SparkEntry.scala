@@ -345,6 +345,22 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // part-dimension rollup: broadcast dim join + exact integer-cent sums —
+    // the star-schema fact×dim aggregate over the one table the other
+    // relational queries don't touch
+    "brand_volume" -> ((s, d) => {
+      val qc = round(col("l_quantity") * 100).cast("long")
+      val cents = round(col("l_extendedprice") * 100).cast("long")
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(qc) / lit(100.0), 2).as("sum_qty"),
+          round(sum(cents) / lit(100.0), 2).as("revenue"))
+        .orderBy("p_brand")
+    }),
+
     // TPC-H Q3 shape: dim-filtered 3-way join → revenue top-k. customer is
     // the small side (broadcast); lineitem never shuffles for the join
     "q3_topk" -> ((s, d) => {
@@ -1190,6 +1206,14 @@ object SparkEntry {
         |       round(avg(l_discount), 6) AS avg_disc,
         |       CAST(count(*) AS BIGINT) AS count_order
         |FROM c GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "brand_volume" ->
+      """SELECT p.p_brand,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  round(CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_qty,
+        |  round(CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS revenue
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY p_brand""".stripMargin,
 
     "q3_topk" ->
       """SELECT l_orderkey,
