@@ -38,4 +38,27 @@ class FuzzySpec extends SparkSpec {
       .as[(Long, Long, Int)].collect()
     assert(out.toSeq === Seq((1L, 2L, 0)))
   }
+
+  test("editDistancePairs agree with brute force within blocks on random strings") {
+    val rnd = new scala.util.Random(7)
+    def word() = (1 to 3 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val rows = (1L to 120L).map(i => (i, word()))
+    val df = rows.toDF("id", "name")
+    val got = Fuzzy.editDistancePairs(df, "id", "name",
+        substring(col("name"), 1, 1), maxDist = 2)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      (ia, sa) <- rows; (ib, sb) <- rows
+      if ia < ib && sa.head == sb.head && math.abs(sa.length - sb.length) <= 2
+      dist = lev(sa, sb) if dist <= 2
+    } yield (ia, ib) -> dist).toMap
+    assert(got === want)
+  }
 }

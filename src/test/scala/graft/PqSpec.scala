@@ -41,6 +41,24 @@ class PqSpec extends SparkSpec {
     assert(out.toSeq === Seq((1, 3), (3, 0)))
   }
 
+  test("encode agrees with brute-force per-subspace argmin on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 60L).map(i => (i, Array.fill(8)(rnd.nextInt(100) / 10.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val book = Pq.codebookFromFirst(df, "vec_id", "embedding", m = 2, ksub = 4)
+    val got = Pq.encode(df, "vec_id", "embedding", book)
+      .select("vec_id", "code0", "code1").as[(Long, Int, Int)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    vecs.foreach { case (id, v) =>
+      def argmin(s: Int): Int = {
+        val sub = v.slice(s * 4, s * 4 + 4).map(_.toDouble)
+        val d = book(s).map(c => sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+        d.zipWithIndex.minBy { case (dist, j) => (dist, j) }._2
+      }
+      assert(got(id) === ((argmin(0), argmin(1))), s"codes for vec $id")
+    }
+  }
+
   test("adcTopK: lookup-table distances rank the coded corpus, self excluded") {
     // query v0 = (0⁴, 9⁴): LUT₀ = [0,4,64,256], LUT₁ = [0,64,256,324];
     // codes: v1=(1,1) → 68, v5=(3,0) → 256, v2=(2,2) → 320, v4=(1,3) → 328,

@@ -73,6 +73,27 @@ class StatsSpec extends SparkSpec {
     assert(out === Seq((1L, 1L, Some(2.0)), (2L, 1L, Some(2.0))))
   }
 
+  test("rolling range stats agree with a brute-force frame on randomized data") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 300).map { i =>
+      (i.toLong, rnd.nextInt(5).toLong, rnd.nextInt(500), rnd.nextInt(2000) / 100.0)
+    }
+    def t(s: Int) = java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    val df = rows.map { case (id, k, s, v) => (id, k, t(s), v) }.toDF("id", "k", "ts", "v")
+    val got = graft.ops.TimeSeries
+      .rollingRangeStats(df, "id", "k", "ts", "v", windowSec = 60)
+      .select("id", "n_win", "avg_win").as[(Long, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { case (id, k, s, _) =>
+      val frame = rows.filter(r => r._2 == k && r._3 <= s && r._3 >= s - 60)
+      val units = frame.map(r => math.round(r._4 * 10000))
+      val want = BigDecimal(units.sum.toDouble / (units.length * 10000))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 === units.length.toLong, s"n_win for id=$id")
+      assert(math.abs(got(id)._2 - want) < 1e-9, s"avg_win for id=$id")
+    }
+  }
+
   test("gap fill: dense hourly grid per key over the key's own span") {
     val df = Seq(
       (1L, "2024-01-01 00:10:00"), (1L, "2024-01-01 00:50:00"), // 2 in hour 0
