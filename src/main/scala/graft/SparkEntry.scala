@@ -635,6 +635,18 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
+    // incremental dedup: the new batch probes the standing corpus's
+    // fingerprint-only index — daily ingest dedup at O(batch + index keys),
+    // the standing text is never rescanned
+    "incr_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val standing = Dedup.exact(docs.filter(col("doc_id") < 400), "doc_id", "text")
+        .select("fp")
+      Dedup.incrementalExact(docs.filter(col("doc_id") >= 400), "doc_id", "text",
+          standing)
+        .orderBy("doc_id")
+    }),
+
     // n-gram Jaccard near-dup pairs (3-token shingles, keyed join)
     "dedup_ngram" -> ((s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
@@ -1645,6 +1657,19 @@ object SparkEntry {
         |r AS (SELECT doc_id, fp,
         |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f)
         |SELECT doc_id, fp, rn > 1 AS is_dup FROM r ORDER BY doc_id""".stripMargin,
+
+    "incr_dedup" ->
+      """WITH f AS (SELECT doc_id,
+        |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp FROM documents),
+        |standing AS (SELECT DISTINCT fp FROM f WHERE doc_id < 400),
+        |batch AS (SELECT doc_id, fp,
+        |  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM f WHERE doc_id >= 400)
+        |SELECT b.doc_id, b.fp,
+        |  (b.rn > 1 OR s.fp IS NOT NULL) AS is_dup,
+        |  (s.fp IS NOT NULL) AS dup_of_standing
+        |FROM batch b LEFT JOIN standing s ON b.fp = s.fp
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_ngram" ->
       s"""$ShingleCte,

@@ -65,6 +65,28 @@ object Dedup {
       .select(col(idCol), col("fp"), (col("rn") > 1).as("is_dup"))
   }
 
+  /** Incremental exact dedup: a NEW batch against the standing corpus's
+    * fingerprint index, without rescanning the standing corpus. The index is
+    * fingerprints only (16 bytes/doc — the gold artifact a daily dedup job
+    * maintains); within-batch keep-first runs exactly like [[exact]], and a
+    * batch doc also counts as dup when its fingerprint already exists in the
+    * index. At 100 TB this is the shape that makes daily ingest dedup
+    * O(|batch| + |index keys|), not O(corpus): bucket the index by `fp` and
+    * the probe join is exchange-free on the index side.
+    *
+    * Output per batch row: (id, fp, is_dup, dup_of_standing).
+    */
+  def incrementalExact(newDocs: DataFrame, idCol: String, textCol: String,
+                       standingFps: DataFrame, fpCol: String = "fp"): DataFrame = {
+    val batch = exact(newDocs, idCol, textCol)
+    val seen = standingFps.select(col(fpCol).as("fp")).distinct()
+      .withColumn("__seen", lit(true))
+    batch.join(seen, Seq("fp"), "left")
+      .select(col(idCol), col("fp"),
+        (col("is_dup") || coalesce(col("__seen"), lit(false))).as("is_dup"),
+        coalesce(col("__seen"), lit(false)).as("dup_of_standing"))
+  }
+
   /** n-gram Jaccard near-dup pairs: explode distinct shingles, group docs by
     * shingle (keyed, not all-pairs), emit each shingle's C(d,2) pairs from
     * the sorted doc list, Jaccard = |∩| / |∪|. `threshold` prunes the

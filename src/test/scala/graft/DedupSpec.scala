@@ -13,6 +13,23 @@ import graft.ops.{Dedup, Similarity, TextOps}
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("incremental exact dedup: batch-internal and standing dups flagged apart") {
+    val docs = Seq(
+      (1L, "old one"), (2L, "old two"),
+      (10L, "old one"),                 // fp exists in the standing index
+      (11L, "fresh"), (12L, "Fresh"),   // canonicalized fp → batch-internal dup
+      (13L, "unique")
+    ).toDF("doc_id", "text")
+    val standing = graft.ops.Dedup
+      .exact(docs.filter(col("doc_id") < 10), "doc_id", "text").select("fp")
+    val out = graft.ops.Dedup
+      .incrementalExact(docs.filter(col("doc_id") >= 10), "doc_id", "text", standing)
+      .orderBy("doc_id").select("doc_id", "is_dup", "dup_of_standing")
+      .as[(Long, Boolean, Boolean)].collect()
+    assert(out.toSeq === Seq((10L, true, true), (11L, false, false),
+      (12L, true, false), (13L, false, false)))
+  }
+
   test("shingles: distinct 3-grams; short texts yield empty, not descending sequence") {
     val df = Seq("a b c d", "a b", "", "x y z x y z").toDF("text")
     val got = df.select(Dedup.shingles(col("text")).as("s"))
