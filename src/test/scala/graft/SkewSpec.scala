@@ -23,6 +23,37 @@ class SkewSpec extends SparkSpec {
     assert(salted.length === 1000)
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (the first skew defense)") {
+    // salting is the manual fallback; the FIRST line of defense at scale is
+    // AQE's OptimizeSkewedJoin — prove it fires on a hot key under
+    // test-sized thresholds
+    val conf = Map(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val prev = conf.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val large = ((1 to 20000).map(i => ("hot", s"payload-$i-${"x" * 20}")) ++
+        (1 to 500).map(i => (s"k${i % 50}", s"p$i"))).toDF("key", "v")
+      val small = (Seq("hot") ++ (0 until 50).map(i => s"k$i")).map((_, 1)).toDF("key", "w")
+      val joined = large.join(small, Seq("key"))
+      // execute THIS plan (count() builds its own QueryExecution and the
+      // adaptive plan under inspection would stay isFinalPlan=false)
+      assert(joined.collect().length === 20000 + 500)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE must mark the hot partition as skew-split, plan was:\n${finalPlan.take(1500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted left join preserves unmatched rows") {
     val large = Seq(("a", 1), ("b", 2)).toDF("key", "v")
     val small = Seq(("a", 9.0)).toDF("key", "w")
