@@ -36,8 +36,12 @@ object Indexing {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // persist the sorted frame: zipWithIndex runs a partition-size count job
+    // BEFORE the real one — unpersisted, the range shuffle + sort (the
+    // dominant cost) would execute twice; callers own the cache boundary
     val sorted = df.repartitionByRange(parts, col(keyCol))
       .sortWithinPartitions(keyCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = StructType(
       sorted.schema.fields :+ StructField("global_idx", LongType, nullable = false))
     val stamped = sorted.rdd.zipWithIndex.map { case (r, i) =>

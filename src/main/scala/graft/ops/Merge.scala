@@ -37,7 +37,10 @@ object Merge {
     *   - the changelog is first netted to its latest row per key;
     *   - net op `D` deletes the key (even if it only ever existed in the
     *     changelog — insert-then-delete nets to absent);
-    *   - any other net op upserts the changelog payload;
+    *   - any other net op upserts the changelog payload WHOLESALE — a NULL
+    *     in the net row nulls the column (`MERGE … UPDATE SET col = src.col`
+    *     semantics; a coalesce here would silently resurrect the old value
+    *     and make clearing a field impossible);
     *   - untouched snapshot keys pass through.
     *
     * Output: `keyCol`, each payload column (changelog value wins), and
@@ -59,7 +62,8 @@ object Merge {
     snap.join(net, Seq(keyCol), "full_outer")
       .filter(col("__op").isNull || col("__op") =!= "D")
       .select(col(keyCol) +:
-        payloadCols.map(c => coalesce(col(s"__c_$c"), col(c)).as(c)) :+
+        payloadCols.map(c =>
+          when(col("__op").isNotNull, col(s"__c_$c")).otherwise(col(c)).as(c)) :+
         col("__op").isNotNull.as("changed"): _*)
   }
 

@@ -100,7 +100,9 @@ object Pq {
       element_at(col(s"__lut$s"), col(s"code$s") + 1)).reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q")).orderBy(col("adc"), col("n_id"))
-    corpusCodes.withColumnRenamed(corpusCodes.columns.head, "n_id")
+    require(corpusCodes.columns.contains(idCol),
+      s"corpusCodes must carry the id column '$idCol' (got ${corpusCodes.columns.mkString(", ")})")
+    corpusCodes.withColumnRenamed(idCol, "n_id")
       .join(q, col("q") =!= col("n_id"))
       .select(col("q"), col("n_id"), adc.as("adc"))
       .withColumn("rn", row_number().over(w))

@@ -30,10 +30,13 @@ object RangeJoin {
                       loCol: String, hiCol: String,
                       binWidth: Double): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
+    // a malformed interval (hi < lo) emits no bins: the default descending
+    // sequence would generate junk bins that only the residual filter kills
+    val binLo = floor(col(loCol) / binWidth).cast("long")
+    val binHi = floor(col(hiCol) / binWidth).cast("long")
     val binned = ranges.withColumn("__bin",
-      explode(sequence(
-        floor(col(loCol) / binWidth).cast("long"),
-        floor(col(hiCol) / binWidth).cast("long"))))
+      explode(when(binHi >= binLo, sequence(binLo, binHi))
+        .otherwise(array().cast("array<long>"))))
     probe.withColumn("__bin", floor(probeCol / binWidth).cast("long"))
       .join(binned, Seq("__bin"))
       .filter(probeCol >= col(loCol) && probeCol < col(hiCol))

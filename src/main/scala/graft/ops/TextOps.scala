@@ -166,8 +166,14 @@ object TextOps {
                               k: Int = 8, p: Int = 16, minShared: Int = 2,
                               maxDocsPerHash: Int = Int.MaxValue): DataFrame = {
     require(minShared >= 1, "minShared must be at least 1")
-    val fp0 = rollingFingerprints(df, idCol, textCol, k, p)
+    // the rolling-hash explode + distinct has two consumers under the guard
+    // (hot count + anti-join probe) — materialize it once, same as the
+    // shingle frame in Dedup.ngramJaccardPairs; callers own the cache boundary
+    val fp0raw = rollingFingerprints(df, idCol, textCol, k, p)
       .select(col(idCol).as("doc_id"), col("h")).distinct()
+    val fp0 =
+      if (maxDocsPerHash == Int.MaxValue) fp0raw
+      else fp0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fpUnp =
       if (maxDocsPerHash == Int.MaxValue) fp0
       else {
@@ -246,19 +252,6 @@ object TextOps {
       .limit(topK)
   }
 
-  /** Per-document top-k TF-IDF terms — the classic keyword/feature extractor
-    * (retrieval features, topic fingerprints, cluster labeling).
-    * `score = tf · ln((N+1)/(df+1))` with the +1 smoothing that keeps
-    * corpus-wide terms finite; ties break on the term string so the ranking
-    * is total.
-    *
-    * Plan shape at scale: one shuffle for per-(doc, term) counts (map-side
-    * combined), the document-frequency table derives from THAT frame (already
-    * one row per doc-term — no second pass over the corpus), the corpus size
-    * joins in as a broadcast single-row aggregate, and `rk <= k` over the
-    * per-doc window compiles to WindowGroupLimit (per-task heaps before the
-    * shuffle). The term dictionary join is AQE-broadcast when it fits.
-    */
   /** Self-trained word-bigram language-model fluency score — the
     * KenLM-perplexity role in a quality-filter stack (Gopher/CCNet rank
     * documents by LM log-prob; a corpus-trained n-gram model is its
@@ -298,6 +291,19 @@ object TextOps {
           .as("avg_logp"))
   }
 
+  /** Per-document top-k TF-IDF terms — the classic keyword/feature extractor
+    * (retrieval features, topic fingerprints, cluster labeling).
+    * `score = tf · ln((N+1)/(df+1))` with the +1 smoothing that keeps
+    * corpus-wide terms finite; ties break on the term string so the ranking
+    * is total.
+    *
+    * Plan shape at scale: one shuffle for per-(doc, term) counts (map-side
+    * combined), the document-frequency table derives from THAT frame (already
+    * one row per doc-term — no second pass over the corpus), the corpus size
+    * joins in as a broadcast single-row aggregate, and `rk <= k` over the
+    * per-doc window compiles to WindowGroupLimit (per-task heaps before the
+    * shuffle). The term dictionary join is AQE-broadcast when it fits.
+    */
   def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
     require(k > 0, "k must be positive")

@@ -76,9 +76,16 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     val binP = Alias(binOf(probe, w), "__gbin_p")()
     val newProbe = Project(probeSide.output :+ binP, probeSide)
     // Sequence is TimeZoneAware — an undefined zone leaves it (and the whole
-    // rewritten plan) unresolved, which the optimizer's validator rejects
-    val gen = Explode(Sequence(binOf(lo, w), binOf(hi, w),
-      Some(Literal(1L)), Some(spark.sessionState.conf.sessionLocalTimeZone)))
+    // rewritten plan) unresolved, which the optimizer's validator rejects.
+    // A malformed interval (hi < lo) must stay a benign no-match like the
+    // original nested loop, not a Sequence boundary error: emit no bins.
+    val binLo = binOf(lo, w)
+    val binHi = binOf(hi, w)
+    val bins = If(GreaterThanOrEqual(binHi, binLo),
+      Sequence(binLo, binHi, Some(Literal(1L)),
+        Some(spark.sessionState.conf.sessionLocalTimeZone)),
+      Literal.create(Seq.empty[Long], org.apache.spark.sql.types.ArrayType(LongType)))
+    val gen = Explode(bins)
     val elem = gen.elementSchema.head
     val binR = AttributeReference("__gbin_r", elem.dataType, elem.nullable)()
     val newRange = Generate(gen, Nil, outer = false, None, Seq(binR), rangeSide)

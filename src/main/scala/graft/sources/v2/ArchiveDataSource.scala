@@ -2,9 +2,6 @@ package graft.sources.v2
 
 import java.util
 
-import scala.jdk.CollectionConverters._
-
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{Path => HadoopPath}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -42,10 +39,20 @@ class ArchiveDataSource extends TableProvider with DataSourceRegister {
     ArchiveDataSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-                        properties: util.Map[String, String]): Table =
+                        properties: util.Map[String, String]): Table = {
+    // a user-supplied .schema(...) is honored only as a (name, type) subset
+    // of the fixed layout — anything else would silently misread
+    val bad = schema.fields.filterNot(f =>
+      ArchiveDataSource.Schema.fields.exists(g =>
+        g.name == f.name && g.dataType == f.dataType))
+    require(bad.isEmpty,
+      s"graft-archive columns are ${ArchiveDataSource.Schema.simpleString}; " +
+        s"unsupported: ${bad.map(_.name).mkString(", ")}")
     new ArchiveTable(Option(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException(
-        "graft-archive requires a path: spark.read.format(\"graft-archive\").load(glob)")))
+        "graft-archive requires a path: spark.read.format(\"graft-archive\").load(glob)")),
+      schema)
+  }
 }
 
 object ArchiveDataSource {
@@ -55,26 +62,25 @@ object ArchiveDataSource {
     StructField("line", StringType, nullable = false)))
 }
 
-private[v2] class ArchiveTable(glob: String) extends Table with SupportsRead {
+private[v2] class ArchiveTable(glob: String, tableSchema: StructType)
+    extends Table with SupportsRead {
   override def name(): String = s"graft-archive($glob)"
-  override def schema(): StructType = ArchiveDataSource.Schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ArchiveScanBuilder(glob)
+    new ArchiveScanBuilder(glob, tableSchema)
 }
 
-private[v2] class ArchiveScanBuilder(glob: String)
+private[v2] class ArchiveScanBuilder(glob: String, tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = ArchiveDataSource.Schema
+  private var required: StructType = tableSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = new ArchiveScan(glob, required)
 }
 
-private[v2] case class ArchivePartition(path: String,
-                                        confKV: Array[(String, String)])
-    extends InputPartition
+private[v2] case class ArchivePartition(path: String) extends InputPartition
 
 private[v2] class ArchiveScan(glob: String, required: StructType)
     extends Scan with Batch {
@@ -85,7 +91,6 @@ private[v2] class ArchiveScan(glob: String, required: StructType)
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = SparkSession.active
     val hconf = spark.sparkContext.hadoopConfiguration
-    val confKV = hconf.asScala.map(e => (e.getKey, e.getValue)).toArray
     val p = new HadoopPath(glob)
     val fs = p.getFileSystem(hconf)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
@@ -94,28 +99,33 @@ private[v2] class ArchiveScan(glob: String, required: StructType)
       else Seq(st)
     }
     files.sortBy(_.getPath.toString)
-      .map(st => ArchivePartition(st.getPath.toString, confKV): InputPartition)
+      .map(st => ArchivePartition(st.getPath.toString): InputPartition)
       .toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new ArchiveReaderFactory(required.fieldNames)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ONE broadcast copy of the Hadoop conf for the whole scan — partitions
+    // carry only their path (a conf inside every partition would ship
+    // O(n_files × conf size) task bytes)
+    val spark = SparkSession.active
+    val bc = spark.sparkContext.broadcast(
+      org.apache.spark.sql.graftbridge.bridge.serializableConf(
+        spark.sparkContext.hadoopConfiguration))
+    new ArchiveReaderFactory(required.fieldNames, bc)
+  }
 }
 
-private[v2] class ArchiveReaderFactory(fields: Array[String])
+private[v2] class ArchiveReaderFactory(
+    fields: Array[String],
+    conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.sql.graftbridge.bridge.SerConf])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ap = partition.asInstanceOf[ArchivePartition]
     new PartitionReader[InternalRow] {
-      private val conf = {
-        val c = new Configuration(false)
-        ap.confKV.foreach { case (k, v) => c.set(k, v) }
-        c
-      }
       private val hp = new HadoopPath(ap.path)
       private var stream: java.io.InputStream = _
       private val it = ArchiveSource.decodeStream(ap.path, () => {
-        stream = hp.getFileSystem(conf).open(hp)
+        stream = hp.getFileSystem(conf.value.value).open(hp)
         stream
       })
       private val pathUtf = UTF8String.fromString(ap.path)

@@ -12,12 +12,16 @@ import graft.ops.Merge
   * (the batch half is the dynamic-partition-overwrite refresh in
   * [[graft.ops.GoldPipeline]], `refresh_gold_tables.py:156-170`).
   *
-  * Exactly-once state: the snapshot is rewritten atomically per batch
-  * (parquet overwrite of a single logical table), and the merge is
-  * idempotent — re-applying a replayed batch nets to the same snapshot, so
-  * checkpoint-recovery replays are safe. That idempotence is exactly what
-  * `applyChangelog` guarantees: latest-by-seq netting makes duplicate or
-  * re-ordered deliveries of the same change rows collapse.
+  * Exactly-once state: each batch stages the merged snapshot to a temp dir,
+  * then swaps it in with renames (live → .bak, staging → live, drop .bak) —
+  * a crash at any point leaves either the old snapshot or the backup on
+  * disk, never silent emptiness, and [[readSnapshot]] refuses to bootstrap
+  * when a backup exists (an interrupted swap must be restored, not papered
+  * over). The merge itself is idempotent — re-applying a replayed batch
+  * nets to the same snapshot, so checkpoint-recovery replays are safe.
+  * That idempotence is exactly what `applyChangelog` guarantees:
+  * latest-by-seq netting makes duplicate or re-ordered deliveries of the
+  * same change rows collapse.
   *
   * Scale: each micro-batch shuffles only the batch (netting) plus one keyed
   * merge against the snapshot. A production deployment points this at a
@@ -41,26 +45,45 @@ object StreamingUpsert {
             readSnapshot(spark, snapshotDir, keyCol, seqCol, payloadCols),
             batch, keyCol, seqCol, opCol, payloadCols)
           .drop("changed")
-        // materialize BEFORE overwriting: the merge reads the directory the
-        // write replaces (collect-free: stage through a per-batch temp dir)
-        val tmp = snapshotDir + ".staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(snapshotDir)
+        // materialize BEFORE touching the live dir (the merge reads the
+        // directory the swap replaces), then swap via renames — a parquet
+        // overwrite of the live dir would delete the only copy first and a
+        // mid-write crash loses the accumulated state
+        val live = new org.apache.hadoop.fs.Path(snapshotDir)
+        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = new org.apache.hadoop.fs.Path(snapshotDir + ".staging")
+        val bak = new org.apache.hadoop.fs.Path(snapshotDir + ".bak")
+        merged.write.mode("overwrite").parquet(tmp.toString)
+        fs.delete(bak, true)
+        if (fs.exists(live)) fs.rename(live, bak)
+        fs.rename(tmp, live)
+        fs.delete(bak, true)
+        ()
       }
       .start()
 
-  /** Current snapshot, or an empty keyed frame before the first batch. */
+  /** Current snapshot; an empty keyed frame only before the FIRST batch.
+    * A missing live dir with a backup present means a swap was interrupted —
+    * fail loudly (restore `.bak`) instead of silently restarting from empty.
+    */
   def readSnapshot(spark: SparkSession, snapshotDir: String, keyCol: String,
-                   seqCol: String, payloadCols: Seq[String]): DataFrame =
-    try spark.read.parquet(snapshotDir)
-    catch {
-      case _: org.apache.spark.sql.AnalysisException =>
-        // bootstrap: empty snapshot with the payload schema (key + payload);
-        // seq lives in the payload when callers carry it through
-        val cols = (keyCol +: payloadCols).distinct
-        spark.range(0).select(
-          col("id").as(keyCol) +:
-            payloadCols.filterNot(_ == keyCol).map(c => lit(null).as(c)): _*)
-          .select(cols.map(col): _*)
+                   seqCol: String, payloadCols: Seq[String]): DataFrame = {
+    val live = new org.apache.hadoop.fs.Path(snapshotDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bak = new org.apache.hadoop.fs.Path(snapshotDir + ".bak")
+    if (fs.exists(live)) spark.read.parquet(snapshotDir)
+    else if (fs.exists(bak))
+      throw new IllegalStateException(
+        s"snapshot at $snapshotDir is missing but a backup exists at $bak — " +
+          "an interrupted swap; restore the backup before restarting the stream")
+    else {
+      // bootstrap: empty snapshot with the payload schema (key + payload);
+      // seq lives in the payload when callers carry it through
+      val cols = (keyCol +: payloadCols).distinct
+      spark.range(0).select(
+        col("id").as(keyCol) +:
+          payloadCols.filterNot(_ == keyCol).map(c => lit(null).as(c)): _*)
+        .select(cols.map(col): _*)
     }
+  }
 }

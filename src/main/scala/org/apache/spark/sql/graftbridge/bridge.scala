@@ -23,4 +23,11 @@ object bridge {
                        info: ExpressionInfo,
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+
+  /** `SerializableConfiguration` is `private[spark]`; sources broadcast ONE
+    * copy of the Hadoop conf instead of shipping it inside every partition.
+    */
+  type SerConf = org.apache.spark.util.SerializableConfiguration
+  def serializableConf(c: org.apache.hadoop.conf.Configuration): SerConf =
+    new org.apache.spark.util.SerializableConfiguration(c)
 }

@@ -30,6 +30,17 @@ class MergeSpec extends SparkSpec {
       (4L, "d1", 23L, true)))  // pure insert
   }
 
+  test("applyChangelog: an upsert can null out a payload field (MERGE SET semantics)") {
+    // CDC sources clear fields with NULL in the change row — the snapshot
+    // value must NOT resurrect through a coalesce
+    val changes = Seq((1L, 20L, "U", null.asInstanceOf[String]))
+      .toDF("k", "seq", "op", "v")
+    val out = Merge.applyChangelog(snapshot, changes, "k", "seq", "op", Seq("v"))
+      .filter(col("k") === 1L).select("v", "changed")
+      .as[(Option[String], Boolean)].collect()
+    assert(out.toSeq === Seq((None, true)))
+  }
+
   test("applyChangelog with an empty changelog is the snapshot") {
     val changes = Seq.empty[(Long, Long, String, String)]
       .toDF("k", "seq", "op", "v")

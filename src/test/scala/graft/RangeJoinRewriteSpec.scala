@@ -65,6 +65,20 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("rewritten plan treats a malformed interval (hi < lo) as a no-match") {
+    withFresh { s =>
+      import s.implicits._
+      (0 until 20).map(_.toDouble).toDF("v").createOrReplaceTempView("probe")
+      Seq(("ok", 0.0, 5.0), ("bad", 10.0, 2.0))
+        .toDF("name", "lo", "hi").createOrReplaceTempView("ranges")
+      s.conf.set("spark.graft.rangeJoinBinWidth", "2.0")
+      // before the guard, Sequence(binLo, binHi, 1) threw on the bad row —
+      // the rule must preserve the nested loop's benign no-match semantics
+      val got = s.sql(sql).as[(Double, String)].collect().toSet
+      assert(got === (0 until 5).map(v => (v.toDouble, "ok")).toSet)
+    }
+  }
+
   test("without the conf the rule is inert (nested loop, same rows)") {
     withFresh { s =>
       import s.implicits._

@@ -31,6 +31,14 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.filter(_._1 == 22.0).map(_._2).sorted === Seq("b", "c"))
   }
 
+  test("malformed interval (hi < lo) is a benign no-match, not an error") {
+    val probe = Seq(5.0, 7.0).toDF("v")
+    val bad = Seq(("ok", 0.0, 10.0), ("bad", 10.0, 3.0)).toDF("name", "lo", "hi")
+    val got = RangeJoin.binnedRangeJoin(probe, col("v"), bad, "lo", "hi", 2.0)
+      .select("v", "name").as[(Double, String)].collect()
+    assert(got.forall(_._2 == "ok") && got.length === 2)
+  }
+
   test("binned range join plans as an equi-join, not a nested loop") {
     val probe = Seq.tabulate(100)(i => i.toDouble).toDF("v")
     val plan = RangeJoin.binnedRangeJoin(probe, col("v"), ranges, "lo", "hi", 10.0)

@@ -129,6 +129,18 @@ class SourcesSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions === 2)
   }
 
+  test("DSv2: a user schema is honored as a subset, rejected otherwise") {
+    val subset = spark.read.format("graft-archive")
+      .schema("line STRING").load(s"$archiveDir/*.zip")
+    assert(subset.columns.toSeq === Seq("line"))
+    assert(subset.collect().length === 4)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft-archive")
+        .schema("nope STRING").load(s"$archiveDir/*.zip").collect()
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+
   test("DSv2: required-column pushdown prunes the scan schema") {
     val df = spark.read.format("graft-archive").load(s"$archiveDir/*.zip")
       .select("line")

@@ -241,6 +241,21 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert readSnapshot refuses to bootstrap over an interrupted swap") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ups-bak").toString
+    val snapDir = root + "/t"
+    // only the backup exists — the state a crash between renames leaves
+    Seq((1L, 1.0)).toDF("k", "v").write.parquet(snapDir + ".bak")
+    val e = intercept[IllegalStateException] {
+      StreamingUpsert.readSnapshot(spark, snapDir, "k", "seq", Seq("v", "seq"))
+    }
+    assert(e.getMessage.contains(".bak"))
+    // with no live dir AND no backup it bootstraps empty as before
+    val boot = StreamingUpsert.readSnapshot(spark, root + "/fresh", "k", "seq",
+      Seq("v", "seq"))
+    assert(boot.columns.toSeq === Seq("k", "v", "seq") && boot.count() === 0)
+  }
+
   test("multimodal batched decode: histogram computed from real bytes, batch shape bounded") {
     val media = Seq(
       Multimodal.MediaRow(1L, "img", Array.fill[Byte](256)(0)),
