@@ -1998,8 +1998,8 @@ object SparkEntry {
          |      AS BIGINT) AS total_tokens
          |  FROM d)
          |SELECT doc_id, source, n_tokens, cum_tokens, total_tokens,
-         |  CAST(cum_tokens AS DOUBLE)
-         |    <= CAST('$ToppP' AS DOUBLE) * CAST(total_tokens AS DOUBLE) AS keep
+         |  CAST(cum_tokens - n_tokens AS DOUBLE)
+         |    < CAST('$ToppP' AS DOUBLE) * CAST(total_tokens AS DOUBLE) AS keep
          |FROM w ORDER BY doc_id""".stripMargin,
 
     // mirror of BitsetDistinct.finish: positions are the engine's stable

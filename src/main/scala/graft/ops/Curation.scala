@@ -171,8 +171,13 @@ object Curation {
     df.select(col(idCol), col(domainCol), tokensCol.cast("long").as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(run))
       .withColumn("total_tokens", sum(col("n_tokens")).over(all))
+      // nucleus semantics: keep the smallest prefix whose cumulative mass
+      // REACHES p — i.e. keep while the mass BEFORE this doc is still short
+      // of the budget. Always keeps ≥ 1 doc per domain (a doc holding more
+      // than p of the domain on its own must not zero the domain out).
       .withColumn("keep",
-        col("cum_tokens").cast("double") <= lit(p) * col("total_tokens").cast("double"))
+        (col("cum_tokens") - col("n_tokens")).cast("double")
+          < lit(p) * col("total_tokens").cast("double"))
   }
 
   /** Per-domain document cap (RefinedWeb/C4-style): rank each domain's

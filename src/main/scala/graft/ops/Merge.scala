@@ -55,16 +55,19 @@ object Merge {
   def applyChangelog(snapshot: DataFrame, changes: DataFrame, keyCol: String,
                      seqCol: String, opCol: String,
                      payloadCols: Seq[String]): DataFrame = {
+    // a non-nullable literal marks changelog presence — keying "touched" off
+    // the op column would silently drop updates whose op value is NULL
+    // (null op = upsert per the "anything but D" contract)
     val net = latestByKey(changes, keyCol, seqCol)
-      .select(col(keyCol) +: col(opCol).as("__op") +:
+      .select(col(keyCol) +: col(opCol).as("__op") +: lit(true).as("__touched") +:
         payloadCols.map(c => col(c).as(s"__c_$c")): _*)
     val snap = snapshot.select(col(keyCol) +: payloadCols.map(col): _*)
     snap.join(net, Seq(keyCol), "full_outer")
-      .filter(col("__op").isNull || col("__op") =!= "D")
+      .filter(col("__touched").isNull || col("__op").isNull || col("__op") =!= "D")
       .select(col(keyCol) +:
         payloadCols.map(c =>
-          when(col("__op").isNotNull, col(s"__c_$c")).otherwise(col(c)).as(c)) :+
-        col("__op").isNotNull.as("changed"): _*)
+          when(col("__touched").isNotNull, col(s"__c_$c")).otherwise(col(c)).as(c)) :+
+        col("__touched").isNotNull.as("changed"): _*)
   }
 
   /** Build SCD-type-2 history from a change stream: each change row opens a

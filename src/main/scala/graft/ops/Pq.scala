@@ -46,18 +46,16 @@ object Pq {
         (0 until m).map(s =>
           slice(Similarity.vecd(col(vecCol)), s * dsub + 1, dsub).as(s"__s$s")): _*)
     val codes = (0 until m).map { s =>
-      // rank by |c|² − 2·v·c (|v|² is argmin-invariant); fold keeps the
-      // lowest index on ties — the same contract as Ivf assignment
-      val dists = codebook(s).zipWithIndex.map { case (c, j) =>
-        val d = lit(c.map(x => x * x).sum) -
+      // rank by |c|² − 2·v·c (|v|² is argmin-invariant). Linear argmin:
+      // array_position finds the FIRST occurrence of the minimum, so ties
+      // break to the lowest index — the same contract as Ivf assignment.
+      // (A when-chain fold embeds the running best twice per step: an
+      // O(2^ksub) expression tree that stalls analysis at real ksub.)
+      val dists = array(codebook(s).map { c =>
+        lit(c.map(x => x * x).sum) -
           lit(2.0) * vec_dot(col(s"__s$s"), typedLit(c.toSeq))
-        (d, j)
-      }
-      val best = dists.tail.foldLeft((dists.head._1, lit(0))) {
-        case ((bd, bj), (d, j)) =>
-          (when(d < bd, d).otherwise(bd), when(d < bd, lit(j)).otherwise(bj))
-      }
-      best._2.cast("int").as(s"code$s")
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int").as(s"code$s")
     }
     sliced.select(col(idCol) +: codes: _*)
   }

@@ -220,11 +220,13 @@ object Similarity {
     */
   def semDedup(emb: DataFrame, idCol: String, vecCol: String,
                centroids: Array[Array[Double]], threshold: Double): DataFrame = {
-    val cells = Ivf.assignToCentroids(emb, idCol, vecCol, centroids)
-      .toDF("vid", "cell")
-    val e = emb.select(col(idCol).as("vid"), vecd(col(vecCol)).as("v"))
+    // buildFixed carries the vector WITH its cell assignment out of one pass
+    // — re-joining emb on the id just to reattach vectors would add a
+    // corpus-wide shuffle and a second scan
+    val member = Ivf.buildFixed(emb, idCol, vecCol, centroids).assigned
+      .select(col("vid"), col("v"), col("list_id").as("cell"))
       .withColumn("nrm", l2norm(col("v")))
-    val member = cells.join(e, "vid")
+    val cells = member.select(col("vid"), col("cell"))
     val a = member.select(col("vid").as("id_a"), col("v").as("va"),
       col("nrm").as("na"), col("cell"))
     val b = member.select(col("vid").as("id_b"), col("v").as("vb"),

@@ -270,6 +270,10 @@ object TextOps {
     */
   def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ts = col("__ts")
+    // the tokenize+explode stream has two consumers (the model aggregate and
+    // the scoring probe join) — materialize it once; callers own the cache
+    // boundary. The prefix counts derive from the bigram counts algebraically
+    // (Σ_w2 c2 = c1, exact integers), saving a third corpus pass entirely.
     val bigrams = df
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
       .select(col("doc_id"), explode(when(size(ts) >= 2,
@@ -277,8 +281,9 @@ object TextOps {
           struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val model = c2.join(c1, "w1")
       .select(col("w1"), col("w2"),
         round(log(col("c2").cast("double") / col("c1")) * 1000000).cast("long")

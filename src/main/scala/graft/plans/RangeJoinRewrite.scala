@@ -23,10 +23,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * Activation: set `spark.graft.rangeJoinBinWidth` (a positive double, read
   * per query) to the expected interval length. Bin fanout per interval is
   * `ceil(len/width) + 1` — the same contract as `RangeJoin.binnedRangeJoin`.
-  * The rule matches only the exact two-conjunct containment shape with the
-  * probe on one side and both bounds on the other (all numeric, all
-  * deterministic); the rewritten join's condition carries a leading bin
-  * equality, so it can never re-match in the fixed-point batch.
+  * The rule matches the two-conjunct containment shape with the probe on one
+  * side and both bounds on the other (all numeric, all deterministic) — each
+  * bound in either spelling (`x >= lo` / `lo <= x`, `x < hi` / `hi > x`) and
+  * the conjuncts in either order; the rewritten join's condition carries a
+  * leading bin equality, so it can never re-match in the fixed-point batch.
   */
 case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
@@ -50,20 +51,48 @@ case class RangeJoinRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       lo.references.subsetOf(rangeSide.outputSet) &&
       hi.references.subsetOf(rangeSide.outputSet)
 
+  /** `x >= lo` in either spelling (`x >= lo` / `lo <= x`) → (x, lo). */
+  private object LowerBound {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case GreaterThanOrEqual(x, lo) => Some((x, lo))
+      case LessThanOrEqual(lo, x) => Some((x, lo))
+      case _ => None
+    }
+  }
+
+  /** `x < hi` in either spelling (`x < hi` / `hi > x`) → (x, hi). */
+  private object UpperBound {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case LessThan(x, hi) => Some((x, hi))
+      case GreaterThan(hi, x) => Some((x, hi))
+      case _ => None
+    }
+  }
+
+  /** The two conjuncts in either order, each bound in either spelling. */
+  private object Containment {
+    def unapply(e: Expression): Option[(Expression, Expression, Expression)] =
+      e match {
+        case And(LowerBound(x1, lo), UpperBound(x2, hi))
+            if x1.semanticEquals(x2) => Some((x1, lo, hi))
+        case And(UpperBound(x2, hi), LowerBound(x1, lo))
+            if x1.semanticEquals(x2) => Some((x1, lo, hi))
+        case _ => None
+      }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = width match {
     case None => plan
     case Some(w) => plan.transformUp {
       // probe on the left, interval on the right
-      case j @ Join(left, right, Inner,
-          Some(And(GreaterThanOrEqual(x1, lo), LessThan(x2, hi))), hint)
-          if x1.semanticEquals(x2) && containment(x1, lo, hi, left, right) =>
-        rewrite(j.condition.get, left, right, x1, lo, hi, w, hint,
+      case j @ Join(left, right, Inner, Some(Containment(x, lo, hi)), hint)
+          if containment(x, lo, hi, left, right) =>
+        rewrite(j.condition.get, left, right, x, lo, hi, w, hint,
           probeLeft = true)
       // interval on the left, probe on the right
-      case j @ Join(left, right, Inner,
-          Some(And(GreaterThanOrEqual(x1, lo), LessThan(x2, hi))), hint)
-          if x1.semanticEquals(x2) && containment(x1, lo, hi, right, left) =>
-        rewrite(j.condition.get, right, left, x1, lo, hi, w, hint,
+      case j @ Join(left, right, Inner, Some(Containment(x, lo, hi)), hint)
+          if containment(x, lo, hi, right, left) =>
+        rewrite(j.condition.get, right, left, x, lo, hi, w, hint,
           probeLeft = false)
     }
   }

@@ -130,17 +130,30 @@ private[v2] class ArchiveReaderFactory(
       })
       private val pathUtf = UTF8String.fromString(ap.path)
       private var current: (String, String) = _
+      // resolve field names to slots ONCE — the row loop is the scan's hot
+      // path and must not pattern-match strings or allocate Seqs per row
+      private val slots: Array[Int] = fields.map {
+        case "path" => 0
+        case "member" => 1
+        case "line" => 2
+      }
+      private val row =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(slots.length)
 
       override def next(): Boolean =
         if (it.hasNext) { current = it.next(); true } else false
 
       override def get(): InternalRow = {
-        val values: Array[Any] = fields.map {
-          case "path" => pathUtf
-          case "member" => UTF8String.fromString(current._1)
-          case "line" => UTF8String.fromString(current._2)
+        var i = 0
+        while (i < slots.length) {
+          row.update(i, slots(i) match {
+            case 0 => pathUtf
+            case 1 => UTF8String.fromString(current._1)
+            case 2 => UTF8String.fromString(current._2)
+          })
+          i += 1
         }
-        InternalRow.fromSeq(values.toSeq)
+        row
       }
 
       override def close(): Unit = if (stream != null) stream.close()

@@ -41,8 +41,13 @@ object StreamingUpsert {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        // the bootstrap schema comes from the STREAM's own types — fabricating
+        // one (e.g. a long key) breaks or corrupts the first batch of any
+        // stream keyed by another type
+        val snapSchema = org.apache.spark.sql.types.StructType(
+          (keyCol +: payloadCols).distinct.map(n => batch.schema(n)))
         val merged = Merge.applyChangelog(
-            readSnapshot(spark, snapshotDir, keyCol, seqCol, payloadCols),
+            readSnapshot(spark, snapshotDir, snapSchema),
             batch, keyCol, seqCol, opCol, payloadCols)
           .drop("changed")
         // materialize BEFORE touching the live dir (the merge reads the
@@ -62,12 +67,13 @@ object StreamingUpsert {
       }
       .start()
 
-  /** Current snapshot; an empty keyed frame only before the FIRST batch.
-    * A missing live dir with a backup present means a swap was interrupted —
-    * fail loudly (restore `.bak`) instead of silently restarting from empty.
+  /** Current snapshot; an empty frame of `bootstrapSchema` only before the
+    * FIRST batch. A missing live dir with a backup present means a swap was
+    * interrupted — fail loudly (restore `.bak`) instead of silently
+    * restarting from empty.
     */
-  def readSnapshot(spark: SparkSession, snapshotDir: String, keyCol: String,
-                   seqCol: String, payloadCols: Seq[String]): DataFrame = {
+  def readSnapshot(spark: SparkSession, snapshotDir: String,
+                   bootstrapSchema: org.apache.spark.sql.types.StructType): DataFrame = {
     val live = new org.apache.hadoop.fs.Path(snapshotDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bak = new org.apache.hadoop.fs.Path(snapshotDir + ".bak")
@@ -76,14 +82,8 @@ object StreamingUpsert {
       throw new IllegalStateException(
         s"snapshot at $snapshotDir is missing but a backup exists at $bak — " +
           "an interrupted swap; restore the backup before restarting the stream")
-    else {
-      // bootstrap: empty snapshot with the payload schema (key + payload);
-      // seq lives in the payload when callers carry it through
-      val cols = (keyCol +: payloadCols).distinct
-      spark.range(0).select(
-        col("id").as(keyCol) +:
-          payloadCols.filterNot(_ == keyCol).map(c => lit(null).as(c)): _*)
-        .select(cols.map(col): _*)
-    }
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bootstrapSchema)
   }
 }

@@ -432,4 +432,13 @@ class CurationSpec extends SparkSpec {
     val out = Curation.topPByTokens(df, "id", "domain", col("toks"), p = 1.0)
     assert(out.filter(!col("keep")).count() === 0)
   }
+
+  test("top-p cap: a domain whose first doc exceeds the budget still keeps it") {
+    import spark.implicits._
+    // nucleus semantics: the smallest prefix REACHING p — never zero docs
+    val df = Seq((1L, "d", 90L), (2L, "d", 5L), (3L, "d", 5L))
+      .toDF("id", "domain", "toks")
+    val out = Curation.topPByTokens(df, "id", "domain", col("toks"), p = 0.5)
+    assert(out.filter(col("keep")).count() === 1)
+  }
 }

@@ -30,6 +30,15 @@ class MergeSpec extends SparkSpec {
       (4L, "d1", 23L, true)))  // pure insert
   }
 
+  test("applyChangelog: a NULL net op upserts (anything-but-D contract)") {
+    val changes = Seq((1L, 20L, null.asInstanceOf[String], "a9"))
+      .toDF("k", "seq", "op", "v")
+    val out = Merge.applyChangelog(snapshot, changes, "k", "seq", "op", Seq("v"))
+      .filter(col("k") === 1L).select("v", "changed")
+      .as[(String, Boolean)].collect()
+    assert(out.toSeq === Seq(("a9", true)))
+  }
+
   test("applyChangelog: an upsert can null out a payload field (MERGE SET semantics)") {
     // CDC sources clear fields with NULL in the change row — the snapshot
     // value must NOT resurrect through a coalesce

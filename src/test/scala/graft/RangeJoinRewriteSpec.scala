@@ -65,6 +65,24 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("rule matches either conjunct order and either bound spelling") {
+    withFresh { s =>
+      import s.implicits._
+      setup(s)
+      s.conf.set("spark.graft.rangeJoinBinWidth", "10.0")
+      for (cond <- Seq(
+          "r.lo <= p.v AND p.v < r.hi",   // lo on the left of <=
+          "p.v < r.hi AND p.v >= r.lo",   // conjuncts reversed
+          "r.hi > p.v AND r.lo <= p.v")) {// both bounds re-spelled
+        val df = s.sql(s"SELECT p.v, r.name FROM probe p JOIN ranges r ON $cond")
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+          s"rule did not fire for '$cond':\n${plan.take(400)}")
+        assert(df.as[(Double, String)].collect().toSet === expected, cond)
+      }
+    }
+  }
+
   test("rewritten plan treats a malformed interval (hi < lo) as a no-match") {
     withFresh { s =>
       import s.implicits._

@@ -242,18 +242,38 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("upsert readSnapshot refuses to bootstrap over an interrupted swap") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("k", StringType),
+      StructField("v", DoubleType), StructField("seq", LongType)))
     val root = java.nio.file.Files.createTempDirectory("graft-ups-bak").toString
     val snapDir = root + "/t"
     // only the backup exists — the state a crash between renames leaves
     Seq((1L, 1.0)).toDF("k", "v").write.parquet(snapDir + ".bak")
     val e = intercept[IllegalStateException] {
-      StreamingUpsert.readSnapshot(spark, snapDir, "k", "seq", Seq("v", "seq"))
+      StreamingUpsert.readSnapshot(spark, snapDir, schema)
     }
     assert(e.getMessage.contains(".bak"))
-    // with no live dir AND no backup it bootstraps empty as before
-    val boot = StreamingUpsert.readSnapshot(spark, root + "/fresh", "k", "seq",
-      Seq("v", "seq"))
+    // with no live dir AND no backup it bootstraps empty with the STREAM's
+    // schema (a string key stays a string — nothing fabricates a long)
+    val boot = StreamingUpsert.readSnapshot(spark, root + "/fresh", schema)
     assert(boot.columns.toSeq === Seq("k", "v", "seq") && boot.count() === 0)
+    assert(boot.schema("k").dataType === StringType)
+  }
+
+  test("streaming upsert works with a non-long (string) key from the first batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Long, String, Double)]
+    val changes = in.toDF.toDF("k", "seq", "op", "v")
+    val snapDir = java.nio.file.Files.createTempDirectory("graft-ups-str").toString + "/t"
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-ups-strcp").toString
+    val q = StreamingUpsert.upsertStream(changes, snapDir, cpDir,
+      "k", "seq", "op", Seq("v", "seq"))
+    try {
+      in.addData(("a", 1L, "U", 1.0), ("b", 2L, "U", 2.0))
+      q.processAllAvailable()
+      assert(spark.read.parquet(snapDir).select("k", "v").as[(String, Double)]
+        .collect().sortBy(_._1).toSeq === Seq(("a", 1.0), ("b", 2.0)))
+    } finally q.stop()
   }
 
   test("multimodal batched decode: histogram computed from real bytes, batch shape bounded") {
