@@ -93,6 +93,11 @@ object SparkEntry {
   private val BloomM = 4096
   private val BloomK = 2
 
+  /** value_hist sketch domain: 10 bins over [0, 500) + under/overflow. */
+  private val HistLo = 0.0
+  private val HistHi = 500.0
+  private val HistBins = 10
+
   /** Gap-fill cohort bound: user ids are dense from 0 at every SF, so `< 10`
     * keeps a fixed-size cohort and the dense grid stays O(10 × span-hours).
     */
@@ -874,6 +879,17 @@ object SparkEntry {
         .select(col("event_type"), col("n_exact"),
           col("sk.n_set").as("n_set"), col("sk.est_distinct").as("est_distinct"))
         .orderBy("event_type")
+    }),
+
+    // mergeable equi-width histogram sketch (typed Aggregator UDAF): one
+    // algebraic pass, no sort — the monitoring profile at fact-table scale
+    "value_hist" -> ((s, d) => {
+      val sk = Sketches.histogramSketch(HistLo, HistHi, HistBins)
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(sk(col("value")).as("h"))
+        .select(col("event_type"), posexplode(col("h")).as(Seq("slot", "cnt")))
+        .orderBy("event_type", "slot")
     }),
 
     // time-series densification: dense per-user hourly grid over each user's
@@ -2243,6 +2259,27 @@ object SparkEntry {
          |    (PARTITION BY q ORDER BY adc, n_id) AS rn FROM adc)
          |SELECT q, n_id, round(adc, 6) AS adc, CAST(rn AS BIGINT) AS rn
          |FROM rr WHERE rn <= 5 ORDER BY q, rn""".stripMargin
+    },
+
+    // same fixed bin edges; empty slots come from a generated (type, slot)
+    // grid so the flattened sketch rows match exactly
+    "value_hist" -> {
+      val w = (HistHi - HistLo) / HistBins
+      s"""WITH v AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+         |s AS (SELECT event_type,
+         |    CASE WHEN value < $HistLo THEN 0
+         |         WHEN value >= $HistHi THEN ${HistBins + 1}
+         |         ELSE 1 + least(${HistBins - 1},
+         |           CAST(floor((value - $HistLo) / $w) AS INTEGER)) END AS slot
+         |  FROM v),
+         |types AS (SELECT DISTINCT event_type FROM events),
+         |grid AS (SELECT event_type, CAST(r.range AS INTEGER) AS slot
+         |  FROM types, range(${HistBins + 2}) r),
+         |c AS (SELECT event_type, slot, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM s GROUP BY 1, 2)
+         |SELECT g.event_type, g.slot, coalesce(c.cnt, 0) AS cnt
+         |FROM grid g LEFT JOIN c USING (event_type, slot)
+         |ORDER BY event_type, slot""".stripMargin
     },
 
     // micro-nat quantization BEFORE the per-doc sum keeps the aggregate

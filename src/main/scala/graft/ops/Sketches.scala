@@ -81,8 +81,55 @@ class BitsetDistinct(m: Int, k: Int)
     Encoders.product[BitsetDistinctResult]
 }
 
+/** Mergeable equi-width histogram sketch as a typed `Aggregator`: `nBins`
+  * fixed-width buckets over `[lo, hi)` plus underflow/overflow slots. Unlike
+  * the exact `ntile` equi-DEPTH histogram ([[Stats.equiDepthHistogram]],
+  * which sorts each group), this is a one-pass algebraic aggregate: the
+  * buffer is `nBins + 2` longs, partials merge by element-wise addition
+  * (commutative/associative — identical under any partitioning or retry),
+  * and no sort happens anywhere. The standard monitoring-profile shape at
+  * fact-table scale; bin edges are plan-time constants, so every engine
+  * reproduces the counts exactly.
+  */
+class HistogramSketch(lo: Double, hi: Double, nBins: Int)
+    extends Aggregator[java.lang.Double, Array[Long], Seq[Long]] {
+  require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+  private val width = (hi - lo) / nBins
+
+  override def zero: Array[Long] = new Array[Long](nBins + 2) // [under, bins..., over]
+
+  override def reduce(b: Array[Long], v: java.lang.Double): Array[Long] = {
+    if (v != null) {
+      val x = v.doubleValue()
+      val slot =
+        if (x < lo) 0
+        else if (x >= hi) nBins + 1
+        else 1 + math.min(nBins - 1, ((x - lo) / width).toInt)
+      b(slot) += 1
+    }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
 object Sketches {
   /** Column-function form of [[BitsetDistinct]] for use in `agg(...)`. */
   def bitsetDistinct(m: Int, k: Int): UserDefinedFunction =
     udaf(new BitsetDistinct(m, k), Encoders.STRING)
+
+  /** Column-function form of [[HistogramSketch]]: counts array of length
+    * nBins + 2 — [underflow, bin 0 .. nBins-1, overflow].
+    */
+  def histogramSketch(lo: Double, hi: Double, nBins: Int): UserDefinedFunction =
+    udaf(new HistogramSketch(lo, hi, nBins), Encoders.DOUBLE)
 }

@@ -41,6 +41,34 @@ class SketchesSpec extends SparkSpec {
     assert(nSet(once) <= 2) // k=2 positions, possibly colliding
   }
 
+  test("histogram sketch: fixed bins, under/overflow slots, nulls uncounted") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sk = graft.ops.Sketches.histogramSketch(0.0, 10.0, 5)
+    val df = Seq[Option[Double]](
+      Some(-1.0),           // underflow
+      Some(0.0), Some(1.9), // bin 0
+      Some(2.0),            // bin 1 (boundary goes up)
+      Some(9.99),           // bin 4
+      Some(10.0), Some(42.0), // overflow (hi exclusive)
+      None                  // null → uncounted
+    ).map(v => ("g", v)).toDF("g", "v")
+    val h = df.groupBy("g").agg(sk(col("v")).as("h"))
+      .select("h").as[Seq[Long]].head()
+    assert(h === Seq(1L, 2L, 1L, 0L, 0L, 1L, 2L))
+    assert(h.sum === 7L) // everything but the null
+  }
+
+  test("histogram sketch is identical under any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sk = graft.ops.Sketches.histogramSketch(0.0, 100.0, 10)
+    val vals = (1 to 500).map(i => ("g", (i * 37 % 120).toDouble))
+    def run(parts: Int) = vals.toDF("g", "v").repartition(parts)
+      .groupBy("g").agg(sk(col("v")).as("h")).select("h").as[Seq[Long]].head()
+    assert(run(1) === run(7))
+  }
+
   test("bit positions are the engine's stable sha256 bucket (cross-engine contract)") {
     // the oracle recomputes positions as sha256("<value>#<j>") mod m — assert
     // the Aggregator uses exactly that, via the shared StableHashBucket
