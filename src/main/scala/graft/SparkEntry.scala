@@ -967,6 +967,13 @@ object SparkEntry {
       Indexing.globalIndex(Tables.events(s, d).select("event_id"), "event_id")
         .orderBy("event_id")),
 
+    // deterministic epoch shuffle: contiguous ids in stable-hash order — the
+    // reproducible corpus permutation a training run reads per epoch
+    "shuffle_index" -> ((s, d) =>
+      Indexing.shuffleIndex(Tables.events(s, d).select("event_id"), "event_id",
+          seed = 1L)
+        .orderBy("event_id")),
+
     // blocked edit-distance similarity join (entity resolution): prefix
     // block -> length prune -> exact levenshtein verify, never all-pairs
     "fuzzy_pairs" -> ((s, d) =>
@@ -2158,6 +2165,15 @@ object SparkEntry {
       """SELECT event_id,
         |  CAST(row_number() OVER (ORDER BY event_id) - 1 AS BIGINT) AS global_idx
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "shuffle_index" ->
+      """WITH k AS (SELECT event_id,
+        |    md5('1#' || CAST(event_id AS VARCHAR)) || '|'
+        |      || CAST(event_id AS VARCHAR) AS shuf
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(row_number() OVER (ORDER BY shuf) - 1 AS BIGINT) AS global_idx
+        |FROM k ORDER BY event_id""".stripMargin,
 
     "fuzzy_pairs" ->
       """WITH c AS (SELECT c_custkey AS id, c_name AS s,

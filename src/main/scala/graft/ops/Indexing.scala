@@ -31,6 +31,23 @@ object Indexing {
     * The RDD hop is a codegen boundary — use this as the final stamping step
     * before a write, not mid-pipeline.
     */
+  /** Deterministic epoch shuffle: contiguous global ids in STABLE-HASH order
+    * of the key — the reproducible corpus shuffle a training run needs
+    * (epoch e reads ids in `shuffleIndex(df, key, seed = e)` order; retries,
+    * reruns, and other engines produce the identical permutation, unlike an
+    * RNG shuffle). Same two-pass range-partition protocol as [[globalIndex]],
+    * keyed on md5(seed ‖ key) with the raw key as tiebreak.
+    */
+  def shuffleIndex(df: DataFrame, keyCol: String, seed: Long,
+                   numPartitions: Int = 0): DataFrame = {
+    // md5 prefix shuffles; appending the raw key keeps the sort key unique
+    // for unique inputs (no hash-collision tie nondeterminism)
+    val keyed = df.withColumn("__shuf",
+      concat(md5(concat_ws("#", lit(seed), col(keyCol).cast("string"))),
+        lit("|"), col(keyCol).cast("string")))
+    globalIndex(keyed, "__shuf", numPartitions).drop("__shuf")
+  }
+
   def globalIndex(df: DataFrame, keyCol: String, numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     val parts =

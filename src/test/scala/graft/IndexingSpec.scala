@@ -24,6 +24,17 @@ class IndexingSpec extends SparkSpec {
     assert(out.toSeq === Seq((10L, "a", 0L), (20L, "b", 1L), (30L, "c", 2L)))
   }
 
+  test("shuffleIndex: a reproducible permutation that differs across seeds") {
+    val df = (0L until 200L).toDF("k")
+    def perm(seed: Long) = Indexing.shuffleIndex(df, "k", seed)
+      .orderBy("global_idx").select("k").as[Long].collect().toSeq
+    val e0 = perm(0)
+    assert(e0.sorted === (0L until 200L))          // a permutation, nothing lost
+    assert(e0 === perm(0))                         // same seed → same order
+    assert(e0 !== perm(1))                         // epochs differ
+    assert(e0 !== (0L until 200L).toSeq)           // actually shuffled
+  }
+
   test("globalIndex: empty input yields empty output with the stamped schema") {
     val df = spark.range(0).toDF("k")
     val out = Indexing.globalIndex(df, "k")
