@@ -48,6 +48,6 @@ object AsOf {
     val matchCols =
       col(s"__m.$ts").as(s"$prefix$ts") +:
         payload.map(c => col(s"__m.$c").as(s"$prefix$c"))
-    matched.select(left.columns.map(col) ++ matchCols: _*)
+    matched.select(left.columns.toIndexedSeq.map(col) ++ matchCols: _*)
   }
 }

@@ -61,7 +61,7 @@ object Indexing {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = StructType(
       sorted.schema.fields :+ StructField("global_idx", LongType, nullable = false))
-    val stamped = sorted.rdd.zipWithIndex.map { case (r, i) =>
+    val stamped = sorted.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(stamped, schema)

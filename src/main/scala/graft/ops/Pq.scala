@@ -51,7 +51,7 @@ object Pq {
       // break to the lowest index — the same contract as Ivf assignment.
       // (A when-chain fold embeds the running best twice per step: an
       // O(2^ksub) expression tree that stalls analysis at real ksub.)
-      val dists = array(codebook(s).map { c =>
+      val dists = array(codebook(s).toIndexedSeq.map { c =>
         lit(c.map(x => x * x).sum) -
           lit(2.0) * vec_dot(col(s"__s$s"), typedLit(c.toSeq))
       }: _*)
@@ -88,7 +88,7 @@ object Pq {
     // fixed-order chain the oracle mirrors verbatim
     val luts = (0 until m).map { s =>
       val qs = col(s"__s$s")
-      array(codebook(s).map { c =>
+      array(codebook(s).toIndexedSeq.map { c =>
         vec_dot(qs, qs) - lit(2.0) * vec_dot(qs, typedLit(c.toSeq)) +
           lit(c.map(x => x * x).sum)
       }: _*).as(s"__lut$s")

@@ -32,7 +32,7 @@ object Skew {
     val sc = Iterator.from(0).map(i => s"_salt$i")
       .find(c => !large.columns.contains(c) && !small.columns.contains(c)).get
     val l = large.withColumn(sc,
-      pmod(hash(large.columns.map(col): _*), lit(salt)))
+      pmod(hash(large.columns.toIndexedSeq.map(col): _*), lit(salt)))
     val s = small.withColumn(sc,
       explode(sequence(lit(0), lit(salt - 1))))
     l.join(s, keys :+ sc, joinType).drop(sc)
