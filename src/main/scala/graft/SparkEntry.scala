@@ -981,6 +981,19 @@ object SparkEntry {
           expr("substring(c_name, 1, length(c_name) - 2)"), FuzzyMaxDist)
         .orderBy("id_a", "id_b")),
 
+    // semantic decontamination: max cosine of every corpus vector to the
+    // (broadcast) eval cohort — the paraphrase-catching twin of `decontam`
+    "semantic_decontam" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.semanticContamination(
+          emb.filter(col("vec_id") >= IvfQueryMax),
+          emb.filter(col("vec_id") < IvfQueryMax),
+          "vec_id", "embedding", SemDedupThreshold)
+        .select(col("vec_id"), round(col("max_eval_sim"), 6).as("max_eval_sim"),
+          col("contaminated"))
+        .orderBy("vec_id")
+    }),
+
     // SemDeDup: fixed-codebook cell routing + within-cell cosine, keep-first
     "semdedup" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -2184,6 +2197,18 @@ object SparkEntry {
         |WHERE abs(length(a.s) - length(b.s)) <= 1
         |  AND levenshtein(a.s, b.s) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // contaminated compares the UNROUNDED max, exactly like the engine
+    "semantic_decontam" ->
+      s"""$NormCte,
+         |p AS (SELECT c.vec_id AS vid,
+         |    max((${dotChain("c.v", "e.v")}) / nullif(c.nr * e.nr, 0)) AS ms
+         |  FROM (SELECT * FROM nrm WHERE vec_id >= $IvfQueryMax) c,
+         |       (SELECT * FROM nrm WHERE vec_id < $IvfQueryMax) e
+         |  GROUP BY 1)
+         |SELECT vid AS vec_id, round(ms, 6) AS max_eval_sim,
+         |  ms >= CAST('$SemDedupThreshold' AS DOUBLE) AS contaminated
+         |FROM p ORDER BY vec_id""".stripMargin,
 
     // same fixed-codebook routing CTE as ivf_assign, then within-cell
     // pairwise cosine and keep-first dup marking

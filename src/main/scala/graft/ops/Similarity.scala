@@ -203,6 +203,34 @@ object Similarity {
         array((1 to dims).map(i => round(col(s"m$i"), 6)): _*).as("centroid"))
   }
 
+  /** Semantic (embedding-space) decontamination — the similarity twin of
+    * [[Decontam]]'s n-gram overlap: annotate every corpus vector with its
+    * maximum cosine to ANY benchmark/eval vector, and flag those at or above
+    * `threshold`. Catches paraphrased leakage that exact n-gram matching
+    * misses.
+    *
+    * Scale: the eval set is bounded (benchmarks are small) → broadcast; the
+    * corpus streams once with a per-row max over the broadcast side (a
+    * cohort×corpus join + max aggregate keyed on the corpus id — the
+    * [[cosineTopK]] shape with k = 1 over the transposed roles). Output is a
+    * total annotation (every corpus row appears), like the n-gram form.
+    */
+  def semanticContamination(corpus: DataFrame, eval: DataFrame, idCol: String,
+                            vecCol: String, threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol).as("vid"), vecd(col(vecCol)).as("v"))
+      .withColumn("nrm", l2norm(col("v")))
+    val e = broadcast(eval.select(col(idCol).as("eid"), vecd(col(vecCol)).as("ev"))
+      .withColumn("enrm", l2norm(col("ev"))))
+    c.join(e) // corpus × bounded eval cohort; the broadcast is O(|eval|)
+      .select(col("vid"),
+        (vec_dot(col("v"), col("ev")) / nullif(col("nrm") * col("enrm"), lit(0.0)))
+          .as("sim"))
+      .groupBy("vid")
+      .agg(max(col("sim")).as("max_eval_sim"))
+      .select(col("vid").as(idCol), col("max_eval_sim"),
+        (col("max_eval_sim") >= threshold).as("contaminated"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * coarse-quantize every vector to its nearest codebook centroid
     * ([[Ivf.assignToCentroids]] — the cheap global routing step), then mark a

@@ -2,13 +2,31 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.ops.Decontam
+import graft.ops.{Decontam, Similarity}
 
 /** Unit spec for eval-set decontamination (the declared `decontam` query is
   * additionally oracle-checked end-to-end).
   */
 class DecontamSpec extends SparkSpec {
   import spark.implicits._
+
+  test("semanticContamination: max-cosine annotation against a broadcast eval set") {
+    // eval = x-axis direction; corpus: parallel (contaminated), near-parallel
+    // (contaminated at 0.9), orthogonal (clean)
+    val eval = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(2.0f, 0.0f)),   // cos = 1
+      (11L, Array(1.0f, 0.3f)),   // cos ≈ 0.958
+      (12L, Array(0.0f, 5.0f))    // cos = 0
+    ).toDF("vec_id", "embedding")
+    val out = Similarity
+      .semanticContamination(corpus, eval, "vec_id", "embedding", 0.9)
+      .orderBy("vec_id")
+      .select("vec_id", "contaminated").as[(Long, Boolean)].collect()
+    assert(out.toSeq === Seq((10L, true), (11L, true), (12L, false)))
+    // total annotation: every corpus row appears exactly once
+    assert(out.length === 3)
+  }
 
   test("evalOverlap: exact copy, partial overlap, clean, and short docs") {
     val eval = Seq((1L, "a b c d e")).toDF("doc_id", "text")
