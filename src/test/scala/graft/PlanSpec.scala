@@ -143,6 +143,13 @@ class PlanSpec extends SparkSpec {
       "within-cell pairs come from the cell equi-join")
   }
 
+  test("semantic_decontam: the eval cohort broadcasts; the corpus never shuffles for it") {
+    val plan = planOf(SparkEntry.queries("semantic_decontam")(spark, Sf))
+    assert(plan.contains("BroadcastExchange"), "eval side must broadcast")
+    // the only exchange on the corpus path is the max-per-id aggregate
+    assert(!plan.contains("SortMergeJoin"), "corpus must not sort-merge against the cohort")
+  }
+
   test("pq_topk: search reads materialized codes — no corpus re-encode") {
     val plan = planOf(SparkEntry.queries("pq_topk")(spark, Sf))
     assert(plan.contains("WindowGroupLimit"),
