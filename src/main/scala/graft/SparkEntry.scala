@@ -941,6 +941,18 @@ object SparkEntry {
         .withColumn("zkey", graft.functions.z_order(col("cell"), col("hr")))
         .orderBy("event_id")),
 
+    // built-in session_window in BATCH mode: gap-merged per-user sessions —
+    // the declarative sibling of trip_segments' lag+cumsum (and of the
+    // streaming StreamingRollup.sessionized), under the oracle
+    "session_agg" -> ((s, d) =>
+      Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"),
+          unix_millis(col("w.end")).as("end_ms"), col("n_events"))
+        .orderBy("user_id", "start_ms")),
+
     // event-time trailing-window rolling stats (RANGE frame, not ROWS):
     // per-user count/mean over the preceding hour; exact integer-unit sums
     "rolling_stats" -> ((s, d) =>
@@ -2143,6 +2155,26 @@ object SparkEntry {
          |SELECT event_id, cell, hr, CAST($terms AS BIGINT) AS zkey
          |FROM b ORDER BY event_id""".stripMargin
     },
+
+    // session semantics mirror: an event exactly at last-event + gap still
+    // MERGES (verified empirically, StreamingSpec boundary case) — a new
+    // session starts only when the gap is EXCEEDED (>)
+    "session_agg" ->
+      """WITH e AS (SELECT user_id, ts, epoch_us(ts) AS us FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (SELECT user_id, ts, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, ts, us,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+        |  epoch_ms(max(ts)) + 1800000 AS end_ms,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin,
 
     // identical RANGE frame over epoch-microsecond ordering; the rolling sum
     // runs in exact 1e-4 units so only the closing division is floating

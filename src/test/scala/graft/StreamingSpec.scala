@@ -70,6 +70,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch session_window: an event exactly at last-event + gap still merges") {
+    // pins the boundary semantics the session_agg oracle mirrors: break on
+    // gap EXCEEDED (>), not reached — 10:19 sits exactly at 10:09 + 10 min
+    // and merges; 10:29:01 exceeds the extended end and starts anew
+    val df = Seq(
+      (1L, ts("10:00")), (1L, ts("10:09")),
+      (1L, ts("10:19")),
+      (1L, Timestamp.valueOf("2025-01-01 10:29:01"))
+    ).toDF("user_id", "ts")
+    val out = df.groupBy(col("user_id"), session_window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("w.start")
+      .select(col("w.start").cast("string"), col("n")).as[(String, Long)].collect()
+    assert(out.length === 2)
+    assert(out.map(_._2).toSeq === Seq(3L, 1L))
+  }
+
   test("streaming dedup drops repeated fingerprints within the watermark") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, String)]
