@@ -41,10 +41,13 @@ object Indexing {
   def shuffleIndex(df: DataFrame, keyCol: String, seed: Long,
                    numPartitions: Int = 0): DataFrame = {
     // md5 prefix shuffles; appending the raw key keeps the sort key unique
-    // for unique inputs (no hash-collision tie nondeterminism)
+    // for unique inputs (no hash-collision tie nondeterminism). concat_ws is
+    // null-safe, so a null key yields a non-null sort key — but all null
+    // keys collapse to ONE sort key: globalIndex's uniqueness precondition
+    // applies to this helper too.
     val keyed = df.withColumn("__shuf",
-      concat(md5(concat_ws("#", lit(seed), col(keyCol).cast("string"))),
-        lit("|"), col(keyCol).cast("string")))
+      concat_ws("|", md5(concat_ws("#", lit(seed), col(keyCol).cast("string"))),
+        col(keyCol).cast("string")))
     globalIndex(keyed, "__shuf", numPartitions).drop("__shuf")
   }
 

@@ -221,14 +221,17 @@ object Similarity {
       .withColumn("nrm", l2norm(col("v")))
     val e = broadcast(eval.select(col(idCol).as("eid"), vecd(col(vecCol)).as("ev"))
       .withColumn("enrm", l2norm(col("ev"))))
-    c.join(e) // corpus × bounded eval cohort; the broadcast is O(|eval|)
+    // LEFT join: the output is a TOTAL annotation of the corpus (the same
+    // contract as the n-gram twin) — an empty eval cohort must yield every
+    // row with contaminated=false, not an empty frame
+    c.join(e, lit(true), "left")
       .select(col("vid"),
         (vec_dot(col("v"), col("ev")) / nullif(col("nrm") * col("enrm"), lit(0.0)))
           .as("sim"))
       .groupBy("vid")
       .agg(max(col("sim")).as("max_eval_sim"))
       .select(col("vid").as(idCol), col("max_eval_sim"),
-        (col("max_eval_sim") >= threshold).as("contaminated"))
+        coalesce(col("max_eval_sim") >= threshold, lit(false)).as("contaminated"))
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):

@@ -101,8 +101,12 @@ class HistogramSketch(lo: Double, hi: Double, nBins: Int)
   override def reduce(b: Array[Long], v: java.lang.Double): Array[Long] = {
     if (v != null) {
       val x = v.doubleValue()
+      // NaN lands in overflow — both JVM comparisons below are false for
+      // NaN, which would otherwise corrupt bin 0; overflow matches SQL
+      // engines' total order (NaN sorts above every number)
       val slot =
-        if (x < lo) 0
+        if (x.isNaN) nBins + 1
+        else if (x < lo) 0
         else if (x >= hi) nBins + 1
         else 1 + math.min(nBins - 1, ((x - lo) / width).toInt)
       b(slot) += 1

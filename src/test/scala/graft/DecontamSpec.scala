@@ -28,6 +28,16 @@ class DecontamSpec extends SparkSpec {
     assert(out.length === 3)
   }
 
+  test("semanticContamination: empty eval set yields a total clean annotation") {
+    val corpus = Seq((10L, Array(1.0f, 0.0f)), (11L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val eval = corpus.filter(col("vec_id") < 0) // empty cohort
+    val out = Similarity
+      .semanticContamination(corpus, eval, "vec_id", "embedding", 0.9)
+      .select("vec_id", "contaminated").as[(Long, Boolean)].collect()
+    assert(out.toSeq.sorted === Seq((10L, false), (11L, false)))
+  }
+
   test("evalOverlap: exact copy, partial overlap, clean, and short docs") {
     val eval = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val train = Seq(

@@ -59,6 +59,16 @@ class SketchesSpec extends SparkSpec {
     assert(h.sum === 7L) // everything but the null
   }
 
+  test("histogram sketch: NaN counts in overflow, never corrupts bin 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sk = graft.ops.Sketches.histogramSketch(0.0, 10.0, 5)
+    val df = Seq(1.0, Double.NaN).map(v => ("g", v)).toDF("g", "v")
+    val h = df.groupBy("g").agg(sk(col("v")).as("h"))
+      .select("h").as[Seq[Long]].head()
+    assert(h === Seq(0L, 1L, 0L, 0L, 0L, 0L, 1L))
+  }
+
   test("histogram sketch is identical under any partitioning") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
