@@ -1982,8 +1982,8 @@ object SparkEntry {
          |  FROM events WHERE ts >= TIMESTAMP '$CdcCutoff'
          |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
          |SELECT coalesce(n.user_id, s.user_id) AS user_id,
-         |  round(CASE WHEN n.op IS NOT NULL THEN n.value ELSE s.value END, 6) AS value,
-         |  CAST(CASE WHEN n.op IS NOT NULL THEN n.event_id ELSE s.event_id END AS BIGINT)
+         |  round(CASE WHEN n.user_id IS NOT NULL THEN n.value ELSE s.value END, 6) AS value,
+         |  CAST(CASE WHEN n.user_id IS NOT NULL THEN n.event_id ELSE s.event_id END AS BIGINT)
          |    AS last_event_id,
          |  n.user_id IS NOT NULL AS changed
          |FROM snap s FULL OUTER JOIN net n ON s.user_id = n.user_id

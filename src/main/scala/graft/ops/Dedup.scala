@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.engine.CacheScope
+
 /** Deduplication operators for a training-data pipeline over `documents`.
   * Four tiers, cheapest first — the standard large-corpus dedup ladder:
   *
@@ -21,9 +23,12 @@ import org.apache.spark.sql.functions._
   * MinHash pipelines drop stop-shingles.
   *
   * Cache lifecycle: the pair operators persist a shared intermediate (the
-  * exploded shingle / signature frame feeds both join sides) and do not
-  * unpersist it — callers own the cache boundary; `spark.catalog.clearCache()`
-  * between logical jobs in long-lived sessions.
+  * exploded shingle / signature frame feeds both join sides) that must
+  * outlive the call — the caller's action is what reads it — so each takes a
+  * [[graft.engine.CacheScope]] and registers the handle there. Pass your own
+  * scope and `release()` after the action for deterministic cleanup; the
+  * default [[CacheScope.global]] is released wholesale by
+  * `CacheScope.releaseAll()` / `spark.catalog.clearCache()`.
   */
 object Dedup {
 
@@ -99,15 +104,16 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        maxDocsPerShingle: Int = Int.MaxValue): DataFrame = {
+                        maxDocsPerShingle: Int = Int.MaxValue,
+                        scope: CacheScope = CacheScope.global): DataFrame = {
     // the tokenize+explode is the single most expensive narrow stage and has
     // TWO consumers under the guard (the hot count and the anti-join probe) —
     // materialize it once, like any production dedup job's shingle table;
-    // callers own the cache boundary (see the object doc)
+    // the caller releases it via `scope` (see the object doc)
     val sh0raw = shingleRows(df, idCol, textCol, n)
     val sh0 =
       if (maxDocsPerShingle == Int.MaxValue) sh0raw
-      else sh0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else scope.persisted(sh0raw)
     val shUnp =
       if (maxDocsPerShingle == Int.MaxValue) sh0
       else {
@@ -129,10 +135,9 @@ object Dedup {
     // but as a narrow explode after ONE groupBy instead of a second shuffle
     // join over the full exploded frame — and the persisted intermediate is
     // one row per shingle, not one per (doc, shingle)
-    val lists = shUnp.groupBy("shingle")
+    val lists = scope.persisted(shUnp.groupBy("shingle")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
-      .select("ds")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select("ds"))
     val sizes = lists.select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val pairsOfList = flatten(transform(col("ds"), (a, i) =>
@@ -190,7 +195,8 @@ object Dedup {
     * makes near-dup detection linear-ish at corpus scale.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+                      k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
+                      scope: CacheScope = CacheScope.global): DataFrame = {
     require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
     val bands = (0 until k / rowsPerBand).map { b =>
       val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
@@ -199,11 +205,10 @@ object Dedup {
     // both join sides read the signature; the shingle hashing behind it is
     // the expensive part — materialize once, partitioned on the band-bucket
     // join key to keep the candidate join parallel
-    val sig = minhashSignatureWide(df, idCol, textCol, k, n)
+    val sig = scope.persisted(minhashSignatureWide(df, idCol, textCol, k, n)
       .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .repartition(col("band"), col("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(col("band"), col("bucket")))
     sig.toDF("doc_a", "band", "bucket")
       .join(sig.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
@@ -248,11 +253,11 @@ object Dedup {
     * the same way LSH bands do.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   scope: CacheScope = CacheScope.global): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only to hamming 3")
-    val sig = simhash(df, idCol, textCol)
-      .repartition(col("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = scope.persisted(simhash(df, idCol, textCol)
+      .repartition(col("doc_id")))
     val bands = (0 until 4).map { b =>
       val half = if (b < 2) col("simhash_lo") else col("simhash_hi")
       val key = shiftright(half, (b % 2) * 16).mod(65536L)

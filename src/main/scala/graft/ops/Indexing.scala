@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
+import graft.engine.CacheScope
+
 /** Distributed contiguous row numbering. A global `row_number()` window has
   * no partition key, so Spark funnels the whole table through ONE task — the
   * classic driver-shaped bottleneck that works at sf0.1 and dies at 100 TB.
@@ -39,7 +41,8 @@ object Indexing {
     * keyed on md5(seed ‖ key) with the raw key as tiebreak.
     */
   def shuffleIndex(df: DataFrame, keyCol: String, seed: Long,
-                   numPartitions: Int = 0): DataFrame = {
+                   numPartitions: Int = 0,
+                   scope: CacheScope = CacheScope.global): DataFrame = {
     // md5 prefix shuffles; appending the raw key keeps the sort key unique
     // for unique inputs (no hash-collision tie nondeterminism). concat_ws is
     // null-safe, so a null key yields a non-null sort key — but all null
@@ -48,20 +51,20 @@ object Indexing {
     val keyed = df.withColumn("__shuf",
       concat_ws("|", md5(concat_ws("#", lit(seed), col(keyCol).cast("string"))),
         col(keyCol).cast("string")))
-    globalIndex(keyed, "__shuf", numPartitions).drop("__shuf")
+    globalIndex(keyed, "__shuf", numPartitions, scope).drop("__shuf")
   }
 
-  def globalIndex(df: DataFrame, keyCol: String, numPartitions: Int = 0): DataFrame = {
+  def globalIndex(df: DataFrame, keyCol: String, numPartitions: Int = 0,
+                  scope: CacheScope = CacheScope.global): DataFrame = {
     val spark = df.sparkSession
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // persist the sorted frame: zipWithIndex runs a partition-size count job
     // BEFORE the real one — unpersisted, the range shuffle + sort (the
-    // dominant cost) would execute twice; callers own the cache boundary
-    val sorted = df.repartitionByRange(parts, col(keyCol))
-      .sortWithinPartitions(keyCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dominant cost) would execute twice; released via `scope`
+    val sorted = scope.persisted(df.repartitionByRange(parts, col(keyCol))
+      .sortWithinPartitions(keyCol))
     val schema = StructType(
       sorted.schema.fields :+ StructField("global_idx", LongType, nullable = false))
     val stamped = sorted.rdd.zipWithIndex().map { case (r, i) =>

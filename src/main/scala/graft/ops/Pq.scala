@@ -36,15 +36,14 @@ object Pq {
     */
   def encode(emb: DataFrame, idCol: String, vecCol: String,
              codebook: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebook.length
-    require(m > 0 && codebook.forall(_.nonEmpty), "codebook must be non-empty")
-    val dsub = codebook(0)(0).length
+    val (m, dsub) = validatedShape(codebook)
     // materialize each slice once (a lambda-free projection) so the ksub
     // distance expressions below share it instead of re-slicing per centroid
     val sliced = emb.select(
       col(idCol) +:
         (0 until m).map(s =>
-          slice(Similarity.vecd(col(vecCol)), s * dsub + 1, dsub).as(s"__s$s")): _*)
+          slice(lengthChecked(Similarity.vecd(col(vecCol)), m * dsub),
+            s * dsub + 1, dsub).as(s"__s$s")): _*)
     val codes = (0 until m).map { s =>
       // rank by |c|² − 2·v·c (|v|² is argmin-invariant). Linear argmin:
       // array_position finds the FIRST occurrence of the minimum, so ties
@@ -77,13 +76,12 @@ object Pq {
   def adcTopK(corpusCodes: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, codebook: Array[Array[Array[Double]]],
               k: Int): DataFrame = {
-    val m = codebook.length
-    require(m > 0 && codebook.forall(_.nonEmpty), "codebook must be non-empty")
-    val dsub = codebook(0)(0).length
+    val (m, dsub) = validatedShape(codebook)
     val qsliced = queries.select(
       col(idCol).as("q") +:
         (0 until m).map(s =>
-          slice(Similarity.vecd(col(vecCol)), s * dsub + 1, dsub).as(s"__s$s")): _*)
+          slice(lengthChecked(Similarity.vecd(col(vecCol)), m * dsub),
+            s * dsub + 1, dsub).as(s"__s$s")): _*)
     // LUT_s[j] = ‖q_s − c_j‖² expanded as (q·q − 2 q·c) + |c|², every term a
     // fixed-order chain the oracle mirrors verbatim
     val luts = (0 until m).map { s =>
@@ -118,7 +116,34 @@ object Pq {
       .select(Similarity.vecd(col(vecCol)).as("v"))
       .collect().map(_.getSeq[Double](0).toArray)
     require(first.length == ksub, s"need $ksub codebook rows, got ${first.length}")
-    val dsub = first(0).length / m
+    val d = first(0).length
+    require(d % m == 0,
+      s"vector dimension $d is not divisible by m=$m subspaces — the trailing " +
+        s"${d % m} dims would be silently dropped from every subspace")
+    require(first.forall(_.length == d),
+      "codebook source vectors must all share one dimension")
+    val dsub = d / m
     Array.tabulate(m, ksub) { (s, j) => first(j).slice(s * dsub, (s + 1) * dsub) }
   }
+
+  /** (m, dsub) of a codebook, validated: non-empty, and every centroid in
+    * every subspace shares one width — a ragged codebook would slice and
+    * score on partial vectors without any error.
+    */
+  private def validatedShape(codebook: Array[Array[Array[Double]]]): (Int, Int) = {
+    val m = codebook.length
+    require(m > 0 && codebook.forall(_.nonEmpty), "codebook must be non-empty")
+    val dsub = codebook(0)(0).length
+    require(codebook.forall(_.forall(_.length == dsub)),
+      s"all centroids must share subspace width $dsub")
+    (m, dsub)
+  }
+
+  /** Fail loudly on a vector whose length is not the codebook's m·dsub —
+    * `slice` would otherwise quantize a truncated (or partial-trailing)
+    * vector silently. One cheap size comparison per row, inside codegen.
+    */
+  private def lengthChecked(v: Column, d: Int): Column =
+    when(size(v) === d, v).otherwise(raise_error(concat(
+      lit(s"PQ: vector length must be $d (m·dsub), got "), size(v).cast("string"))))
 }

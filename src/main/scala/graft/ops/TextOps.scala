@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.engine.CacheScope
+
 /** Text-analysis operators for a large-scale training-data pipeline, run over
   * the `documents` table (doc_id, text, lang, source, n_chars). These extend
   * the reference's capability surface (it has no text ops) with the standard
@@ -164,16 +166,17 @@ object TextOps {
     */
   def fingerprintOverlapPairs(df: DataFrame, idCol: String, textCol: String,
                               k: Int = 8, p: Int = 16, minShared: Int = 2,
-                              maxDocsPerHash: Int = Int.MaxValue): DataFrame = {
+                              maxDocsPerHash: Int = Int.MaxValue,
+                              scope: CacheScope = CacheScope.global): DataFrame = {
     require(minShared >= 1, "minShared must be at least 1")
     // the rolling-hash explode + distinct has two consumers under the guard
     // (hot count + anti-join probe) — materialize it once, same as the
-    // shingle frame in Dedup.ngramJaccardPairs; callers own the cache boundary
+    // shingle frame in Dedup.ngramJaccardPairs; released via `scope`
     val fp0raw = rollingFingerprints(df, idCol, textCol, k, p)
       .select(col(idCol).as("doc_id"), col("h")).distinct()
     val fp0 =
       if (maxDocsPerHash == Int.MaxValue) fp0raw
-      else fp0raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else scope.persisted(fp0raw)
     val fpUnp =
       if (maxDocsPerHash == Int.MaxValue) fp0
       else {
@@ -268,20 +271,20 @@ object TextOps {
     * broadcast), one per-doc rollup. Docs with <2 tokens have no transitions
     * and drop out — score them with a length prior upstream.
     */
-  def bigramLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                    scope: CacheScope = CacheScope.global): DataFrame = {
     val ts = col("__ts")
     // the tokenize+explode stream has two consumers (the model aggregate and
-    // the scoring probe join) — materialize it once; callers own the cache
-    // boundary. The prefix counts derive from the bigram counts algebraically
+    // the scoring probe join) — materialize it once; released via `scope`.
+    // The prefix counts derive from the bigram counts algebraically
     // (Σ_w2 c2 = c1, exact integers), saving a third corpus pass entirely.
-    val bigrams = df
+    val bigrams = scope.persisted(df
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
       .select(col("doc_id"), explode(when(size(ts) >= 2,
         transform(sequence(lit(1), size(ts) - 1), i =>
           struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
     val c2 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val model = c2.join(c1, "w1")

@@ -59,9 +59,14 @@ object StreamingUpsert {
         val tmp = new org.apache.hadoop.fs.Path(snapshotDir + ".staging")
         val bak = new org.apache.hadoop.fs.Path(snapshotDir + ".bak")
         merged.write.mode("overwrite").parquet(tmp.toString)
+        // Hadoop FileSystem signals most rename failures by returning FALSE,
+        // not throwing — check every step and fail the batch BEFORE deleting
+        // anything, or a half-done swap could remove the only snapshot copy
         fs.delete(bak, true)
-        if (fs.exists(live)) fs.rename(live, bak)
-        fs.rename(tmp, live)
+        if (fs.exists(live))
+          require(fs.rename(live, bak), s"rename $live -> $bak failed")
+        require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+        // only now is the live dir confirmed in place; the backup is surplus
         fs.delete(bak, true)
         ()
       }

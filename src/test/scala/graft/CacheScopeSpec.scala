@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+
+import graft.engine.CacheScope
+import graft.ops.{Dedup, Indexing, TextOps}
+
+class CacheScopeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "entirely different words live in this one here")
+  ).toDF("doc_id", "text")
+
+  test("persisted frames are tracked and release() unpersists them") {
+    val scope = new CacheScope
+    val df = docs
+    val p = scope.persisted(df)
+    assert(scope.trackedCount === 1)
+    assert(p.storageLevel === StorageLevel.MEMORY_AND_DISK)
+    scope.release()
+    assert(scope.trackedCount === 0)
+    assert(p.storageLevel === StorageLevel.NONE)
+  }
+
+  test("operator-internal persists are releasable by the caller") {
+    spark.catalog.clearCache()
+    val scope = new CacheScope
+    // each of the four formerly-leaking operators, with its action run
+    assert(TextOps.bigramLmScore(docs, "doc_id", "text", scope).count() > 0)
+    assert(Indexing.globalIndex(docs, "doc_id", scope = scope).count() === 3)
+    assert(Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      maxDocsPerShingle = 10, scope = scope).count() >= 0)
+    assert(TextOps.fingerprintOverlapPairs(docs, "doc_id", "text",
+      maxDocsPerHash = 10, scope = scope).count() >= 0)
+    assert(scope.trackedCount >= 4, "every internal persist must be tracked")
+    scope.release()
+    assert(scope.trackedCount === 0)
+    // nothing this scope persisted may survive at the session level
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release() must leave no cached RDD behind")
+  }
+
+  test("the default global scope is released wholesale by releaseAll") {
+    spark.catalog.clearCache()
+    CacheScope.releaseAll()
+    assert(Indexing.globalIndex(docs, "doc_id").count() === 3)
+    assert(CacheScope.global.trackedCount >= 1)
+    CacheScope.releaseAll()
+    assert(CacheScope.global.trackedCount === 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+}

@@ -70,4 +70,37 @@ class PqSpec extends SparkSpec {
     assert(got.map(_._1).toSeq === Seq(1L, 5L, 2L, 4L, 3L))
     assert(got.map(_._2).toSeq === Seq(68.0, 256.0, 320.0, 328.0, 580.0))
   }
+
+  test("codebookFromFirst rejects a dimension not divisible by m") {
+    val bad = Seq((0L, Seq(1f, 2f, 3f)), (1L, Seq(4f, 5f, 6f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Pq.codebookFromFirst(bad, "vec_id", "embedding", m = 2, ksub = 2)
+    }
+    assert(e.getMessage.contains("not divisible"))
+  }
+
+  test("encode fails loudly on a vector whose length is not m*dsub") {
+    // 6-dim row in an 8-dim corpus: slicing would silently quantize a
+    // truncated subspace-1 — the guard must raise instead
+    val mixed = emb.union(Seq((9L, Seq(1f, 2f, 3f, 4f, 5f, 6f)))
+      .toDF("vec_id", "embedding"))
+    val e = intercept[Exception] {
+      Pq.encode(mixed, "vec_id", "embedding", cb).collect()
+    }
+    assert(e.getMessage.contains("vector length must be 8") ||
+      Option(e.getCause).exists(_.getMessage.contains("vector length must be 8")))
+  }
+
+  test("encode/adcTopK reject a ragged codebook") {
+    val ragged = Array(
+      Array(Array(1.0, 2.0), Array(3.0, 4.0)),
+      Array(Array(1.0, 2.0), Array(3.0, 4.0, 5.0)))
+    intercept[IllegalArgumentException] {
+      Pq.encode(emb, "vec_id", "embedding", ragged)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.adcTopK(emb, emb, "vec_id", "embedding", ragged, k = 1)
+    }
+  }
 }
