@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{AsOf, CoMovement, Curation, Decontam, Dedup, Fuzzy, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks}
+import graft.ops.{AsOf, CoMovement, Curation, DataQuality, Decontam, Dedup, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -92,6 +92,8 @@ object SparkEntry {
     */
   private val BloomM = 4096
   private val BloomK = 2
+  private val CmsDepth = 4
+  private val CmsWidth = 256
 
   /** value_hist sketch domain: 10 bins over [0, 500) + under/overflow. */
   private val HistLo = 0.0
@@ -464,6 +466,18 @@ object SparkEntry {
       QualityChecks.reconcile(filtered, hourlyGold(s, d)).orderBy("check")
     }),
 
+    // rule-based expectation audit (the Deequ shape): every rule checked in
+    // ONE aggregate pass over the fact table — R conditional sums + exemplar
+    // mins, map-side combined — then unpivoted, never one scan per rule
+    "dq_audit" -> ((s, d) =>
+      DataQuality.audit(Tables.events(s, d), "event_id", Seq(
+          "user_id_not_null" -> col("user_id").isNotNull,
+          "ts_not_null" -> col("ts").isNotNull,
+          "value_in_range" -> col("value").between(0.0, 500.0),
+          "value_under_100" -> (col("value") < 100.0),
+          "no_error_events" -> (col("event_type") =!= "error")))
+        .orderBy("rule")),
+
     // A7: quantile profiling of the GTO score distribution (exact percentiles)
     "pair_quantiles" -> ((s, d) => pairsGold(s, d)
       .agg(
@@ -498,6 +512,16 @@ object SparkEntry {
         round(avg(col("gT")), 6).as("avg_gt"),
         round(expr("percentile(gT, 0.5)"), 6).as("median_gt"))
       .orderBy("uid_a", "uid_b")),
+
+    // iterative graph analytics on the pair network: 3 Pregel-style rounds
+    // of integer-arithmetic PageRank — which vessels are co-movement hubs.
+    // Bit-stable across engines because every update is bigint +,*,div.
+    "pair_pagerank" -> ((s, d) =>
+      Graph.pageRankMicro(
+          pairsGold(s, d).select("uid_a", "uid_b").distinct(),
+          "uid_a", "uid_b", iterations = 3)
+        .select(col("id").as("user_id"), col("deg"), col("rank_micro"))
+        .orderBy("user_id")),
 
     // §2.5: percent-rank curve over pair max GTO (the notebook's procedural
     // sort+index, as a window function). Global rank needs a single ordered
@@ -879,6 +903,31 @@ object SparkEntry {
         .select(col("event_type"), col("n_exact"),
           col("sk.n_set").as("n_set"), col("sk.est_distinct").as("est_distinct"))
         .orderBy("event_type")
+    }),
+
+    // count-min sketch (typed Aggregator UDAF): one 4×256 counter matrix
+    // over the whole stream, then every user's frequency estimated from the
+    // min of its 4 cells — CMS never undercounts, and because the matrix
+    // merges by element-wise addition it is bit-identical under any
+    // partitioning and recomputable cell-for-cell by the DuckDB oracle
+    "cms_freq" -> ((s, d) => {
+      val sk = Sketches.countMin(CmsDepth, CmsWidth)
+      val ev = Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id").cast("string").as("u"))
+      val matrix = ev.agg(sk(col("u")).as("cms"))
+      val cells = (0 until CmsDepth).map { j =>
+        element_at(col("cms"),
+          (lit(j * CmsWidth) +
+            graft.functions.stable_bucket(
+              concat(col("u"), lit("#"), lit(j.toString)), CmsWidth)
+              .cast("int") + 1).cast("int"))
+      }
+      ev.groupBy("u").agg(count(lit(1)).as("exact_cnt"))
+        .crossJoin(broadcast(matrix))
+        .select(col("u").cast("long").as("user_id"), col("exact_cnt"),
+          least(cells: _*).as("cms_est"))
+        .withColumn("never_undercounts", col("cms_est") >= col("exact_cnt"))
+        .orderBy("user_id")
     }),
 
     // mergeable equi-width histogram sketch (typed Aggregator UDAF): one
@@ -1350,6 +1399,35 @@ object SparkEntry {
          |UNION ALL SELECT 'sum_message_count', smc FROM g, sv
          |ORDER BY "check"""".stripMargin,
 
+    // mirrors DataQuality.audit: one aggregate scan computing every rule's
+    // violation sum + exemplar min, then per-rule rows; NULL predicate = fail
+    "dq_audit" ->
+      """WITH t AS (SELECT
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN coalesce(user_id IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+        |  CAST(min(CASE WHEN NOT coalesce(user_id IS NOT NULL, FALSE) THEN event_id END) AS BIGINT) AS k0,
+        |  CAST(sum(CASE WHEN coalesce(ts IS NOT NULL, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |  CAST(min(CASE WHEN NOT coalesce(ts IS NOT NULL, FALSE) THEN event_id END) AS BIGINT) AS k1,
+        |  CAST(sum(CASE WHEN coalesce(value BETWEEN 0 AND 500, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        |  CAST(min(CASE WHEN NOT coalesce(value BETWEEN 0 AND 500, FALSE) THEN event_id END) AS BIGINT) AS k2,
+        |  CAST(sum(CASE WHEN coalesce(value < 100, FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        |  CAST(min(CASE WHEN NOT coalesce(value < 100, FALSE) THEN event_id END) AS BIGINT) AS k3,
+        |  CAST(sum(CASE WHEN coalesce(event_type <> 'error', FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+        |  CAST(min(CASE WHEN NOT coalesce(event_type <> 'error', FALSE) THEN event_id END) AS BIGINT) AS k4
+        |FROM events)
+        |SELECT * FROM (
+        |  SELECT 'user_id_not_null' AS rule, n_rows, v0 AS n_violations,
+        |    round(CAST(v0 AS DOUBLE) / n_rows, 6) AS violation_rate, k0 AS first_bad_id FROM t
+        |  UNION ALL SELECT 'ts_not_null', n_rows, v1,
+        |    round(CAST(v1 AS DOUBLE) / n_rows, 6), k1 FROM t
+        |  UNION ALL SELECT 'value_in_range', n_rows, v2,
+        |    round(CAST(v2 AS DOUBLE) / n_rows, 6), k2 FROM t
+        |  UNION ALL SELECT 'value_under_100', n_rows, v3,
+        |    round(CAST(v3 AS DOUBLE) / n_rows, 6), k3 FROM t
+        |  UNION ALL SELECT 'no_error_events', n_rows, v4,
+        |    round(CAST(v4 AS DOUBLE) / n_rows, 6), k4 FROM t)
+        |ORDER BY rule""".stripMargin,
+
     "pair_quantiles" ->
       s"""$PairsCte
          |SELECT round(quantile_cont(gto, 0.5), 6) AS p50,
@@ -1381,6 +1459,36 @@ object SparkEntry {
          |  round(avg(gT), 6) AS avg_gt,
          |  round(quantile_cont(gT, 0.5), 6) AS median_gt
          |FROM pg GROUP BY 1, 2 ORDER BY uid_a, uid_b""".stripMargin,
+
+    // mirrors Graph.pageRankMicro exactly: 3 unrolled iterations, all-bigint
+    // arithmetic (`//` in DuckDB ≡ `div` in Spark on non-negative bigints),
+    // so the rank at every step is the identical integer in both engines
+    "pair_pagerank" ->
+      s"""$PairsCte,
+         |pe AS (SELECT DISTINCT uid_a, uid_b FROM pairs_g),
+         |ed AS (SELECT uid_a AS src, uid_b AS dst FROM pe
+         |       UNION SELECT uid_b, uid_a FROM pe),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM ed GROUP BY 1),
+         |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |r0 AS (SELECT id, deg, 1000000 // (SELECT n FROM np) AS r FROM deg),
+         |s1 AS (SELECT e.dst AS id, CAST(sum(p.r // p.deg) AS BIGINT) AS m
+         |       FROM ed e JOIN r0 p ON p.id = e.src GROUP BY 1),
+         |r1 AS (SELECT d.id, d.deg, 150000 // (SELECT n FROM np)
+         |         + CAST((17 * coalesce(s1.m, 0)) // 20 AS BIGINT) AS r
+         |       FROM deg d LEFT JOIN s1 ON s1.id = d.id),
+         |s2 AS (SELECT e.dst AS id, CAST(sum(p.r // p.deg) AS BIGINT) AS m
+         |       FROM ed e JOIN r1 p ON p.id = e.src GROUP BY 1),
+         |r2 AS (SELECT d.id, d.deg, 150000 // (SELECT n FROM np)
+         |         + CAST((17 * coalesce(s2.m, 0)) // 20 AS BIGINT) AS r
+         |       FROM deg d LEFT JOIN s2 ON s2.id = d.id),
+         |s3 AS (SELECT e.dst AS id, CAST(sum(p.r // p.deg) AS BIGINT) AS m
+         |       FROM ed e JOIN r2 p ON p.id = e.src GROUP BY 1),
+         |r3 AS (SELECT d.id, d.deg, 150000 // (SELECT n FROM np)
+         |         + CAST((17 * coalesce(s3.m, 0)) // 20 AS BIGINT) AS r
+         |       FROM deg d LEFT JOIN s3 ON s3.id = d.id)
+         |SELECT id AS user_id, deg, CAST(r AS BIGINT) AS rank_micro
+         |FROM r3 ORDER BY user_id""".stripMargin,
 
     "gto_rank_curve" ->
       s"""$PairsCte,
@@ -2068,6 +2176,30 @@ object SparkEntry {
          |    AS est_distinct
          |FROM e JOIN s USING (event_type)
          |ORDER BY event_type""".stripMargin,
+
+    // rebuilds the CMS counter matrix cell-for-cell from the same rows,
+    // then reads each probe's estimate as the min over its depth cells
+    "cms_freq" ->
+      s"""WITH js AS (SELECT unnest([${(0 until CmsDepth).mkString(", ")}]) AS j),
+         |h AS (
+         |  SELECT j,
+         |    CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR) || '#'
+         |        || CAST(j AS VARCHAR)), 1, 16))::UBIGINT % $CmsWidth AS BIGINT) AS p
+         |  FROM events, js WHERE user_id IS NOT NULL),
+         |cells AS (SELECT j, p, CAST(count(*) AS BIGINT) AS c
+         |          FROM h GROUP BY 1, 2),
+         |ex AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+         |       FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+         |pe AS (
+         |  SELECT user_id, j,
+         |    CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR) || '#'
+         |        || CAST(j AS VARCHAR)), 1, 16))::UBIGINT % $CmsWidth AS BIGINT) AS p
+         |  FROM ex, js),
+         |est AS (SELECT user_id, CAST(min(c.c) AS BIGINT) AS cms_est
+         |        FROM pe JOIN cells c USING (j, p) GROUP BY 1)
+         |SELECT user_id, exact_cnt, cms_est, cms_est >= exact_cnt AS never_undercounts
+         |FROM ex JOIN est USING (user_id)
+         |ORDER BY user_id""".stripMargin,
 
     "gap_fill" ->
       s"""WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS h,

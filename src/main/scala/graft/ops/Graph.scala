@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.CacheScope
+
+/** Iterative graph analytics over the vessel-pair co-movement graph the
+  * reference builds (`sql/gold/create_pairs_daily.sql:13-32` — pair edges
+  * with daily weights; the README frames them as an association network).
+  * The reference stops at per-pair scores; ranking WITHIN the network
+  * (which vessels are hubs of co-movement?) is the natural next question,
+  * and the same operator shape serves any entity graph a training-data
+  * pipeline produces (document-link graphs, near-dup clusters).
+  *
+  * Determinism contract (the hard part of cross-engine iterative math):
+  * ranks live in integer MICRO-units and every update uses only integer
+  * `+`, `*`, and truncating division — `r/deg` and `0.85·x = (17·x) div 20`
+  * — so any engine (and the DuckDB oracle's unrolled CTE chain) reproduces
+  * the exact bigint at every iteration. No floats anywhere until a caller
+  * divides at the edge.
+  *
+  * Scale shape: one `distinct` on the symmetrized edge list, a degree
+  * aggregate, then per iteration ONE join (ranks onto edge sources,
+  * partitioned by key) and ONE groupBy (contribution sums) —  the classic
+  * Pregel/GraphX message-passing plan with no driver-side per-node state.
+  * `localCheckpoint` after each iteration truncates the lineage chain
+  * (an unrolled 10-iteration plan would otherwise re-execute from scratch
+  * per action and overwhelm the optimizer). Edges persist once via the
+  * caller's [[CacheScope]] — every iteration reads them.
+  */
+object Graph {
+
+  /** PageRank with damping 0.85 over an UNDIRECTED edge list, in integer
+    * micro-units: init `1e6 div N`; each iteration
+    * `r' = (150000 div N) + (17 · Σ_nbr (r_nbr div deg_nbr)) div 20`.
+    * Every node in `edges` has degree ≥ 1 by construction (symmetrized
+    * list), so there is no dangling mass. Output: (id, deg, rank_micro).
+    */
+  def pageRankMicro(edges: DataFrame, aCol: String, bCol: String,
+                    iterations: Int = 3,
+                    scope: CacheScope = CacheScope.global): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val und = scope.persisted(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    val n = deg.count()
+    require(n > 0, "empty graph")
+    var ranks = deg.select(col("id"), col("deg"), lit(1000000L / n).as("r"))
+      .localCheckpoint()
+    val base = 150000L / n
+    for (_ <- 1 to iterations) {
+      val contrib = und
+        .join(ranks.select(col("id").as("src"), expr("r div deg").as("c")), "src")
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+        .select(col("dst").as("id"), col("m"))
+      ranks = ranks.select("id", "deg").join(contrib, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (lit(base) + expr("(17 * coalesce(m, 0L)) div 20")).as("r"))
+        .localCheckpoint()
+    }
+    ranks.select(col("id"), col("deg"), col("r").as("rank_micro"))
+  }
+}

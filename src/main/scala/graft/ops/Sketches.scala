@@ -126,10 +126,64 @@ class HistogramSketch(lo: Double, hi: Double, nBins: Int)
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }
 
+/** Count-min sketch (Cormode & Muthukrishnan 2005) as a typed `Aggregator`:
+  * a fixed `depth × width` counter matrix; value v increments one cell per
+  * row, at column `stable_hash(v + "#" + row) mod width`. A point estimate
+  * reads the MINIMUM of v's `depth` cells — it never undercounts (every
+  * occurrence of v landed in all of them) and overcounts only by colliding
+  * mass, bounded by ~2n/width with probability 1 − 2^-depth. The standard
+  * heavy-hitter / frequency sketch where an exact groupBy over a hot key
+  * space is too big to hold.
+  *
+  * Same determinism contract as [[BitsetDistinct]]: positions come from the
+  * engine's public SHA-256 bucket hash, and partials merge by element-wise
+  * ADDITION — commutative/associative, so the matrix is the identical
+  * integer array under any partitioning, retry, or merge order, and a
+  * DuckDB oracle recomputes it cell-for-cell from the same rows.
+  *
+  * Scale: the buffer is `depth·width` longs (8 KB at 4×256) regardless of
+  * input size; partial aggregation collapses each map task to one matrix
+  * before the shuffle — the same profile as any algebraic aggregate.
+  */
+class CountMinSketch(depth: Int, width: Int)
+    extends Aggregator[String, Array[Long], Seq[Long]] {
+  require(depth > 0 && width > 0, "need depth > 0 and width > 0")
+
+  override def zero: Array[Long] = new Array[Long](depth * width)
+
+  override def reduce(b: Array[Long], v: String): Array[Long] = {
+    if (v != null) {
+      var j = 0
+      while (j < depth) {
+        b(j * width + StableHashBucket.bucket(v + "#" + j, width).toInt) += 1
+        j += 1
+      }
+    }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
 object Sketches {
   /** Column-function form of [[BitsetDistinct]] for use in `agg(...)`. */
   def bitsetDistinct(m: Int, k: Int): UserDefinedFunction =
     udaf(new BitsetDistinct(m, k), Encoders.STRING)
+
+  /** Column-function form of [[CountMinSketch]]: the flattened counter
+    * matrix, row-major — cell (j, p) at index `j · width + p`.
+    */
+  def countMin(depth: Int, width: Int): UserDefinedFunction =
+    udaf(new CountMinSketch(depth, width), Encoders.STRING)
 
   /** Column-function form of [[HistogramSketch]]: counts array of length
     * nBins + 2 — [underflow, bin 0 .. nBins-1, overflow].

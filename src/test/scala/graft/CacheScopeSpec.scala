@@ -27,6 +27,9 @@ class CacheScopeSpec extends SparkSpec {
 
   test("operator-internal persists are releasable by the caller") {
     spark.catalog.clearCache()
+    // other suites' localCheckpoint RDDs survive clearCache — assert on the
+    // DELTA this test introduces, not on global emptiness
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val scope = new CacheScope
     // each of the four formerly-leaking operators, with its action run
     assert(TextOps.bigramLmScore(docs, "doc_id", "text", scope).count() > 0)
@@ -39,17 +42,19 @@ class CacheScopeSpec extends SparkSpec {
     scope.release()
     assert(scope.trackedCount === 0)
     // nothing this scope persisted may survive at the session level
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "release() must leave no cached RDD behind")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"release() left cached RDDs behind: $leaked")
   }
 
   test("the default global scope is released wholesale by releaseAll") {
     spark.catalog.clearCache()
     CacheScope.releaseAll()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     assert(Indexing.globalIndex(docs, "doc_id").count() === 3)
     assert(CacheScope.global.trackedCount >= 1)
     CacheScope.releaseAll()
     assert(CacheScope.global.trackedCount === 0)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"releaseAll() left cached RDDs behind: $leaked")
   }
 }

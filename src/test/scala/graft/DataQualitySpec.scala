@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.DataQuality
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  // id 3 has a null v (range rule can't confirm → violation);
+  // id 4 is negative; id 5 carries a bad tag
+  private def rows = Seq(
+    (1L, Some(10.0), "ok"), (2L, Some(20.0), "ok"),
+    (3L, None, "ok"), (4L, Some(-1.0), "ok"), (5L, Some(30.0), "bad")
+  ).toDF("id", "v", "tag")
+
+  private val rules = Seq(
+    "v_non_negative" -> (col("v") >= 0.0),
+    "tag_ok" -> (col("tag") === "ok"),
+    "id_positive" -> (col("id") > 0L))
+
+  test("audit: one row per rule with counts, rate, and min exemplar") {
+    val got = DataQuality.audit(rows, "id", rules)
+      .orderBy("rule")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), Option(r.get(4)))).toMap
+    // null predicate counts as a violation; exemplar is the MIN violating id
+    assert(got("v_non_negative") === ((5L, 2L, 0.4, Some(3L))))
+    assert(got("tag_ok") === ((5L, 1L, 0.2, Some(5L))))
+    // a rule that passes everywhere: zero violations, NULL exemplar
+    assert(got("id_positive") === ((5L, 0L, 0.0, None)))
+  }
+
+  test("audit evaluates all rules in a single aggregate (one scan)") {
+    val plan = DataQuality.audit(rows, "id", rules)
+      .queryExecution.optimizedPlan.toString
+    // exactly one Aggregate over the source — no per-rule re-scan or union
+    assert(!plan.contains("Union"), "must not scan once per rule")
+  }
+
+  test("quarantine: per-rule bitmask bits and is_clean split") {
+    val got = DataQuality.quarantine(rows, rules)
+      .select("id", "violation_mask", "is_clean")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) === ((0L, true)) && got(2L) === ((0L, true)))
+    assert(got(3L) === ((1L, false)), "bit 0 = rule 0 failed")
+    assert(got(4L) === ((1L, false)))
+    assert(got(5L) === ((2L, false)), "bit 1 = rule 1 failed")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.engine.CacheScope
+import graft.ops.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRankMicro: exact integer ranks on a path graph a-b-c") {
+    // N=3, init r=333333, base=150000/3=50000.
+    // iter1 contribs: a←b: 333333 div 2 = 166666; b←a+c: 333333+333333;
+    //   r(a)=r(c)=50000+(17*166666) div 20 = 50000+141666 = 191666
+    //   r(b)=50000+(17*666666) div 20 = 50000+566666 = 616666
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("x", "y")
+    val scope = new CacheScope
+    val one = Graph.pageRankMicro(edges, "x", "y", iterations = 1, scope)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(one("a") === ((1L, 191666L)))
+    assert(one("b") === ((2L, 616666L)))
+    assert(one("c") === ((1L, 191666L)))
+    scope.release()
+  }
+
+  test("pageRankMicro: symmetric nodes tie exactly; hubs outrank leaves") {
+    // star: center s with 4 leaves — leaves must all carry the identical
+    // integer rank (bit-stable determinism), center far above
+    val edges = Seq(("s", "l1"), ("s", "l2"), ("s", "l3"), ("s", "l4"))
+      .toDF("x", "y")
+    val scope = new CacheScope
+    val got = Graph.pageRankMicro(edges, "x", "y", iterations = 3, scope)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val leafRanks = Seq("l1", "l2", "l3", "l4").map(got)
+    assert(leafRanks.distinct.size === 1, "symmetric leaves must tie exactly")
+    assert(got("s") > leafRanks.head * 2, "the hub must dominate")
+    scope.release()
+  }
+
+  test("pageRankMicro: total rank mass stays near one million") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("x", "y")
+    val scope = new CacheScope
+    val ranks = Graph.pageRankMicro(edges, "x", "y", iterations = 5, scope)
+      .collect().map(_.getLong(2))
+    val total = ranks.sum
+    // truncating division bleeds at most a few micro-units per node per step
+    assert(total > 999000L && total <= 1000000L, s"mass was $total")
+    scope.release()
+  }
+}

@@ -89,4 +89,29 @@ class SketchesSpec extends SparkSpec {
       StableHashBucket.bucket("abc#1", 4096)).size
     assert(nSet === expected.toLong)
   }
+
+  test("count-min: estimates never undercount and are exact sans collisions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sk = graft.ops.Sketches.countMin(4, 256)
+    // 3 values with known multiplicities, tiny load → no collisions expected
+    val data = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c")
+    val m = data.map(("g", _)).toDF("g", "v")
+      .groupBy("g").agg(sk(col("v")).as("m")).select("m").as[Seq[Long]].head()
+    def est(v: String): Long = (0 until 4).map(j =>
+      m(j * 256 + StableHashBucket.bucket(v + "#" + j, 256).toInt)).min
+    assert(est("a") === 5L && est("b") === 3L && est("c") === 1L)
+    // total mass per matrix row is the stream length — the CMS invariant
+    (0 until 4).foreach(j => assert(m.slice(j * 256, (j + 1) * 256).sum === 9L))
+  }
+
+  test("count-min matrix is identical under any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sk = graft.ops.Sketches.countMin(2, 64)
+    val vals = (1 to 300).map(i => ("g", s"u${i % 23}"))
+    def run(parts: Int) = vals.toDF("g", "v").repartition(parts)
+      .groupBy("g").agg(sk(col("v")).as("m")).select("m").as[Seq[Long]].head()
+    assert(run(1) === run(8))
+  }
 }
