@@ -543,6 +543,17 @@ object SparkEntry {
     "token_count" -> ((s, d) =>
       TextOps.tokenCounts(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
+    // Unicode hygiene pass: control/zero-width strip + whitespace collapse,
+    // the cleanup every corpus gets before tokenization or dedup hashing
+    "text_normalize" -> ((s, d) => {
+      val norm = TextOps.normalizeText(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), norm.as("text_norm"),
+          (norm =!= col("text")).as("changed"),
+          (length(col("text")) - length(norm)).as("len_delta"))
+        .orderBy("doc_id")
+    }),
+
     // language-ID (stopword-marker heuristic, deterministic argmax)
     "lang_id" -> ((s, d) =>
       TextOps.languageId(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
@@ -731,6 +742,7 @@ object SparkEntry {
     * same hyperplanes in static SQL, so the declared queries pin it).
     */
   val LshPlanes = 8
+  val ProjDims = 8
   val LshBands = 2
   val EmbedDims = 64
   val EmbedDupThreshold = 0.3
@@ -761,6 +773,14 @@ object SparkEntry {
         .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("bucket"))))
         .orderBy("vec_id")
     }),
+
+    // Johnson–Lindenstrauss sign-matrix projection 64→8 dims: the cheapening
+    // pass ahead of ANN/clustering at corpus scale — narrow codegen'd map,
+    // deterministic md5-parity signs, strict-order VecDot chains
+    "embed_project" -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), "vec_id", "embedding",
+          ProjDims, EmbedDims)
+        .orderBy("vec_id")),
 
     // IVF coarse-quantizer assignment with a FIXED codebook (the first
     // IvfCentroids embedding vectors): deterministic argmin, oracle-checked;
@@ -1673,6 +1693,20 @@ object SparkEntry {
         |  CAST(length(text) AS INTEGER) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // same three regex passes with explicitly-spelled character classes so
+    // RE2 and Java regex agree (\s differs between them); 'g' = global
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |      '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |      '[ \t\n\r\f]+', ' ', 'g')) AS text_norm
+        |  FROM documents)
+        |SELECT doc_id, text_norm, text_norm <> text AS changed,
+        |  CAST(length(text) - length(text_norm) AS INTEGER) AS len_delta
+        |FROM n ORDER BY doc_id""".stripMargin,
+
     // generated from the SAME PiiPatterns the engine applies (RE2 ∩ Java
     // regex subset); DuckDB regexp_replace needs the explicit 'g' flag
     "pii_redact" -> {
@@ -2034,6 +2068,19 @@ object SparkEntry {
          |SELECT vec_id, bucket,
          |  CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
          |FROM b ORDER BY vec_id""".stripMargin,
+
+    // same md5-parity sign rows as the engine's planeSigns; each component
+    // is the signChain fold divided by the identical √dOut double literal
+    "embed_project" -> {
+      val signs = Similarity.planeSigns(ProjDims, EmbedDims)
+      val scale = math.sqrt(ProjDims.toDouble)
+      val comps = (0 until ProjDims)
+        .map(j => s"round((${signChain(signs(j), "v")}) / $scale, 6)")
+        .mkString(",\n         ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id, [$comps] AS proj
+         |FROM e ORDER BY vec_id""".stripMargin
+    },
 
     "dedup_embed" -> {
       val bandSelects = (0 until LshBands).map(bnd =>

@@ -92,6 +92,30 @@ object Similarity {
     math.min(62, math.max(1, needed))
   }
 
+  /** Sign-matrix random projection (Achlioptas 2003, the dense ±1 variant)
+    * from `dims` down to `dOut` dimensions: y_j = dot(v, s_j) / √dOut where
+    * s_j is the j-th deterministic [[planeSigns]] row. The
+    * Johnson–Lindenstrauss workhorse that makes everything downstream of an
+    * embedding column (ANN probing, clustering, dedup) ~dims/dOut cheaper.
+    *
+    * Deterministic cross-engine: the sign matrix is public md5-parity (the
+    * oracle re-derives it), each component is a strict left-to-right VecDot
+    * chain, and the only irrational — √dOut — is embedded as a shortest-
+    * repr double literal both engines parse identically. One narrow
+    * codegen'd pass, no shuffle, no UDF.
+    */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    dOut: Int, dims: Int): DataFrame = {
+    require(dOut > 0 && dims > 0, "dOut and dims must be positive")
+    val signs = planeSigns(dOut, dims)
+    val scale = math.sqrt(dOut.toDouble)
+    val v = vecd(col(vecCol))
+    val comps = (0 until dOut).map { j =>
+      round(vec_dot(v, typedLit(signs(j).toSeq)) / scale, 6)
+    }
+    emb.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
   /** Random-hyperplane LSH bucket id per vector: bit p = [dot(v, plane_p) > 0],
     * bucket = Σ bit_p · 2^p. One narrow pass, no shuffle.
     */

@@ -23,6 +23,23 @@ object TextOps {
     */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode hygiene pass — the standard C4/Dolma-style cleanup applied
+    * before any tokenization or hashing: strip control characters, strip
+    * zero-width/BOM code points, collapse whitespace runs to single spaces,
+    * trim. Deliberately NOT lossy beyond that (no case folding, no accent
+    * stripping) — dedup fingerprints downstream must not merge texts that
+    * differ in content.
+    *
+    * One narrow codegen'd map; regex classes are spelled explicitly (hex and
+    * `\x{...}` escapes) so Java regex and RE2-based engines — the oracle —
+    * match the identical character sets (`\s` differs between the two).
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(c,
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+      "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", ""),
+      "[ \\t\\n\\r\\f]+", " "))
+
   /** Token counting (whitespace + a BPE-ish regex): `\\w+` word runs plus
     * single non-space punctuation — the standard pre-tokenizer shape.
     */

@@ -110,4 +110,34 @@ class IvfSpec extends SparkSpec {
       (0, 2L, Seq(2.0, 3.0, 4.0)),
       (1, 1L, Seq(10.0, 0.0, -2.0))))
   }
+
+  test("randomProject: components are the exact signed sums over √dOut") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 4.0f, 8.0f))).toDF("vec_id", "embedding")
+    val signs = Similarity.planeSigns(2, 4)
+    val got = Similarity.randomProject(df, "vec_id", "embedding", dOut = 2, dims = 4)
+      .select("proj").collect().head.getSeq[Double](0)
+    val v = Array(1.0, 2.0, 4.0, 8.0)
+    val want = (0 until 2).map { j =>
+      val dot = v.indices.foldLeft(0.0)((a, i) => a + v(i) * signs(j)(i))
+      BigDecimal(dot / math.sqrt(2.0)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    assert(got.toSeq === want)
+  }
+
+  test("randomProject roughly preserves relative distances (JL property)") {
+    // 20 vectors in 32 dims → 8 dims; close pairs must stay closer than the
+    // far pair by a wide margin (sanity, not a tight bound)
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(32)(rnd.nextGaussian().toFloat)
+    val near = base.map(x => x + 0.01f)
+    val far = Array.fill(32)(rnd.nextGaussian().toFloat * 5f)
+    val df = Seq((0L, base), (1L, near), (2L, far)).toDF("vec_id", "embedding")
+    val p = Similarity.randomProject(df, "vec_id", "embedding", dOut = 8, dims = 32)
+      .orderBy("vec_id").collect().map(_.getSeq[Double](1).toArray)
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    assert(d2(p(0), p(1)) * 10 < d2(p(0), p(2)),
+      "a near pair must project far closer than a far pair")
+  }
 }

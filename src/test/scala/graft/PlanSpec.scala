@@ -223,4 +223,32 @@ class PlanSpec extends SparkSpec {
     // buffer ORs map-side like any algebraic aggregate
     assert(plan.contains("partial"), "expected a map-side partial aggregate")
   }
+
+  test("runtime bloom filter: a selective dim filter injects might_contain on the fact") {
+    // the Spark-native semi-join reduction: a shuffle join whose build side
+    // is selectively filtered gets a runtime bloom filter pushed into the
+    // probe side's scan stage — at 100 TB this is what spares the fact
+    // shuffle from carrying rows the dim filter would discard anyway.
+    // Thresholds are tuned for the toy scale; the rewrite itself is what's
+    // under test.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // force a shuffle join
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$Sf/lineitem.parquet")
+      val dim = spark.read.parquet(s"$Sf/orders.parquet")
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        "expected an injected runtime bloom filter on the fact side")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

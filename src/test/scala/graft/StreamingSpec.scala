@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{SessionTracks, StreamingDedup, StreamingJoin, StreamingRollup, StreamingUpsert}
+import graft.streaming.{SessionTracks, StreamingCounters, StreamingDedup, StreamingJoin, StreamingRollup, StreamingUpsert}
 import graft.ops.Multimodal
 
 /** Streaming + multimodal specs: watermarked rollup via MemoryStream,
@@ -332,5 +332,41 @@ class StreamingSpec extends SparkSpec {
     val out = Multimodal.resizeStub(media, factor = 3).collect().head
     assert(out.bytes.toSeq === Seq[Byte](0, 3, 6))
     assert(out.media_id === 1L && out.kind === "img")
+  }
+
+  test("transformWithState running totals accumulate across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // transformWithState requires the RocksDB state store; scope the conf
+    // to this query and restore after
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = StreamingCounters.runningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("twstate_out")
+      .outputMode("update").start()
+    try {
+      mem.addData((1L, "click", 1.5), (1L, "view", 2.0), (2L, "click", 10.0))
+      q.processAllAvailable()
+      mem.addData((1L, "click", 0.25))
+      q.processAllAvailable()
+      val rows = spark.table("twstate_out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // batch 1: user 1 → (2 events, 3.5 in micros, 2 types); user 2 → 1 event
+      assert(rows.contains((1L, 2L, 3500000L, 2L)))
+      assert(rows.contains((2L, 1L, 10000000L, 1L)))
+      // batch 2 re-emits user 1 with state carried over: 3 events, 3.75
+      assert(rows.contains((1L, 3L, 3750000L, 2L)))
+      // user 2 untouched in batch 2 → exactly one row for it
+      assert(rows.count(_._1 == 2L) === 1)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }

@@ -61,4 +61,22 @@ class TextFeaturesSpec extends SparkSpec {
     assert(math.abs(out(0)._3 - 3 * math.log(0.75) / 5) < 1e-5)
     assert(math.abs(out(1)._3 - math.log(0.25)) < 1e-5)
   }
+
+  test("normalizeText: control strip, zero-width strip, whitespace collapse") {
+    val messy = Seq(
+      (1L, "  hello\t\tworld \n next\r\nline  "),
+      (2L, "zero​width﻿gone"),
+      (3L, "ctrlcharsout"),
+      (4L, "already clean"),
+      (5L, "UPPER Case Kept")
+    ).toDF("doc_id", "text")
+    val got = messy.select(col("doc_id"),
+        TextOps.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "hello world next line")
+    assert(got(2L) === "zerowidthgone")
+    assert(got(3L) === "ctrlcharsout")
+    assert(got(4L) === "already clean")
+    assert(got(5L) === "UPPER Case Kept", "case must be preserved")
+  }
 }
