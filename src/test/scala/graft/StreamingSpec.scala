@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{SessionTracks, StreamingCounters, StreamingDedup, StreamingJoin, StreamingRollup, StreamingUpsert}
+import graft.streaming.{SessionTracks, StreamingCounters, StreamingDedup, StreamingJoin, StreamingRollup, StreamingTimers, StreamingUpsert}
 import graft.ops.Multimodal
 
 /** Streaming + multimodal specs: watermarked rollup via MemoryStream,
@@ -332,6 +332,45 @@ class StreamingSpec extends SparkSpec {
     val out = Multimodal.resizeStub(media, factor = 3).collect().head
     assert(out.bytes.toSeq === Seq[Byte](0, 3, 6))
     assert(out.media_id === 1L && out.kind === "img")
+  }
+
+  test("event-time timers close inactive sessions when the watermark passes") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    val withWm = mem.toDF.toDF("user_id", "ts", "value")
+      .withWatermark("ts", "1 minute")
+      .as[(Long, Timestamp, Double)]
+    val q = StreamingTimers.closedSessions(withWm, gapMs = 10 * 60 * 1000)
+      .writeStream.format("memory").queryName("timer_out")
+      .outputMode("append").start()
+    try {
+      // user 1's session: two events ending 10:05; timer set for 10:15
+      mem.addData((1L, ts("10:00"), 1.0), (1L, ts("10:05"), 2.0))
+      q.processAllAvailable()
+      assert(spark.table("timer_out").isEmpty, "watermark has not passed yet")
+      // a later event from ANOTHER key pushes the watermark to 11:59 —
+      // past 10:15, so user 1's timer fires (its key never speaks again)
+      mem.addData((2L, ts("12:00"), 3.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts("12:01"), 4.0)) // one more batch to drain timers
+      q.processAllAvailable()
+      val rows = spark.table("timer_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.contains((1L, 2L, ts("10:00").getTime, ts("10:05").getTime)),
+        s"user 1's session must close by timer, saw ${rows.toSeq}")
+      // user 2 is still active — no closed session for it
+      assert(!rows.exists(_._1 == 2L))
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 
   test("transformWithState running totals accumulate across micro-batches") {
