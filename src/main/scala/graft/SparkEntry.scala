@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{AsOf, CoMovement, Curation, DataQuality, Decontam, Dedup, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks}
+import graft.ops.{AsOf, CoMovement, Curation, DataQuality, Decontam, Dedup, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks, Trajectory}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -111,6 +111,14 @@ object SparkEntry {
 
   /** rolling_stats trailing RANGE window (seconds). */
   private val RollWindowSec = 3600L
+
+  /** track_speed teleport ceiling (km/h) — far above any vessel, so only
+    * synthetic-position jumps (the GPS-glitch stand-in) trip it.
+    */
+  private val TeleportKmh = 1000.0
+
+  /** dwell_episodes minimum run length. */
+  private val DwellMinPings = 2
 
   /** tfidf_topk terms kept per document. */
   private val TfidfK = 5
@@ -1028,6 +1036,41 @@ object SparkEntry {
       TimeSeries.rollingRangeStats(Tables.events(s, d), "event_id", "user_id",
           "ts", "value", RollWindowSec)
         .orderBy("event_id")),
+
+    // kinematic QA: implied speed between consecutive pings on the synthetic
+    // position axis, teleport flag above the physical ceiling — micro-degree
+    // integer distance math, one window shuffle on the track key
+    "track_speed" -> ((s, d) =>
+      Trajectory.impliedSpeed(
+          Tables.events(s, d)
+            .select(col("user_id"), col("event_id"), col("ts"),
+              (col("value") % 180.0 - 90.0).as("lat"),
+              ((col("value") * 2.0) % 360.0 - 180.0).as("lon")),
+          "user_id", "event_id", "ts", "lat", "lon", TeleportKmh)
+        .orderBy("user_id", "event_id")),
+
+    // gaps-and-islands: maximal same-cell runs per track (anchorage/port-visit
+    // shape); a revisited cell opens a NEW episode
+    "dwell_episodes" -> ((s, d) =>
+      Trajectory.dwellEpisodes(
+          Tables.events(s, d)
+            .filter(col("value").isNotNull)
+            .select(col("user_id"), col("event_id"), col("ts"),
+              concat_ws(":",
+                floor((col("value") % 180.0) / 30.0).cast("long"),
+                floor(((col("value") * 2.0) % 360.0) / 60.0).cast("long"))
+                .as("cell")),
+          "user_id", "event_id", "ts", "cell", DwellMinPings)
+        .orderBy("user_id", "start_ms", "cell")),
+
+    // linear gap interpolation on the dense per-user hourly grid (the
+    // resampling sibling of gap_fill's zero-fill); exact (sum, count) integer
+    // pairs feed one identical closing float chain in both engines
+    "gap_interp" -> ((s, d) =>
+      Trajectory.interpolateHourly(
+          Tables.events(s, d).filter(col("user_id") < GapFillMaxUid),
+          "user_id", "ts", "value")
+        .orderBy("user_id", "hour_ms")),
 
     // full CUBE over (event_type, hour-of-day) with grouping_id: all four
     // granularities in ONE Expand+agg pass (completes the rollup/pivot family)
@@ -2370,6 +2413,106 @@ object SparkEntry {
          |SELECT event_id, user_id, ts_ms, n_win,
          |  round(CAST(sum_u AS DOUBLE) / (n_win * 10000), 6) AS avg_win
          |FROM w ORDER BY event_id""".stripMargin,
+
+    // identical micro-degree integer distance math; the float chain
+    // (sqrt → ×111.195 → /1e6 → ×3.6e6 → /dt) is written in the same op
+    // order as Trajectory.impliedSpeed so every IEEE step agrees
+    "track_speed" ->
+      s"""WITH p AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
+         |    CAST(round((value % 180.0 - 90.0) * 1000000) AS BIGINT) AS latu,
+         |    CAST(round(((value * 2.0) % 360.0 - 180.0) * 1000000) AS BIGINT) AS lonu
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+         |l AS (SELECT user_id, event_id, ts_ms, latu, lonu,
+         |    lag(latu) OVER w AS platu, lag(lonu) OVER w AS plonu,
+         |    lag(ts_ms) OVER w AS pts
+         |  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |d AS (SELECT user_id, event_id, ts_ms, pts,
+         |    latu - platu AS dlat,
+         |    CASE WHEN abs(lonu - plonu) > 180000000
+         |         THEN 360000000 - abs(lonu - plonu)
+         |         ELSE abs(lonu - plonu) END AS dlon
+         |  FROM l),
+         |s AS (SELECT user_id, event_id, ts_ms,
+         |    CAST(ts_ms - pts AS BIGINT) AS gap_ms,
+         |    sqrt(CAST(dlat * dlat + dlon * dlon AS DOUBLE)) * 111.195
+         |      / 1000000.0 AS dist_raw
+         |  FROM d),
+         |v AS (SELECT user_id, event_id, ts_ms, gap_ms, dist_raw,
+         |    CASE WHEN gap_ms > 0
+         |         THEN dist_raw * 3600000.0 / CAST(gap_ms AS DOUBLE) END AS speed_raw
+         |  FROM s)
+         |SELECT user_id, event_id, ts_ms, gap_ms,
+         |  round(dist_raw, 6) AS dist_km, round(speed_raw, 6) AS speed_kmh,
+         |  CASE WHEN speed_raw IS NULL THEN NULL
+         |       ELSE speed_raw > $TeleportKmh END AS is_teleport
+         |FROM v ORDER BY user_id, event_id""".stripMargin,
+
+    // same total order, same island id (global row_number minus per-cell
+    // row_number), same >= $DwellMinPings gate
+    "dwell_episodes" ->
+      s"""WITH p AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
+         |    CAST(floor((value % 180.0) / 30.0) AS BIGINT) || ':' ||
+         |      CAST(floor(((value * 2.0) % 360.0) / 60.0) AS BIGINT) AS cell
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+         |i AS (SELECT user_id, cell, ts_ms,
+         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |      - row_number() OVER (PARTITION BY user_id, cell
+         |                           ORDER BY ts, event_id) AS isl
+         |  FROM p)
+         |SELECT user_id, cell, CAST(min(ts_ms) AS BIGINT) AS start_ms,
+         |  CAST(max(ts_ms) AS BIGINT) AS end_ms,
+         |  CAST(count(*) AS BIGINT) AS n_pings
+         |FROM i GROUP BY user_id, cell, isl
+         |HAVING count(*) >= $DwellMinPings
+         |ORDER BY user_id, start_ms, cell""".stripMargin,
+
+    // dense grid from each user's own span; prev/next observed neighbors via
+    // IGNORE NULLS running first/last; the interpolated value is the exact
+    // integer rational of Trajectory.interpolateHourly, half-up-rounded to
+    // micro-units with pure BIGINT math — a float chain here hits exact .5
+    // ties at the rounding scale and the engines split on them
+    "gap_interp" ->
+      s"""WITH obs AS (SELECT user_id, date_trunc('hour', ts) AS h,
+         |    CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS su,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM events
+         |  WHERE user_id < $GapFillMaxUid AND user_id IS NOT NULL
+         |    AND ts IS NOT NULL AND value IS NOT NULL
+         |  GROUP BY 1, 2),
+         |span AS (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM obs GROUP BY 1),
+         |grid AS (SELECT user_id,
+         |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM span),
+         |g AS (SELECT gr.user_id, gr.h, epoch_ms(gr.h) // 3600000 AS ehr,
+         |    o.su, o.n
+         |  FROM grid gr LEFT JOIN obs o ON gr.user_id = o.user_id AND gr.h = o.h),
+         |nb AS (SELECT user_id, h, su, n, ehr,
+         |    last_value(su IGNORE NULLS) OVER wp AS sup,
+         |    last_value(n IGNORE NULLS) OVER wp AS np,
+         |    last_value(CASE WHEN su IS NOT NULL THEN ehr END IGNORE NULLS)
+         |      OVER wp AS hp,
+         |    first_value(su IGNORE NULLS) OVER wn AS sun,
+         |    first_value(n IGNORE NULLS) OVER wn AS nn,
+         |    first_value(CASE WHEN su IS NOT NULL THEN ehr END IGNORE NULLS)
+         |      OVER wn AS hn
+         |  FROM g WINDOW
+         |    wp AS (PARTITION BY user_id ORDER BY ehr
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |    wn AS (PARTITION BY user_id ORDER BY ehr
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         |r AS (SELECT user_id, h, su, ehr,
+         |    CASE WHEN su IS NOT NULL THEN su
+         |         ELSE sup * nn * (hn - ehr) + sun * np * (ehr - hp) END AS num,
+         |    CASE WHEN su IS NOT NULL THEN n
+         |         ELSE np * nn * (hn - hp) END AS den
+         |  FROM nb)
+         |SELECT user_id, epoch_ms(h) AS hour_ms,
+         |  CAST((2 * num + den) // (2 * den) AS BIGINT) AS value_micro,
+         |  CAST((2 * num + den) // (2 * den) AS DOUBLE) / 1000000.0
+         |    AS value_interp,
+         |  su IS NOT NULL AS is_observed
+         |FROM r ORDER BY user_id, hour_ms""".stripMargin,
 
     "cube_agg" ->
       """WITH e AS (SELECT event_type,

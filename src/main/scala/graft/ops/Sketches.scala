@@ -174,10 +174,104 @@ class CountMinSketch(depth: Int, width: Int)
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
 }
 
+/** One tracked heavy hitter: `est` never undercounts the item's true
+  * frequency, and `est - err` never overcounts it.
+  */
+case class HeavyHitter(item: String, est: Long, err: Long)
+
+/** SpaceSaving buffer: per-item count upper bounds and their error terms. */
+case class SpaceSavingBuffer(counts: Map[String, Long], errs: Map[String, Long])
+
+/** SpaceSaving / stream-summary heavy hitters (Metwally, Agrawal & El Abbadi,
+  * ICDT 2005) as a typed `Aggregator`: at most `k` tracked items. A tracked
+  * arrival increments its count; an untracked arrival beyond capacity evicts
+  * the minimum-count item and inherits its count as both floor and error.
+  * Any item with true frequency > n/k is guaranteed tracked, `est ≥ true ≥
+  * est − err` always — the exact complement of [[CountMinSketch]] (CMS
+  * answers "how often is THIS item?", SpaceSaving answers "WHICH items are
+  * frequent?" without enumerating the key space).
+  *
+  * Merge follows the mergeable-summaries construction (Agarwal et al., PODS
+  * 2012): an item absent from one side contributes that side's minimum count
+  * as both estimate and error (absent means "at most min occurrences there" —
+  * zero only while that side is below capacity), then the union is cut back
+  * to the top `k`. Eviction, survivor, and output ties all break on
+  * (count desc, item asc), so a FIXED merge tree reproduces bit-identically;
+  * across different partitionings the tracked SET can differ (inherent to
+  * the sketch — the bounds above are the invariant), which is why this is
+  * guarantee-tested in `SketchesSpec` rather than DuckDB-oracle'd, same as
+  * `Ivf`/`Bpe`.
+  *
+  * Scale: the buffer is ≤ k entries regardless of input size and partials
+  * collapse map-side, so the shuffle carries one k-entry summary per group
+  * per partition. Per-row cost is O(log k) map update (+O(k) scan only on
+  * eviction) — sized for the k ≤ a-few-hundred regime every heavy-hitter
+  * report uses.
+  */
+class SpaceSaving(k: Int)
+    extends Aggregator[String, SpaceSavingBuffer, Seq[HeavyHitter]] {
+  require(k > 0, "k must be positive")
+
+  override def zero: SpaceSavingBuffer =
+    SpaceSavingBuffer(Map.empty, Map.empty)
+
+  private def minKey(counts: Map[String, Long]): (String, Long) =
+    // deterministic victim: smallest count, lexicographically smallest item
+    counts.minBy { case (item, cnt) => (cnt, item) }
+
+  override def reduce(b: SpaceSavingBuffer, v: String): SpaceSavingBuffer = {
+    if (v == null) b
+    else b.counts.get(v) match {
+      case Some(c) =>
+        b.copy(counts = b.counts.updated(v, c + 1))
+      case None if b.counts.size < k =>
+        SpaceSavingBuffer(b.counts.updated(v, 1L), b.errs.updated(v, 0L))
+      case None =>
+        val (victim, floor) = minKey(b.counts)
+        SpaceSavingBuffer(
+          b.counts - victim + (v -> (floor + 1)),
+          b.errs - victim + (v -> floor))
+    }
+  }
+
+  override def merge(a: SpaceSavingBuffer, b: SpaceSavingBuffer): SpaceSavingBuffer = {
+    if (b.counts.isEmpty) return a
+    if (a.counts.isEmpty) return b
+    // an absent item may have occurred up to that side's min count times —
+    // except below capacity, where absence means exactly zero
+    val minA = if (a.counts.size < k) 0L else a.counts.values.min
+    val minB = if (b.counts.size < k) 0L else b.counts.values.min
+    val items = a.counts.keySet ++ b.counts.keySet
+    val merged = items.iterator.map { i =>
+      val (ca, ea) = (a.counts.getOrElse(i, minA), a.errs.getOrElse(i, minA))
+      val (cb, eb) = (b.counts.getOrElse(i, minB), b.errs.getOrElse(i, minB))
+      (i, ca + cb, ea + eb)
+    }.toSeq.sortBy { case (i, c, _) => (-c, i) }.take(k)
+    SpaceSavingBuffer(
+      merged.map { case (i, c, _) => i -> c }.toMap,
+      merged.map { case (i, _, e) => i -> e }.toMap)
+  }
+
+  override def finish(b: SpaceSavingBuffer): Seq[HeavyHitter] =
+    b.counts.toSeq.sortBy { case (i, c) => (-c, i) }
+      .map { case (i, c) => HeavyHitter(i, c, b.errs.getOrElse(i, 0L)) }
+
+  override def bufferEncoder: Encoder[SpaceSavingBuffer] =
+    Encoders.product[SpaceSavingBuffer]
+  override def outputEncoder: Encoder[Seq[HeavyHitter]] =
+    ExpressionEncoder[Seq[HeavyHitter]]()
+}
+
 object Sketches {
   /** Column-function form of [[BitsetDistinct]] for use in `agg(...)`. */
   def bitsetDistinct(m: Int, k: Int): UserDefinedFunction =
     udaf(new BitsetDistinct(m, k), Encoders.STRING)
+
+  /** Column-function form of [[SpaceSaving]]: the ≤ k tracked heavy hitters,
+    * ordered (est desc, item asc).
+    */
+  def spaceSaving(k: Int): UserDefinedFunction =
+    udaf(new SpaceSaving(k), Encoders.STRING)
 
   /** Column-function form of [[CountMinSketch]]: the flattened counter
     * matrix, row-major — cell (j, p) at index `j · width + p`.

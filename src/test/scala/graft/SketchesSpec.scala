@@ -114,4 +114,52 @@ class SketchesSpec extends SparkSpec {
       .groupBy("g").agg(sk(col("v")).as("m")).select("m").as[Seq[Long]].head()
     assert(run(1) === run(8))
   }
+
+  test("space-saving: guaranteed hitters tracked, bounds hold under any partitioning") {
+    // 60× "hot", 30× "warm", 45 singletons; n=135, k=8 -> n/k ≈ 17, so hot
+    // and warm are GUARANTEED tracked under every partitioning
+    val vals = Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 45).map(i => s"one$i")
+    val truth = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ss = Sketches.spaceSaving(8)
+    for (parts <- Seq(1, 7, 32)) {
+      val got = vals.map(("g", _)).toDF("g", "v").repartition(parts)
+        .groupBy("g").agg(ss(col("v")).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item"), col("e.est"), col("e.err"))
+        .as[(String, Long, Long)].collect()
+      assert(got.length <= 8)
+      val items = got.map(_._1).toSet
+      assert(items.contains("hot") && items.contains("warm"),
+        s"parts=$parts must track guaranteed hitters, got $items")
+      got.foreach { case (item, est, err) =>
+        val t = truth.getOrElse(item, 0L)
+        assert(est >= t, s"parts=$parts $item: est $est undercounts true $t")
+        assert(est - err <= t, s"parts=$parts $item: floor ${est - err} overcounts $t")
+      }
+      // the guaranteed hitters dominate the report order
+      assert(got.head._1 === "hot" && got(1)._1 === "warm")
+    }
+  }
+
+  test("space-saving: below capacity the counts are exact with zero error") {
+    val vals = Seq("a", "a", "a", "b", "b", "c")
+    val got = vals.map(("g", _)).toDF("g", "v").repartition(4)
+      .groupBy("g").agg(Sketches.spaceSaving(10)(col("v")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"), col("e.err"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 3L, 0L), ("b", 2L, 0L), ("c", 1L, 0L)))
+  }
+
+  test("space-saving: eviction inherits the victim's count as floor and error") {
+    // single partition, k=2: a a b, then c evicts b (count 1) -> c: est 2, err 1
+    val vals = Seq("a", "a", "b", "c")
+    val got = vals.map(("g", _)).toDF("g", "v").coalesce(1)
+      .groupBy("g").agg(Sketches.spaceSaving(2)(col("v")).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est"), col("e.err"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 2L, 0L), ("c", 2L, 1L)))
+  }
 }

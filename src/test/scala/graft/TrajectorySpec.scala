@@ -1,0 +1,116 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.Trajectory
+
+class TrajectorySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("impliedSpeed: hand-computed distance, speed, and teleport flag") {
+    // one degree of pure latitude in one hour = 111.195 km/h exactly
+    val pts = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), 10.0, 20.0),
+      (1L, 2L, ts("2024-01-01 01:00:00"), 11.0, 20.0),   // 111.195 km/h
+      (1L, 3L, ts("2024-01-01 01:30:00"), 31.0, 20.0),   // 20 deg in 30 min
+      (2L, 9L, ts("2024-01-01 00:00:00"), 0.0, 0.0)      // lone ping
+    ).toDF("uid", "eid", "t", "lat", "lon")
+    val got = Trajectory.impliedSpeed(pts, "uid", "eid", "t", "lat", "lon",
+        teleportKmh = 1000.0)
+      .orderBy("uid", "eid").collect()
+
+    assert(got.length === 4)
+    val first = got(0)
+    assert(first.isNullAt(first.fieldIndex("speed_kmh")), "first ping: null speed")
+    assert(first.isNullAt(first.fieldIndex("is_teleport")), "first ping: null flag")
+    val hop = got(1)
+    assert(hop.getAs[Double]("dist_km") === 111.195)
+    assert(hop.getAs[Double]("speed_kmh") === 111.195)
+    assert(!hop.getAs[Boolean]("is_teleport"))
+    val jump = got(2)
+    // round(..,6) lands on the nearest double to the decimal, which can sit
+    // one ulp from the naively-multiplied Scala expression — compare decimals
+    assert(jump.getAs[Double]("dist_km") === 2223.9)
+    assert(jump.getAs[Double]("speed_kmh") === 4447.8) // 20 deg per 30 min
+    assert(jump.getAs[Boolean]("is_teleport"), "4447.8 km/h must flag")
+    val lone = got(3)
+    assert(lone.isNullAt(lone.fieldIndex("speed_kmh")), "lone ping: null speed")
+  }
+
+  test("impliedSpeed: longitude wraps the short way across the antimeridian") {
+    val pts = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), 0.0, 179.5),
+      (1L, 2L, ts("2024-01-01 01:00:00"), 0.0, -179.5)
+    ).toDF("uid", "eid", "t", "lat", "lon")
+    val got = Trajectory.impliedSpeed(pts, "uid", "eid", "t", "lat", "lon", 1000.0)
+      .orderBy("eid").collect()
+    // 1 degree across the seam, NOT 359
+    assert(got(1).getAs[Double]("dist_km") === 111.195)
+  }
+
+  test("impliedSpeed: zero elapsed time yields null speed, never Infinity") {
+    val pts = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), 0.0, 0.0),
+      (1L, 2L, ts("2024-01-01 00:00:00"), 5.0, 0.0)
+    ).toDF("uid", "eid", "t", "lat", "lon")
+    val got = Trajectory.impliedSpeed(pts, "uid", "eid", "t", "lat", "lon", 1000.0)
+      .orderBy("eid").collect()
+    val r = got(1)
+    assert(r.getAs[Long]("gap_ms") === 0L)
+    assert(r.isNullAt(r.fieldIndex("speed_kmh")))
+    assert(r.isNullAt(r.fieldIndex("is_teleport")))
+  }
+
+  test("dwellEpisodes: revisited cell opens a new episode; short runs drop") {
+    // track: A A B A A A  -> episodes A(2), A(3); B run of 1 drops at min=2
+    val base = ts("2024-01-01 00:00:00").getTime
+    val pts = (1 to 6).map { i =>
+      val cell = if (i == 3) "B" else "A"
+      (7L, i.toLong, new Timestamp(base + i * 60000L), cell)
+    }.toDF("uid", "eid", "t", "cell")
+    val got = Trajectory.dwellEpisodes(pts, "uid", "eid", "t", "cell", minPings = 2)
+      .orderBy("start_ms").collect()
+    assert(got.map(r => (r.getAs[String]("cell"), r.getAs[Long]("n_pings"))).toSeq
+      === Seq(("A", 2L), ("A", 3L)))
+    // episodes must not overlap: first ends before second starts
+    assert(got(0).getAs[Long]("end_ms") < got(1).getAs[Long]("start_ms"))
+  }
+
+  test("interpolateHourly: exact linear fill between observed hours") {
+    // uid 1: hour 0 avg=2.0, hour 3 avg=8.0 -> hours 1,2 interpolate 4.0, 6.0
+    val pts = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1.0),
+      (1L, ts("2024-01-01 00:50:00"), 3.0),
+      (1L, ts("2024-01-01 03:30:00"), 8.0)
+    ).toDF("uid", "t", "v")
+    val got = Trajectory.interpolateHourly(pts, "uid", "t", "v")
+      .orderBy("hour_ms").collect()
+    assert(got.length === 4)
+    assert(got.map(_.getAs[Double]("value_interp")).toSeq
+      === Seq(2.0, 4.0, 6.0, 8.0))
+    assert(got.map(_.getAs[Boolean]("is_observed")).toSeq
+      === Seq(true, false, false, true))
+  }
+
+  test("interpolateHourly: single observed hour emits just that row") {
+    val pts = Seq((1L, ts("2024-01-01 05:00:00"), 4.5))
+      .toDF("uid", "t", "v")
+    val got = Trajectory.interpolateHourly(pts, "uid", "t", "v").collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Double]("value_interp") === 4.5)
+    assert(got(0).getAs[Boolean]("is_observed"))
+  }
+
+  test("trajectory plans: one exchange on the track key, no extra shuffles") {
+    val pts = Seq((1L, 1L, ts("2024-01-01 00:00:00"), 1.0, 2.0))
+      .toDF("uid", "eid", "t", "lat", "lon")
+    val plan = Trajectory.impliedSpeed(pts, "uid", "eid", "t", "lat", "lon", 1000.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 <= 1,
+      s"impliedSpeed must shuffle once on the track key:\n$plan")
+  }
+}
