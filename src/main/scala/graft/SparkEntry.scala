@@ -123,6 +123,13 @@ object SparkEntry {
   /** tfidf_topk terms kept per document. */
   private val TfidfK = 5
 
+  /** boilerplate_score df threshold: a gram is group furniture when it
+    * appears in more than this fraction of the source's docs. Low here so
+    * the near-dup mass in the synthetic corpus produces signal (df ≥ 2 at
+    * sf0.01's 25 docs/source); production template-stripping runs ≥ 0.3.
+    */
+  private val BoilerDfFrac = 0.05
+
   /** fuzzy_pairs edit-distance cap; blocking key = name minus its last two
     * characters (sorted-neighborhood-style prefix block, ~100 names/block on
     * the TPC-H name format at every SF).
@@ -1071,6 +1078,14 @@ object SparkEntry {
           Tables.events(s, d).filter(col("user_id") < GapFillMaxUid),
           "user_id", "ts", "value")
         .orderBy("user_id", "hour_ms")),
+
+    // per-source template/boilerplate commonality: fraction of each doc's
+    // distinct 3-grams shared by > dfFrac of its source's docs — the
+    // cross-doc furniture signal quality_clf/repetition can't see
+    "boilerplate_score" -> ((s, d) =>
+      TextOps.boilerplateScore(Tables.documents(s, d), "doc_id", "text",
+          "source", n = 3, dfFrac = BoilerDfFrac)
+        .orderBy("doc_id")),
 
     // full CUBE over (event_type, hour-of-day) with grouping_id: all four
     // granularities in ONE Expand+agg pass (completes the rollup/pivot family)
@@ -2513,6 +2528,33 @@ object SparkEntry {
          |    AS value_interp,
          |  su IS NOT NULL AS is_observed
          |FROM r ORDER BY user_id, hour_ms""".stripMargin,
+
+    // same distinct-shingle rows with the source carried; identical
+    // df > dfFrac·n_docs gate and per-doc rollup; zero-gram docs kept with
+    // null fraction on both sides
+    "boilerplate_score" ->
+      s"""WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |    unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+         |                          for i in range(1, len(ts)-1)])) AS gram
+         |  FROM toks),
+         |gd AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY 1),
+         |dfq AS (SELECT source, gram, CAST(count(*) AS BIGINT) AS df
+         |  FROM sh GROUP BY 1, 2),
+         |bp AS (SELECT source, gram FROM dfq JOIN gd USING (source)
+         |  WHERE CAST(df AS DOUBLE) > $BoilerDfFrac * n_docs),
+         |per AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |    CAST(count(b.gram) AS BIGINT) AS n_bp
+         |  FROM sh s LEFT JOIN bp b ON s.source = b.source AND s.gram = b.gram
+         |  GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(per.n_grams, 0) AS n_grams,
+         |  coalesce(per.n_bp, 0) AS n_bp,
+         |  round(CAST(per.n_bp AS DOUBLE) / per.n_grams, 6) AS bp_frac
+         |FROM documents d LEFT JOIN per USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "cube_agg" ->
       """WITH e AS (SELECT event_type,

@@ -348,4 +348,51 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("df_cnt"),
         round(col("score"), 6).as("score"), col("rk").cast("long").as("rk"))
   }
+
+  /** Boilerplate/template score: per document, the fraction of its DISTINCT
+    * n-gram shingles that recur across more than `dfFrac` of its group's
+    * documents — the RefinedWeb/CCNet-family commonality signal that catches
+    * per-site templates, navigation chrome, and license banners, which
+    * per-document quality scores ([[qualityScore]]) and intra-document
+    * repetition ([[repetitionSignals]]) are both blind to. Group by domain /
+    * source; a high `bp_frac` marks a doc that is mostly its group's
+    * furniture.
+    *
+    * Scale shape: one shuffle counts (group, gram) document frequencies with
+    * map-side combine; the flagged-gram dictionary joins back on the SAME
+    * (group, gram) key, so the exchange is reused, and the per-doc rollup is
+    * the only other shuffle. The dictionary is the df-distribution head
+    * (grams above the threshold), tiny at a production `dfFrac` ≥ 0.3 — AQE
+    * demotes that join to broadcast on its own. Docs shorter than `n` tokens
+    * surface with `n_grams = 0` and a null fraction rather than vanishing.
+    */
+  def boilerplateScore(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, n: Int = 3, dfFrac: Double = 0.5,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    require(dfFrac > 0 && dfFrac < 1, "dfFrac must be in (0, 1)")
+    val grams = scope.persisted(docs
+      .select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+        tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), col("grp"),
+        explode(Dedup.shinglesOfTokens(col("toks"), n)).as("gram")))
+    val groupDocs = docs.groupBy(col(groupCol).as("grp"))
+      .agg(count_distinct(col(idCol)).as("n_docs"))
+    val flagged = grams.groupBy("grp", "gram")
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(groupDocs), "grp")
+      .filter(col("df").cast("double") > lit(dfFrac) * col("n_docs"))
+      .select(col("grp"), col("gram"), lit(true).as("__bp"))
+    val perDoc = grams
+      .join(flagged, Seq("grp", "gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__bp"), 1L).otherwise(0L)).as("n_bp"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_bp"), lit(0L)).as("n_bp"),
+        round(col("n_bp").cast("double") / col("n_grams"), 6).as("bp_frac"))
+  }
 }

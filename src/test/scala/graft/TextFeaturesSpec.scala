@@ -79,4 +79,27 @@ class TextFeaturesSpec extends SparkSpec {
     assert(got(4L) === "already clean")
     assert(got(5L) === "UPPER Case Kept", "case must be preserved")
   }
+
+  test("boilerplateScore: shared grams flag, unique docs score zero, short docs survive") {
+    // srcA: docs 1,2 identical (both 3-grams shared at df=2 > 0.5*3), doc 3
+    // disjoint; srcB: doc 4 alone (df can never exceed 0.5*1); doc 5 too
+    // short for any 3-gram
+    val docs = Seq(
+      (1L, "a b c d", "srcA"),
+      (2L, "a b c d", "srcA"),
+      (3L, "x y z w", "srcA"),
+      (4L, "a b c d", "srcB"),
+      (5L, "hi", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val got = graft.ops.TextOps.boilerplateScore(docs, "doc_id", "text",
+        "source", n = 3, dfFrac = 0.5)
+      .orderBy("doc_id").collect()
+    def row(i: Int) = (got(i).getLong(1), got(i).getLong(2),
+      if (got(i).isNullAt(3)) None else Some(got(i).getDouble(3)))
+    assert(row(0) === ((2L, 2L, Some(1.0))), "dup doc: all grams are furniture")
+    assert(row(1) === ((2L, 2L, Some(1.0))))
+    assert(row(2) === ((2L, 0L, Some(0.0))), "unique doc: zero boilerplate")
+    assert(row(3) === ((2L, 0L, Some(0.0))), "sole doc in group never flags")
+    assert(row(4) === ((0L, 0L, None)), "sub-n doc: zero grams, null fraction")
+  }
 }
