@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{SessionTracks, StreamingCounters, StreamingDedup, StreamingJoin, StreamingRollup, StreamingTimers, StreamingUpsert}
+import graft.streaming.{SessionTracks, StreamingCounters, StreamingDedup, StreamingJoin, StreamingRollup, StreamingTimers, StreamingTrajectory, StreamingUpsert}
 import graft.ops.Multimodal
 
 /** Streaming + multimodal specs: watermarked rollup via MemoryStream,
@@ -400,6 +400,91 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((1L, 3L, 3750000L, 2L)))
       // user 2 untouched in batch 2 → exactly one row for it
       assert(rows.count(_._1 == 2L) === 1)
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("streaming implied speed matches the batch operator bit-for-bit in order") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0 = ts("10:00").getTime
+    // two tracks, hops across the micro-batch boundary (state must carry)
+    val batch1 = Seq(
+      (1L, 1L, t0, 10.0, 20.0), (1L, 2L, t0 + 3600000L, 11.0, 20.0),
+      (2L, 9L, t0, 0.0, 179.5))
+    val batch2 = Seq(
+      (1L, 3L, t0 + 5400000L, 31.0, 20.0),
+      (2L, 10L, t0 + 3600000L, 0.0, -179.5))
+    val mem = MemoryStream[StreamingTrajectory.Ping]
+    val q = StreamingTrajectory.speedStream(mem.toDS(), teleportKmh = 1000.0)
+      .writeStream.format("memory").queryName("speed_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("speed_out")
+        .select("track_id", "ping_id", "ts_ms", "gap_ms", "dist_km",
+          "speed_kmh", "is_teleport")
+        .collect().map(_.toSeq).sortBy(r => (r(0).asInstanceOf[Long],
+          r(1).asInstanceOf[Long]))
+      val batchDf = (batch1 ++ batch2)
+        .map { case (uid, eid, ms, lat, lon) =>
+          (uid, eid, new Timestamp(ms), lat, lon) }
+        .toDF("uid", "eid", "t", "lat", "lon")
+      val expected = graft.ops.Trajectory
+        .impliedSpeed(batchDf, "uid", "eid", "t", "lat", "lon", 1000.0)
+        .select(col("uid"), col("eid"), col("ts_ms"), col("gap_ms"),
+          col("dist_km"), col("speed_kmh"), col("is_teleport"))
+        .collect().map(_.toSeq).sortBy(r => (r(0).asInstanceOf[Long],
+          r(1).asInstanceOf[Long]))
+      assert(streamed.toSeq === expected.toSeq,
+        "in-order streaming output must equal the batch operator's")
+    } finally {
+      q.stop()
+      prior match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("late ping flags is_late and never regresses trajectory state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val t0 = ts("10:00").getTime
+    val mem = MemoryStream[StreamingTrajectory.Ping]
+    val q = StreamingTrajectory.speedStream(mem.toDS(), teleportKmh = 1000.0)
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 1L, t0 + 3600000L, 10.0, 20.0))
+      q.processAllAvailable()
+      // older than the accepted ping: flagged, no kinematics
+      mem.addData((1L, 2L, t0, 99.0, 99.0))
+      q.processAllAvailable()
+      // next in-order ping measures against ping 1, NOT the late one:
+      // 1 degree of latitude over the hour from t0+1h to t0+2h
+      mem.addData((1L, 3L, t0 + 7200000L, 11.0, 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("late_out")
+        .select("ping_id", "speed_kmh", "is_late")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getDouble(1)), r.getBoolean(2)))
+        .sortBy(_._1)
+      assert(rows(1) === ((2L, None, true)))
+      assert(rows(2) === ((3L, Some(111.195), false)),
+        s"post-late hop must chain from the accepted ping, saw ${rows.toSeq}")
     } finally {
       q.stop()
       prior match {
