@@ -123,6 +123,9 @@ object SparkEntry {
   /** tfidf_topk terms kept per document. */
   private val TfidfK = 5
 
+  /** value_outliers_robust modified-z threshold (Iglewicz–Hoaglin's 3.5). */
+  private val RobustZThresh = 3.5
+
   /** boilerplate_score df threshold: a gram is group furniture when it
     * appears in more than this fraction of the source's docs. Low here so
     * the near-dup mass in the synthetic corpus produces signal (df ≥ 2 at
@@ -314,6 +317,15 @@ object SparkEntry {
       QualityChecks.zscoreOutliers(
           Tables.events(s, d).filter(col("value").isNotNull),
           "event_id", "event_type", "value", threshold = 1.7)
+        .orderBy("event_id")),
+
+    // robust (median/MAD) twin of value_outliers: the modified z-score whose
+    // baseline one wild value cannot drag; exact integer-unit percentiles,
+    // broadcast stats, no fact shuffle
+    "value_outliers_robust" -> ((s, d) =>
+      Stats.robustOutliers(
+          Tables.events(s, d).filter(col("value").isNotNull),
+          "event_id", "event_type", "value", zThresh = RobustZThresh)
         .orderBy("event_id")),
 
     // multi-granularity OLAP rollup: (day, type) / day / grand total in ONE
@@ -1345,6 +1357,27 @@ object SparkEntry {
         |SELECT event_id, event_type, z,
         |  abs(z) > CAST('1.7' AS DOUBLE) AS is_outlier
         |FROM z ORDER BY event_id""".stripMargin,
+
+    // identical doubled-unit MAD: |2u − 2·median| is an exact BIGINT, so both
+    // percentile passes interpolate exact integer inputs; identical closing
+    // float chain (u − med) / (1.4826 · (mad2 / 2))
+    "value_outliers_robust" ->
+      s"""WITH e AS (SELECT event_id, event_type,
+         |    CAST(round(value * 100) AS BIGINT) AS u
+         |  FROM events WHERE value IS NOT NULL),
+         |med AS (SELECT event_type, quantile_cont(u, 0.5) AS med
+         |  FROM e GROUP BY 1),
+         |dev AS (SELECT e.event_type,
+         |    quantile_cont(abs(2 * u - CAST(2.0 * med AS BIGINT)), 0.5) AS mad2
+         |  FROM e JOIN med USING (event_type) GROUP BY 1),
+         |z AS (SELECT e.event_id, e.event_type,
+         |    round(CAST(u AS DOUBLE) / 100, 6) AS value_r,
+         |    CASE WHEN mad2 > 0 THEN (CAST(u AS DOUBLE) - med)
+         |         / (1.4826 * (mad2 / 2.0)) END AS rz
+         |  FROM e JOIN med USING (event_type) JOIN dev USING (event_type))
+         |SELECT event_id, event_type, value_r, round(rz, 6) AS robust_z,
+         |  abs(rz) > CAST('$RobustZThresh' AS DOUBLE) AS is_outlier
+         |FROM z ORDER BY event_id""".stripMargin,
 
     // ROLLUP grouping-set parity: gid = GROUPING(day)*2 + GROUPING(type)
     // matches Spark's grouping_id bit order (first col = MSB); value summed

@@ -39,6 +39,54 @@ object Stats {
           units.cast("double") > col("__hi")).as("was_clipped"))
   }
 
+  /** Robust per-group outlier scoring: the modified z-score
+    * `(x − median) / (1.4826 · MAD)` (MAD = median absolute deviation;
+    * 1.4826 the standard normal-consistency constant). The
+    * median/MAD pair is what a monitoring pipeline wants when the metric
+    * itself has outliers — one wild value drags a mean/std z-score's OWN
+    * baseline (`QualityChecks.zscoreOutliers`), but moves a median by at
+    * most one rank. Groups where more than half the values are identical
+    * have MAD = 0: every rz is null there (flagging everything or nothing
+    * are both wrong; the caller picks a fallback).
+    *
+    * Determinism: medians are exact `percentile` over `unitScale`-scaled
+    * integer units; deviations are kept in DOUBLED units so the half-integer
+    * median cancels back to exact integers before the second percentile —
+    * both engines interpolate identical doubles end to end. Scale shape:
+    * two group aggregates (the deviation pass joins the broadcast medians —
+    * the fact table never shuffles), then a broadcast-stats narrow map, the
+    * [[winsorize]] profile; at 100 TB swap exact percentiles for
+    * `approx_percentile`, same plan.
+    */
+  def robustOutliers(df: DataFrame, idCol: String, groupCol: String,
+                     valueCol: String, zThresh: Double,
+                     unitScale: Int = 100): DataFrame = {
+    require(zThresh > 0, "zThresh must be positive")
+    val units = round(col(valueCol) * unitScale).cast("long")
+    val med = df.select(col(groupCol), units.as("__u"))
+      .groupBy(col(groupCol))
+      .agg(expr("percentile(__u, 0.5)").as("__med"))
+    // |2u − 2·median| is an exact long (the median is a half-integer at
+    // worst), so the MAD percentile also runs over exact integer inputs
+    val dev2 = df.select(col(groupCol), units.as("__u"))
+      .join(broadcast(med), groupCol)
+      .select(col(groupCol),
+        abs(lit(2) * col("__u") - (lit(2.0) * col("__med")).cast("long"))
+          .as("__d2"))
+      .groupBy(col(groupCol))
+      .agg(expr("percentile(__d2, 0.5)").as("__mad2"))
+    val rzRaw = (units.cast("double") - col("__med")) /
+      (lit(1.4826) * (col("__mad2") / lit(2.0)))
+    val rz = when(col("__mad2") > 0, rzRaw).otherwise(lit(null))
+    df.join(broadcast(med), groupCol)
+      .join(broadcast(dev2), groupCol)
+      .select(col(idCol), col(groupCol),
+        round(units.cast("double") / unitScale, 6).as("value_r"),
+        round(rz, 6).as("robust_z"),
+        when(col("__mad2") > 0, abs(rzRaw) > zThresh).otherwise(lit(null))
+          .as("is_outlier"))
+  }
+
   /** Equi-depth histogram: split each group's values into `n` equal-count
     * buckets (`ntile`) and report each bucket's count and value range —
     * the distribution profile a monitoring dashboard reads.

@@ -109,4 +109,34 @@ class StatsSpec extends SparkSpec {
     assert(out.filter(_._1 == 1L).map(_._2).toSeq ===
       (0 to 3).map(h => f"2024-01-01 0$h%d:00:00"))
   }
+
+  test("robustOutliers: MAD baseline shrugs off the outlier; MAD=0 group nulls") {
+    // group a: 1,2,3,4,100 -> median 3.0, MAD 1.0; only 100 crosses |z|>3.5.
+    // (mean/std would put the mean at 22 and sigma ~39 — the outlier hides
+    // in its own wake; the median/MAD baseline is why this operator exists.)
+    // group b: 5,5,5,9 -> MAD 0 -> null scores, null flags
+    val rows = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 4.0),
+      (5L, "a", 100.0),
+      (6L, "b", 5.0), (7L, "b", 5.0), (8L, "b", 5.0), (9L, "b", 9.0)
+    ).toDF("event_id", "event_type", "value")
+    val got = graft.ops.Stats.robustOutliers(rows, "event_id", "event_type",
+        "value", zThresh = 3.5)
+      .orderBy("event_id").collect()
+    def z(i: Int) = if (got(i).isNullAt(3)) None else Some(got(i).getDouble(3))
+    def flag(i: Int) = if (got(i).isNullAt(4)) None else Some(got(i).getBoolean(4))
+    // hand math in u=100ths: med=300, mad2=200 -> rz = (u-300)/(1.4826*100)
+    def expect(u: Long) = {
+      val raw = (u.toDouble - 300.0) / (1.4826 * (200.0 / 2.0))
+      new java.math.BigDecimal(raw)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    assert(z(0) === Some(expect(100)) && flag(0) === Some(false))
+    assert(z(2) === Some(0.0) && flag(2) === Some(false))
+    assert(z(4) === Some(expect(10000)) && flag(4) === Some(true),
+      "the 100.0 reading must flag against the robust baseline")
+    (5 to 8).foreach { i =>
+      assert(z(i) === None && flag(i) === None, s"MAD=0 group row $i must be null")
+    }
+  }
 }
