@@ -117,6 +117,24 @@ object Curation {
       .select(col(idCol), col(strataCol), col("rate"), col("keep"))
   }
 
+  /** Temperature-rescaled mixture weights (the multilingual alpha-sampling
+    * rule, mC4/XLM-R): `w_i^α / Σ w_j^α`. α = 1 keeps the natural
+    * proportions; α → 0 flattens toward uniform, boosting low-resource
+    * strata. Computed DRIVER-side on the raw proportions and passed to
+    * [[mixtureSample]] as plain constants — `pow` never reaches a
+    * distributed expression, so cross-engine float parity is a non-issue by
+    * construction.
+    */
+  def temperatureWeights(raw: Map[String, Double],
+                         alpha: Double): Map[String, Double] = {
+    require(alpha > 0, "alpha must be positive")
+    require(raw.nonEmpty && raw.values.forall(_ > 0),
+      "raw proportions must be positive")
+    val powed = raw.map { case (k, v) => k -> math.pow(v, alpha) }
+    val z = powed.values.sum
+    powed.map { case (k, v) => k -> v / z }
+  }
+
   /** Deterministic weighted sampling without replacement — priority sampling
     * (Duffield, Lund & Thorup, JACM 2007): each row draws a pseudo-uniform
     * `u ∈ (0,1)` from its stable hash, gets priority `w / u`, and the top-k

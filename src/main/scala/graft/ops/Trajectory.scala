@@ -122,7 +122,10 @@ object Trajectory {
     * have small denominators) and the engines split on them. The closing
     * `micro / 1e6` division is the only float op and is correctly rounded
     * everywhere. Requires a nonnegative value domain (integer div truncation
-    * semantics differ across engines below zero).
+    * semantics differ across engines below zero). Overflow bound: the
+    * interpolation products must stay under 2^63 — `2 · max-hourly-sum ×
+    * max-hourly-count × max-gap-hours < 2^63`; for very dense series drop
+    * `unitScale` (the dial exists for exactly this trade).
     *
     * Per-partition cost: the prev/next scans are running `last/first` over
     * rows frames — one forward and one backward pass per key, O(grid).

@@ -441,4 +441,23 @@ class CurationSpec extends SparkSpec {
     val out = Curation.topPByTokens(df, "id", "domain", col("toks"), p = 0.5)
     assert(out.filter(col("keep")).count() === 1)
   }
+
+  test("temperatureWeights: alpha=1 is identity, alpha->0 flattens, order kept") {
+    val raw = Map("en" -> 0.8, "sw" -> 0.15, "yo" -> 0.05)
+    val id = Curation.temperatureWeights(raw, alpha = 1.0)
+    raw.foreach { case (k, v) => assert(math.abs(id(k) - v) < 1e-12) }
+    val cool = Curation.temperatureWeights(raw, alpha = 0.3)
+    assert(math.abs(cool.values.sum - 1.0) < 1e-12, "stays normalized")
+    assert(cool("yo") > raw("yo") && cool("en") < raw("en"),
+      "cooling boosts low-resource strata at the head's expense")
+    assert(cool("en") > cool("sw") && cool("sw") > cool("yo"),
+      "rescaling must never reorder strata")
+    // the rescaled map feeds mixtureSample's normalization gate directly
+    import spark.implicits._
+    val docs = Seq((1L, "en", 100L), (2L, "sw", 100L), (3L, "yo", 100L))
+      .toDF("id", "s", "toks")
+    val sampled = Curation.mixtureSample(docs, "id", "s", col("toks"),
+      cool, budgetTokens = 150L)
+    assert(sampled.count() === 3)
+  }
 }
