@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{AsOf, CoMovement, Curation, DataQuality, Decontam, Dedup, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks, Trajectory}
+import graft.ops.{AsOf, CoMovement, Curation, DataQuality, Decontam, Dedup, EventFlows, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks, Trajectory}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -125,6 +125,15 @@ object SparkEntry {
 
   /** value_outliers_robust modified-z threshold (Iglewicz–Hoaglin's 3.5). */
   private val RobustZThresh = 3.5
+
+  /** funnel_steps definition: the browse→act→buy path over the event-type
+    * vocabulary, end-to-end window one week.
+    */
+  private val FunnelSteps = Seq("view", "click", "purchase")
+  private val FunnelWindowMs = 7L * 24 * 3600 * 1000
+
+  /** retention_matrix cohort/offset period (weekly). */
+  private val RetentionPeriodDays = 7
 
   /** boilerplate_score df threshold: a gram is group furniture when it
     * appears in more than this fraction of the source's docs. Low here so
@@ -318,6 +327,28 @@ object SparkEntry {
           Tables.events(s, d).filter(col("value").isNotNull),
           "event_id", "event_type", "value", threshold = 1.7)
         .orderBy("event_id")),
+
+    // earliest-chaining funnel over view→click→purchase: per-actor step
+    // times, drop-off level, end-to-end window completion
+    "funnel_steps" -> ((s, d) =>
+      EventFlows.funnel(Tables.events(s, d), "user_id", "ts", "event_type",
+          FunnelSteps, FunnelWindowMs)
+        .orderBy("user_id")),
+
+    // weekly retention triangle: distinct actors per (first-seen cohort,
+    // period offset) — actor-day distinct first, so event volume collapses
+    // before any join
+    "retention_matrix" -> ((s, d) =>
+      EventFlows.retentionMatrix(Tables.events(s, d), "user_id", "ts",
+          RetentionPeriodDays)
+        .orderBy("cohort_ms", "period_offset")),
+
+    // first-order transition (Sankey/Markov) matrix: actor-adjacent
+    // event-type pairs in event-time order
+    "event_transitions" -> ((s, d) =>
+      EventFlows.transitions(Tables.events(s, d), "user_id", "event_id", "ts",
+          "event_type")
+        .orderBy("from_type", "to_type")),
 
     // robust (median/MAD) twin of value_outliers: the modified z-score whose
     // baseline one wild value cannot drag; exact integer-unit percentiles,
@@ -1357,6 +1388,50 @@ object SparkEntry {
         |SELECT event_id, event_type, z,
         |  abs(z) > CAST('1.7' AS DOUBLE) AS is_outlier
         |FROM z ORDER BY event_id""".stripMargin,
+
+    // same strictly-after min-chaining per step; millisecond comparisons on
+    // both sides (epoch_ms/unix_millis truncate identically)
+    "funnel_steps" ->
+      s"""WITH base AS (SELECT user_id AS k, epoch_ms(ts) AS ms, event_type AS t
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+         |    AND event_type IS NOT NULL),
+         |s1 AS (SELECT k, CAST(min(ms) AS BIGINT) AS t_1 FROM base
+         |  WHERE t = '${FunnelSteps(0)}' GROUP BY 1),
+         |s2 AS (SELECT b.k, CAST(min(b.ms) AS BIGINT) AS t_2
+         |  FROM base b JOIN s1 ON b.k = s1.k
+         |  WHERE b.t = '${FunnelSteps(1)}' AND b.ms > s1.t_1 GROUP BY 1),
+         |s3 AS (SELECT b.k, CAST(min(b.ms) AS BIGINT) AS t_3
+         |  FROM base b JOIN s2 ON b.k = s2.k
+         |  WHERE b.t = '${FunnelSteps(2)}' AND b.ms > s2.t_2 GROUP BY 1)
+         |SELECT s1.k AS user_id, t_1, t_2, t_3,
+         |  CAST(1 + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+         |         + CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END AS BIGINT)
+         |    AS step_reached,
+         |  CASE WHEN t_3 IS NULL THEN FALSE
+         |       ELSE t_3 - t_1 <= $FunnelWindowMs END AS completed
+         |FROM s1 LEFT JOIN s2 ON s1.k = s2.k LEFT JOIN s3 ON s1.k = s3.k
+         |ORDER BY user_id""".stripMargin,
+
+    "retention_matrix" ->
+      s"""WITH ad AS (SELECT DISTINCT user_id AS k, date_trunc('day', ts) AS d
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |c AS (SELECT k, min(d) AS d0 FROM ad GROUP BY 1)
+         |SELECT epoch_ms(d0) AS cohort_ms,
+         |  CAST(date_diff('day', d0, d) // $RetentionPeriodDays AS BIGINT)
+         |    AS period_offset,
+         |  CAST(count(DISTINCT ad.k) AS BIGINT) AS n_active
+         |FROM ad JOIN c ON ad.k = c.k
+         |GROUP BY 1, 2 ORDER BY cohort_ms, period_offset""".stripMargin,
+
+    "event_transitions" ->
+      """WITH e AS (SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS to_type
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL)
+        |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM e WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
     // identical doubled-unit MAD: |2u − 2·median| is an exact BIGINT, so both
     // percentile passes interpolate exact integer inputs; identical closing
