@@ -251,4 +251,35 @@ class PlanSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("funnel_steps: co-partitioned min-chain — keyed joins only, no product") {
+    val plan = planOf(SparkEntry.queries("funnel_steps")(spark, Sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel must stay keyed:\n$plan")
+  }
+
+  test("boilerplate_score: gram rows materialize once (persisted), joins stay keyed") {
+    val df = SparkEntry.queries("boilerplate_score")(spark, Sf)
+    val plan = planOf(df)
+    assert(plan.contains("InMemoryTableScan"),
+      "the exploded gram frame must come from the shared cache, not re-explode")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    spark.catalog.clearCache()
+  }
+
+  test("value_outliers_robust: stats broadcast; the fact side never sort-merges") {
+    val plan = planOf(SparkEntry.queries("value_outliers_robust")(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin"), "median/MAD stats must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the event scan must not shuffle for the stats join")
+  }
+
+  test("gap_interp: grid and fill stay keyed on the series key") {
+    val plan = planOf(SparkEntry.queries("gap_interp")(spark, Sf))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"densify+interpolate must never go all-pairs:\n$plan")
+  }
 }
