@@ -126,6 +126,9 @@ object SparkEntry {
   /** value_outliers_robust modified-z threshold (Iglewicz–Hoaglin's 3.5). */
   private val RobustZThresh = 3.5
 
+  /** search_topk result size (same query terms as bm25_score). */
+  private val SearchK = 10
+
   /** funnel_steps definition: the browse→act→buy path over the event-type
     * vocabulary, end-to-end window one week.
     */
@@ -630,6 +633,13 @@ object SparkEntry {
     "bm25_score" -> ((s, d) =>
       TextOps.bm25(Tables.documents(s, d), "doc_id", "text", Bm25Terms)
         .orderBy("doc_id")),
+
+    // the query-side retrieval plan: posting selection → keyed tf aggregate
+    // → TakeOrdered top-k on the raw score (doc id breaks ties); only
+    // term-matching docs are results
+    "search_topk" -> ((s, d) =>
+      TextOps.searchTopK(Tables.documents(s, d), "doc_id", "text", Bm25Terms,
+        SearchK, Bm25K1, Bm25B)),
 
     // mod-p rolling-hash fingerprints (Rabin–Karp k-grams, content-anchored)
     "doc_fingerprint" -> ((s, d) =>
@@ -1726,6 +1736,35 @@ object SparkEntry {
          |  $dfAggs FROM d)
          |SELECT doc_id, round($scoreSum, 6) AS bm25
          |FROM d, s ORDER BY doc_id""".stripMargin
+    },
+
+    // same tf/df/dl/score chain as bm25_score; ranking on the RAW score
+    // (identical doubles both engines), rounding only in the projection
+    "search_topk" -> {
+      val terms = Bm25Terms.zipWithIndex
+      val k1p1 = s"CAST('${Bm25K1 + 1.0}' AS DOUBLE)"
+      val k1 = s"CAST('$Bm25K1' AS DOUBLE)"
+      val oneMinusB = s"CAST('${1.0 - Bm25B}' AS DOUBLE)"
+      val bLit = s"CAST('$Bm25B' AS DOUBLE)"
+      val tfCols = terms.map { case (t, i) =>
+        s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) AS tf_$i" }.mkString(",\n  ")
+      val dfAggs = terms.map { case (_, i) =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i" }.mkString(", ")
+      val scoreSum = terms.map { case (_, i) =>
+        s"""ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0) * (tf_$i * $k1p1)
+           | / (tf_$i + $k1 * ($oneMinusB + $bLit * (dl / avgdl)))""".stripMargin
+      }.mkString(" + ")
+      val anyMatch = terms.map { case (_, i) => s"tf_$i > 0" }.mkString(" OR ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |d AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+         |  $tfCols
+         |FROM t),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+         |  $dfAggs FROM d),
+         |v AS (SELECT doc_id, $scoreSum AS s_raw
+         |  FROM d, s WHERE $anyMatch)
+         |SELECT doc_id, round(s_raw, 6) AS bm25
+         |FROM v ORDER BY s_raw DESC, doc_id LIMIT $SearchK""".stripMargin
     },
 
     "doc_sample" ->

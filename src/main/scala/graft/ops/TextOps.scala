@@ -248,6 +248,62 @@ object TextOps {
     scored.select(col(idCol), round(score, 6).as("bm25"))
   }
 
+  /** BM25 top-k retrieval: the query-side posting plan — explode tokens,
+    * keep ONLY the query terms (the posting selection; everything else in
+    * the doc never leaves the scan stage), aggregate per-doc term
+    * frequencies, score with the same fixed-order BM25 chain as [[bm25]],
+    * and return the best `k` docs by raw score (doc id breaks exact ties).
+    * Only docs containing at least one query term are retrieval results —
+    * the no-match score is identically zero and excluded by construction.
+    *
+    * Versus [[bm25]] (which scores every document for audit-style use),
+    * this is the shape a search serves: per-term posting rows → keyed
+    * aggregate → `TakeOrdered` top-k; no full-corpus score materializes.
+    * At production scale the posting rows come from a maintained inverted
+    * index (the [[Indexing.globalIndex]] family) instead of an explode —
+    * the query-side plan from the postings on is identical.
+    *
+    * Determinism: tf/df/dl are exact integers, the score chain is evaluated
+    * in declared term order, and ranking uses the RAW double (identical
+    * cross-engine given identical inputs) — rounding happens only in the
+    * output projection.
+    */
+  private def tfAggs(terms: Seq[String]): Seq[Column] =
+    terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1.0).otherwise(0.0)).as(s"tf_$i")
+    }
+
+  def searchTopK(df: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one query term")
+    require(terms.distinct.size == terms.size, "query terms must be distinct")
+    require(k > 0, "k must be positive")
+    val base = df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("ts"))
+      .withColumn("dl", size(col("ts")).cast("double"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val perDoc = base
+      .select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "dl")
+      .agg(tfAggs(terms).head, tfAggs(terms).tail: _*)
+    val dfAggs = terms.indices.map(i =>
+      sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
+    val dfs = perDoc.agg(dfAggs.head, dfAggs.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val idf = log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / col("avgdl"))))
+    }.reduce(_ + _)
+    scored.withColumn("__s", score)
+      .orderBy(col("__s").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), round(col("__s"), 6).as("bm25"))
+  }
+
   /** Corpus n-gram vocabulary: the `topK` most frequent token n-grams with
     * their occurrence counts (every occurrence counts, not once-per-doc) —
     * the frequency table a BPE/vocab-building pass starts from. Deterministic

@@ -102,4 +102,32 @@ class TextFeaturesSpec extends SparkSpec {
     assert(row(3) === ((2L, 0L, Some(0.0))), "sole doc in group never flags")
     assert(row(4) === ((0L, 0L, None)), "sub-n doc: zero grams, null fraction")
   }
+
+  test("searchTopK: ranking, no-match exclusion, k cut, doc-id tie-break") {
+    val docs = Seq(
+      (1L, "spark spark spark"),      // tf=3 on the only query term it has
+      (2L, "spark join other words"), // two terms, lower tf each
+      (3L, "nothing relevant here"),  // no query term: not a result
+      (4L, "spark spark spark"),      // exact tie with doc 1 -> id order
+      (5L, "join join join join")
+    ).toDF("doc_id", "text")
+    assert(graft.ops.TextOps.searchTopK(docs, "doc_id", "text",
+      Seq("spark", "join"), k = 3).count() === 3, "k cut applies")
+    val got = graft.ops.TextOps.searchTopK(docs, "doc_id", "text",
+        Seq("spark", "join"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length === 4, "only 4 docs match any term")
+    assert(!got.map(_._1).contains(3L), "no-match doc is not a result")
+    val ids = got.map(_._1)
+    assert(ids.indexOf(4L) === ids.indexOf(1L) + 1,
+      s"exact score ties break by doc id, saw ${got.toSeq}")
+    assert(got.map(_._2).toSeq === got.map(_._2).sorted.reverse.toSeq,
+      "results descend by score")
+    // scores agree with the audit-style full scorer on the same corpus
+    val full = graft.ops.TextOps.bm25(docs, "doc_id", "text",
+        Seq("spark", "join"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (id, s) => assert(s === full(id),
+      s"retrieval score for doc $id must match bm25's") }
+  }
 }
