@@ -129,6 +129,13 @@ object SparkEntry {
   /** search_topk result size (same query terms as bm25_score). */
   private val SearchK = 10
 
+  /** hybrid_dedup confirmation threshold. Lower than EmbedDupThreshold
+    * because the synthetic embeddings are independent of the text (dup-text
+    * pairs land cos ∈ [−0.17, 0.28] at sf0.01) — 0.1 keeps both verdicts
+    * populated; a real corpus runs the same dial at ~0.8.
+    */
+  private val HybridCosThreshold = 0.1
+
   /** funnel_steps definition: the browse→act→buy path over the event-type
     * vocabulary, end-to-end window one week.
     */
@@ -766,6 +773,14 @@ object SparkEntry {
     // MinHash + LSH candidate pairs (k=8 string-ordered minhashes, bands of 2)
     "dedup_minhash" -> ((s, d) =>
       minhashPairsGold(s, d).orderBy("doc_a", "doc_b")),
+
+    // retrieve-then-verify fusion: the materialized minhash candidates
+    // re-ranked by exact embedding cosine (vec i is doc i's embedding) —
+    // lexical LSH proposes, the semantic signal confirms
+    "hybrid_dedup" -> ((s, d) =>
+      Dedup.cosineVerifyPairs(minhashPairsGold(s, d), Tables.embeddings(s, d),
+          "doc_a", "doc_b", "vec_id", "embedding", HybridCosThreshold)
+        .orderBy("doc_a", "doc_b")),
 
     // SimHash-64 signatures (two unsigned 32-bit halves)
     "dedup_simhash" -> ((s, d) =>
@@ -2083,6 +2098,33 @@ object SparkEntry {
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // minhash candidates (same CTE chain as dedup_minhash) re-ranked by the
+    // same strict-order cosine as dedup_embed — the retrieve-then-verify
+    // fusion, value-for-value
+    "hybrid_dedup" ->
+      s"""$ShingleCte,
+         |mh AS (SELECT doc_id, i,
+         |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM sh, range(8) r(i) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+         |    string_agg(h, '|' ORDER BY i) AS bucket
+         |  FROM mh GROUP BY 1, 2),
+         |cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS bands_shared
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, v, sqrt(${dotChain("v", "v")}) AS nr FROM e),
+         |j AS (SELECT c.doc_a, c.doc_b, c.bands_shared,
+         |    (${dotChain("a.v", "b.v")}) / nullif(a.nr * b.nr, 0) AS cos
+         |  FROM cand c
+         |  JOIN nrm a ON a.vec_id = c.doc_a
+         |  JOIN nrm b ON b.vec_id = c.doc_b)
+         |SELECT doc_a, doc_b, bands_shared, round(cos, 6) AS cos,
+         |  cos >= $HybridCosThreshold AS is_dup
+         |FROM j ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_minhash" ->
       s"""$ShingleCte,

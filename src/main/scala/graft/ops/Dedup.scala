@@ -353,4 +353,55 @@ object Dedup {
     labels.select(col("id"), col("cluster"),
       (col("id") === col("cluster")).as("is_canonical"))
   }
+
+  /** Hybrid near-dup pairs: MinHash-LSH TEXT candidates confirmed by
+    * EMBEDDING cosine — the two-signal fusion a production curation stack
+    * runs, because each signal fails alone: shingle LSH misses paraphrases
+    * that keep few exact n-grams, and embedding similarity happily marries
+    * documents that merely share a topic. A pair survives only when the
+    * lexical candidate generator proposed it AND the semantic check agrees
+    * (`cos ≥ cosThreshold`); `is_dup` carries the verdict alongside both
+    * evidence columns so a triage queue can sort by either.
+    *
+    * `emb` maps `vecIdCol` to the SAME id space as `docs(idCol)` — the
+    * caller owns that correspondence (here: vec i is doc i's embedding).
+    *
+    * Scale: candidate volume is bounded by the LSH band-bucket join (never
+    * all-pairs); the verify stage joins candidates to the embedding table
+    * twice on its key — co-partitioned equi-joins proportional to the
+    * CANDIDATE count, so the expensive exact cosine runs only where the
+    * cheap signal already fired (the standard retrieve-then-rerank shape).
+    */
+  def hybridNearDupPairs(docs: DataFrame, emb: DataFrame, idCol: String,
+                         textCol: String, vecIdCol: String, vecCol: String,
+                         cosThreshold: Double, k: Int = 8, rowsPerBand: Int = 2,
+                         n: Int = 3,
+                         scope: CacheScope = CacheScope.global): DataFrame =
+    cosineVerifyPairs(
+      minhashLshPairs(docs, idCol, textCol, k, rowsPerBand, n, scope),
+      emb, "doc_a", "doc_b", vecIdCol, vecCol, cosThreshold)
+
+  /** The verify stage of [[hybridNearDupPairs]], reusable over ANY candidate
+    * pair frame (a materialized LSH gold stage, simhash pairs, fuzzy-join
+    * output): joins both pair sides to the embedding table on its key and
+    * scores exact cosine. Candidate columns pass through; `cos`/`is_dup`
+    * append the semantic verdict.
+    */
+  def cosineVerifyPairs(cand: DataFrame, emb: DataFrame, aCol: String,
+                        bCol: String, vecIdCol: String, vecCol: String,
+                        cosThreshold: Double): DataFrame = {
+    val e = emb.select(col(vecIdCol).as("vid"),
+        Similarity.vecd(col(vecCol)).as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val cos = graft.functions.vec_dot(col("va"), col("vb")) /
+      nullif(col("na") * col("nb"), lit(0.0))
+    val passthrough = cand.columns.map(col).toSeq
+    cand
+      .join(e.select(col("vid").as(aCol), col("v").as("va"),
+        col("nrm").as("na")), aCol)
+      .join(e.select(col("vid").as(bCol), col("v").as("vb"),
+        col("nrm").as("nb")), bCol)
+      .select(passthrough :+ round(cos, 6).as("cos") :+
+        (cos >= cosThreshold).as("is_dup"): _*)
+  }
 }

@@ -208,4 +208,30 @@ class DedupSpec extends SparkSpec {
     val got = TextOps.languageId(df, "doc_id", "text").collect().head
     assert(got.getAs[String]("pred_lang") === TextOps.LangMarkers.head._1)
   }
+
+  test("hybrid dedup: lexical candidates confirmed or vetoed by embedding cosine") {
+    // two identical-text pairs -> both are LSH candidates; embeddings agree
+    // for (1,2) and point opposite ways for (3,4) — only (1,2) is a dup
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "one two three four five six"),
+      (4L, "one two three four five six"),
+      (5L, "totally unrelated text body here")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)),
+      (3L, Seq(1.0f, 0.0f)), (4L, Seq(-1.0f, 0.0f)),
+      (5L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val scope = new graft.engine.CacheScope
+    val got = Dedup.hybridNearDupPairs(docs, emb, "doc_id", "text",
+        "vec_id", "embedding", cosThreshold = 0.5, scope = scope)
+      .orderBy("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(3), r.getBoolean(4)))
+    scope.release()
+    assert(got.toSeq === Seq((1L, 2L, 1.0, true), (3L, 4L, -1.0, false)),
+      "the semantic check must confirm (1,2) and veto (3,4)")
+  }
 }
