@@ -360,6 +360,17 @@ object SparkEntry {
           "event_type")
         .orderBy("from_type", "to_type")),
 
+    // per-day value-distribution drift vs the corpus reference (PSI, the
+    // population-stability monitoring dial); one conditional-count pivot
+    // per slice, fixed-order smoothed log chain — never an unordered float sum
+    "drift_psi" -> ((s, d) =>
+      DataQuality.psiDrift(
+          Tables.events(s, d).filter(col("ts").isNotNull),
+          unix_millis(date_trunc("day", col("ts"))), "value",
+          HistLo, HistHi, HistBins)
+        .withColumnRenamed("slice", "day_ms")
+        .orderBy("day_ms")),
+
     // robust (median/MAD) twin of value_outliers: the modified z-score whose
     // baseline one wild value cannot drag; exact integer-unit percentiles,
     // broadcast stats, no fact shuffle
@@ -1457,6 +1468,39 @@ object SparkEntry {
         |SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
         |FROM e WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
+
+    // identical bin pivot (conditional counts to fixed columns) and the same
+    // bin-order smoothed (p−q)·ln(p/q) chain; ln ulp absorbed by round(,6)
+    "drift_psi" -> {
+      val bins = 0 until HistBins
+      def cnts(prefix: String) = bins.map(i =>
+        s"CAST(count(CASE WHEN b = $i THEN 1 END) AS BIGINT) AS $prefix$i")
+        .mkString(",\n    ")
+      val nSum = bins.map(i => s"c_$i").mkString(" + ")
+      val rnSum = bins.map(i => s"r_$i").mkString(" + ")
+      val bDenom = s"CAST('${HistBins.toDouble}' AS DOUBLE)"
+      val chain = bins.map { i =>
+        val p = s"((c_$i + 1.0) / (n + $bDenom))"
+        val q = s"((r_$i + 1.0) / (rn + $bDenom))"
+        s"($p - $q) * ln($p / $q)"
+      }.mkString("\n  + ")
+      s"""WITH e AS (SELECT epoch_ms(date_trunc('day', ts)) AS day_ms,
+         |    least(${HistBins - 1}, greatest(0,
+         |      CAST(floor((value - $HistLo) / ${(HistHi - HistLo) / HistBins})
+         |           AS BIGINT))) AS b
+         |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+         |p AS (SELECT day_ms,
+         |    ${cnts("c_")}
+         |  FROM e GROUP BY 1),
+         |p2 AS (SELECT *, $nSum AS n FROM p),
+         |r AS (SELECT
+         |    ${cnts("r_")}
+         |  FROM e),
+         |r2 AS (SELECT *, $rnSum AS rn FROM r)
+         |SELECT day_ms, CAST(n AS BIGINT) AS n_rows,
+         |  round($chain, 6) AS psi
+         |FROM p2, r2 ORDER BY day_ms""".stripMargin
+    },
 
     // identical doubled-unit MAD: |2u − 2·median| is an exact BIGINT, so both
     // percentile passes interpolate exact integer inputs; identical closing

@@ -48,4 +48,31 @@ class DataQualitySpec extends SparkSpec {
     assert(got(4L) === ((1L, false)))
     assert(got(5L) === ((2L, false)), "bit 1 = rule 1 failed")
   }
+
+  test("psiDrift: matching slice reads ~0, shifted slice reads broken, no infinities") {
+    import org.apache.spark.sql.functions.col
+    // healthy slices dominate the corpus (the realistic monitoring ratio),
+    // so the pooled reference IS their shape; the one degenerate slice
+    // lives entirely in the top bin — classic broken-upstream drift
+    val rows =
+      Seq.tabulate(360)(i => ("same", (i % 10) * 10.0 + 5.0)) ++
+      Seq.tabulate(40)(i => ("shifted", 95.0))
+    val df = rows.toDF("slice_name", "v")
+    val got = DataQuality.psiDrift(df, col("slice_name"), "v",
+        lo = 0.0, hi = 100.0, nBins = 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got.values.forall(v => !v.isInfinite && !v.isNaN),
+      "Laplace smoothing must keep every PSI finite")
+    assert(got("shifted") > 0.25, s"degenerate slice must read broken: $got")
+    assert(got("same") < 0.1, s"the majority shape must read stable: $got")
+  }
+
+  test("psiDrift: a slice equal to the whole input is exactly zero") {
+    import org.apache.spark.sql.functions.lit
+    val df = Seq.tabulate(50)(i => i % 100 * 1.0).toDF("v")
+    val got = DataQuality.psiDrift(df, lit("all"), "v", 0.0, 100.0, 10)
+      .collect()
+    assert(got.length === 1 && got.head.getDouble(2) === 0.0,
+      "p == q bin-for-bin must round to exactly 0")
+  }
 }
