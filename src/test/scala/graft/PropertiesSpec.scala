@@ -192,4 +192,40 @@ object GraftProperties extends Properties("graft") {
         BitInterleave.morton(x, y) < BitInterleave.morton(x + 1, y) &&
           BitInterleave.morton(y, x) < BitInterleave.morton(y, x + 1)
     }
+
+  // SpaceSaving is a pure kernel (reduce/merge/finish never touch Spark), so
+  // its guarantees get the wide-input treatment: any stream, any split into
+  // chunks, any left-fold merge tree.
+  private val ssK = 4
+  private val ssStream: Gen[List[String]] =
+    Gen.listOf(Gen.frequency(
+      5 -> Gen.const("hot"), 2 -> Gen.const("warm"),
+      3 -> Gen.oneOf((1 to 20).map(i => s"cold$i"))))
+
+  property("spacesaving: est>=true>=est-err and n/k hitters survive any split") =
+    forAll(ssStream, Gen.chooseNum(1, 6)) { (xs, parts) =>
+      val ss = new graft.ops.SpaceSaving(ssK)
+      val chunkSize = math.max(1, (xs.size + parts - 1) / parts)
+      val bufs = xs.grouped(chunkSize).map(_.foldLeft(ss.zero)(ss.reduce))
+      val out = ss.finish(bufs.foldLeft(ss.zero)(ss.merge))
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = xs.size.toLong
+      out.size <= ssK &&
+        out.forall { h =>
+          val t = truth.getOrElse(h.item, 0L)
+          h.est >= t && h.est - h.err <= t
+        } &&
+        truth.forall { case (item, c) =>
+          c <= n / ssK || out.exists(_.item == item)
+        }
+    }
+
+  property("spacesaving: below capacity the summary is exact") =
+    forAll(Gen.listOf(Gen.oneOf("a", "b", "c", "d"))) { xs =>
+      val ss = new graft.ops.SpaceSaving(4) // keyspace fits: no eviction ever
+      val out = ss.finish(xs.foldLeft(ss.zero)(ss.reduce))
+      val truth = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      out.size == truth.size &&
+        out.forall(h => truth(h.item) == h.est && h.err == 0L)
+    }
 }
