@@ -83,7 +83,9 @@ object DataQuality {
     * broadcast back — the classic monitoring profile at fact-table scale.
     */
   def psiDrift(df: DataFrame, sliceCol: Column, valueCol: String,
-               lo: Double, hi: Double, nBins: Int): DataFrame = {
+               lo: Double, hi: Double, nBins: Int,
+               scope: graft.engine.CacheScope =
+                 graft.engine.CacheScope.global): DataFrame = {
     require(nBins > 0 && nBins <= 63 && hi > lo, "need 1..63 bins and hi > lo")
     val width = (hi - lo) / nBins
     val b = least(lit(nBins - 1L),
@@ -92,9 +94,16 @@ object DataQuality {
       .select(sliceCol.as("slice"), b.as("__b"))
     def binCounts(prefix: String) = (0 until nBins).map(i =>
       count(when(col("__b") === i, 1)).as(s"$prefix$i"))
-    val perSlice = base.groupBy("slice")
-      .agg(binCounts("c_").head, binCounts("c_").tail: _*)
-    val ref = base.agg(binCounts("r_").head, binCounts("r_").tail: _*)
+    // one row per slice; persisted because both the reference sums and the
+    // final projection read it — Spark's exchange reuse does not dedupe the
+    // two consumers here (verified on the executed plan), and without the
+    // persist the fact scan would run twice
+    val perSlice = scope.persisted(base.groupBy("slice")
+      .agg(binCounts("c_").head, binCounts("c_").tail: _*))
+    // the reference is the column sums of the per-slice pivot — derived from
+    // the SAME aggregate, so the input is scanned exactly once
+    val refAggs = (0 until nBins).map(i => sum(col(s"c_$i")).as(s"r_$i"))
+    val ref = perSlice.agg(refAggs.head, refAggs.tail: _*)
     val n = (0 until nBins).map(i => col(s"c_$i")).reduce(_ + _)
     val refN = (0 until nBins).map(i => col(s"r_$i")).reduce(_ + _)
     val psi = (0 until nBins).map { i =>

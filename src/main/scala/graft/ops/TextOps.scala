@@ -275,7 +275,8 @@ object TextOps {
 
   def searchTopK(df: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], k: Int,
-                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 k1: Double = 1.2, b: Double = 0.75,
+                 scope: CacheScope = CacheScope.global): DataFrame = {
     require(terms.nonEmpty, "search needs at least one query term")
     require(terms.distinct.size == terms.size, "query terms must be distinct")
     require(k > 0, "k must be positive")
@@ -283,11 +284,15 @@ object TextOps {
       .withColumn("dl", size(col("ts")).cast("double"))
     val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
-    val perDoc = base
+    // one row per matching doc; persisted because the df aggregate and the
+    // scoring projection both read it — exchange reuse does not dedupe the
+    // two consumers (verified on the executed plan), and the explode+shuffle
+    // behind it is the expensive part of the query
+    val perDoc = scope.persisted(base
       .select(col("doc_id"), col("dl"), explode(col("ts")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy("doc_id", "dl")
-      .agg(tfAggs(terms).head, tfAggs(terms).tail: _*)
+      .agg(tfAggs(terms).head, tfAggs(terms).tail: _*))
     val dfAggs = terms.indices.map(i =>
       sum(when(col(s"tf_$i") > 0, 1.0).otherwise(0.0)).as(s"df_$i"))
     val dfs = perDoc.agg(dfAggs.head, dfAggs.tail: _*)
