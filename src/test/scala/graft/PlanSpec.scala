@@ -282,4 +282,19 @@ class PlanSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"densify+interpolate must never go all-pairs:\n$plan")
   }
+
+  test("EVERY declared query plans without a CartesianProduct") {
+    // the one blanket scale rule: no unkeyed big-big product anywhere.
+    // (BroadcastNestedLoopJoin is allowed — it only appears here as the
+    // deliberate crossJoin(broadcast(single-row stats)) pattern; a big-big
+    // product would surface as CartesianProduct instead.)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = planOf(fn(spark, Sf))
+        spark.catalog.clearCache() // operators may persist shared frames
+        if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with an unkeyed product: ${offenders.mkString(", ")}")
+  }
 }
