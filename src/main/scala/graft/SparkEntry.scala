@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{AsOf, CoMovement, Curation, DataQuality, Decontam, Dedup, EventFlows, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks, Trajectory}
+import graft.ops.{AsOf, CoMovement, Curation, CurationPipeline, DataQuality, Decontam, Dedup, EventFlows, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks, Trajectory}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1158,6 +1158,20 @@ object SparkEntry {
           "user_id", "ts", "value")
         .orderBy("user_id", "hour_ms")),
 
+    // the end-to-end curation funnel under the oracle: normalize → exact
+    // dedup → near-dup cluster canonicality → quality → decontamination,
+    // every doc annotated with the FIRST stage that dropped it; survivor
+    // text PII-redacted (compared by md5). Same eval split as decontam.
+    "curation_funnel" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      CurationPipeline.curate(
+          all.filter(col("doc_id") >= EvalCohortMax), "doc_id", "text",
+          Some(all.filter(col("doc_id") < EvalCohortMax).select("text")))
+        .select(col("doc_id"), col("drop_stage"), col("kept"),
+          md5(col("clean_text")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     // per-source template/boilerplate commonality: fraction of each doc's
     // distinct 3-grams shared by > dfFrac of its source's docs — the
     // cross-doc furniture signal quality_clf/repetition can't see
@@ -2213,6 +2227,76 @@ object SparkEntry {
         |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
 
     // same pair graph, closed transitively: min reachable doc id per node
+    // the stage oracles composed: exact-dup keep-first + recursive-CTE
+    // cluster canonicality + quality bitmask + eval-shingle decontamination,
+    // with the SAME first-match precedence; redacted text compared by md5
+    // (text normalization is identity on this corpus — single-spaced ASCII)
+    "curation_funnel" -> {
+      val redactedChain = Curation.PiiPatterns.foldLeft("text") {
+        case (acc, (_, re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
+      }
+      s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |f AS (SELECT doc_id,
+         |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+         |  FROM documents WHERE doc_id >= $EvalCohortMax),
+         |ex AS (SELECT doc_id,
+         |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1 AS f_exact
+         |  FROM f),
+         |mh AS (SELECT doc_id, i,
+         |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM sh, range(8) r(i)
+         |  WHERE doc_id >= $EvalCohortMax GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+         |    string_agg(h, '|' ORDER BY i) AS bucket
+         |  FROM mh GROUP BY 1, 2),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT doc_a AS id, doc_b AS nbr FROM p
+         |        UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT id, id FROM sym
+         |  UNION
+         |  SELECT s.id, reach.r FROM sym s JOIN reach ON s.nbr = reach.id),
+         |cl AS (SELECT id, id = min(r) AS canon FROM reach GROUP BY id),
+         |qt AS (SELECT doc_id, text, string_split(text, ' ') AS qts
+         |  FROM documents WHERE doc_id >= $EvalCohortMax),
+         |qm AS (SELECT doc_id,
+         |    CAST(len(qts) AS DOUBLE) AS n_toks,
+         |    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         |      / length(text) AS punct_ratio,
+         |    CAST(len(list_filter(qts, x -> x IN ('the', 'a', 'of', 'and', 'is')))
+         |      AS DOUBLE) / CAST(len(qts) AS DOUBLE) AS stop_ratio
+         |  FROM qt),
+         |q AS (SELECT doc_id,
+         |    (CASE WHEN n_toks < 5 THEN 1 ELSE 0 END
+         |     + CASE WHEN n_toks > 1000 THEN 2 ELSE 0 END
+         |     + CASE WHEN punct_ratio > CAST('0.1' AS DOUBLE) THEN 4 ELSE 0 END
+         |     + CASE WHEN stop_ratio < CAST('0.005' AS DOUBLE) THEN 8 ELSE 0 END)
+         |      <> 0 AS f_quality
+         |  FROM qm),
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $EvalCohortMax),
+         |tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= $EvalCohortMax),
+         |ct AS (SELECT t.doc_id, CAST(count(e.shingle) AS BIGINT) AS hits
+         |  FROM tr t LEFT JOIN ev e ON t.shingle = e.shingle GROUP BY 1),
+         |stage AS (SELECT b.doc_id,
+         |    CASE WHEN ex.f_exact THEN 'exact_dup'
+         |         WHEN NOT coalesce(cl.canon, TRUE) THEN 'near_dup'
+         |         WHEN q.f_quality THEN 'quality'
+         |         WHEN coalesce(ct.hits, 0) >= 1 THEN 'contaminated'
+         |    END AS drop_stage,
+         |    md5($redactedChain) AS clean_md5
+         |  FROM documents b
+         |  JOIN ex ON ex.doc_id = b.doc_id
+         |  LEFT JOIN cl ON cl.id = b.doc_id
+         |  JOIN q ON q.doc_id = b.doc_id
+         |  LEFT JOIN ct ON ct.doc_id = b.doc_id
+         |  WHERE b.doc_id >= $EvalCohortMax)
+         |SELECT doc_id, drop_stage, drop_stage IS NULL AS kept, clean_md5
+         |FROM stage ORDER BY doc_id""".stripMargin
+    },
+
     "dup_clusters" ->
       s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |mh AS (SELECT doc_id, i,
