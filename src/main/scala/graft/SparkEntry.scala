@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{AsOf, CoMovement, Curation, CurationPipeline, DataQuality, Decontam, Dedup, EventFlows, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks, Trajectory}
+import graft.ops.{AsOf, CoMovement, Curation, CurationPipeline, DataQuality, Decontam, Dedup, EventFlows, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Retrieval, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks, Trajectory}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -128,6 +128,21 @@ object SparkEntry {
 
   /** search_topk result size (same query terms as bm25_score). */
   private val SearchK = 10
+
+  /** rrf_fusion pool size per leg (each leg contributes its top 20). */
+  private val RrfPoolK = 20
+
+  /** rrf_fusion smoothing constant (Cormack et al.'s standard 60). */
+  private val RrfC = 60
+
+  /** rrf_fusion semantic-leg query vector id. */
+  private val RrfQueryVec = 7
+
+  /** pmi_bigrams minimum bigram count (drops the hapax-pair PMI tail). */
+  private val PmiMinCount = 5
+
+  /** pmi_bigrams result size. */
+  private val PmiTopK = 200
 
   /** hybrid_dedup confirmation threshold. Lower than EmbedDupThreshold
     * because the synthetic embeddings are independent of the text (dup-text
@@ -659,6 +674,13 @@ object SparkEntry {
       TextOps.searchTopK(Tables.documents(s, d), "doc_id", "text", Bm25Terms,
         SearchK, Bm25K1, Bm25B)),
 
+    // PMI collocations over adjacent token pairs: one bigram shuffle,
+    // marginals derived from the bigram counts (not a second corpus pass),
+    // ranking on micro-unit-rounded PMI (ln ulp-safety, the lm convention)
+    "pmi_bigrams" -> ((s, d) =>
+      TextOps.pmiBigrams(Tables.documents(s, d), "doc_id", "text",
+        PmiMinCount, PmiTopK)),
+
     // mod-p rolling-hash fingerprints (Rabin–Karp k-grams, content-anchored)
     "doc_fingerprint" -> ((s, d) =>
       TextOps.rollingFingerprints(Tables.documents(s, d), "doc_id", "text",
@@ -902,6 +924,39 @@ object SparkEntry {
         .select(col("q"), col("n_id"), round(col("sim"), 6).as("sim"),
           col("rn").cast("long").as("rn"))
         .orderBy("q", "rn")
+    }),
+
+    // reciprocal-rank fusion of the lexical (BM25 top-k) and semantic
+    // (cosine top-k) rankings — the hybrid-retrieval join; fusion runs over
+    // the two k-row leg outputs, O(1) in corpus size
+    "rrf_fusion" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val lex = Retrieval.rankByScore(
+        TextOps.searchTopK(Tables.documents(s, d), "doc_id", "text",
+          Bm25Terms, RrfPoolK, Bm25K1, Bm25B),
+        "doc_id", "bm25", "lex_rank")
+      val sem = Similarity.cosineTopK(emb,
+          emb.filter(col("vec_id") === RrfQueryVec), "vec_id", "embedding",
+          k = RrfPoolK)
+        .select(col("n").as("doc_id"), col("rn").cast("long").as("sem_rank"))
+      Retrieval.rrfFuse(Seq(lex -> "lex_rank", sem -> "sem_rank"), "doc_id",
+        SearchK, RrfC)
+    }),
+
+    // the ANN-vs-exact evaluation gate: per-query recall@k and reciprocal
+    // rank of the true nearest neighbor for the IVF index — the regression
+    // check every index rebuild runs before serving
+    "rank_eval" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = emb.filter(col("vec_id") < IvfCentroids).orderBy("vec_id")
+        .select(Similarity.vecd(col("embedding")).as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      val queries = emb.filter(col("vec_id") < IvfQueryMax)
+      val ann = Ivf.search(Ivf.buildFixed(emb, "vec_id", "embedding", cents),
+        queries, "vec_id", "embedding", k = 5, nProbe = IvfNProbe)
+      val exact = Similarity.cosineTopK(emb, queries, "vec_id", "embedding",
+        k = 5).select(col("q"), col("n").as("n_id"), col("rn"))
+      Retrieval.rankEval(ann, exact, "q", "n_id", "rn", k = 5).orderBy("q")
     }),
 
     // embedding-cosine near-dup pairs, banded-LSH candidates (the scale path:
@@ -2394,6 +2449,107 @@ object SparkEntry {
          |SELECT q, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 5
          |ORDER BY q, rn""".stripMargin,
 
+    // the search_topk lexical leg and the single-query cosine leg, each
+    // ranked 1-based, full-outer fused with the fixed-order two-term RRF
+    // chain; ranking on the RAW fused double (exact IEEE divisions of small
+    // integers — identical cross-engine), rounding only in the projection
+    "rrf_fusion" -> {
+      val terms = Bm25Terms.zipWithIndex
+      val k1p1 = s"CAST('${Bm25K1 + 1.0}' AS DOUBLE)"
+      val k1 = s"CAST('$Bm25K1' AS DOUBLE)"
+      val oneMinusB = s"CAST('${1.0 - Bm25B}' AS DOUBLE)"
+      val bLit = s"CAST('$Bm25B' AS DOUBLE)"
+      val tfCols = terms.map { case (t, i) =>
+        s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) AS tf_$i" }.mkString(",\n  ")
+      val dfAggs = terms.map { case (_, i) =>
+        s"sum(CASE WHEN tf_$i > 0 THEN 1.0 ELSE 0.0 END) AS df_$i" }.mkString(", ")
+      val scoreSum = terms.map { case (_, i) =>
+        s"""ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0) * (tf_$i * $k1p1)
+           | / (tf_$i + $k1 * ($oneMinusB + $bLit * (dl / avgdl)))""".stripMargin
+      }.mkString(" + ")
+      val anyMatch = terms.map { case (_, i) => s"tf_$i > 0" }.mkString(" OR ")
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |d AS (SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+         |  $tfCols
+         |FROM t),
+         |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl,
+         |  $dfAggs FROM d),
+         |v AS (SELECT doc_id, $scoreSum AS s_raw
+         |  FROM d, s WHERE $anyMatch),
+         |lx AS (SELECT doc_id, round(s_raw, 6) AS bm25 FROM v
+         |  ORDER BY s_raw DESC, doc_id LIMIT $RrfPoolK),
+         |lr AS (SELECT doc_id, CAST(row_number() OVER
+         |    (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS lex_rank FROM lx),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, v, sqrt(${dotChain("v", "v")}) AS nr FROM e),
+         |p AS (SELECT b.vec_id AS doc_id,
+         |    (${dotChain("a.v", "b.v")}) / nullif(a.nr * b.nr, 0) AS sim
+         |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id = $RrfQueryVec),
+         |sr AS (SELECT doc_id, sem_rank FROM (
+         |    SELECT doc_id, CAST(row_number() OVER
+         |      (ORDER BY sim DESC, doc_id) AS BIGINT) AS sem_rank FROM p)
+         |  WHERE sem_rank <= $RrfPoolK),
+         |f AS (SELECT coalesce(lr.doc_id, sr.doc_id) AS doc_id,
+         |    lr.lex_rank, sr.sem_rank
+         |  FROM lr FULL OUTER JOIN sr ON lr.doc_id = sr.doc_id),
+         |g AS (SELECT doc_id, lex_rank, sem_rank,
+         |    coalesce(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + lex_rank),
+         |             CAST(0 AS DOUBLE))
+         |    + coalesce(CAST(1 AS DOUBLE) / (CAST($RrfC AS DOUBLE) + sem_rank),
+         |               CAST(0 AS DOUBLE)) AS rrf_raw
+         |  FROM f)
+         |SELECT doc_id, lex_rank, sem_rank, round(rrf_raw, 6) AS rrf
+         |FROM g ORDER BY rrf_raw DESC, doc_id LIMIT $SearchK""".stripMargin
+    },
+
+    // the ivf_topk ANN result joined to the exact cosine top-5 on
+    // (query, neighbor): recall@5 + reciprocal rank of the true top-1 —
+    // exact rationals of small integers, trivially engine-portable
+    "rank_eval" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, v, sqrt(${dotChain("v", "v")}) AS nr FROM e),
+         |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id,
+         |    v AS cv, (${dotChain("v", "v")}) AS c2
+         |  FROM e WHERE vec_id < $IvfCentroids),
+         |a AS (SELECT e.vec_id, c.list_id, row_number() OVER
+         |    (PARTITION BY e.vec_id
+         |     ORDER BY c.c2 - CAST('2.0' AS DOUBLE) * (${dotChain("e.v", "c.cv")}),
+         |       c.list_id) AS pr
+         |  FROM e, c),
+         |asg AS (SELECT vec_id, list_id FROM a WHERE pr = 1),
+         |probe AS (SELECT vec_id AS q, list_id FROM a
+         |  WHERE pr <= $IvfNProbe AND vec_id < $IvfQueryMax),
+         |cand AS (SELECT p.q, s.vec_id AS n_id,
+         |    (${dotChain("qa.v", "nb.v")}) / nullif(qa.nr * nb.nr, 0) AS sim
+         |  FROM probe p
+         |  JOIN asg s ON s.list_id = p.list_id AND s.vec_id <> p.q
+         |  JOIN nrm qa ON qa.vec_id = p.q
+         |  JOIN nrm nb ON nb.vec_id = s.vec_id),
+         |ann AS (SELECT q, n_id, rn FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY q ORDER BY sim DESC, n_id) AS rn FROM cand)
+         |  WHERE rn <= 5),
+         |xp AS (SELECT a.vec_id AS q, b.vec_id AS n_id,
+         |    (${dotChain("a.v", "b.v")}) / nullif(a.nr * b.nr, 0) AS sim
+         |  FROM nrm a JOIN nrm b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < $IvfQueryMax),
+         |xr AS (SELECT q, n_id, rn FROM (SELECT *, row_number() OVER
+         |    (PARTITION BY q ORDER BY sim DESC, n_id) AS rn FROM xp)
+         |  WHERE rn <= 5),
+         |hits AS (SELECT x.q, CAST(count(*) AS BIGINT) AS h
+         |  FROM xr x JOIN ann ON ann.q = x.q AND ann.n_id = x.n_id
+         |  GROUP BY x.q),
+         |top1 AS (SELECT q, n_id FROM xr WHERE rn = 1),
+         |rrq AS (SELECT t.q,
+         |    coalesce(CAST(1 AS DOUBLE) / ann.rn, CAST(0 AS DOUBLE)) AS rrv
+         |  FROM top1 t LEFT JOIN ann ON ann.q = t.q AND ann.n_id = t.n_id),
+         |qs AS (SELECT DISTINCT q FROM xr)
+         |SELECT qs.q,
+         |  round(coalesce(h, 0) / CAST(5 AS DOUBLE), 6) AS recall,
+         |  round(coalesce(rrv, CAST(0 AS DOUBLE)), 6) AS rr
+         |FROM qs LEFT JOIN hits ON hits.q = qs.q LEFT JOIN rrq ON rrq.q = qs.q
+         |ORDER BY qs.q""".stripMargin,
+
     // full IVF search mirror: every vector's pr=1 list is its assignment,
     // a query's pr<=nProbe lists are its probes; exact cosine only inside
     // probed lists, top-5 by (sim desc, n_id) — identical op tree throughout
@@ -3055,5 +3211,25 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         |  round(CAST(lp_sum AS DOUBLE) / 1000000.0 / n_bigrams, 6) AS avg_logp
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // same exact-integer counts and single-division-single-ln shape as the
+    // engine; ranking and output on micro-unit-rounded PMI (ln ulp safety)
+    "pmi_bigrams" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |bgf AS (SELECT b['w1'] AS w1, b['w2'] AS w2 FROM (
+        |  SELECT unnest([{'w1': ts[i], 'w2': ts[i+1]}
+        |                 for i in range(1, len(ts))]) AS b
+        |  FROM toks)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bgf GROUP BY 1, 2),
+        |l AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |r AS (SELECT w2, CAST(sum(c12) AS BIGINT) AS cr FROM c2 GROUP BY 1),
+        |n AS (SELECT CAST(sum(c12) AS BIGINT) AS n_bi FROM c2),
+        |v AS (SELECT c2.w1, c2.w2, c12,
+        |    CAST(round(ln(CAST(c12 AS DOUBLE) * n_bi / CAST(c1 * cr AS DOUBLE))
+        |               * 1000000) AS BIGINT) AS pmi_u
+        |  FROM c2 JOIN l USING (w1) JOIN r USING (w2), n
+        |  WHERE c12 >= $PmiMinCount)
+        |SELECT w1, w2, c12, pmi_u FROM v
+        |ORDER BY pmi_u DESC, w1, w2 LIMIT $PmiTopK""".stripMargin,
   )
 }

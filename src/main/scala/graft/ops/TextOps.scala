@@ -377,6 +377,51 @@ object TextOps {
           .as("avg_logp"))
   }
 
+  /** Corpus collocations by pointwise mutual information over adjacent token
+    * pairs: `pmi(w1,w2) = ln( c12·N / (c1·c2) )` where `c12` counts the
+    * bigram, `c1`/`c2` count it as a LEFT/RIGHT element, and `N` is the
+    * total bigram count — the multiword-expression detector (phrase mining,
+    * tokenizer-merge candidates, stopword-collocation screens). `minCount`
+    * drops the unstable low-frequency tail (textbook PMI pathology: a
+    * hapax pair scores maximal PMI), `topK` bounds the result.
+    *
+    * Scale: one explode (narrow per-doc fanout) feeds ONE bigram shuffle
+    * with map-side combine; the marginals derive from the bigram counts
+    * algebraically (second tiny aggregate over distinct bigrams, not the
+    * corpus), `N` broadcasts as a single-row aggregate, and the top-k is
+    * TakeOrdered. The corpus is read once.
+    *
+    * Determinism: all counts are exact integers; the score is ONE division
+    * of exactly-representable products followed by ONE `ln`, identical
+    * cross-engine up to libm's final ulp — so ranking and output use the
+    * micro-unit-rounded `pmi_u = round(pmi·10⁶)` (the [[bigramLmScore]]
+    * convention), never the raw double.
+    */
+  def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
+                 minCount: Long, topK: Int): DataFrame = {
+    val ts = col("__ts")
+    val bigrams = df
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
+      .select(explode(when(size(ts) >= 2,
+        transform(sequence(lit(1), size(ts) - 1), i =>
+          struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val right = c12.groupBy("w2").agg(sum(col("c12")).as("cr"))
+    val n = c12.agg(sum(col("c12")).as("n_bi"))
+    val pmi = log(col("c12").cast("double") * col("n_bi") /
+      (col("c1") * col("cr")).cast("double"))
+    c12.filter(col("c12") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(pmi * 1000000.0).cast("long").as("pmi_u"))
+      .orderBy(col("pmi_u").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
   /** Per-document top-k TF-IDF terms — the classic keyword/feature extractor
     * (retrieval features, topic fingerprints, cluster labeling).
     * `score = tf · ln((N+1)/(df+1))` with the +1 smoothing that keeps

@@ -130,4 +130,30 @@ class TextFeaturesSpec extends SparkSpec {
     got.foreach { case (id, s) => assert(s === full(id),
       s"retrieval score for doc $id must match bm25's") }
   }
+
+  test("pmiBigrams: collocations outrank chance pairs, minCount gates the tail") {
+    import spark.implicits._
+    // "new york" always co-occurs (PMI high); "the the" pairs arise from
+    // independent frequent tokens (PMI ~ 0); "rare gem" appears once
+    val docs = Seq(
+      (1L, "new york is big and the city of new york is old"),
+      (2L, "the people of new york like the parks of the city"),
+      (3L, "rare gem")
+    ).toDF("doc_id", "text")
+    val all = graft.ops.TextOps.pmiBigrams(docs, "doc_id", "text",
+        minCount = 1L, topK = 1000)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val (nyCount, nyPmi) = all(("new", "york"))
+    assert(nyCount === 3L)
+    // hand-computed: c12=3, c1(new)=3, cr(york)=3, N=22 -> ln(3*22/9)
+    assert(nyPmi === math.round(math.log(3.0 * 22 / 9) * 1e6))
+    assert(nyPmi > all(("of", "the"))._2,
+      "a true collocation outranks a chance pairing of frequent tokens")
+    val gated = graft.ops.TextOps.pmiBigrams(docs, "doc_id", "text",
+        minCount = 2L, topK = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!gated.contains(("rare", "gem")), "minCount drops hapax pairs")
+    assert(gated.contains(("new", "york")))
+  }
 }
