@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{AsOf, CoMovement, Curation, CurationPipeline, DataQuality, Decontam, Dedup, EventFlows, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Retrieval, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks, Trajectory}
+import graft.ops.{AsOf, CoMovement, Curation, CurationPipeline, DataQuality, Decontam, Dedup, EventFlows, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Retrieval, Selection, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks, Trajectory}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -143,6 +143,9 @@ object SparkEntry {
 
   /** pmi_bigrams result size. */
   private val PmiTopK = 200
+
+  /** kcenter_select coreset size (oracle unrolls one CTE stage per round). */
+  private val KCenterK = 5
 
   /** hybrid_dedup confirmation threshold. Lower than EmbedDupThreshold
     * because the synthetic embeddings are independent of the text (dup-text
@@ -958,6 +961,13 @@ object SparkEntry {
         k = 5).select(col("q"), col("n").as("n_id"), col("rn"))
       Retrieval.rankEval(ann, exact, "q", "n_id", "rn", k = 5).orderBy("q")
     }),
+
+    // greedy k-center coreset selection: one scan per round, min-distance
+    // as a fixed-order least chain over broadcast center literals, only the
+    // argmax row ever collected — the diversity sampler for training data
+    "kcenter_select" -> ((s, d) =>
+      Selection.kCenter(Tables.embeddings(s, d), "vec_id", "embedding",
+        KCenterK).orderBy("sel_rank")),
 
     // embedding-cosine near-dup pairs, banded-LSH candidates (the scale path:
     // per-band bucket count sizes with planesFor, bands preserve recall)
@@ -2549,6 +2559,38 @@ object SparkEntry {
          |  round(coalesce(rrv, CAST(0 AS DOUBLE)), 6) AS rr
          |FROM qs LEFT JOIN hits ON hits.q = qs.q LEFT JOIN rrq ON rrq.q = qs.q
          |ORDER BY qs.q""".stripMargin,
+
+    // the greedy traversal unrolled: one (m_i, s_i) CTE pair per round —
+    // m_i folds the new center into the running min with the SAME least
+    // nesting the engine's chain produces, s_i is the argmax row (id
+    // tie-break); distances micro-rounded only in the final projection
+    "kcenter_select" -> {
+      val rounds = (2 until KCenterK).map { i =>
+        s""",
+           |m$i AS (SELECT m.vec_id, m.v, m.p2,
+           |    least(m.md, m.p2 + s.p2
+           |      - CAST('2.0' AS DOUBLE) * (${dotChain("m.v", "s.v")})) AS md
+           |  FROM m${i - 1} m, s${i - 1} s),
+           |s$i AS (SELECT vec_id, v, p2, md FROM m$i
+           |  ORDER BY md DESC, vec_id LIMIT 1)""".stripMargin
+      }.mkString
+      val sel = (1 until KCenterK).map { i =>
+        s"""UNION ALL SELECT CAST($i AS INTEGER), vec_id,
+           |  CAST(round(md * 1000000) AS BIGINT) FROM s$i""".stripMargin
+      }.mkString("\n")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |n0 AS (SELECT vec_id, v, (${dotChain("v", "v")}) AS p2 FROM e),
+         |c0 AS (SELECT vec_id, v, p2 FROM n0 ORDER BY vec_id LIMIT 1),
+         |m1 AS (SELECT p.vec_id, p.v, p.p2,
+         |    p.p2 + c.p2 - CAST('2.0' AS DOUBLE) * (${dotChain("p.v", "c.v")}) AS md
+         |  FROM n0 p, c0 c),
+         |s1 AS (SELECT vec_id, v, p2, md FROM m1
+         |  ORDER BY md DESC, vec_id LIMIT 1)$rounds
+         |SELECT CAST(0 AS INTEGER) AS sel_rank, vec_id,
+         |  CAST(NULL AS BIGINT) AS dist_u FROM c0
+         |$sel
+         |ORDER BY sel_rank""".stripMargin
+    },
 
     // full IVF search mirror: every vector's pr=1 list is its assignment,
     // a query's pr<=nProbe lists are its probes; exact cosine only inside

@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, IntegerType, StructField, StructType}
+
+import graft.functions.vec_dot
+
+/** Diversity-driven data selection over an embedding column: greedy k-center
+  * (Gonzalez farthest-point traversal). Each round picks the point farthest
+  * from every center chosen so far — the classic 2-approximation to the
+  * k-center cover, and the standard coreset/"diverse subset" selector for
+  * training-data curation (pick the k docs that span the embedding space,
+  * not k near-copies of the densest mode).
+  *
+  * Scale shape: one corpus scan per round — the scan computes each point's
+  * min-distance to the centers as a FIXED-ORDER `least` chain over
+  * broadcast center literals (no join, no shuffle; `TakeOrdered(1)` reduces
+  * per-partition), and only the single selected row is collected. k rounds =
+  * k scans of O(n·k·d) work total; nothing driver-side ever holds more than
+  * k vectors. The greedy traversal is inherently sequential in k — for
+  * large k, amortize by persisting a running min-distance column instead of
+  * recomputing the chain (the PageRank-style iterative-cache pattern);
+  * at the typical k ≤ a few dozen the stateless rescan is cheaper than
+  * k cache round-trips.
+  *
+  * Determinism (the oracle contract): distances are
+  * `p² + c² − 2·(p·c)` with every dot product a strict left-associative
+  * [[graft.expressions.VecDot]] chain, the running min is `least` nested in
+  * selection order, and argmax ties break on the id — so an unrolled SQL
+  * twin reproduces the selection bit-for-bit. Reported distances are
+  * micro-unit rounded; the RAW doubles drive the argmax.
+  */
+object Selection {
+
+  /** Select `k` centers from `emb`; seed = the minimum id (rank 0). Output:
+    * `(sel_rank, idCol, dist_u)` where `dist_u` is the squared L2 distance
+    * (micro-units) of the chosen point to the prior centers — null for the
+    * seed, non-increasing in rank thereafter.
+    */
+  def kCenter(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    val spark = emb.sparkSession
+    val pts = emb.select(col(idCol).as("__id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__p2", vec_dot(col("__v"), col("__v")))
+    val seed = pts.orderBy("__id").limit(1)
+      .select(col("__id"), col("__v"), col("__p2")).head()
+    // (id, vector, |c|²) per chosen center, in selection order
+    var centers = Vector[(Long, Seq[Double], Double)](
+      (seed.getLong(0), seed.getSeq[Double](1), seed.getDouble(2)))
+    var out = Vector[(Int, Long, Option[Long])]((0, seed.getLong(0), None))
+    while (centers.size < k) {
+      val minDist = centers.map { case (_, cv, c2) =>
+        col("__p2") + lit(c2) - lit(2.0) *
+          vec_dot(col("__v"), lit(cv.toArray).cast("array<double>"))
+      }.reduce(least(_, _))
+      val next = pts.withColumn("__md", minDist)
+        .orderBy(col("__md").desc, col("__id")).limit(1)
+        .select(col("__id"), col("__v"), col("__p2"), col("__md")).head()
+      centers :+= ((next.getLong(0), next.getSeq[Double](1), next.getDouble(2)))
+      out :+= ((out.size, next.getLong(0),
+        Some(math.round(next.getDouble(3) * 1e6))))
+    }
+    toFrame(spark, idCol, out)
+  }
+
+  private def toFrame(spark: SparkSession, idCol: String,
+                      rows: Seq[(Int, Long, Option[Long])]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("sel_rank", IntegerType, nullable = false),
+      StructField(idCol, LongType, nullable = false),
+      StructField("dist_u", LongType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (r, id, d) =>
+        Row(r, id, d.map(Long.box).orNull)
+      }, 1), schema)
+  }
+}
