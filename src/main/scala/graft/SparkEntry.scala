@@ -147,6 +147,10 @@ object SparkEntry {
   /** kcenter_select coreset size (oracle unrolls one CTE stage per round). */
   private val KCenterK = 5
 
+  /** curriculum_order difficulty buckets (quartiles) and shuffle seed. */
+  private val CurriculumBuckets = 4
+  private val CurriculumSeed = 1L
+
   /** hybrid_dedup confirmation threshold. Lower than EmbedDupThreshold
     * because the synthetic embeddings are independent of the text (dup-text
     * pairs land cos ∈ [−0.17, 0.28] at sf0.01) — 0.1 keeps both verdicts
@@ -676,6 +680,19 @@ object SparkEntry {
     "search_topk" -> ((s, d) =>
       TextOps.searchTopK(Tables.documents(s, d), "doc_id", "text", Bm25Terms,
         SearchK, Bm25K1, Bm25B)),
+
+    // per-doc Shannon char entropy (gibberish screen): one keyed count
+    // shuffle; the entropy sum is exact integer micro-unit addition
+    "char_entropy" -> ((s, d) =>
+      TextOps.charEntropy(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // length-curriculum read order: exact-percentile buckets easy->hard,
+    // md5-keyed deterministic shuffle within buckets, contiguous global
+    // positions via the two-pass range-partition stamping
+    "curriculum_order" -> ((s, d) =>
+      Curation.curriculumOrder(Tables.documents(s, d), "doc_id", "text",
+        CurriculumBuckets, CurriculumSeed).orderBy("doc_id")),
 
     // PMI collocations over adjacent token pairs: one bigram shuffle,
     // marginals derived from the bigram counts (not a second corpus pass),
@@ -3253,6 +3270,48 @@ object SparkEntry {
         |SELECT doc_id, n_bigrams,
         |  round(CAST(lp_sum AS DOUBLE) / 1000000.0 / n_bigrams, 6) AS avg_logp
         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // same per-char counts; each c·ln c term quantizes to BIGINT before the
+    // per-doc sum (order-independent integer addition, ln ulp absorbed)
+    "char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |pc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM ch WHERE ch <> '' GROUP BY 1, 2),
+        |t AS (SELECT doc_id, c,
+        |    CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0)
+        |         AS BIGINT) AS t_u
+        |  FROM pc),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |    CAST(sum(t_u) AS BIGINT) AS t_sum
+        |  FROM t GROUP BY 1)
+        |SELECT doc_id, n_chars,
+        |  round(ln(CAST(n_chars AS DOUBLE))
+        |        - CAST(t_sum AS DOUBLE) / 1000000.0 / n_chars, 6) AS entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    // same exact-percentile bounds, bucket comparison chain, and composite
+    // bucket|md5|id sort key; the rank mirrors the range-partition stamping
+    "curriculum_order" -> {
+      val bs = (1 until CurriculumBuckets).map(i =>
+        s"quantile_cont(n_toks, ${i.toDouble / CurriculumBuckets}) AS b$i")
+        .mkString(", ")
+      val cases = (1 until CurriculumBuckets).map(i =>
+        s"CASE WHEN n_toks > b$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |b AS (SELECT $bs FROM t),
+         |k AS (SELECT doc_id, n_toks, CAST(1 + $cases AS INTEGER) AS bucket
+         |  FROM t, b),
+         |s AS (SELECT doc_id, n_toks, bucket,
+         |    lpad(CAST(bucket AS VARCHAR), 2, '0') || '|' ||
+         |    md5('$CurriculumSeed#' || CAST(doc_id AS VARCHAR)) || '|' ||
+         |    CAST(doc_id AS VARCHAR) AS srt
+         |  FROM k)
+         |SELECT doc_id, n_toks, bucket,
+         |  CAST(row_number() OVER (ORDER BY srt) - 1 AS BIGINT) AS global_idx
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     // same exact-integer counts and single-division-single-ln shape as the
     // engine; ranking and output on micro-unit-rounded PMI (ln ulp safety)

@@ -361,4 +361,42 @@ object Curation {
     pre.select(col(idCol), reasons.as("drop_reasons"),
       (reasons === 0).as("keep"))
   }
+
+  /** Length-curriculum ordering: contiguous global positions that walk the
+    * corpus shortest-bucket-first (easy→hard), deterministically shuffled
+    * WITHIN each difficulty bucket — the curriculum-training read order,
+    * reproducible across reruns, retries, and engines (no RNG). Difficulty
+    * = exact token count; bucket bounds = exact percentiles (broadcast
+    * single-row aggregate), so membership is a narrow comparison chain.
+    *
+    * Scale: one scan for counts, one tiny bounds aggregate, then the
+    * [[graft.ops.Indexing.globalIndex]] two-pass range-partition stamping
+    * over the composite `bucket|md5(seed#id)|id` key — the same protocol as
+    * the epoch shuffle, so ordering cost is one range shuffle regardless of
+    * bucket count. Within-bucket order is the md5 keystream; changing
+    * `seed` reshuffles every bucket without touching bucket membership.
+    */
+  def curriculumOrder(df: DataFrame, idCol: String, textCol: String,
+                      buckets: Int = 4, seed: Long = 1L,
+                      scope: graft.engine.CacheScope =
+                        graft.engine.CacheScope.global): DataFrame = {
+    require(buckets >= 2 && buckets <= 99, "buckets must be in [2, 99]")
+    val toks = df.select(col(idCol).as("doc_id"),
+      size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"))
+    val bounds = toks.agg(
+      (1 until buckets).map(i =>
+        expr(s"percentile(n_toks, ${i.toDouble / buckets})").as(s"__b$i")).head,
+      (1 until buckets).map(i =>
+        expr(s"percentile(n_toks, ${i.toDouble / buckets})").as(s"__b$i")).tail: _*)
+    val bucket = (1 until buckets).map(i =>
+      when(col("n_toks") > col(s"__b$i"), 1).otherwise(0))
+      .foldLeft(lit(1))(_ + _).cast("int")
+    val keyed = toks.crossJoin(broadcast(bounds))
+      .select(col("doc_id"), col("n_toks"), bucket.as("bucket"))
+      .withColumn("__curr", concat_ws("|",
+        lpad(col("bucket").cast("string"), 2, "0"),
+        md5(concat_ws("#", lit(seed), col("doc_id").cast("string"))),
+        col("doc_id").cast("string")))
+    Indexing.globalIndex(keyed, "__curr", scope = scope).drop("__curr")
+  }
 }

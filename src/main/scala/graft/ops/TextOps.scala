@@ -115,6 +115,36 @@ object TextOps {
         6).as("quality_score"))
   }
 
+  /** Per-document Shannon character entropy (nats) — the gibberish/encoding
+    * screen: natural text sits ~2.5–3.5 nats, base64/hex blobs and
+    * single-character runs fall far outside. `H = ln n − (Σ c·ln c)/n` over
+    * per-character counts `c`.
+    *
+    * Scale/determinism: the char explode is a narrow per-doc fanout and the
+    * count is one keyed shuffle (map-side combined; key space is bounded by
+    * the alphabet × docs). The entropy sum is the integer micro-unit trick
+    * ([[bigramLmScore]]'s convention): each `c·ln c` term quantizes to a
+    * LONG before the per-doc SUM, so the aggregate is order-independent
+    * exact integer addition — never a float sum over unordered rows — and
+    * libm's final-ulp latitude is absorbed by the quantization.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perChar = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val cd = col("c").cast("double")
+    perChar
+      .select(col("doc_id"), col("c"),
+        round(cd * log(cd) * lit(1000000.0)).cast("long").as("t_u"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_chars"), sum(col("t_u")).as("t_sum"))
+      .select(col("doc_id"), col("n_chars"),
+        round(log(col("n_chars").cast("double"))
+          - col("t_sum").cast("double") / 1000000.0 / col("n_chars"), 6)
+          .as("entropy"))
+  }
+
   /** Repetition signals (the Gopher/C4 repetitive-content filters): fraction
     * of tokens taken by the single most frequent token, and the fraction of
     * duplicate 2-grams; `repetitive` flags docs where either exceeds

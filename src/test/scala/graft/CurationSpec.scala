@@ -460,4 +460,49 @@ class CurationSpec extends SparkSpec {
       cool, budgetTokens = 150L)
     assert(sampled.count() === 3)
   }
+
+  test("curriculumOrder: quartile buckets walk easy->hard, positions contiguous") {
+    // docs with 1..8 tokens; quartile bounds over [1..8] = 2.75 / 4.5 / 6.25
+    val docs = (1L to 8L).map(i => (i, (1L to i).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val scope = new graft.engine.CacheScope
+    val out = Curation.curriculumOrder(docs, "doc_id", "text",
+        buckets = 4, seed = 1L, scope = scope)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    scope.release()
+    val byDoc = out.map(t => t._1 -> t).toMap
+    assert(out.map(_._2).toSeq.sorted === (1L to 8L).toSeq, "token counts")
+    assert(byDoc(1L)._3 === 1 && byDoc(2L)._3 === 1 && byDoc(3L)._3 === 2 &&
+      byDoc(4L)._3 === 2 && byDoc(5L)._3 === 3 && byDoc(6L)._3 === 3 &&
+      byDoc(7L)._3 === 4 && byDoc(8L)._3 === 4, s"bucket map: ${out.toSeq}")
+    assert(out.map(_._4).toSeq.sorted === (0L to 7L).toSeq,
+      "global positions are contiguous 0..n-1")
+    // every easier-bucket doc reads before every harder-bucket doc
+    for (a <- out; b <- out if a._3 < b._3)
+      assert(a._4 < b._4, s"bucket ${a._3} doc must precede bucket ${b._3}")
+  }
+
+  test("curriculumOrder: deterministic across partitionings, seed reshuffles") {
+    val docs = (1L to 40L).map(i => (i, (0L to i % 7).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val s1 = new graft.engine.CacheScope
+    val s2 = new graft.engine.CacheScope
+    val a = Curation.curriculumOrder(docs, "doc_id", "text", scope = s1)
+      .orderBy("doc_id").collect().toSeq
+    val b = Curation.curriculumOrder(docs.repartition(7), "doc_id", "text",
+        scope = s2)
+      .orderBy("doc_id").collect().toSeq
+    s1.release(); s2.release()
+    assert(a === b, "same permutation under any partitioning")
+    val s3 = new graft.engine.CacheScope
+    val c = Curation.curriculumOrder(docs, "doc_id", "text", seed = 2L,
+        scope = s3)
+      .orderBy("doc_id").collect().toSeq
+    s3.release()
+    assert(a.map(r => (r.getLong(0), r.getInt(2))) ===
+      c.map(r => (r.getLong(0), r.getInt(2))),
+      "seed must not move bucket membership")
+    assert(a.map(_.getLong(3)) !== c.map(_.getLong(3)),
+      "a different seed reshuffles within buckets")
+  }
 }

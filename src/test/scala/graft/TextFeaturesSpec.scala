@@ -156,4 +156,20 @@ class TextFeaturesSpec extends SparkSpec {
     assert(!gated.contains(("rare", "gem")), "minCount drops hapax pairs")
     assert(gated.contains(("new", "york")))
   }
+
+  test("charEntropy: hand-computed nats via the micro-unit path") {
+    import spark.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq((1L, "aab"), (2L, "ab"), (3L, "aaaa")).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.charEntropy(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // doc 1: counts a=2 b=1; t_u = round(2·ln2·1e6) = 1386294
+    assert(out(0) === ((1L, 3L, r6(math.log(3.0) - 1386294.0 / 1e6 / 3))))
+    // doc 2: uniform two chars -> exactly ln 2
+    assert(out(1) === ((2L, 2L, r6(math.log(2.0)))))
+    // doc 3: single repeated char -> zero entropy (after quantization)
+    assert(out(2)._3 === 0.0)
+  }
 }
