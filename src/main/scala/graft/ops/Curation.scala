@@ -383,11 +383,9 @@ object Curation {
     require(buckets >= 2 && buckets <= 99, "buckets must be in [2, 99]")
     val toks = df.select(col(idCol).as("doc_id"),
       size(TextOps.tokens(col(textCol))).cast("long").as("n_toks"))
-    val bounds = toks.agg(
-      (1 until buckets).map(i =>
-        expr(s"percentile(n_toks, ${i.toDouble / buckets})").as(s"__b$i")).head,
-      (1 until buckets).map(i =>
-        expr(s"percentile(n_toks, ${i.toDouble / buckets})").as(s"__b$i")).tail: _*)
+    val qs = (1 until buckets).map(i =>
+      expr(s"percentile(n_toks, ${i.toDouble / buckets})").as(s"__b$i"))
+    val bounds = toks.agg(qs.head, qs.tail: _*)
     val bucket = (1 until buckets).map(i =>
       when(col("n_toks") > col(s"__b$i"), 1).otherwise(0))
       .foldLeft(lit(1))(_ + _).cast("int")
