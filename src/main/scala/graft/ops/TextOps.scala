@@ -416,10 +416,12 @@ object TextOps {
     * hapax pair scores maximal PMI), `topK` bounds the result.
     *
     * Scale: one explode (narrow per-doc fanout) feeds ONE bigram shuffle
-    * with map-side combine; the marginals derive from the bigram counts
-    * algebraically (second tiny aggregate over distinct bigrams, not the
-    * corpus), `N` broadcasts as a single-row aggregate, and the top-k is
-    * TakeOrdered. The corpus is read once.
+    * with map-side combine into the count frame, which PERSISTS (released
+    * via `scope`) because four consumers read it — the filtered output and
+    * all three marginals; unpersisted, each consumer would re-explode the
+    * corpus (plan-verified: 4 scans → 1). The marginals are aggregates over
+    * the distinct-bigram dictionary, `N` broadcasts as a single-row
+    * aggregate, and the top-k is TakeOrdered.
     *
     * Determinism: all counts are exact integers; the score is ONE division
     * of exactly-representable products followed by ONE `ln`, identical
@@ -428,7 +430,8 @@ object TextOps {
     * convention), never the raw double.
     */
   def pmiBigrams(df: DataFrame, idCol: String, textCol: String,
-                 minCount: Long, topK: Int): DataFrame = {
+                 minCount: Long, topK: Int,
+                 scope: CacheScope = CacheScope.global): DataFrame = {
     val ts = col("__ts")
     val bigrams = df
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__ts"))
@@ -437,7 +440,8 @@ object TextOps {
           struct(element_at(ts, i).as("w1"), element_at(ts, i + 1).as("w2"))))
         .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c12 = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c12 = scope.persisted(
+      bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val left = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val right = c12.groupBy("w2").agg(sum(col("c12")).as("cr"))
     val n = c12.agg(sum(col("c12")).as("n_bi"))

@@ -283,6 +283,26 @@ class PlanSpec extends SparkSpec {
       s"densify+interpolate must never go all-pairs:\n$plan")
   }
 
+  test("pmi_bigrams: the corpus explodes once — marginals read the cached counts") {
+    val plan = planOf(SparkEntry.queries("pmi_bigrams")(spark, Sf))
+    // all four consumers (filtered output + three marginals) must read the
+    // persisted count frame — execution explodes the corpus once; the plan
+    // STRING still embeds the cached child per consumer, so assert on
+    // InMemoryTableScan fanout, not on scan-string counts
+    assert("InMemoryTableScan".r.findAllIn(plan).length >= 4,
+      "filtered output and every marginal must read the cached bigram counts")
+    spark.catalog.clearCache()
+  }
+
+  test("char_entropy: scan pruned to (doc_id, text); one keyed count shuffle") {
+    val plan = planOf(SparkEntry.queries("char_entropy")(spark, Sf))
+    val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList
+    assert(readSchemas.nonEmpty)
+    readSchemas.foreach(rs => assert(!rs.contains("lang") && !rs.contains("source"),
+      s"entropy needs only (doc_id, text): $rs"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
+
   test("EVERY declared query plans without a CartesianProduct") {
     // the one blanket scale rule: no unkeyed big-big product anywhere.
     // (BroadcastNestedLoopJoin is allowed — it only appears here as the
