@@ -827,6 +827,17 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) =>
       minhashPairsGold(s, d).orderBy("doc_a", "doc_b")),
 
+    // incremental LSH: the batch (>= 400) probes the standing banded store;
+    // only the batch is hashed in production — the standing side here is
+    // derived in-query because the fixture has no persisted store
+    "incr_lsh" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.incrementalLshPairs(
+          Dedup.bandedSignature(docs.filter(col("doc_id") >= 400), "doc_id", "text"),
+          Dedup.bandedSignature(docs.filter(col("doc_id") < 400), "doc_id", "text"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     // retrieve-then-verify fusion: the materialized minhash candidates
     // re-ranked by exact embedding cosine (vec i is doc i's embedding) —
     // lexical LSH proposes, the semantic signal confirms
@@ -2279,6 +2290,26 @@ object SparkEntry {
          |FROM sig a JOIN sig b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same signatures; pairs restricted to those touching the batch side,
+    // normalized with least/greatest, per-(pair, band) DISTINCT collapsing
+    // the both-new double match exactly like the engine
+    "incr_lsh" ->
+      s"""$ShingleCte,
+         |mh AS (SELECT doc_id, i,
+         |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM sh, range(8) r(i) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+         |    string_agg(h, '|' ORDER BY i) AS bucket
+         |  FROM mh GROUP BY 1, 2),
+         |p AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+         |    greatest(a.doc_id, b.doc_id) AS doc_b, a.band
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.bucket = b.bucket
+         |      AND a.doc_id <> b.doc_id
+         |  WHERE a.doc_id >= 400)
+         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS bands_shared
+         |FROM p GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
 
     // same signature bits; band keys via integer div/mod, hamming via
     // bit_count(xor) exactly like the engine

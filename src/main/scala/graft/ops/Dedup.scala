@@ -197,21 +197,55 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
                       scope: CacheScope = CacheScope.global): DataFrame = {
+    // both join sides read the signature; the shingle hashing behind it is
+    // the expensive part — materialize once, partitioned on the band-bucket
+    // join key to keep the candidate join parallel
+    val sig = scope.persisted(
+      bandedSignature(df, idCol, textCol, k, rowsPerBand, n)
+        .repartition(col("band"), col("bucket")))
+    sig.toDF("doc_a", "band", "bucket")
+      .join(sig.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("bands_shared"))
+  }
+
+  /** Banded signature rows `(doc_id, band, bucket)` — the standing LSH store
+    * a production near-dup job maintains (write it bucketed/partitioned on
+    * `(band, bucket)` and the candidate probes below are exchange-free on
+    * the store side). One bucket string per band per doc.
+    */
+  def bandedSignature(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
     require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
     val bands = (0 until k / rowsPerBand).map { b =>
       val hs = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), concat_ws("|", hs: _*).as("bucket"))
     }
-    // both join sides read the signature; the shingle hashing behind it is
-    // the expensive part — materialize once, partitioned on the band-bucket
-    // join key to keep the candidate join parallel
-    val sig = scope.persisted(minhashSignatureWide(df, idCol, textCol, k, n)
+    minhashSignatureWide(df, idCol, textCol, k, n)
       .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .repartition(col("band"), col("bucket")))
-    sig.toDF("doc_a", "band", "bucket")
-      .join(sig.toDF("doc_b", "band", "bucket"), Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
+  }
+
+  /** Incremental MinHash-LSH: candidate pairs TOUCHING a new batch, probed
+    * against the standing banded-signature store — the daily-ingest shape.
+    * Only the batch is shingled/hashed; the standing corpus contributes its
+    * (tiny) signature rows, so the job is O(|batch| + collisions), never
+    * O(corpus). Pairs are normalized (`doc_a < doc_b`) and count shared
+    * bands exactly like [[minhashLshPairs]]; both new-vs-standing and
+    * new-vs-new pairs emit (the per-(pair, band) `distinct` collapses the
+    * double match when both sides sit in the batch). Append `newSigs` to
+    * the store afterwards — the returned pair frame never contains
+    * standing-vs-standing pairs, which the store already produced.
+    */
+  def incrementalLshPairs(newSigs: DataFrame, standingSigs: DataFrame): DataFrame = {
+    val all = standingSigs.select("doc_id", "band", "bucket")
+      .unionByName(newSigs.select("doc_id", "band", "bucket"))
+    newSigs.select(col("doc_id").as("doc_n"), col("band"), col("bucket"))
+      .join(all, Seq("band", "bucket"))
+      .filter(col("doc_n") =!= col("doc_id"))
+      .select(least(col("doc_n"), col("doc_id")).as("doc_a"),
+        greatest(col("doc_n"), col("doc_id")).as("doc_b"), col("band"))
+      .distinct()
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("bands_shared"))
   }
 

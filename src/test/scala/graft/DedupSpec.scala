@@ -234,4 +234,38 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 1.0, true), (3L, 4L, -1.0, false)),
       "the semantic check must confirm (1,2) and veto (3,4)")
   }
+
+  test("incremental LSH ≡ full-batch pairs restricted to pairs touching the batch") {
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t)
+    // 1≈2 standing-standing (must NOT re-emit), 3≈103 standing-new,
+    // 101≈102 new-new (distinct must collapse the double match), 104 unique
+    val docs = Seq(
+      mk(1L, "alpha beta gamma delta epsilon zeta eta"),
+      mk(2L, "alpha beta gamma delta epsilon zeta theta"),
+      mk(3L, "one two three four five six seven eight"),
+      mk(101L, "red orange yellow green blue indigo violet"),
+      mk(102L, "red orange yellow green blue indigo ultraviolet"),
+      mk(103L, "one two three four five six seven nine"),
+      mk(104L, "completely unrelated text with no shared shingles at all")
+    ).toDF("doc_id", "text")
+    val isNew = (id: Long) => id >= 100L
+    val standing = docs.filter(!col("doc_id").geq(100L))
+    val batch = docs.filter(col("doc_id").geq(100L))
+    val incr = Dedup.incrementalLshPairs(
+        Dedup.bandedSignature(batch, "doc_id", "text"),
+        Dedup.bandedSignature(standing, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scope = new graft.engine.CacheScope
+    val full = Dedup.minhashLshPairs(docs, "doc_id", "text", scope = scope)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    scope.release()
+    assert(incr === full.filter(p => isNew(p._1) || isNew(p._2)),
+      s"incremental must equal the batch-touching slice of the full run\n" +
+        s"incr=$incr\nfull=$full")
+    assert(!incr.exists(p => !isNew(p._1) && !isNew(p._2)),
+      "standing-vs-standing pairs never re-emit")
+    assert(incr.exists(p => isNew(p._1) && isNew(p._2)),
+      "new-vs-new pairs emit once despite the two-directional match")
+  }
 }
