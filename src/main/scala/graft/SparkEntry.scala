@@ -393,6 +393,17 @@ object SparkEntry {
         .withColumnRenamed("slice", "day_ms")
         .orderBy("day_ms")),
 
+    // per-type Pearson corr(hour-of-day, value) with EXACT decimal second
+    // moments — one aggregate pass, floats only in the final projection
+    // (built-in corr is a partitioning-dependent float fold; this is the
+    // reproducible twin)
+    "value_corr" -> ((s, d) =>
+      Stats.exactCorr(
+          Tables.events(s, d)
+            .filter(col("ts").isNotNull && col("value").isNotNull),
+          "event_type", hour(col("ts")), col("value"))
+        .orderBy("event_type")),
+
     // robust (median/MAD) twin of value_outliers: the modified z-score whose
     // baseline one wild value cannot drag; exact integer-unit percentiles,
     // broadcast stats, no fact shuffle
@@ -1612,6 +1623,27 @@ object SparkEntry {
     // identical doubled-unit MAD: |2u − 2·median| is an exact BIGINT, so both
     // percentile passes interpolate exact integer inputs; identical closing
     // float chain (u − med) / (1.4826 · (mad2 / 2))
+    // same exact integer moments (DuckDB sums BIGINT into HUGEINT); floats
+    // appear only in the num / (sqrt · sqrt) projection over agreed operands
+    "value_corr" ->
+      """WITH e AS (SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+        |    CAST(round(value * 1000000) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |a AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(y * y) AS HUGEINT) AS syy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT event_type, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS denx, n * syy - sy * sy AS deny FROM a)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN denx > 0 AND deny > 0
+        |    THEN round(CAST(num AS DOUBLE)
+        |      / (sqrt(CAST(denx AS DOUBLE)) * sqrt(CAST(deny AS DOUBLE))), 6)
+        |  END AS corr
+        |FROM c ORDER BY event_type""".stripMargin,
+
     "value_outliers_robust" ->
       s"""WITH e AS (SELECT event_id, event_type,
          |    CAST(round(value * 100) AS BIGINT) AS u

@@ -10,6 +10,43 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Per-group Pearson correlation with EXACT second moments: both inputs
+    * quantize to integer units, every sum (Σx, Σy, Σx², Σy², Σxy) runs as
+    * 38-digit decimal — exact integer arithmetic on any engine, immune to
+    * float summation order — and floating point appears only in the final
+    * `num / (√denx · √deny)` projection over exactly-agreed operands.
+    * `corr` is null for degenerate groups (zero variance on either side)
+    * instead of NaN.
+    *
+    * Scale: ONE map-side-combinable aggregate pass (six sums per group),
+    * no window, no second scan — the textbook one-pass moment form made
+    * safe by exact accumulation (its float form is notoriously
+    * cancellation-prone; in exact integers cancellation is harmless).
+    * Built-in `corr` is the non-deterministic-across-partitionings float
+    * fold; this is the reproducible twin.
+    */
+  def exactCorr(df: DataFrame, groupCol: String, xCol: Column, yCol: Column,
+                xUnit: Long = 1L, yUnit: Long = 1000000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = round(xCol * xUnit).cast(dec)
+    val y = round(yCol * yUnit).cast(dec)
+    val g = df.select(col(groupCol), x.as("__x"), y.as("__y"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum((col("__x") * col("__x")).cast(dec)).as("sxx"),
+        sum((col("__y") * col("__y")).cast(dec)).as("syy"),
+        sum((col("__x") * col("__y")).cast(dec)).as("sxy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast(dec)
+    val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast(dec)
+    val deny = (col("n") * col("syy") - col("sy") * col("sy")).cast(dec)
+    g.select(col(groupCol), col("n").cast("long").as("n"),
+      when(denx > 0 && deny > 0,
+        round(num.cast("double") /
+          (sqrt(denx.cast("double")) * sqrt(deny.cast("double"))), 6))
+        .as("corr"))
+  }
+
   /** Winsorize (clip) a value column at per-group exact quantiles: values
     * below the `pLo` quantile or above the `pHi` quantile snap to the
     * boundary. Quantiles are computed over `unitScale`-scaled integer units

@@ -139,4 +139,37 @@ class StatsSpec extends SparkSpec {
       assert(z(i) === None && flag(i) === None, s"MAD=0 group row $i must be null")
     }
   }
+
+  test("exactCorr: perfect / inverse / uncorrelated / degenerate, hand-checked") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      // y = 2x -> corr exactly 1
+      ("up", 1.0, 2.0), ("up", 2.0, 4.0), ("up", 3.0, 6.0),
+      // y = -x -> corr exactly -1
+      ("down", 1.0, -1.0), ("down", 2.0, -2.0), ("down", 3.0, -3.0),
+      // symmetric V shape -> corr exactly 0
+      ("flat", -1.0, 1.0), ("flat", 0.0, 0.0), ("flat", 1.0, 1.0),
+      // zero variance in x -> null
+      ("deg", 5.0, 1.0), ("deg", 5.0, 2.0)
+    ).toDF("g", "x", "y")
+    val out = Stats.exactCorr(df, "g", col("x"), col("y"),
+        xUnit = 1000000L, yUnit = 1000000L)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(out("up") === Some(1.0))
+    assert(out("down") === Some(-1.0))
+    assert(out("flat") === Some(0.0))
+    assert(out("deg") === None, "zero x-variance must be null, not NaN")
+  }
+
+  test("exactCorr: identical result under any partitioning (exact moments)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1 to 500).map(i =>
+      ("g", i.toDouble, math.sin(i.toDouble) * 100 + i * 0.3)).toDF("g", "x", "y")
+    val a = Stats.exactCorr(df, "g", col("x"), col("y")).collect()
+    val b = Stats.exactCorr(df.repartition(13), "g", col("x"), col("y")).collect()
+    assert(a.toSeq === b.toSeq, "decimal moment sums cannot vary with partitioning")
+  }
 }
