@@ -393,6 +393,20 @@ object SparkEntry {
         .withColumnRenamed("slice", "day_ms")
         .orderBy("day_ms")),
 
+    // per-type daily-volume trend line (exact decimal moments): the drift
+    // monitor for ingest volume; slope in events/day, reproducible anywhere
+    "volume_trend" -> ((s, d) => {
+      val daily = Tables.events(s, d).filter(col("ts").isNotNull)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_day"))
+        .select(col("event_type"),
+          datediff(col("day"), lit("1970-01-01").cast("date")).cast("double")
+            .as("x"),
+          col("n_day").cast("double").as("y"))
+      Stats.trendFit(daily, "event_type", col("x"), col("y"),
+        xUnit = 1L, yUnit = 1L).orderBy("event_type")
+    }),
+
     // per-type Pearson corr(hour-of-day, value) with EXACT decimal second
     // moments — one aggregate pass, floats only in the final projection
     // (built-in corr is a partitioning-dependent float fold; this is the
@@ -1623,6 +1637,32 @@ object SparkEntry {
     // identical doubled-unit MAD: |2u − 2·median| is an exact BIGINT, so both
     // percentile passes interpolate exact integer inputs; identical closing
     // float chain (u − med) / (1.4826 · (mad2 / 2))
+    // same exact moments; unit factors are 1 so the float steps reduce to
+    // num/denx and (sy − slope·sx)/n over identically-agreed operands
+    "volume_trend" ->
+      """WITH dl AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+        |e AS (SELECT event_type,
+        |    CAST(day - DATE '1970-01-01' AS BIGINT) AS x, y FROM dl),
+        |a AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy
+        |  FROM e GROUP BY 1),
+        |c AS (SELECT event_type, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS denx, sx, sy FROM a)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN denx > 0
+        |    THEN round(CAST(num AS DOUBLE) / CAST(denx AS DOUBLE), 6)
+        |  END AS slope,
+        |  CASE WHEN denx > 0
+        |    THEN round((CAST(sy AS DOUBLE)
+        |      - CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |      / CAST(n AS DOUBLE), 6)
+        |  END AS intercept
+        |FROM c ORDER BY event_type""".stripMargin,
+
     // same exact integer moments (DuckDB sums BIGINT into HUGEINT); floats
     // appear only in the num / (sqrt · sqrt) projection over agreed operands
     "value_corr" ->

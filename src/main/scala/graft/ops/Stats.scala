@@ -47,6 +47,42 @@ object Stats {
         .as("corr"))
   }
 
+  /** Per-group least-squares line `y = slope·x + intercept` with the same
+    * exact decimal moments as [[exactCorr]] — the trend monitor ("is error
+    * volume drifting up") whose slope cannot wobble with partitioning.
+    * Slope/intercept compute from exact integer sums; the only floats are
+    * the two output divisions. Degenerate groups (zero x-variance) are null.
+    * Outputs descale by the units, so slope/intercept are in the original
+    * y-per-x terms.
+    */
+  def trendFit(df: DataFrame, groupCol: String, xCol: Column, yCol: Column,
+               xUnit: Long = 1L, yUnit: Long = 1000000L): DataFrame = {
+    val dec = "decimal(38,0)"
+    val x = round(xCol * xUnit).cast(dec)
+    val y = round(yCol * yUnit).cast(dec)
+    val g = df.select(col(groupCol), x.as("__x"), y.as("__y"))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum((col("__x") * col("__x")).cast(dec)).as("sxx"),
+        sum((col("__x") * col("__y")).cast(dec)).as("sxy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast(dec)
+    val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast(dec)
+    // slope_units = num/denx is y-units per x-unit; rescale to raw terms:
+    // slope_raw = slope_units * xUnit / yUnit. Intercept from the exact
+    // sums: (sy - slope_units * sx) / n, then /yUnit. The unit factors are
+    // plan-time literals, so both engines apply identical float steps.
+    val slopeU = num.cast("double") / denx.cast("double")
+    g.select(col(groupCol), col("n").cast("long").as("n"),
+      when(denx > 0,
+        round(slopeU * (lit(xUnit.toDouble) / lit(yUnit.toDouble)), 6))
+        .as("slope"),
+      when(denx > 0,
+        round((col("sy").cast("double") - slopeU * col("sx").cast("double"))
+          / col("n").cast("double") / lit(yUnit.toDouble), 6))
+        .as("intercept"))
+  }
+
   /** Winsorize (clip) a value column at per-group exact quantiles: values
     * below the `pLo` quantile or above the `pHi` quantile snap to the
     * boundary. Quantiles are computed over `unitScale`-scaled integer units

@@ -163,6 +163,22 @@ class StatsSpec extends SparkSpec {
     assert(out("deg") === None, "zero x-variance must be null, not NaN")
   }
 
+  test("trendFit: hand-fit lines, fractional slope, degenerate group null") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 5.0),   // y = 2x + 1
+      ("f", 0.0, 0.0), ("f", 1.0, 1.0), ("f", 2.0, 1.0),   // slope 1/2
+      ("d", 4.0, 1.0), ("d", 4.0, 9.0)                      // no x variance
+    ).toDF("g", "x", "y")
+    val out = Stats.trendFit(df, "g", col("x"), col("y"), xUnit = 1L, yUnit = 1L)
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getDouble(2), r.getDouble(3))))).toMap
+    assert(out("a") === Some((2.0, 1.0)))
+    assert(out("f") === Some((0.5, 0.166667)))
+    assert(out("d") === None)
+  }
+
   test("exactCorr: identical result under any partitioning (exact moments)") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
