@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.Dedup
+
+/** Streaming NEAR-dup suppression — the online MinHash-LSH half of the dedup
+  * ladder ([[StreamingDedup]] handles exact repeats; [[graft.ops.Dedup]] is
+  * the batch layer). Each micro-batch is signatured once and probed against
+  * the standing banded-signature store with
+  * [[graft.ops.Dedup.incrementalLshPairs]] — only the batch is ever
+  * shingled, so per-batch cost is O(|batch| + collisions) while the store
+  * grows by signature rows only (k/rowsPerBand short strings per doc, not
+  * text).
+  *
+  * Keep-first semantics across time: a batch doc is a `dup_candidate` when
+  * it collides with ANY standing doc (the store is history) or with a
+  * lower-id doc of the same batch (the in-batch tiebreak). Only KEPT docs'
+  * signatures append to the store, so the store stays canonical and every
+  * later near-copy still matches the original.
+  *
+  * Recovery semantics: the store append is per-(pair, band) `distinct`-safe
+  * — a replayed batch re-appending signatures cannot inflate
+  * `bands_shared` (the probe collapses duplicate store rows). The flagged
+  * OUTPUT dir is standard foreachBatch at-least-once; point it at an
+  * idempotent sink (or key downstream reads by id) exactly as with any
+  * foreachBatch pipeline.
+  */
+object StreamingNearDup {
+
+  /** Start the suppression stream: flagged batch rows (plus `n_collisions`,
+    * `dup_candidate`) append to `outDir`; kept docs' signatures append to
+    * `storeDir`.
+    */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                    storeDir: String, outDir: String, checkpointDir: String,
+                    k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val sigs = Dedup.bandedSignature(batch, idCol, textCol,
+            k, rowsPerBand, n).persist()
+          try {
+            val standing = readStore(spark, storeDir, sigs.schema)
+            val pairs = Dedup.incrementalLshPairs(sigs, standing)
+            // each pair, seen from both ends: doc d vs its partner
+            val oriented = pairs
+              .select(col("doc_a").as("d"), col("doc_b").as("partner"))
+              .unionByName(pairs
+                .select(col("doc_b").as("d"), col("doc_a").as("partner")))
+            val newIds = batch.select(col(idCol).as("__nid")).distinct()
+            // a collision counts against d when the partner is historical
+            // (not in this batch) or an earlier-id batch doc (keep-first)
+            val flags = oriented
+              .join(broadcast(newIds), col("partner") === col("__nid"), "left")
+              .filter(col("__nid").isNull || col("partner") < col("d"))
+              .groupBy(col("d")).agg(count(lit(1)).as("n_collisions"))
+            val out = batch
+              .join(flags, batch(idCol) === flags("d"), "left")
+              .select(batch.columns.toIndexedSeq.map(col) :+
+                coalesce(col("n_collisions"), lit(0L)).as("n_collisions") :+
+                col("n_collisions").isNotNull.as("dup_candidate"): _*)
+              .persist()
+            try {
+              out.write.mode("append").parquet(outDir)
+              val keptIds = out.filter(!col("dup_candidate"))
+                .select(col(idCol).as("doc_id"))
+              sigs.join(keptIds, Seq("doc_id"), "left_semi")
+                .write.mode("append").parquet(storeDir)
+            } finally out.unpersist(blocking = false)
+          } finally sigs.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+
+  /** The standing signature store; an empty frame of the signature schema
+    * before the first batch lands.
+    */
+  def readStore(spark: SparkSession, storeDir: String,
+                schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(storeDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+}

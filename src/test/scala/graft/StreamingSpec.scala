@@ -233,6 +233,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: store probe + in-batch keep-first across micro-batches") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val (store, out, cp) = (root + "/store", root + "/out", root + "/cp")
+    val q = graft.streaming.StreamingNearDup.nearDupStream(
+      docs, "doc_id", "text", store, out, cp)
+    try {
+      in.addData((1L, "alpha beta gamma delta epsilon zeta eta"),
+        (2L, "completely different words about ships in the harbor tonight"))
+      q.processAllAvailable()
+      val b1 = spark.read.parquet(out)
+        .select("doc_id", "dup_candidate").as[(Long, Boolean)].collect().toMap
+      assert(b1 === Map(1L -> false, 2L -> false), "first batch is all-new")
+
+      in.addData(
+        (3L, "alpha beta gamma delta epsilon zeta theta"), // near-dups doc 1
+        (4L, "an entirely fresh subject with nothing shared anywhere here"),
+        (5L, "one two three four five six seven eight"),   // 5 ≈ 6 in-batch
+        (6L, "one two three four five six seven nine"))
+      q.processAllAvailable()
+      val all = spark.read.parquet(out)
+        .select("doc_id", "dup_candidate").as[(Long, Boolean)].collect().toMap
+      assert(all(3L), "batch doc colliding with the standing store is flagged")
+      assert(!all(4L), "unique doc survives")
+      assert(!all(5L) && all(6L), "in-batch pair keeps the lower id only")
+      val stored = spark.read.parquet(store).select("doc_id")
+        .distinct().as[Long].collect().toSet
+      assert(stored === Set(1L, 2L, 4L, 5L),
+        s"only kept docs' signatures enter the store, got $stored")
+    } finally q.stop()
+  }
+
   test("streaming CDC upsert maintains a keyed snapshot across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, Long, String, Double)]
