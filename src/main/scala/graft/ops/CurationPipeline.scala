@@ -39,17 +39,28 @@ object CurationPipeline {
     * clean_text — normalized and PII-redacted, drop_stage — null for
     * survivors, kept). Pass `evalSet` (any frame with `textCol`) to enable
     * the decontamination gate; without it the stage reports no drops.
+    *
+    * `candidatePairs` (columns `doc_a`, `doc_b`) injects a precomputed
+    * near-dup candidate frame — the production shape, where the standing
+    * dedup service (e.g. [[Dedup.incrementalLshPairs]] over its signature
+    * store, or a cached full-corpus pair table) already owns pair
+    * generation and the funnel must not re-shingle the corpus. The caller
+    * guarantees the pairs were computed over the SAME text normalization;
+    * per-doc MinHash signatures make a full-corpus pair table restricted to
+    * this corpus's ids exactly equal to pairs computed on the subset.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              evalSet: Option[DataFrame] = None,
              minhashK: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 3,
+             candidatePairs: Option[DataFrame] = None,
              scope: CacheScope = CacheScope.global): DataFrame = {
     val normed = scope.persisted(docs.select(col(idCol).as("doc_id"),
       TextOps.normalizeText(col(textCol)).as("text")))
     val exact = Dedup.exact(normed, "doc_id", "text")
       .select(col("doc_id"), col("is_dup").as("__f_exact"))
-    val pairs = Dedup.minhashLshPairs(normed, "doc_id", "text",
-      minhashK, rowsPerBand, shingleN, scope)
+    val pairs = candidatePairs.getOrElse(
+      Dedup.minhashLshPairs(normed, "doc_id", "text",
+        minhashK, rowsPerBand, shingleN, scope))
     val nearDup = Dedup.dupClusters(pairs, "doc_a", "doc_b")
       .select(col("id").as("doc_id"), (!col("is_canonical")).as("__f_near"))
     val quality = Curation.qualityFilter(normed, "doc_id", "text")

@@ -56,6 +56,29 @@ class CurationPipelineSpec extends SparkSpec {
     assert(out.forall(r => r.isNullAt(2) || r.getString(2) != "contaminated"))
   }
 
+  test("curate: injected candidate pairs reproduce the self-computed funnel") {
+    val docs = Seq(
+      (1L, good),
+      (2L, "a ship sails into the harbor at dawn and the crew is unloading cargo tonight"),
+      (3L, "a ship sails into the harbor at dawn and the crew is unloading cargo tomorrow"),
+      (4L, "hi")
+    ).toDF("doc_id", "text")
+    val s1 = new graft.engine.CacheScope
+    val s2 = new graft.engine.CacheScope
+    val self = CurationPipeline.curate(docs, "doc_id", "text", None, scope = s1)
+      .orderBy("doc_id").collect().toSeq
+    // the standing dedup service's pair table, computed over the same
+    // normalization — injecting it must not change a single row
+    val pairs = graft.ops.Dedup.minhashLshPairs(
+      docs.select(col("doc_id"), graft.ops.TextOps.normalizeText(col("text")).as("text")),
+      "doc_id", "text", scope = s2)
+    val injected = CurationPipeline.curate(docs, "doc_id", "text", None,
+        candidatePairs = Some(pairs), scope = s2)
+      .orderBy("doc_id").collect().toSeq
+    s1.release(); s2.release()
+    assert(self === injected)
+  }
+
   test("report: the funnel is a single groupBy over the annotated frame") {
     val docs = Seq(
       (1L, good), (2L, good), (3L, "hi")
