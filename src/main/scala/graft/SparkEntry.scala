@@ -360,6 +360,20 @@ object SparkEntry {
           "event_id", "event_type", "value", threshold = 1.7)
         .orderBy("event_id")),
 
+    // seasonal anomaly: z-score against the (type, dow, hour) baseline —
+    // the "is this value odd FOR a Tuesday 3pm" monitor global z can't ask;
+    // same broadcast-stats shape keyed on the composite seasonal key
+    "seasonal_outliers" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("skey", concat_ws("|", col("event_type"),
+          (dayofweek(col("ts")) - 1).cast("string"),
+          hour(col("ts")).cast("string")))
+      QualityChecks.zscoreOutliers(ev, "event_id", "skey", "value",
+          threshold = 2.5)
+        .orderBy("event_id")
+    }),
+
     // earliest-chaining funnel over view→click→purchase: per-actor step
     // times, drop-off level, end-to-end window completion
     "funnel_steps" -> ((s, d) =>
@@ -1562,6 +1576,26 @@ object SparkEntry {
         |  FROM e JOIN m USING (event_type))
         |SELECT event_id, event_type, z,
         |  abs(z) > CAST('1.7' AS DOUBLE) AS is_outlier
+        |FROM z ORDER BY event_id""".stripMargin,
+
+    // same composite (type|dow|hour) key — DuckDB dayofweek is Sunday=0,
+    // matching Spark's dayofweek − 1 — and the same exact-unit moments
+    "seasonal_outliers" ->
+      """WITH e AS (SELECT event_id,
+        |    event_type || '|' || CAST(dayofweek(ts) AS VARCHAR) || '|'
+        |      || CAST(hour(ts) AS VARCHAR) AS skey,
+        |    CAST(round(value * 10000) AS BIGINT) AS u
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |st AS (SELECT skey, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(u) AS DOUBLE) AS s1, CAST(sum(u * u) AS DOUBLE) AS s2
+        |  FROM e GROUP BY 1),
+        |m AS (SELECT skey, s1 / n AS mean_u,
+        |    s2 / n - (s1 / n) * (s1 / n) AS var_u FROM st),
+        |z AS (SELECT e.event_id, e.skey,
+        |    round(CASE WHEN var_u > 0 THEN (u - mean_u) / sqrt(var_u) END, 6) AS z
+        |  FROM e JOIN m USING (skey))
+        |SELECT event_id, skey, z,
+        |  abs(z) > CAST('2.5' AS DOUBLE) AS is_outlier
         |FROM z ORDER BY event_id""".stripMargin,
 
     // same strictly-after min-chaining per step; millisecond comparisons on

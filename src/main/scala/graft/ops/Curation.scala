@@ -369,12 +369,16 @@ object Curation {
     * = exact token count; bucket bounds = exact percentiles (broadcast
     * single-row aggregate), so membership is a narrow comparison chain.
     *
-    * Scale: one scan for counts, one tiny bounds aggregate, then the
+    * Scale: one scan for counts, one bounds aggregate, then the
     * [[graft.ops.Indexing.globalIndex]] two-pass range-partition stamping
     * over the composite `bucket|md5(seed#id)|id` key — the same protocol as
     * the epoch shuffle, so ordering cost is one range shuffle regardless of
     * bucket count. Within-bucket order is the md5 keystream; changing
     * `seed` reshuffles every bucket without touching bucket membership.
+    * The EXACT percentile bounds buffer every count in one aggregate task —
+    * at real corpus scale swap them for `approx_percentile` (same plan
+    * shape, sketch-mergeable; winsorize documents the same trade). The
+    * exact form stays default because it is oracle-checkable.
     */
   def curriculumOrder(df: DataFrame, idCol: String, textCol: String,
                       buckets: Int = 4, seed: Long = 1L,
