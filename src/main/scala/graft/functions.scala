@@ -84,6 +84,13 @@ object functions {
     expressions.col(expressions.RollingKgramHash(
       expressions.expr(text), expressions.expr(lit(k))))
 
+  /** Deflate-compressed byte size of a string (level 6, fixed) — the raw
+    * material of the compression-ratio quality signal; see
+    * [[graft.expressions.DeflateSize]]. Spec-gated (no SQL twin exists).
+    */
+  def deflate_size(s: Column): Column =
+    expressions.col(expressions.DeflateSize(expressions.expr(s)))
+
   /** Deterministic display color from a track id (F15,
     * `apps/track_explorer.py:251-257`): first 6 hex chars of SHA-256 as RGB.
     */

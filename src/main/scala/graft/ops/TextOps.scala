@@ -145,6 +145,21 @@ object TextOps {
           .as("entropy"))
   }
 
+  /** Compression-ratio quality signal (the CCNet/Gopher screen
+    * [[charEntropy]] and [[repetitionSignals]] approximate from counts):
+    * `deflate_len / utf8_len`. Templated/repetitive text lands well below
+    * natural prose (~0.4–0.6); random or already-compressed payloads sit
+    * near (or above — deflate framing) 1.0. A narrow codegen'd map
+    * ([[graft.functions.deflate_size]]) — zero shuffle, scan throughput.
+    * Spec-gated, not oracle-gated: no SQL twin of zlib exists.
+    */
+  def compressionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      octet_length(col(textCol)).as("n_bytes"),
+      graft.functions.deflate_size(col(textCol)).as("deflate_bytes"))
+      .withColumn("compression_ratio",
+        round(col("deflate_bytes") / col("n_bytes"), 6))
+
   /** Repetition signals (the Gopher/C4 repetitive-content filters): fraction
     * of tokens taken by the single most frequent token, and the fraction of
     * duplicate 2-grams; `repetitive` flags docs where either exceeds

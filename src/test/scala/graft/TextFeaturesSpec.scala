@@ -172,4 +172,25 @@ class TextFeaturesSpec extends SparkSpec {
     // doc 3: single repeated char -> zero entropy (after quantization)
     assert(out(2)._3 === 0.0)
   }
+
+  test("compressionSignals: repetitive text compresses, high-entropy text doesn't") {
+    import spark.implicits._
+    val repetitive = ("lorem ipsum " * 60).trim
+    val random = new scala.util.Random(42)
+    val noise = Array.fill(720)((random.nextInt(94) + 33).toChar).mkString
+    val docs = Seq((1L, repetitive), (2L, noise)).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.compressionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(out(0)._4 < 0.15,
+      s"repeated phrase must compress hard, got ${out(0)}")
+    assert(out(1)._4 > 0.7,
+      s"printable noise must stay near-incompressible, got ${out(1)}")
+    assert(out.forall(t => t._3 > 0 && t._2 > 0))
+    // codegen and interpreted paths agree (same JVM Deflater)
+    val again = graft.ops.TextOps.compressionSignals(docs.repartition(3),
+      "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    assert(again.map(_._2).toSeq === out.map(_._4).toSeq)
+  }
 }
