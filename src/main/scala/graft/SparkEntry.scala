@@ -866,6 +866,16 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) =>
       minhashPairsGold(s, d).orderBy("doc_a", "doc_b")),
 
+    // corpus-level resemblance: two dataset halves fingerprinted by k
+    // global shingle minima, Jaccard estimated from matching slots — the
+    // snapshot-diff signal with no pairwise doc work at all
+    "corpus_sim" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.corpusJaccardEstimate(
+        Dedup.corpusSignature(docs.filter(col("doc_id") < 250), "doc_id", "text"),
+        Dedup.corpusSignature(docs.filter(col("doc_id") >= 250), "doc_id", "text"))
+    }),
+
     // incremental LSH: the batch (>= 400) probes the standing banded store;
     // only the batch is hashed in production — the standing side here is
     // derived in-query because the fixture has no persisted store
@@ -2403,6 +2413,20 @@ object SparkEntry {
          |FROM sig a JOIN sig b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same k global minima per hash slot over each half's shingles
+    "corpus_sim" ->
+      s"""$ShingleCte,
+         |a AS (SELECT i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS ha
+         |  FROM sh, range(16) r(i) WHERE doc_id < 250 GROUP BY 1),
+         |b AS (SELECT i, min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS hb
+         |  FROM sh, range(16) r(i) WHERE doc_id >= 250 GROUP BY 1),
+         |j AS (SELECT a.i, ha, hb FROM a JOIN b USING (i))
+         |SELECT CAST(count(*) AS BIGINT) AS k,
+         |  CAST(sum(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS BIGINT) AS matches,
+         |  round(sum(CASE WHEN ha = hb THEN 1 ELSE 0 END)
+         |        / CAST(count(*) AS DOUBLE), 6) AS jaccard_est
+         |FROM j""".stripMargin,
 
     // same signatures; pairs restricted to those touching the batch side,
     // normalized with least/greatest, per-(pair, band) DISTINCT collapsing

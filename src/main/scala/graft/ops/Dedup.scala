@@ -181,6 +181,38 @@ object Dedup {
       .select(col("doc_id"), explode(map(pairs: _*)).as(Seq("i", "h")))
   }
 
+  /** Corpus-level MinHash signature: the k global minima over EVERY shingle
+    * in the dataset, as `(i, h)` rows — a 16-string fingerprint of a whole
+    * corpus. Two corpora's signatures estimate their shingle-set Jaccard
+    * ([[corpusJaccardEstimate]]): the dataset-versioning / snapshot-diff
+    * signal ("how much did this week's crawl overlap last week's") that
+    * needs no pairwise doc work at all. One shingle pass, k map-side-
+    * combined min aggregates, a single output row per hash — O(corpus)
+    * scan, O(k) state, O(k) result.
+    */
+  def corpusSignature(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 16, n: Int = 3): DataFrame = {
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    val pairs = (0 until k).flatMap(i => Seq(lit(i).cast("int"), col(s"h$i")))
+    shingleRows(df, idCol, textCol, n)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(map(pairs: _*)).as(Seq("i", "h")))
+  }
+
+  /** Jaccard resemblance estimate between two [[corpusSignature]] frames:
+    * the fraction of hash slots whose global minima coincide. Standard
+    * MinHash estimator — error ~ 1/√k; raise k for tighter diffs.
+    */
+  def corpusJaccardEstimate(a: DataFrame, b: DataFrame): DataFrame = {
+    val joined = a.select(col("i"), col("h").as("ha"))
+      .join(b.select(col("i"), col("h").as("hb")), Seq("i"))
+    joined.agg(count(lit(1)).as("k"),
+        sum(when(col("ha") === col("hb"), 1L).otherwise(0L)).as("matches"))
+      .select(col("k"), col("matches"),
+        round(col("matches").cast("double") / col("k"), 6).as("jaccard_est"))
+  }
+
   /** Small single-file tables scan as one partition; the heavy narrow chains
     * (shingle explode, per-token hashing) need real parallelism before the
     * first shuffle. At 100 TB the scan is already split — this is a no-op

@@ -235,6 +235,29 @@ class DedupSpec extends SparkSpec {
       "the semantic check must confirm (1,2) and veto (3,4)")
   }
 
+  test("corpus resemblance: identical halves 1.0, disjoint near 0, stable") {
+    import spark.implicits._
+    val a = Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val same = Dedup.corpusJaccardEstimate(
+      Dedup.corpusSignature(a, "doc_id", "text"),
+      Dedup.corpusSignature(a, "doc_id", "text")).head()
+    assert(same.getLong(0) === 16L && same.getLong(1) === 16L &&
+      same.getDouble(2) === 1.0)
+    val b = Seq((3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val diff = Dedup.corpusJaccardEstimate(
+      Dedup.corpusSignature(a, "doc_id", "text"),
+      Dedup.corpusSignature(b, "doc_id", "text")).head()
+    assert(diff.getDouble(2) <= 0.25,
+      s"disjoint shingle sets must estimate near zero, got $diff")
+    val repartitioned = Dedup.corpusJaccardEstimate(
+      Dedup.corpusSignature(a.repartition(5), "doc_id", "text"),
+      Dedup.corpusSignature(b.repartition(3), "doc_id", "text")).head()
+    assert(repartitioned.getDouble(2) === diff.getDouble(2),
+      "global minima cannot vary with partitioning")
+  }
+
   test("incremental LSH ≡ full-batch pairs restricted to pairs touching the batch") {
     import spark.implicits._
     val mk = (id: Long, t: String) => (id, t)
