@@ -866,6 +866,15 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) =>
       minhashPairsGold(s, d).orderBy("doc_a", "doc_b")),
 
+    // leakage-safe split: near-dup clusters adopt one split key, so a test
+    // doc can never have a near-copy sitting in train
+    "leakfree_split" -> ((s, d) =>
+      Curation.leakageSafeSplit(Tables.documents(s, d).select("doc_id"),
+          "doc_id", minhashPairsGold(s, d), "doc_a", "doc_b",
+          Seq("train" -> 80, "val" -> 10, "test" -> 10))
+        .select(col("doc_id"), col("cluster"), col("split"))
+        .orderBy("doc_id")),
+
     // corpus-level resemblance: two dataset halves fingerprinted by k
     // global shingle minima, Jaccard estimated from matching slots — the
     // snapshot-diff signal with no pairwise doc work at all
@@ -2413,6 +2422,39 @@ object SparkEntry {
          |FROM sig a JOIN sig b
          |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
          |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same recursive min-label clusters; the split key is the cluster label
+    // (or the doc's own id), bucketed by the same sha256 rule as splitAssign
+    "leakfree_split" ->
+      s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |mh AS (SELECT doc_id, i,
+         |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM sh, range(8) r(i) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+         |    string_agg(h, '|' ORDER BY i) AS bucket
+         |  FROM mh GROUP BY 1, 2),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |sym AS (SELECT doc_a AS id, doc_b AS nbr FROM p
+         |        UNION SELECT doc_b, doc_a FROM p),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT id, id FROM sym
+         |  UNION
+         |  SELECT s.id, reach.r FROM sym s JOIN reach ON s.nbr = reach.id),
+         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |k AS (SELECT d.doc_id, cl.cluster,
+         |    coalesce(cl.cluster, d.doc_id) AS skey
+         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+         |    AS split
+         |FROM (SELECT doc_id, cluster,
+         |    CAST(('0x' || substr(sha256(CAST(skey AS VARCHAR)), 1, 16))::UBIGINT
+         |      % 100 AS BIGINT) AS b
+         |  FROM k)
+         |ORDER BY doc_id""".stripMargin,
 
     // same k global minima per hash slot over each half's shingles
     "corpus_sim" ->

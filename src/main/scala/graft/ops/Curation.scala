@@ -362,6 +362,27 @@ object Curation {
       (reasons === 0).as("keep"))
   }
 
+  /** Train/val/test assignment that CANNOT leak near-duplicates across the
+    * boundary: every doc in a near-dup cluster adopts the cluster's min-id
+    * label as its split key, so whole clusters land on one side — the
+    * hygiene rule a plain per-doc hash split silently violates (a test doc
+    * whose near-copy sits in train is a leaked answer). Singletons key by
+    * their own id; assignment is [[splitAssign]]'s deterministic sha bucket.
+    *
+    * Scale: cluster resolution is [[graft.ops.Dedup.dupClusters]] over the
+    * candidate pairs only (docs with ≥1 near-dup — a small corpus
+    * fraction); everything else is one left join + a narrow hash map.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String, bCol: String,
+                       splits: Seq[(String, Int)]): DataFrame = {
+    val clusters = Dedup.dupClusters(pairs, aCol, bCol)
+      .select(col("id").as(idCol), col("cluster"))
+    val keyed = docs.join(clusters, Seq(idCol), "left")
+      .withColumn("__skey", coalesce(col("cluster"), col(idCol)))
+    splitAssign(keyed, "__skey", splits).drop("__skey")
+  }
+
   /** Length-curriculum ordering: contiguous global positions that walk the
     * corpus shortest-bucket-first (easy→hard), deterministically shuffled
     * WITHIN each difficulty bucket — the curriculum-training read order,

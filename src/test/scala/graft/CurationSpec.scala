@@ -461,6 +461,29 @@ class CurationSpec extends SparkSpec {
     assert(sampled.count() === 3)
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle the split boundary") {
+    val docs = (1L to 40L).map(i => Tuple1(i)).toDF("doc_id")
+    // two clusters — {1,2,3} (chain) and {10,11} — plus singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val out = Curation.leakageSafeSplit(docs, "doc_id", pairs,
+        "doc_a", "doc_b", Seq("train" -> 50, "val" -> 25, "test" -> 25))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1), r.getString(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(Seq(1L, 2L, 3L).map(byId(_)._3).distinct.size === 1,
+      "a whole chain cluster lands on one side")
+    assert(byId(10L)._3 === byId(11L)._3)
+    assert(byId(1L)._2 === 1L && byId(3L)._2 === 1L && byId(11L)._2 === 10L)
+    assert(byId(7L)._2 === -1L, "singletons carry no cluster label")
+    // singleton assignment is exactly the plain hash split on the own id
+    val plain = Curation.splitAssign(docs, "doc_id",
+        Seq("train" -> 50, "val" -> 25, "test" -> 25))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.filter(_._2 == -1L).foreach { case (id, _, s) =>
+      assert(s === plain(id), s"singleton $id must match the plain split")
+    }
+  }
+
   test("curriculumOrder: quartile buckets walk easy->hard, positions contiguous") {
     // docs with 1..8 tokens; quartile bounds over [1..8] = 2.75 / 4.5 / 6.25
     val docs = (1L to 8L).map(i => (i, (1L to i).map(_ => "w").mkString(" ")))
