@@ -38,16 +38,19 @@ case class DeflateSize(child: Expression)
 }
 
 object DeflateSize {
+  // one native Deflater (and scratch buffer) per task thread, reset between
+  // rows — allocating a fresh native context per row would dominate the
+  // scan; reset() reuses the allocation with identical output
+  private val local = ThreadLocal.withInitial[(Deflater, Array[Byte])](() =>
+    (new Deflater(6, false), new Array[Byte](8192)))
+
   def size(s: UTF8String): Int = {
-    val in = s.getBytes
-    val d = new Deflater(6, false)
-    try {
-      d.setInput(in)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var total = 0
-      while (!d.finished()) total += d.deflate(buf)
-      total
-    } finally d.end()
+    val (d, buf) = local.get()
+    d.reset()
+    d.setInput(s.getBytes)
+    d.finish()
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    total
   }
 }

@@ -40,6 +40,9 @@ object Selection {
     */
   def kCenter(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     require(k >= 1, "k must be at least 1")
+    require(emb.schema(idCol).dataType == LongType,
+      s"kCenter ids must be LongType, got ${emb.schema(idCol).dataType} — " +
+        "cast explicitly; a silent coercion would reorder string ids")
     val spark = emb.sparkSession
     val pts = emb.select(col(idCol).as("__id"),
         col(vecCol).cast("array<double>").as("__v"))
