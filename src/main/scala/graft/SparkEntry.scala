@@ -213,6 +213,19 @@ object SparkEntry {
       Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
         k = 8, rowsPerBand = 2, n = 3))
 
+  /** Resolved near-dup clusters are likewise a maintained artifact (the
+    * label propagation reruns only when the pair table refreshes): the
+    * cluster report and the leakage-safe split both read it.
+    */
+  private def clustersGold(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the pair stage BEFORE entering the clusters build: a nested
+    // GoldCache computeIfAbsent (build lambda calling another gold table)
+    // would be a recursive update on the same ConcurrentHashMap
+    val pairs = minhashPairsGold(spark, dir)
+    GoldCache.table(spark, "dup_clusters", dir)(
+      Dedup.dupClusters(pairs, "doc_a", "doc_b"))
+  }
+
   /** PQ corpus codes are an index artifact (encode once offline, search
     * many) — the ADC search query reads the materialized codes, never
     * re-encodes the corpus per search.
@@ -236,7 +249,9 @@ object SparkEntry {
     import scala.concurrent.duration.Duration
     val builds = Seq(
       Future { pairsGold(spark, dir).count() },
-      Future { minhashPairsGold(spark, dir).count() },
+      // clusters depend on the pair table; computeIfAbsent serializes the
+      // shared stage, then the label propagation runs in this future
+      Future { clustersGold(spark, dir).count() },
       Future { pqCodesGold(spark, dir).count() })
     Await.result(Future.sequence(builds), Duration.Inf); ()
   }
@@ -869,8 +884,8 @@ object SparkEntry {
     // leakage-safe split: near-dup clusters adopt one split key, so a test
     // doc can never have a near-copy sitting in train
     "leakfree_split" -> ((s, d) =>
-      Curation.leakageSafeSplit(Tables.documents(s, d).select("doc_id"),
-          "doc_id", minhashPairsGold(s, d), "doc_a", "doc_b",
+      Curation.leakageSafeSplitClusters(Tables.documents(s, d).select("doc_id"),
+          "doc_id", clustersGold(s, d),
           Seq("train" -> 80, "val" -> 10, "test" -> 10))
         .select(col("doc_id"), col("cluster"), col("split"))
         .orderBy("doc_id")),
@@ -917,8 +932,7 @@ object SparkEntry {
     // near-dup cluster resolution: connected components over the minhash
     // pair graph; is_canonical = keep-one-per-cluster decision
     "dup_clusters" -> ((s, d) =>
-      Dedup.dupClusters(minhashPairsGold(s, d), "doc_a", "doc_b")
-        .orderBy("id")),
+      clustersGold(s, d).orderBy("id")),
 
     // multimodal frame sampling: payload as fixed-size frame records, every
     // stride-th kept; batched kernel does real byte work (slice + sha256)

@@ -375,10 +375,20 @@ object Curation {
     */
   def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
                        aCol: String, bCol: String,
-                       splits: Seq[(String, Int)]): DataFrame = {
-    val clusters = Dedup.dupClusters(pairs, aCol, bCol)
-      .select(col("id").as(idCol), col("cluster"))
-    val keyed = docs.join(clusters, Seq(idCol), "left")
+                       splits: Seq[(String, Int)]): DataFrame =
+    leakageSafeSplitClusters(docs, idCol,
+      Dedup.dupClusters(pairs, aCol, bCol), splits)
+
+  /** [[leakageSafeSplit]] over ALREADY-RESOLVED clusters (`id`, `cluster`
+    * columns) — the production entry point: cluster resolution is a
+    * maintained artifact refreshed with the pair table, not recomputed per
+    * split request.
+    */
+  def leakageSafeSplitClusters(docs: DataFrame, idCol: String,
+                               clusters: DataFrame,
+                               splits: Seq[(String, Int)]): DataFrame = {
+    val cl = clusters.select(col("id").as(idCol), col("cluster"))
+    val keyed = docs.join(cl, Seq(idCol), "left")
       .withColumn("__skey", coalesce(col("cluster"), col(idCol)))
     splitAssign(keyed, "__skey", splits).drop("__skey")
   }
