@@ -81,6 +81,17 @@ object SparkEntry {
     */
   private val CdcCutoff = "2024-01-22 00:00:00"
 
+  /** Incremental-rollup cutoff — deliberately MID-day so the cutoff day's
+    * (user, day) keys exist on BOTH sides and the additive merge is
+    * genuinely exercised (a midnight cutoff would make the two sides
+    * key-disjoint and the merge a mere union).
+    */
+  private val IncrCutoff = "2024-01-22 12:00:00"
+
+  /** DSIR declared queries: hashed-ngram bucket count and selection size. */
+  private val DsirBuckets = 512
+  private val DsirK = 40
+
   /** Priority-sampling declared query: top-k per language stratum. */
   private val PriSampleK = 20
 
@@ -817,6 +828,20 @@ object SparkEntry {
           Seq("train" -> 90, "val" -> 5, "test" -> 5))
         .select("doc_id", "split").orderBy("doc_id")),
 
+    // DSIR importance weights: every doc scored by hashed-ngram likelihood
+    // under the target slice (lang='en') vs the raw corpus — the
+    // data-selection signal that upweights target-like text corpus-wide
+    "dsir_weights" -> ((s, d) =>
+      Selection.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", DsirBuckets)
+        .orderBy("doc_id")),
+
+    // deterministic DSIR selection: top-k most target-like docs
+    "dsir_select" -> ((s, d) =>
+      Selection.dsirSelect(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", DsirBuckets, DsirK)
+        .orderBy("doc_id")),
+
     // mixture sampling (data mixing): per-lang keep rate from normalized
     // weights × token budget over exact stratum token sums; tiny aggregate
     // broadcast back, per-row stable-hash membership — corpus never shuffles
@@ -1129,6 +1154,30 @@ object SparkEntry {
         .select(col("user_id"), round(col("value"), 6).as("value"),
           col("event_id").as("last_event_id"), col("changed"))
         .orderBy("user_id")
+    }),
+
+    // incremental aggregate maintenance: the standing per-(user, day) rollup
+    // (events before the cutoff) absorbs the new slice's partial aggregates
+    // via one keyed additive merge — the oracle recomputes from scratch, so
+    // a hash match PROVES merge(agg(old), agg(new)) ≡ agg(all). The mid-day
+    // cutoff makes the boundary day's keys collide on purpose.
+    "incr_rollup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .withColumn("cents", round(col("value") * 100).cast("long"))
+      val cutoff = lit(IncrCutoff).cast("timestamp")
+      def rollup(df: DataFrame): DataFrame =
+        df.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"),
+            min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      Merge.mergeAdditive(
+          rollup(ev.filter(col("ts") < cutoff)),
+          rollup(ev.filter(col("ts") >= cutoff)),
+          Seq("user_id", "day"), Seq("n_events", "sum_cents"),
+          minCols = Seq("min_cents"), maxCols = Seq("max_cents"))
+        .withColumn("avg_cents",
+          round(col("sum_cents").cast("double") / col("n_events"), 6))
+        .orderBy("user_id", "day")
     }),
 
     // SCD2 history: each purchase opens a validity interval on the user's
@@ -1450,6 +1499,36 @@ object SparkEntry {
        |  FROM events
        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value BETWEEN 0 AND 500
        |  GROUP BY user_id, date_trunc('hour', ts))""".stripMargin
+
+  /** Shared oracle CTE for the DSIR queries: tokenize → unigrams+bigrams →
+    * sha256 bucket (the StableHashBucket mapping, corpus_split-style) →
+    * smoothed per-bucket target/raw log ratio in integer micro-nats →
+    * per-doc exact sums. Both dsir oracles append their own SELECT.
+    */
+  private val DsirCte =
+    s"""WITH t AS (SELECT doc_id, lang = 'en' AS tgt,
+       |    string_split(text, ' ') AS ts FROM documents),
+       |g AS (SELECT doc_id, tgt,
+       |    unnest(list_concat(ts,
+       |      list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])))
+       |      AS gram
+       |  FROM t),
+       |f AS (SELECT doc_id, tgt,
+       |    CAST(('0x' || substr(sha256(gram), 1, 16))::UBIGINT % $DsirBuckets
+       |      AS BIGINT) AS b
+       |  FROM g),
+       |st AS (SELECT b, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+       |    count(*) AS cr FROM f GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS t_tot,
+       |    CAST(sum(cr) AS DOUBLE) AS r_tot FROM st),
+       |lam AS (SELECT b, CAST(round(ln(
+       |      ((ct + 1.0) * (r_tot + $DsirBuckets.0)) /
+       |      ((cr + 1.0) * (t_tot + $DsirBuckets.0))) * 1000000) AS BIGINT)
+       |    AS lu
+       |  FROM st, tot),
+       |dw AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(lam.lu) AS BIGINT) AS lw_u
+       |  FROM f JOIN lam USING (b) GROUP BY 1)""".stripMargin
 
   private val PairsCte =
     s"""$HourlyCte,
@@ -2095,6 +2174,19 @@ object SparkEntry {
         |      % 100 AS BIGINT) AS b
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "dsir_weights" ->
+      s"""$DsirCte
+         |SELECT doc_id, n_feats,
+         |  round(CAST(lw_u AS DOUBLE) / 1000000.0, 6) AS logw
+         |FROM dw ORDER BY doc_id""".stripMargin,
+
+    "dsir_select" ->
+      s"""$DsirCte
+         |SELECT doc_id, n_feats,
+         |  round(CAST(lw_u AS DOUBLE) / 1000000.0, 6) AS logw
+         |FROM (SELECT * FROM dw ORDER BY lw_u DESC, doc_id LIMIT $DsirK)
+         |ORDER BY doc_id""".stripMargin,
 
     // same op tree: exact integer token sums, (w × B) / toks, round(…, 4),
     // threshold on the ROUNDED rate × granularity vs the sha256 bucket
@@ -2958,6 +3050,18 @@ object SparkEntry {
          |FROM snap s FULL OUTER JOIN net n ON s.user_id = n.user_id
          |WHERE n.op IS NULL OR n.op <> 'D'
          |ORDER BY user_id""".stripMargin,
+
+    // full recompute — the merge path must hash-match this exactly
+    "incr_rollup" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+        |SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(min(cents) AS BIGINT) AS min_cents,
+        |  CAST(max(cents) AS BIGINT) AS max_cents,
+        |  round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS avg_cents
+        |FROM e GROUP BY 1, 2 ORDER BY user_id, day""".stripMargin,
 
     "scd2_history" ->
       """SELECT user_id,

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, IntegerType, StructField, StructType}
 
@@ -66,6 +66,81 @@ object Selection {
         Some(math.round(next.getDouble(3) * 1e6))))
     }
     toFrame(spark, idCol, out)
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its hashed n-gram features are under a TARGET
+    * distribution (e.g. the high-quality slice you want more of) than under
+    * the RAW corpus distribution. Features are word unigrams + bigrams
+    * hashed into `numBuckets` fixed buckets ([[graft.functions.stable_bucket]],
+    * the engine's sha256 hash, so the oracle recomputes the exact buckets);
+    * both distributions are Laplace-smoothed bucket frequencies; a doc's
+    * log-weight is the sum of per-feature log ratios.
+    *
+    * Scale shape: the bucket dictionary is O(numBuckets) — a tiny aggregate
+    * broadcast back over the feature stream — so the corpus itself shuffles
+    * exactly once (the per-doc sum, keyed on the id). The exploded feature
+    * stream has two consumers (dictionary build + scoring) and is persisted
+    * via `scope`; at corpus scale prefer recomputing the narrow explode to
+    * caching terabytes (drop-in: pass a fresh scope and release right away).
+    *
+    * Determinism: per-bucket log ratios quantize to integer micro-nats
+    * BEFORE the per-doc sum (the [[TextOps.bigramLmScore]] convention), so
+    * document scores are order-independent exact integer sums.
+    *
+    * Output: (idCol, n_feats, logw) — logw in nats, 6dp; higher = more
+    * target-like. Docs whose text yields zero features are absent (no
+    * tokens → no evidence).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  isTarget: Column, numBuckets: Int,
+                  scope: graft.engine.CacheScope = graft.engine.CacheScope.global)
+      : DataFrame = {
+    require(numBuckets >= 2, "numBuckets must be at least 2")
+    val ts = col("__ts")
+    val grams = concat(ts, when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1), i =>
+        concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))))
+      .otherwise(array().cast("array<string>")))
+    val feats = scope.persisted(docs
+      .select(col(idCol).as("__id"), isTarget.as("__t"),
+        TextOps.tokens(col(textCol)).as("__ts"))
+      .select(col("__id"), col("__t"), explode(grams).as("__g"))
+      .select(col("__id"), col("__t"),
+        graft.functions.stable_bucket(col("__g"), numBuckets).as("__b")))
+    val stats = feats.groupBy("__b")
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("__ct"),
+        count(lit(1)).as("__cr"))
+    val totals = stats.agg(sum(col("__ct")).cast("double").as("__T"),
+      sum(col("__cr")).cast("double").as("__R"))
+    val bd = lit(numBuckets.toDouble)
+    val lambda = stats.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        round(log(((col("__ct").cast("double") + 1.0) * (col("__R") + bd)) /
+            ((col("__cr").cast("double") + 1.0) * (col("__T") + bd))) * 1000000)
+          .cast("long").as("__lu"))
+    feats.join(broadcast(lambda), Seq("__b"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__lu")).as("__lw"))
+      .select(col(idCol), col("n_feats"),
+        round(col("__lw").cast("double") / 1000000.0, 6).as("logw"))
+  }
+
+  /** Deterministic DSIR selection: the `k` most target-like documents by
+    * [[dsirWeights]] log-weight (id breaks exact ties) — the resampling
+    * step of the paper with the Gumbel noise removed so the pick is
+    * reproducible and oracle-checkable. `TakeOrdered(k)` — map-side top-k,
+    * never a global sort.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, numBuckets: Int, k: Int,
+                 scope: graft.engine.CacheScope = graft.engine.CacheScope.global)
+      : DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    dsirWeights(docs, idCol, textCol, isTarget, numBuckets, scope)
+      .orderBy(col("logw").desc, col(idCol))
+      .limit(k)
   }
 
   private def toFrame(spark: SparkSession, idCol: String,

@@ -119,6 +119,35 @@ class MergeSpec extends SparkSpec {
     assert(out === Seq((1L, 2L, 0L), (2L, 2L, 1L), (3L, 2L, 2L)))
   }
 
+  test("mergeAdditive: merge(agg(old), agg(new)) equals agg(old ∪ new)") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      (rng.nextInt(20).toLong, s"d${rng.nextInt(5)}", rng.nextInt(1000).toLong)
+    }
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("k", "day").agg(
+        count(lit(1)).as("n"), sum(col("v")).as("s"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val (old, fresh) = rows.splitAt(250)
+    val merged = Merge.mergeAdditive(
+      agg(old.toDF("k", "day", "v")), agg(fresh.toDF("k", "day", "v")),
+      Seq("k", "day"), Seq("n", "s"), minCols = Seq("mn"), maxCols = Seq("mx"))
+    val full = agg(rows.toDF("k", "day", "v"))
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("k", "day", "n", "s", "mn", "mx")
+        .as[(Long, String, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(canon(merged) === canon(full))
+  }
+
+  test("mergeAdditive: one-sided keys pass through unchanged") {
+    val standing = Seq((1L, 5L, 2L), (2L, 7L, 3L)).toDF("k", "s", "mx")
+    val delta = Seq((2L, 1L, 9L), (3L, 4L, 1L)).toDF("k", "s", "mx")
+    val out = Merge.mergeAdditive(standing, delta, Seq("k"), Seq("s"),
+        maxCols = Seq("mx"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out === Seq((1L, 5L, 2L), (2L, 8L, 9L), (3L, 4L, 1L)))
+  }
+
   test("scd2 tiebreaks equal timestamps by the sequence column") {
     val changes = Seq(
       (1L, "2024-01-01 00:00:00", 2L, 20.0),

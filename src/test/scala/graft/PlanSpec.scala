@@ -252,6 +252,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("parquet aggregate pushdown: MIN/MAX/COUNT answered from footer stats") {
+    // with the v2 parquet source, unfiltered MIN/MAX/COUNT compile to
+    // PushedAggregation on the scan — at 100 TB the query reads row-group
+    // footers instead of the data pages. The v1 path (the default) silently
+    // scans; this pins the config recipe that keeps stats queries O(files).
+    val confs = Seq(
+      "spark.sql.sources.useV1SourceList" -> "",
+      "spark.sql.parquet.aggregatePushdown" -> "true")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{count, lit, max, min}
+      // lineitem, not events: the v2 reader rejects NANOS timestamps, so
+      // footer-stat queries run against the date-typed tables
+      val plan = planOf(spark.read.parquet(s"$Sf/lineitem.parquet")
+        .agg(min("l_extendedprice"), max("l_extendedprice"), count(lit(1))))
+      assert(plan.contains(
+        "PushedAggregation: [MIN(l_extendedprice), MAX(l_extendedprice), COUNT(*)]"),
+        s"expected footer-stat aggregation pushdown:\n$plan")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("funnel_steps: co-partitioned min-chain — keyed joins only, no product") {
     val plan = planOf(SparkEntry.queries("funnel_steps")(spark, Sf))
     assert(!plan.contains("CartesianProduct") &&

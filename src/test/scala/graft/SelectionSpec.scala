@@ -52,4 +52,44 @@ class SelectionSpec extends SparkSpec {
       "vec_id", "embedding", k = 1).collect()
     assert(out.length === 1 && out(0).getLong(1) === 1L && out(0).isNullAt(2))
   }
+
+  private def dsirDocs = Seq(
+    (1L, "alpha beta gamma", true), (2L, "alpha beta delta", true),
+    (3L, "alpha gamma beta", true),
+    (4L, "zork quux blarg", false), (5L, "zork blarg quux", false),
+    (6L, "alpha beta gamma", false),  // target-like text, raw slice
+    (7L, "quux zork blarg", false))
+    .toDF("doc_id", "text", "tgt")
+
+  test("dsirWeights: target-like text outscores off-target text") {
+    import org.apache.spark.sql.functions.col
+    val w = Selection.dsirWeights(dsirDocs, "doc_id", "text", col("tgt"), 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // doc 6 shares the target slice's vocabulary; docs 4/5/7 do not
+    assert(w(6) > w(4) && w(6) > w(5) && w(6) > w(7),
+      s"target-like doc must outrank off-target docs: $w")
+    // feature count = unigrams + bigrams = 3 + 2 per doc here
+    val n = Selection.dsirWeights(dsirDocs, "doc_id", "text", col("tgt"), 64)
+      .collect().map(_.getLong(1))
+    assert(n.forall(_ === 5L))
+  }
+
+  test("dsirWeights is partitioning-independent") {
+    import org.apache.spark.sql.functions.col
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Selection.dsirWeights(df, "doc_id", "text", col("tgt"), 64)
+        .orderBy("doc_id").collect().toSeq
+    assert(run(dsirDocs) === run(dsirDocs.repartition(13)))
+  }
+
+  test("dsirSelect returns the k best by weight with id tiebreak") {
+    import org.apache.spark.sql.functions.col
+    val sel = Selection.dsirSelect(dsirDocs, "doc_id", "text", col("tgt"),
+        64, k = 3)
+      .collect().map(_.getLong(0)).toSet
+    val all = Selection.dsirWeights(dsirDocs, "doc_id", "text", col("tgt"), 64)
+      .collect().map(r => (r.getDouble(2), r.getLong(0)))
+      .sortBy { case (lw, id) => (-lw, id) }.take(3).map(_._2).toSet
+    assert(sel === all)
+  }
 }
