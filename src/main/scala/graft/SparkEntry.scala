@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{AsOf, CoMovement, Curation, CurationPipeline, DataQuality, Decontam, Dedup, EventFlows, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Retrieval, Selection, Similarity, SilverIngest, Sketches, Stats, TextOps, TimeSeries, Tracks, Trajectory}
+import graft.ops.{AsOf, CoMovement, Curation, CurationPipeline, DataQuality, Decontam, Dedup, EventFlows, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Retrieval, Selection, Similarity, SilverIngest, Sketches, Skew, Stats, TextOps, TimeSeries, Tracks, Trajectory}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -59,6 +59,9 @@ object SparkEntry {
   private val ClfWeights = Seq(0.8, -20.0, 5.0, -0.4)
   private val ClfBias = -1.0
   private val ClfMinScore = 0.5
+
+  /** quality_prune: per-source fraction kept (on rounded percent_rank). */
+  private val QPruneKeep = 0.6
 
   /** Mixture-sampling declared-query parameters: normalized per-lang weights
     * and a token budget below every scale's corpus size, so every stratum
@@ -421,6 +424,23 @@ object SparkEntry {
       EventFlows.transitions(Tables.events(s, d), "user_id", "event_id", "ts",
           "event_type")
         .orderBy("from_type", "to_type")),
+
+    // growth accounting: DAU, first-ever-day new users, cumulative users —
+    // the actor-keyed aggregates collapse volume before the day-grain window
+    "user_growth" -> ((s, d) =>
+      EventFlows.growthAccounting(Tables.events(s, d), "user_id", "ts")
+        .select(col("day"), col("dau"), col("new_users"), col("cum_users"))
+        .orderBy("day")),
+
+    // key-distribution audit of the two natural events keys: the pre-shuffle
+    // report that flags event_type as a salting candidate (5 keys, huge
+    // rows-per-key) while user_id is safely spread
+    "skew_report" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      Skew.skewReport(ev, Seq("user_id"), "user_id")
+        .unionAll(Skew.skewReport(ev, Seq("event_type"), "event_type"))
+        .orderBy("key_set")
+    }),
 
     // per-day value-distribution drift vs the corpus reference (PSI, the
     // population-stability monitoring dial); one conditional-count pivot
@@ -815,6 +835,20 @@ object SparkEntry {
       Curation.classifierScore(Tables.documents(s, d), "doc_id", "text",
           ClfWeights, ClfBias, ClfMinScore)
         .orderBy("doc_id")),
+
+    // stratified quality pruning: per-source percentile cut on the
+    // classifier score — every domain keeps its own best slice instead of
+    // the global cut emptying low-scoring sources
+    "quality_prune" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = Curation.classifierScore(docs, "doc_id", "text",
+          ClfWeights, ClfBias, ClfMinScore)
+        .select(col("doc_id"), col("score"))
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      Curation.qualityPrune(scored, "doc_id", "source", "score", QPruneKeep)
+        .select("doc_id", "source", "score", "q_pr", "keep")
+        .orderBy("doc_id")
+    }),
 
     // Gopher-style repetition filters: top-token + duplicate-2-gram fractions
     "repetition" -> ((s, d) =>
@@ -1754,6 +1788,41 @@ object SparkEntry {
         |FROM e WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
+    "user_growth" ->
+      """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |dau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |  FROM b GROUP BY 1),
+        |nu AS (SELECT day, CAST(count(*) AS BIGINT) AS new_users
+        |  FROM (SELECT user_id, min(day) AS day FROM b GROUP BY 1) GROUP BY 1)
+        |SELECT dau.day, dau.dau, coalesce(nu.new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY dau.day) AS BIGINT)
+        |    AS cum_users
+        |FROM dau LEFT JOIN nu USING (day) ORDER BY day""".stripMargin,
+
+    "skew_report" ->
+      """WITH cu AS (SELECT count(*) AS n FROM events GROUP BY user_id),
+        |ce AS (SELECT count(*) AS n FROM events GROUP BY event_type),
+        |r AS (
+        |  SELECT 'user_id' AS key_set, CAST(sum(n) AS BIGINT) AS n_rows,
+        |    CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(max(n) AS BIGINT) AS max_key_rows,
+        |    round(avg(n), 6) AS avg_key_rows,
+        |    round(quantile_cont(n, 0.5), 6) AS p50_key_rows,
+        |    round(quantile_cont(n, 0.99), 6) AS p99_key_rows
+        |  FROM cu
+        |  UNION ALL
+        |  SELECT 'event_type', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+        |    CAST(max(n) AS BIGINT), round(avg(n), 6),
+        |    round(quantile_cont(n, 0.5), 6), round(quantile_cont(n, 0.99), 6)
+        |  FROM ce)
+        |SELECT key_set, n_rows, n_keys, max_key_rows, avg_key_rows,
+        |  p50_key_rows, p99_key_rows,
+        |  CAST(round(max_key_rows * 1000000.0 / n_rows) AS BIGINT)
+        |    AS top_share_ppm,
+        |  round(max_key_rows / p50_key_rows, 6) AS skew_ratio
+        |FROM r ORDER BY key_set""".stripMargin,
+
     // identical bin pivot (conditional counts to fixed columns) and the same
     // bin-order smoothed (p−q)·ln(p/q) chain; ln ulp absorbed by round(,6)
     "drift_psi" -> {
@@ -2274,6 +2343,36 @@ object SparkEntry {
          |FROM f)
          |SELECT doc_id, score, score >= CAST('$ClfMinScore' AS DOUBLE) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // same feature/score CTE as quality_clf, then a per-source percentile
+    // cut on the ROUNDED percent_rank (rank orders on the rounded score +
+    // id — both engines rank identical doubles)
+    "quality_prune" -> {
+      val Seq(w1, w2, w3, w4) = ClfWeights
+      s"""WITH t AS (SELECT doc_id, source, text,
+         |    string_split(text, ' ') AS ts FROM documents),
+         |f AS (SELECT doc_id, source,
+         |  ln(CAST(len(ts) AS DOUBLE) + 1.0) AS f1,
+         |  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         |    / length(text) AS f2,
+         |  CAST(len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'and', 'is')))
+         |    AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS f3,
+         |  (length(text) - CAST(len(ts) AS DOUBLE) + 1.0)
+         |    / CAST(len(ts) AS DOUBLE) AS f4
+         |FROM t),
+         |s AS (SELECT doc_id, source, round(1.0 / (1.0 + exp(-(
+         |    f1 * CAST('$w1' AS DOUBLE) + f2 * CAST('$w2' AS DOUBLE)
+         |    + f3 * CAST('$w3' AS DOUBLE) + f4 * CAST('$w4' AS DOUBLE)
+         |    + CAST('$ClfBias' AS DOUBLE)))), 6) AS score
+         |FROM f),
+         |p AS (SELECT doc_id, source, score,
+         |    round(percent_rank() OVER (PARTITION BY source
+         |      ORDER BY score DESC, doc_id), 6) AS q_pr
+         |  FROM s)
+         |SELECT doc_id, source, score, q_pr,
+         |  q_pr <= CAST('$QPruneKeep' AS DOUBLE) AS keep
+         |FROM p ORDER BY doc_id""".stripMargin
     },
 
     "quality_filter" ->

@@ -309,6 +309,30 @@ object Curation {
       (round(score, 6) >= minScore).as("keep"))
   }
 
+  /** Per-domain quality-percentile pruning (the fastText-score pruning
+    * stage of CCNet/RefinedWeb, made stratified): within each domain, rank
+    * documents by quality score and keep the top `keepFrac`. Stratifying by
+    * domain keeps the cut from emptying whole sources whose score
+    * distribution sits lower — every domain contributes its own best slice.
+    *
+    * Determinism: ranks order on the 6dp-ROUNDED score with the id as
+    * tiebreak, and `keep` thresholds the 6dp-rounded percent_rank — both
+    * sides of the oracle compare compute the identical doubles (the
+    * `mixture_sample` rounded-threshold convention).
+    *
+    * Scale: one window shuffle partitioned by domain. A pathologically hot
+    * domain makes that window's sort big; the score column is one double —
+    * sort spills, nothing else grows.
+    */
+  def qualityPrune(scored: DataFrame, idCol: String, domainCol: String,
+                   scoreCol: String, keepFrac: Double): DataFrame = {
+    require(keepFrac > 0.0 && keepFrac <= 1.0, "keepFrac must be in (0, 1]")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    scored.withColumn("q_pr", round(percent_rank().over(w), 6))
+      .withColumn("keep", col("q_pr") <= keepFrac)
+  }
+
   /** Shard manifest — the reproducibility receipt a corpus release ships
     * with: per shard, the row count, exact token total, and an
     * order-independent content checksum (XOR of the stable SHA-256 hash of

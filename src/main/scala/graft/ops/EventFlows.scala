@@ -113,4 +113,29 @@ object EventFlows {
       .groupBy("from_type", "to_type")
       .agg(count(lit(1)).as("n_transitions"))
   }
+
+  /** Daily growth accounting: per day, the distinct active actors (DAU),
+    * how many of them are brand new (their first-ever day), and the
+    * cumulative actor count to date. The growth curve every product/corpus
+    * ingest dashboard opens with.
+    *
+    * Scale: two aggregates keyed on the actor (first-seen day; actor-day
+    * distinct), both map-side-combinable; the cumulative sum windows over
+    * the DAY-grain frame — one row per day, so the unpartitioned running
+    * window is O(days), never O(actors).
+    */
+  def growthAccounting(events: DataFrame, keyCol: String, tsCol: String)
+      : DataFrame = {
+    val base = events
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(keyCol).as("__k"), to_date(col(tsCol)).as("day"))
+    val dau = base.groupBy("day").agg(count_distinct(col("__k")).as("dau"))
+    val newByDay = base.groupBy("__k").agg(min(col("day")).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dau.join(newByDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+  }
 }

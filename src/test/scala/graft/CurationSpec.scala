@@ -528,4 +528,26 @@ class CurationSpec extends SparkSpec {
     assert(a.map(_.getLong(3)) !== c.map(_.getLong(3)),
       "a different seed reshuffles within buckets")
   }
+
+  test("qualityPrune: each domain keeps its own top slice; singleton kept") {
+    import org.apache.spark.sql.functions.col
+    val scored = Seq(
+      // domain A: 5 docs, scores 0.9..0.5 → keepFrac 0.5 keeps pr <= 0.5
+      (1L, "A", 0.9), (2L, "A", 0.8), (3L, "A", 0.7), (4L, "A", 0.6),
+      (5L, "A", 0.5),
+      // domain B sits uniformly LOWER but still keeps its own best
+      (6L, "B", 0.3), (7L, "B", 0.2),
+      // singleton domain: percent_rank = 0 → always kept
+      (8L, "C", 0.01))
+      .toDF("doc_id", "source", "score")
+    val out = Curation.qualityPrune(scored, "doc_id", "source", "score", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out === Map(1L -> true, 2L -> true, 3L -> true, 4L -> false,
+      5L -> false, 6L -> true, 7L -> false, 8L -> true))
+    // ties break on the id: equal scores rank deterministically
+    val tied = Seq((1L, "A", 0.5), (2L, "A", 0.5)).toDF("doc_id", "source", "score")
+    val t = Curation.qualityPrune(tied, "doc_id", "source", "score", 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(t(1L) === 0.0 && t(2L) === 1.0)
+  }
 }

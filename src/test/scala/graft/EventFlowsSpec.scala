@@ -87,4 +87,22 @@ class EventFlowsSpec extends SparkSpec {
     assert(got.toSeq === Seq(("a", "b", 2L), ("b", "a", 1L)),
       "no cross-actor pair may leak (u2's b has no successor)")
   }
+
+  test("growthAccounting: DAU, new users, and cumulative line up") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-02 10:00:00")),                       // returning only
+      (3L, ts("2024-01-03 09:00:00")), (1L, ts("2024-01-03 10:00:00")),
+      (1L, ts("2024-01-03 12:00:00")))                       // same-day repeat
+      .toDF("user_id", "ts")
+    val got = EventFlows.growthAccounting(rows, "user_id", "ts")
+      .orderBy("day")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 2L, 2L, 2L),
+      ("2024-01-02", 1L, 0L, 2L),
+      ("2024-01-03", 2L, 1L, 3L)))
+  }
 }

@@ -76,4 +76,18 @@ class SkewSpec extends SparkSpec {
     assert(t1.map(_.getAs[Long]("trip_seq")).toSeq === Seq(0L, 1L))
     assert(t1.map(_.getAs[Long]("n_points")).toSeq === Seq(2L, 2L))
   }
+
+  test("skewReport: hand-computed distribution for a hot key") {
+    // keys: a×6, b×2, c×1, null×1 → counts (6,2,1,1); p50 of (1,1,2,6)=1.5
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", null))
+      .toDF("k")
+    val r = Skew.skewReport(df, Seq("k"), "k").collect()(0)
+    assert(r.getAs[String]("key_set") === "k")
+    assert(r.getAs[Long]("n_rows") === 10L)
+    assert(r.getAs[Long]("n_keys") === 4L)        // null groups as a key
+    assert(r.getAs[Long]("max_key_rows") === 6L)
+    assert(r.getAs[Double]("p50_key_rows") === 1.5)
+    assert(r.getAs[Long]("top_share_ppm") === 600000L)
+    assert(r.getAs[Double]("skew_ratio") === 4.0)
+  }
 }
