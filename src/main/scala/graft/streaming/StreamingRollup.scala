@@ -67,4 +67,24 @@ object StreamingRollup {
       .select(col("uid"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"),
         col("avg_pos"))
+
+  /** Stream-static dimension enrichment: every micro-batch of the fact
+    * stream left-joins the (small) static dim, broadcast — the stateless
+    * streaming join, no watermark or state store involved (unlike
+    * [[StreamingJoin.intervalJoin]]'s stream-stream case).
+    *
+    * Freshness semantics worth pinning: a static DataFrame's CONTENT is
+    * re-evaluated against the source each micro-batch (a parquet-backed dim
+    * picks up newly written files), but its PLAN is fixed at query start —
+    * schema or partition-layout changes need a stream restart. At 100 TB
+    * the fact side never shuffles for this join; only the dim moves, once
+    * per executor per batch.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, keyCols: Seq[String],
+                    dimCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "enrichWithDim needs join keys")
+    stream.join(
+      broadcast(dim.select((keyCols ++ dimCols).map(col): _*)),
+      keyCols, "left")
+  }
 }

@@ -43,6 +43,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment: each batch broadcast-joins the dim, left rows kept") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val out = StreamingRollup.enrichWithDim(
+      mem.toDF.toDF("user_id", "value"), dim, Seq("user_id"), Seq("tier"))
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      mem.addData((2L, 20.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          Option(r.getString(2)))).sortBy(_._1)
+      assert(rows.toSeq === Seq(
+        (1L, 10.0, Some("gold")),
+        (2L, 20.0, Some("silver")),
+        (3L, 30.0, None)))  // unmatched fact row survives the left join
+    } finally q.stop()
+  }
+
   test("session_window rollup merges gap-close events, splits on the gap") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Double)]
