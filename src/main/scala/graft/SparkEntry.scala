@@ -63,6 +63,11 @@ object SparkEntry {
   /** quality_prune: per-source fraction kept (on rounded percent_rank). */
   private val QPruneKeep = 0.6
 
+  /** lsh_calibration audit-slice bound (exact-Jaccard join is quadratic in
+    * the slice, so it stays fixed-size whatever the corpus).
+    */
+  private val LshAuditMax = 60
+
   /** Mixture-sampling declared-query parameters: normalized per-lang weights
     * and a token budget below every scale's corpus size, so every stratum
     * gets a real (< 1) keep rate.
@@ -939,6 +944,16 @@ object SparkEntry {
     // MinHash + LSH candidate pairs (k=8 string-ordered minhashes, bands of 2)
     "dedup_minhash" -> ((s, d) =>
       minhashPairsGold(s, d).orderBy("doc_a", "doc_b")),
+
+    // MinHash estimator calibration on a bounded audit slice: exact n-gram
+    // Jaccard next to the k-slot estimate per overlapping pair — the
+    // parameter-tuning loop that sizes k/bands BEFORE the corpus-wide run
+    // (the quadratic exact join is bounded to the slice by construction)
+    "lsh_calibration" -> ((s, d) =>
+      Dedup.lshCalibration(
+          Tables.documents(s, d).filter(col("doc_id") < LshAuditMax),
+          "doc_id", "text", k = 8)
+        .orderBy("doc_a", "doc_b")),
 
     // leakage-safe split: near-dup clusters adopt one split key, so a test
     // doc can never have a near-copy sitting in train
@@ -2613,6 +2628,42 @@ object SparkEntry {
          |SELECT doc_a, doc_b, bands_shared, round(cos, 6) AS cos,
          |  cos >= $HybridCosThreshold AS is_dup
          |FROM j ORDER BY doc_a, doc_b""".stripMargin,
+
+    // slice-bounded ShingleCte twin + exact/estimated Jaccard per pair
+    "lsh_calibration" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents WHERE doc_id < $LshAuditMax),
+         |sh AS (SELECT doc_id,
+         |  unnest(list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+         |                        for i in range(1, len(ts)-1)])) AS shingle
+         |FROM toks),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh
+         |  FROM sh GROUP BY 1),
+         |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS shared
+         |  FROM sh a JOIN sh b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |mh AS (SELECT doc_id, i,
+         |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM sh, range(8) r(i) GROUP BY 1, 2),
+         |mm AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS slots_matched
+         |  FROM mh a JOIN mh b
+         |    ON a.i = b.i AND a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT pr.doc_a, pr.doc_b, pr.shared,
+         |  sa.n_sh AS n_a, sb.n_sh AS n_b,
+         |  round(CAST(pr.shared AS DOUBLE) / (sa.n_sh + sb.n_sh - pr.shared), 6)
+         |    AS jaccard,
+         |  coalesce(mm.slots_matched, 0) AS slots_matched,
+         |  round(CAST(coalesce(mm.slots_matched, 0) AS DOUBLE) / 8.0, 6)
+         |    AS jaccard_est
+         |FROM pr
+         |JOIN sz sa ON sa.doc_id = pr.doc_a
+         |JOIN sz sb ON sb.doc_id = pr.doc_b
+         |LEFT JOIN mm ON mm.doc_a = pr.doc_a AND mm.doc_b = pr.doc_b
+         |ORDER BY pr.doc_a, pr.doc_b""".stripMargin,
 
     "dedup_minhash" ->
       s"""$ShingleCte,

@@ -181,6 +181,51 @@ object Dedup {
       .select(col("doc_id"), explode(map(pairs: _*)).as(Seq("i", "h")))
   }
 
+  /** MinHash calibration report over a bounded AUDIT slice: per doc pair
+    * with any shingle overlap, the exact n-gram Jaccard next to the k-slot
+    * MinHash estimate (`slots_matched / k`). This is how band/row/k
+    * parameters get TUNED for a 100 TB dedup run: measure estimator error
+    * on a small slice, pick k and the LSH banding from the measured curve,
+    * then run the linear-cost [[minhashLshPairs]] corpus-wide. The exact
+    * Jaccard requires the quadratic shingle self-join — by contract the
+    * caller passes a bounded slice (hundreds of docs), never the corpus.
+    *
+    * Pairs with zero shared shingles are omitted on BOTH columns: an md5
+    * slot match implies a shared shingle, so estimate > 0 ⟹ shared > 0 —
+    * the omission cannot bias the report (only all-zero rows drop).
+    */
+  def lshCalibration(audit: DataFrame, idCol: String, textCol: String,
+                     k: Int, n: Int = 3,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    // three consumers (sizes, pair overlap ×2 sides) — materialize the
+    // per-doc distinct shingle rows once
+    val sh = scope.persisted(shingleRows(audit, idCol, textCol, n))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("shared"))
+    val sig = minhashSignature(audit, idCol, textCol, k, n)
+    val matches = sig.select(col("doc_id").as("doc_a"), col("i"), col("h"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("i"), col("h")),
+        Seq("i", "h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("slots_matched"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
+      .join(matches, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("n_a"), col("n_b"),
+        round(col("shared").cast("double") /
+          (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"),
+        coalesce(col("slots_matched"), lit(0L)).as("slots_matched"),
+        round(coalesce(col("slots_matched"), lit(0L)).cast("double") / k, 6)
+          .as("jaccard_est"))
+  }
+
   /** Corpus-level MinHash signature: the k global minima over EVERY shingle
     * in the dataset, as `(i, h)` rows — a 16-string fingerprint of a whole
     * corpus. Two corpora's signatures estimate their shingle-set Jaccard

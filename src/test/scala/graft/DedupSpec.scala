@@ -291,4 +291,26 @@ class DedupSpec extends SparkSpec {
     assert(incr.exists(p => isNew(p._1) && isNew(p._2)),
       "new-vs-new pairs emit once despite the two-directional match")
   }
+
+  test("lshCalibration: exact Jaccard by hand; identical docs estimate 1.0") {
+    // doc1 {a b c, b c d}; doc2 {a b c, b c e} → shared 1, union 3 → 1/3
+    // doc3 ≡ doc1 → jaccard 1, ALL minhash slots must match
+    // doc4 disjoint → appears in no pair
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c e"), (3L, "a b c d"), (4L, "x y z w"))
+      .toDF("doc_id", "text")
+    val scope = new graft.engine.CacheScope
+    val out = Dedup.lshCalibration(docs, "doc_id", "text", k = 8,
+        scope = scope)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5), r.getLong(6), r.getDouble(7))).toMap
+    scope.release()
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    val (s12, j12, m12, e12) = out((1L, 2L))
+    assert(s12 === 1L && j12 === 0.333333)
+    assert(m12 <= 8L && e12 === m12 / 8.0) // eighths are exact in binary
+    val (s13, j13, m13, e13) = out((1L, 3L))
+    assert(s13 === 2L && j13 === 1.0 && m13 === 8L && e13 === 1.0,
+      "identical shingle sets share every minhash slot")
+  }
 }
