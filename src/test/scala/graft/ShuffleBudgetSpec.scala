@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+/** Per-query shuffle budgets: every declared query's physical plan is pinned
+  * to a maximum number of ShuffleExchange operators. At 100 TB each exchange
+  * is the dominant cost; a refactor that silently adds one (a lost
+  * co-partitioning, a distinct that used to ride an existing repartition, a
+  * window whose partitioning stopped matching the groupBy's) ships a
+  * cluster-bill regression that row-level correctness tests cannot see.
+  * This spec makes it a CI failure instead.
+  *
+  * Budgets are measured at sf0.001 with AQE off (AQE hides the exchanges
+  * inside AdaptiveSparkPlan; the pre-adaptive plan is the stable artifact).
+  * They are CEILINGS, not exact counts — a query that loses a shuffle keeps
+  * passing; record mode prints the new map for ratcheting DOWN.
+  *
+  * Regenerate after intentional plan changes:
+  *   GRAFT_RECORD_SHUFFLES=1 sbt "Test/testOnly graft.ShuffleBudgetSpec"
+  * and paste the printed map.
+  */
+class ShuffleBudgetSpec extends SparkSpec {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  private def countShuffles(p: SparkPlan): Int =
+    p.collect { case e: ShuffleExchangeLike => e }.length
+
+  /** Ceilings recorded at sf0.001 (see scaladoc for the regen recipe). */
+  private val Budget: Map[String, Int] = Map(
+    "approx_users_daily" -> 2,
+    "asof_enrich" -> 3,
+    "bloom_distinct" -> 3,
+    "bm25_score" -> 2,
+    "boilerplate_score" -> 5,
+    "brand_volume" -> 2,
+    "cdc_apply" -> 3,
+    "char_entropy" -> 3,
+    "chunk_dedup" -> 3,
+    "cms_freq" -> 3,
+    "corpus_sim" -> 4,
+    "corpus_split" -> 1,
+    "cube_agg" -> 2,
+    "curation_funnel" -> 5,
+    "curriculum_order" -> 1,
+    "cust_inactive" -> 2,
+    "days_seen_hist" -> 4,
+    "decontam" -> 4,
+    "dedup_embed" -> 2,
+    "dedup_exact" -> 2,
+    "dedup_minhash" -> 1,
+    "dedup_ngram" -> 3,
+    "dedup_simhash" -> 3,
+    "doc_chunks" -> 1,
+    "doc_fingerprint" -> 1,
+    "doc_sample" -> 1,
+    "domain_cap" -> 2,
+    "dq_audit" -> 1,
+    "drift_psi" -> 2,
+    "dsir_select" -> 4,
+    "dsir_weights" -> 5,
+    "dup_clusters" -> 1,
+    "dwell_episodes" -> 2,
+    "embed_centroids" -> 2,
+    "embed_lsh" -> 2,
+    "embed_project" -> 1,
+    "embed_topk" -> 2,
+    "event_transitions" -> 3,
+    "events_pivot" -> 3,
+    "events_rollup" -> 2,
+    "fp_overlap" -> 4,
+    "frame_sample" -> 1,
+    "funnel_steps" -> 4,
+    "fuzzy_pairs" -> 1,
+    "gap_fill" -> 3,
+    "gap_interp" -> 3,
+    "global_index" -> 1,
+    "gto_rank_curve" -> 2,
+    "hybrid_dedup" -> 1,
+    "incr_dedup" -> 3,
+    "incr_lsh" -> 7,
+    "incr_rollup" -> 3,
+    "ivf_assign" -> 2,
+    "ivf_topk" -> 6,
+    "kcenter_select" -> 1,
+    "lang_id" -> 1,
+    "leakfree_split" -> 1,
+    "lm_score" -> 5,
+    "lsh_calibration" -> 5,
+    "media_features" -> 1,
+    "mixture_sample" -> 2,
+    "pair_pagerank" -> 1,
+    "pair_quantiles" -> 1,
+    "pairs_daily" -> 1,
+    "pairs_total" -> 3,
+    "pairs_total_ext" -> 3,
+    "pii_redact" -> 1,
+    "pmi_bigrams" -> 3,
+    "pq_encode" -> 1,
+    "pq_topk" -> 2,
+    "props_parse" -> 2,
+    "q1_agg" -> 2,
+    "q3_topk" -> 1,
+    "q5_region" -> 2,
+    "quality_clf" -> 1,
+    "quality_filter" -> 1,
+    "quality_prune" -> 2,
+    "range_join_bin" -> 2,
+    "rank_eval" -> 14,
+    "reconciliation" -> 5,
+    "repetition" -> 1,
+    "retention_matrix" -> 5,
+    "rolling_stats" -> 2,
+    "rrf_fusion" -> 5,
+    "scd2_history" -> 2,
+    "search_topk" -> 2,
+    "seasonal_outliers" -> 2,
+    "semantic_decontam" -> 2,
+    "semdedup" -> 5,
+    "session_agg" -> 2,
+    "shard_manifest" -> 2,
+    "shuffle_index" -> 1,
+    "silver_clean" -> 1,
+    "simhash_pairs" -> 1,
+    "skew_report" -> 4,
+    "text_normalize" -> 1,
+    "text_quality" -> 1,
+    "tfidf_topk" -> 7,
+    "token_count" -> 1,
+    "token_packing" -> 2,
+    "top_tracks" -> 1,
+    "topp_cap" -> 2,
+    "track_export" -> 1,
+    "track_paths" -> 2,
+    "track_speed" -> 2,
+    "trip_segments" -> 2,
+    "uid_hourly" -> 1,
+    "uid_hourly_h3" -> 2,
+    "user_churn" -> 4,
+    "user_growth" -> 5,
+    "value_corr" -> 2,
+    "value_deciles" -> 2,
+    "value_hist" -> 2,
+    "value_outliers" -> 2,
+    "value_outliers_robust" -> 3,
+    "vocab_topk" -> 1,
+    "volume_trend" -> 3,
+    "weighted_sample" -> 2,
+    "window_dedup" -> 2,
+    "winsorize" -> 2,
+    "zorder_key" -> 1
+  )
+
+  test("no declared query exceeds its recorded shuffle budget") {
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val counts = SparkEntry.queries.toSeq.sortBy(_._1).map {
+        case (name, fn) =>
+          val n = countShuffles(fn(spark, Sf).queryExecution.executedPlan)
+          spark.catalog.clearCache() // operators may persist shared frames
+          name -> n
+      }
+      if (sys.env.contains("GRAFT_RECORD_SHUFFLES")) {
+        val lines = counts.map { case (n, c) => s"""    "$n" -> $c,""" }
+        info("recorded shuffle counts:\n" + lines.mkString("\n"))
+      } else {
+        val over = counts.collect {
+          case (name, n) if Budget.get(name).exists(n > _) =>
+            s"$name: $n > ${Budget(name)}"
+        }
+        val missing = counts.collect {
+          case (name, _) if !Budget.contains(name) => name
+        }
+        assert(over.isEmpty, s"shuffle-budget regressions: ${over.mkString(", ")}")
+        assert(missing.isEmpty,
+          s"queries missing a shuffle budget (run record mode and paste): " +
+            missing.mkString(", "))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+}
