@@ -492,9 +492,14 @@ object TextOps {
     val tf = df
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfCnt = tf.groupBy("term").agg(count(lit(1)).as("df_cnt"))
+    // document frequency WITHOUT a dictionary join: tf has one row per
+    // (doc, term), so df is just the term-partition row count — one window
+    // pass over the frame that exists anyway, instead of a groupBy(term)
+    // dictionary + a second term-keyed shuffle of tf to join it back
+    // (plan: 7 exchanges → 5; the doc-term frame shuffles once per key)
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val nDocs = df.select(count_distinct(col(idCol)).as("n_docs"))
-    tf.join(dfCnt, "term")
+    tf.withColumn("df_cnt", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         col("tf") * log((col("n_docs") + lit(1.0)) / (col("df_cnt") + lit(1.0))))

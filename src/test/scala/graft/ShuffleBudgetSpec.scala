@@ -126,7 +126,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "skew_report" -> 4,
     "text_normalize" -> 1,
     "text_quality" -> 1,
-    "tfidf_topk" -> 7,
+    "tfidf_topk" -> 6,
     "token_count" -> 1,
     "token_packing" -> 2,
     "top_tracks" -> 1,
