@@ -68,6 +68,10 @@ object SparkEntry {
     */
   private val LshAuditMax = 60
 
+  /** value_decayed: reference date + half-life (days) for recency decay. */
+  private val DecayRef = "2024-01-31"
+  private val DecayHalfLife = 7.0
+
   /** Mixture-sampling declared-query parameters: normalized per-lang weights
     * and a token budget below every scale's corpus size, so every stratum
     * gets a real (< 1) keep rate.
@@ -429,6 +433,15 @@ object SparkEntry {
       EventFlows.transitions(Tables.events(s, d), "user_id", "event_id", "ts",
           "event_type")
         .orderBy("from_type", "to_type")),
+
+    // recency-weighted engagement: Σ value·2^(−age/7d) per user — per-term
+    // micro-unit quantization makes the sum exact integer addition
+    "value_decayed" -> ((s, d) =>
+      Stats.decayedSum(
+          Tables.events(s, d).filter(col("user_id").isNotNull &&
+            col("ts").isNotNull && col("value").isNotNull),
+          "user_id", col("value"), col("ts"), DecayRef, DecayHalfLife)
+        .orderBy("user_id")),
 
     // growth accounting: DAU, first-ever-day new users, cumulative users —
     // the actor-keyed aggregates collapse volume before the day-grain window
@@ -841,6 +854,25 @@ object SparkEntry {
           ClfWeights, ClfBias, ClfMinScore)
         .orderBy("doc_id")),
 
+    // ensemble quality ranking: three incommensurable signals (logistic
+    // score, char entropy, repetition fraction) blended as the mean of
+    // their corpus percent-ranks — rank space is the only shared scale
+    "quality_ensemble" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val signals = Curation.classifierScore(docs, "doc_id", "text",
+          ClfWeights, ClfBias, ClfMinScore)
+        .select(col("doc_id"), col("score"))
+        .join(TextOps.charEntropy(docs, "doc_id", "text")
+          .select(col("doc_id"), col("entropy")), Seq("doc_id"))
+        .join(TextOps.repetitionSignals(docs, "doc_id", "text")
+          .select(col("doc_id"), col("top_tok_frac")), Seq("doc_id"))
+      Curation.qualityEnsemble(signals, "doc_id",
+          Seq("score" -> true, "entropy" -> true, "top_tok_frac" -> false))
+        .select("doc_id", "score", "entropy", "top_tok_frac",
+          "pr_score", "pr_entropy", "pr_top_tok_frac", "q_blend")
+        .orderBy("doc_id")
+    }),
+
     // stratified quality pruning: per-source percentile cut on the
     // classifier score — every domain keeps its own best slice instead of
     // the global cut emptying low-scoring sources
@@ -1055,6 +1087,18 @@ object SparkEntry {
           "vec_id", "embedding", k = 5)
         .select(col("q"), col("n").as("n_id"), round(col("sim"), 6).as("sim"),
           col("rn").cast("long").as("rn"))
+        .orderBy("q", "rn")
+    }),
+
+    // hard-negative mining: nearest DIFFERENT-label corpus vectors per
+    // cohort query — contrastive-training negatives; positives cannot leak
+    // (label inequality is the join condition, not a post-filter)
+    "hard_negatives" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 30),
+          "vec_id", "embedding", "label", k = 5)
+        .select(col("q"), col("q_label"), col("n_id"), col("n_label"),
+          round(col("sim"), 6).as("sim"), col("rn").cast("long").as("rn"))
         .orderBy("q", "rn")
     }),
 
@@ -1803,6 +1847,17 @@ object SparkEntry {
         |FROM e WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
+    // identical per-term double chain, rounded to micro-units BEFORE the sum
+    "value_decayed" ->
+      s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  round(CAST(sum(CAST(round(value * pow(2.0,
+         |      -CAST(datediff('day', CAST(ts AS DATE), DATE '$DecayRef')
+         |        AS DOUBLE) / $DecayHalfLife) * 1000000.0) AS BIGINT))
+         |    AS DOUBLE) / 1000000.0, 6) AS decayed_value
+         |FROM events
+         |WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+         |GROUP BY 1 ORDER BY user_id""".stripMargin,
+
     "user_growth" ->
       """WITH b AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
@@ -2358,6 +2413,63 @@ object SparkEntry {
          |FROM f)
          |SELECT doc_id, score, score >= CAST('$ClfMinScore' AS DOUBLE) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    // clf-score + entropy + repetition CTEs composed, then the same
+    // rounded-rank blend: mean of three percent_ranks over identical doubles
+    "quality_ensemble" -> {
+      val Seq(w1, w2, w3, w4) = ClfWeights
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |f AS (SELECT doc_id,
+         |  ln(CAST(len(ts) AS DOUBLE) + 1.0) AS f1,
+         |  CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE)
+         |    / length(text) AS f2,
+         |  CAST(len(list_filter(ts, x -> x IN ('the', 'a', 'of', 'and', 'is')))
+         |    AS DOUBLE) / CAST(len(ts) AS DOUBLE) AS f3,
+         |  (length(text) - CAST(len(ts) AS DOUBLE) + 1.0)
+         |    / CAST(len(ts) AS DOUBLE) AS f4
+         |FROM t),
+         |sc AS (SELECT doc_id, round(1.0 / (1.0 + exp(-(
+         |    f1 * CAST('$w1' AS DOUBLE) + f2 * CAST('$w2' AS DOUBLE)
+         |    + f3 * CAST('$w3' AS DOUBLE) + f4 * CAST('$w4' AS DOUBLE)
+         |    + CAST('$ClfBias' AS DOUBLE)))), 6) AS score
+         |FROM f),
+         |ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch
+         |  FROM documents),
+         |pc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+         |  FROM ch WHERE ch <> '' GROUP BY 1, 2),
+         |te AS (SELECT doc_id, c,
+         |    CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1000000.0)
+         |         AS BIGINT) AS t_u
+         |  FROM pc),
+         |ea AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+         |    CAST(sum(t_u) AS BIGINT) AS t_sum
+         |  FROM te GROUP BY 1),
+         |en AS (SELECT doc_id,
+         |    round(ln(CAST(n_chars AS DOUBLE))
+         |          - CAST(t_sum AS DOUBLE) / 1000000.0 / n_chars, 6) AS entropy
+         |  FROM ea),
+         |rp AS (SELECT doc_id,
+         |    round(CAST(list_max(list_transform(list_distinct(ts),
+         |        x -> len(list_filter(ts, y -> y = x)))) AS DOUBLE) / len(ts), 6)
+         |      AS top_tok_frac
+         |  FROM t),
+         |j AS (SELECT sc.doc_id, sc.score, en.entropy, rp.top_tok_frac
+         |  FROM sc JOIN en ON en.doc_id = sc.doc_id
+         |  JOIN rp ON rp.doc_id = sc.doc_id),
+         |p AS (SELECT *,
+         |    round(percent_rank() OVER (ORDER BY score, doc_id), 6)
+         |      AS pr_score,
+         |    round(percent_rank() OVER (ORDER BY entropy, doc_id), 6)
+         |      AS pr_entropy,
+         |    round(percent_rank() OVER (ORDER BY top_tok_frac DESC, doc_id), 6)
+         |      AS pr_top_tok_frac
+         |  FROM j)
+         |SELECT doc_id, score, entropy, top_tok_frac,
+         |  pr_score, pr_entropy, pr_top_tok_frac,
+         |  round((pr_score + pr_entropy + pr_top_tok_frac) / 3.0, 6) AS q_blend
+         |FROM p ORDER BY doc_id""".stripMargin
     },
 
     // same feature/score CTE as quality_clf, then a per-source percentile
@@ -2941,6 +3053,21 @@ object SparkEntry {
          |    (PARTITION BY q ORDER BY sim DESC, n_id) AS rn FROM p)
          |SELECT q, n_id, round(sim, 6) AS sim, rn FROM r WHERE rn <= 5
          |ORDER BY q, rn""".stripMargin,
+
+    "hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label,
+         |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |nrm AS (SELECT vec_id, label, v,
+         |    sqrt(${dotChain("v", "v")}) AS nr FROM e),
+         |p AS (SELECT a.vec_id AS q, a.label AS q_label,
+         |    b.vec_id AS n_id, b.label AS n_label,
+         |    (${dotChain("a.v", "b.v")}) / nullif(a.nr * b.nr, 0) AS sim
+         |  FROM nrm a JOIN nrm b ON a.label <> b.label
+         |  WHERE a.vec_id < 30),
+         |r AS (SELECT *, row_number() OVER
+         |    (PARTITION BY q ORDER BY sim DESC, n_id) AS rn FROM p)
+         |SELECT q, q_label, n_id, n_label, round(sim, 6) AS sim, rn
+         |FROM r WHERE rn <= 5 ORDER BY q, rn""".stripMargin,
 
     // the search_topk lexical leg and the single-query cosine leg, each
     // ranked 1-based, full-outer fused with the fixed-order two-term RRF

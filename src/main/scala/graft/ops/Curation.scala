@@ -333,6 +333,32 @@ object Curation {
       .withColumn("keep", col("q_pr") <= keepFrac)
   }
 
+  /** Ensemble quality ranking (the DCLM/"ask-several-judges" pattern):
+    * blend heterogeneous quality signals by averaging their corpus
+    * percent-ranks rather than their raw values — rank space is the only
+    * scale on which a logistic score, an entropy in nats, and a repetition
+    * fraction are commensurable. Each signal's rank orders on the
+    * 6dp-ROUNDED value with the id as tiebreak (`better` = whether high
+    * raw values are good), so both engines rank identical doubles.
+    *
+    * Scale: the global percent_rank is a corpus-wide sort — correct for
+    * audit-grade ranking at declared-query scale; at 100 TB swap in
+    * per-shard ranks or equi-depth bucket ranks (`value_deciles` path) —
+    * the blend arithmetic is unchanged.
+    */
+  def qualityEnsemble(signals: DataFrame, idCol: String,
+                      cols: Seq[(String, Boolean)]): DataFrame = {
+    require(cols.nonEmpty, "need at least one signal column")
+    val ranked = cols.foldLeft(signals) { case (acc, (c, better)) =>
+      val ord = if (better) col(c).asc else col(c).desc
+      acc.withColumn(s"pr_$c",
+        round(percent_rank().over(Window.orderBy(ord, col(idCol))), 6))
+    }
+    val blend = cols.map { case (c, _) => col(s"pr_$c") }
+      .reduce(_ + _) / cols.length.toDouble
+    ranked.withColumn("q_blend", round(blend, 6))
+  }
+
   /** Shard manifest — the reproducibility receipt a corpus release ships
     * with: per shard, the row count, exact token total, and an
     * order-independent content checksum (XOR of the stable SHA-256 hash of

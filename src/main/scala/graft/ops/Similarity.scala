@@ -57,6 +57,30 @@ object Similarity {
     sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: for each cohort query,
+    * the `k` nearest corpus vectors with a DIFFERENT label — the
+    * high-similarity wrong-class examples that make the best negatives
+    * (same-label neighbors are excluded in the join condition, so a
+    * positive can never leak into the negative set). Same scale contract
+    * as the cohort [[cosineTopK]]: fixed-size cohort broadcasts, the
+    * corpus streams once, per-query top-k is a map-side WindowGroupLimit.
+    */
+  def hardNegatives(corpus: DataFrame, cohort: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(labelCol).as("n_label"),
+        vecd(col(vecCol)).as("vb"))
+      .withColumn("nb", l2norm(col("vb")))
+    val q = broadcast(cohort.select(col(idCol).as("q"),
+        col(labelCol).as("q_label"), vecd(col(vecCol)).as("va"))
+      .withColumn("na", l2norm(col("va"))))
+    val sims = c.join(q, col("q_label") =!= col("n_label"))
+      .select(col("q"), col("q_label"), col("n_id"), col("n_label"),
+        (vec_dot(col("va"), col("vb")) / nullif(col("na") * col("nb"), lit(0.0)))
+          .as("sim"))
+    val w = Window.partitionBy(col("q")).orderBy(col("sim").desc, col("n_id"))
+    sims.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
   /** All-pairs exact top-k (the table plays both roles): the small-scale
     * correctness baseline that IVF/LSH recall tests compare against. O(n²·d)
     * by construction — never the declared 100-TB shape; use the cohort

@@ -182,4 +182,31 @@ object Stats {
         round(min(col(valueCol)), 6).as("lo"),
         round(max(col(valueCol)), 6).as("hi"))
   }
+
+  /** Exponentially time-decayed sum per key: `Σ value · 2^(−age/halfLife)`
+    * with `age` in whole days before `refDate` — the recency-weighted
+    * engagement/volume score (a purchase a half-life ago counts half).
+    * Computing it as a per-row decay + ONE map-side-combinable sum beats
+    * the streaming-state formulation for batch: no order dependence, no
+    * state, one shuffle on the key.
+    *
+    * Determinism: each term quantizes to integer micro-units BEFORE the sum
+    * (the lm/entropy convention) — the aggregate is exact integer addition,
+    * order-independent under any partitioning; `pow`'s last-ulp noise is
+    * absorbed by the per-term rounding, which both engines apply to
+    * identical doubles.
+    */
+  def decayedSum(df: DataFrame, keyCol: String, valueCol: Column,
+                 tsCol: Column, refDate: String, halfLifeDays: Double)
+      : DataFrame = {
+    require(halfLifeDays > 0, "halfLifeDays must be positive")
+    val age = datediff(lit(refDate).cast("date"), to_date(tsCol))
+    val term = round(valueCol * pow(lit(2.0), -age.cast("double") / halfLifeDays)
+      * 1000000.0).cast("long")
+    df.select(col(keyCol), term.as("__t"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum(col("__t")).as("__s"))
+      .select(col(keyCol), col("n_events"),
+        round(col("__s").cast("double") / 1000000.0, 6).as("decayed_value"))
+  }
 }

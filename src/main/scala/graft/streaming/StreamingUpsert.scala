@@ -50,27 +50,37 @@ object StreamingUpsert {
             readSnapshot(spark, snapshotDir, snapSchema),
             batch, keyCol, seqCol, opCol, payloadCols)
           .drop("changed")
-        // materialize BEFORE touching the live dir (the merge reads the
-        // directory the swap replaces), then swap via renames — a parquet
-        // overwrite of the live dir would delete the only copy first and a
-        // mid-write crash loses the accumulated state
-        val live = new org.apache.hadoop.fs.Path(snapshotDir)
-        val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val tmp = new org.apache.hadoop.fs.Path(snapshotDir + ".staging")
-        val bak = new org.apache.hadoop.fs.Path(snapshotDir + ".bak")
-        merged.write.mode("overwrite").parquet(tmp.toString)
-        // Hadoop FileSystem signals most rename failures by returning FALSE,
-        // not throwing — check every step and fail the batch BEFORE deleting
-        // anything, or a half-done swap could remove the only snapshot copy
-        fs.delete(bak, true)
-        if (fs.exists(live))
-          require(fs.rename(live, bak), s"rename $live -> $bak failed")
-        require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
-        // only now is the live dir confirmed in place; the backup is surplus
-        fs.delete(bak, true)
-        ()
+        stageAndSwap(spark, merged, snapshotDir)
       }
       .start()
+
+  /** Materialize `df` to `<dir>.staging`, then swap it in with checked
+    * renames (live → .bak, staging → live, drop .bak). Materializing FIRST
+    * matters because `df` typically READS the directory the swap replaces —
+    * a parquet overwrite of the live dir would delete the only copy before
+    * writing. Hadoop FileSystem signals most rename failures by returning
+    * FALSE, not throwing — every step is `require`d before anything is
+    * deleted, so a crash at any point leaves either the old snapshot or the
+    * backup on disk, never silent emptiness. `prepareStaging` runs after
+    * the parquet write and before the swap — marker files written there
+    * become visible atomically WITH the data.
+    */
+  private[streaming] def stageAndSwap(spark: SparkSession, df: DataFrame,
+      dir: String,
+      prepareStaging: org.apache.hadoop.fs.Path => Unit = _ => ()): Unit = {
+    val live = new org.apache.hadoop.fs.Path(dir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".staging")
+    val bak = new org.apache.hadoop.fs.Path(dir + ".bak")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    prepareStaging(tmp)
+    fs.delete(bak, true)
+    if (fs.exists(live))
+      require(fs.rename(live, bak), s"rename $live -> $bak failed")
+    require(fs.rename(tmp, live), s"rename $tmp -> $live failed")
+    // only now is the live dir confirmed in place; the backup is surplus
+    fs.delete(bak, true)
+  }
 
   /** Current snapshot; an empty frame of `bootstrapSchema` only before the
     * FIRST batch. A missing live dir with a backup present means a swap was

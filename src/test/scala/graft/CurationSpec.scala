@@ -529,6 +529,27 @@ class CurationSpec extends SparkSpec {
       "a different seed reshuffles within buckets")
   }
 
+  test("qualityEnsemble: rank blend, direction flip, and tiebreak") {
+    import org.apache.spark.sql.functions.col
+    // doc 1 best on both 'good' signals; doc 3 worst; rep LOWER is better
+    val sig = Seq(
+      (1L, 0.9, 0.1), (2L, 0.5, 0.5), (3L, 0.1, 0.9))
+      .toDF("doc_id", "good", "rep")
+    val out = Curation.qualityEnsemble(sig, "doc_id",
+        Seq("good" -> true, "rep" -> false))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("pr_good"), r.getAs[Double]("pr_rep"),
+          r.getAs[Double]("q_blend"))).toMap
+    assert(out(1L) === ((1.0, 1.0, 1.0)))   // highest good, lowest rep
+    assert(out(2L) === ((0.5, 0.5, 0.5)))
+    assert(out(3L) === ((0.0, 0.0, 0.0)))
+    // exact ties rank by id: two equal signals still get distinct ranks
+    val tied = Seq((1L, 0.5), (2L, 0.5)).toDF("doc_id", "v")
+    val t = Curation.qualityEnsemble(tied, "doc_id", Seq("v" -> true))
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("pr_v")).toMap
+    assert(t === Map(1L -> 0.0, 2L -> 1.0))
+  }
+
   test("qualityPrune: each domain keeps its own top slice; singleton kept") {
     import org.apache.spark.sql.functions.col
     val scored = Seq(

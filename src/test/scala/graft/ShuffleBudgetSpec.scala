@@ -77,6 +77,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "gap_interp" -> 3,
     "global_index" -> 1,
     "gto_rank_curve" -> 2,
+    "hard_negatives" -> 2,
     "hybrid_dedup" -> 1,
     "incr_dedup" -> 3,
     "incr_lsh" -> 7,
@@ -104,6 +105,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q3_topk" -> 1,
     "q5_region" -> 2,
     "quality_clf" -> 1,
+    "quality_ensemble" -> 3,
     "quality_filter" -> 1,
     "quality_prune" -> 2,
     "range_join_bin" -> 2,
@@ -140,6 +142,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "user_churn" -> 4,
     "user_growth" -> 5,
     "value_corr" -> 2,
+    "value_decayed" -> 2,
     "value_deciles" -> 2,
     "value_hist" -> 2,
     "value_outliers" -> 2,

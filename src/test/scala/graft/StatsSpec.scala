@@ -188,4 +188,23 @@ class StatsSpec extends SparkSpec {
     val b = Stats.exactCorr(df.repartition(13), "g", col("x"), col("y")).collect()
     assert(a.toSeq === b.toSeq, "decimal moment sums cannot vary with partitioning")
   }
+
+  test("decayedSum: hand-computed half-life weighting, order-independent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // ref 2024-01-08, half-life 7d: ages 0 and 7 → weights 1 and 0.5
+    val df = Seq(
+      (1L, "2024-01-08 10:00:00", 100.0),  // age 0 → 100
+      (1L, "2024-01-01 23:00:00", 100.0),  // age 7 → 50
+      (2L, "2024-01-08 00:00:00", 8.0))    // age 0 → 8
+      .toDF("user_id", "ts", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.decayedSum(d, "user_id", col("value"), col("ts"),
+          "2024-01-08", 7.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq
+    assert(run(df) === Seq((1L, 2L, 150.0), (2L, 1L, 8.0)))
+    assert(run(df.repartition(7)) === run(df))
+  }
 }

@@ -43,6 +43,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming materialized rollup: per-batch additive merge equals full recompute") {
+    import graft.streaming.StreamingMatView
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val snapDir = java.nio.file.Files.createTempDirectory("graft-mv").toString + "/t"
+    val cpDir = java.nio.file.Files.createTempDirectory("graft-mv-cp").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingMatView.maintain(
+        mem.toDF.toDF("user_id", "cents"), snapDir, cpDir,
+        Seq("user_id"), Seq("n", "s"), maxCols = Seq("mx")) { b =>
+      b.groupBy("user_id").agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("s"), max(col("cents")).as("mx"))
+    }
+    try {
+      mem.addData((1L, 10L), (1L, 20L), (2L, 5L))
+      q.processAllAvailable()
+      mem.addData((1L, 7L), (3L, 100L))
+      q.processAllAvailable()
+      val snap = spark.read.parquet(snapDir)
+        .select("user_id", "n", "s", "mx")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(snap === Seq((1L, 3L, 37L, 20L), (2L, 1L, 5L, 5L),
+        (3L, 1L, 100L, 100L)),
+        "two-batch maintained rollup must equal the full recompute")
+      assert(StreamingMatView.appliedBatchId(spark, snapDir) >= 1L,
+        "the applied-batch marker must swap in with the data")
+    } finally q.stop()
+  }
+
   test("stream-static enrichment: each batch broadcast-joins the dim, left rows kept") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
