@@ -1256,7 +1256,8 @@ object SparkEntry {
     // cutoff makes the boundary day's keys collide on purpose.
     "incr_rollup" -> ((s, d) => {
       val ev = Tables.events(s, d)
-        .filter(col("ts").isNotNull && col("value").isNotNull)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
         .withColumn("cents", round(col("value") * 100).cast("long"))
       val cutoff = lit(IncrCutoff).cast("timestamp")
       def rollup(df: DataFrame): DataFrame =
@@ -3332,7 +3333,8 @@ object SparkEntry {
     "incr_rollup" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day,
         |    CAST(round(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL)
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL)
         |SELECT user_id, day, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents,
         |  CAST(min(cents) AS BIGINT) AS min_cents,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BitInterleave, GeoCell, RollingKgramHash, StableHashBucket, VecDot}
+import graft.expressions.{BitInterleave, DeflateSize, GeoCell, RollingKgramHash, StableHashBucket, VecDot}
 
 /** SQL surface for the engine's native Catalyst expressions: registers
   * `geo_cell`, `stable_bucket`, `vec_dot`, and `rolling_kgrams` as SQL
@@ -63,6 +63,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "rolling_kgrams(text, k) takes 2 arguments")
         RollingKgramHash(args(0), args(1))
+      }),
+    (FunctionIdentifier("deflate_size"),
+      info("deflate_size", "deflate_size(str) - zlib-compressed byte size (level 6)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "deflate_size(str) takes 1 argument")
+        DeflateSize(args(0))
       }),
     (FunctionIdentifier("z_order"),
       info("z_order", "z_order(x, y) - Morton bit-interleave of two keys (clustering sort key)"),
