@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BitInterleave, DeflateSize, GeoCell, RollingKgramHash, StableHashBucket, VecDot}
+import graft.expressions.{BitInterleave, DeflateSize, GeoCell, MinHashSig, MinHashText, RollingKgramHash, StableHashBucket, VecDot}
 
 /** SQL surface for the engine's native Catalyst expressions: registers
   * `geo_cell`, `stable_bucket`, `vec_dot`, and `rolling_kgrams` as SQL
@@ -63,6 +63,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "rolling_kgrams(text, k) takes 2 arguments")
         RollingKgramHash(args(0), args(1))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(arr, k) - k-slot integer MinHash of a string array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_sig(arr, k) takes 2 arguments")
+        MinHashSig(args(0), args(1))
+      }),
+    (FunctionIdentifier("minhash_text"),
+      info("minhash_text", "minhash_text(text, n, k) - one-pass n-gram MinHash of a string"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "minhash_text(text, n, k) takes 3 arguments")
+        MinHashText(args(0), args(1), args(2))
       }),
     (FunctionIdentifier("deflate_size"),
       info("deflate_size", "deflate_size(str) - zlib-compressed byte size (level 6)"),

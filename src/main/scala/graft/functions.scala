@@ -84,6 +84,24 @@ object functions {
     expressions.col(expressions.RollingKgramHash(
       expressions.expr(text), expressions.expr(lit(k))))
 
+  /** k-slot integer MinHash signature of a string-array column (one
+    * xxhash64 per element + k splitmix mixes, single codegen'd loop) — see
+    * [[graft.expressions.MinHashSig]]. Production dedup path; spec-gated
+    * (no SQL twin — the oracle-checked dedup queries use the md5 form).
+    */
+  def minhash_sig(shingles: Column, k: Int): Column =
+    expressions.col(expressions.MinHashSig(
+      expressions.expr(shingles), expressions.expr(lit(k))))
+
+  /** End-to-end text→MinHash kernel: tokenize + n-token shingles + k-slot
+    * signature in one pass over the UTF-8 bytes, zero intermediate
+    * allocation — see [[graft.expressions.MinHashText]]. Null when the
+    * text has fewer than n tokens.
+    */
+  def minhash_text(text: Column, n: Int, k: Int): Column =
+    expressions.col(expressions.MinHashText(
+      expressions.expr(text), expressions.expr(lit(n)), expressions.expr(lit(k))))
+
   /** Deflate-compressed byte size of a string (level 6, fixed) — the raw
     * material of the compression-ratio quality signal; see
     * [[graft.expressions.DeflateSize]]. Spec-gated (no SQL twin exists).

@@ -303,6 +303,53 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** PRODUCTION-path MinHash: integer signatures from ONE codegen'd kernel
+    * over the per-doc shingle array ([[graft.expressions.MinHashSig]] —
+    * one xxhash64 per shingle + k O(1) splitmix mixes; no explode, no
+    * per-hash string concatenation or md5 churn). At corpus scale this is
+    * the form to run: the md5-string MinHash ([[minhashSignatureWide]])
+    * exists because DuckDB can recompute it bit-for-bit (the AUDIT path —
+    * every declared dedup query stays on it); the integer kernel has no
+    * cross-engine twin, so this path is spec-verified instead (same-set ⟹
+    * same signature; LSH collisions behave identically). A higher-order
+    * `transform`+`array_min` formulation was measured 7–12× SLOWER than
+    * even the md5 explode+aggregate (HOF lambdas evaluate interpreted) —
+    * see SCALING.md; the custom Expression is what makes this path fast.
+    *
+    * Output: (doc_id, sig array<long>); docs with no shingles are absent,
+    * matching the md5 form.
+    */
+  def fastMinhashSignature(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, n: Int = 3): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    fanout(df)
+      .select(col(idCol).as("doc_id"),
+        graft.functions.minhash_text(col(textCol), n, k).as("sig"))
+      .filter(col("sig").isNotNull)
+  }
+
+  /** Banded LSH rows from [[fastMinhashSignature]]: bucket = xxhash64 of the
+    * band's signature slice — (doc_id, band, bucket) with a LONG bucket key
+    * (16 bytes/row vs the audit path's md5-hex strings; the standing store
+    * a daily dedup job maintains shrinks ~4×). Join-compatible with
+    * [[minhashLshPairs]]/[[incrementalLshPairs]]'s probe logic.
+    */
+  def fastBandedSignature(df: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): DataFrame = {
+    require(k % rowsPerBand == 0, "k must be a multiple of rowsPerBand")
+    val nBands = k / rowsPerBand
+    val bands = (0 until nBands).map { b =>
+      val slice0 = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("sig"), i + 1))
+      struct(lit(b).as("band"),
+        xxhash64(lit(b) +: slice0: _*).as("bucket"))
+    }
+    fastMinhashSignature(df, idCol, textCol, k, n)
+      .select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+  }
+
   /** Incremental MinHash-LSH: candidate pairs TOUCHING a new batch, probed
     * against the standing banded-signature store — the daily-ingest shape.
     * Only the batch is shingled/hashed; the standing corpus contributes its

@@ -292,6 +292,94 @@ class DedupSpec extends SparkSpec {
       "new-vs-new pairs emit once despite the two-directional match")
   }
 
+  test("fastMinhashSignature: set-determined, partition-independent, k slots") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),   // identical → identical sig
+      (3L, "c b a e d"),                      // same tokens, other shingles
+      (4L, "x"))                              // < n tokens → no signature
+      .toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.fastMinhashSignature(df, "doc_id", "text", k = 8)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sigs = run(docs)
+    assert(sigs.keySet === Set(1L, 2L, 3L), "shingle-less doc has no signature")
+    assert(sigs(1L).length === 8)
+    assert(sigs(1L) === sigs(2L), "signature is a function of the shingle set")
+    assert(sigs(1L) !== sigs(3L))
+    assert(run(docs.repartition(7)) === sigs)
+  }
+
+  test("minhash_sig expression: eval/codegen agree, null-element and empty semantics") {
+    import graft.functions.minhash_sig
+    import org.apache.spark.sql.functions.array
+    val df = Seq(
+      (1L, Seq("aa", "bb")), (2L, Seq("bb", "aa")),  // order-free
+      (3L, Seq("aa")))
+      .toDF("id", "sh")
+    val viaDf = df.select(col("id"), minhash_sig(col("sh"), 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaDf(1L) === viaDf(2L), "signature must not depend on element order")
+    // interpreted eval (direct helper call) agrees with the codegen'd column
+    val direct = graft.expressions.MinHashSig.sig(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array(org.apache.spark.unsafe.types.UTF8String.fromString("aa"),
+          org.apache.spark.unsafe.types.UTF8String.fromString("bb"))), 4)
+      .toLongArray.toSeq
+    assert(viaDf(1L) === direct)
+    // null element skipped; minima over the remaining element only
+    graft.engine.GraftExtensions.register(spark)
+    val nullSkipped = spark.sql(
+        "SELECT minhash_sig(array('aa', CAST(NULL AS STRING)), 4) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(nullSkipped === viaDf(3L))
+    // empty array → null signature
+    assert(df.limit(1)
+      .select(minhash_sig(array().cast("array<string>"), 4).as("s"))
+      .collect()(0).isNullAt(0))
+  }
+
+  test("minhash_text ≡ minhash_sig over shinglesOfTokens (byte-span property)") {
+    import graft.functions.{minhash_sig, minhash_text}
+    // tricky shapes: repeated spaces (empty tokens), leading space, unicode
+    // multi-byte chars, duplicate shingles (multiset min = set min)
+    val texts = Seq(
+      "a b c d e", "a  b c", " a b c", "ü ñ 漢 字 x", "a b a b a b a b",
+      "x y z", "one two three four five six")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val viaText = df.select(col("id"), minhash_text(col("text"), 3, 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaArray = df.select(col("id"),
+        minhash_sig(Dedup.shinglesOfTokens(
+          graft.ops.TextOps.tokens(col("text")), 3), 8).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaText === viaArray,
+      "the zero-copy text kernel must equal the array form on every input")
+  }
+
+  test("fastBandedSignature: identical docs collide on every band, long buckets") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.fastBandedSignature(docs, "doc_id", "text",
+        k = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc(1L).map(x => (x._2, x._3)).toSet ===
+      byDoc(2L).map(x => (x._2, x._3)).toSet,
+      "identical docs must collide on all 4 band buckets")
+    assert(byDoc(1L).map(x => (x._2, x._3)).toSet
+      .intersect(byDoc(3L).map(x => (x._2, x._3)).toSet).isEmpty,
+      "disjoint docs share no buckets")
+    // probe-compatible with the incremental store logic
+    val pairs = Dedup.incrementalLshPairs(
+        Dedup.fastBandedSignature(docs.filter(col("doc_id") === 2L),
+          "doc_id", "text", 8, 2),
+        Dedup.fastBandedSignature(docs.filter(col("doc_id") =!= 2L),
+          "doc_id", "text", 8, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 4L)))
+  }
+
   test("lshCalibration: exact Jaccard by hand; identical docs estimate 1.0") {
     // doc1 {a b c, b c d}; doc2 {a b c, b c e} → shared 1, union 3 → 1/3
     // doc3 ≡ doc1 → jaccard 1, ALL minhash slots must match
