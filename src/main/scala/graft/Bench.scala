@@ -36,8 +36,16 @@ object Bench {
     val goldSec = (System.nanoTime() - g0) / 1e9
     spark.catalog.clearCache()
 
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 runs just those queries — the targeted
+    // profiling loop; the driver never sets it, so round numbers are whole
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     val errors = scala.collection.mutable.Map.empty[String, String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val dt =

@@ -41,26 +41,41 @@ object Graph {
                     iterations: Int = 3,
                     scope: CacheScope = CacheScope.global): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
+    // hash-partition the edge list by src ONCE — `distinct` leaves it keyed
+    // by (src, dst), which no later stage can reuse; keyed by src, every
+    // iteration's rank→edge join is exchange-free on the (big) edge side.
+    // At corpus scale this is the difference between shuffling the full
+    // edge list per iteration and shuffling only the (tiny) rank vector.
     val und = scope.persisted(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct())
-    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("id"), col("deg"))
+        .distinct()
+        .repartition(col("src")))
+    // deg groups the already-src-partitioned edges (no exchange) and is
+    // persisted keyed by id — the per-iteration contrib→deg join aligns on
+    // both sides (groupBy dst emits HashPartitioning(dst→id)), so it is
+    // exchange-free too: each iteration moves ONLY the message shuffle.
+    val deg = scope.persisted(und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg")))
     val n = deg.count()
     require(n > 0, "empty graph")
+    // Lineage is LINEAR in iterations (ranks feeds each next plan exactly
+    // once — deg, not ranks, supplies the id/deg side of the update join),
+    // so per-iteration checkpoints aren't needed for plan size; checkpoint
+    // every 4th iteration to bound optimizer input, each one an eager
+    // barrier that preserves outputPartitioning (LogicalRDD keeps the
+    // physical partitioning), so the alignment above survives it.
     var ranks = deg.select(col("id"), col("deg"), lit(1000000L / n).as("r"))
-      .localCheckpoint()
     val base = 150000L / n
-    for (_ <- 1 to iterations) {
+    for (it <- 1 to iterations) {
       val contrib = und
         .join(ranks.select(col("id").as("src"), expr("r div deg").as("c")), "src")
         .groupBy("dst").agg(sum(col("c")).as("m"))
         .select(col("dst").as("id"), col("m"))
-      ranks = ranks.select("id", "deg").join(contrib, Seq("id"), "left")
+      ranks = deg.join(contrib, Seq("id"), "left")
         .select(col("id"), col("deg"),
           (lit(base) + expr("(17 * coalesce(m, 0L)) div 20")).as("r"))
-        .localCheckpoint()
+      if (it % 4 == 0 && it < iterations) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("id"), col("deg"), col("r").as("rank_micro"))
   }
