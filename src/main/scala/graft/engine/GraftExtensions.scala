@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BitInterleave, DeflateSize, GeoCell, MinHashSig, MinHashText, RollingKgramHash, StableHashBucket, VecDot}
+import graft.expressions.{BitInterleave, DeflateSize, GeoCell, MinHashSig, MinHashText, RollingKgramHash, ShingleHashes, StableHashBucket, VecDot}
 
 /** SQL surface for the engine's native Catalyst expressions: registers
   * `geo_cell`, `stable_bucket`, `vec_dot`, and `rolling_kgrams` as SQL
@@ -75,6 +75,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "minhash_text(text, n, k) takes 3 arguments")
         MinHashText(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, n) - distinct n-token shingle hashes"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_hashes(text, n) takes 2 arguments")
+        ShingleHashes(args(0), args(1))
       }),
     (FunctionIdentifier("deflate_size"),
       info("deflate_size", "deflate_size(str) - zlib-compressed byte size (level 6)"),

@@ -99,6 +99,40 @@ case class MinHashText(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** DISTINCT n-token shingle hashes of a text, as ONE codegen'd pass:
+  * `array<long>` of xxhash64 over each distinct shingle's in-place byte
+  * span (same span walk as [[MinHashText]] — shingles joined by ' ' ARE
+  * contiguous spans), sort+dedup'd in a primitive array. Replaces the
+  * `explode(array_distinct(transform(...concat_ws...)))` string-churn
+  * stage of the exact n-gram tier: downstream (hot-shingle count, doc-list
+  * groupBy) consumes 8-byte keys that never existed as Strings at all.
+  * Per-doc distinctness — the thing Jaccard counts measure — is what
+  * sort+dedup preserves. Null when fewer than n tokens (explode then drops
+  * the doc, matching the string path's empty array).
+  */
+case class ShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(text: Any, n: Any): Any =
+    MinHashSig.shingleHashes(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.GenericArrayData)
+         |  graft.expressions.MinHashSig.shingleHashes($t, $n);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object MinHashSig {
   /** Element-hash seed; fixed so signatures are stable artifacts. */
   val Seed = 42L
@@ -138,6 +172,55 @@ object MinHashSig {
       j += 1
     }
     if (!any) null else new GenericArrayData(mins)
+  }
+
+  /** Distinct shingle-hash kernel (see [[ShingleHashes]]): the same span
+    * walk as [[sigOfText]], but emitting the distinct span hashes
+    * themselves — sorted ascending (sort is the dedup). Null when fewer
+    * than n tokens.
+    */
+  def shingleHashes(text: org.apache.spark.unsafe.types.UTF8String,
+                    n: Int): GenericArrayData = {
+    require(n > 0, "shingle_hashes n must be positive")
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val len = text.numBytes
+    var nTokens = 1
+    var p = 0
+    while (p < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20) nTokens += 1
+      p += 1
+    }
+    if (nTokens < n) return null
+    val starts = new Array[Int](nTokens)
+    val ends = new Array[Int](nTokens)
+    var t = 0
+    starts(0) = 0
+    p = 0
+    while (p < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + p) == 0x20) {
+        ends(t) = p; t += 1; starts(t) = p + 1
+      }
+      p += 1
+    }
+    ends(t) = len
+    val nSh = nTokens - n + 1
+    val hs = new Array[Long](nSh)
+    var w = 0
+    while (w < nSh) {
+      val s = starts(w)
+      val e = ends(w + n - 1)
+      hs(w) = XXH64.hashUnsafeBytes(base, off + s, e - s, Seed)
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    var uniq = 1
+    var i = 1
+    while (i < nSh) {
+      if (hs(i) != hs(i - 1)) { hs(uniq) = hs(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (uniq == nSh) hs else java.util.Arrays.copyOf(hs, uniq))
   }
 
   /** One-pass text→signature kernel (see [[MinHashText]]): token boundaries

@@ -93,6 +93,14 @@ object functions {
     expressions.col(expressions.MinHashSig(
       expressions.expr(shingles), expressions.expr(lit(k))))
 
+  /** Distinct n-token shingle hashes of a text as `array<long>`, one
+    * codegen'd pass, no intermediate strings — the exact-dedup-tier feeder;
+    * see [[graft.expressions.ShingleHashes]]. Null below n tokens.
+    */
+  def shingle_hashes(text: Column, n: Int): Column =
+    expressions.col(expressions.ShingleHashes(
+      expressions.expr(text), expressions.expr(lit(n))))
+
   /** End-to-end text→MinHash kernel: tokenize + n-token shingles + k-slot
     * signature in one pass over the UTF-8 bytes, zero intermediate
     * allocation — see [[graft.expressions.MinHashText]]. Null when the

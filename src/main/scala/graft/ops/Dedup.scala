@@ -106,11 +106,21 @@ object Dedup {
                         n: Int = 3, threshold: Double = 0.5,
                         maxDocsPerShingle: Int = Int.MaxValue,
                         scope: CacheScope = CacheScope.global): DataFrame = {
-    // the tokenize+explode is the single most expensive narrow stage and has
-    // TWO consumers under the guard (the hot count and the anti-join probe) —
-    // materialize it once, like any production dedup job's shingle table;
-    // the caller releases it via `scope` (see the object doc)
-    val sh0raw = shingleRows(df, idCol, textCol, n)
+    // the shingle generation is the single most expensive narrow stage and
+    // has TWO consumers under the guard (the hot count and the anti-join
+    // probe) — materialize it once, like any production dedup job's shingle
+    // table; the caller releases it via `scope` (see the object doc).
+    // Shingles are born as xxhash64 LONGS ([[graft.expressions
+    // .ShingleHashes]] — one codegen'd byte pass, no intermediate shingle
+    // Strings ever allocated): every downstream stage (hot-shingle count,
+    // anti-join, doc-list groupBy) shuffles and persists 8-byte keys
+    // instead of ~n·word strings — per-doc distinctness (what the Jaccard
+    // counts measure) survives hashing, and a 64-bit collision would need
+    // ~2^32 distinct shingles in one corpus to appear once, far beyond any
+    // audit slice this exact-tier operator is for.
+    val sh0raw = fanout(df)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.shingle_hashes(col(textCol), n)).as("shingle"))
     val sh0 =
       if (maxDocsPerShingle == Int.MaxValue) sh0raw
       else scope.persisted(sh0raw)
@@ -138,8 +148,13 @@ object Dedup {
     val lists = scope.persisted(shUnp.groupBy("shingle")
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .select("ds"))
-    val sizes = lists.select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // per-doc surviving-shingle counts straight off the guarded rows (map-
+    // side combine shrinks the shuffle to one row per doc per task) — NOT by
+    // re-exploding `lists`, which re-materializes every (doc, shingle) pair.
+    // Persisted because BOTH sides of the final join consume it; identical-
+    // subplan reuse does not survive the two different broadcast projections.
+    val sizes = scope.persisted(
+      shUnp.groupBy("doc_id").agg(count(lit(1)).as("n_sh")))
     val pairsOfList = flatten(transform(col("ds"), (a, i) =>
       transform(slice(col("ds"), i + lit(2), size(col("ds"))), b =>
         struct(a.as("doc_a"), b.as("doc_b")))))

@@ -357,6 +357,28 @@ class DedupSpec extends SparkSpec {
       "the zero-copy text kernel must equal the array form on every input")
   }
 
+  test("shingle_hashes ≡ xxhash64 over string shingles (distinct, sorted)") {
+    import graft.functions.shingle_hashes
+    val texts = Seq(
+      "a b c d e", "a  b c", " a b c", "ü ñ 漢 字 x", "a b a b a b a b",
+      "x y", "x y z", "", "one two three four five six")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val viaKernel = df.select(col("id"), shingle_hashes(col("text"), 3).as("hs"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1))).toMap
+    val viaStrings = df.select(col("id"),
+        sort_array(transform(Dedup.shinglesOfTokens(
+          graft.ops.TextOps.tokens(col("text")), 3), s => xxhash64(s))).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    texts.indices.foreach { i =>
+      val k = viaKernel(i.toLong)
+      val s = viaStrings(i.toLong)
+      if (s.isEmpty) assert(k == null, s"doc $i: <n tokens must be null")
+      else assert(k === s, s"doc $i: kernel must equal hashed string shingles")
+    }
+  }
+
   test("fastBandedSignature: identical docs collide on every band, long buckets") {
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "p q r s t"))
       .toDF("doc_id", "text")
