@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{AsOf, CoMovement, Curation, CurationPipeline, DataQuality, Decontam, Dedup, EventFlows, Fuzzy, Graph, Indexing, Ivf, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Retrieval, Selection, Similarity, SilverIngest, Sketches, Skew, Stats, TextOps, TimeSeries, Tracks, Trajectory}
+import graft.ops.{AsOf, CoMovement, Curation, CurationPipeline, DataQuality, Decontam, Dedup, EventFlows, Fuzzy, Graph, Indexing, Ivf, Kmeans, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Retrieval, Selection, Similarity, SilverIngest, Sketches, Skew, Stats, TextOps, TimeSeries, Tracks, Trajectory}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1072,6 +1072,8 @@ object SparkEntry {
   val EmbedDims = 64
   val EmbedDupThreshold = 0.3
   val IvfCentroids = 8
+  /** Lloyd iterations for the k-means trainer (unrolled in the oracle). */
+  val KmeansIters = 2
 
   /** IVF search declared query: fixed-size query cohort, 2-of-8 lists probed. */
   private val IvfQueryMax = 20
@@ -1130,6 +1132,22 @@ object SparkEntry {
       Ivf.assignToCentroids(emb, "vec_id", "embedding", cents)
         .orderBy("vec_id")
     }),
+
+    // §training-pipeline: Lloyd's k-means — the IVF coarse-quantizer TRAINER
+    // (ivf_* above take fixed codebooks). Integer-micro arithmetic end to
+    // end, so an iterative float algorithm still hash-matches a cross-engine
+    // oracle; per iteration ONE map-side-combined shuffle (argmin folds k
+    // candidates in the scan, component sums fold to k·d rows)
+    "kmeans_centroids" -> ((s, d) =>
+      Kmeans.train(Tables.embeddings(s, d), "vec_id", "embedding",
+          IvfCentroids, KmeansIters)
+        .orderBy("list_id", "pos")),
+
+    // final hard assignment under the trained centroids (the IVF build input)
+    "kmeans_assign" -> ((s, d) =>
+      Kmeans.assign(Tables.embeddings(s, d), "vec_id", "embedding",
+          IvfCentroids, KmeansIters)
+        .orderBy("vec_id")),
 
     // end-to-end IVF ANN search with the same fixed codebook: a fixed-size
     // query cohort probes its IvfNProbe nearest lists and runs exact cosine
@@ -3020,6 +3038,35 @@ object SparkEntry {
   private def dotChain(a: String, b: String): String =
     (1 to EmbedDims).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
 
+  /** Unrolled Lloyd CTE chain (the [[graft.ops.Kmeans]] twin — pagerank-
+    * style iteration unrolling): c0 = lowest-id seeds; per iteration an
+    * integer-exact micro-space argmin (ties → lower list_id) and a
+    * floor(sum/cnt) centroid update that keeps an emptied cluster's
+    * previous row via the LEFT JOIN coalesce.
+    */
+  private def kmeansCtes: String = {
+    val sums = (1 to EmbedDims).map(j => s"sum(x[$j]) AS s$j").mkString(", ")
+    val packed = (1 to EmbedDims).map(j => s"floor(s$j/cnt)")
+      .mkString("list_value(", ", ", ")")
+    val init =
+      s"""e AS (SELECT vec_id,
+         |    list_transform(CAST(embedding AS DOUBLE[]), q -> round(q*1000000.0)) AS x
+         |  FROM embeddings),
+         |c0 AS (SELECT CAST(vec_id AS INTEGER) AS list_id, x AS cv
+         |  FROM e WHERE vec_id < $IvfCentroids)""".stripMargin
+    val iters = (1 to KmeansIters).map { i =>
+      s"""a$i AS (SELECT e.vec_id, e.x, c.list_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY (${dotChain("c.cv", "c.cv")}) - 2*(${dotChain("e.x", "c.cv")}), c.list_id) AS pr
+         |  FROM e, c${i - 1} c),
+         |u$i AS (SELECT list_id, count(*) AS cnt, $sums FROM a$i WHERE pr = 1 GROUP BY 1),
+         |c$i AS (SELECT p.list_id, coalesce(u.ucv, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN
+         |    (SELECT list_id, $packed AS ucv FROM u$i) u USING (list_id))""".stripMargin
+    }
+    (init +: iters).mkString(",\n")
+  }
+
   /** `0 ± v[1] ± v[2] …` hyperplane projection with the same md5-parity signs
     * the Spark side bakes in via [[Similarity.planeSigns]].
     */
@@ -3245,6 +3292,22 @@ object SparkEntry {
          |    (PARTITION BY vec_id ORDER BY dd, list_id) AS pr FROM d)
          |SELECT vec_id, CAST(list_id AS INTEGER) AS list_id
          |FROM r WHERE pr = 1 ORDER BY vec_id""".stripMargin,
+
+    "kmeans_centroids" ->
+      s"""WITH $kmeansCtes
+         |SELECT list_id, CAST(t.i AS INTEGER) AS pos,
+         |  CAST(cv[t.i + 1] AS BIGINT) AS c_micro
+         |FROM c$KmeansIters, range($EmbedDims) t(i)
+         |ORDER BY list_id, pos""".stripMargin,
+
+    "kmeans_assign" ->
+      s"""WITH $kmeansCtes,
+         |af AS (SELECT e.vec_id, c.list_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY (${dotChain("c.cv", "c.cv")}) - 2*(${dotChain("e.x", "c.cv")}), c.list_id) AS pr
+         |  FROM e, c$KmeansIters c)
+         |SELECT vec_id, CAST(list_id AS INTEGER) AS list_id
+         |FROM af WHERE pr = 1 ORDER BY vec_id""".stripMargin,
 
     "embed_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -15,8 +15,16 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_VERIFY_ONLY=q1,q2 dumps just those queries — the targeted
+    // iteration loop; the driver never sets it, so rounds dump everything
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -29,10 +37,10 @@ object Verify {
     // DID succeed still reach the driver compare (it records the missing
     // parquet dirs as per-query errors)
     if (failed.nonEmpty)
-      println(s"[verify] ${failed.size}/${SparkEntry.queries.size} queries FAILED: " +
+      println(s"[verify] ${failed.size}/${selected.size} queries FAILED: " +
         failed.sorted.mkString(", "))
     else
-      println(s"[verify] all ${SparkEntry.queries.size} queries dumped")
+      println(s"[verify] all ${selected.size} queries dumped")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -45,7 +53,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val oracleSelected = only match {
+      case Some(names) => SparkEntry.oracleSql.filter { case (n, _) => names(n) }
+      case None => SparkEntry.oracleSql
+    }
+    val json = oracleSelected
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

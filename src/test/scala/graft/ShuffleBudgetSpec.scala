@@ -85,13 +85,20 @@ class ShuffleBudgetSpec extends SparkSpec {
     "ivf_assign" -> 2,
     "ivf_topk" -> 6,
     "kcenter_select" -> 1,
+    "kmeans_assign" -> 2,
+    "kmeans_centroids" -> 1,
     "lang_id" -> 1,
     "leakfree_split" -> 1,
     "lm_score" -> 5,
     "lsh_calibration" -> 5,
     "media_features" -> 1,
     "mixture_sample" -> 2,
-    "pair_pagerank" -> 1,
+    // pagerank's budget counts the UNROLLED 3-iteration plan since periodic
+    // checkpointing landed (the old "1" measured a checkpoint-truncated tail,
+    // not the real work): per iteration one message groupBy plus the
+    // rank-vector re-shuffle onto the edge partitioning, edge list itself
+    // exchange-free after the one build-time repartition
+    "pair_pagerank" -> 4,
     "pair_quantiles" -> 1,
     "pairs_daily" -> 1,
     "pairs_total" -> 3,
