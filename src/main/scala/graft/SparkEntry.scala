@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
-import graft.ops.{AsOf, CoMovement, Curation, CurationPipeline, DataQuality, Decontam, Dedup, EventFlows, Fuzzy, Graph, Indexing, Ivf, Kmeans, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Retrieval, Selection, Similarity, SilverIngest, Sketches, Skew, Stats, TextOps, TimeSeries, Tracks, Trajectory}
+import graft.ops.{AsOf, Bpe, CoMovement, Curation, CurationPipeline, DataQuality, Decontam, Dedup, EventFlows, Fuzzy, Graph, Indexing, Ivf, Kmeans, Merge, Multimodal, Pq, QualityChecks, RangeJoin, Retrieval, Selection, Similarity, SilverIngest, Sketches, Skew, Stats, TextOps, TimeSeries, Tracks, Trajectory}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1074,6 +1074,8 @@ object SparkEntry {
   val IvfCentroids = 8
   /** Lloyd iterations for the k-means trainer (unrolled in the oracle). */
   val KmeansIters = 2
+  /** Greedy BPE merges learned by the declared query (unrolled in the oracle). */
+  val BpeMergeSteps = 4
 
   /** IVF search declared query: fixed-size query cohort, 2-of-8 lists probed. */
   private val IvfQueryMax = 20
@@ -1148,6 +1150,22 @@ object SparkEntry {
       Kmeans.assign(Tables.embeddings(s, d), "vec_id", "embedding",
           IvfCentroids, KmeansIters)
         .orderBy("vec_id")),
+
+    // §training-pipeline: BPE tokenizer training, step 0 — frequency-
+    // weighted adjacent-symbol-pair counts over the distinct-word vocab
+    // (ONE corpus shuffle; everything else is vocab-sized)
+    "bpe_pairs" -> ((s, d) =>
+      Bpe.pairCounts(
+          Bpe.wordVocab(Tables.documents(s, d), "text")
+            .select(Bpe.initialSymbols(col("word")).as("syms"), col("freq")))
+        .orderBy("lhs", "rhs")),
+
+    // the learned merge table after BpeMergeSteps greedy merges — the
+    // distributed iteration (each step oracle-checked); trainLocal is the
+    // production path and is property-tested equal in BpeSpec
+    "bpe_merges" -> ((s, d) =>
+      Bpe.train(Tables.documents(s, d), "text", BpeMergeSteps)
+        .orderBy("step")),
 
     // end-to-end IVF ANN search with the same fixed codebook: a fixed-size
     // query cohort probes its IvfNProbe nearest lists and runs exact cosine
@@ -3067,6 +3085,42 @@ object SparkEntry {
     (init +: iters).mkString(",\n")
   }
 
+  /** Unrolled BPE training CTE chain (the [[graft.ops.Bpe]] twin): the
+    * normalized word vocab, codepoint symbols + `</w>`, then per step a
+    * pair count, a (cnt DESC, lhs, rhs) winner, and the leftmost
+    * non-overlapping merge as a `list_reduce` fold over single-element
+    * lists (acc and element must share a type, hence the wrapping; the
+    * CASE mirrors [[graft.expressions.BpeMerge]] exactly).
+    */
+  private def bpeCtes(steps: Int): String = {
+    val init =
+      s"""w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+         |    SELECT unnest(string_split(
+         |      trim(regexp_replace(regexp_replace(regexp_replace(text,
+         |        '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |        '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+         |        '[ \\t\\n\\r\\f]+', ' ', 'g')), ' ')) AS word
+         |    FROM documents)
+         |  WHERE len(word) > 0 GROUP BY 1),
+         |s0 AS (SELECT list_append(regexp_extract_all(word, '.'), '</w>') AS syms,
+         |    freq FROM w)""".stripMargin
+    val steps_ = (0 until steps).map { i =>
+      s"""q$i AS (SELECT syms[j] AS lhs, syms[j + 1] AS rhs,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT syms, freq,
+         |      unnest(generate_series(1, len(syms) - 1)) AS j FROM s$i)
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT lhs, rhs, cnt FROM q$i
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |s${i + 1} AS (SELECT list_reduce(list_transform(s.syms, x -> [x]),
+         |    (acc, e) -> CASE WHEN acc[-1] = t.lhs AND e[1] = t.rhs
+         |      THEN list_append(array_pop_back(acc), acc[-1] || e[1])
+         |      ELSE list_concat(acc, e) END) AS syms, s.freq
+         |  FROM s$i s CROSS JOIN t$i t)""".stripMargin
+    }
+    (init +: steps_).mkString(",\n")
+  }
+
   /** `0 ± v[1] ± v[2] …` hyperplane projection with the same md5-parity signs
     * the Spark side bakes in via [[Similarity.planeSigns]].
     */
@@ -3292,6 +3346,22 @@ object SparkEntry {
          |    (PARTITION BY vec_id ORDER BY dd, list_id) AS pr FROM d)
          |SELECT vec_id, CAST(list_id AS INTEGER) AS list_id
          |FROM r WHERE pr = 1 ORDER BY vec_id""".stripMargin,
+
+    "bpe_pairs" ->
+      s"""WITH ${bpeCtes(0)}
+         |SELECT syms[j] AS lhs, syms[j + 1] AS rhs,
+         |  CAST(sum(freq) AS BIGINT) AS cnt
+         |FROM (SELECT syms, freq,
+         |    unnest(generate_series(1, len(syms) - 1)) AS j FROM s0)
+         |GROUP BY 1, 2 ORDER BY lhs, rhs""".stripMargin,
+
+    "bpe_merges" -> {
+      val rows = (0 until BpeMergeSteps).map(i =>
+        s"SELECT $i AS step, lhs, rhs, cnt FROM t$i")
+      s"""WITH ${bpeCtes(BpeMergeSteps)}
+         |${rows.mkString("\nUNION ALL ")}
+         |ORDER BY step""".stripMargin
+    },
 
     "kmeans_centroids" ->
       s"""WITH $kmeansCtes

@@ -93,6 +93,13 @@ object functions {
     expressions.col(expressions.MinHashSig(
       expressions.expr(shingles), expressions.expr(lit(k))))
 
+  /** One BPE merge over a symbol array: leftmost non-overlapping (left,
+    * right) → left||right — see [[graft.expressions.BpeMerge]].
+    */
+  def bpe_merge(syms: Column, left: Column, right: Column): Column =
+    expressions.col(expressions.BpeMerge(
+      expressions.expr(syms), expressions.expr(left), expressions.expr(right)))
+
   /** Distinct n-token shingle hashes of a text as `array<long>`, one
     * codegen'd pass, no intermediate strings — the exact-dedup-tier feeder;
     * see [[graft.expressions.ShingleHashes]]. Null below n tokens.

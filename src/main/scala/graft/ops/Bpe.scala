@@ -3,88 +3,158 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Byte-pair-encoding merge training (Sennrich et al. 2016) — the tokenizer-
-  * construction step of an LLM data pipeline, distributed. Classic BPE greedily
-  * merges the most frequent adjacent symbol pair, `numMerges` times.
+import graft.engine.CacheScope
+
+/** Byte-pair-encoding tokenizer TRAINING over a document corpus — the
+  * missing piece between the engine's token statistics (vocab_topk,
+  * pmi_bigrams) and an actual trainable tokenizer. Classic Sennrich-style
+  * BPE: learn `nMerges` merge rules greedily by most-frequent adjacent
+  * symbol pair.
   *
-  * Scale shape: training runs over the WORD-FREQUENCY table, not the raw
-  * corpus — the standard trick (one corpus pass builds (word, count); every
-  * merge round then touches |vocab| rows, corpus size never matters again).
-  * Each round is: one pair-count aggregate (map-side combined, weighted by
-  * word count), a driver-side argmax of ONE row (the merge decision is
-  * global and tiny), and a narrow per-word fold applying the merge.
-  * `localCheckpoint` per round truncates lineage, same as
-  * [[Dedup.dupClusters]] — plan depth stays O(1), not O(rounds).
+  * Scale shape (the part that matters at 100 TB): the corpus is touched
+  * ONCE — a word-frequency shuffle whose map-side combine collapses each
+  * partition's words before the exchange. Everything after runs on the
+  * DISTINCT-WORD vocabulary, and Zipf's law makes that vocabulary small
+  * (a 100 TB crawl's distinct-word table is GBs, not TBs). Two paths:
   *
-  * Determinism: argmax ties break on (left, right) lexicographically, and the
-  * per-word merge fold is the standard greedy left-to-right non-overlapping
-  * application, so retrained merges are bit-identical run to run.
+  *   - [[trainLocal]] — the PRODUCTION path: collect the (word, freq)
+  *     vocab to the driver once and run the merge loop in memory. Real
+  *     tokenizers learn 30k+ merges; 30k driver-side array passes are
+  *     milliseconds each, while 30k distributed jobs would be scheduler
+  *     suicide. This is exactly how production BPE trainers work after
+  *     the corpus-scale count.
+  *   - [[train]] — the distributed iteration, for when the vocab must NOT
+  *     be collected (synthetic corpora with unbounded distinct "words",
+  *     or audit runs that want every step oracle-checked): per merge one
+  *     map-side-combined pair-count shuffle, a driver top-1, and a NARROW
+  *     per-word rewrite ([[graft.expressions.BpeMerge]], codegen'd), with
+  *     periodic localCheckpoint bounding the linear lineage like
+  *     [[Graph.pageRankMicro]].
+  *
+  * Determinism: integer frequencies; the winning pair breaks count ties on
+  * (left, right) lexicographic order; the merge rewrite is the exact fold
+  * the DuckDB `list_reduce` twin performs. End-of-word is the explicit
+  * `</w>` sentinel symbol (Sennrich's convention), so learned merges
+  * distinguish suffixes from mid-word runs.
   */
 object Bpe {
 
-  /** One learned merge: rank = order learned, (left, right) → left+right. */
-  case class Merge(rank: Int, left: String, right: String, weight: Long)
+  val EndOfWord = "</w>"
 
-  /** Greedy left-to-right application of ONE merge to a symbol array:
-    * fold that replaces every non-overlapping (a, b) adjacency with a+b.
+  /** (word, freq) vocabulary of a text column: hygiene pass first
+    * ([[TextOps.normalizeText]] — no control characters survive, so the
+    * codepoint split below can't silently drop a `.`-unmatched char and the
+    * Java-vs-RE2 `.`-excludes-what divergence never arises), then the
+    * corpus-wide single-space tokenization ([[TextOps.tokens]]), empty
+    * tokens dropped. The ONE corpus-scale shuffle of BPE training.
     */
-  private def mergeFold(symbols: Column, a: String, b: String): Column =
-    aggregate(symbols, array().cast("array<string>"), (acc, x) =>
-      when(size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(x))))
+  def wordVocab(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(
+        TextOps.normalizeText(col(textCol)))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
 
-  /** Character seed: one symbol per character. */
-  def seed(word: Column): Column = split(word, "")
-
-  /** Learn `numMerges` merges from a (word, count) frequency table. Stops
-    * early when no adjacent pair occurs at least `minPairCount` times.
+  /** Initial symbol sequence of a word: its codepoints plus the `</w>`
+    * sentinel.
     */
-  def train(words: DataFrame, wordCol: String, countCol: String,
-            numMerges: Int, minPairCount: Long = 2L): Seq[Merge] = {
-    require(numMerges > 0, "numMerges must be positive")
-    var toks = words
-      .select(seed(col(wordCol)).as("__syms"), col(countCol).cast("long").as("__cnt"))
-      .localCheckpoint()
-    val merges = scala.collection.mutable.ListBuffer.empty[Merge]
-    var round = 0
+  def initialSymbols(word: Column): Column =
+    concat(regexp_extract_all(word, lit("."), lit(0)), array(lit(EndOfWord)))
+
+  /** Frequency-weighted adjacent-pair counts of a (syms, freq) vocab:
+    * (lhs, rhs, cnt). Map-side combine collapses to |distinct pairs|
+    * before the exchange.
+    */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("freq"), col("syms"),
+        posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1))
+          .as(Seq("i", "lhs")))
+      .select(col("lhs"), element_at(col("syms"), col("i") + 2).as("rhs"),
+        col("freq"))
+      .groupBy("lhs", "rhs").agg(sum(col("freq")).as("cnt"))
+
+  /** Learn `nMerges` merge rules, distributed per-iteration (see object doc
+    * for when). Returns (step, lhs, rhs, cnt) — the ordered merge table
+    * a tokenizer ships. Stops early if the vocabulary runs out of pairs.
+    */
+  def train(df: DataFrame, textCol: String, nMerges: Int,
+            scope: CacheScope = CacheScope.global): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var vocab = scope.persisted(
+      wordVocab(df, textCol)
+        .select(initialSymbols(col("word")).as("syms"), col("freq")))
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var step = 0
     var exhausted = false
-    while (round < numMerges && !exhausted) {
-      val best = toks
-        .select(col("__cnt"), explode(when(size(col("__syms")) >= 2,
-          transform(sequence(lit(1), size(col("__syms")) - 1), i =>
-            struct(element_at(col("__syms"), i).as("l"),
-              element_at(col("__syms"), i + 1).as("r"))))
-          .otherwise(array().cast("array<struct<l:string,r:string>>"))).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("__cnt")).as("w"))
-        .orderBy(col("w").desc, col("l"), col("r"))
+    while (step < nMerges && !exhausted) {
+      val top = pairCounts(vocab)
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
         .limit(1).collect()
-      if (best.isEmpty || best.head.getLong(2) < minPairCount) exhausted = true
+      if (top.isEmpty) exhausted = true
       else {
-        val (l, r, w) = (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
-        merges += Merge(round, l, r, w)
-        toks = toks
-          .select(mergeFold(col("__syms"), l, r).as("__syms"), col("__cnt"))
-          .localCheckpoint() // eager: apply the merge once, truncate lineage
-        round += 1
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        merges += ((step, l, r, top(0).getLong(2)))
+        val next = vocab.select(
+          graft.functions.bpe_merge(col("syms"), lit(l), lit(r)).as("syms"),
+          col("freq"))
+        vocab = scope.persisted(
+          if ((step + 1) % 4 == 0) next.localCheckpoint() else next)
+        step += 1
       }
     }
-    merges.toList
+    merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }
 
-  /** Segment words with a learned merge list: the apply path (tokenize new
-    * text with the frozen tokenizer). Merges apply in rank order — same
-    * greedy fold as training, chained; lineage is truncated every few merges
-    * so expression depth stays bounded for long merge lists.
+  /** PRODUCTION path: one corpus-scale word count, then the whole merge
+    * loop on the driver. Bit-identical to [[train]] (same greedy rule, same
+    * tie-break, same fold) — property-tested — at 1e4× the iteration rate.
     */
-  def segment(df: DataFrame, wordCol: String, merges: Seq[Merge],
-              checkpointEvery: Int = 8): DataFrame = {
-    var out = df.withColumn("__syms", seed(col(wordCol)))
-    merges.sortBy(_.rank).zipWithIndex.foreach { case (m, i) =>
-      out = out.withColumn("__syms", mergeFold(col("__syms"), m.left, m.right))
-      if ((i + 1) % checkpointEvery == 0) out = out.localCheckpoint()
+  def trainLocal(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab0: Array[(Array[String], Long)] =
+      wordVocab(df, textCol).collect().map { r =>
+        val cps = r.getString(0).codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+        (cps :+ EndOfWord, r.getLong(1))
+      }
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
+    var step = 0
+    var exhausted = false
+    while (step < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((step, l, r, c))
+        vocab = vocab.map { case (syms, f) => (mergeLocal(syms, l, r), f) }
+        step += 1
+      }
     }
-    out.withColumnRenamed("__syms", "tokens")
+    merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
+  }
+
+  /** The same leftmost non-overlapping fold as [[graft.expressions.BpeMerge]]. */
+  private[ops] def mergeLocal(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new Array[String](syms.length)
+    var m = 0
+    var i = 0
+    while (i < syms.length) {
+      if (m > 0 && out(m - 1) == l && syms(i) == r) out(m - 1) = l + r
+      else { out(m) = syms(i); m += 1 }
+      i += 1
+    }
+    if (m == syms.length) out else java.util.Arrays.copyOf(out, m)
   }
 }

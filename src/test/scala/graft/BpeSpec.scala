@@ -2,48 +2,75 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.engine.CacheScope
 import graft.ops.Bpe
 
+/** [[graft.ops.Bpe]] — hand-computed merges, the BpeMerge fold's edge
+  * cases, and the trainLocal ≡ train production-path equivalence.
+  */
 class BpeSpec extends SparkSpec {
   import spark.implicits._
 
-  // the classic BPE fixture: low×5, lower×2, lowest×1
-  private lazy val words =
-    Seq(("low", 5L), ("lower", 2L), ("lowest", 1L)).toDF("word", "cnt")
-
-  test("train learns the classic merge sequence with deterministic ties") {
-    val merges = Bpe.train(words, "word", "cnt", numMerges = 10)
-    // pair weights round 0: (l,o)=8, (o,w)=8, (w,e)=3, (e,r)=2 — tie on 8
-    // breaks lexicographically to (l,o); then (lo,w)=8, (low,e)=3, (lowe,r)=2;
-    // remaining pairs are weight 1 < minPairCount → early stop
-    assert(merges.map(m => (m.left, m.right, m.weight)) === Seq(
-      ("l", "o", 8L), ("lo", "w", 8L), ("low", "e", 3L), ("lowe", "r", 2L)))
-    assert(merges.map(_.rank) === Seq(0, 1, 2, 3))
+  test("bpe_merge expression: leftmost non-overlapping fold") {
+    import graft.functions.bpe_merge
+    val df = Seq(
+      (1L, Seq("a", "a", "a")),          // (a,a): [aa, a] not [aa, aa]
+      (2L, Seq("a", "b", "a", "b")),     // (a,b) elsewhere: untouched here
+      (3L, Seq("x", "a", "a", "a", "a")) // two non-overlapping merges
+    ).toDF("id", "syms")
+    val out = df.select(col("id"), bpe_merge(col("syms"), lit("a"), lit("a")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("aa", "a"))
+    assert(out(2L) === Seq("a", "b", "a", "b"))
+    assert(out(3L) === Seq("x", "aa", "aa"))
+    // merged symbol is ONE element: 'aa' then trailing 'a' must not re-merge
+    val out2 = df.select(col("id"),
+        bpe_merge(bpe_merge(col("syms"), lit("a"), lit("a")),
+          lit("aa"), lit("a")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out2(1L) === Seq("aaa"))
   }
 
-  test("segment applies merges greedily; token concat reproduces the word") {
-    val merges = Bpe.train(words, "word", "cnt", numMerges = 10)
-    val out = Bpe.segment(Seq("lowest", "slower", "low").toDF("word"),
-        "word", merges)
-      .select(col("word"), col("tokens"))
-      .as[(String, Seq[String])].collect().toMap
-    assert(out("lowest") === Seq("lowe", "s", "t"))
-    assert(out("slower") === Seq("s", "lower"))
-    assert(out("low") === Seq("low"))
-    out.foreach { case (w, ts) => assert(ts.mkString === w) }
+  test("hand-computed training on a 3-word corpus") {
+    // corpus: "low low lower" → vocab: low×2, lower×1
+    // syms: [l,o,w,</w>]×2, [l,o,w,e,r,</w>]×1
+    // step0 pairs: (l,o)=3 (o,w)=3 (w,</w>)=2 (w,e)=1 (e,r)=1 (r,</w>)=1
+    //   winner: tie 3 → lex: (l,o)
+    // step1: [lo,w,</w>]×2, [lo,w,e,r,</w>]: (lo,w)=3 wins
+    // step2: [low,</w>]×2 [low,e,r,</w>]: (low,</w>)=2 wins
+    val df = Seq("low low lower").toDF("text")
+    val m = Bpe.train(df, "text", 3, new CacheScope)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m.toSeq === Seq(
+      (0, "l", "o", 3L), (1, "lo", "w", 3L), (2, "low", "</w>", 2L)))
   }
 
-  test("train stops when no pair clears minPairCount") {
-    val singletons = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "cnt")
-    assert(Bpe.train(singletons, "word", "cnt", numMerges = 5).isEmpty)
+  test("trainLocal ≡ train on real testdata (production-path equivalence)") {
+    val docs = engine.Tables.documents(spark, "/root/testdata/sf0.001").limit(120)
+    val a = Bpe.train(docs, "text", 6, new CacheScope).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val b = Bpe.trainLocal(docs, "text", 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(a === b, "driver-side loop must replay the distributed iteration exactly")
   }
 
-  test("repeated-symbol merges apply left-to-right without overlap") {
-    val rep = Seq(("aaaa", 3L)).toDF("word", "cnt")
-    val merges = Bpe.train(rep, "word", "cnt", numMerges = 1)
-    assert(merges.map(m => (m.left, m.right)) === Seq(("a", "a")))
-    val out = Bpe.segment(Seq("aaaaa").toDF("word"), "word", merges)
-      .select("tokens").as[Seq[String]].head()
-    assert(out === Seq("aa", "aa", "a")) // greedy non-overlapping
+  test("unicode symbols are codepoint-wise in both paths") {
+    val df = Seq("日本 日本 日本語").toDF("text")
+    val a = Bpe.train(df, "text", 2, new CacheScope).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val b = Bpe.trainLocal(df, "text", 2).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(a === b)
+    assert(a.head === (("日", "本", 3L)), "codepoints, not bytes or chars")
+  }
+
+  test("early exhaustion: single-char words stop after the only merge") {
+    // "a b" → vocab a×1 b×1; syms [a,</w>],[b,</w>] — pairs (a,</w>)=1,(b,</w>)=1
+    // step0 winner (a,</w>); step1 only (b,</w>); step2 nothing mergeable…
+    // after both merge into single symbols there are NO pairs → stop
+    val df = Seq("a b").toDF("text")
+    val m = Bpe.train(df, "text", 10, new CacheScope).collect()
+    assert(m.length === 2)
   }
 }
