@@ -1076,6 +1076,11 @@ object SparkEntry {
   val KmeansIters = 2
   /** Greedy BPE merges learned by the declared query (unrolled in the oracle). */
   val BpeMergeSteps = 4
+  /** Fixed-size doc cohort the bpe_encode query tokenizes (training still
+    * reads the full corpus; encode is a zero-shuffle map, so the cohort only
+    * bounds the verify dump).
+    */
+  val BpeEncodeDocs = 20
 
   /** IVF search declared query: fixed-size query cohort, 2-of-8 lists probed. */
   private val IvfQueryMax = 20
@@ -1166,6 +1171,25 @@ object SparkEntry {
     "bpe_merges" -> ((s, d) =>
       Bpe.train(Tables.documents(s, d), "text", BpeMergeSteps)
         .orderBy("step")),
+
+    // tokenizer APPLICATION: train on the full corpus (production
+    // trainLocal path), then encode a fixed-size doc cohort to token ids —
+    // the encode itself is a zero-shuffle codegen'd map + broadcast id
+    // join, so the corpus-scale path is exactly this plan minus the cohort
+    // filter; ids are base-vocab-sorted then merge-rank (GPT-2 scheme)
+    "bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainLocal(docs, "text", BpeMergeSteps)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.encodeTokens(docs.filter(col("doc_id") < BpeEncodeDocs),
+          "doc_id", "text", merges)
+        .join(broadcast(Bpe.vocabIds(docs, "text", merges)),
+          col("token") === col("sym"))
+        .select(col("doc_id"), col("wi"), col("tj"), col("token"),
+          col("id").as("token_id"))
+        .orderBy("doc_id", "wi", "tj")
+    }),
 
     // end-to-end IVF ANN search with the same fixed codebook: a fixed-size
     // query cohort probes its IvfNProbe nearest lists and runs exact cosine
@@ -3361,6 +3385,57 @@ object SparkEntry {
       s"""WITH ${bpeCtes(BpeMergeSteps)}
          |${rows.mkString("\nUNION ALL ")}
          |ORDER BY step""".stripMargin
+    },
+
+    // replay the learned merges over the cohort's words (one fold CTE per
+    // rank — the exact semantics BpeApply reproduces table-size-free), then
+    // assign ids: base symbols binary-sorted, then merge outputs by rank,
+    // first spelling wins
+    "bpe_encode" -> {
+      val folds = (0 until BpeMergeSteps).map { i =>
+        s"""e${i + 1} AS (SELECT e.doc_id, e.wi, list_reduce(
+           |    list_transform(e.syms, x -> [x]),
+           |    (acc, el) -> CASE WHEN acc[-1] = t.lhs AND el[1] = t.rhs
+           |      THEN list_append(array_pop_back(acc), acc[-1] || el[1])
+           |      ELSE list_concat(acc, el) END) AS syms
+           |  FROM e$i e CROSS JOIN t$i t)""".stripMargin
+      }
+      val mergeRows = (0 until BpeMergeSteps).map(i =>
+        s"SELECT $i AS step, lhs || rhs AS sym FROM t$i")
+      s"""WITH ${bpeCtes(BpeMergeSteps)},
+         |docw AS (SELECT doc_id, wi, ws[wi + 1] AS word FROM (
+         |    SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 1)) AS wi
+         |    FROM (SELECT doc_id, string_split(
+         |        trim(regexp_replace(regexp_replace(regexp_replace(text,
+         |          '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |          '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+         |          '[ \\t\\n\\r\\f]+', ' ', 'g')), ' ') AS ws
+         |      FROM documents WHERE doc_id < $BpeEncodeDocs))
+         |  WHERE len(ws[wi + 1]) > 0),
+         |e0 AS (SELECT doc_id, wi,
+         |    list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+         |  FROM docw),
+         |${folds.mkString(",\n")},
+         |base AS (SELECT DISTINCT sym FROM
+         |  (SELECT unnest(syms) AS sym FROM s0)),
+         |bids AS (SELECT sym,
+         |    CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+         |  FROM base),
+         |mnew AS (SELECT sym, min(step) AS st FROM
+         |    (${mergeRows.mkString(" UNION ALL ")})
+         |  WHERE sym NOT IN (SELECT sym FROM base) GROUP BY 1),
+         |mids AS (SELECT sym, (SELECT count(*) FROM base)
+         |    + CAST(row_number() OVER (ORDER BY st) - 1 AS BIGINT) AS id
+         |  FROM mnew),
+         |vids AS (SELECT sym, id FROM bids UNION ALL SELECT sym, id FROM mids),
+         |tok AS (SELECT doc_id, CAST(wi AS INTEGER) AS wi,
+         |    CAST(tj AS INTEGER) AS tj, syms[tj + 1] AS token FROM (
+         |    SELECT doc_id, wi, syms,
+         |      unnest(generate_series(0, len(syms) - 1)) AS tj
+         |    FROM e$BpeMergeSteps))
+         |SELECT t.doc_id, t.wi, t.tj, t.token, v.id AS token_id
+         |FROM tok t JOIN vids v ON t.token = v.sym
+         |ORDER BY doc_id, wi, tj""".stripMargin
     },
 
     "kmeans_centroids" ->

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BitInterleave, BpeMerge, DeflateSize, GeoCell, MinHashSig, MinHashText, RollingKgramHash, ShingleHashes, StableHashBucket, VecDot}
+import graft.expressions.{BitInterleave, BpeApply, BpeMerge, DeflateSize, GeoCell, MinHashSig, MinHashText, RollingKgramHash, ShingleHashes, StableHashBucket, VecDot}
 
 /** SQL surface for the engine's native Catalyst expressions: registers
   * `geo_cell`, `stable_bucket`, `vec_dot`, and `rolling_kgrams` as SQL
@@ -75,6 +75,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "minhash_text(text, n, k) takes 3 arguments")
         MinHashText(args(0), args(1), args(2))
+      }),
+    (FunctionIdentifier("bpe_apply"),
+      info("bpe_apply", "bpe_apply(syms, lhs_arr, rhs_arr) - full BPE encode against a literal merge table"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "bpe_apply(syms, lhs_arr, rhs_arr) takes 3 arguments")
+        BpeApply(args(0), args(1), args(2))
       }),
     (FunctionIdentifier("bpe_merge"),
       info("bpe_merge", "bpe_merge(syms, left, right) - one leftmost non-overlapping BPE merge"),

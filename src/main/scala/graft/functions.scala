@@ -100,6 +100,13 @@ object functions {
     expressions.col(expressions.BpeMerge(
       expressions.expr(syms), expressions.expr(left), expressions.expr(right)))
 
+  /** Full BPE encode of a symbol array against a literal merge table
+    * (lhs/rhs arrays indexed by rank) — see [[graft.expressions.BpeApply]].
+    */
+  def bpe_apply(syms: Column, lhs: Column, rhs: Column): Column =
+    expressions.col(expressions.BpeApply(
+      expressions.expr(syms), expressions.expr(lhs), expressions.expr(rhs)))
+
   /** Distinct n-token shingle hashes of a text as `array<long>`, one
     * codegen'd pass, no intermediate strings — the exact-dedup-tier feeder;
     * see [[graft.expressions.ShingleHashes]]. Null below n tokens.

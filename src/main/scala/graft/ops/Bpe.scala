@@ -145,6 +145,53 @@ object Bpe {
     merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }
 
+  /** ENCODE a text column with a learned merge table: one narrow codegen'd
+    * map over the corpus ([[graft.expressions.BpeApply]] — replay-order
+    * exact, merge-table-size independent), exploded to one row per output
+    * token: (id, wi, tj, token) where `wi` is the word's position in the
+    * document and `tj` the token's position in the word. No shuffle at all —
+    * encoding is embarrassingly parallel; the merge table rides in as a
+    * broadcast-sized literal.
+    */
+  def encodeTokens(df: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val lhs = typedLit(merges.map(_._1))
+    val rhs = typedLit(merges.map(_._2))
+    df.select(col(idCol),
+        posexplode(TextOps.tokens(TextOps.normalizeText(col(textCol))))
+          .as(Seq("wi", "word")))
+      .filter(length(col("word")) > 0)
+      .select(col(idCol), col("wi"),
+        posexplode(graft.functions.bpe_apply(initialSymbols(col("word")), lhs, rhs))
+          .as(Seq("tj", "token")))
+  }
+
+  /** Deterministic token-id vocabulary of a trained tokenizer: base symbols
+    * (every distinct initial symbol of the training corpus, binary-sorted —
+    * Spark's UTF8String order, which is codepoint order and matches an
+    * engine-independent UTF-8 collation) take ids 0..B-1; merge OUTPUTS take
+    * the next ids in rank order, skipping strings already present (two
+    * different merges, or a merge and a base symbol, can spell the same
+    * string — one string, one id, first assignment wins, exactly GPT-2's
+    * byte-alphabet-then-merges scheme). The base-symbol distinct is
+    * vocab-sized (distinct codepoints + sentinel), so the driver-side
+    * collect is bounded regardless of corpus size.
+    */
+  def vocabIds(df: DataFrame, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = wordVocab(df, textCol)
+      .select(explode(initialSymbols(col("word"))).as("sym"))
+      .distinct().orderBy("sym")
+      .collect().map(_.getString(0))
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    base.foreach(seen += _)
+    merges.foreach { case (l, r) => seen += (l + r) }
+    seen.toSeq.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+      .toDF("sym", "id")
+  }
+
   /** The same leftmost non-overlapping fold as [[graft.expressions.BpeMerge]]. */
   private[ops] def mergeLocal(syms: Array[String], l: String, r: String): Array[String] = {
     val out = new Array[String](syms.length)

@@ -65,6 +65,56 @@ class BpeSpec extends SparkSpec {
     assert(a.head === (("日", "本", 3L)), "codepoints, not bytes or chars")
   }
 
+  test("bpe_apply ≡ unrolled replay of bpe_merge on real testdata") {
+    import graft.functions.{bpe_apply, bpe_merge}
+    val docs = engine.Tables.documents(spark, "/root/testdata/sf0.001").limit(120)
+    val merges = Bpe.trainLocal(docs, "text", 8).orderBy("step").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val words = docs
+      .select(explode(graft.ops.TextOps.tokens(
+        graft.ops.TextOps.normalizeText(col("text")))).as("word"))
+      .filter(length(col("word")) > 0)
+      .select(Bpe.initialSymbols(col("word")).as("syms"))
+    val replayed = merges.foldLeft(col("syms")) { case (c, (l, r)) =>
+      bpe_merge(c, lit(l), lit(r))
+    }
+    val diff = words.select(
+        replayed.as("a"),
+        bpe_apply(col("syms"), typedLit(merges.map(_._1)),
+          typedLit(merges.map(_._2))).as("b"))
+      .filter(not(col("a") === col("b")))
+    assert(diff.count() === 0L,
+      "priority kernel must equal rank-order replay on every word")
+  }
+
+  test("bpe_apply skips destroyed lower-rank pairs exactly like replay") {
+    import graft.functions.bpe_apply
+    // table: rank0 (a,b); rank1 (ab,c); rank2 (b,c)
+    // "abc": rank0 → [ab, c]; rank1 → [abc]; rank2 pair (b,c) was destroyed
+    // "xbc": rank0/1 absent; rank2 → [x, bc]
+    val df = Seq(
+      (1L, Seq("a", "b", "c", "</w>")),
+      (2L, Seq("x", "b", "c", "</w>"))).toDF("id", "syms")
+    val out = df.select(col("id"),
+        bpe_apply(col("syms"), typedLit(Seq("a", "ab", "b")),
+          typedLit(Seq("b", "c", "c"))).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) === Seq("abc", "</w>"))
+    assert(out(2L) === Seq("x", "bc", "</w>"))
+  }
+
+  test("vocabIds: base symbols sorted, merge outputs by rank, dup spellings collapse") {
+    // corpus chars: a,b,c + </w>; merges (a,b)→ab, (ab,c)→abc, (c,a)→ca
+    // and a DUPLICATE spelling: (a,bc) would also spell 'abc' — first wins
+    val df = Seq("abc ca abc").toDF("text")
+    val ids = Bpe.vocabIds(df, "text",
+        Seq(("a", "b"), ("ab", "c"), ("a", "bc"), ("c", "a")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ids === Map(
+      "</w>" -> 0L, "a" -> 1L, "b" -> 2L, "c" -> 3L,
+      "ab" -> 4L, "abc" -> 5L, "ca" -> 6L))
+  }
+
   test("early exhaustion: single-char words stop after the only merge") {
     // "a b" → vocab a×1 b×1; syms [a,</w>],[b,</w>] — pairs (a,</w>)=1,(b,</w>)=1
     // step0 winner (a,</w>); step1 only (b,</w>); step2 nothing mergeable…
