@@ -847,6 +847,12 @@ object SparkEntry {
       Curation.qualityFilter(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // Gopher rule battery (Rae et al. §A1.1): the other canonical heuristic
+    // set — per-signal columns + failure bitmask, one narrow scan
+    "gopher_rules" -> ((s, d) =>
+      Curation.gopherRules(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // model-based quality filter: fixed-weight logistic over text features
     // (the fastText-classifier stage as a deterministic narrow map)
     "quality_clf" -> ((s, d) =>
@@ -2581,6 +2587,51 @@ object SparkEntry {
         |SELECT doc_id, CAST(drop_reasons AS INTEGER) AS drop_reasons,
         |  drop_reasons = 0 AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // word rules over normalized tokens, line rules over RAW text (chr(10)
+    // split); flag comparisons on UNROUNDED doubles in both engines
+    "gopher_rules" ->
+      """WITH pre AS (SELECT doc_id, text,
+        |    list_filter(string_split(
+        |      trim(regexp_replace(regexp_replace(regexp_replace(text,
+        |        '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+        |        '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+        |        '[ \t\n\r\f]+', ' ', 'g')), ' '), w -> len(w) > 0) AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_words,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE)
+        |        / len(toks) END AS mean_len,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+        |        / len(toks) END AS symbol_r,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•‣▪]')))
+        |      AS DOUBLE) / len(lines) AS bullet_f,
+        |    CAST(len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)$')))
+        |      AS DOUBLE) / len(lines) AS ellipsis_f,
+        |    CASE WHEN len(toks) > 0 THEN
+        |      CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+        |        AS DOUBLE) / len(toks) END AS alpha_f,
+        |    CAST(len(list_filter(toks, w -> list_contains(
+        |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'], w)))
+        |      AS BIGINT) AS stop_hits
+        |  FROM pre),
+        |f AS (SELECT *,
+        |    (CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+        |     + CASE WHEN mean_len < 3.0 OR mean_len > 10.0 THEN 2 ELSE 0 END
+        |     + CASE WHEN symbol_r > CAST('0.1' AS DOUBLE) THEN 4 ELSE 0 END
+        |     + CASE WHEN bullet_f > CAST('0.9' AS DOUBLE) THEN 8 ELSE 0 END
+        |     + CASE WHEN ellipsis_f > CAST('0.3' AS DOUBLE) THEN 16 ELSE 0 END
+        |     + CASE WHEN alpha_f < CAST('0.8' AS DOUBLE) THEN 32 ELSE 0 END
+        |     + CASE WHEN stop_hits < 2 THEN 64 ELSE 0 END) AS flags
+        |  FROM m)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+        |  round(mean_len, 6) AS mean_word_len, round(symbol_r, 6) AS symbol_ratio,
+        |  round(bullet_f, 6) AS bullet_frac, round(ellipsis_f, 6) AS ellipsis_frac,
+        |  round(alpha_f, 6) AS alpha_frac, stop_hits,
+        |  CAST(flags AS INTEGER) AS flags, flags = 0 AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id,

@@ -382,6 +382,74 @@ object Curation {
         sum(size(col("__toks")).cast("long")).as("n_tokens"),
         bit_xor(stable_bucket(col("__sig"), Int.MaxValue)).as("xor_sig"))
 
+  /** The Gopher (Rae et al. 2021, §A1.1) stop list — rule 7 counts hits. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, §A1.1) — the
+    * OTHER canonical heuristic battery next to [[qualityFilter]]'s C4 set:
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * (`#`/ellipsis noise), bullet-start and ellipsis-end line fractions,
+    * alphabetic-word fraction, and a minimum stop-word hit count. Emits
+    * every signal plus a failure bitmask (1 = word count, 2 = mean word
+    * length, 4 = symbol ratio, 8 = bullet lines, 16 = ellipsis lines,
+    * 32 = alpha words, 64 = stop hits) and `keep` = no bits — per-row audit
+    * of removed mass, same rationale as [[qualityFilter]].
+    *
+    * Line rules read the RAW text (normalization collapses newlines); word
+    * rules read normalized tokens. One narrow codegen'd map, no shuffle —
+    * the 100 TB cost is exactly one scan. Regex classes are spelled to the
+    * RE2 ∩ Java subset so the DuckDB twin matches character-for-character.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+                  minWords: Int = 50, maxWords: Int = 100000,
+                  minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                  maxSymbolRatio: Double = 0.1, maxBulletFrac: Double = 0.9,
+                  maxEllipsisFrac: Double = 0.3, minAlphaFrac: Double = 0.8,
+                  minStopHits: Int = 2): DataFrame = {
+    val raw = col(textCol)
+    val pre = df.select(col(idCol), raw,
+      filter(TextOps.tokens(TextOps.normalizeText(raw)),
+        w => length(w) > 0).as("__toks"),
+      split(raw, "\n").as("__lines"))
+    val toks = col("__toks")
+    val lines = col("__lines")
+    val nWords = size(toks)
+    val nWordsD = nWords.cast("double")
+    val nLinesD = size(lines).cast("double")
+    val meanLen = when(nWords > 0,
+      aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double")
+        / nWordsD)
+    val symbolRatio = when(nWords > 0,
+      size(regexp_extract_all(raw, lit("#|\\.\\.\\.|…"), lit(0)))
+        .cast("double") / nWordsD)
+    val bulletFrac =
+      size(filter(lines, l => l.rlike("^[-*•‣▪]"))).cast("double") / nLinesD
+    val ellipsisFrac =
+      size(filter(lines, l => l.rlike("(\\.\\.\\.|…)$"))).cast("double") / nLinesD
+    val alphaFrac = when(nWords > 0,
+      size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("double") / nWordsD)
+    val stopHits = size(filter(toks,
+      w => GopherStops.map(s => w === lit(s)).reduce(_ || _))).cast("long")
+    val flags =
+      when(nWords < minWords || nWords > maxWords, 1).otherwise(0) +
+      when(meanLen < minMeanLen || meanLen > maxMeanLen, 2).otherwise(0) +
+      when(symbolRatio > maxSymbolRatio, 4).otherwise(0) +
+      when(bulletFrac > maxBulletFrac, 8).otherwise(0) +
+      when(ellipsisFrac > maxEllipsisFrac, 16).otherwise(0) +
+      when(alphaFrac < minAlphaFrac, 32).otherwise(0) +
+      when(stopHits < minStopHits, 64).otherwise(0)
+    pre.select(col(idCol),
+      nWords.cast("long").as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbolRatio, 6).as("symbol_ratio"),
+      round(bulletFrac, 6).as("bullet_frac"),
+      round(ellipsisFrac, 6).as("ellipsis_frac"),
+      round(alphaFrac, 6).as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      flags.as("flags"), (flags === 0).as("keep"))
+  }
+
   /** C4-style composite quality filter: every heuristic votes, failures are
     * recorded as a bitmask (1 = too short, 2 = too long, 4 = punctuation
     * noise, 8 = unnatural stopword density), `keep` = no bits set. Keeping

@@ -571,4 +571,38 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(t(1L) === 0.0 && t(2L) === 1.0)
   }
+
+  test("gopherRules: each rule trips on its own fixture, clean doc keeps") {
+    val clean = ("the cat and the dog have been to the park of dreams " +
+      "and that was fine with everyone there today really truly ") * 3 // 57 words
+    val df = Seq(
+      (1L, clean),
+      (2L, "the of and " * 5),                        // 15 words → rule 1
+      (3L, ("a b c " * 20) + "the of and that"),      // mean len < 3 → rule 2
+      (4L, clean + " " + ("# # # # # # # " * 2)),     // symbols → rule 4
+      (5L, clean + "\n- one\n- two\n- three\n- four\n- five\n- six\n- seven" +
+        "\n- eight\n- nine\n- ten\n- more\n- again\n- yet\n- still"), // rule 8
+      (6L, clean + "\nwe trailed off...\nand again…\nmore words here"), // rule 16
+      (7L, ("1 2 3 4 5 6 7 8 9 10 " * 6) + "the of and that with"),   // rule 32
+      (8L, "cats dogs birds fish mice " * 11)         // no stop words → rule 64
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getInt(8), r.getBoolean(9))).toMap
+    assert(out(1L) === ((0, true)), s"clean doc: $out")
+    assert((out(2L)._1 & 1) === 1)
+    assert((out(3L)._1 & 2) === 2)
+    assert((out(4L)._1 & 4) === 4)
+    assert((out(5L)._1 & 8) === 8)
+    assert((out(6L)._1 & 16) === 16)
+    assert((out(7L)._1 & 32) === 32)
+    assert(out(8L) === ((64, false)))
+  }
+
+  test("gopherRules: empty text fails word count only, ratios null") {
+    val out = Curation.gopherRules(Seq((1L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(out.getLong(1) === 0L)     // n_words
+    assert(out.isNullAt(2) && out.isNullAt(3) && out.isNullAt(6))
+    assert(out.getInt(8) === (1 + 64) && !out.getBoolean(9))
+  }
 }
