@@ -34,6 +34,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "bloom_distinct" -> 3,
     "bm25_score" -> 2,
     "boilerplate_score" -> 5,
+    "bpe_encode" -> 1,
+    "bpe_merges" -> 1,
+    "bpe_pairs" -> 3,
     "brand_volume" -> 2,
     "cdc_apply" -> 3,
     "char_entropy" -> 3,
@@ -58,6 +61,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "domain_cap" -> 2,
     "dq_audit" -> 1,
     "drift_psi" -> 2,
+    "gopher_rules" -> 1,
     "dsir_select" -> 4,
     "dsir_weights" -> 5,
     "dup_clusters" -> 1,
