@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.engine.CacheScope
 import graft.functions.stable_bucket
 
 /** Corpus-curation operators for a training-data pipeline: deterministic
@@ -337,22 +338,41 @@ object Curation {
     * blend heterogeneous quality signals by averaging their corpus
     * percent-ranks rather than their raw values — rank space is the only
     * scale on which a logistic score, an entropy in nats, and a repetition
-    * fraction are commensurable. Each signal's rank orders on the
-    * 6dp-ROUNDED value with the id as tiebreak (`better` = whether high
-    * raw values are good), so both engines rank identical doubles.
+    * fraction are commensurable. Each signal ranks on its value with the id
+    * as tiebreak (`better` = whether high raw values are good); the id makes
+    * the order total, so percent_rank degenerates to (row position)/(n−1)
+    * and both engines rank identical doubles.
     *
-    * Scale: the global percent_rank is a corpus-wide sort — correct for
-    * audit-grade ranking at declared-query scale; at 100 TB swap in
-    * per-shard ranks or equi-depth bucket ranks (`value_deciles` path) —
-    * the blend arithmetic is unchanged.
+    * Scale: each signal's rank comes from [[Indexing.globalIndex]]'s
+    * range-partition protocol (range shuffle + per-partition offsets), NOT a
+    * corpus-wide single-partition window — every stage stays distributed at
+    * 100 TB. One range shuffle + one id-keyed join back per signal.
+    *
+    * Precondition: signal values non-null and finite (NaN/null order
+    * differently under the descending-as-negation encoding than under a
+    * true DESC sort; every shipped signal is a rounded finite double).
     */
   def qualityEnsemble(signals: DataFrame, idCol: String,
-                      cols: Seq[(String, Boolean)]): DataFrame = {
+                      cols: Seq[(String, Boolean)],
+                      scope: CacheScope = CacheScope.global): DataFrame = {
     require(cols.nonEmpty, "need at least one signal column")
-    val ranked = cols.foldLeft(signals) { case (acc, (c, better)) =>
-      val ord = if (better) col(c).asc else col(c).desc
-      acc.withColumn(s"pr_$c",
-        round(percent_rank().over(Window.orderBy(ord, col(idCol))), 6))
+    val base = scope.persisted(signals)
+    val n = base.count()
+    val denom = math.max(n - 1L, 1L).toDouble // n==1: percent_rank is 0
+    val ranked = cols.foldLeft(base) { case (acc, (c, better)) =>
+      // ORDER BY c asc|desc, id asc as ONE range-sortable struct key:
+      // descending doubles sort ascending after negation (±0.0 pinned to
+      // one representative so negation cannot split a tie a DESC sort
+      // would keep together)
+      val v = col(c).cast("double")
+      val key = if (better) v else when(v === 0.0, lit(0.0)).otherwise(-v)
+      val idx = Indexing.globalIndex(
+          base.select(col(idCol),
+            struct(key.as("v"), col(idCol).as("i")).as("__k")),
+          "__k", scope = scope)
+        .select(col(idCol),
+          round(col("global_idx") / denom, 6).as(s"pr_$c"))
+      acc.join(idx, Seq(idCol))
     }
     val blend = cols.map { case (c, _) => col(s"pr_$c") }
       .reduce(_ + _) / cols.length.toDouble

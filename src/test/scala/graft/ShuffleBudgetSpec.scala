@@ -116,7 +116,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q3_topk" -> 1,
     "q5_region" -> 2,
     "quality_clf" -> 1,
-    "quality_ensemble" -> 3,
+    // 3 id-keyed rank joins + 1 (globalIndex range shuffles ride the RDD
+    // hop); was 3 when each signal ranked in a SINGLE-PARTITION window —
+    // one more visible exchange, but every stage is now distributed
+    "quality_ensemble" -> 4,
     "quality_filter" -> 1,
     "quality_prune" -> 2,
     "range_join_bin" -> 2,
