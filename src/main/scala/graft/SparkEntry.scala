@@ -40,6 +40,11 @@ object SparkEntry {
   private val FpMinShared = 3
   private val FpMaxDocs = 50
 
+  /** Content-defined chunking divisor: cut where the rolling hash ≡ 0 mod
+    * 64 → expected ~64-char chunks (a handful per testdata doc).
+    */
+  private val CdcDiv = 64
+
   /** Decontamination eval cohort: docs with id below this bound play the
     * benchmark suite — a FIXED-SIZE set, so the broadcast n-gram relation is
     * O(1) in corpus size (the same rule the verdict applied to `embed_topk`).
@@ -1461,6 +1466,14 @@ object SparkEntry {
       Dedup.chunkDedup(Tables.documents(s, d), "doc_id", "text", ChunkTokens)
         .orderBy("doc_id")),
 
+    // content-defined chunking dedup: boundaries anchor to the rolling hash,
+    // not offsets, so shifted/quoted passages dedup where fixed-size chunks
+    // all change
+    "content_chunks" -> ((s, d) =>
+      Dedup.contentChunkDedup(Tables.documents(s, d), "doc_id", "text",
+          FpK, CdcDiv)
+        .orderBy("doc_id")),
+
     // release receipt: per-source row count, exact token total, and an
     // order-independent XOR checksum — identical under any partitioning
     "shard_manifest" -> ((s, d) =>
@@ -2712,6 +2725,41 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, CAST(u.h AS BIGINT) AS h
          |FROM g WHERE u.h % $FpModP = 0 ORDER BY doc_id, pos""".stripMargin,
+
+    // same rolling polynomial, used as CHUNK CUTS: positions whose hash ≡ 0
+    // mod CdcDiv partition the text; chunk md5s keep first occurrence
+    "content_chunks" ->
+      s"""WITH h AS (SELECT doc_id, text,
+         |    [list_reduce(list_prepend(0::HUGEINT,
+         |        [ascii(substr(text, i, 1))::HUGEINT for i in range(j, j + $FpK)]),
+         |      (acc, b) -> (acc * 257 + b) % 2147483647)
+         |     for j in range(1, len(text) - $FpK + 2)] AS hs
+         |  FROM documents),
+         |c AS (SELECT doc_id, text,
+         |    list_prepend(1,
+         |      [j for j in range(2, len(hs) + 1) if hs[j] % $CdcDiv = 0]) AS cuts
+         |  FROM h),
+         |ch AS (SELECT doc_id, u.pos, u.chunk FROM (
+         |    SELECT doc_id, unnest([{'pos': cuts[i],
+         |        'chunk': substr(text, cuts[i],
+         |          coalesce(cuts[i + 1], len(text) + 1) - cuts[i])}
+         |      for i in range(1, len(cuts) + 1)]) AS u
+         |    FROM c) q),
+         |r AS (SELECT doc_id, len(chunk) AS clen,
+         |    row_number() OVER (PARTITION BY md5(chunk)
+         |      ORDER BY doc_id, pos) AS rn
+         |  FROM ch)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(clen) AS BIGINT) AS n_chars,
+         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_chunks,
+         |  CAST(sum(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS BIGINT)
+         |    AS dup_chars,
+         |  CASE WHEN sum(clen) > 0 THEN
+         |    round(CAST(sum(CASE WHEN rn > 1 THEN clen ELSE 0 END) AS DOUBLE)
+         |      / sum(clen), 6) END AS dup_char_frac
+         |FROM r GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     // same rolling-hash selection, paired: distinct (doc, h), df-capped, then
     // the keyed self-join the engine runs

@@ -464,6 +464,61 @@ object Dedup {
     * id for the rollup — the same two-shuffle profile as exact doc dedup,
     * ×(chunks per doc) rows.
     */
+  /** Content-defined chunking dedup (the storage-dedup/LBFS boundary trick
+    * applied to corpus text): cut each document where the rolling k-gram
+    * hash ≡ 0 (mod `div`) — boundaries anchor to CONTENT, not offsets, so
+    * inserting a prefix shifts every fixed-size chunk but leaves every
+    * content-defined chunk after the first shared cut intact. Expected chunk
+    * length ≈ `div` chars. Chunks partition the document exactly (forced cut
+    * at position 1); each chunk's md5 keeps its corpus-wide FIRST occurrence
+    * (lowest doc id, then position) and the per-document report counts the
+    * duplicated remainder in chars — the signal that catches quoted/ shifted
+    * passages fixed-size [[chunkDedup]] misses.
+    *
+    * This is the boundary-only variant (no min/max chunk clamp): every cut
+    * decision is a pure function of the k chars under it, so cut selection
+    * is a NARROW codegen'd map — the min-size variant needs a sequential
+    * scan per doc and buys little at audit granularity.
+    *
+    * Scale: cut positions come from one `transform`/`filter` over the
+    * [[graft.expressions.RollingKgramHash]] array — no shuffle, no join;
+    * the only exchanges are the first-occurrence window on the 16-byte
+    * digest and the per-doc rollup, the exact-dedup profile.
+    */
+  def contentChunkDedup(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 8, div: Int = 64): DataFrame = {
+    require(div > 0, "chunk divisor must be positive")
+    val t = col(textCol)
+    // 1-based cut positions: k-gram starts whose hash hits, plus the forced
+    // doc-start cut (position 1 excluded from the hash hits so it is never
+    // duplicated)
+    val hits = filter(
+      transform(graft.functions.rolling_kgrams(t, k),
+        (h: Column, i: Column) => when(h % div === 0, i + 1)),
+      c => c.isNotNull && c > 1)
+    val cuts = concat(array(lit(1)), hits)
+    val chunkArr = transform(cuts, (c: Column, i: Column) =>
+      struct(c.cast("long").as("pos"),
+        t.substr(c,
+          coalesce(try_element_at(cuts, (i + lit(2)).cast("int")),
+            length(t) + 1) - c).as("chunk")))
+    val chunks = df
+      .select(col(idCol), explode(chunkArr).as("ch"))
+      .select(col(idCol), col("ch.pos").as("pos"),
+        md5(col("ch.chunk")).as("h"),
+        length(col("ch.chunk")).cast("long").as("clen"))
+    val w = Window.partitionBy(col("h")).orderBy(col(idCol), col("pos"))
+    chunks.withColumn("rn", row_number().over(w))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("n_chars"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(when(col("rn") > 1, col("clen")).otherwise(0L)).as("dup_chars"))
+      .withColumn("dup_char_frac",
+        when(col("n_chars") > 0,
+          round(col("dup_chars").cast("double") / col("n_chars"), 6)))
+  }
+
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {
     val chunks = Curation.chunkDocs(df, idCol, textCol, chunkTokens, 0)

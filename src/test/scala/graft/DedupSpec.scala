@@ -423,4 +423,30 @@ class DedupSpec extends SparkSpec {
     assert(s13 === 2L && j13 === 1.0 && m13 === 8L && e13 === 1.0,
       "identical shingle sets share every minhash slot")
   }
+
+  test("contentChunkDedup: chunks partition the doc; cuts survive a prefix shift") {
+    val rng = new scala.util.Random(42)
+    def rand(n: Int) = (1 to n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val base = rand(400)
+    val docs = Seq(
+      (1L, base),
+      (2L, base),            // exact copy — every chunk already owned by doc 1
+      (3L, "ZZZZZ" + base),  // shifted copy — every FIXED-size chunk changes
+      (4L, rand(400)),       // fresh content
+      (5L, "tiny")           // shorter than k → single whole-doc chunk
+    ).toDF("doc_id", "text")
+    val out = Dedup.contentChunkDedup(docs, "doc_id", "text", k = 8, div = 16)
+      .select("doc_id", "n_chunks", "n_chars", "dup_chars", "dup_char_frac")
+      .as[(Long, Long, Long, Long, Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 === 400L && out(3L)._3 === 405L && out(5L)._3 === 4L,
+      "chunk lengths must sum to the document length (chunks partition it)")
+    assert(out(5L)._2 === 1L)
+    assert(out(1L)._4 === 0L && out(4L)._4 === 0L)
+    assert(out(2L)._5 === Some(1.0), "exact copy is fully duplicated mass")
+    // content-defined boundaries re-sync at the first shared cut: the
+    // shifted copy dedups everything past its head chunk (~div chars)
+    assert(out(3L)._4 > 300L,
+      s"shifted copy should share most chunk mass, got ${out(3L)._4}")
+  }
 }

@@ -41,6 +41,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "cdc_apply" -> 3,
     "char_entropy" -> 3,
     "chunk_dedup" -> 3,
+    "content_chunks" -> 3,
     "cms_freq" -> 3,
     "corpus_sim" -> 4,
     "corpus_split" -> 1,
