@@ -208,6 +208,11 @@ object SparkEntry {
     */
   private val FuzzyMaxDist = 1
 
+  /** Sorted-neighborhood window: each row pairs with its next 3 in the name
+    * sort order.
+    */
+  private val SnmWindow = 4
+
   /** semdedup duplicate threshold — same dial as `dedup_embed`. */
   private val SemDedupThreshold = 0.3
 
@@ -1605,6 +1610,13 @@ object SparkEntry {
     "fuzzy_pairs" -> ((s, d) =>
       Fuzzy.editDistancePairs(Tables.customer(s, d), "c_custkey", "c_name",
           expr("substring(c_name, 1, length(c_name) - 2)"), FuzzyMaxDist)
+        .orderBy("id_a", "id_b")),
+
+    // sorted-neighborhood ER pass: candidates from a sliding window over the
+    // name sort order — the blocking-free complement of fuzzy_pairs
+    "snm_pairs" -> ((s, d) =>
+      Fuzzy.sortedNeighborhoodPairs(Tables.customer(s, d), "c_custkey",
+          "c_name", col("c_name"), SnmWindow, FuzzyMaxDist)
         .orderBy("id_a", "id_b")),
 
     // semantic decontamination: max cosine of every corpus vector to the
@@ -4039,6 +4051,19 @@ object SparkEntry {
         |WHERE abs(length(a.s) - length(b.s)) <= 1
         |  AND levenshtein(a.s, b.s) <= 1
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // window positions over the name sort order (id tiebreak), each row vs
+    // its next SnmWindow-1 successors
+    "snm_pairs" ->
+      s"""WITH c AS (SELECT c_custkey AS id, c_name AS s FROM customer),
+         |p AS (SELECT id, s, row_number() OVER (ORDER BY s, id) AS pos FROM c)
+         |SELECT least(a.id, b.id) AS id_a, greatest(a.id, b.id) AS id_b,
+         |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+         |FROM p a JOIN p b
+         |  ON b.pos > a.pos AND b.pos <= a.pos + ${SnmWindow - 1}
+         |WHERE abs(length(a.s) - length(b.s)) <= $FuzzyMaxDist
+         |  AND levenshtein(a.s, b.s) <= $FuzzyMaxDist
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // contaminated compares the UNROUNDED max, exactly like the engine
     "semantic_decontam" ->

@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.engine.CacheScope
+
 /** Fuzzy (edit-distance) similarity join — the entity-resolution primitive
   * for catalog/identity cleaning (near-identical names, typo'd ids). An exact
   * similarity join is O(n²) string comparisons; the standard scale shape is
@@ -42,6 +44,46 @@ object Fuzzy {
         abs(length(col("s_a")) - length(col("s_b"))) <= maxDist)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("s_a"), col("s_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
+  }
+
+  /** Sorted-neighborhood candidate pairs (Hernández/Stolfo SNM): sort the
+    * corpus by `sortKey` (id tiebreak) and compare each row to the next
+    * `window − 1` rows in sort order. The complement of [[editDistancePairs]]'
+    * hash blocking: an equi-block splits near-matches that straddle a block
+    * boundary, while the sliding window sees any pair the sort brings within
+    * `window` positions — production ER runs BOTH (multi-pass SNM = union of
+    * passes over different sort keys, then [[Dedup.dupClusters]] resolves).
+    * Output: (id_a, id_b, dist) with id_a < id_b, Levenshtein ≤ `maxDist`
+    * (banded thresholded verify, length prune first — stage order as in
+    * [[editDistancePairs]]).
+    *
+    * Scale: positions come from [[Indexing.globalIndex]]'s range-partition
+    * protocol (never a single-partition window); each row then explodes to
+    * `window − 1` probe positions and one equi-join on the position pairs
+    * them up — O(n·window) rows through one shuffle, regardless of key skew
+    * (positions are unique by construction, so the join CANNOT hot-spot the
+    * way a popular blocking key does).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, strCol: String,
+                              sortKey: Column, window: Int, maxDist: Int,
+                              scope: CacheScope = CacheScope.global): DataFrame = {
+    require(window >= 2, "window must pair each row with at least its successor")
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val pos = scope.persisted(
+      Indexing.globalIndex(
+          df.select(col(idCol).as("id"), col(strCol).as("s"),
+            struct(sortKey.as("v"), col(idCol).as("i")).as("__k")),
+          "__k", scope = scope)
+        .select(col("id"), col("s"), col("global_idx").as("pos")))
+    val probes = pos.select(col("id").as("ida"), col("s").as("sa"),
+      explode(sequence(col("pos") + 1, col("pos") + (window - 1))).as("pos"))
+    probes.join(pos.select(col("id").as("idb"), col("s").as("sb"), col("pos")),
+        Seq("pos"))
+      .filter(abs(length(col("sa")) - length(col("sb"))) <= maxDist)
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"),
+        levenshtein(col("sa"), col("sb"), maxDist).as("dist"))
       .filter(col("dist") >= 0)
   }
 }

@@ -61,4 +61,42 @@ class FuzzySpec extends SparkSpec {
     } yield (ia, ib) -> dist).toMap
     assert(got === want)
   }
+
+  test("sortedNeighborhoodPairs: hand-computed window over the sort order") {
+    // name order: cap(2) cart(3) cat(1) dig(5) dodge(6) dog(4) zebra(7);
+    // window 3 pairs each row with its next two — (cap,cart) dist 2 drops,
+    // (cap,cat)=1, (cart,cat)=1, (cart,dig) dist 3 drops, (cat,dodge) len
+    // prune, (dig,dodge) len prune, (dig,dog)=1, (dodge,dog) dist 2 drops,
+    // (dodge,zebra)/(dog,zebra) drop
+    val out = Fuzzy.sortedNeighborhoodPairs(fixture, "id", "name",
+        col("name"), window = 3, maxDist = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq === Seq((1L, 2L, 1), (1L, 3L, 1), (4L, 5L, 1)))
+  }
+
+  test("sortedNeighborhoodPairs ≡ brute-force window scan on random strings") {
+    val rnd = new scala.util.Random(11)
+    def word() = (1 to 3 + rnd.nextInt(4)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    val rows = (1L to 150L).map(i => (i, word()))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val got = Fuzzy.sortedNeighborhoodPairs(rows.toDF("id", "name"),
+        "id", "name", col("name"), window = 4, maxDist = 2)
+      .as[(Long, Long, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val sorted = rows.sortBy { case (i, s) => (s, i) }
+    val want = (for {
+      i <- sorted.indices
+      j <- (i + 1) until math.min(i + 4, sorted.length)
+      (ia, sa) = sorted(i); (ib, sb) = sorted(j)
+      if math.abs(sa.length - sb.length) <= 2
+      d = lev(sa, sb) if d <= 2
+    } yield (math.min(ia, ib), math.max(ia, ib)) -> d).toMap
+    assert(got === want)
+  }
 }

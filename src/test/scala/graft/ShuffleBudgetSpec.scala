@@ -140,6 +140,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "shuffle_index" -> 1,
     "silver_clean" -> 1,
     "simhash_pairs" -> 1,
+    "snm_pairs" -> 3,
     "skew_report" -> 4,
     "text_normalize" -> 1,
     "text_quality" -> 1,
