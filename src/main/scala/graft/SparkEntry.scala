@@ -1646,6 +1646,12 @@ object SparkEntry {
     // pass, m codes per vector (the compression layer under billion-vector ANN)
     "pq_encode" -> ((s, d) => pqCodesGold(s, d).orderBy("vec_id")),
 
+    // int8 scalar quantization: per-vector [min,max] span, floor-to-cell
+    // codes, midpoint reconstruction error — one narrow zero-shuffle map
+    "embed_sq8" -> ((s, d) =>
+      Pq.scalarQuantize8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("vec_id")),
+
     // PQ ADC search: query cohort keeps real vectors + broadcast LUTs; the
     // corpus streams as CODES ONLY from the materialized index (encode once,
     // search many — the gold lifecycle applied to the PQ index)
@@ -4101,6 +4107,33 @@ object SparkEntry {
          |  (d.vid IS NOT NULL) AS is_dup
          |FROM asg s LEFT JOIN dup d ON d.vid = s.vec_id
          |ORDER BY vec_id""".stripMargin,
+
+    // per-vector span quantization replayed elementwise; the error fold is
+    // the same left-to-right chain as the engine's aggregate()
+    "embed_sq8" ->
+      """WITH l AS (SELECT vec_id, [x::DOUBLE for x in embedding] AS v
+        |  FROM embeddings),
+        |b AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM l)
+        |SELECT vec_id,
+        |  CAST(len(v) AS INTEGER) AS n_dims,
+        |  CAST(list_sum([CASE WHEN mx - mn = 0 THEN 0
+        |      ELSE least(255, floor((x - mn) / (mx - mn) * 256))::INT END
+        |    for x in v]) AS BIGINT) AS code_sum,
+        |  CAST(list_min([CASE WHEN mx - mn = 0 THEN 0
+        |      ELSE least(255, floor((x - mn) / (mx - mn) * 256))::INT END
+        |    for x in v]) AS INTEGER) AS code_min,
+        |  CAST(list_max([CASE WHEN mx - mn = 0 THEN 0
+        |      ELSE least(255, floor((x - mn) / (mx - mn) * 256))::INT END
+        |    for x in v]) AS INTEGER) AS code_max,
+        |  round(mn, 6) AS lo, round(mx, 6) AS hi,
+        |  round(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [CASE WHEN mx - mn = 0 THEN 0.0
+        |         ELSE abs(x - (mn + (least(255,
+        |             floor((x - mn) / (mx - mn) * 256)) + 0.5)
+        |           * (mx - mn) / 256)) END
+        |       for x in v]),
+        |    (a, c) -> a + c) / len(v), 6) AS mean_abs_err
+        |FROM b ORDER BY vec_id""".stripMargin,
 
     // per-subspace |c|² − 2·v·c argmin, subspaces unrolled (indices must be
     // literals), codes pivoted back to one row per vector

@@ -103,4 +103,20 @@ class PqSpec extends SparkSpec {
       Pq.adcTopK(emb, emb, "vec_id", "embedding", ragged, k = 1)
     }
   }
+
+  test("scalarQuantize8: hand-computed codes, midpoint error, degenerate span") {
+    val df = Seq(
+      (1L, Seq(0.0, 1.0, 0.5)), // span 1: codes 0 / 255 (clamped 256) / 128
+      (2L, Seq(2.0, 2.0))       // zero span: codes 0, exact reconstruction
+    ).toDF("vec_id", "embedding")
+    val out = Pq.scalarQuantize8(df, "vec_id", "embedding")
+      .select("vec_id", "n_dims", "code_sum", "code_min", "code_max",
+        "lo", "hi", "mean_abs_err")
+      .as[(Long, Int, Long, Int, Int, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3, 383L, 0, 255, 0.0, 1.0, 0.001953)))
+    // midpoint recon error is span/512 = 1/512 for every in-range cell and
+    // ALSO for the clamped max (|1 − 255.5/256| = 1/512) → mean 0.001953125
+    assert(out(2L) === ((2L, 2, 0L, 0, 0, 2.0, 2.0, 0.0)))
+  }
 }

@@ -70,6 +70,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "embed_centroids" -> 2,
     "embed_lsh" -> 2,
     "embed_project" -> 1,
+    "embed_sq8" -> 1,
     "embed_topk" -> 2,
     "event_transitions" -> 3,
     "events_pivot" -> 3,
