@@ -120,6 +120,9 @@ object SparkEntry {
     */
   private val BloomM = 4096
   private val BloomK = 2
+
+  /** Sliding-distinct trailing window: 7 days (the weekly-actives window). */
+  private val SlideDays = 7
   private val CmsDepth = 4
   private val CmsWidth = 256
 
@@ -1389,6 +1392,13 @@ object SparkEntry {
       Curation.topPByTokens(Tables.documents(s, d), "doc_id", "source",
           size(TextOps.tokens(col("text"))), ToppP)
         .orderBy("doc_id")),
+
+    // sliding-window distinct by sketch MERGE: per-day bitset buffers OR
+    // into each trailing window — events are never rescanned per window
+    "sliding_distinct" -> ((s, d) =>
+      Sketches.slidingDistinct(Tables.events(s, d), "ts", "user_id",
+          SlideDays, BloomM, BloomK)
+        .orderBy("day")),
 
     // deterministic bitset distinct sketch (typed Aggregator UDAF): per-type
     // distinct users — set-bit count + linear-counting estimate vs exact
@@ -3729,6 +3739,30 @@ object SparkEntry {
 
     // mirror of BitsetDistinct.finish: positions are the engine's stable
     // sha256 bucket of "value#j", estimate is -m * ln(1 - n_set/m) rounded
+    // recompute the window bitset from raw positions per trailing window —
+    // merge(build(day…)) must equal build(window) exactly (OR idempotence)
+    "sliding_distinct" ->
+      s"""WITH e AS (SELECT DISTINCT CAST(ts AS DATE) AS day,
+         |    CAST(user_id AS VARCHAR) AS v
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |days AS (SELECT DISTINCT day FROM e),
+         |pos AS (SELECT DISTINCT day,
+         |    CAST(('0x' || substr(sha256(v || '#' || CAST(j AS VARCHAR)),
+         |        1, 16))::UBIGINT % $BloomM AS BIGINT) AS p
+         |  FROM e, (SELECT unnest([${(0 until BloomK).mkString(", ")}]) AS j) js),
+         |w AS (SELECT d.day, CAST(count(DISTINCT p.p) AS BIGINT) AS n_set
+         |  FROM days d JOIN pos p ON p.day BETWEEN d.day - ${SlideDays - 1}
+         |    AND d.day
+         |  GROUP BY 1),
+         |ex AS (SELECT d.day, CAST(count(DISTINCT e2.v) AS BIGINT) AS n_exact
+         |  FROM days d JOIN e e2 ON e2.day BETWEEN d.day - ${SlideDays - 1}
+         |    AND d.day
+         |  GROUP BY 1)
+         |SELECT w.day, ex.n_exact, w.n_set,
+         |  round(-$BloomM * ln(1 - CAST(w.n_set AS DOUBLE) / $BloomM), 4)
+         |    AS est_distinct
+         |FROM w JOIN ex USING (day) ORDER BY day""".stripMargin,
+
     "bloom_distinct" ->
       s"""WITH pos AS (
          |  SELECT event_type,

@@ -162,4 +162,39 @@ class SketchesSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSeq
     assert(got === Seq(("a", 2L, 0L), ("c", 2L, 1L)))
   }
+
+  test("bitset union over stored partials ≡ one direct build over the union") {
+    val m = 256
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 300).map(_ => (s"g${rnd.nextInt(3)}", s"u${rnd.nextInt(80)}"))
+    val df = rows.toDF("part", "v").repartition(7)
+    // partials per part, then merged across parts
+    val merged = df.groupBy("part")
+      .agg(Sketches.bitsetBuild(m, 2)(col("v")).as("sk"))
+      .agg(Sketches.bitsetUnion(m)(col("sk")).as("r"))
+      .select(col("r.n_set"), col("r.est_distinct"))
+      .as[(Long, Double)].head()
+    val direct = df.agg(Sketches.bitsetDistinct(m, 2)(col("v")).as("r"))
+      .select(col("r.n_set"), col("r.est_distinct"))
+      .as[(Long, Double)].head()
+    assert(merged === direct,
+      "merge(build(parts)) must equal build(all) bit-for-bit")
+  }
+
+  test("slidingDistinct: window membership and exact counts by hand") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val df = Seq(
+      (ts("2025-01-01 10:00:00"), 1L), (ts("2025-01-01 11:00:00"), 2L),
+      (ts("2025-01-03 09:00:00"), 2L), (ts("2025-01-03 10:00:00"), 3L),
+      (ts("2025-01-10 08:00:00"), 9L) // > 3 days after the others
+    ).toDF("ts", "user_id")
+    val out = Sketches.slidingDistinct(df, "ts", "user_id",
+        windowDays = 3, m = 256, k = 2)
+      .select("day", "n_exact").as[(java.sql.Date, Long)]
+      .collect().map(r => r._1.toString -> r._2).toMap
+    // Jan 1: {1,2}; Jan 3 window [Jan 1..3]: {1,2,3}; Jan 10: {9} alone;
+    // Jan 2/4/… are not observed days → no row
+    assert(out === Map("2025-01-01" -> 2L, "2025-01-03" -> 3L,
+      "2025-01-10" -> 1L))
+  }
 }
