@@ -1141,10 +1141,14 @@ object SparkEntry {
 
     // Johnson–Lindenstrauss sign-matrix projection 64→8 dims: the cheapening
     // pass ahead of ANN/clustering at corpus scale — narrow codegen'd map,
-    // deterministic md5-parity signs, strict-order VecDot chains
+    // deterministic md5-parity signs, strict-order VecDot chains. The array
+    // is flattened to one scalar column per component so the driver's
+    // row-hash comparison sees hashable scalars, not nested arrays.
     "embed_project" -> ((s, d) =>
       Similarity.randomProject(Tables.embeddings(s, d), "vec_id", "embedding",
           ProjDims, EmbedDims)
+        .select(col("vec_id") +:
+          (0 until ProjDims).map(j => col("proj")(j).as(s"p$j")): _*)
         .orderBy("vec_id")),
 
     // IVF coarse-quantizer assignment with a FIXED codebook (the first
@@ -3594,10 +3598,10 @@ object SparkEntry {
       val signs = Similarity.planeSigns(ProjDims, EmbedDims)
       val scale = math.sqrt(ProjDims.toDouble)
       val comps = (0 until ProjDims)
-        .map(j => s"round((${signChain(signs(j), "v")}) / $scale, 6)")
+        .map(j => s"round((${signChain(signs(j), "v")}) / $scale, 6) AS p$j")
         .mkString(",\n         ")
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-         |SELECT vec_id, [$comps] AS proj
+         |SELECT vec_id, $comps
          |FROM e ORDER BY vec_id""".stripMargin
     },
 
