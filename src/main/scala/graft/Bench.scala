@@ -21,18 +21,27 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // lets Tables.events read legacy TIMESTAMP(NANOS) testdata as raw
+      // longs; harmless when the files carry MICROS (round 7+)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val errors = scala.collection.mutable.Map.empty[String, String]
+    def guard(label: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        errors(label) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+      }
     // warm the session once (codegen compiler, parquet footers, scheduler) so
-    // the first timed query isn't charged JVM startup. events needs its
-    // dedicated loader (TIMESTAMP(NANOS) rejects the default vectorized read).
-    engine.Tables.events(spark, sfDir).count()
+    // the first timed query isn't charged JVM startup. Guarded: a broken
+    // loader must cost only an "errors" entry, never the whole round's JSON
+    // line (round 7 lost its bench to an unguarded warm-up).
+    guard("warmup_events") { engine.Tables.events(spark, sfDir).count() }
     Seq("lineitem", "documents", "embeddings").foreach { t =>
-      engine.Tables.load(spark, sfDir, t).count()
+      guard(s"warmup_$t") { engine.Tables.load(spark, sfDir, t).count() }
     }
     val g0 = System.nanoTime()
-    SparkEntry.warmGold(spark, sfDir)
+    guard("warm_gold") { SparkEntry.warmGold(spark, sfDir) }
     val goldSec = (System.nanoTime() - g0) / 1e9
     spark.catalog.clearCache()
 
@@ -44,7 +53,6 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
-    val errors = scala.collection.mutable.Map.empty[String, String]
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()

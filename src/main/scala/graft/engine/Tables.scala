@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver testdata layout (`TESTDATA.md`): one parquet
   * file per table under `sfDir`. Mirrors the reference's silver/gold
@@ -12,15 +13,25 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects outright; read it as raw nanos (`nanosAsLong`) and convert to a
-    * µs timestamp with integer `div` (a double roundtrip would lose precision
-    * above 2^53 ns ≈ 1970+104 days).
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (round ≤6 testdata)
+    * and TIMESTAMP(MICROS) (round 7+ regeneration); adapt to whatever the
+    * footer says and always emit a session-zone `timestamp` so downstream
+    * `unix_millis`/`date_trunc` see identical wall times either way.
+    *
+    *  - NANOS surfaces as `LongType` when the session sets
+    *    `spark.sql.legacy.parquet.nanosAsLong` (done at session build by
+    *    Bench/Verify/specs — never mutated here): convert with integer `div`
+    *    (a double roundtrip would lose precision above 2^53 ns).
+    *  - MICROS without a timezone surfaces as `TIMESTAMP_NTZ`: cast to LTZ,
+    *    which interprets the wall time in the session zone (UTC).
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")

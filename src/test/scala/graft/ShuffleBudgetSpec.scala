@@ -141,6 +141,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "shuffle_index" -> 1,
     "silver_clean" -> 1,
     "simhash_pairs" -> 1,
+    // two lanes by contract: sketch (day-agg + window-merge agg) and exact
+    // comparison (distinct + explode + day-agg), then two day-keyed joins
+    "sliding_distinct" -> 7,
     "snm_pairs" -> 3,
     "skew_report" -> 4,
     "text_normalize" -> 1,

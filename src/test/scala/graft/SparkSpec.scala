@@ -17,6 +17,9 @@ object SparkSpec {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // lets Tables.events read legacy TIMESTAMP(NANOS) testdata as raw
+      // longs; harmless when the files carry MICROS (round 7+)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

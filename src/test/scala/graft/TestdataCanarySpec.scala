@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Canary against silent testdata regeneration: round 7 lost 55 queries and
+  * the whole bench because `events.ts` changed parquet physical type under
+  * the repo (NANOS → MICROS). If this spec fails, fix `engine.Tables.events`
+  * (src/main/scala/graft/engine/Tables.scala) FIRST — everything events-backed
+  * is downstream of that one loader.
+  */
+class TestdataCanarySpec extends SparkSpec {
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("events loads with ts as session-zone timestamp — else fix Tables.events") {
+    val df = engine.Tables.events(spark, sfDir)
+    assert(df.schema("ts").dataType == TimestampType,
+      s"events.ts surfaced as ${df.schema("ts").dataType}; the testdata parquet " +
+        "physical type likely changed again — adapt engine.Tables.events")
+    val expected = Set("event_id", "ts", "user_id", "event_type", "value", "props")
+    assert(df.columns.toSet == expected,
+      s"events columns drifted: got ${df.columns.sorted.mkString(",")} — adapt engine.Tables.events")
+    assert(df.limit(1).count() == 1, "events.parquet is empty/unreadable")
+  }
+
+  test("events ts values land in a sane epoch range (no unit mix-up)") {
+    import org.apache.spark.sql.functions._
+    val r = engine.Tables.events(spark, sfDir)
+      .agg(min(year(col("ts"))).as("lo"), max(year(col("ts"))).as("hi"))
+      .head()
+    val (lo, hi) = (r.getInt(0), r.getInt(1))
+    assert(lo >= 1990 && hi <= 2100,
+      s"events.ts years span [$lo,$hi] — a nanos/micros/millis mix-up in Tables.events")
+  }
+}
