@@ -585,17 +585,19 @@ object SparkEntry {
         .orderBy("p_brand")
     }),
 
-    // TPC-H Q3 shape: dim-filtered 3-way join → revenue top-k. customer is
-    // the small side (broadcast); lineitem never shuffles for the join
+    // TPC-H Q3 shape: dim-filtered 3-way join → revenue top-k. No broadcast
+    // hints: the date-filtered orders side is O(corpus) (≈half the table — a
+    // forced broadcast OOMs at scale), so AQE picks the strategy from runtime
+    // sizes; the segment-filtered customer side auto-broadcasts when small
     "q3_topk" -> ((s, d) => {
       val cut = lit("1998-07-01").cast("timestamp")
       val rev = round(col("l_extendedprice") * 100).cast("long") *
         (lit(100L) - round(col("l_discount") * 100).cast("long"))
       Tables.lineitem(s, d).filter(col("l_shipdate") > cut)
-        .join(broadcast(Tables.orders(s, d).filter(col("o_orderdate") < cut)),
+        .join(Tables.orders(s, d).filter(col("o_orderdate") < cut),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)
-          .filter(col("c_mktsegment") === "BUILDING")),
+        .join(Tables.customer(s, d)
+          .filter(col("c_mktsegment") === "BUILDING"),
           col("o_custkey") === col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(round(sum(rev) / lit(10000.0), 4).as("revenue"))
@@ -1081,11 +1083,23 @@ object SparkEntry {
   )
 
   /** Similarity search over the `embeddings` table (64-dim float vectors).
-    * `LshPlanes` is per-band; at real corpus sizes derive it with
-    * [[Similarity.planesFor]] (the oracle needs a fixed count to inline the
-    * same hyperplanes in static SQL, so the declared queries pin it).
+    *
+    * The per-band plane count is DERIVED from the corpus size
+    * ([[Similarity.planesFor]]: 2^planes ≈ n / occupancy, so within-bucket
+    * join fanout stays ~constant as the corpus grows) and capped at
+    * [[LshMaxPlanes]] — the static oracle SQL pre-generates one gated sign
+    * chain per plane up to the cap and re-derives the same count from
+    * `count(*)` with integer-exact comparisons, so both engines always
+    * agree. Sign rows are laid out at a fixed [[LshMaxPlanes]] stride per
+    * band, so a corpus-driven count change never shifts which hyperplanes a
+    * band uses.
     */
-  val LshPlanes = 8
+  val LshMaxPlanes = 16
+  /** Target expected bucket occupancy for the derived plane count. */
+  val LshOccupancy = 8
+  /** Corpus-derived per-band plane count for the declared embed queries. */
+  def lshPlanesDerived(n: Long): Int =
+    math.min(LshMaxPlanes, Similarity.planesFor(n, LshOccupancy))
   val ProjDims = 8
   val LshBands = 2
   val EmbedDims = 64
@@ -1130,11 +1144,14 @@ object SparkEntry {
         .orderBy("q", "rn")
     }),
 
-    // random-hyperplane LSH buckets (the scale path's candidate generator)
+    // random-hyperplane LSH buckets (the scale path's candidate generator);
+    // plane count derived from the corpus row count so expected occupancy
+    // holds as n grows (the count() is a metadata-only parquet job)
     "embed_lsh" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      Similarity.lshBuckets(Tables.embeddings(s, d), "vec_id", "embedding",
-          LshPlanes, EmbedDims)
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshBuckets(emb, "vec_id", "embedding",
+          lshPlanesDerived(emb.count()), EmbedDims)
         .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("bucket"))))
         .orderBy("vec_id")
     }),
@@ -1271,13 +1288,17 @@ object SparkEntry {
         KCenterK).orderBy("sel_rank")),
 
     // embedding-cosine near-dup pairs, banded-LSH candidates (the scale path:
-    // per-band bucket count sizes with planesFor, bands preserve recall)
-    "dedup_embed" -> ((s, d) =>
-      Similarity.cosineNearDupPairsBanded(Tables.embeddings(s, d), "vec_id",
-          "embedding", LshBands, LshPlanes, EmbedDims, EmbedDupThreshold)
+    // per-band bucket count derives from the corpus size, bands preserve
+    // recall; fixed sign stride keeps band layouts stable as the count moves)
+    "dedup_embed" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.cosineNearDupPairsBanded(emb, "vec_id",
+          "embedding", LshBands, lshPlanesDerived(emb.count()), EmbedDims,
+          EmbedDupThreshold, signStride = LshMaxPlanes)
         .select(col("id_a"), col("id_b"), col("bands_shared"),
           round(col("sim"), 6).as("sim"))
-        .orderBy("id_a", "id_b")),
+        .orderBy("id_a", "id_b")
+    }),
 
     // per-label embedding centroids: elementwise mean as dims independent
     // avgs in one map-side-combinable groupBy (k-means codebook refresh);
@@ -3284,14 +3305,31 @@ object SparkEntry {
       (if (s > 0) " + " else " - ") + s"$v[${i + 1}]"
     }.mkString
 
-  /** Per-band bucket expression; band 0 over the first `LshPlanes` sign rows
-    * is identical to the single-band layout (planeSigns tabulates by (p, d)),
-    * so `embed_lsh` keeps its historical buckets.
+  /** Derived per-band plane count in static SQL, integer-exact mirror of
+    * [[lshPlanesDerived]]: bitLength(ceil(n/occupancy) − 1) clamped to
+    * [1, LshMaxPlanes], expressed as pure integer comparisons (P ≥ p iff
+    * m > 2^(p−1)) so DuckDB and the JVM can never disagree by a float ULP.
+    * Emitted as a one-row CTE `pl(np)` the bucket expressions cross-join.
+    */
+  private def planesCteSql: String = {
+    val m = s"((count(*) + ${LshOccupancy - 1}) // $LshOccupancy)"
+    val whens = (LshMaxPlanes to 2 by -1)
+      .map(p => s"WHEN $m > ${1L << (p - 1)} THEN $p").mkString(" ")
+    s"pl AS (SELECT (CASE $whens ELSE 1 END) AS np FROM embeddings)"
+  }
+
+  /** Per-band bucket expression: one sign chain per plane up to the
+    * [[LshMaxPlanes]] cap, each gated on the derived count `pl.np` — planes
+    * at index ≥ np contribute 0, so the static SQL computes exactly the
+    * buckets the Spark side builds for any corpus size. Band `b` reads sign
+    * rows [b·LshMaxPlanes, b·LshMaxPlanes + np), matching the fixed
+    * `signStride = LshMaxPlanes` layout.
     */
   private def bucketSql(v: String, band: Int = 0): String = {
-    val signs = Similarity.planeSigns(LshBands * LshPlanes, EmbedDims)
-    (0 until LshPlanes).map { p =>
-      s"(CASE WHEN ${signChain(signs(band * LshPlanes + p), v)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    val signs = Similarity.planeSigns(
+      (LshBands - 1) * LshMaxPlanes + LshMaxPlanes, EmbedDims)
+    (0 until LshMaxPlanes).map { p =>
+      s"(CASE WHEN $p < pl.np AND ${signChain(signs(band * LshMaxPlanes + p), v)} > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     }.mkString(" + ")
   }
 
@@ -3587,7 +3625,8 @@ object SparkEntry {
 
     "embed_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |b AS (SELECT vec_id, ${bucketSql("v")} AS bucket FROM e)
+         |$planesCteSql,
+         |b AS (SELECT vec_id, ${bucketSql("v")} AS bucket FROM e CROSS JOIN pl)
          |SELECT vec_id, bucket,
          |  CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS bucket_size
          |FROM b ORDER BY vec_id""".stripMargin,
@@ -3607,9 +3646,10 @@ object SparkEntry {
 
     "dedup_embed" -> {
       val bandSelects = (0 until LshBands).map(bnd =>
-        s"SELECT vec_id, $bnd AS band, ${bucketSql("v", bnd)} AS bucket FROM e")
+        s"SELECT vec_id, $bnd AS band, ${bucketSql("v", bnd)} AS bucket FROM e CROSS JOIN pl")
         .mkString("\n  UNION ALL\n  ")
       s"""$NormCte,
+         |$planesCteSql,
          |bk AS (
          |  $bandSelects),
          |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -107,15 +107,33 @@ object Bpe {
     merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
   }
 
+  /** Driver-state bound for [[trainLocal]]: top-N distinct words kept by
+    * frequency. 4M (word, freq) entries is a few hundred MB — comfortable
+    * driver heap — while a Zipf tail beyond the top millions contributes
+    * singleton frequencies that can never win a greedy merge vote against
+    * the head's mass. Truncating the tail before the collect is standard
+    * BPE practice (HF `tokenizers` and SentencePiece both expose exactly
+    * this `vocab_size`/`max` pre-cut for the same reason).
+    */
+  val DefaultMaxVocab: Int = 1 << 22
+
   /** PRODUCTION path: one corpus-scale word count, then the whole merge
     * loop on the driver. Bit-identical to [[train]] (same greedy rule, same
     * tie-break, same fold) — property-tested — at 1e4× the iteration rate.
+    * Driver state is bounded by `maxVocab`: the collect is a TakeOrdered of
+    * the most frequent distinct words (ties broken on the word for
+    * determinism), never the raw vocabulary.
     */
-  def trainLocal(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def trainLocal(df: DataFrame, textCol: String, nMerges: Int,
+                 maxVocab: Int = DefaultMaxVocab): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(maxVocab > 0, "maxVocab must be positive")
     val vocab0: Array[(Array[String], Long)] =
-      wordVocab(df, textCol).collect().map { r =>
+      wordVocab(df, textCol)
+        .orderBy(col("freq").desc, col("word"))
+        .limit(maxVocab)
+        .collect().map { r =>
         val cps = r.getString(0).codePoints().toArray
           .map(cp => new String(Character.toChars(cp)))
         (cps :+ EndOfWord, r.getLong(1))

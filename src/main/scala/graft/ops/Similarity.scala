@@ -111,8 +111,13 @@ object Similarity {
     */
   def planesFor(n: Long, targetOccupancy: Int = 8): Int = {
     require(targetOccupancy > 0, "targetOccupancy must be positive")
-    val needed = math.ceil(math.log(math.max(1.0, n.toDouble / targetOccupancy))
-      / math.log(2.0)).toInt
+    // integer-exact ceil(log2(ceil(n / target))) via bit length — float log
+    // is off-by-one-ULP at powers of two, and the DuckDB oracle re-derives
+    // this count with the same integer comparisons, so the two engines must
+    // agree bit-for-bit
+    val m = (math.max(0L, n) + targetOccupancy - 1) / targetOccupancy
+    val needed =
+      if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     math.min(62, math.max(1, needed))
   }
 
@@ -163,14 +168,21 @@ object Similarity {
     * recall that a single long signature would destroy.
     */
   def bandedLshBuckets(emb: DataFrame, idCol: String, vecCol: String,
-                       bands: Int, planesPerBand: Int, dims: Int): DataFrame = {
+                       bands: Int, planesPerBand: Int, dims: Int,
+                       signStride: Int = 0): DataFrame = {
     require(bands > 0 && planesPerBand > 0 && planesPerBand <= 62,
       "bands >= 1, 1 <= planesPerBand <= 62")
-    val signs = planeSigns(bands * planesPerBand, dims)
+    // signStride > planesPerBand pins band b to sign rows [b·stride,
+    // b·stride + planesPerBand): a corpus-derived planesPerBand then never
+    // shifts which hyperplanes later bands use, so bucket ids stay
+    // comparable across corpus sizes (and re-derivable by a static oracle)
+    val stride = if (signStride <= 0) planesPerBand else signStride
+    require(stride >= planesPerBand, "signStride must cover planesPerBand")
+    val signs = planeSigns((bands - 1) * stride + planesPerBand, dims)
     val v = vecd(col(vecCol))
     val perBand = (0 until bands).map { bnd =>
       val bucket = (0 until planesPerBand).map { p =>
-        val w = typedLit(signs(bnd * planesPerBand + p).toSeq)
+        val w = typedLit(signs(bnd * stride + p).toSeq)
         when(vec_dot(v, w) > 0, 1L << p).otherwise(0L)
       }.reduce(_ + _)
       struct(lit(bnd).as("band"), bucket.as("bucket"))
@@ -189,8 +201,9 @@ object Similarity {
     */
   def cosineNearDupPairsBanded(emb: DataFrame, idCol: String, vecCol: String,
                                bands: Int, planesPerBand: Int, dims: Int,
-                               threshold: Double): DataFrame = {
-    val bk = bandedLshBuckets(emb, idCol, vecCol, bands, planesPerBand, dims)
+                               threshold: Double, signStride: Int = 0): DataFrame = {
+    val bk = bandedLshBuckets(emb, idCol, vecCol, bands, planesPerBand, dims,
+      signStride)
     val a = bk.toDF("id_a", "band", "bucket")
     val b = bk.toDF("id_b", "band", "bucket")
     val cand = a.join(b, Seq("band", "bucket"))

@@ -55,6 +55,29 @@ class BpeSpec extends SparkSpec {
     assert(a === b, "driver-side loop must replay the distributed iteration exactly")
   }
 
+  test("trainLocal maxVocab: capped ≡ uncapped when the vocab fits the cap") {
+    val docs = engine.Tables.documents(spark, "/root/testdata/sf0.001").limit(120)
+    val nWords = Bpe.wordVocab(docs, "text").count()
+    val roomy = Bpe.trainLocal(docs, "text", 6, maxVocab = nWords.toInt + 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    val default = Bpe.trainLocal(docs, "text", 6).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(roomy === default, "a cap above the vocab size must be a no-op")
+  }
+
+  test("trainLocal maxVocab: an exercised cap keeps the frequency head") {
+    // freq: aa×4, bb×2, cc×1 — cap 2 keeps {aa, bb}; merges then come from
+    // the head only, and driver state never exceeds the cap
+    val df = Seq("aa aa aa aa bb bb cc").toDF("text")
+    val m = Bpe.trainLocal(df, "text", 1, maxVocab = 2)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // pairs over {aa×4, bb×2}: (a,a)=4 (a,</w>)=4 (b,b)=2 (b,</w>)=2 —
+    // cc's (c,c)/(c,</w>) must NOT appear; tie at 4 breaks lexicographically
+    // and "</w>" < "a" in codepoint order, so (a,</w>)=4 wins
+    assert(m === Seq(("a", "</w>", 4L)),
+      "the cut must drop the tail word's pairs before the merge loop")
+  }
+
   test("unicode symbols are codepoint-wise in both paths") {
     val df = Seq("日本 日本 日本語").toDF("text")
     val a = Bpe.train(df, "text", 2, new CacheScope).orderBy("step").collect()
