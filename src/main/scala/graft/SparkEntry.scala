@@ -359,16 +359,22 @@ object SparkEntry {
     // §2.5: row_number dedup view (docs/data_contracts.md:113)
     "window_dedup" -> ((s, d) => Tracks.windowDedup(Tables.events(s, d))),
 
-    // HLL sketch: approximate distinct users per day. Deliberately has NO
-    // DuckDB oracle (sketches differ across engines — driver records the
-    // weaker rows-only check); SketchSpec bounds the error vs exact instead.
-    "approx_users_daily" -> ((s, d) =>
+    // approximate distinct users per day via the deterministic bitset
+    // sketch (sha256 positions + linear counting — same kernel as
+    // bloom_distinct, so the DuckDB oracle rebuilds the estimate
+    // bit-for-bit; Spark's HLL would differ across engines and lose the
+    // hash check). Merge is bitwise-OR ⇒ partitioning-independent.
+    "approx_users_daily" -> ((s, d) => {
+      val sk = Sketches.bitsetDistinct(BloomM, BloomK)
       Tables.events(s, d)
         .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .groupBy(to_date(col("ts")).as("day_date"))
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
-          count(lit(1)).as("n_events"))
-        .orderBy("day_date")),
+        .agg(count(lit(1)).as("n_events"),
+          sk(col("user_id").cast("string")).as("sk"))
+        .select(col("day_date"), col("n_events"),
+          col("sk.n_set").as("n_set"), col("sk.est_distinct").as("approx_users"))
+        .orderBy("day_date")
+    }),
 
     // batch twin of the streaming gap-based trip splitter (SessionTracks):
     // session-window semantics via lag + cumulative sum, 30-day gap
@@ -3806,6 +3812,26 @@ object SparkEntry {
          |  round(-$BloomM * ln(1 - CAST(w.n_set AS DOUBLE) / $BloomM), 4)
          |    AS est_distinct
          |FROM w JOIN ex USING (day) ORDER BY day""".stripMargin,
+
+    // same sha256-position + linear-counting rebuild as bloom_distinct,
+    // keyed by day instead of event_type
+    "approx_users_daily" ->
+      s"""WITH pos AS (
+         |  SELECT CAST(ts AS DATE) AS day_date,
+         |    CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR) || '#'
+         |        || CAST(j AS VARCHAR)), 1, 16))::UBIGINT % $BloomM AS BIGINT) AS p
+         |  FROM events, (SELECT unnest([${(0 until BloomK).mkString(", ")}]) AS j) js
+         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |s AS (SELECT day_date, CAST(count(DISTINCT p) AS BIGINT) AS n_set
+         |  FROM pos GROUP BY 1),
+         |e AS (SELECT CAST(ts AS DATE) AS day_date,
+         |    CAST(count(*) AS BIGINT) AS n_events
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1)
+         |SELECT day_date, n_events, n_set,
+         |  round(-$BloomM * ln(1 - CAST(n_set AS DOUBLE) / $BloomM), 4)
+         |    AS approx_users
+         |FROM e JOIN s USING (day_date)
+         |ORDER BY day_date""".stripMargin,
 
     "bloom_distinct" ->
       s"""WITH pos AS (

@@ -115,7 +115,9 @@ object Similarity {
     // is off-by-one-ULP at powers of two, and the DuckDB oracle re-derives
     // this count with the same integer comparisons, so the two engines must
     // agree bit-for-bit
-    val m = (math.max(0L, n) + targetOccupancy - 1) / targetOccupancy
+    // overflow-safe ceil-div: n + t − 1 would wrap for n near Long.MaxValue
+    val nn = math.max(0L, n)
+    val m = nn / targetOccupancy + (if (nn % targetOccupancy != 0) 1L else 0L)
     val needed =
       if (m <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     math.min(62, math.max(1, needed))
