@@ -24,6 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * identical address from the same SQL-expressible chain; see
   * `SparkEntry.oracleSql("uid_hourly_h3")`).
   *
+  * Why not bit-exact H3: a faithful port can only be trusted against ground
+  * truth, and this environment has none — no H3 jar under /opt/spark/jars,
+  * no python h3 module, no DuckDB h3 extension (all checked), no cell ids in
+  * the reference repo (its notebooks carry only aggregate outputs), and zero
+  * egress to fetch test vectors. Reproducing H3's icosahedral constant
+  * tables from memory without any way to verify a single address would risk
+  * silently-wrong ids — strictly worse than an honest, tested, documented
+  * deviation. Revisit iff an H3 library or test-vector file lands in the
+  * environment: the swap is localized to this Expression and the
+  * `uid_hourly_h3` oracle twin.
+  *
   * Address layout (60 bits, so always 15 hex chars with %015x):
   * {{{
   *   [res : 4 bits][q + 2^27 : 28 bits][r + 2^27 : 28 bits]

@@ -31,4 +31,29 @@ class TestdataCanarySpec extends SparkSpec {
     assert(lo >= 1990 && hi <= 2100,
       s"events.ts years span [$lo,$hi] — a nanos/micros/millis mix-up in Tables.events")
   }
+
+  test("every other table still carries the columns the queries compile against") {
+    val expected = Map(
+      "documents" -> Set("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Set("vec_id", "embedding", "label"),
+      "lineitem" -> Set("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"),
+      "orders" -> Set("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "customer" -> Set("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment"),
+      "supplier" -> Set("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Set("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice"),
+      "nation" -> Set("n_nationkey", "n_name", "n_regionkey"),
+      "region" -> Set("r_regionkey", "r_name"))
+    val drifted = expected.flatMap { case (t, cols) =>
+      val got = engine.Tables.load(spark, sfDir, t).columns.toSet
+      if (got == cols) None
+      else Some(s"$t: expected ${cols.toSeq.sorted.mkString(",")} got ${got.toSeq.sorted.mkString(",")}")
+    }
+    assert(drifted.isEmpty,
+      "testdata regeneration drifted table schemas:\n" + drifted.mkString("\n"))
+  }
 }
