@@ -88,6 +88,9 @@ object SparkEntry {
   private val DomainCapN = 15
   private val ChunkTokens = 32
   private val ChunkOverlap = 8
+  /** Word-window width for the duplicate-passage scrub (smaller than
+    * ChunkTokens: scrub granularity is the passage, not the RAG chunk). */
+  private val ScrubTokens = 8
   private val VocabN = 2
   private val VocabTopK = 100
   val GtoThreshold = 0.4
@@ -1510,6 +1513,13 @@ object SparkEntry {
     // chunk granularity)
     "chunk_dedup" -> ((s, d) =>
       Dedup.chunkDedup(Tables.documents(s, d), "doc_id", "text", ChunkTokens)
+        .orderBy("doc_id")),
+
+    // duplicate-passage scrub: the REWRITE step of sub-document dedup —
+    // emits the cleaned corpus (first occurrence of every word-window kept,
+    // later repeats cut, docs re-stitched in order)
+    "scrub_dupes" -> ((s, d) =>
+      Dedup.scrubSegments(Tables.documents(s, d), "doc_id", "text", ScrubTokens)
         .orderBy("doc_id")),
 
     // content-defined chunking dedup: boundaries anchor to the rolling hash,
@@ -3936,6 +3946,28 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
          |  round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS dup_frac
+         |FROM r GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    // same first-occurrence rule on the raw segment text, re-stitched with an
+    // ordered string_agg (empty when every segment of a doc was scrubbed)
+    "scrub_dupes" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |c AS (SELECT doc_id, ts,
+         |    unnest(range(1, greatest(len(ts), 1) + 1, $ScrubTokens)) AS s
+         |  FROM t),
+         |seg AS (SELECT doc_id,
+         |    CAST((s - 1) // $ScrubTokens AS BIGINT) AS seg_idx,
+         |    array_to_string(ts[s : s + ${ScrubTokens - 1}], ' ') AS seg
+         |  FROM c),
+         |r AS (SELECT doc_id, seg_idx, seg,
+         |    row_number() OVER (PARTITION BY seg
+         |      ORDER BY doc_id, seg_idx) AS rn
+         |  FROM seg)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+         |    ORDER BY seg_idx), '') AS clean_text
          |FROM r GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 

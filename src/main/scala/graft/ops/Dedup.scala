@@ -519,6 +519,40 @@ object Dedup {
           round(col("dup_chars").cast("double") / col("n_chars"), 6)))
   }
 
+  /** Duplicate-passage SCRUB — the rewrite step of sub-document dedup
+    * (CCNet/FineWeb line-removal semantics over fixed word-window segments,
+    * since this corpus has no newlines): every `segTokens`-word segment keeps
+    * only its corpus-wide FIRST occurrence (global min (doc, position) —
+    * later repeats in the same doc drop too), and each document is
+    * re-assembled from its surviving segments in order. [[chunkDedup]]
+    * profiles duplicate mass; this emits the cleaned corpus a training run
+    * would actually read.
+    *
+    * Scale: one shuffle keyed on segment text (the row_number window — same
+    * profile as [[chunkDedup]]), one doc-keyed groupBy to re-stitch. Never
+    * all-pairs; shuffle volume = corpus token count.
+    */
+  def scrubSegments(df: DataFrame, idCol: String, textCol: String,
+                    segTokens: Int): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val segs = df
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(segTokens)),
+          s => array_join(slice(col("__toks"), s, lit(segTokens)), " ")))
+          .as(Seq("seg_idx", "seg")))
+    val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
+    segs.withColumn("rn", row_number().over(w))
+      .withColumn("kept", col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(sort_array(collect_list(
+            when(col("kept"), struct(col("seg_idx"), col("seg"))))),
+          x => x.getField("seg")), " ").as("clean_text"))
+  }
+
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {
     val chunks = Curation.chunkDocs(df, idCol, textCol, chunkTokens, 0)

@@ -30,6 +30,24 @@ class DedupSpec extends SparkSpec {
       (12L, true, false), (13L, false, false)))
   }
 
+  test("scrubSegments: corpus-wide first occurrence kept, docs re-stitched in order") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // both segments novel
+      (2L, "a b c x y z"),       // "a b c" repeats doc 1's first segment
+      (3L, "d e f d e f"),       // both segments repeat doc 1's second
+      (4L, "p q r p q r p")      // later repeat WITHIN one doc also drops
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSegments(docs, "doc_id", "text", segTokens = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_segs", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 2L, 2L, "a b c d e f"),
+      (2L, 2L, 1L, "x y z"),
+      (3L, 2L, 0L, ""),           // fully-duplicate doc scrubs to empty
+      (4L, 3L, 2L, "p q r p")))   // trailing short segment survives
+  }
+
   test("shingles: distinct 3-grams; short texts yield empty, not descending sequence") {
     val df = Seq("a b c d", "a b", "", "x y z x y z").toDF("text")
     val got = df.select(Dedup.shingles(col("text")).as("s"))

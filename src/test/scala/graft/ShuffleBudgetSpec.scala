@@ -132,6 +132,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "rolling_stats" -> 2,
     "rrf_fusion" -> 5,
     "scd2_history" -> 2,
+    // segment-text window + doc re-stitch groupBy + output sort
+    "scrub_dupes" -> 3,
     "search_topk" -> 2,
     "seasonal_outliers" -> 2,
     "semantic_decontam" -> 2,
