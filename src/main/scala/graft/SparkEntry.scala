@@ -1070,6 +1070,23 @@ object SparkEntry {
     "dup_clusters" -> ((s, d) =>
       clustersGold(s, d).orderBy("id")),
 
+    // canonical selection by QUALITY: production dedup keeps the best doc
+    // per cluster (longest text, ties to the smaller id — the FineWeb-style
+    // retention rule), not the min id. Two window passes over the same
+    // cluster partitioning = one shuffle; clusters are small by construction
+    "cluster_keep" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select(col("doc_id").as("id"), col("n_chars"))
+      val w = Window.partitionBy("cluster")
+      clustersGold(s, d).join(docs, "id")
+        .withColumn("__bn", max(col("n_chars")).over(w))
+        .withColumn("kept_id",
+          min(when(col("n_chars") === col("__bn"), col("id"))).over(w))
+        .select(col("id"), col("cluster"), col("n_chars"), col("kept_id"),
+          (col("id") === col("kept_id")).as("keep"))
+        .orderBy("id")
+    }),
+
     // multimodal frame sampling: payload as fixed-size frame records, every
     // stride-th kept; batched kernel does real byte work (slice + sha256)
     "frame_sample" -> ((s, d) =>
@@ -2389,6 +2406,29 @@ object SparkEntry {
       |                        for i in range(1, len(ts)-1)])) AS shingle
       |FROM toks)""".stripMargin
 
+  /** Shared minhash-band → pair → symmetric-closure → reachability prefix of
+    * the cluster oracles (dup_clusters, cluster_keep): ends with the
+    * recursive `reach(id, r)` CTE; consumers append their final SELECT.
+    */
+  private def dupClustersCteSql: String =
+    s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |mh AS (SELECT doc_id, i,
+       |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
+       |  FROM sh, range(8) r(i) GROUP BY 1, 2),
+       |sig AS (SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
+       |    string_agg(h, '|' ORDER BY i) AS bucket
+       |  FROM mh GROUP BY 1, 2),
+       |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |sym AS (SELECT doc_a AS id, doc_b AS nbr FROM p
+       |        UNION SELECT doc_b, doc_a FROM p),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT id, id FROM sym
+       |  UNION
+       |  SELECT s.id, reach.r FROM sym s JOIN reach ON s.nbr = reach.id)""".stripMargin
+
   private def textOracle: Map[String, String] = Map(
     // constants are interpolated from the SAME Scala doubles the query uses,
     // passed through CAST('…' AS DOUBLE) so DuckDB parses the exact double
@@ -3187,25 +3227,23 @@ object SparkEntry {
     },
 
     "dup_clusters" ->
-      s"""${ShingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |mh AS (SELECT doc_id, i,
-         |    min(md5(CAST(i AS VARCHAR) || ':' || shingle)) AS h
-         |  FROM sh, range(8) r(i) GROUP BY 1, 2),
-         |sig AS (SELECT doc_id, CAST(i // 2 AS INTEGER) AS band,
-         |    string_agg(h, '|' ORDER BY i) AS bucket
-         |  FROM mh GROUP BY 1, 2),
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sig a JOIN sig b
-         |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2),
-         |sym AS (SELECT doc_a AS id, doc_b AS nbr FROM p
-         |        UNION SELECT doc_b, doc_a FROM p),
-         |reach(id, r) AS (
-         |  SELECT DISTINCT id, id FROM sym
-         |  UNION
-         |  SELECT s.id, reach.r FROM sym s JOIN reach ON s.nbr = reach.id)
+      s"""$dupClustersCteSql
          |SELECT id, min(r) AS cluster, id = min(r) AS is_canonical
          |FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // same cluster CTE; the keep rule is quality-based (longest doc wins,
+    // ties to the smaller id) instead of min-id — two plain window passes
+    "cluster_keep" ->
+      s"""$dupClustersCteSql,
+         |cl AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |j AS (SELECT cl.id, cl.cluster, d.n_chars
+         |  FROM cl JOIN documents d ON d.doc_id = cl.id),
+         |j2 AS (SELECT *, max(n_chars) OVER (PARTITION BY cluster) AS bn FROM j),
+         |j3 AS (SELECT *, min(CASE WHEN n_chars = bn THEN id END)
+         |    OVER (PARTITION BY cluster) AS kept_id FROM j2)
+         |SELECT id, cluster, CAST(n_chars AS BIGINT) AS n_chars, kept_id,
+         |  id = kept_id AS keep
+         |FROM j3 ORDER BY id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

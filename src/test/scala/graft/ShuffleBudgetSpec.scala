@@ -42,6 +42,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "char_entropy" -> 3,
     "chunk_dedup" -> 3,
     "content_chunks" -> 3,
+    "cluster_keep" -> 2,
     "cms_freq" -> 3,
     "corpus_sim" -> 4,
     "corpus_split" -> 1,
