@@ -178,6 +178,15 @@ class DedupSpec extends SparkSpec {
     assert(Similarity.planesFor(Long.MaxValue, 1) === 62) // bit-width ceiling
   }
 
+  test("declared-query plane derivation: corpus-sized below the oracle cap") {
+    // SparkEntry caps the DERIVED count at LshMaxPlanes because the static
+    // oracle pre-generates one gated sign chain per plane; the library path
+    // (planesFor) keeps growing to 62 for callers without an oracle
+    assert(SparkEntry.lshPlanesDerived(500) === 6)
+    assert(SparkEntry.lshPlanesDerived(1L << 20) === SparkEntry.LshMaxPlanes)
+    assert(SparkEntry.lshPlanesDerived(Long.MaxValue) === SparkEntry.LshMaxPlanes)
+  }
+
   test("banded LSH: planesFor-sized buckets stay small; planted dups still found") {
     // deterministic "random" fixture: 512 spread vectors + 8 planted
     // near-identical pairs on top
