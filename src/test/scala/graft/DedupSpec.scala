@@ -48,6 +48,19 @@ class DedupSpec extends SparkSpec {
       (4L, 3L, 2L, "p q r p")))   // trailing short segment survives
   }
 
+  test("scrubSegments is partition-count independent") {
+    // the keep rule is a row_number over (seg) ordered by (doc_id, seg_idx)
+    // — a total order, so physical partitioning must never change output;
+    // this guards the classic nondeterministic-window regression
+    val docs = engine.Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    def run(parts: Int) =
+      Dedup.scrubSegments(docs.repartition(parts), "doc_id", "text", 8)
+        .orderBy("doc_id")
+        .select("doc_id", "n_segs", "n_kept", "clean_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+    assert(run(1) === run(7))
+  }
+
   test("shingles: distinct 3-grams; short texts yield empty, not descending sequence") {
     val df = Seq("a b c d", "a b", "", "x y z x y z").toDF("text")
     val got = df.select(Dedup.shingles(col("text")).as("s"))
