@@ -53,11 +53,19 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // hang protection mirrors Verify's: a query that stalls is cancelled and
+    // recorded as an error instead of eating the round's wall clock
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "900").toLong
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val dt =
-          try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          try {
+            engine.Watchdog.run(spark, name, timeoutSec) { fn(spark, sfDir).count() } match {
+              case Right(_) => Some((System.nanoTime() - t0) / 1e9)
+              case Left(reason) => errors(name) = reason; None
+            }
+          }
           catch { case e: Throwable =>
             errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
             None

@@ -26,11 +26,22 @@ object Verify {
       case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
       case None => SparkEntry.queries
     }
+    // hang protection: one pathological query must cost its own row, never
+    // the whole dump (exceptions were already guarded; timeouts were not)
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "900").toLong
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        engine.Watchdog.run(spark, name, timeoutSec) {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } match {
+          case Left(reason) =>
+            failed += name
+            System.err.println(s"[verify] $name failed: $reason")
+          case Right(_) => ()
+        }
+      } catch { case e: Throwable =>
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

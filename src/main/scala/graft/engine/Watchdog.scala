@@ -1,0 +1,48 @@
+package graft.engine
+
+import java.util.concurrent.{Callable, ExecutionException, Executors, TimeUnit,
+  TimeoutException}
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-query hang protection for the driver harness mains (Verify/Bench).
+  *
+  * An exception in one query is already guarded there; a HANG is not — one
+  * pathological plan would stall the whole correctness dump or bench run
+  * until the round's stall detector fires (the round-7 lesson generalized:
+  * a harness must never let one query take down the artifact). The body
+  * runs on a watchdog thread inside its own Spark job group with
+  * `interruptOnCancel`; on timeout the group's jobs are cancelled so
+  * executors stop burning, and the caller records a failure and moves on.
+  *
+  * The job group MUST be set inside the watchdog thread — it is
+  * thread-local to the job-submitting thread, so setting it on the caller
+  * would tag nothing.
+  */
+object Watchdog {
+
+  /** Run `body`, returning Left(reason) on timeout (jobs cancelled) —
+    * exceptions from `body` propagate unchanged for the caller's existing
+    * error handling.
+    */
+  def run[T](spark: SparkSession, name: String, timeoutSec: Long)(body: => T): Either[String, T] = {
+    val group = s"graft-watchdog-$name"
+    val ex = Executors.newSingleThreadExecutor(r => {
+      val t = new Thread(r, s"watchdog-$name"); t.setDaemon(true); t
+    })
+    val fut = ex.submit(new Callable[T] {
+      def call(): T = {
+        spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+        try body finally spark.sparkContext.clearJobGroup()
+      }
+    })
+    try Right(fut.get(timeoutSec, TimeUnit.SECONDS))
+    catch {
+      case _: TimeoutException =>
+        spark.sparkContext.cancelJobGroup(group)
+        fut.cancel(true)
+        Left(s"timed out after ${timeoutSec}s (job group cancelled)")
+      case e: ExecutionException => throw e.getCause
+    } finally ex.shutdownNow()
+  }
+}
