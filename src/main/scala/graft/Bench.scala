@@ -57,21 +57,25 @@ object Bench {
     // recorded as an error instead of eating the round's wall clock
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "900").toLong
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).flatMap { _ =>
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      // a TIMED-OUT query skips its remaining reps — a hang won't resolve
+      // between reps, and retrying would cost reps × timeoutSec of wall
+      // clock; a thrown exception still retries (flakes fail fast + cheap)
+      var hung = false
+      var rep = 0
+      while (rep < reps && !hung) {
         val t0 = System.nanoTime()
-        val dt =
-          try {
-            engine.Watchdog.run(spark, name, timeoutSec) { fn(spark, sfDir).count() } match {
-              case Right(_) => Some((System.nanoTime() - t0) / 1e9)
-              case Left(reason) => errors(name) = reason; None
-            }
+        try {
+          engine.Watchdog.run(spark, name, timeoutSec) { fn(spark, sfDir).count() } match {
+            case Right(_) => times += (System.nanoTime() - t0) / 1e9
+            case Left(reason) => errors(name) = reason; hung = true
           }
-          catch { case e: Throwable =>
-            errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-            None
-          }
+        }
+        catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        }
         spark.catalog.clearCache() // operators may persist shared frames
-        dt
+        rep += 1
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }

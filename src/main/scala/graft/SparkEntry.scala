@@ -578,14 +578,16 @@ object SparkEntry {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
-    // part-dimension rollup: broadcast dim join + exact integer-cent sums —
-    // the star-schema fact×dim aggregate over the one table the other
-    // relational queries don't touch
+    // part-dimension rollup + exact integer-cent sums — the star-schema
+    // fact×dim aggregate over the one table the other relational queries
+    // don't touch. No broadcast hint: part is SF-proportional (grows with
+    // the corpus), so AQE picks broadcast-vs-shuffle from runtime sizes —
+    // a forced hint would pin a build side that stops fitting at scale
     "brand_volume" -> ((s, d) => {
       val qc = round(col("l_quantity") * 100).cast("long")
       val cents = round(col("l_extendedprice") * 100).cast("long")
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand")),
+        .join(Tables.part(s, d).select("p_partkey", "p_brand"),
           col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_items"),
@@ -619,8 +621,14 @@ object SparkEntry {
         .limit(10)
     }),
 
-    // TPC-H Q5 shape: 6-table star join through nation/region; every dim
-    // side broadcasts, the fact table shuffles once for the final groupBy
+    // TPC-H Q5 shape: 6-table star join through nation/region. Only the
+    // nation⋈region side is hinted — those are FIXED-cardinality dims
+    // (25/5 rows at any SF). The year-filtered orders (~1/7 of the table),
+    // customer, and supplier sides all grow linearly with the corpus, so
+    // they carry NO broadcast hints: AQE picks broadcast-vs-shuffle from
+    // runtime sizes, exactly as q3_topk does — a forced hint on an
+    // SF-proportional side is a driver/executor OOM at 100×. Equi-join
+    // discipline per create_pairs_daily.sql:47-52.
     "q5_region" -> ((s, d) => {
       val rev = round(col("l_extendedprice") * 100).cast("long") *
         (lit(100L) - round(col("l_discount") * 100).cast("long"))
@@ -628,12 +636,12 @@ object SparkEntry {
         .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
           col("n_regionkey") === col("r_regionkey")))
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.orders(s, d)
+        .join(Tables.orders(s, d)
           .filter(col("o_orderdate").between(
-            lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))),
+            lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp"))),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(nations, col("s_nationkey") === col("n_nationkey"))
@@ -752,15 +760,25 @@ object SparkEntry {
         .orderBy("user_id")),
 
     // §2.5: percent-rank curve over pair max GTO (the notebook's procedural
-    // sort+index, as a window function). Global rank needs a single ordered
-    // partition — fine on the (small) pair summary, never on raw events.
+    // sort+index). The rank rides [[Indexing.globalIndex]]'s range-partition
+    // protocol, NOT a single-partition global window: the (max_gto, uid_a,
+    // uid_b) key is total (ids unique per row), so percent_rank degenerates
+    // to global_idx/(n-1) — bit-identical to the window form, but every
+    // stage stays distributed even when fleet density makes the pair summary
+    // grow quadratically (the same move quality_ensemble made in round 8).
     "gto_rank_curve" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      pairsGold(s, d)
-        .groupBy("uid_a", "uid_b").agg(max(col("gto")).as("max_gto"))
-        .select(col("uid_a"), col("uid_b"), round(col("max_gto"), 6).as("max_gto"),
-          round(percent_rank().over(
-            Window.orderBy(col("max_gto"), col("uid_a"), col("uid_b"))), 6).as("pr"))
+      val mx = graft.engine.CacheScope.global.persisted(
+        pairsGold(s, d)
+          .groupBy("uid_a", "uid_b").agg(max(col("gto")).as("max_gto")))
+      val denom = math.max(mx.count() - 1L, 1L).toDouble
+      Indexing.globalIndex(
+          mx.withColumn("__k",
+            struct(col("max_gto").as("v"), col("uid_a").as("a"),
+              col("uid_b").as("b"))),
+          "__k")
+        .select(col("uid_a"), col("uid_b"),
+          round(col("max_gto"), 6).as("max_gto"),
+          round(col("global_idx") / denom, 6).as("pr"))
         .orderBy("uid_a", "uid_b")
     }),
   )
@@ -3987,10 +4005,13 @@ object SparkEntry {
          |FROM r GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
-    // same first-occurrence rule on the raw segment text, re-stitched with an
-    // ordered string_agg (empty when every segment of a doc was scrubbed)
+    // same first-occurrence rule, re-stitched with an ordered string_agg
+    // (empty when every segment of a doc was scrubbed). Mirrors the Spark
+    // side's md5(seg) window key — semantically identical to partitioning
+    // by the raw text (equal segs share a digest; collisions ~n²/2¹²⁸)
     "scrub_dupes" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(coalesce(text, ''), ' ') AS ts FROM documents),
          |c AS (SELECT doc_id, ts,
          |    unnest(range(1, greatest(len(ts), 1) + 1, $ScrubTokens)) AS s
          |  FROM t),
@@ -3999,7 +4020,7 @@ object SparkEntry {
          |    array_to_string(ts[s : s + ${ScrubTokens - 1}], ' ') AS seg
          |  FROM c),
          |r AS (SELECT doc_id, seg_idx, seg,
-         |    row_number() OVER (PARTITION BY seg
+         |    row_number() OVER (PARTITION BY md5(seg)
          |      ORDER BY doc_id, seg_idx) AS rn
          |  FROM seg)
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,

@@ -41,7 +41,21 @@ object Watchdog {
       case _: TimeoutException =>
         spark.sparkContext.cancelJobGroup(group)
         fut.cancel(true)
-        Left(s"timed out after ${timeoutSec}s (job group cancelled)")
+        ex.shutdownNow()
+        // a body stuck in non-interruptible driver-side code ignores the
+        // interrupt: the daemon thread then outlives the call and can pin
+        // session state while later queries run — make the leak VISIBLE in
+        // the round log instead of silent (grace period, then report)
+        val died =
+          try ex.awaitTermination(10, TimeUnit.SECONDS)
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); false }
+        if (!died)
+          System.err.println(
+            s"[graft] watchdog-$name worker ignored interrupt within 10s grace; " +
+              "daemon thread leaked")
+        Left(s"timed out after ${timeoutSec}s (job group cancelled" +
+          (if (died) ")" else "; worker thread leaked)"))
       case e: ExecutionException => throw e.getCause
     } finally ex.shutdownNow()
   }

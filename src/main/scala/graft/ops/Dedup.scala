@@ -528,30 +528,56 @@ object Dedup {
     * profiles duplicate mass; this emits the cleaned corpus a training run
     * would actually read.
     *
-    * Scale: one shuffle keyed on segment text (the row_number window — same
-    * profile as [[chunkDedup]]), one doc-keyed groupBy to re-stitch. Never
-    * all-pairs; shuffle volume = corpus token count.
+    * Scale: one shuffle keyed on `md5(seg)` — a fixed 16-byte key, so the
+    * window's shuffle/sort compares digests instead of full segment text
+    * (the text rides along as a VALUE column only; at corpus scale the raw
+    * text as both key and value doubled the exchanged bytes and made every
+    * sort comparison O(segment length)). 128-bit digests make a cross-text
+    * collision astronomically unlikely (~n²/2¹²⁸); one doc-keyed groupBy
+    * re-stitches. Never all-pairs; shuffle volume = corpus token count.
+    *
+    * Null-text docs are treated as empty text (coalesce before tokenizing),
+    * so they surface with one empty segment instead of silently vanishing
+    * from the output — pinned by a DedupSpec fixture.
     */
   def scrubSegments(df: DataFrame, idCol: String, textCol: String,
                     segTokens: Int): DataFrame = {
+    val segs = segmentize(df, idCol, textCol, segTokens)
+    val w = Window.partitionBy(unhex(md5(col("seg"))))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    restitch(segs.withColumn("rn", row_number().over(w))
+      .withColumn("kept", col("rn") === 1))
+  }
+
+  /** The segmentation half of [[scrubSegments]], shared with
+    * [[graft.streaming.StreamingScrub]]: fixed `segTokens`-word windows as
+    * `(doc_id, seg_idx, seg)` rows. Null text coalesces to `''` — every
+    * input doc emits at least one (possibly empty) segment, so no doc can
+    * silently vanish from a scrub output.
+    */
+  def segmentize(df: DataFrame, idCol: String, textCol: String,
+                 segTokens: Int): DataFrame = {
     require(segTokens > 0, "segTokens must be positive")
-    val segs = df
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("__toks"))
+    df.select(col(idCol).as("doc_id"),
+        TextOps.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
       .select(col("doc_id"),
         posexplode(transform(
           sequence(lit(1), greatest(size(col("__toks")), lit(1)), lit(segTokens)),
           s => array_join(slice(col("__toks"), s, lit(segTokens)), " ")))
           .as(Seq("seg_idx", "seg")))
-    val w = Window.partitionBy(col("seg")).orderBy(col("doc_id"), col("seg_idx"))
-    segs.withColumn("rn", row_number().over(w))
-      .withColumn("kept", col("rn") === 1)
-      .groupBy("doc_id")
+  }
+
+  /** The re-stitch half of [[scrubSegments]] (shared with the streaming
+    * twin): collapse flagged `(doc_id, seg_idx, seg, kept)` rows back to one
+    * row per doc, surviving segments re-joined in position order.
+    */
+  def restitch(flagged: DataFrame): DataFrame =
+    flagged.groupBy("doc_id")
       .agg(count(lit(1)).as("n_segs"),
         sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
         array_join(transform(sort_array(collect_list(
             when(col("kept"), struct(col("seg_idx"), col("seg"))))),
           x => x.getField("seg")), " ").as("clean_text"))
-  }
 
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+
+import graft.ops.Dedup
+
+/** Streaming duplicate-passage SCRUB — the online twin of
+  * [[graft.ops.Dedup.scrubSegments]] (CCNet/FineWeb-style sub-document
+  * rewrite). [[StreamingNearDup]] only SUPPRESSES whole documents; this
+  * REWRITES them: each micro-batch is segmented once, every segment keeps
+  * only its corpus-wide first occurrence — "corpus" = everything the
+  * standing store has seen plus earlier (doc, position) rows of the same
+  * batch — and batch docs are re-stitched from their surviving segments.
+  *
+  * Equivalence contract (pinned in StreamingSpec): replaying a corpus in
+  * doc-id order across micro-batches produces EXACTLY the batch
+  * `scrubSegments` output, because both sides share the same segmentation
+  * ([[Dedup.segmentize]]), keep rule (first (doc_id, seg_idx) per segment
+  * digest), and re-stitch ([[Dedup.restitch]]). When arrival order differs
+  * from id order, "first" means first ARRIVAL — the store is history, the
+  * standard streaming keep-first semantics of [[StreamingDedup]].
+  *
+  * Scale: the store holds one 16-byte md5 digest per distinct segment ever
+  * kept — never segment text — so per-batch cost is one digest-keyed window
+  * over the batch plus an equi-join against the store (both keyed on fixed
+  * 16-byte binaries, the same key discipline as the batch scrub's window).
+  *
+  * Recovery: standard foreachBatch at-least-once. A replayed batch
+  * re-appends digests, so the store may hold duplicate rows — the probe
+  * `distinct`s it before joining, and re-appending cannot change any keep
+  * decision (the digest was already present). Point `outDir` at an
+  * idempotent sink or key downstream reads by doc id, as with any
+  * foreachBatch pipeline.
+  */
+object StreamingScrub {
+
+  /** Store schema: one row per distinct kept-segment digest. */
+  private val StoreSchema = StructType(
+    Seq(StructField("seg_key", BinaryType, nullable = false)))
+
+  /** Start the scrub stream: re-stitched batch docs (`doc_id`, `n_segs`,
+    * `n_kept`, `clean_text`) append to `outDir`; digests of newly-kept
+    * segments append to `storeDir`.
+    */
+  def scrubStream(docs: DataFrame, idCol: String, textCol: String,
+                  storeDir: String, outDir: String, checkpointDir: String,
+                  segTokens: Int): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val segs = Dedup.segmentize(batch, idCol, textCol, segTokens)
+            .withColumn("seg_key", unhex(md5(col("seg")))).persist()
+          try {
+            val standing = readStore(spark, storeDir).distinct()
+              .withColumn("__seen", lit(true))
+            // in-batch first occurrence per digest; kept only when the
+            // store has never seen the digest either
+            val w = Window.partitionBy(col("seg_key"))
+              .orderBy(col("doc_id"), col("seg_idx"))
+            val flagged = segs.withColumn("rn", row_number().over(w))
+              .join(standing, Seq("seg_key"), "left")
+              .withColumn("kept", col("rn") === 1 && col("__seen").isNull)
+              .persist()
+            try {
+              Dedup.restitch(flagged).write.mode("append").parquet(outDir)
+              flagged.filter(col("kept")).select("seg_key")
+                .write.mode("append").parquet(storeDir)
+            } finally flagged.unpersist(blocking = false)
+          } finally segs.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+
+  /** The standing digest store; empty before the first batch lands. */
+  def readStore(spark: SparkSession, storeDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(storeDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StoreSchema)
+  }
+}

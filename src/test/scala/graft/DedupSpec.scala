@@ -48,6 +48,28 @@ class DedupSpec extends SparkSpec {
       (4L, 3L, 2L, "p q r p")))   // trailing short segment survives
   }
 
+  test("scrubSegments: null-text docs surface as empty, not silently dropped") {
+    // null text coalesces to '' before tokenizing — the doc appears in the
+    // output with one empty segment instead of vanishing (transform over a
+    // null token array emits no rows). Empty and null docs share the ''
+    // segment, so only the first keeps it; none of them disappears.
+    val docs = Seq(
+      (1L, "a b c"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSegments(docs, "doc_id", "text", segTokens = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_segs", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 1L, 1L, "a b c"),
+      (2L, 1L, 1L, ""),   // first '' segment in (doc_id, seg_idx) order wins
+      (3L, 1L, 0L, ""),
+      (4L, 1L, 0L, "")))
+  }
+
   test("scrubSegments is partition-count independent") {
     // the keep rule is a row_number over (seg) ordered by (doc_id, seg_idx)
     // — a total order, so physical partitioning must never change output;

@@ -23,6 +23,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "no fact-side sort-merge for dim joins")
   }
 
+  test("relational suite: no FORCED broadcast of an SF-proportional relation") {
+    // The q3→q5 recurrence: a broadcast() hint on a side that grows with the
+    // corpus (lineitem/orders/customer/supplier/part) is removed in one query
+    // and quietly survives in its neighbor — at 100× it is a driver OOM. The
+    // gate: every ResolvedHint subtree in the ANALYZED plan (hints are forced
+    // regardless of runtime size; AQE-chosen broadcasts adapt and are fine)
+    // may only cover the fixed-cardinality dims nation (n_*) / region (r_*),
+    // whose row counts are constant at ANY scale factor.
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    for (q <- Seq("q1_agg", "q3_topk", "q5_region", "brand_volume",
+        "cust_inactive")) {
+      val hints = SparkEntry.queries(q)(spark, Sf)
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      hints.foreach { h =>
+        val bad = h.child.output.map(_.name)
+          .filterNot(n => n.startsWith("n_") || n.startsWith("r_"))
+        assert(bad.isEmpty,
+          s"$q: forced-broadcast subtree carries SF-proportional columns " +
+            s"${bad.mkString(", ")} — drop the hint and let AQE decide")
+      }
+    }
+  }
+
   test("q3_topk: segment filter is pushed to the customer scan") {
     val plan = planOf(SparkEntry.queries("q3_topk")(spark, Sf))
     assert(plan.contains("PushedFilters") &&

@@ -83,7 +83,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "gap_fill" -> 3,
     "gap_interp" -> 3,
     "global_index" -> 1,
-    "gto_rank_curve" -> 2,
+    // 1 visible exchange (the final ORDER BY): the percent-rank now rides
+    // globalIndex's range-partition protocol, whose range shuffle sits
+    // behind the RDD stamping hop — was 2 with the single-partition window
+    "gto_rank_curve" -> 1,
     "hard_negatives" -> 2,
     "hybrid_dedup" -> 1,
     "incr_dedup" -> 3,

@@ -364,6 +364,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming scrub ≡ batch scrubSegments on an id-ordered two-batch replay") {
+    // the equivalence contract: same segmentation, keep rule, and re-stitch
+    // as Dedup.scrubSegments, so replaying the corpus in doc-id order across
+    // micro-batches must reproduce the batch output EXACTLY — including a
+    // cross-batch repeat (batch-2 doc repeating a batch-1 segment drops via
+    // the standing digest store) and an in-batch repeat
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "a b c d e f"),        // batch 1: both segments novel
+      (2L, "a b c x y z"),        // batch 1: in-batch repeat of doc 1's seg
+      (3L, "d e f d e f"),        // batch 2: cross-batch repeats via store
+      (4L, "p q r p q r p"))      // batch 2: in-batch + trailing short seg
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-scrub").toString
+    val (store, out, cp) = (root + "/store", root + "/out", root + "/cp")
+    val q = graft.streaming.StreamingScrub.scrubStream(
+      docs, "doc_id", "text", store, out, cp, segTokens = 3)
+    try {
+      in.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      in.addData(rows(2), rows(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .orderBy("doc_id").select("doc_id", "n_segs", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val batch = graft.ops.Dedup
+      .scrubSegments(rows.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .orderBy("doc_id").select("doc_id", "n_segs", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(streamed === batch, "streaming scrub must reproduce batch output")
+    assert(batch === Seq((1L, 2L, 2L, "a b c d e f"), (2L, 2L, 1L, "x y z"),
+      (3L, 2L, 0L, ""), (4L, 3L, 2L, "p q r p")))
+    // the store holds DIGESTS only (16-byte binary), never segment text
+    val st = spark.read.parquet(store)
+    assert(st.schema.map(f => (f.name, f.dataType.typeName)) ===
+      Seq(("seg_key", "binary")))
+    assert(st.distinct().count() === 5,
+      "one digest per distinct kept segment: abc, def, xyz, pqr, p")
+  }
+
   test("streaming CDC upsert maintains a keyed snapshot across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, Long, String, Double)]
