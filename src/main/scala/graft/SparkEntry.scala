@@ -1557,6 +1557,14 @@ object SparkEntry {
       Dedup.scrubSegments(Tables.documents(s, d), "doc_id", "text", ScrubTokens)
         .orderBy("doc_id")),
 
+    // ExactSubstr-style duplicate-span profile: stride-1 windows at the
+    // scrub's own granularity — catches offset-shifted repeats the fixed
+    // segments miss, and calibrates whether the scrub rewrite is needed
+    "dup_spans" -> ((s, d) =>
+      Dedup.dupSpanCoverage(Tables.documents(s, d), "doc_id", "text",
+          ScrubTokens)
+        .orderBy("doc_id")),
+
     // content-defined chunking dedup: boundaries anchor to the rolling hash,
     // not offsets, so shifted/quoted passages dedup where fixed-size chunks
     // all change
@@ -4029,6 +4037,26 @@ object SparkEntry {
          |    ORDER BY seg_idx), '') AS clean_text
          |FROM r GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
+
+    // stride-1 window digests; a window with corpus-wide occurrence ≥2 is
+    // duplicated (md5 key mirrors the Spark side; counts are digest-exact)
+    "dup_spans" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(coalesce(text, ''), ' ') AS ts FROM documents),
+         |c AS (SELECT doc_id, ts,
+         |    unnest(range(1, greatest(len(ts) - ${ScrubTokens - 1}, 1) + 1)) AS s
+         |  FROM t),
+         |win AS (SELECT doc_id,
+         |    md5(array_to_string(ts[s : s + ${ScrubTokens - 1}], ' ')) AS wkey
+         |  FROM c),
+         |o AS (SELECT doc_id, count(*) OVER (PARTITION BY wkey) AS occ
+         |  FROM win)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_windows,
+         |  round(CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS dup_frac
+         |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "shard_manifest" ->
       s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,

@@ -579,6 +579,46 @@ object Dedup {
             when(col("kept"), struct(col("seg_idx"), col("seg"))))),
           x => x.getField("seg")), " ").as("clean_text"))
 
+  /** ExactSubstr-style duplicate-span PROFILE (the detection half of Lee et
+    * al. 2021's "Deduplicating Training Data Makes Language Models Better",
+    * §4.1 ExactSubstr): every `w`-token window at STRIDE 1 is digested; a
+    * window is duplicated when its digest occurs ≥2 times corpus-wide
+    * (cross-doc or self-repeat). Per doc: window count, duplicated-window
+    * count, duplicated fraction. Fixed-window operators structurally miss
+    * offset-shifted repeats — a passage repeated at a different token
+    * offset never aligns with a fixed segment boundary but ALWAYS aligns
+    * with some stride-1 window — so this is the detector you run to decide
+    * whether [[scrubSegments]]' rewrite is worth its shuffle, and
+    * `dup_frac`'s corpus distribution is the scrub's calibration curve.
+    *
+    * Scale: one row per token position (the honest stride-1 price — the
+    * same O(corpus tokens) volume as the shingle shuffle in
+    * [[ngramJaccardPairs]]), each row a 16-byte md5 digest + ids, never
+    * window text; occurrence counting rides ONE digest-keyed window pass
+    * (count over an unordered frame — no join-back, no second scan of the
+    * big frame), then one doc-keyed rollup. Docs shorter than `w` tokens
+    * emit one whole-doc window, so every doc appears in the profile.
+    */
+  def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
+                      w: Int): DataFrame = {
+    require(w > 0, "window tokens must be positive")
+    val wins = df
+      .select(col(idCol).as("doc_id"),
+        TextOps.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(size(col("__toks")) - (w - 1), lit(1))),
+          s => unhex(md5(array_join(slice(col("__toks"), s, lit(w)), " ")))))
+          .as("wkey"))
+    val occ = count(lit(1)).over(Window.partitionBy(col("wkey")))
+    wins.withColumn("occ", occ)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+  }
+
   def chunkDedup(df: DataFrame, idCol: String, textCol: String,
                  chunkTokens: Int): DataFrame = {
     val chunks = Curation.chunkDocs(df, idCol, textCol, chunkTokens, 0)

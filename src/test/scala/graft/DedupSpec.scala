@@ -70,6 +70,27 @@ class DedupSpec extends SparkSpec {
       (4L, 1L, 0L, "")))
   }
 
+  test("dupSpanCoverage: stride-1 windows catch offset-shifted repeats") {
+    // doc 2 repeats doc 1's "a b c" span at a DIFFERENT offset (1 vs 0) —
+    // a fixed-window segmenter never aligns them; stride-1 always does.
+    // doc 4 is a pure self-repeat; doc 3 is shorter than the window.
+    val docs = Seq(
+      (1L, "a b c d e"),    // windows: "a b c","b c d","c d e"
+      (2L, "x a b c d"),    // windows: "x a b","a b c","b c d" — 2 shared
+      (3L, "q r"),          // short doc: one whole-doc window
+      (4L, "s s s s")       // "s s s" twice: self-repeat duplicates
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanCoverage(docs, "doc_id", "text", w = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 3L, 2L, 0.666667),
+      (2L, 3L, 2L, 0.666667),
+      (3L, 1L, 0L, 0.0),
+      (4L, 2L, 2L, 1.0)))
+  }
+
   test("scrubSegments is partition-count independent") {
     // the keep rule is a row_number over (seg) ordered by (doc_id, seg_idx)
     // — a total order, so physical partitioning must never change output;

@@ -126,6 +126,16 @@ class PlanSpec extends SparkSpec {
       "pairs must come from the hash equi-join, never all-pairs")
   }
 
+  test("dup_spans: occurrence count is ONE digest-keyed window pass — no join-back") {
+    // the stride-1 window frame is O(corpus tokens): counting occurrences
+    // via groupBy + join would scan and shuffle it twice; the partitioned
+    // window does it in one pass, and the partition key keeps it off the
+    // single-partition WindowExec path
+    val plan = planOf(SparkEntry.queries("dup_spans")(spark, Sf))
+    assert(!plan.contains("Join"), "no join-back of occurrence counts")
+    assert(plan.contains("Window"), "digest-keyed count window expected")
+  }
+
   test("events_rollup: grouping sets are one Expand + one agg, not a per-set union") {
     val plan = planOf(SparkEntry.queries("events_rollup")(spark, Sf))
     assert(plan.contains("Expand"), "rollup compiles to Expand")

@@ -67,6 +67,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dsir_select" -> 4,
     "dsir_weights" -> 5,
     "dup_clusters" -> 1,
+    // digest-keyed occurrence window + doc rollup + final ORDER BY
+    "dup_spans" -> 3,
     "dwell_episodes" -> 2,
     "embed_centroids" -> 2,
     "embed_lsh" -> 2,
