@@ -1,0 +1,181 @@
+package graft.sources
+
+import java.io.{FileOutputStream, IOException, InputStream}
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path, StandardCopyOption}
+import java.time.LocalDate
+
+/** HTTP transports for archive discovery and landing — the S1–S3 half the
+  * filesystem-backed [[ArchiveIndex.LocalDirIndex]] stubs out. Mirrors the
+  * reference's `NOAAIndexClient` (`pipelines/ais_pipeline.py:188-307`:
+  * per-year index scrape, probe fallback over template×extension candidates,
+  * HEAD with GET fallback) and `download_file` (`:341-370`: skip-if-present,
+  * streamed chunks) — extended with true RFC 7233 `Range` resume, so an
+  * interrupted multi-GB archive download continues from the received prefix
+  * instead of restarting (the reference restarts; resume is what S3's
+  * "download w/ resume" contract wants at real archive sizes).
+  *
+  * Driver-side IO on the JDK `HttpClient` — no added dependency, and the
+  * transport is exercised hermetically in `SourcesSpec` against an
+  * in-process localhost server (this build environment has no egress; the
+  * code paths are the same ones a real deployment hits).
+  */
+object HttpArchive {
+
+  /** Probe candidates in the reference's order (`ais_pipeline.py:195-199`):
+    * each name template × each extension, first hit wins.
+    */
+  val DefaultTemplates: Seq[String] = Seq("AIS_%Y_%m_%d", "ais-%Y-%m-%d")
+  val DefaultExtensions: Seq[String] = Seq(".csv.zst", ".zst", ".zip", ".csv.gz")
+
+  def defaultClient(): HttpClient =
+    HttpClient.newBuilder()
+      .followRedirects(HttpClient.Redirect.NORMAL)
+      .connectTimeout(java.time.Duration.ofSeconds(30))
+      .build()
+
+  /** HTTP-backed [[ArchiveIndex]]: scrape `base/<year>/index.html` for each
+    * year the range touches ([[ArchiveIndex.parseHtmlIndex]] does the
+    * parsing); dates the scrape missed fall back to per-date probing —
+    * HEAD first, GET on HEAD failure/rejection, exactly the reference's
+    * `_probe_single_date` ladder (`ais_pipeline.py:277-307`).
+    */
+  class HttpIndex(baseUrl: String,
+                  client: HttpClient = defaultClient(),
+                  templates: Seq[String] = DefaultTemplates,
+                  extensions: Seq[String] = DefaultExtensions)
+      extends ArchiveIndex {
+    private val base = baseUrl.stripSuffix("/")
+
+    override def listFilesBetween(from: LocalDate, until: LocalDate): Seq[String] = {
+      require(!from.isAfter(until), s"empty range $from..$until")
+      val scraped = (from.getYear to until.getYear).flatMap { y =>
+        scrapeYear(y).filter(f => !f.date.isBefore(from) && !f.date.isAfter(until))
+      }
+      val covered = scraped.map(_.date).toSet
+      val probed = Iterator.iterate(from)(_.plusDays(1))
+        .takeWhile(!_.isAfter(until))
+        .filterNot(covered)
+        .flatMap(probeDate)
+        .toSeq
+      (scraped.map(f => f.date -> f.href) ++ probed).sortBy(_._1.toEpochDay)
+        .map(_._2)
+    }
+
+    /** One index page per year, the reference's `_scrape_index`; a fetch
+      * failure means "no index page" and yields Nil (probe covers the gap).
+      */
+    def scrapeYear(year: Int): Seq[ArchiveIndex.IndexedFile] = {
+      val indexUrl = s"$base/$year/index.html"
+      try {
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(indexUrl)).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+        if (resp.statusCode() == 200)
+          ArchiveIndex.parseHtmlIndex(resp.body(), indexUrl)
+        else Nil
+      } catch { case _: IOException | _: InterruptedException => Nil }
+    }
+
+    /** First template×extension candidate that answers 200 — HEAD, then GET
+      * when HEAD errors or is rejected (some object stores disallow it).
+      */
+    def probeDate(date: LocalDate): Option[(LocalDate, String)] = {
+      val names = for (t <- templates; e <- extensions)
+        yield ArchiveIndex.candidates(t + e, date, date).head
+      names.iterator.map(n => s"$base/${date.getYear}/$n").collectFirst {
+        case url if headOk(url) || getOk(url) => date -> url
+      }
+    }
+
+    private def headOk(url: String): Boolean =
+      try {
+        client.send(
+          HttpRequest.newBuilder(URI.create(url))
+            .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+          HttpResponse.BodyHandlers.discarding()).statusCode() == 200
+      } catch { case _: IOException | _: InterruptedException => false }
+
+    private def getOk(url: String): Boolean =
+      try {
+        val resp = client.send(
+          HttpRequest.newBuilder(URI.create(url)).GET().build(),
+          HttpResponse.BodyHandlers.ofInputStream())
+        try resp.statusCode() == 200 finally resp.body().close()
+      } catch { case _: IOException | _: InterruptedException => false }
+  }
+
+  /** Download `url` to `dest`, resuming across calls AND retries: bytes
+    * land in `dest.part`, each (re)attempt asks for `Range: bytes=<have>-`,
+    * and the finished file is atomically moved into place. A server that
+    * ignores Range (plain 200) restarts the part file from zero; a complete
+    * `dest` short-circuits (the reference's skip-if-present,
+    * `ais_pipeline.py:344-347`). Returns `dest`.
+    *
+    * @param maxAttempts total tries against mid-stream disconnects; each
+    *                    retry keeps the already-received prefix.
+    */
+  def downloadResumable(client: HttpClient, url: String, dest: Path,
+                        maxAttempts: Int = 3): Path = {
+    require(maxAttempts >= 1, "need at least one attempt")
+    if (Files.exists(dest)) return dest
+    val part = dest.resolveSibling(dest.getFileName.toString + ".part")
+    var attempt = 0
+    var lastFailure: IOException = null
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val have = if (Files.exists(part)) Files.size(part) else 0L
+      val req = {
+        val b = HttpRequest.newBuilder(URI.create(url)).GET()
+        if (have > 0) b.header("Range", s"bytes=$have-")
+        b.build()
+      }
+      try {
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofInputStream())
+        resp.statusCode() match {
+          case 206 if have > 0 =>
+            appendStream(resp.body(), part, append = true)
+            Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+            return dest
+          case 200 =>
+            // full body (first attempt, or server ignored Range): restart
+            appendStream(resp.body(), part, append = false)
+            Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+            return dest
+          case 416 if have > 0 && Files.size(part) > 0 =>
+            // requested range starts at EOF: the part file is already whole
+            resp.body().close()
+            Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+            return dest
+          case code =>
+            resp.body().close()
+            throw new IOException(s"GET $url returned $code")
+        }
+      } catch {
+        case e: IOException => lastFailure = e // part keeps the prefix
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw new IOException(s"interrupted downloading $url", e)
+      }
+    }
+    throw new IOException(
+      s"download of $url failed after $maxAttempts attempts", lastFailure)
+  }
+
+  /** Stream-copy to the part file in 1 MiB chunks (the reference's chunk
+    * size, `ais_pipeline.py:352`); bytes written before a disconnect stay
+    * on disk so the next attempt's Range picks up after them.
+    */
+  private def appendStream(in: InputStream, part: Path, append: Boolean): Unit = {
+    val out = new FileOutputStream(part.toFile, append)
+    try {
+      val buf = new Array[Byte](1024 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } finally { out.close(); in.close() }
+  }
+}

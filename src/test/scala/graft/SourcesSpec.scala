@@ -183,6 +183,110 @@ class SourcesSpec extends SparkSpec {
     assert(got(3).href === "https://host/2025/AIS_2025_01_04.zip") // from anchor text
   }
 
+  // ---- HTTP transports (S1–S3), hermetic against an in-process server ----
+
+  /** Localhost server: `routes` maps absolute paths to bodies. HEAD is
+    * rejected with 405 on paths in `noHead` (exercising the GET fallback);
+    * GET honors `Range: bytes=N-` with 206/416; paths in `cutFirstGet`
+    * declare the full length but close after half the body ONCE (mid-stream
+    * disconnect), serving complete responses afterwards.
+    */
+  private def withHttpServer(routes: Map[String, Array[Byte]],
+                             noHead: Set[String] = Set.empty,
+                             cutFirstGet: Set[String] = Set.empty)
+                            (body: (String, () => Seq[String]) => Unit): Unit = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val cutPending =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    cutFirstGet.foreach(cutPending.add)
+    server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      val range = Option(ex.getRequestHeaders.getFirst("Range"))
+      seen.add(s"${ex.getRequestMethod} $path${range.map(" " + _).getOrElse("")}")
+      routes.get(path) match {
+        case None => ex.sendResponseHeaders(404, -1); ex.close()
+        case Some(bytes) if ex.getRequestMethod == "HEAD" =>
+          if (noHead(path)) ex.sendResponseHeaders(405, -1)
+          else ex.sendResponseHeaders(200, -1) // HEAD: headers only
+          ex.close()
+        case Some(bytes) =>
+          val from = range.map(_.stripPrefix("bytes=").stripSuffix("-").toLong)
+            .getOrElse(0L)
+          if (from >= bytes.length) { ex.sendResponseHeaders(416, -1); ex.close() }
+          else {
+            val slice = bytes.drop(from.toInt)
+            val cut = from == 0 && cutPending.remove(path)
+            if (cut) {
+              // declare the full length, deliver half, drop the connection
+              ex.sendResponseHeaders(200, slice.length)
+              ex.getResponseBody.write(slice, 0, slice.length / 2)
+              ex.getResponseBody.flush()
+              ex.close()
+            } else {
+              ex.sendResponseHeaders(if (from > 0) 206 else 200, slice.length)
+              ex.getResponseBody.write(slice)
+              ex.close()
+            }
+          }
+      }
+    })
+    server.start()
+    try body(s"http://127.0.0.1:${server.getAddress.getPort}",
+      () => { import scala.jdk.CollectionConverters._; seen.asScala.toSeq })
+    finally server.stop(0)
+  }
+
+  test("HTTP index (S1/S2): year scrape + per-date probe with HEAD→GET fallback") {
+    val html = """<a href="AIS_2024_01_01.zip">day 1</a>"""
+    withHttpServer(
+      routes = Map(
+        "/arch/2024/index.html" -> html.getBytes("UTF-8"),
+        "/arch/2024/AIS_2024_01_01.zip" -> "z1".getBytes("UTF-8"),
+        "/arch/2024/AIS_2024_01_02.csv.zst" -> "z2".getBytes("UTF-8")),
+      noHead = Set("/arch/2024/AIS_2024_01_02.csv.zst")) { (base, seen) =>
+      val idx = new graft.sources.HttpArchive.HttpIndex(s"$base/arch")
+      val found = idx.listFilesBetween(
+        LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 3))
+      // day 1 from the scrape (resolved against the index URL), day 2 from
+      // the probe despite the 405 on HEAD, day 3 genuinely absent
+      assert(found === Seq(
+        s"$base/arch/2024/AIS_2024_01_01.zip",
+        s"$base/arch/2024/AIS_2024_01_02.csv.zst"))
+      val log = seen()
+      assert(log.contains("GET /arch/2024/index.html"), "scrape fetches the index")
+      assert(log.contains("HEAD /arch/2024/AIS_2024_01_02.csv.zst") &&
+        log.contains("GET /arch/2024/AIS_2024_01_02.csv.zst"),
+        s"probe must fall back HEAD→GET, saw: $log")
+      assert(!log.exists(_.contains("AIS_2024_01_01.zip")),
+        "scraped date must not be re-probed")
+    }
+  }
+
+  test("HTTP download (S3): mid-stream disconnect resumes via Range, not restart") {
+    val payload = Array.tabulate[Byte](96 * 1024)(i => (i * 31 + 7).toByte)
+    withHttpServer(
+      routes = Map("/arch/2024/big.zip" -> payload),
+      cutFirstGet = Set("/arch/2024/big.zip")) { (base, seen) =>
+      val dest = Files.createTempDirectory("dl").resolve("big.zip")
+      val got = graft.sources.HttpArchive.downloadResumable(
+        graft.sources.HttpArchive.defaultClient(),
+        s"$base/arch/2024/big.zip", dest)
+      assert(java.util.Arrays.equals(Files.readAllBytes(got), payload),
+        "resumed file must be byte-identical to the payload")
+      val ranged = seen().filter(_.contains("bytes="))
+      assert(ranged.nonEmpty, s"second attempt must send a Range header: ${seen()}")
+      assert(ranged.head.endsWith(s"bytes=${payload.length / 2}-"),
+        s"resume must continue exactly after the received prefix, saw $ranged")
+      // skip-if-present: a second call makes NO further requests
+      val before = seen().size
+      graft.sources.HttpArchive.downloadResumable(
+        graft.sources.HttpArchive.defaultClient(), s"$base/arch/2024/big.zip", dest)
+      assert(seen().size === before, "existing complete file short-circuits")
+    }
+  }
+
   test("external table registration + partition recovery (K5)") {
     val loc = Files.createTempDirectory("ext_tbl").toString + "/t"
     Seq((1L, "2025-01-01 00:00:00"), (2L, "2025-01-02 00:00:00"))
