@@ -24,8 +24,14 @@ object Watchdog {
   /** Run `body`, returning Left(reason) on timeout (jobs cancelled) —
     * exceptions from `body` propagate unchanged for the caller's existing
     * error handling.
+    *
+    * @param graceSec how long a timed-out worker gets to honor the
+    *                 interrupt before being reported as leaked (the report
+    *                 is advisory — a daemon thread stuck in
+    *                 non-interruptible code cannot be killed, only named).
     */
-  def run[T](spark: SparkSession, name: String, timeoutSec: Long)(body: => T): Either[String, T] = {
+  def run[T](spark: SparkSession, name: String, timeoutSec: Long,
+             graceSec: Long = 10)(body: => T): Either[String, T] = {
     val group = s"graft-watchdog-$name"
     val ex = Executors.newSingleThreadExecutor(r => {
       val t = new Thread(r, s"watchdog-$name"); t.setDaemon(true); t
@@ -47,13 +53,13 @@ object Watchdog {
         // session state while later queries run — make the leak VISIBLE in
         // the round log instead of silent (grace period, then report)
         val died =
-          try ex.awaitTermination(10, TimeUnit.SECONDS)
+          try ex.awaitTermination(graceSec, TimeUnit.SECONDS)
           catch { case _: InterruptedException =>
             Thread.currentThread().interrupt(); false }
         if (!died)
           System.err.println(
-            s"[graft] watchdog-$name worker ignored interrupt within 10s grace; " +
-              "daemon thread leaked")
+            s"[graft] watchdog-$name worker ignored interrupt within " +
+              s"${graceSec}s grace; daemon thread leaked")
         Left(s"timed out after ${timeoutSec}s (job group cancelled" +
           (if (died) ")" else "; worker thread leaked)"))
       case e: ExecutionException => throw e.getCause

@@ -39,4 +39,24 @@ class WatchdogSpec extends SparkSpec {
     // the session must remain usable for the next query after a cancel
     assert(spark.range(5).count() === 5L)
   }
+
+  test("a worker that ignores the interrupt is reported as leaked, and one that honors it is not") {
+    // ignores: swallow the interrupt once and keep sleeping past the grace
+    // window (the thread dies naturally a few seconds later — bounded, no
+    // busy loop left running under the rest of the suite)
+    val leaked = Watchdog.run(spark, "stubborn", timeoutSec = 1, graceSec = 1) {
+      try Thread.sleep(60000)
+      catch { case _: InterruptedException => try Thread.sleep(4000) catch {
+        case _: InterruptedException => () } }
+      "done"
+    }
+    assert(leaked.swap.exists(_.contains("worker thread leaked")),
+      s"an interrupt-ignoring body must be reported: $leaked")
+    // honors: a plain sleep dies on the first interrupt within the grace
+    val clean = Watchdog.run(spark, "polite", timeoutSec = 1, graceSec = 5) {
+      Thread.sleep(60000); "done"
+    }
+    assert(clean.isLeft && !clean.swap.exists(_.contains("leaked")),
+      s"an interruptible body must terminate inside the grace: $clean")
+  }
 }
