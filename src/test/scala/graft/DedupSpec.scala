@@ -91,6 +91,19 @@ class DedupSpec extends SparkSpec {
       (4L, 2L, 2L, 1.0)))
   }
 
+  test("dupSpanCoverage is partition-count independent") {
+    // occurrence counts come from an unordered count over the digest
+    // partition — no order sensitivity to hide — and the rollup is a plain
+    // aggregate; physical partitioning must never change the profile
+    val docs = engine.Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    def run(parts: Int) =
+      Dedup.dupSpanCoverage(docs.repartition(parts), "doc_id", "text", 8)
+        .orderBy("doc_id")
+        .select("doc_id", "n_windows", "n_dup_windows", "dup_frac")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(run(1) === run(7))
+  }
+
   test("scrubSegments is partition-count independent") {
     // the keep rule is a row_number over (seg) ordered by (doc_id, seg_idx)
     // — a total order, so physical partitioning must never change output;

@@ -406,6 +406,31 @@ class StreamingSpec extends SparkSpec {
       "one digest per distinct kept segment: abc, def, xyz, pqr, p")
   }
 
+  test("streaming scrub keep-first is ARRIVAL order: history beats a later lower id") {
+    // out-of-order replay pins the documented divergence from batch: the
+    // standing store is history, so a batch-2 doc repeating a batch-1
+    // segment loses it even though its id is LOWER (batch scrubSegments
+    // would rank by id and decide the other way)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-scrub-ooo").toString
+    val q = graft.streaming.StreamingScrub.scrubStream(
+      docs, "doc_id", "text", root + "/store", root + "/out", root + "/cp",
+      segTokens = 3)
+    try {
+      in.addData((10L, "a b c"))
+      q.processAllAvailable()
+      in.addData((1L, "a b c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(root + "/out")
+      .orderBy("doc_id").select("doc_id", "n_kept", "clean_text")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === Seq((1L, 0L, ""), (10L, 1L, "a b c")),
+      "the earlier ARRIVAL keeps the segment, regardless of id order")
+  }
+
   test("streaming CDC upsert maintains a keyed snapshot across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, Long, String, Double)]
