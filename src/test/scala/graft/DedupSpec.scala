@@ -91,6 +91,39 @@ class DedupSpec extends SparkSpec {
       (4L, 2L, 2L, 1.0)))
   }
 
+  test("dupSpanCoverage matches a brute-force reference on a random corpus") {
+    // independent oracle in plain Scala (sliding windows + a hash-free
+    // occurrence count) over a tiny-vocab random corpus dense in repeats —
+    // validates the digest/window/rollup plumbing beyond hand fixtures
+    val w = 3
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c", "d")
+    val docs: Seq[(Long, String)] = (1L to 40L).map { id =>
+      id -> Seq.fill(rnd.nextInt(11))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    }
+    def winsOf(text: String): Seq[String] = {
+      val t = text.split(" ", -1).toSeq // Spark split keeps empties
+      val starts = 1 to math.max(t.length - (w - 1), 1)
+      starts.map(s => t.slice(s - 1, s - 1 + w).mkString(" "))
+    }
+    val occ = docs.flatMap { case (_, t) => winsOf(t) }
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val expected = docs.map { case (id, t) =>
+      val ws = winsOf(t)
+      val dup = ws.count(occ(_) >= 2).toLong
+      (id, ws.length.toLong, dup,
+        BigDecimal(dup.toDouble / ws.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Dedup.dupSpanCoverage(docs.toDF("doc_id", "text"),
+        "doc_id", "text", w)
+      .orderBy("doc_id")
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("dupSpanCoverage is partition-count independent") {
     // occurrence counts come from an unordered count over the digest
     // partition — no order sensitivity to hide — and the rollup is a plain
