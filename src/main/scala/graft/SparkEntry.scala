@@ -1565,6 +1565,20 @@ object SparkEntry {
           ScrubTokens)
         .orderBy("doc_id")),
 
+    // incremental span profile: the batch (docs ≥ 400) is segmented once and
+    // probed against the standing corpus's distinct window digests — the
+    // standing text is never rescanned (the continuous-crawl shape)
+    "incr_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val standing = Dedup
+        .spanWindows(docs.filter(col("doc_id") < 400), "doc_id", "text",
+          ScrubTokens)
+        .select("wkey").distinct()
+      Dedup.incrementalSpanCoverage(docs.filter(col("doc_id") >= 400),
+          "doc_id", "text", ScrubTokens, standing)
+        .orderBy("doc_id")
+    }),
+
     // content-defined chunking dedup: boundaries anchor to the rolling hash,
     // not offsets, so shifted/quoted passages dedup where fixed-size chunks
     // all change
@@ -4056,6 +4070,32 @@ object SparkEntry {
          |    AS n_dup_windows,
          |  round(CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS dup_frac
+         |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same window digests; standing = distinct digests of docs < 400, batch
+    // occ counted over batch windows only, standing hit via left join
+    "incr_spans" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(coalesce(text, ''), ' ') AS ts FROM documents),
+         |c AS (SELECT doc_id, ts,
+         |    unnest(range(1, greatest(len(ts) - ${ScrubTokens - 1}, 1) + 1)) AS s
+         |  FROM t),
+         |win AS (SELECT doc_id,
+         |    md5(array_to_string(ts[s : s + ${ScrubTokens - 1}], ' ')) AS wkey
+         |  FROM c),
+         |standing AS (SELECT DISTINCT wkey FROM win WHERE doc_id < 400),
+         |o AS (SELECT b.doc_id,
+         |    count(*) OVER (PARTITION BY b.wkey) AS occ,
+         |    (s.wkey IS NOT NULL) AS seen
+         |  FROM (SELECT * FROM win WHERE doc_id >= 400) b
+         |  LEFT JOIN standing s ON b.wkey = s.wkey)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(sum(CASE WHEN occ >= 2 OR seen THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup_windows,
+         |  CAST(sum(CASE WHEN seen THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_standing_hits,
+         |  round(CAST(sum(CASE WHEN occ >= 2 OR seen THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 6) AS dup_frac
          |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "shard_manifest" ->

@@ -601,20 +601,60 @@ object Dedup {
     */
   def dupSpanCoverage(df: DataFrame, idCol: String, textCol: String,
                       w: Int): DataFrame = {
+    val wins = spanWindows(df, idCol, textCol, w)
+    val occ = count(lit(1)).over(Window.partitionBy(col("wkey")))
+    wins.withColumn("occ", occ)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac",
+        round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
+  }
+
+  /** Stride-1 window digests: `(doc_id, wkey)` with one 16-byte md5 per
+    * token position (shared by [[dupSpanCoverage]] and
+    * [[incrementalSpanCoverage]]; `.select("wkey").distinct()` of this is
+    * the standing span store an incremental profile probes).
+    */
+  def spanWindows(df: DataFrame, idCol: String, textCol: String,
+                  w: Int): DataFrame = {
     require(w > 0, "window tokens must be positive")
-    val wins = df
-      .select(col(idCol).as("doc_id"),
+    df.select(col(idCol).as("doc_id"),
         TextOps.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), greatest(size(col("__toks")) - (w - 1), lit(1))),
           s => unhex(md5(array_join(slice(col("__toks"), s, lit(w)), " ")))))
           .as("wkey"))
+  }
+
+  /** Incremental [[dupSpanCoverage]] — the continuous-ingestion form: only
+    * the BATCH is segmented (O(batch tokens)); duplication against history
+    * comes from probing `standingKeys` (one distinct 16-byte digest per
+    * standing window — the same text-free store discipline as
+    * [[graft.streaming.StreamingScrub]]), so the standing corpus is never
+    * rescanned. A batch window is duplicated when it repeats WITHIN the
+    * batch (occurrence ≥2) or hits the store; `n_standing_hits` separates
+    * the cross-snapshot signal, mirroring [[incrementalExact]]'s
+    * `dup_of_standing`.
+    *
+    * Scale: one digest-keyed window pass over the batch + one digest
+    * equi-join against the store — both on fixed 16-byte keys.
+    */
+  def incrementalSpanCoverage(batch: DataFrame, idCol: String, textCol: String,
+                              w: Int, standingKeys: DataFrame): DataFrame = {
+    val wins = spanWindows(batch, idCol, textCol, w)
+    val seen = standingKeys.select(col("wkey")).distinct()
+      .withColumn("__seen", lit(true))
     val occ = count(lit(1)).over(Window.partitionBy(col("wkey")))
     wins.withColumn("occ", occ)
+      .join(seen, Seq("wkey"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+        sum(when(col("occ") >= 2 || col("__seen").isNotNull, 1L)
+          .otherwise(0L)).as("n_dup_windows"),
+        sum(when(col("__seen").isNotNull, 1L).otherwise(0L))
+          .as("n_standing_hits"))
       .withColumn("dup_frac",
         round(col("n_dup_windows").cast("double") / col("n_windows"), 6))
   }

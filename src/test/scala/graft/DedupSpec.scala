@@ -124,6 +124,25 @@ class DedupSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("incrementalSpanCoverage: store hits + in-batch repeats, standing never rescanned") {
+    val standingDocs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val standing = Dedup.spanWindows(standingDocs, "doc_id", "text", 3)
+      .select("wkey").distinct()
+    val batch = Seq(
+      (10L, "a b c x"),          // "a b c" hits the store; "b c x" novel
+      (11L, "p q r p q r"),      // "p q r" repeats IN batch (both count)
+      (12L, "b c d")             // single window, store hit
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalSpanCoverage(batch, "doc_id", "text", 3, standing)
+      .orderBy("doc_id")
+      .select("doc_id", "n_windows", "n_dup_windows", "n_standing_hits", "dup_frac")
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(out.toSeq === Seq(
+      (10L, 2L, 1L, 1L, 0.5),
+      (11L, 4L, 2L, 0L, 0.5),
+      (12L, 1L, 1L, 1L, 1.0)))
+  }
+
   test("dupSpanCoverage is partition-count independent") {
     // occurrence counts come from an unordered count over the digest
     // partition — no order sensitivity to hide — and the rollup is a plain

@@ -92,6 +92,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "hard_negatives" -> 2,
     "hybrid_dedup" -> 1,
     "incr_dedup" -> 3,
+    // batch window pass + store distinct + digest join + final ORDER BY
+    "incr_spans" -> 4,
     "incr_lsh" -> 7,
     "incr_rollup" -> 3,
     "ivf_assign" -> 2,
