@@ -41,12 +41,21 @@ object HttpArchive {
     * HEAD first, GET on HEAD failure/rejection, exactly the reference's
     * `_probe_single_date` ladder (`ais_pipeline.py:277-307`).
     */
+  /** @param probeParallelism dates probed concurrently (bounded pool; 1 =
+    *   serial, the reference's shape). A year of daily candidates is ~365 ×
+    *   up to templates×extensions round-trips — at real network latency the
+    *   serial walk is minutes of pure RTT, so discovery over long ranges
+    *   wants a small pool; results are gathered in submission order, so the
+    *   output is identical at any parallelism.
+    */
   class HttpIndex(baseUrl: String,
                   client: HttpClient = defaultClient(),
                   templates: Seq[String] = DefaultTemplates,
-                  extensions: Seq[String] = DefaultExtensions)
+                  extensions: Seq[String] = DefaultExtensions,
+                  probeParallelism: Int = 1)
       extends ArchiveIndex {
     private val base = baseUrl.stripSuffix("/")
+    require(probeParallelism >= 1, "probeParallelism must be >= 1")
 
     override def listFilesBetween(from: LocalDate, until: LocalDate): Seq[String] = {
       require(!from.isAfter(until), s"empty range $from..$until")
@@ -54,11 +63,24 @@ object HttpArchive {
         scrapeYear(y).filter(f => !f.date.isBefore(from) && !f.date.isAfter(until))
       }
       val covered = scraped.map(_.date).toSet
-      val probed = Iterator.iterate(from)(_.plusDays(1))
+      val toProbe = Iterator.iterate(from)(_.plusDays(1))
         .takeWhile(!_.isAfter(until))
         .filterNot(covered)
-        .flatMap(probeDate)
         .toSeq
+      val probed =
+        if (probeParallelism == 1) toProbe.flatMap(probeDate)
+        else {
+          val pool = java.util.concurrent.Executors
+            .newFixedThreadPool(probeParallelism)
+          try {
+            toProbe
+              .map(d => pool.submit(
+                new java.util.concurrent.Callable[Option[(LocalDate, String)]] {
+                  def call(): Option[(LocalDate, String)] = probeDate(d)
+                }))
+              .flatMap(_.get())
+          } finally pool.shutdown()
+        }
       (scraped.map(f => f.date -> f.href) ++ probed).sortBy(_._1.toEpochDay)
         .map(_._2)
     }

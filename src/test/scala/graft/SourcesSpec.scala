@@ -246,7 +246,9 @@ class SourcesSpec extends SparkSpec {
         "/arch/2024/AIS_2024_01_01.zip" -> "z1".getBytes("UTF-8"),
         "/arch/2024/AIS_2024_01_02.csv.zst" -> "z2".getBytes("UTF-8")),
       noHead = Set("/arch/2024/AIS_2024_01_02.csv.zst")) { (base, seen) =>
-      val idx = new graft.sources.HttpArchive.HttpIndex(s"$base/arch")
+      // parallel probing must yield the identical (date-sorted) listing
+      val idx = new graft.sources.HttpArchive.HttpIndex(s"$base/arch",
+        probeParallelism = 3)
       val found = idx.listFilesBetween(
         LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 3))
       // day 1 from the scrape (resolved against the index URL), day 2 from
