@@ -1565,6 +1565,13 @@ object SparkEntry {
           ScrubTokens)
         .orderBy("doc_id")),
 
+    // ExactSubstr rewrite: duplicated stride-1 spans removed at EVERY later
+    // occurrence (any offset), first occurrence kept verbatim — the
+    // offset-robust companion to scrub_dupes' fixed segments
+    "scrub_spans" -> ((s, d) =>
+      Dedup.scrubSpans(Tables.documents(s, d), "doc_id", "text", ScrubTokens)
+        .orderBy("doc_id")),
+
     // incremental span profile: the batch (docs ≥ 400) is segmented once and
     // probed against the standing corpus's distinct window digests — the
     // standing text is never rescanned (the continuous-crawl shape)
@@ -4071,6 +4078,34 @@ object SparkEntry {
          |  round(CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS dup_frac
          |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same window keys; later occurrences (rn > 1) cover their w token
+    // positions; docs re-assemble from uncovered tokens (DuckDB zips the
+    // token and ordinal unnests; string_agg skips covered/null tokens)
+    "scrub_spans" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split(coalesce(text, ''), ' ') AS ts FROM documents),
+         |win AS (SELECT doc_id, s AS pos,
+         |    md5(array_to_string(ts[s : s + ${ScrubTokens - 1}], ' ')) AS wkey
+         |  FROM (SELECT doc_id, ts,
+         |      unnest(range(1, greatest(len(ts) - ${ScrubTokens - 1}, 1) + 1)) AS s
+         |    FROM t)),
+         |r AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY wkey ORDER BY doc_id, pos) AS rn
+         |  FROM win),
+         |cov AS (SELECT DISTINCT doc_id,
+         |    unnest(range(pos, pos + $ScrubTokens)) AS tpos
+         |  FROM r WHERE rn > 1),
+         |tok AS (SELECT doc_id, unnest(ts) AS tok,
+         |    unnest(range(1, len(ts) + 1)) AS tpos FROM t)
+         |SELECT k.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN c.tpos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_removed,
+         |  coalesce(string_agg(CASE WHEN c.tpos IS NULL THEN k.tok END, ' '
+         |    ORDER BY k.tpos), '') AS clean_text
+         |FROM tok k LEFT JOIN cov c
+         |  ON k.doc_id = c.doc_id AND k.tpos = c.tpos
+         |GROUP BY k.doc_id ORDER BY k.doc_id""".stripMargin,
 
     // same window digests; standing = distinct digests of docs < 400, batch
     // occ counted over batch windows only, standing hit via left join

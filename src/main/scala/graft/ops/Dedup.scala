@@ -628,6 +628,54 @@ object Dedup {
           .as("wkey"))
   }
 
+  /** ExactSubstr REWRITE (the removal half of Lee et al. 2021 §4.1, stride-1
+    * grain): every `w`-token window keeps its corpus-wide FIRST occurrence
+    * (global min (doc, position) — the same total order as
+    * [[scrubSegments]]); every LATER occurrence marks its `w` token
+    * positions as covered, and each document is re-assembled from its
+    * uncovered tokens in order. Catches the offset-shifted repeated passage
+    * that fixed-window [[scrubSegments]] structurally cannot align — the
+    * duplicated span is removed wherever it re-occurs, at ANY offset, while
+    * its first occurrence survives verbatim.
+    *
+    * Scale: the window pass is O(corpus tokens) of 16-byte digests (same as
+    * [[dupSpanCoverage]]); the w× position fanout happens ONLY for
+    * duplicated non-first windows (duplicate mass, not corpus mass); the
+    * cover join is a (doc, position)-keyed equi-join of integers. The keep
+    * rule is a total order, so output is partitioning-independent
+    * (spec-pinned like the segment scrub).
+    */
+  def scrubSpans(df: DataFrame, idCol: String, textCol: String, w: Int,
+                 scope: CacheScope = CacheScope.global): DataFrame = {
+    require(w > 0, "window tokens must be positive")
+    // token arrays feed BOTH the window pass and the token explode
+    val toks = scope.persisted(
+      df.select(col(idCol).as("doc_id"),
+        TextOps.tokens(coalesce(col(textCol), lit(""))).as("__toks")))
+    val wins = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(1), greatest(size(col("__toks")) - (w - 1), lit(1))),
+        s => unhex(md5(array_join(slice(col("__toks"), s, lit(w)), " ")))))
+        .as(Seq("__p0", "wkey")))
+      .withColumn("pos", col("__p0") + 1) // transform order ⇒ start = idx+1
+    val rnW = Window.partitionBy(col("wkey")).orderBy(col("doc_id"), col("pos"))
+    val covered = wins.withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
+      .distinct()
+      .withColumn("__cov", lit(true))
+    toks.select(col("doc_id"), posexplode(col("__toks")).as(Seq("__t0", "tok")))
+      .withColumn("tpos", col("__t0") + 1)
+      .join(covered, Seq("doc_id", "tpos"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__cov").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(sort_array(collect_list(
+            when(col("__cov").isNull, struct(col("tpos"), col("tok"))))),
+          x => x.getField("tok")), " ").as("clean_text"))
+  }
+
   /** Incremental [[dupSpanCoverage]] — the continuous-ingestion form: only
     * the BATCH is segmented (O(batch tokens)); duplication against history
     * comes from probing `standingKeys` (one distinct 16-byte digest per

@@ -143,6 +143,36 @@ class DedupSpec extends SparkSpec {
       (12L, 1L, 1L, 1L, 1.0)))
   }
 
+  test("scrubSpans: offset-shifted repeats removed at every later occurrence") {
+    // doc 2 re-quotes doc 1's passage at offset +1 — the fixed-window scrub
+    // cannot align it; the stride-1 rewrite removes the union of its
+    // duplicated windows' positions while doc 1 survives verbatim. doc 3 is
+    // a verbatim full duplicate and scrubs to empty.
+    val docs = Seq(
+      (1L, "a b c d e"),     // all three windows are first occurrences
+      (2L, "z a b c d"),     // windows "a b c","b c d" repeat doc 1 → only "z" survives
+      (3L, "a b c d e")      // whole doc duplicated → everything covered
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubSpans(docs, "doc_id", "text", w = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+    assert(out.toSeq === Seq(
+      (1L, 5L, 0L, "a b c d e"),
+      (2L, 5L, 4L, "z"),
+      (3L, 5L, 5L, "")))
+  }
+
+  test("scrubSpans is partition-count independent") {
+    val docs = engine.Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
+    def run(parts: Int) =
+      Dedup.scrubSpans(docs.repartition(parts), "doc_id", "text", 8)
+        .orderBy("doc_id")
+        .select("doc_id", "n_tokens", "n_removed", "clean_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+    assert(run(1) === run(7))
+  }
+
   test("dupSpanCoverage is partition-count independent") {
     // occurrence counts come from an unordered count over the digest
     // partition — no order sensitivity to hide — and the rollup is a plain

@@ -142,6 +142,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "scd2_history" -> 2,
     // segment-text window + doc re-stitch groupBy + output sort
     "scrub_dupes" -> 3,
+    // digest window + cover distinct + (doc,pos) join + doc rollup; the
+    // token persist hides its own read behind the cache
+    "scrub_spans" -> 4,
     "search_topk" -> 2,
     "seasonal_outliers" -> 2,
     "semantic_decontam" -> 2,
