@@ -361,6 +361,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
 
+  test("EVERY declared query: unpartitioned windows only over documented bounded frames") {
+    // the round-8 verdict tracked single-partition WindowExecs by hand; this
+    // pins them structurally, like the broadcast gate. An unpartitioned
+    // window funnels its whole input through ONE task — legitimate ONLY
+    // when the frame is bounded by construction (top-k legs, calendar days),
+    // never corpus-proportional. Whitelist additions require the same
+    // scaladoc'd bound the existing entries carry. AQE off: the pre-adaptive
+    // plan is the stable artifact (same protocol as ShuffleBudgetSpec).
+    import org.apache.spark.sql.execution.window.WindowExec
+    val Bounded = Set(
+      "rrf_fusion",   // rankByScore legs: k rows each, driver-bounded
+      "user_growth")  // day-grain cumulative sum: O(calendar days)
+    val prior = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val plan = fn(spark, Sf).queryExecution.executedPlan
+          spark.catalog.clearCache()
+          if (plan.collect {
+              case w: WindowExec if w.partitionSpec.isEmpty => w
+            }.nonEmpty) Some(name)
+          else None
+      }.toSet
+      assert((offenders -- Bounded).isEmpty,
+        s"NEW unpartitioned window (document the bound or re-platform onto " +
+          s"Indexing.globalIndex): ${(offenders -- Bounded).mkString(", ")}")
+      assert((Bounded -- offenders).isEmpty,
+        s"stale whitelist entries (window is gone — ratchet): " +
+          s"${(Bounded -- offenders).mkString(", ")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
+  }
+
   test("EVERY declared query plans without a CartesianProduct") {
     // the one blanket scale rule: no unkeyed big-big product anywhere.
     // (BroadcastNestedLoopJoin is allowed — it only appears here as the
