@@ -40,6 +40,61 @@ object ArchiveSource {
     */
   case class ArchiveLine(path: String, member: String, line: String)
 
+  /** Member name of the marker row a permissive read emits for a corrupt
+    * archive (`line` carries the decode error). Filter on it for the
+    * corruption report; real zip members can never collide (they end in
+    * `.csv` by the walk filter).
+    */
+  val CorruptMember = "_corrupt"
+
+  /** Permissive-decode guard: on a decode failure (truncated deflate
+    * stream, bad zip entry, zstd frame error) the archive's iteration ends
+    * with ONE [[CorruptMember]] marker carrying the error — lines already
+    * decoded are kept, the task survives, and the corruption is AUDITABLE
+    * (silent truncation would read as "decoded everything"). Garbage that
+    * yields no decodable entry at all produces zero rows and no marker —
+    * java.util.zip scans past unrecognizable bytes without erroring.
+    */
+  private def truncateOnCorruption(it: Iterator[(String, String)],
+                                   close: () => Unit): Iterator[(String, String)] =
+    new Iterator[(String, String)] {
+      private var pendingError: String = null
+      private var done = false
+      private def trip(e: Throwable): Boolean = {
+        pendingError = s"${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(200)
+        try close() catch { case _: Throwable => () }
+        true
+      }
+      override def hasNext: Boolean =
+        if (done) false
+        else if (pendingError != null) true
+        else {
+          // IllegalArgumentException: ZipInputStream's entry-name decode
+          // (MALFORMED) — a corrupt central-directory name, not a bug here
+          val h =
+            try it.hasNext
+            catch {
+              case e: java.io.IOException => trip(e)
+              case e: IllegalArgumentException => trip(e)
+            }
+          if (!h) done = true
+          h
+        }
+      override def next(): (String, String) =
+        if (pendingError != null) {
+          val m = (CorruptMember, pendingError)
+          pendingError = null; done = true
+          m
+        } else {
+          try it.next()
+          catch {
+            case e: java.io.IOException => trip(e); next()
+            case e: IllegalArgumentException => trip(e); next()
+          }
+        }
+    }
+
   private def lines(in: InputStream): Iterator[String] = {
     val r = new BufferedReader(new InputStreamReader(in, StandardCharsets.UTF_8))
     Iterator.continually(r.readLine()).takeWhile(_ != null)
@@ -97,8 +152,16 @@ object ArchiveSource {
     * streams its archives straight from the filesystem. Streams left open by
     * early-terminating consumers (e.g. `LIMIT 1` header probes) are closed by
     * a task-completion hook.
+    *
+    * `permissive = true` is the 100-TB landing contract: ONE truncated
+    * archive in a year of dailies must cost its own tail, not the job —
+    * decoded lines are kept and the archive ends with a [[CorruptMember]]
+    * marker row (count them for the corruption report). Default stays
+    * strict: a decode failure fails the task, Spark retries, the job
+    * surfaces the bad file.
     */
-  def archiveLines(spark: SparkSession, glob: String): Dataset[ArchiveLine] = {
+  def archiveLines(spark: SparkSession, glob: String,
+                   permissive: Boolean = false): Dataset[ArchiveLine] = {
     import spark.implicits._
     // Hadoop Configuration is not serializable: ship its entries and rebuild
     val confKV = spark.sparkContext.hadoopConfiguration.asScala
@@ -117,7 +180,13 @@ object ArchiveSource {
             if (tc != null) tc.addTaskCompletionListener[Unit](_ => s.close())
             s: InputStream
           }
-          decodeStream(p, open).map { case (m, l) => ArchiveLine(p, m, l) }
+          val decoded = decodeStream(p, open)
+          // on trip the underlying stream is closed by the task-completion
+          // hook registered in `open` (same lifecycle as early termination)
+          val guarded =
+            if (permissive) truncateOnCorruption(decoded, () => ())
+            else decoded
+          guarded.map { case (m, l) => ArchiveLine(p, m, l) }
         }
       }
   }

@@ -41,6 +41,42 @@ class SourcesSpec extends SparkSpec {
     dir.toString
   }
 
+  test("permissive decode: a truncated archive keeps its prefix + one corrupt marker") {
+    val dir = Files.createTempDirectory("corrupt").toString
+    // healthy zst
+    val zst = new com.github.luben.zstd.ZstdOutputStream(
+      new FileOutputStream(s"$dir/AIS_2025_02_01.csv.zst"))
+    zst.write((CsvHeader +: CsvRows).mkString("\n").getBytes("UTF-8"))
+    zst.close()
+    // zip truncated mid-member: enough bytes to decode the header line,
+    // then a deflate error
+    val bos = new java.io.ByteArrayOutputStream()
+    val zo = new ZipOutputStream(bos)
+    zo.putNextEntry(new ZipEntry("big.csv"))
+    zo.write((CsvHeader + "\n").getBytes("UTF-8"))
+    zo.write(Array.fill[Byte](64 * 1024)('x'))
+    zo.closeEntry(); zo.close()
+    val whole = bos.toByteArray
+    val fos = new FileOutputStream(s"$dir/AIS_2025_02_02.zip")
+    fos.write(whole, 0, whole.length / 2); fos.close()
+    // strict mode: the decode failure fails the job (bad file surfaces)
+    val strict = intercept[org.apache.spark.SparkException] {
+      ArchiveSource.archiveLines(spark, s"$dir/*").collect()
+    }
+    assert(strict.getMessage != null)
+    // permissive: healthy archive intact, truncated one keeps its decoded
+    // prefix and ends with exactly one auditable marker
+    val got = ArchiveSource
+      .archiveLines(spark, s"$dir/*", permissive = true).collect()
+    val healthy = got.filter(_.path.endsWith(".csv.zst"))
+    assert(healthy.length === 3 && healthy.count(_.line == CsvHeader) === 1)
+    val markers = got.filter(_.member === ArchiveSource.CorruptMember)
+    assert(markers.length === 1 && markers.head.path.endsWith(".zip"),
+      s"one corruption marker for the truncated zip, got ${markers.toSeq}")
+    assert(got.exists(r => r.path.endsWith(".zip") && r.line == CsvHeader),
+      "lines decoded before the corruption point are kept")
+  }
+
   test("zip archive: csv members stream out with lineage, non-csv skipped") {
     val got = ArchiveSource.archiveLines(spark, s"$archiveDir/AIS_2025_01_01.zip")
       .collect()
