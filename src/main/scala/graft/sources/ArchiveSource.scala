@@ -55,8 +55,8 @@ object ArchiveSource {
     * yields no decodable entry at all produces zero rows and no marker —
     * java.util.zip scans past unrecognizable bytes without erroring.
     */
-  private def truncateOnCorruption(it: Iterator[(String, String)],
-                                   close: () => Unit): Iterator[(String, String)] =
+  private[sources] def truncateOnCorruption(it: Iterator[(String, String)],
+                                            close: () => Unit): Iterator[(String, String)] =
     new Iterator[(String, String)] {
       private var pendingError: String = null
       private var done = false

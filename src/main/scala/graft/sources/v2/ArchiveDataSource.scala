@@ -69,20 +69,25 @@ private[v2] class ArchiveTable(glob: String, tableSchema: StructType)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ArchiveScanBuilder(glob, tableSchema)
+    // .option("permissive", true): same contract as the helper — a corrupt
+    // archive keeps its decoded prefix and emits one _corrupt marker row
+    new ArchiveScanBuilder(glob, tableSchema,
+      options.getBoolean("permissive", false))
 }
 
-private[v2] class ArchiveScanBuilder(glob: String, tableSchema: StructType)
+private[v2] class ArchiveScanBuilder(glob: String, tableSchema: StructType,
+                                     permissive: Boolean)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = tableSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ArchiveScan(glob, required)
+  override def build(): Scan = new ArchiveScan(glob, required, permissive)
 }
 
 private[v2] case class ArchivePartition(path: String) extends InputPartition
 
-private[v2] class ArchiveScan(glob: String, required: StructType)
+private[v2] class ArchiveScan(glob: String, required: StructType,
+                              permissive: Boolean)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -111,23 +116,29 @@ private[v2] class ArchiveScan(glob: String, required: StructType)
     val bc = spark.sparkContext.broadcast(
       org.apache.spark.sql.graftbridge.bridge.serializableConf(
         spark.sparkContext.hadoopConfiguration))
-    new ArchiveReaderFactory(required.fieldNames, bc)
+    new ArchiveReaderFactory(required.fieldNames, bc, permissive)
   }
 }
 
 private[v2] class ArchiveReaderFactory(
     fields: Array[String],
-    conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.sql.graftbridge.bridge.SerConf])
+    conf: org.apache.spark.broadcast.Broadcast[org.apache.spark.sql.graftbridge.bridge.SerConf],
+    permissive: Boolean)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val ap = partition.asInstanceOf[ArchivePartition]
     new PartitionReader[InternalRow] {
       private val hp = new HadoopPath(ap.path)
       private var stream: java.io.InputStream = _
-      private val it = ArchiveSource.decodeStream(ap.path, () => {
-        stream = hp.getFileSystem(conf.value.value).open(hp)
-        stream
-      })
+      private val it = {
+        val decoded = ArchiveSource.decodeStream(ap.path, () => {
+          stream = hp.getFileSystem(conf.value.value).open(hp)
+          stream
+        })
+        // on trip the stream is closed by this reader's close()
+        if (permissive) ArchiveSource.truncateOnCorruption(decoded, () => ())
+        else decoded
+      }
       private val pathUtf = UTF8String.fromString(ap.path)
       private var current: (String, String) = _
       // resolve field names to slots ONCE — the row loop is the scan's hot

@@ -75,6 +75,11 @@ class SourcesSpec extends SparkSpec {
       s"one corruption marker for the truncated zip, got ${markers.toSeq}")
     assert(got.exists(r => r.path.endsWith(".zip") && r.line == CsvHeader),
       "lines decoded before the corruption point are kept")
+    // the DSv2 face honors the same option
+    val v2 = spark.read.format("graft-archive").option("permissive", "true")
+      .load(s"$dir/*").select("member", "line").collect()
+    assert(v2.count(_.getString(0) == ArchiveSource.CorruptMember) === 1,
+      "DSv2 permissive read emits the same single marker")
   }
 
   test("zip archive: csv members stream out with lineage, non-csv skipped") {
