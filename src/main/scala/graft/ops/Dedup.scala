@@ -617,16 +617,8 @@ object Dedup {
     * the standing span store an incremental profile probes).
     */
   def spanWindows(df: DataFrame, idCol: String, textCol: String,
-                  w: Int): DataFrame = {
-    require(w > 0, "window tokens must be positive")
-    df.select(col(idCol).as("doc_id"),
-        TextOps.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
-      .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(1), greatest(size(col("__toks")) - (w - 1), lit(1))),
-          s => unhex(md5(array_join(slice(col("__toks"), s, lit(w)), " ")))))
-          .as("wkey"))
-  }
+                  w: Int): DataFrame =
+    spanWindowsAt(tokenArrays(df, idCol, textCol), w).drop("pos")
 
   /** ExactSubstr REWRITE (the removal half of Lee et al. 2021 §4.1, stride-1
     * grain): every `w`-token window keeps its corpus-wide FIRST occurrence
@@ -647,17 +639,9 @@ object Dedup {
     */
   def scrubSpans(df: DataFrame, idCol: String, textCol: String, w: Int,
                  scope: CacheScope = CacheScope.global): DataFrame = {
-    require(w > 0, "window tokens must be positive")
     // token arrays feed BOTH the window pass and the token explode
-    val toks = scope.persisted(
-      df.select(col(idCol).as("doc_id"),
-        TextOps.tokens(coalesce(col(textCol), lit(""))).as("__toks")))
-    val wins = toks.select(col("doc_id"),
-      posexplode(transform(
-        sequence(lit(1), greatest(size(col("__toks")) - (w - 1), lit(1))),
-        s => unhex(md5(array_join(slice(col("__toks"), s, lit(w)), " ")))))
-        .as(Seq("__p0", "wkey")))
-      .withColumn("pos", col("__p0") + 1) // transform order ⇒ start = idx+1
+    val toks = scope.persisted(tokenArrays(df, idCol, textCol))
+    val wins = spanWindowsAt(toks, w)
     val rnW = Window.partitionBy(col("wkey")).orderBy(col("doc_id"), col("pos"))
     val covered = wins.withColumn("rn", row_number().over(rnW))
       .filter(col("rn") > 1)
@@ -665,6 +649,37 @@ object Dedup {
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
       .distinct()
       .withColumn("__cov", lit(true))
+    assembleUncovered(toks, covered)
+  }
+
+  /** `(doc_id, __toks)` token arrays with the null→'' coalesce every span
+    * operator shares.
+    */
+  def tokenArrays(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      TextOps.tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+
+  /** Stride-1 window digests WITH their 1-based start positions:
+    * `(doc_id, pos, wkey)` over a [[tokenArrays]] frame — the position-aware
+    * form [[scrubSpans]] and [[graft.streaming.StreamingScrub]]'s span twin
+    * share ([[spanWindows]] is the position-free profile form).
+    */
+  def spanWindowsAt(toks: DataFrame, w: Int): DataFrame = {
+    require(w > 0, "window tokens must be positive")
+    toks.select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(size(col("__toks")) - (w - 1), lit(1))),
+          s => unhex(md5(array_join(slice(col("__toks"), s, lit(w)), " ")))))
+          .as(Seq("__p0", "wkey")))
+      .withColumn("pos", col("__p0") + 1) // transform order ⇒ start = idx+1
+      .select("doc_id", "pos", "wkey")
+  }
+
+  /** Re-assemble docs from tokens NOT in `covered` (`(doc_id, tpos, __cov)`
+    * rows): `n_tokens`, `n_removed`, and `clean_text` in position order —
+    * the rewrite half [[scrubSpans]] and the streaming span twin share.
+    */
+  def assembleUncovered(toks: DataFrame, covered: DataFrame): DataFrame =
     toks.select(col("doc_id"), posexplode(col("__toks")).as(Seq("__t0", "tok")))
       .withColumn("tpos", col("__t0") + 1)
       .join(covered, Seq("doc_id", "tpos"), "left")
@@ -674,7 +689,6 @@ object Dedup {
         array_join(transform(sort_array(collect_list(
             when(col("__cov").isNull, struct(col("tpos"), col("tok"))))),
           x => x.getField("tok")), " ").as("clean_text"))
-  }
 
   /** Incremental [[dupSpanCoverage]] — the continuous-ingestion form: only
     * the BATCH is segmented (O(batch tokens)); duplication against history

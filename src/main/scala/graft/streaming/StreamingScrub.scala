@@ -42,6 +42,10 @@ object StreamingScrub {
   private val StoreSchema = StructType(
     Seq(StructField("seg_key", BinaryType, nullable = false)))
 
+  /** Span-store schema: one row per distinct kept-window digest. */
+  private val SpanStoreSchema = StructType(
+    Seq(StructField("wkey", BinaryType, nullable = false)))
+
   /** Start the scrub stream: re-stitched batch docs (`doc_id`, `n_segs`,
     * `n_kept`, `clean_text`) append to `outDir`; digests of newly-kept
     * segments append to `storeDir`.
@@ -78,12 +82,67 @@ object StreamingScrub {
       }
       .start()
 
-  /** The standing digest store; empty before the first batch lands. */
-  def readStore(spark: SparkSession, storeDir: String): DataFrame = {
+  /** Streaming twin of the stride-1 ExactSubstr rewrite
+    * ([[graft.ops.Dedup.scrubSpans]]): per micro-batch, every w-token
+    * window at every offset keeps its first occurrence — against the
+    * standing window-digest store (history) or an earlier (doc, position)
+    * of the same batch — and every LATER occurrence covers its w token
+    * positions; batch docs re-assemble from uncovered tokens. The same
+    * shared halves as the batch operator ([[graft.ops.Dedup.spanWindowsAt]]
+    * / [[graft.ops.Dedup.assembleUncovered]]), so in-order replay is
+    * batch-equivalent (spec-pinned); out-of-order arrival keeps first
+    * ARRIVAL, like [[scrubStream]]. Store rows are 16-byte digests only.
+    */
+  def scrubSpansStream(docs: DataFrame, idCol: String, textCol: String,
+                       storeDir: String, outDir: String, checkpointDir: String,
+                       w: Int): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val toks = Dedup.tokenArrays(batch, idCol, textCol).persist()
+          try {
+            val wins = Dedup.spanWindowsAt(toks, w).persist()
+            try {
+              val standing = readStore(spark, storeDir, SpanStoreSchema)
+                .distinct()
+                .withColumn("__seen", lit(true))
+              val rnW = Window.partitionBy(col("wkey"))
+                .orderBy(col("doc_id"), col("pos"))
+              val flagged = wins.withColumn("rn", row_number().over(rnW))
+                .join(standing, Seq("wkey"), "left")
+                .withColumn("dup", col("rn") > 1 || col("__seen").isNotNull)
+                .persist()
+              try {
+                val covered = flagged.filter(col("dup"))
+                  .select(col("doc_id"),
+                    explode(sequence(col("pos"), col("pos") + (w - 1)))
+                      .as("tpos"))
+                  .distinct()
+                  .withColumn("__cov", lit(true))
+                Dedup.assembleUncovered(toks, covered)
+                  .write.mode("append").parquet(outDir)
+                // only NEW first occurrences extend the store
+                flagged.filter(!col("dup")).select("wkey")
+                  .write.mode("append").parquet(storeDir)
+              } finally flagged.unpersist(blocking = false)
+            } finally wins.unpersist(blocking = false)
+          } finally toks.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+
+  /** The standing digest store; empty (with `schema`) before the first
+    * batch lands.
+    */
+  def readStore(spark: SparkSession, storeDir: String,
+                schema: StructType = StoreSchema): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) spark.read.parquet(storeDir)
     else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StoreSchema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 }

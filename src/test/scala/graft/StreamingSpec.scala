@@ -406,6 +406,42 @@ class StreamingSpec extends SparkSpec {
       "one digest per distinct kept segment: abc, def, xyz, pqr, p")
   }
 
+  test("streaming span scrub ≡ batch scrubSpans on an id-ordered two-batch replay") {
+    // the stride-1 rewrite twin: an offset-shifted repeat inside batch 1
+    // and a verbatim full duplicate arriving in batch 2 (removed via the
+    // standing digest store) must reproduce the batch operator exactly
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "a b c d e"),
+      (2L, "z a b c d"),     // batch 1: offset-shifted re-quote of doc 1
+      (3L, "a b c d e"))     // batch 2: full duplicate, store-covered
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-spanscrub").toString
+    val q = graft.streaming.StreamingScrub.scrubSpansStream(
+      docs, "doc_id", "text", root + "/store", root + "/out", root + "/cp",
+      w = 3)
+    try {
+      in.addData(rows(0), rows(1))
+      q.processAllAvailable()
+      in.addData(rows(2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(root + "/out")
+      .orderBy("doc_id").select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    val batch = graft.ops.Dedup
+      .scrubSpans(rows.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .orderBy("doc_id").select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(streamed === batch, "streaming span scrub must reproduce batch output")
+    assert(batch === Seq((1L, 5L, 0L, "a b c d e"), (2L, 5L, 4L, "z"),
+      (3L, 5L, 5L, "")))
+    // store: digests of doc 1's three windows plus "z a b" — nothing from
+    // batch 2 (everything it brought was already covered)
+    assert(spark.read.parquet(root + "/store").distinct().count() === 4)
+  }
+
   test("streaming scrub keep-first is ARRIVAL order: history beats a later lower id") {
     // out-of-order replay pins the documented divergence from batch: the
     // standing store is history, so a batch-2 doc repeating a batch-1
