@@ -55,7 +55,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_embed" -> 2,
     "dedup_exact" -> 2,
     "dedup_minhash" -> 1,
-    "dedup_ngram" -> 3,
+    "dedup_ngram" -> 2, // ratcheted from 3 (round-9 re-record)
     "dedup_simhash" -> 3,
     "doc_chunks" -> 1,
     "doc_fingerprint" -> 1,
