@@ -163,6 +163,45 @@ class DedupSpec extends SparkSpec {
       (3L, 5L, 5L, "")))
   }
 
+  test("scrubSpans matches a brute-force reference on a random corpus") {
+    // independent plain-Scala oracle: global (doc, pos) rank per window
+    // string, later occurrences cover their positions, docs re-assemble
+    // from uncovered tokens — exercises the interval-union logic across a
+    // repeat-dense random corpus
+    val w = 3
+    val rnd = new scala.util.Random(7)
+    val vocab = Array("a", "b", "c", "d")
+    val docs: Seq[(Long, String)] = (1L to 40L).map { id =>
+      id -> Seq.fill(rnd.nextInt(11))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    }
+    def winsOf(text: String): Seq[(Int, String)] = {
+      val t = text.split(" ", -1).toSeq
+      (1 to math.max(t.length - (w - 1), 1))
+        .map(s => s -> t.slice(s - 1, s - 1 + w).mkString(" "))
+    }
+    val firstOf = docs.flatMap { case (id, t) =>
+        winsOf(t).map { case (p, win) => (win, id, p) }
+      }.groupBy(_._1).map { case (win, occ) =>
+        win -> occ.map(o => (o._2, o._3)).min
+      }
+    val expected = docs.map { case (id, t) =>
+      val toks = t.split(" ", -1).toSeq
+      val covered = winsOf(t)
+        .filter { case (p, win) => firstOf(win) != ((id, p)) }
+        .flatMap { case (p, _) => p until (p + w) }.toSet
+      val kept = toks.zipWithIndex.collect {
+        case (tok, i) if !covered(i + 1) => tok }
+      (id, toks.length.toLong, toks.indices.count(i => covered(i + 1)).toLong,
+        kept.mkString(" "))
+    }
+    val got = Dedup.scrubSpans(docs.toDF("doc_id", "text"), "doc_id", "text", w)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("scrubSpans is partition-count independent") {
     val docs = engine.Tables.documents(spark, "/root/testdata/sf0.001").limit(200)
     def run(parts: Int) =
