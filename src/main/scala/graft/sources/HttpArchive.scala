@@ -185,6 +185,23 @@ object HttpArchive {
       s"download of $url failed after $maxAttempts attempts", lastFailure)
   }
 
+  /** End-to-end landing loop — the reference's discover→download→store
+    * orchestration (`ais_pipeline.py:575-601`) on these transports: list
+    * the range via `index`, download each archive resumably into
+    * `destDir` under its own file name, return the local paths in date
+    * order. Idempotent: completed files short-circuit, an interrupted run
+    * re-invoked continues from the part files.
+    */
+  def mirror(index: ArchiveIndex, from: LocalDate, until: LocalDate,
+             destDir: Path, client: HttpClient = defaultClient(),
+             maxAttempts: Int = 3): Seq[Path] = {
+    Files.createDirectories(destDir)
+    index.listFilesBetween(from, until).map { url =>
+      val name = url.substring(url.lastIndexOf('/') + 1)
+      downloadResumable(client, url, destDir.resolve(name), maxAttempts)
+    }
+  }
+
   /** Stream-copy to the part file in 1 MiB chunks (the reference's chunk
     * size, `ais_pipeline.py:352`); bytes written before a disconnect stay
     * on disk so the next attempt's Range picks up after them.

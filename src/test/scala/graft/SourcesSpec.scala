@@ -307,6 +307,30 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("HTTP mirror: discover → land end-to-end, idempotent on re-run") {
+    val html = """<a href="AIS_2024_01_01.zip">d1</a>
+                 |<a href="AIS_2024_01_02.zip">d2</a>""".stripMargin
+    withHttpServer(routes = Map(
+      "/arch/2024/index.html" -> html.getBytes("UTF-8"),
+      "/arch/2024/AIS_2024_01_01.zip" -> "payload-one".getBytes("UTF-8"),
+      "/arch/2024/AIS_2024_01_02.zip" -> "payload-two".getBytes("UTF-8"))) {
+      (base, seen) =>
+      val dest = Files.createTempDirectory("mirror")
+      val idx = new graft.sources.HttpArchive.HttpIndex(s"$base/arch")
+      val landed = graft.sources.HttpArchive.mirror(idx,
+        LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 2), dest)
+      assert(landed.map(_.getFileName.toString) ===
+        Seq("AIS_2024_01_01.zip", "AIS_2024_01_02.zip"))
+      assert(new String(Files.readAllBytes(landed(0)), "UTF-8") === "payload-one")
+      // re-run: discovery refetches the index, but no archive re-downloads
+      val before = seen().count(_.contains(".zip"))
+      graft.sources.HttpArchive.mirror(idx,
+        LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 2), dest)
+      assert(seen().count(_.contains(".zip")) === before,
+        "landed archives must short-circuit on the second mirror pass")
+    }
+  }
+
   test("HTTP download (S3): mid-stream disconnect resumes via Range, not restart") {
     val payload = Array.tabulate[Byte](96 * 1024)(i => (i * 31 + 7).toByte)
     withHttpServer(
