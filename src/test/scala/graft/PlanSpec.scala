@@ -126,6 +126,18 @@ class PlanSpec extends SparkSpec {
       "pairs must come from the hash equi-join, never all-pairs")
   }
 
+  test("span queries: documents scan pruned to (doc_id, text)") {
+    for (q <- Seq("dup_spans", "scrub_spans", "incr_spans")) {
+      val plan = planOf(SparkEntry.queries(q)(spark, Sf))
+      val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList
+      assert(readSchemas.nonEmpty)
+      readSchemas.foreach(rs =>
+        assert(!rs.contains("lang") && !rs.contains("source"),
+          s"$q reads more than (doc_id, text): $rs"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("dup_spans: occurrence count is ONE digest-keyed window pass — no join-back") {
     // the stride-1 window frame is O(corpus tokens): counting occurrences
     // via groupBy + join would scan and shuffle it twice; the partitioned

@@ -234,14 +234,18 @@ class SourcesSpec extends SparkSpec {
     */
   private def withHttpServer(routes: Map[String, Array[Byte]],
                              noHead: Set[String] = Set.empty,
-                             cutFirstGet: Set[String] = Set.empty)
+                             cutFirstGet: Set[String] = Set.empty,
+                             cutGets: Map[String, Int] = Map.empty)
                             (body: (String, () => Seq[String]) => Unit): Unit = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val cutPending =
-      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-    cutFirstGet.foreach(cutPending.add)
+    // per-path count of GET responses to cut halfway (any Range)
+    val cutLeft = new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicInteger]()
+    (cutGets ++ cutFirstGet.map(_ -> 1)).foreach { case (p, n) =>
+      cutLeft.put(p, new java.util.concurrent.atomic.AtomicInteger(n))
+    }
     server.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
       val path = ex.getRequestURI.getPath
       val range = Option(ex.getRequestHeaders.getFirst("Range"))
@@ -258,10 +262,11 @@ class SourcesSpec extends SparkSpec {
           if (from >= bytes.length) { ex.sendResponseHeaders(416, -1); ex.close() }
           else {
             val slice = bytes.drop(from.toInt)
-            val cut = from == 0 && cutPending.remove(path)
+            val counter = cutLeft.get(path)
+            val cut = counter != null && counter.getAndDecrement() > 0
             if (cut) {
               // declare the full length, deliver half, drop the connection
-              ex.sendResponseHeaders(200, slice.length)
+              ex.sendResponseHeaders(if (from > 0) 206 else 200, slice.length)
               ex.getResponseBody.write(slice, 0, slice.length / 2)
               ex.getResponseBody.flush()
               ex.close()
@@ -328,6 +333,24 @@ class SourcesSpec extends SparkSpec {
         LocalDate.of(2024, 1, 1), LocalDate.of(2024, 1, 2), dest)
       assert(seen().count(_.contains(".zip")) === before,
         "landed archives must short-circuit on the second mirror pass")
+    }
+  }
+
+  test("HTTP download (S3): TWO successive disconnects, each resume continues the prefix") {
+    val payload = Array.tabulate[Byte](96 * 1024)(i => (i * 17 + 3).toByte)
+    withHttpServer(
+      routes = Map("/arch/2024/big2.zip" -> payload),
+      cutGets = Map("/arch/2024/big2.zip" -> 2)) { (base, seen) =>
+      val dest = Files.createTempDirectory("dl2").resolve("big2.zip")
+      val got = graft.sources.HttpArchive.downloadResumable(
+        graft.sources.HttpArchive.defaultClient(),
+        s"$base/arch/2024/big2.zip", dest, maxAttempts = 3)
+      assert(java.util.Arrays.equals(Files.readAllBytes(got), payload))
+      val ranges = seen().filter(_.contains("bytes=")).map(_.split("bytes=")(1))
+      // cut at 48 KiB, then the 206 resume cut again halfway (+24 KiB) —
+      // each retry continues after everything received so far
+      assert(ranges === Seq(s"${48 * 1024}-", s"${72 * 1024}-"),
+        s"monotone resume offsets expected, got $ranges")
     }
   }
 
