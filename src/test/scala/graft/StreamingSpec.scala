@@ -442,6 +442,45 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(root + "/store").distinct().count() === 4)
   }
 
+  test("streaming scrub survives stop/start: checkpoint + store resume, no re-emission") {
+    // the scrub's production claim: kill the stream between batches, restart
+    // from the checkpoint, and (a) the standing digest store still suppresses
+    // cross-restart repeats, (b) pre-restart input is not re-read or
+    // re-emitted, (c) the combined output equals the batch operator
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-scrub-rs").toString
+    val (inDir, outDir, cpDir, storeDir) =
+      (root + "/in", root + "/out", root + "/cp", root + "/store")
+    new java.io.File(inDir).mkdirs()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def start() = graft.streaming.StreamingScrub.scrubStream(
+      spark.readStream.schema(schema).csv(inDir),
+      "doc_id", "text", storeDir, outDir, cpDir, segTokens = 3)
+    val rows = Seq((1L, "a b c d e f"), (2L, "a b c x y z"),
+      (3L, "d e f d e f"), (4L, "p q r p q r p"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir + "/a.csv"),
+      "1,a b c d e f\n2,a b c x y z\n")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // simulated crash
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir + "/b.csv"),
+      "3,d e f d e f\n4,p q r p q r p\n")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val streamed = spark.read.parquet(outDir)
+      .orderBy("doc_id").select("doc_id", "n_segs", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // each doc exactly once (file a not replayed), content ≡ batch operator
+    assert(streamed.map(_._1) === Seq(1L, 2L, 3L, 4L),
+      s"restart re-emitted or dropped docs: $streamed")
+    val batch = graft.ops.Dedup
+      .scrubSegments(rows.toDF("doc_id", "text"), "doc_id", "text", 3)
+      .orderBy("doc_id").select("doc_id", "n_segs", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(streamed === batch,
+      "post-restart scrub must keep suppressing via the standing store")
+  }
+
   test("streaming scrub keep-first is ARRIVAL order: history beats a later lower id") {
     // out-of-order replay pins the documented divergence from batch: the
     // standing store is history, so a batch-2 doc repeating a batch-1
