@@ -506,6 +506,38 @@ class StreamingSpec extends SparkSpec {
       "the earlier ARRIVAL keeps the segment, regardless of id order")
   }
 
+  test("streaming CDC upsert survives stop/start: snapshot intact, offsets resume") {
+    // the third stop/start proof (rollup, scrub, upsert): restart between
+    // micro-batches and the keyed snapshot must carry pre-restart state
+    // forward, not re-apply file A and not lose keys
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-upsert-rs").toString
+    val (inDir, snapDir, cpDir) = (root + "/in", root + "/snap", root + "/cp")
+    new java.io.File(inDir).mkdirs()
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("seq", LongType), StructField("op", StringType),
+      StructField("v", DoubleType)))
+    def start() = graft.streaming.StreamingUpsert.upsertStream(
+      spark.readStream.schema(schema).csv(inDir),
+      snapDir, cpDir, "k", "seq", "op", Seq("v"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir + "/a.csv"),
+      "1,1,U,10.0\n2,1,U,20.0\n")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // simulated crash
+    // after restart: update key 1, delete key 2, insert key 3
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir + "/b.csv"),
+      "1,2,U,11.0\n2,2,D,0.0\n3,1,U,30.0\n")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val snapSchema = StructType(Seq(StructField("k", LongType),
+      StructField("v", DoubleType)))
+    val snap = graft.streaming.StreamingUpsert
+      .readSnapshot(spark, snapDir, snapSchema)
+      .orderBy("k").as[(Long, Double)].collect().toSeq
+    assert(snap === Seq((1L, 11.0), (3L, 30.0)),
+      s"restart lost pre-crash keys or replayed file A: $snap")
+  }
+
   test("streaming CDC upsert maintains a keyed snapshot across micro-batches") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, Long, String, Double)]
