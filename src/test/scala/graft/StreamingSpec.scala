@@ -506,6 +506,38 @@ class StreamingSpec extends SparkSpec {
       "the earlier ARRIVAL keeps the segment, regardless of id order")
   }
 
+  test("streaming near-dup survives stop/start: signature store keeps suppressing") {
+    // fourth stop/start proof: the banded-signature store written before the
+    // crash must still flag a post-restart near-copy, and file A's docs must
+    // not re-emit
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-nd-rs").toString
+    val (inDir, outDir, cpDir, storeDir) =
+      (root + "/in", root + "/out", root + "/cp", root + "/store")
+    new java.io.File(inDir).mkdirs()
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def start() = graft.streaming.StreamingNearDup.nearDupStream(
+      spark.readStream.schema(schema).csv(inDir),
+      "doc_id", "text", storeDir, outDir, cpDir)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir + "/a.csv"),
+      "1,alpha beta gamma delta epsilon zeta eta\n")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // simulated crash
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir + "/b.csv"),
+      "2,alpha beta gamma delta epsilon zeta theta\n" + // near-dups doc 1
+        "3,an entirely fresh subject with nothing shared anywhere here\n")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out = spark.read.parquet(outDir)
+      .select("doc_id", "dup_candidate").as[(Long, Boolean)].collect()
+    assert(out.map(_._1).sorted.toSeq === Seq(1L, 2L, 3L),
+      s"restart re-emitted or dropped docs: ${out.toSeq}")
+    val flags = out.toMap
+    assert(!flags(1L) && flags(2L) && !flags(3L),
+      s"pre-crash store must still flag the post-restart near-copy: $flags")
+  }
+
   test("streaming CDC upsert survives stop/start: snapshot intact, offsets resume") {
     // the third stop/start proof (rollup, scrub, upsert): restart between
     // micro-batches and the keyed snapshot must carry pre-restart state
