@@ -312,6 +312,22 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("HTTP index: a probe range crossing a year boundary hits both year URLs") {
+    withHttpServer(routes = Map(
+      "/arch/2024/AIS_2024_12_31.csv.zst" -> "a".getBytes("UTF-8"),
+      "/arch/2025/ais-2025-01-01.csv.zst" -> "b".getBytes("UTF-8"))) {
+      (base, _) =>
+      val idx = new graft.sources.HttpArchive.HttpIndex(s"$base/arch")
+      val found = idx.listFilesBetween(
+        LocalDate.of(2024, 12, 31), LocalDate.of(2025, 1, 1))
+      // each date probes under ITS year's directory, template fallback
+      // included (2025-01-01 only exists under the second name template)
+      assert(found === Seq(
+        s"$base/arch/2024/AIS_2024_12_31.csv.zst",
+        s"$base/arch/2025/ais-2025-01-01.csv.zst"))
+    }
+  }
+
   test("HTTP mirror: discover → land end-to-end, idempotent on re-run") {
     val html = """<a href="AIS_2024_01_01.zip">d1</a>
                  |<a href="AIS_2024_01_02.zip">d2</a>""".stripMargin
