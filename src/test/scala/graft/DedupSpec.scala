@@ -212,6 +212,76 @@ class DedupSpec extends SparkSpec {
     assert(run(1) === run(7))
   }
 
+  test("scrubSegments matches a brute-force reference on a random corpus") {
+    // plain-Scala oracle for the fixed-window scrub: global (doc, seg_idx)
+    // rank per segment string, first kept, docs re-stitched in order
+    val w = 3
+    val rnd = new scala.util.Random(13)
+    val vocab = Array("a", "b", "c", "d")
+    val docs: Seq[(Long, String)] = (1L to 40L).map { id =>
+      id -> Seq.fill(rnd.nextInt(11))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    }
+    def segsOf(text: String): Seq[(Int, String)] = {
+      val t = text.split(" ", -1).toSeq
+      val starts = 1 to math.max(t.length, 1) by w
+      starts.zipWithIndex.map { case (s, i) =>
+        i -> t.slice(s - 1, s - 1 + w).mkString(" ") }
+    }
+    val firstOf = docs.flatMap { case (id, t) =>
+        segsOf(t).map { case (i, seg) => (seg, id, i) }
+      }.groupBy(_._1).map { case (seg, occ) =>
+        seg -> occ.map(o => (o._2, o._3)).min }
+    val expected = docs.map { case (id, t) =>
+      val ss = segsOf(t)
+      val kept = ss.filter { case (i, seg) => firstOf(seg) == ((id, i)) }
+      (id, ss.length.toLong, kept.length.toLong, kept.map(_._2).mkString(" "))
+    }
+    val got = Dedup.scrubSegments(docs.toDF("doc_id", "text"),
+        "doc_id", "text", w)
+      .orderBy("doc_id")
+      .select("doc_id", "n_segs", "n_kept", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === expected)
+  }
+
+  test("incrementalSpanCoverage matches brute force against a random standing corpus") {
+    val w = 3
+    val rnd = new scala.util.Random(99)
+    val vocab = Array("a", "b", "c")
+    def gen(ids: Range): Seq[(Long, String)] = ids.map { id =>
+      id.toLong -> Seq.fill(rnd.nextInt(9))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")
+    }
+    val standingDocs = gen(1 to 20)
+    val batchDocs = gen(100 to 120)
+    def winsOf(text: String): Seq[String] = {
+      val t = text.split(" ", -1).toSeq
+      (1 to math.max(t.length - (w - 1), 1))
+        .map(s => t.slice(s - 1, s - 1 + w).mkString(" "))
+    }
+    val standingSet = standingDocs.flatMap(d => winsOf(d._2)).toSet
+    val batchOcc = batchDocs.flatMap(d => winsOf(d._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+    val expected = batchDocs.map { case (id, t) =>
+      val ws = winsOf(t)
+      val dup = ws.count(win => batchOcc(win) >= 2 || standingSet(win)).toLong
+      val hits = ws.count(standingSet).toLong
+      (id, ws.length.toLong, dup, hits,
+        BigDecimal(dup.toDouble / ws.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val standing = Dedup.spanWindows(standingDocs.toDF("doc_id", "text"),
+      "doc_id", "text", w).select("wkey").distinct()
+    val got = Dedup.incrementalSpanCoverage(batchDocs.toDF("doc_id", "text"),
+        "doc_id", "text", w, standing)
+      .orderBy("doc_id")
+      .select("doc_id", "n_windows", "n_dup_windows", "n_standing_hits",
+        "dup_frac")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === expected)
+  }
+
   test("dupSpanCoverage is partition-count independent") {
     // occurrence counts come from an unordered count over the digest
     // partition — no order sensitivity to hide — and the rollup is a plain

@@ -370,6 +370,26 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("HTTP download (S3): a complete part file finalizes via the 416 path") {
+    // crash AFTER the last byte but BEFORE the atomic rename: the next call
+    // asks for Range at EOF, the server answers 416, and the part file is
+    // promoted without re-downloading anything
+    val payload = "the whole archive payload".getBytes("UTF-8")
+    withHttpServer(routes = Map("/arch/2024/done.zip" -> payload)) {
+      (base, seen) =>
+      val dir = Files.createTempDirectory("dl416")
+      val dest = dir.resolve("done.zip")
+      Files.write(dir.resolve("done.zip.part"), payload) // complete part
+      val got = graft.sources.HttpArchive.downloadResumable(
+        graft.sources.HttpArchive.defaultClient(),
+        s"$base/arch/2024/done.zip", dest)
+      assert(java.util.Arrays.equals(Files.readAllBytes(got), payload))
+      assert(!Files.exists(dir.resolve("done.zip.part")), "part promoted")
+      assert(seen().forall(_.contains("bytes=")) && seen().size === 1,
+        s"only the one 416-answered Range request expected: ${seen()}")
+    }
+  }
+
   test("HTTP download (S3): mid-stream disconnect resumes via Range, not restart") {
     val payload = Array.tabulate[Byte](96 * 1024)(i => (i * 31 + 7).toByte)
     withHttpServer(
