@@ -68,18 +68,34 @@ object HttpArchive {
         .filterNot(covered)
         .toSeq
       val probed =
-        if (probeParallelism == 1) toProbe.flatMap(probeDate)
+        if (probeParallelism == 1)
+          // stop walking once this thread is cancelled — each remaining
+          // probe would only fail fast against the restored interrupt flag
+          toProbe.iterator
+            .takeWhile(_ => !Thread.currentThread().isInterrupted)
+            .flatMap(probeDate).toSeq
         else {
-          val pool = java.util.concurrent.Executors
-            .newFixedThreadPool(probeParallelism)
+          // daemon threads + shutdownNow on the failure path: an exception
+          // from a Future.get must not leave queued probes issuing HTTP
+          // requests after listFilesBetween has already thrown
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            probeParallelism,
+            (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
           try {
-            toProbe
+            val out = toProbe
               .map(d => pool.submit(
                 new java.util.concurrent.Callable[Option[(LocalDate, String)]] {
                   def call(): Option[(LocalDate, String)] = probeDate(d)
                 }))
               .flatMap(_.get())
-          } finally pool.shutdown()
+            pool.shutdown()
+            out
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              pool.shutdownNow(); throw e
+            case e: InterruptedException =>
+              pool.shutdownNow(); Thread.currentThread().interrupt(); throw e
+          }
         }
       (scraped.map(f => f.date -> f.href) ++ probed).sortBy(_._1.toEpochDay)
         .map(_._2)
@@ -97,7 +113,11 @@ object HttpArchive {
         if (resp.statusCode() == 200)
           ArchiveIndex.parseHtmlIndex(resp.body(), indexUrl)
         else Nil
-      } catch { case _: IOException | _: InterruptedException => Nil }
+      } catch {
+        case _: IOException => Nil
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt(); Nil
+      }
     }
 
     /** First template×extension candidate that answers 200 — HEAD, then GET
@@ -117,7 +137,11 @@ object HttpArchive {
           HttpRequest.newBuilder(URI.create(url))
             .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
           HttpResponse.BodyHandlers.discarding()).statusCode() == 200
-      } catch { case _: IOException | _: InterruptedException => false }
+      } catch {
+        case _: IOException => false
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt(); false
+      }
 
     private def getOk(url: String): Boolean =
       try {
@@ -125,7 +149,11 @@ object HttpArchive {
           HttpRequest.newBuilder(URI.create(url)).GET().build(),
           HttpResponse.BodyHandlers.ofInputStream())
         try resp.statusCode() == 200 finally resp.body().close()
-      } catch { case _: IOException | _: InterruptedException => false }
+      } catch {
+        case _: IOException => false
+        case _: InterruptedException =>
+          Thread.currentThread().interrupt(); false
+      }
   }
 
   /** Download `url` to `dest`, resuming across calls AND retries: bytes
@@ -134,6 +162,18 @@ object HttpArchive {
     * ignores Range (plain 200) restarts the part file from zero; a complete
     * `dest` short-circuits (the reference's skip-if-present,
     * `ais_pipeline.py:344-347`). Returns `dest`.
+    *
+    * Failure discipline: transient transport errors (disconnects, 5xx,
+    * 408/429) retry up to `maxAttempts`, keeping the received prefix;
+    * PERMANENT rejections (other 4xx — 404/403/401…) fail fast on the first
+    * response, since re-sending an identical request cannot change them. A
+    * 416 (range at/after EOF) promotes the part file ONLY after its size
+    * matches the remote object's authoritative length (the 416's
+    * `Content-Range: bytes *&#47;N`, RFC 9110 §14.4, with a HEAD
+    * Content-Length fallback); a mismatched or unverifiable part is deleted
+    * and the download restarts from zero — never silently promoted, which
+    * would permanently short-circuit every future download of a
+    * changed/shrunk object with a stale file.
     *
     * @param maxAttempts total tries against mid-stream disconnects; each
     *                    retry keeps the already-received prefix.
@@ -165,16 +205,30 @@ object HttpArchive {
             appendStream(resp.body(), part, append = false)
             Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
             return dest
-          case 416 if have > 0 && Files.size(part) > 0 =>
-            // requested range starts at EOF: the part file is already whole
+          case 416 if have > 0 =>
+            // range starts at/after EOF: the part is whole — unless the
+            // remote object changed/shrank between attempts. Promote only
+            // on an exact length match against the remote's own statement.
             resp.body().close()
-            Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-            return dest
+            contentRangeTotal(resp).orElse(headContentLength(client, url)) match {
+              case Some(n) if n == have =>
+                Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+                return dest
+              case other =>
+                Files.deleteIfExists(part) // stale/over-long: restart clean
+                lastFailure = new IOException(
+                  s"GET $url: 416 with part size $have vs remote length " +
+                    s"${other.fold("unknown")(_.toString)}; restarting from zero")
+            }
+          case code if code >= 400 && code < 500 && code != 408 && code != 429 =>
+            resp.body().close() // permanent: retrying cannot help
+            throw new PermanentHttpException(s"GET $url returned $code")
           case code =>
             resp.body().close()
             throw new IOException(s"GET $url returned $code")
         }
       } catch {
+        case e: PermanentHttpException => throw e
         case e: IOException => lastFailure = e // part keeps the prefix
         case e: InterruptedException =>
           Thread.currentThread().interrupt()
@@ -184,6 +238,34 @@ object HttpArchive {
     throw new IOException(
       s"download of $url failed after $maxAttempts attempts", lastFailure)
   }
+
+  /** Non-retryable HTTP rejection (4xx other than 408/429). */
+  final class PermanentHttpException(msg: String) extends IOException(msg)
+
+  private val ContentRangeTotal = """bytes\s+\*/(\d+)""".r
+
+  /** The total length a 416's `Content-Range: bytes *&#47;N` declares. */
+  private def contentRangeTotal(resp: HttpResponse[_]): Option[Long] =
+    Option(resp.headers().firstValue("Content-Range").orElse(null)).collect {
+      case ContentRangeTotal(n) => n.toLong
+    }
+
+  /** Fallback remote-length probe for servers whose 416 omits
+    * Content-Range; None when HEAD fails or states no length.
+    */
+  private def headContentLength(client: HttpClient, url: String): Option[Long] =
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(url))
+          .method("HEAD", HttpRequest.BodyPublishers.noBody()).build(),
+        HttpResponse.BodyHandlers.discarding())
+      val len = r.headers().firstValueAsLong("Content-Length")
+      if (r.statusCode() == 200 && len.isPresent) Some(len.getAsLong) else None
+    } catch {
+      case _: IOException => None
+      case _: InterruptedException =>
+        Thread.currentThread().interrupt(); None
+    }
 
   /** End-to-end landing loop — the reference's discover→download→store
     * orchestration (`ais_pipeline.py:575-601`) on these transports: list

@@ -135,13 +135,18 @@ object StreamingScrub {
       .start()
 
   /** The standing digest store; empty (with `schema`) before the first
-    * batch lands.
+    * batch lands. The read always supplies the known `schema` rather than
+    * inferring it: a crash during the very first store write can leave
+    * `storeDir` existing with only an uncommitted `_temporary` (no parquet
+    * footers), and schema inference over that directory fails on every
+    * restart — with the explicit schema the read yields zero rows and the
+    * documented at-least-once recovery proceeds.
     */
   def readStore(spark: SparkSession, storeDir: String,
                 schema: StructType = StoreSchema): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(storeDir)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(storeDir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }

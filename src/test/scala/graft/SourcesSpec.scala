@@ -259,7 +259,12 @@ class SourcesSpec extends SparkSpec {
         case Some(bytes) =>
           val from = range.map(_.stripPrefix("bytes=").stripSuffix("-").toLong)
             .getOrElse(0L)
-          if (from >= bytes.length) { ex.sendResponseHeaders(416, -1); ex.close() }
+          if (from >= bytes.length) {
+            // RFC 9110 §14.4: a 416 SHOULD state the selected object's
+            // length — downloadResumable validates the part against it
+            ex.getResponseHeaders.set("Content-Range", s"bytes */${bytes.length}")
+            ex.sendResponseHeaders(416, -1); ex.close()
+          }
           else {
             val slice = bytes.drop(from.toInt)
             val counter = cutLeft.get(path)
@@ -387,6 +392,45 @@ class SourcesSpec extends SparkSpec {
       assert(!Files.exists(dir.resolve("done.zip.part")), "part promoted")
       assert(seen().forall(_.contains("bytes=")) && seen().size === 1,
         s"only the one 416-answered Range request expected: ${seen()}")
+    }
+  }
+
+  test("HTTP download (S3): a STALE over-long part is discarded, not promoted") {
+    // the remote object shrank between attempts: the leftover part is
+    // longer than the server's file, so Range-at-EOF answers 416 with a
+    // Content-Range length that does NOT match — the part must be deleted
+    // and the object re-downloaded from zero, never renamed into place
+    val payload = "fresh smaller payload".getBytes("UTF-8")
+    withHttpServer(routes = Map("/arch/2024/shrunk.zip" -> payload)) {
+      (base, seen) =>
+      val dir = Files.createTempDirectory("dlstale")
+      val dest = dir.resolve("shrunk.zip")
+      val stale = payload ++ "…trailing bytes from the old object".getBytes("UTF-8")
+      Files.write(dir.resolve("shrunk.zip.part"), stale)
+      val got = graft.sources.HttpArchive.downloadResumable(
+        graft.sources.HttpArchive.defaultClient(),
+        s"$base/arch/2024/shrunk.zip", dest, maxAttempts = 3)
+      assert(java.util.Arrays.equals(Files.readAllBytes(got), payload),
+        "dest must hold the fresh remote bytes, not the stale part")
+      assert(!Files.exists(dir.resolve("shrunk.zip.part")), "part promoted/cleaned")
+      // first a Range GET (answered 416), then the clean full re-download
+      assert(seen().head.contains(s"bytes=${stale.length}-"), seen().mkString(","))
+      assert(seen().count(!_.contains("bytes=")) === 1,
+        s"exactly one from-zero re-download expected: ${seen()}")
+    }
+  }
+
+  test("HTTP download (S3): permanent 404 fails fast, no retry storm") {
+    withHttpServer(routes = Map.empty) { (base, seen) =>
+      val dest = Files.createTempDirectory("dl404").resolve("missing.zip")
+      val e = intercept[java.io.IOException] {
+        graft.sources.HttpArchive.downloadResumable(
+          graft.sources.HttpArchive.defaultClient(),
+          s"$base/arch/2024/missing.zip", dest, maxAttempts = 5)
+      }
+      assert(e.getMessage.contains("404"))
+      assert(seen().size === 1,
+        s"a permanent 4xx must not be retried: ${seen()}")
     }
   }
 

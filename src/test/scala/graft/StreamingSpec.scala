@@ -364,6 +364,18 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("scrub store read survives an uncommitted _temporary-only store dir") {
+    // a crash during the very first store write leaves storeDir existing
+    // with no parquet footers; readStore must yield an empty frame with the
+    // known schema (NOT fail schema inference), so the restart proceeds
+    val root = java.nio.file.Files.createTempDirectory("graft-scrub-crash")
+    val store = root.resolve("store")
+    java.nio.file.Files.createDirectories(store.resolve("_temporary/0"))
+    val df = graft.streaming.StreamingScrub.readStore(spark, store.toString)
+    assert(df.schema.fieldNames.toSeq === Seq("seg_key"))
+    assert(df.count() === 0L)
+  }
+
   test("streaming scrub ≡ batch scrubSegments on an id-ordered two-batch replay") {
     // the equivalence contract: same segmentation, keep rule, and re-stitch
     // as Dedup.scrubSegments, so replaying the corpus in doc-id order across
