@@ -11,8 +11,26 @@ import org.apache.spark.sql.SparkSession
   * background variance, so single-shot numbers aren't trustworthy. A query
   * that throws is reported as value -1 plus an `"errors"` entry; it can never
   * record a plausible-looking wall time.
+  *
+  * Contention detection: a recorded round once tripled on untouched code
+  * because the box was loaded, and nothing in the artifact distinguished
+  * noise from regression. Two probes make that diagnosable from the JSON
+  * alone: (1) a FIXED calibration query (`q1_agg`, warmed once untimed) is
+  * timed immediately before and after the suite — `calib_pre_sec` /
+  * `calib_post_sec` drifting apart, or far off their historical ~0.25 s,
+  * means the machine (not the code) moved; (2) every query's full rep
+  * vector, min, and median land in `BENCH_full.json` next to the repo (the
+  * 2000-char driver tail keeps only the slowest queries, which is exactly
+  * where a fast query's 10× relative regression hides). A min ≪ median
+  * within one query is itself a contention signature.
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -44,6 +62,28 @@ object Bench {
     guard("warm_gold") { SparkEntry.warmGold(spark, sfDir) }
     val goldSec = (System.nanoTime() - g0) / 1e9
     spark.catalog.clearCache()
+
+    // fixed calibration probe: q1_agg, warmed once untimed so pre and post
+    // measure the same already-codegen'd plan under the machine's CURRENT
+    // load — the pre/post pair brackets the suite
+    def calibrate(): Double = {
+      try {
+        val fn = SparkEntry.queries("q1_agg")
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        sec
+      } catch { case e: Throwable =>
+        errors("calibration") =
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+        -1.0
+      }
+    }
+    guard("calibration_warm") {
+      SparkEntry.queries("q1_agg")(spark, sfDir).count(); spark.catalog.clearCache()
+    }
+    val calibPre = calibrate()
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 runs just those queries — the targeted
     // profiling loop; the driver never sets it, so round numbers are whole
@@ -77,8 +117,9 @@ object Bench {
         spark.catalog.clearCache() // operators may persist shared frames
         rep += 1
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+      name -> (if (times.nonEmpty) times.toSeq else Seq.empty[Double])
     }
+    val calibPost = calibrate()
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
@@ -87,7 +128,25 @@ object Bench {
       if (errors.isEmpty) ""
       else errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString(""","errors":{""", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val mins = results.map { case (n, ts) => n -> (if (ts.nonEmpty) ts.min else -1.0) }
+    val total = mins.values.filter(_ >= 0).sum
+    // the full per-query record — every query, min AND median AND the raw
+    // rep vector — goes to BENCH_full.json next to the repo, immune to the
+    // driver's 2000-char tail budget; the printed line stays the driver's
+    val fullJson = {
+      val qs = results.toSeq.sortBy { case (n, ts) => -(if (ts.nonEmpty) ts.min else -1.0) }
+        .map { case (n, ts) =>
+          val minV = if (ts.nonEmpty) ts.min else -1.0
+          s"${jstr(n)}:{\"min\":${num(minV)},\"median\":${num(median(ts))}," +
+            s"\"reps\":[${ts.map(num).mkString(",")}]}"
+        }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
+    }
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_full.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write BENCH_full.json: $e") }
     // The driver captures only the last ~2000 chars of output and parses the
     // JSON line out of that window; round 5's full per-query map outgrew it
     // and the round lost its headline number. Emit the line at a budget: all
@@ -96,9 +155,9 @@ object Bench {
     def line(qMap: Seq[(String, Double)], omitted: Int): String = {
       val qs = qMap.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"reps":$reps$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
     }
-    val bySlowest = results.toSeq.sortBy(-_._2)
+    val bySlowest = mins.toSeq.sortBy(-_._2)
     val budget = 1750 // leaves headroom for sbt's [success] trailer in the 2000-char tail
     var keep = bySlowest.length
     while (keep > 1 && line(bySlowest.take(keep), bySlowest.length - keep).length > budget)
