@@ -73,6 +73,20 @@ object SparkEntry {
     */
   private val LshAuditMax = 60
 
+  /** Fixture convention for every incremental declared query (incr_dedup,
+    * incr_lsh, incr_spans): docs with id below this bound play the STANDING
+    * corpus, the rest the arriving batch. In production this demarcation is
+    * an orchestrator-supplied watermark LITERAL (an ingest date / high-water
+    * id, exactly the reference's day-at-a-time refresh cursor,
+    * `refresh_gold_tables.py` day loop) — deliberately NOT derived from the
+    * data in-query: a literal pushes to the parquet scan as a min/max
+    * row-group filter, while a derived scalar-subquery threshold would force
+    * a full scan plus join on every ingest tick. Mirrored verbatim in the
+    * oracle twins; at sf0.01 (500 docs) it lands an 80/20 standing/batch
+    * split, and both sides stay non-empty at every shipped SF.
+    */
+  private val IncrSplitId = 400
+
   /** value_decayed: reference date + half-life (days) for recency decay. */
   private val DecayRef = "2024-01-31"
   private val DecayHalfLife = 7.0
@@ -265,6 +279,20 @@ object SparkEntry {
       Dedup.dupClusters(pairs, "doc_a", "doc_b"))
   }
 
+  /** Per-pair max-GTO summary — a maintained gold artifact like the pair
+    * table it derives from: the rank curve re-reads it per invocation
+    * instead of re-aggregating the full pair history, and the curve's
+    * denominator is an aggregate of THIS small table, not a count of the
+    * pair scan.
+    */
+  private def pairMaxGold(spark: SparkSession, dir: String): DataFrame = {
+    // resolve the pair stage before entering the build (same nested-
+    // computeIfAbsent rule as clustersGold)
+    val pairs = pairsGold(spark, dir)
+    GoldCache.table(spark, "pair_max_gto", dir)(
+      pairs.groupBy("uid_a", "uid_b").agg(max(col("gto")).as("max_gto")))
+  }
+
   /** PQ corpus codes are an index artifact (encode once offline, search
     * many) — the ADC search query reads the materialized codes, never
     * re-encodes the corpus per search.
@@ -287,7 +315,9 @@ object SparkEntry {
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val builds = Seq(
-      Future { pairsGold(spark, dir).count() },
+      // pairMaxGold resolves the shared pairs stage first (computeIfAbsent
+      // serializes it), then materializes the small max-GTO summary
+      Future { pairMaxGold(spark, dir).count() },
       // clusters depend on the pair table; computeIfAbsent serializes the
       // shared stage, then the label propagation runs in this future
       Future { clustersGold(spark, dir).count() },
@@ -767,18 +797,23 @@ object SparkEntry {
     // stage stays distributed even when fleet density makes the pair summary
     // grow quadratically (the same move quality_ensemble made in round 8).
     "gto_rank_curve" -> ((s, d) => {
-      val mx = graft.engine.CacheScope.global.persisted(
-        pairsGold(s, d)
-          .groupBy("uid_a", "uid_b").agg(max(col("gto")).as("max_gto")))
-      val denom = math.max(mx.count() - 1L, 1L).toDouble
+      val mx = pairMaxGold(s, d)
+      // denominator n-1 rides the SAME action as a broadcast single-row
+      // aggregate over the small materialized summary (the blessed
+      // crossJoin(broadcast(1-row)) shape) instead of an eager mx.count()
+      // at query-CONSTRUCTION time — building the declared query must
+      // trigger no job, so each bench rep / Verify pass pays exactly one
+      val denom = mx.agg(
+        greatest(count(lit(1)) - lit(1L), lit(1L)).cast("double").as("__denom"))
       Indexing.globalIndex(
           mx.withColumn("__k",
             struct(col("max_gto").as("v"), col("uid_a").as("a"),
               col("uid_b").as("b"))),
           "__k")
+        .crossJoin(broadcast(denom))
         .select(col("uid_a"), col("uid_b"),
           round(col("max_gto"), 6).as("max_gto"),
-          round(col("global_idx") / denom, 6).as("pr"))
+          round(col("global_idx") / col("__denom"), 6).as("pr"))
         .orderBy("uid_a", "uid_b")
     }),
   )
@@ -1006,10 +1041,11 @@ object SparkEntry {
     // the standing text is never rescanned
     "incr_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val standing = Dedup.exact(docs.filter(col("doc_id") < 400), "doc_id", "text")
+      val standing = Dedup.exact(docs.filter(col("doc_id") < IncrSplitId),
+          "doc_id", "text")
         .select("fp")
-      Dedup.incrementalExact(docs.filter(col("doc_id") >= 400), "doc_id", "text",
-          standing)
+      Dedup.incrementalExact(docs.filter(col("doc_id") >= IncrSplitId),
+          "doc_id", "text", standing)
         .orderBy("doc_id")
     }),
 
@@ -1054,14 +1090,16 @@ object SparkEntry {
         Dedup.corpusSignature(docs.filter(col("doc_id") >= 250), "doc_id", "text"))
     }),
 
-    // incremental LSH: the batch (>= 400) probes the standing banded store;
-    // only the batch is hashed in production — the standing side here is
-    // derived in-query because the fixture has no persisted store
+    // incremental LSH: the batch probes the standing banded store; only the
+    // batch is hashed in production — the standing side here is derived
+    // in-query because the fixture has no persisted store
     "incr_lsh" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.incrementalLshPairs(
-          Dedup.bandedSignature(docs.filter(col("doc_id") >= 400), "doc_id", "text"),
-          Dedup.bandedSignature(docs.filter(col("doc_id") < 400), "doc_id", "text"))
+          Dedup.bandedSignature(docs.filter(col("doc_id") >= IncrSplitId),
+            "doc_id", "text"),
+          Dedup.bandedSignature(docs.filter(col("doc_id") < IncrSplitId),
+            "doc_id", "text"))
         .orderBy("doc_a", "doc_b")
     }),
 
@@ -1572,16 +1610,17 @@ object SparkEntry {
       Dedup.scrubSpans(Tables.documents(s, d), "doc_id", "text", ScrubTokens)
         .orderBy("doc_id")),
 
-    // incremental span profile: the batch (docs ≥ 400) is segmented once and
+    // incremental span profile: the arriving batch is segmented once and
     // probed against the standing corpus's distinct window digests — the
-    // standing text is never rescanned (the continuous-crawl shape)
+    // standing text is never rescanned (the continuous-crawl shape); the
+    // standing/batch demarcation is the [[IncrSplitId]] fixture watermark
     "incr_spans" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val standing = Dedup
-        .spanWindows(docs.filter(col("doc_id") < 400), "doc_id", "text",
+        .spanWindows(docs.filter(col("doc_id") < IncrSplitId), "doc_id", "text",
           ScrubTokens)
         .select("wkey").distinct()
-      Dedup.incrementalSpanCoverage(docs.filter(col("doc_id") >= 400),
+      Dedup.incrementalSpanCoverage(docs.filter(col("doc_id") >= IncrSplitId),
           "doc_id", "text", ScrubTokens, standing)
         .orderBy("doc_id")
     }),
