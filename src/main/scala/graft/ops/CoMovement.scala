@@ -54,7 +54,23 @@ object CoMovement {
     * the result through a materialization boundary ([[graft.engine.GoldCache]])
     * as the declared queries do.
     */
-  def pairsDaily(hourly: DataFrame): DataFrame = {
+  /** @param maxUidsPerCell optional dense-cell guard (0 = off, the declared
+    *   default — the oracle-matched reference semantics). The self-join is
+    *   quadratic PER space-time cell: one anchorage cell holding 10³ idle
+    *   vessels emits ~5·10⁵ pair rows per hour, and at a busy-port res the
+    *   skew concentrates in a handful of shuffle partitions (the J1 risk
+    *   SCALING.md's mitigation ladder names). With the cap on, any
+    *   (dt, hr, cell) bucket holding more vessels than the cap is excluded
+    *   from the analysis ENTIRELY — both self-join sides AND the ship-day
+    *   denominators, so hA/gA/hT stay mutually consistent and every surviving
+    *   overlap coefficient is still well-defined. Dropping (not sampling) is
+    *   the same judgment [[Dedup.ngramJaccardPairs]]' maxDocsPerShingle
+    *   makes: a bucket everyone shares carries no discriminative co-movement
+    *   signal, only quadratic cost — the reference's own res-7 rationale
+    *   (`README.md:130`: busy-anchorage noise). Bound with the cap: pair
+    *   fanout ≤ cells × C(cap, 2).
+    */
+  def pairsDaily(hourly: DataFrame, maxUidsPerCell: Int = 0): DataFrame = {
     // The hourly frame feeds FOUR consumers (both self-join sides + both
     // ship-day stat legs); Catalyst cannot reuse the subplan through the
     // broadcast joins, so without an explicit persist the scan+rollup runs
@@ -64,7 +80,19 @@ object CoMovement {
     // repartition on the self-join key BEFORE caching: the rollup's AQE-
     // coalesced output would otherwise cache as ~1 partition and serialize
     // every downstream join that streams it
-    val h = hourly.select("uid", "dt", "hr", "cell")
+    val base = hourly.select("uid", "dt", "hr", "cell")
+    val guarded =
+      if (maxUidsPerCell <= 0) base
+      else {
+        // the count window shuffles on the SAME key the self-join needs, so
+        // the guard adds no extra exchange to the pipeline's shape
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dt"), col("hr"), col("cell"))
+        base.withColumn("__cell_n", count(lit(1)).over(w))
+          .filter(col("__cell_n") <= maxUidsPerCell)
+          .drop("__cell_n")
+      }
+    val h = guarded
       .repartition(col("dt"), col("hr"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

@@ -73,6 +73,40 @@ class CoMovementSpec extends SparkSpec {
     assert(t.getAs[Double]("median_gto") === 1.0)
   }
 
+  test("dense-cell guard bounds the self-join fanout on a 200-vessel anchorage") {
+    // the J1 quadratic risk: ONE space-time bucket holding a fleet emits
+    // C(n,2) pair rows. Fixture: a 200-vessel anchorage occupying two dense
+    // buckets (so its pairs survive the gT>1 gate) next to one honest
+    // 2-vessel co-movement pair.
+    val d = java.sql.Date.valueOf("2025-01-01")
+    val dense = (1L to 200L).flatMap(u => Seq((u, d, 1, 100L), (u, d, 2, 200L)))
+    val sparse = Seq((1001L, d, 3, 300L), (1002L, d, 3, 300L),
+      (1001L, d, 4, 301L), (1002L, d, 4, 301L))
+    val hourlyFx = (dense ++ sparse).toDF("uid", "dt", "hr", "cell")
+
+    // unguarded: the anchorage dominates — 19 900 quadratic pairs + 1 honest
+    val unguarded = CoMovement.pairsDaily(hourlyFx)
+    assert(unguarded.count() === 19900L + 1L)
+    spark.catalog.clearCache()
+
+    // guarded at 50: both 200-vessel buckets are excluded entirely; the
+    // honest pair survives with its full, internally-consistent stats
+    val guarded = CoMovement.pairsDaily(hourlyFx, maxUidsPerCell = 50).collect()
+    assert(guarded.length === 1, s"got ${guarded.length} rows")
+    val p = guarded.head
+    assert(p.getAs[Long]("uid_a") === 1001L && p.getAs[Long]("uid_b") === 1002L)
+    // the denominators must NOT count excluded buckets (hA consistent w/ hT)
+    assert(p.getAs[Long]("hA") === 2L && p.getAs[Long]("hB") === 2L)
+    assert(p.getAs[Long]("hT") === 2L && p.getAs[Long]("gT") === 2L)
+    assert(p.getAs[Double]("gto") === 1.0)
+    spark.catalog.clearCache()
+
+    // the cap is inclusive: a bucket holding exactly cap vessels is kept
+    val boundary = CoMovement.pairsDaily(hourlyFx, maxUidsPerCell = 200)
+    assert(boundary.count() === 19900L + 1L)
+    spark.catalog.clearCache()
+  }
+
   test("out-of-range and null positions are filtered before rollup") {
     val dirty = Seq(
       (1L, ts(0), 600.0),           // out of [0,500]
