@@ -23,6 +23,14 @@ object SparkEntry {
     * that co-movement pairs exist at every SF (3 pairs at sf0.001).
     */
   val Res = 3
+
+  /** GeoCell resolution for the ring-1 neighbor co-location query: at the
+    * basin-scale coordinate mapping (lat = value/100, lon = value/50) res 2
+    * quantizes the operating area into lattice cells of granularity
+    * comparable to the exact pipeline's pos_cell grid — coarse enough that
+    * neighbor relationships actually occur at every shipped SF.
+    */
+  val RingRes = 2
   private val WidthSql = "62.5"
 
   /** Query-term bag for the declared BM25 query (all present in the corpus). */
@@ -359,6 +367,28 @@ object SparkEntry {
           graft.functions.geo_cell(col("raw_lat"), col("raw_lon"), 7).as("h3_index"),
           col("message_count"))
         .orderBy("user_id", "hour_ms")
+    }),
+
+    // J1 at ring-1 — the capability the reference regrets lacking
+    // (README.md:130: res-7 hexes miss boundary-straddling pairs; GTO
+    // notebook cell 9): vessel-hours co-locate when their GeoCell hex cells
+    // are equal OR edge-adjacent. Coordinates derive from `value` at basin
+    // scale (a ~5°×10° operating area) so the lattice granularity is
+    // comparable to the exact pipeline's; [[CoMovement.pairsDailyRing]]
+    // expands one side to its 7 ring addresses by pure long arithmetic and
+    // the join stays an equi-join.
+    "pairs_daily_ring" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val h = ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id").as("uid"), col("ts"),
+          (col("value") / 100.0).as("lat"), (col("value") / 50.0).as("lon"))
+        .groupBy(col("uid"), date_trunc("hour", col("ts")).as("hour_ts"))
+        .agg(avg(col("lat")).as("raw_lat"), avg(col("lon")).as("raw_lon"))
+        .select(col("uid"), to_date(col("hour_ts")).as("dt"),
+          hour(col("hour_ts")).as("hr"),
+          graft.functions.geo_cell(col("raw_lat"), col("raw_lon"), RingRes)
+            .as("cell"))
+      CoMovement.pairsDailyRing(h).orderBy("uid_a", "uid_b", "day_date")
     }),
 
     // J1+J2+A2-A4+P6: the flagship pairs pipeline (create_pairs_daily.sql)
@@ -1941,6 +1971,48 @@ object SparkEntry {
         |    | (CAST(r AS BIGINT) + 134217728)), 15, '0')) AS h3_index,
         |  message_count
         |FROM c4 ORDER BY user_id, hour_ms""".stripMargin,
+
+    // same lattice math as the uid_hourly_h3 twin (scale 2^2 = 4 for the
+    // basin mapping), then ring-1 adjacency as a 7-value IN on the packed
+    // axial delta (dq·2^28 + dr) — mirroring CoMovement.RingDeltas exactly
+    "pairs_daily_ring" ->
+      """WITH base AS (
+        |  SELECT user_id AS uid, date_trunc('hour', ts) AS hour_ts,
+        |         value / 100.0 AS lat, value / 50.0 AS lon
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |h AS (
+        |  SELECT uid, hour_ts, avg(lat) AS raw_lat, avg(lon) AS raw_lon
+        |  FROM base GROUP BY 1, 2),
+        |c1 AS (SELECT uid, hour_ts, raw_lon * 4.0 / 2.0 - raw_lat * 4.0 / 3.0 AS qf,
+        |               raw_lat * 4.0 * 2.0 / 3.0 AS rf FROM h),
+        |c2 AS (SELECT *, -qf - rf AS sf FROM c1),
+        |c3 AS (SELECT *, floor(qf + 0.5) AS q0, floor(rf + 0.5) AS r0,
+        |               floor(sf + 0.5) AS s0 FROM c2),
+        |c4 AS (SELECT uid, hour_ts,
+        |  CASE WHEN abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf)
+        |       THEN -r0-s0 ELSE q0 END AS q,
+        |  CASE WHEN NOT (abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf))
+        |            AND abs(r0-rf) > abs(s0-sf)
+        |       THEN -q0-s0 ELSE r0 END AS r
+        |  FROM c3),
+        |cells AS (SELECT uid, CAST(hour_ts AS DATE) AS dt,
+        |                 extract(hour FROM hour_ts) AS hr,
+        |                 CAST(q AS BIGINT) AS q, CAST(r AS BIGINT) AS r FROM c4),
+        |p AS (
+        |  SELECT a.uid AS uid_a, b.uid AS uid_b, a.dt,
+        |         (a.q = b.q AND a.r = b.r) AS is_exact
+        |  FROM cells a JOIN cells b
+        |    ON a.dt = b.dt AND a.hr = b.hr AND a.uid < b.uid
+        |   AND ((a.q - b.q) * 268435456 + (a.r - b.r)) IN
+        |       (0, 268435456, 268435455, -1, -268435456, -268435455, 1)),
+        |g AS (
+        |  SELECT uid_a, uid_b, dt AS day_date,
+        |         CAST(count(*) AS BIGINT) AS h_ring,
+        |         CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS h_exact
+        |  FROM p GROUP BY 1, 2, 3 HAVING count(*) > 1)
+        |SELECT uid_a, uid_b, day_date, h_ring, h_exact,
+        |       h_ring - h_exact AS ring_only
+        |FROM g ORDER BY uid_a, uid_b, day_date""".stripMargin,
 
     "pairs_daily" ->
       s"""$PairsCte

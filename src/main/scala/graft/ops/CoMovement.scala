@@ -131,6 +131,56 @@ object CoMovement {
       .withColumn("gto", lit(0.5) * (col("temporal_o") + col("spatial_o")))
   }
 
+  /** Axial-delta encodings of the 7-cell ring (self + 6 hex neighbors) in
+    * [[graft.expressions.GeoCell]]'s 60-bit packing: a neighbor's address is
+    * the cell's value plus dq·2²⁸ + dr, so ring expansion is pure long
+    * arithmetic on the decoded address — no UDF, whole-stage codegen'd.
+    */
+  private val RingDeltas: Seq[Long] = Seq(
+    0L,                    // (0, 0)  the cell itself
+    1L << 28,              // (1, 0)
+    (1L << 28) - 1L,       // (1, -1)
+    -1L,                   // (0, -1)
+    -(1L << 28),           // (-1, 0)
+    -(1L << 28) + 1L,      // (-1, 1)
+    1L)                    // (0, 1)
+
+  /** Ring-1 neighbor co-location — the capability the reference itself
+    * regrets lacking (`README.md:130`: res-7 hexes miss vessel pairs
+    * straddling a cell boundary; GTO notebook cell 9 raises the same
+    * limitation). Input shape matches [[pairsDaily]]'s hourly contract but
+    * with `cell` a [[graft.expressions.GeoCell]] 15-hex-char address; a pair
+    * counts an hour as co-located when their cells are within hex distance 1
+    * (equal OR edge-adjacent).
+    *
+    * Scale shape: the B side explodes to its 7 ring addresses (bounded 7×
+    * fanout of the vessel-HOUR table, 3 orders smaller than raw events) and
+    * the join stays a plain equi-join on (dt, hr, address) — never a
+    * distance predicate. Each (pair, hour) matches at most once: the 7
+    * expanded addresses are distinct and the A side holds one row per
+    * vessel-hour, so `count(*)` is exactly the shared-hour count.
+    *
+    * Output: (uid_a, uid_b, day_date, h_ring, h_exact, ring_only) with the
+    * same `> 1` shared-hours quality gate as the exact pipeline; ring_only
+    * > 0 flags pairs invisible to exact-cell equality.
+    */
+  def pairsDailyRing(hourly: DataFrame): DataFrame = {
+    val h = hourly.select(col("uid"), col("dt"), col("hr"),
+      conv(col("cell"), 16, 10).cast("long").as("v"))
+    val a = h.toDF("uid_a", "dt", "hr", "v")
+    val b = h.toDF("uid_b", "dt", "hr", "v0")
+      .withColumn("__d", explode(array(RingDeltas.map(lit): _*)))
+      .select(col("uid_b"), col("dt"), col("hr"), col("v0"),
+        (col("__d") + col("v0")).as("v"))
+    a.join(b, Seq("dt", "hr", "v"))
+      .filter(col("uid_a") < col("uid_b"))
+      .groupBy(col("uid_a"), col("uid_b"), col("dt").as("day_date"))
+      .agg(count(lit(1)).as("h_ring"),
+        sum(when(col("v") === col("v0"), 1L).otherwise(0L)).as("h_exact"))
+      .filter(col("h_ring") > 1)
+      .withColumn("ring_only", col("h_ring") - col("h_exact"))
+  }
+
   /** All-time per-pair summary (`sql/gold/create_pairs_total.sql:11-21`):
     * days observed, days above the GTO threshold, min/max/avg/median GTO.
     * Exact `percentile` (not approx) for oracle determinism (SURVEY.md §7.5).

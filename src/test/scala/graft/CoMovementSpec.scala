@@ -107,6 +107,38 @@ class CoMovementSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ring-1 co-location finds the boundary pair exact-cell equality misses") {
+    import graft.expressions.GeoCell
+    val d = java.sql.Date.valueOf("2025-01-01")
+    val c = GeoCell.cellId(10.0, 10.0, 2)
+    val n = GeoCell.neighbors(c).head
+    // a hex-distance-2 cell from c that is ALSO outside n's 1-ring, so the
+    // vessel parked there pairs with nobody
+    val far = (GeoCell.kRing(c, 2).toSet -- GeoCell.kRing(c, 1)
+      -- GeoCell.kRing(n, 1)).toSeq.sorted.head
+    val hourly = Seq(
+      (1L, d, 1, c), (2L, d, 1, n),     // vessels straddling the boundary
+      (1L, d, 2, c), (2L, d, 2, n),
+      (4L, d, 1, c), (4L, d, 2, c),     // vessel co-located with 1 exactly
+      (1L, d, 3, far), (4L, d, 3, far), // second distinct shared cell: the
+                                        //  exact pipeline's gT>1 gate passes
+      (3L, d, 1, far), (3L, d, 2, far)) // distance 2 those hours: no pair
+      .toDF("uid", "dt", "hr", "cell")
+    val ring = CoMovement.pairsDailyRing(hourly)
+      .orderBy("uid_a", "uid_b").collect()
+    assert(ring.map(r => (r.getAs[Long]("uid_a"), r.getAs[Long]("uid_b"),
+        r.getAs[Long]("h_ring"), r.getAs[Long]("h_exact"),
+        r.getAs[Long]("ring_only"))).toSeq === Seq(
+      (1L, 2L, 2L, 0L, 2L),   // found ONLY via adjacency
+      (1L, 4L, 3L, 3L, 0L),   // exact co-location still counts
+      (2L, 4L, 2L, 0L, 2L)))
+    // the exact-cell pipeline misses the boundary pairs entirely
+    assert(CoMovement.pairsDaily(hourly)
+      .select("uid_a", "uid_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq === Seq((1L, 4L)))
+    spark.catalog.clearCache()
+  }
+
   test("out-of-range and null positions are filtered before rollup") {
     val dirty = Seq(
       (1L, ts(0), 600.0),           // out of [0,500]
