@@ -85,10 +85,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     "gap_fill" -> 3,
     "gap_interp" -> 3,
     "global_index" -> 1,
-    // 1 visible exchange (the final ORDER BY): the percent-rank now rides
-    // globalIndex's range-partition protocol, whose range shuffle sits
-    // behind the RDD stamping hop — was 2 with the single-partition window
-    "gto_rank_curve" -> 1,
+    // final ORDER BY + the single-ROW denominator aggregate's exchange
+    // (crossJoin(broadcast(1-row)) — bytes moved are one row); the
+    // percent-rank's range shuffle sits behind the RDD stamping hop
+    "gto_rank_curve" -> 2,
+    // hourly rollup + the ring equi-join's co-partition + final ORDER BY;
+    // the 7-address expansion itself is narrow (explode, no exchange)
+    "pairs_daily_ring" -> 3,
     "hard_negatives" -> 2,
     "hybrid_dedup" -> 1,
     "incr_dedup" -> 3,
