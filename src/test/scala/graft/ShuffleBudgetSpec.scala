@@ -89,9 +89,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // (crossJoin(broadcast(1-row)) — bytes moved are one row); the
     // percent-rank's range shuffle sits behind the RDD stamping hop
     "gto_rank_curve" -> 2,
-    // hourly rollup + the ring equi-join's co-partition + final ORDER BY;
-    // the 7-address expansion itself is narrow (explode, no exchange)
-    "pairs_daily_ring" -> 3,
+    // final ORDER BY only — the ring join refreshes once as a gold stage
+    // (ringPairsGold) and the declared query reads the materialized table,
+    // the same lifecycle as pairs_daily
+    "pairs_daily_ring" -> 1,
     "hard_negatives" -> 2,
     "hybrid_dedup" -> 1,
     "incr_dedup" -> 3,
