@@ -357,8 +357,10 @@ object Curation {
                       scope: CacheScope = CacheScope.global): DataFrame = {
     require(cols.nonEmpty, "need at least one signal column")
     val base = scope.persisted(signals)
-    val n = base.count()
-    val denom = math.max(n - 1L, 1L).toDouble // n==1: percent_rank is 0
+    // n-1 rides the action as a broadcast single-row aggregate — building
+    // the ensemble triggers no eager count
+    val denom = base.agg(
+      greatest(count(lit(1)) - lit(1L), lit(1L)).cast("double").as("__qe_denom"))
     val ranked = cols.foldLeft(base) { case (acc, (c, better)) =>
       // ORDER BY c asc|desc, id asc as ONE range-sortable struct key:
       // descending doubles sort ascending after negation (±0.0 pinned to
@@ -370,13 +372,17 @@ object Curation {
           base.select(col(idCol),
             struct(key.as("v"), col(idCol).as("i")).as("__k")),
           "__k", scope = scope)
-        .select(col(idCol),
-          round(col("global_idx") / denom, 6).as(s"pr_$c"))
+        .select(col(idCol), col("global_idx").as(s"__gi_$c"))
       acc.join(idx, Seq(idCol))
+    }
+    val withPr = cols.foldLeft(ranked.crossJoin(broadcast(denom))) {
+      case (acc, (c, _)) =>
+        acc.withColumn(s"pr_$c", round(col(s"__gi_$c") / col("__qe_denom"), 6))
     }
     val blend = cols.map { case (c, _) => col(s"pr_$c") }
       .reduce(_ + _) / cols.length.toDouble
-    ranked.withColumn("q_blend", round(blend, 6))
+    withPr.withColumn("q_blend", round(blend, 6))
+      .drop("__qe_denom" +: cols.map { case (c, _) => s"__gi_$c" }: _*)
   }
 
   /** Shard manifest — the reproducibility receipt a corpus release ships

@@ -1,8 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 import graft.engine.CacheScope
 
@@ -13,15 +12,19 @@ import graft.engine.CacheScope
   *
   *   1. range-partition + sort by the key (one shuffle, the same work a
   *      global ORDER BY does — but into N parallel partitions),
-  *   2. count rows per partition (a cheap count-only job),
+  *   2. derive each partition's size and starting offset (a ≤-N-row side
+  *      table, broadcast),
   *   3. stamp each row with (partition offset + local position) — a narrow
   *      per-partition pass with no further shuffle.
   *
-  * Steps 2–3 are exactly `RDD.zipWithIndex`; this is one of the few operators
-  * where the imperative per-partition protocol genuinely can't be declared in
-  * DataFrame algebra (the offset of partition i depends on the sizes of
-  * partitions 0..i-1). The result is bit-identical to
-  * `row_number() OVER (ORDER BY key) - 1` whenever the key is unique.
+  * Declared entirely in DataFrame algebra: `monotonically_increasing_id()`
+  * AFTER the range sort encodes (partition, local position), the offset
+  * table folds its prefix sums in one bounded array expression, and the
+  * stamp is a broadcast join — one action, no RDD hop, whole-stage codegen
+  * end to end (an earlier `RDD.zipWithIndex` variant cost a codegen
+  * boundary plus a separate partition-size count job per call). The result
+  * is bit-identical to `row_number() OVER (ORDER BY key) - 1` whenever the
+  * key is unique.
   */
 object Indexing {
 
@@ -29,9 +32,6 @@ object Indexing {
     * `keyCol` order. The key must be unique for a deterministic assignment
     * (with duplicate keys the index SET is still 0..n-1 and sorted by key,
     * but which duplicate gets which index depends on partitioning).
-    *
-    * The RDD hop is a codegen boundary — use this as the final stamping step
-    * before a write, not mid-pipeline.
     */
   /** Deterministic epoch shuffle: contiguous global ids in STABLE-HASH order
     * of the key — the reproducible corpus shuffle a training run needs
@@ -60,16 +60,35 @@ object Indexing {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // persist the sorted frame: zipWithIndex runs a partition-size count job
-    // BEFORE the real one — unpersisted, the range shuffle + sort (the
-    // dominant cost) would execute twice; released via `scope`
+    // Pure-DataFrame zipWithIndex: monotonically_increasing_id() after the
+    // range sort encodes (partition << 33) + local position, so the global
+    // index is localPos + (sum of earlier partitions' sizes). The offset
+    // table is ≤ `parts` rows; its prefix sums fold inside ONE bounded
+    // array expression (O(parts²) adds in a single task — fine for the
+    // shuffle-partition counts this runs at; a 10⁵-partition deployment
+    // should switch the fold to a segmented pass). Everything rides one
+    // action — no RDD hop (a codegen boundary) and no separate
+    // partition-size count job like RDD.zipWithIndex's; the persist keeps
+    // the range shuffle + sort from running twice (offset side + stamp
+    // side), released via `scope`.
     val sorted = scope.persisted(df.repartitionByRange(parts, col(keyCol))
-      .sortWithinPartitions(keyCol))
-    val schema = StructType(
-      sorted.schema.fields :+ StructField("global_idx", LongType, nullable = false))
-    val stamped = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(stamped, schema)
+      .sortWithinPartitions(keyCol)
+      .withColumn("__mono", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mono"), 33)))
+    val stats = sorted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"), min(col("__mono")).as("__min"))
+    val offsets = stats
+      .agg(sort_array(collect_list(struct(col("__pid"), col("__cnt"),
+        col("__min")))).as("a"))
+      .select(explode(expr(
+        """transform(a, (x, i) -> struct(
+          |  x.__pid AS __pid, x.__min AS __min,
+          |  aggregate(slice(a, 1, i), 0L, (s, y) -> s + y.__cnt) AS __off))"""
+          .stripMargin)).as("o"))
+      .select(col("o.__pid").as("__pid"), col("o.__min").as("__min"),
+        col("o.__off").as("__off"))
+    sorted.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("global_idx", col("__off") + (col("__mono") - col("__min")))
+      .drop("__pid", "__mono", "__min", "__off")
   }
 }

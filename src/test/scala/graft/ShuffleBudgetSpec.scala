@@ -48,7 +48,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "corpus_split" -> 1,
     "cube_agg" -> 2,
     "curation_funnel" -> 5,
-    "curriculum_order" -> 1,
+    // globalIndex's range shuffle is now VISIBLE in the SQL plan (the old
+    // RDD zipWithIndex hop hid it from this counter) plus its two
+    // bookkeeping aggregates, which move <= numPartitions rows each
+    "curriculum_order" -> 3,
     "cust_inactive" -> 2,
     "days_seen_hist" -> 4,
     "decontam" -> 4,
@@ -84,11 +87,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "fuzzy_pairs" -> 1,
     "gap_fill" -> 3,
     "gap_interp" -> 3,
-    "global_index" -> 1,
-    // final ORDER BY + the single-ROW denominator aggregate's exchange
-    // (crossJoin(broadcast(1-row)) — bytes moved are one row); the
-    // percent-rank's range shuffle sits behind the RDD stamping hop
-    "gto_rank_curve" -> 2,
+    // visible range shuffle + the <=N-row partition-stats aggregate
+    // (previously hidden behind the RDD hop; same data movement)
+    "global_index" -> 2,
+    // final ORDER BY + single-row denominator + globalIndex's now-visible
+    // range shuffle and <=N-row stats aggregate (no RDD hop since r10)
+    "gto_rank_curve" -> 4,
     // final ORDER BY only — the ring join refreshes once as a gold stage
     // (ringPairsGold) and the declared query reads the materialized table,
     // the same lifecycle as pairs_daily
@@ -130,10 +134,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "q3_topk" -> 1,
     "q5_region" -> 2,
     "quality_clf" -> 1,
-    // 3 id-keyed rank joins + 1 (globalIndex range shuffles ride the RDD
-    // hop); was 3 when each signal ranked in a SINGLE-PARTITION window —
-    // one more visible exchange, but every stage is now distributed
-    "quality_ensemble" -> 4,
+    // 3 rank legs x (range shuffle + <=N-row stats + 1-row offsets fold) +
+    // 3 id-keyed joins back: the legs' range shuffles are now visible in
+    // the SQL plan (no RDD hop since r10) and the bookkeeping exchanges
+    // move <= numPartitions rows each; real data crosses the wire 3x
+    // (once per signal order), same as before
+    "quality_ensemble" -> 12,
     "quality_filter" -> 1,
     "quality_prune" -> 2,
     "range_join_bin" -> 2,
@@ -155,7 +161,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "semdedup" -> 5,
     "session_agg" -> 2,
     "shard_manifest" -> 2,
-    "shuffle_index" -> 1,
+    // visible range shuffle + bookkeeping (see global_index)
+    "shuffle_index" -> 3,
     "silver_clean" -> 1,
     "simhash_pairs" -> 1,
     // two lanes by contract: sketch (day-agg + window-merge agg) and exact
