@@ -413,6 +413,18 @@ object SparkEntry {
     "pairs_daily_ring" -> ((s, d) =>
       ringPairsGold(s, d).orderBy("uid_a", "uid_b", "day_date")),
 
+    // lifetime rollup of the ring pair table (the pairs_total shape over the
+    // neighbor-tolerant join): how many observed days a pair owes purely to
+    // boundary straddling
+    "pairs_total_ring" -> ((s, d) =>
+      ringPairsGold(s, d).groupBy("uid_a", "uid_b").agg(
+          count(lit(1)).as("days_observed"),
+          sum(col("h_ring")).as("h_ring_total"),
+          sum(col("h_exact")).as("h_exact_total"),
+          sum(when(col("h_ring") > col("h_exact"), 1L).otherwise(0L))
+            .as("boundary_days"))
+        .orderBy("uid_a", "uid_b")),
+
     // J1+J2+A2-A4+P6: the flagship pairs pipeline (create_pairs_daily.sql)
     "pairs_daily" -> ((s, d) => pairsGold(s, d)
       .select(col("uid_a"), col("uid_b"), col("day_date"),
@@ -1927,6 +1939,46 @@ object SparkEntry {
        |    CAST(sum(lam.lu) AS BIGINT) AS lw_u
        |  FROM f JOIN lam USING (b) GROUP BY 1)""".stripMargin
 
+  /** Shared DuckDB CTE for the ring co-location twins: lattice math at the
+    * basin mapping (scale 2^2 = 4), ring-1 adjacency as a 7-value IN on the
+    * packed axial delta (dq*2^28 + dr), day rollup in `g`.
+    */
+  private val RingPairsCte =
+    """WITH base AS (
+      |  SELECT user_id AS uid, date_trunc('hour', ts) AS hour_ts,
+      |         value / 100.0 AS lat, value / 50.0 AS lon
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |h AS (
+      |  SELECT uid, hour_ts, avg(lat) AS raw_lat, avg(lon) AS raw_lon
+      |  FROM base GROUP BY 1, 2),
+      |c1 AS (SELECT uid, hour_ts, raw_lon * 4.0 / 2.0 - raw_lat * 4.0 / 3.0 AS qf,
+      |               raw_lat * 4.0 * 2.0 / 3.0 AS rf FROM h),
+      |c2 AS (SELECT *, -qf - rf AS sf FROM c1),
+      |c3 AS (SELECT *, floor(qf + 0.5) AS q0, floor(rf + 0.5) AS r0,
+      |               floor(sf + 0.5) AS s0 FROM c2),
+      |c4 AS (SELECT uid, hour_ts,
+      |  CASE WHEN abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf)
+      |       THEN -r0-s0 ELSE q0 END AS q,
+      |  CASE WHEN NOT (abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf))
+      |            AND abs(r0-rf) > abs(s0-sf)
+      |       THEN -q0-s0 ELSE r0 END AS r
+      |  FROM c3),
+      |cells AS (SELECT uid, CAST(hour_ts AS DATE) AS dt,
+      |                 extract(hour FROM hour_ts) AS hr,
+      |                 CAST(q AS BIGINT) AS q, CAST(r AS BIGINT) AS r FROM c4),
+      |p AS (
+      |  SELECT a.uid AS uid_a, b.uid AS uid_b, a.dt,
+      |         (a.q = b.q AND a.r = b.r) AS is_exact
+      |  FROM cells a JOIN cells b
+      |    ON a.dt = b.dt AND a.hr = b.hr AND a.uid < b.uid
+      |   AND ((a.q - b.q) * 268435456 + (a.r - b.r)) IN
+      |       (0, 268435456, 268435455, -1, -268435456, -268435455, 1)),
+      |g AS (
+      |  SELECT uid_a, uid_b, dt AS day_date,
+      |         CAST(count(*) AS BIGINT) AS h_ring,
+      |         CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS h_exact
+      |  FROM p GROUP BY 1, 2, 3 HAVING count(*) > 1)""".stripMargin
+
   private val PairsCte =
     s"""$HourlyCte,
        |pair_hours AS (
@@ -1996,45 +2048,22 @@ object SparkEntry {
 
     // same lattice math as the uid_hourly_h3 twin (scale 2^2 = 4 for the
     // basin mapping), then ring-1 adjacency as a 7-value IN on the packed
-    // axial delta (dq·2^28 + dr) — mirroring CoMovement.RingDeltas exactly
+    // axial delta (dq·2^28 + dr) — mirroring CoMovement.ringDeltas exactly
     "pairs_daily_ring" ->
-      """WITH base AS (
-        |  SELECT user_id AS uid, date_trunc('hour', ts) AS hour_ts,
-        |         value / 100.0 AS lat, value / 50.0 AS lon
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
-        |h AS (
-        |  SELECT uid, hour_ts, avg(lat) AS raw_lat, avg(lon) AS raw_lon
-        |  FROM base GROUP BY 1, 2),
-        |c1 AS (SELECT uid, hour_ts, raw_lon * 4.0 / 2.0 - raw_lat * 4.0 / 3.0 AS qf,
-        |               raw_lat * 4.0 * 2.0 / 3.0 AS rf FROM h),
-        |c2 AS (SELECT *, -qf - rf AS sf FROM c1),
-        |c3 AS (SELECT *, floor(qf + 0.5) AS q0, floor(rf + 0.5) AS r0,
-        |               floor(sf + 0.5) AS s0 FROM c2),
-        |c4 AS (SELECT uid, hour_ts,
-        |  CASE WHEN abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf)
-        |       THEN -r0-s0 ELSE q0 END AS q,
-        |  CASE WHEN NOT (abs(q0-qf) > abs(r0-rf) AND abs(q0-qf) > abs(s0-sf))
-        |            AND abs(r0-rf) > abs(s0-sf)
-        |       THEN -q0-s0 ELSE r0 END AS r
-        |  FROM c3),
-        |cells AS (SELECT uid, CAST(hour_ts AS DATE) AS dt,
-        |                 extract(hour FROM hour_ts) AS hr,
-        |                 CAST(q AS BIGINT) AS q, CAST(r AS BIGINT) AS r FROM c4),
-        |p AS (
-        |  SELECT a.uid AS uid_a, b.uid AS uid_b, a.dt,
-        |         (a.q = b.q AND a.r = b.r) AS is_exact
-        |  FROM cells a JOIN cells b
-        |    ON a.dt = b.dt AND a.hr = b.hr AND a.uid < b.uid
-        |   AND ((a.q - b.q) * 268435456 + (a.r - b.r)) IN
-        |       (0, 268435456, 268435455, -1, -268435456, -268435455, 1)),
-        |g AS (
-        |  SELECT uid_a, uid_b, dt AS day_date,
-        |         CAST(count(*) AS BIGINT) AS h_ring,
-        |         CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS h_exact
-        |  FROM p GROUP BY 1, 2, 3 HAVING count(*) > 1)
+      s"""$RingPairsCte
         |SELECT uid_a, uid_b, day_date, h_ring, h_exact,
         |       h_ring - h_exact AS ring_only
         |FROM g ORDER BY uid_a, uid_b, day_date""".stripMargin,
+
+    "pairs_total_ring" ->
+      s"""$RingPairsCte
+        |SELECT uid_a, uid_b,
+        |       CAST(count(*) AS BIGINT) AS days_observed,
+        |       CAST(sum(h_ring) AS BIGINT) AS h_ring_total,
+        |       CAST(sum(h_exact) AS BIGINT) AS h_exact_total,
+        |       CAST(sum(CASE WHEN h_ring > h_exact THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS boundary_days
+        |FROM g GROUP BY 1, 2 ORDER BY uid_a, uid_b""".stripMargin,
 
     "pairs_daily" ->
       s"""$PairsCte

@@ -135,6 +135,18 @@ object GeoCell {
     }
   }
 
+  /** Hex-grid distance between two cells of the same resolution: the cube-
+    * coordinate metric (|dq| + |dr| + |dq+dr|) / 2.
+    */
+  def hexDistance(a: String, b: String): Int = {
+    val (resA, qa, ra) = decode(a)
+    val (resB, qb, rb) = decode(b)
+    require(resA == resB, s"resolutions differ: $resA vs $resB")
+    val dq = qa - qb
+    val dr = ra - rb
+    ((math.abs(dq) + math.abs(dr) + math.abs(dq + dr)) / 2).toInt
+  }
+
   /** All cells within hex distance `k` (includes the cell itself):
     * 1 + 3k(k+1) cells.
     */

@@ -131,45 +131,47 @@ object CoMovement {
       .withColumn("gto", lit(0.5) * (col("temporal_o") + col("spatial_o")))
   }
 
-  /** Axial-delta encodings of the 7-cell ring (self + 6 hex neighbors) in
-    * [[graft.expressions.GeoCell]]'s 60-bit packing: a neighbor's address is
-    * the cell's value plus dq·2²⁸ + dr, so ring expansion is pure long
+  /** Axial-delta encodings of the k-ring (1 + 3k(k+1) cells: self, 6
+    * neighbors at k=1, 19 cells at k=2, …) in
+    * [[graft.expressions.GeoCell]]'s 60-bit packing: a ring cell's address
+    * is the cell's value plus dq·2²⁸ + dr, so ring expansion is pure long
     * arithmetic on the decoded address — no UDF, whole-stage codegen'd.
+    * Delta enumeration mirrors [[graft.expressions.GeoCell.kRing]].
     */
-  private val RingDeltas: Seq[Long] = Seq(
-    0L,                    // (0, 0)  the cell itself
-    1L << 28,              // (1, 0)
-    (1L << 28) - 1L,       // (1, -1)
-    -1L,                   // (0, -1)
-    -(1L << 28),           // (-1, 0)
-    -(1L << 28) + 1L,      // (-1, 1)
-    1L)                    // (0, 1)
+  private def ringDeltas(k: Int): Seq[Long] = {
+    require(k >= 1, "ring radius must be >= 1")
+    for {
+      dq <- -k.toLong to k.toLong
+      dr <- math.max(-k.toLong, -dq - k) to math.min(k.toLong, -dq + k)
+    } yield (dq << 28) + dr
+  }
 
-  /** Ring-1 neighbor co-location — the capability the reference itself
+  /** Ring-k neighbor co-location — the capability the reference itself
     * regrets lacking (`README.md:130`: res-7 hexes miss vessel pairs
     * straddling a cell boundary; GTO notebook cell 9 raises the same
     * limitation). Input shape matches [[pairsDaily]]'s hourly contract but
     * with `cell` a [[graft.expressions.GeoCell]] 15-hex-char address; a pair
-    * counts an hour as co-located when their cells are within hex distance 1
-    * (equal OR edge-adjacent).
+    * counts an hour as co-located when their cells are within hex distance
+    * `k` (k=1: equal OR edge-adjacent — the default boundary-straddle fix;
+    * higher k widens the tolerance by one cell width per step).
     *
-    * Scale shape: the B side explodes to its 7 ring addresses (bounded 7×
-    * fanout of the vessel-HOUR table, 3 orders smaller than raw events) and
-    * the join stays a plain equi-join on (dt, hr, address) — never a
-    * distance predicate. Each (pair, hour) matches at most once: the 7
-    * expanded addresses are distinct and the A side holds one row per
+    * Scale shape: the B side explodes to its 1+3k(k+1) ring addresses
+    * (bounded fanout of the vessel-HOUR table, 3 orders smaller than raw
+    * events) and the join stays a plain equi-join on (dt, hr, address) —
+    * never a distance predicate. Each (pair, hour) matches at most once:
+    * the expanded addresses are distinct and the A side holds one row per
     * vessel-hour, so `count(*)` is exactly the shared-hour count.
     *
     * Output: (uid_a, uid_b, day_date, h_ring, h_exact, ring_only) with the
     * same `> 1` shared-hours quality gate as the exact pipeline; ring_only
     * > 0 flags pairs invisible to exact-cell equality.
     */
-  def pairsDailyRing(hourly: DataFrame): DataFrame = {
+  def pairsDailyRing(hourly: DataFrame, k: Int = 1): DataFrame = {
     val h = hourly.select(col("uid"), col("dt"), col("hr"),
       conv(col("cell"), 16, 10).cast("long").as("v"))
     val a = h.toDF("uid_a", "dt", "hr", "v")
     val b = h.toDF("uid_b", "dt", "hr", "v0")
-      .withColumn("__d", explode(array(RingDeltas.map(lit): _*)))
+      .withColumn("__d", explode(array(ringDeltas(k).map(lit): _*)))
       .select(col("uid_b"), col("dt"), col("hr"), col("v0"),
         (col("__d") + col("v0")).as("v"))
     a.join(b, Seq("dt", "hr", "v"))

@@ -137,6 +137,20 @@ class CoMovementSpec extends SparkSpec {
       .select("uid_a", "uid_b").collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSeq === Seq((1L, 4L)))
     spark.catalog.clearCache()
+
+    // widening to ring-2 picks up the hex-distance-2 vessel
+    val ring2 = CoMovement.pairsDailyRing(hourly, k = 2)
+      .orderBy("uid_a", "uid_b").collect()
+      .map(r => (r.getAs[Long]("uid_a"), r.getAs[Long]("uid_b"),
+        r.getAs[Long]("h_ring"), r.getAs[Long]("h_exact"))).toSeq
+    val expected2 = Seq(
+      (1L, 2L, 2L, 0L), (1L, 3L, 2L, 0L), (1L, 4L, 3L, 3L),
+      (3L, 4L, 2L, 0L)) ++
+      // (2,3) appears iff n and far happen to sit within hex distance 2
+      (if (GeoCell.hexDistance(n, far) <= 2) Seq((2L, 3L, 2L, 0L)) else Nil) ++
+      Seq((2L, 4L, 2L, 0L))
+    assert(ring2 === expected2.sorted)
+    spark.catalog.clearCache()
   }
 
   test("out-of-range and null positions are filtered before rollup") {

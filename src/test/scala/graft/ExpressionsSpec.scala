@@ -39,6 +39,11 @@ class ExpressionsSpec extends SparkSpec {
     assert(GeoCell.kRing(c, 0) === Seq(c))
     assert(GeoCell.kRing(c, 1).toSet === (ns :+ c).toSet)
     assert(GeoCell.kRing(c, 3).length === 1 + 3 * 3 * 4)
+    // hexDistance is the metric the rings are defined by
+    assert(GeoCell.hexDistance(c, c) === 0)
+    ns.foreach(n => assert(GeoCell.hexDistance(c, n) === 1))
+    GeoCell.kRing(c, 2).foreach(x => assert(GeoCell.hexDistance(c, x) <= 2))
+    assert(GeoCell.kRing(c, 2).count(GeoCell.hexDistance(c, _) == 2) === 12)
   }
 
   test("GeoCell: cell center maps back to its own cell") {

@@ -97,6 +97,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     // (ringPairsGold) and the declared query reads the materialized table,
     // the same lifecycle as pairs_daily
     "pairs_daily_ring" -> 1,
+    // pair-keyed rollup of the gold ring table + final ORDER BY
+    "pairs_total_ring" -> 2,
     "hard_negatives" -> 2,
     "hybrid_dedup" -> 1,
     "incr_dedup" -> 3,
