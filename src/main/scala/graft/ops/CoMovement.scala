@@ -96,19 +96,14 @@ object CoMovement {
       .repartition(col("dt"), col("hr"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // self-join on the quantized space-time key; uid_a < uid_b kills
-    // self-pairs and symmetric duplicates (create_pairs_daily.sql:52)
-    val a = h.toDF("uid_a", "dt", "hr", "cell")
-    val b = h.toDF("uid_b", "dt", "hr", "cell")
-    val pairHours = a.join(b, Seq("dt", "hr", "cell"))
-      .filter(col("uid_a") < col("uid_b"))
+    val pairHourRows = pairHours(h)
 
     // hT = distinct shared hours; since the hourly input has exactly one row
     // per (uid, hour), pair rows are already unique per hour and count(*)
     // equals COUNT(DISTINCT hr) (create_pairs_daily.sql:34-39) — using count
     // keeps the aggregate single-distinct, so Catalyst plans no Expand
     // (double-distinct would shuffle 2× the pair-hour rows)
-    val pairAgg = pairHours.groupBy("uid_a", "uid_b", "dt")
+    val pairAgg = pairHourRows.groupBy("uid_a", "uid_b", "dt")
       .agg(count(lit(1)).as("hT"), countDistinct(col("cell")).as("gT"))
       .filter(col("gT") > 1) // quality gate (create_pairs_daily.sql:79), pushed early
 
@@ -129,6 +124,18 @@ object CoMovement {
         overlap_coef(col("hT"), col("hA"), col("hB")).as("temporal_o"),
         overlap_coef(col("gT"), col("gA"), col("gB")).as("spatial_o"))
       .withColumn("gto", lit(0.5) * (col("temporal_o") + col("spatial_o")))
+  }
+
+  /** The hex-grid self-join alone: one row per (uid_a < uid_b, dt, hr, cell)
+    * co-located vessel-pair-hour (`create_pairs_daily.sql:47-52`). Exposed
+    * as the shared primitive between [[pairsDaily]]'s day rollup and the
+    * streaming twin ([[graft.streaming.StreamingCoMovement]]), which must
+    * reproduce exactly this multiset incrementally.
+    */
+  def pairHours(hourly: DataFrame): DataFrame = {
+    val a = hourly.select("uid", "dt", "hr", "cell").toDF("uid_a", "dt", "hr", "cell")
+    val b = hourly.select("uid", "dt", "hr", "cell").toDF("uid_b", "dt", "hr", "cell")
+    a.join(b, Seq("dt", "hr", "cell")).filter(col("uid_a") < col("uid_b"))
   }
 
   /** Axial-delta encodings of the k-ring (1 + 3k(k+1) cells: self, 6

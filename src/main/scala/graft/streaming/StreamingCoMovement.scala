@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.StructType
+
+/** Streaming co-movement discovery — the online twin of the flagship batch
+  * self-join ([[graft.ops.CoMovement.pairHours]]). The reference runs the
+  * pair join as a day-at-a-time gold refresh (`refresh_gold_tables.py` day
+  * loop); this stream discovers each co-located vessel-pair-hour the moment
+  * its SECOND vessel's hourly row arrives, without ever re-joining history
+  * against itself.
+  *
+  * Input contract: a stream of FINALIZED hourly presence rows
+  * (uid, dt, hr, cell) — exactly what [[StreamingRollup.hourly]] emits in
+  * append mode once the watermark closes an hour (one row per (uid, hour)
+  * per stream lifetime). Per micro-batch:
+  *
+  *   1. new pairs among the batch's own rows (batch ⋈ batch, uid_a < uid_b),
+  *   2. new pairs between batch rows and the STANDING presence store,
+  *      restricted by a semi-join to the space-time buckets the batch
+  *      actually touches — the store's history is probed, never self-joined,
+  *   3. batch rows append to the store.
+  *
+  * Equivalence contract (pinned in StreamingSpec): replaying a corpus's
+  * hourly rows across any micro-batch partitioning yields EXACTLY the batch
+  * `pairHours` multiset — each unordered pair-hour is discovered exactly
+  * once, in the batch where its later side arrived.
+  *
+  * Scale: per-batch cost is O(batch ⋈ batch) + O(batch-bucket slice of the
+  * store); the store is one narrow row per vessel-hour (the same table the
+  * batch pipeline materializes as hourly gold) keyed by the join bucket, so
+  * the probe shuffles only the touched buckets. Day-grain scoring (the
+  * gT > 1 gate, overlap coefficients, GTO) runs downstream as the standard
+  * periodic rollup over the accumulated pair-hour log — the same lambda
+  * split as [[StreamingNearDup]] documents.
+  *
+  * Recovery: standard foreachBatch at-least-once. A replayed batch re-appends
+  * presence rows (the probe `distinct`s the store, so keep decisions don't
+  * change) and re-emits its pair-hours — key downstream reads by
+  * (uid_a, uid_b, dt, hr) or point outDir at an idempotent sink, as with any
+  * foreachBatch pipeline.
+  */
+object StreamingCoMovement {
+
+  /** Start the pair-hour stream: discovered co-located pair-hours
+    * (uid_a, uid_b, dt, hr, cell) append to `outDir`; presence rows append
+    * to `storeDir`.
+    */
+  def pairHourStream(hourly: DataFrame, storeDir: String, outDir: String,
+                     checkpointDir: String): StreamingQuery =
+    hourly.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        if (!batch0.isEmpty) {
+          val spark = batch0.sparkSession
+          val batch = batch0.select("uid", "dt", "hr", "cell").persist()
+          try {
+            val standing = readStore(spark, storeDir, batch.schema).distinct()
+              // probe only the buckets this batch touches
+              .join(batch.select("dt", "hr", "cell").distinct(),
+                Seq("dt", "hr", "cell"), "left_semi")
+            val bb = batch.select(col("uid").as("uid_a"), col("dt"), col("hr"),
+                col("cell"))
+              .join(batch.select(col("uid").as("uid_b"), col("dt"), col("hr"),
+                col("cell")), Seq("dt", "hr", "cell"))
+              .filter(col("uid_a") < col("uid_b"))
+              .select("uid_a", "uid_b", "dt", "hr", "cell")
+            val bs = batch.select(col("uid").as("uid_x"), col("dt"), col("hr"),
+                col("cell"))
+              .join(standing.select(col("uid").as("uid_y"), col("dt"), col("hr"),
+                col("cell")), Seq("dt", "hr", "cell"))
+              .filter(col("uid_x") =!= col("uid_y"))
+              .select(least(col("uid_x"), col("uid_y")).as("uid_a"),
+                greatest(col("uid_x"), col("uid_y")).as("uid_b"),
+                col("dt"), col("hr"), col("cell"))
+            bb.union(bs).write.mode("append").parquet(outDir)
+            batch.write.mode("append").parquet(storeDir)
+          } finally batch.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+
+  /** The standing presence store; empty (with `schema`) before the first
+    * batch lands. Explicit-schema read so an uncommitted `_temporary`-only
+    * store dir cannot break restart (the [[StreamingScrub.readStore]]
+    * lesson).
+    */
+  def readStore(spark: SparkSession, storeDir: String,
+                schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.schema(schema).parquet(storeDir)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+}

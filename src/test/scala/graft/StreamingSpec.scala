@@ -454,6 +454,61 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(root + "/store").distinct().count() === 4)
   }
 
+  test("streaming co-movement ≡ batch pairHours across micro-batches (cross-batch discovery)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = java.sql.Date.valueOf("2025-01-01")
+    val b1 = Seq((1L, d, 1, "X"), (2L, d, 1, "X"), (3L, d, 2, "Y"))
+    val b2 = Seq((4L, d, 2, "Y"), (5L, d, 1, "X"))
+    val in = MemoryStream[(Long, java.sql.Date, Int, String)]
+    val hourly = in.toDF.toDF("uid", "dt", "hr", "cell")
+    val root = java.nio.file.Files.createTempDirectory("graft-comv").toString
+    val q = graft.streaming.StreamingCoMovement.pairHourStream(
+      hourly, root + "/store", root + "/out", root + "/cp")
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      // pair (3,4): vessel 3 arrived in batch 1, vessel 4 only now — the
+      // standing store must surface the cross-batch co-location
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDate(2).toString, r.getInt(3), r.getString(4))
+    val streamed = spark.read.parquet(root + "/out")
+      .select("uid_a", "uid_b", "dt", "hr", "cell").collect().map(key).sorted.toSeq
+    val batch = graft.ops.CoMovement.pairHours(
+        (b1 ++ b2).toDF("uid", "dt", "hr", "cell"))
+      .select("uid_a", "uid_b", "dt", "hr", "cell").collect().map(key).sorted.toSeq
+    assert(streamed === batch, "stream must reproduce the batch pair-hour multiset")
+    assert(batch.map(t => (t._1, t._2, t._4)) ===
+      Seq((1L, 2L, 1), (1L, 5L, 1), (2L, 5L, 1), (3L, 4L, 2)))
+  }
+
+  test("streaming co-movement survives stop/start: no duplicate pair-hours") {
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-comv-rs").toString
+    val (inDir, outDir, cpDir, storeDir) =
+      (root + "/in", root + "/out", root + "/cp", root + "/store")
+    new java.io.File(inDir).mkdirs()
+    val schema = StructType(Seq(StructField("uid", LongType),
+      StructField("dt", DateType), StructField("hr", IntegerType),
+      StructField("cell", StringType)))
+    def start() = graft.streaming.StreamingCoMovement.pairHourStream(
+      spark.readStream.schema(schema).csv(inDir), storeDir, outDir, cpDir)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir + "/a.csv"),
+      "1,2025-01-01,1,X\n2,2025-01-01,1,X\n")
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop() // simulated crash
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir + "/b.csv"),
+      "3,2025-01-01,1,X\n")
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got = spark.read.parquet(outDir).select("uid_a", "uid_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // (1,2) from before the crash exactly once; (1,3) and (2,3) discovered
+    // against the resumed store — never re-joined history against itself
+    assert(got === Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"restart re-emitted or dropped pair-hours: $got")
+  }
+
   test("streaming scrub survives stop/start: checkpoint + store resume, no re-emission") {
     // the scrub's production claim: kill the stream between batches, restart
     // from the checkpoint, and (a) the standing digest store still suppresses
