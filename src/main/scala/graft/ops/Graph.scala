@@ -55,18 +55,26 @@ object Graph {
     // persisted keyed by id — the per-iteration contrib→deg join aligns on
     // both sides (groupBy dst emits HashPartitioning(dst→id)), so it is
     // exchange-free too: each iteration moves ONLY the message shuffle.
-    val deg = scope.persisted(und.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("id"), col("deg")))
-    val n = deg.count()
-    require(n > 0, "empty graph")
+    // N rides the plan as a broadcast single-row aggregate (1e6 div N and
+    // the teleport base become columns of the persisted deg frame) — no
+    // eager count at query-construction time; an empty edge list yields an
+    // empty result instead of an error. The 1-row broadcast join preserves
+    // the streamed side's partitioning, so the alignment above survives it
+    // (ShuffleBudgetSpec's pair_pagerank ceiling is the canary).
+    val deg0 = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    val nDf = deg0.agg(count(lit(1)).as("__n"))
+    val deg = scope.persisted(deg0.crossJoin(broadcast(nDf))
+      .select(col("id"), col("deg"),
+        expr("1000000L div __n").as("__r0"),
+        expr("150000L div __n").as("__base")))
     // Lineage is LINEAR in iterations (ranks feeds each next plan exactly
     // once — deg, not ranks, supplies the id/deg side of the update join),
     // so per-iteration checkpoints aren't needed for plan size; checkpoint
     // every 4th iteration to bound optimizer input, each one an eager
     // barrier that preserves outputPartitioning (LogicalRDD keeps the
     // physical partitioning), so the alignment above survives it.
-    var ranks = deg.select(col("id"), col("deg"), lit(1000000L / n).as("r"))
-    val base = 150000L / n
+    var ranks = deg.select(col("id"), col("deg"), col("__r0").as("r"))
     for (it <- 1 to iterations) {
       val contrib = und
         .join(ranks.select(col("id").as("src"), expr("r div deg").as("c")), "src")
@@ -74,7 +82,7 @@ object Graph {
         .select(col("dst").as("id"), col("m"))
       ranks = deg.join(contrib, Seq("id"), "left")
         .select(col("id"), col("deg"),
-          (lit(base) + expr("(17 * coalesce(m, 0L)) div 20")).as("r"))
+          (col("__base") + expr("(17 * coalesce(m, 0L)) div 20")).as("r"))
       if (it % 4 == 0 && it < iterations) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("id"), col("deg"), col("r").as("rank_micro"))
