@@ -478,6 +478,12 @@ object SparkEntry {
     "trip_segments" -> ((s, d) =>
       Tracks.tripSegments(Tables.events(s, d), gapMs = 30L * 86400 * 1000)),
 
+    // origin→destination flow matrix: 6-hour-gap trips reduced to their
+    // endpoint cells, rolled up to port-to-port traffic counts
+    "od_flows" -> ((s, d) =>
+      Tracks.odFlows(Tables.events(s, d), gapMs = 6L * 3600 * 1000, res = Res)
+        .orderBy("origin_cell", "dest_cell")),
+
     // semi-structured props: from_json with an EXPLICIT schema (inference
     // would cost a full pre-scan at 100 TB), pushed filter, exact integer agg
     "props_parse" -> ((s, d) => {
@@ -2119,6 +2125,27 @@ object SparkEntry {
         |SELECT user_id, trip_seq, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
         |  CAST(count(*) AS BIGINT) AS n_points
         |FROM t GROUP BY 1, 2 ORDER BY user_id, trip_seq""".stripMargin,
+
+    // same trip construction as the trip_segments twin (6 h gap), endpoints
+    // via arg_min/arg_max on ts_ms — deterministic because (user_id, ts) is
+    // unique in the data (TestdataCanarySpec pins it)
+    "od_flows" ->
+      """WITH pts AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value FROM events),
+        |f AS (SELECT user_id, ts_ms, event_id, value,
+        |  CASE WHEN ts_ms - lag(ts_ms) OVER w > 21600000 THEN 1 ELSE 0 END AS new_trip
+        |  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |t AS (SELECT user_id, value, ts_ms,
+        |  CAST(sum(new_trip) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trip_seq
+        |  FROM f),
+        |trips AS (SELECT user_id, trip_seq,
+        |  arg_min(value, ts_ms) AS o_val, arg_max(value, ts_ms) AS d_val
+        |  FROM t GROUP BY 1, 2)
+        |SELECT CAST(floor(o_val / 62.5) AS BIGINT) AS origin_cell,
+        |       CAST(floor(d_val / 62.5) AS BIGINT) AS dest_cell,
+        |       CAST(count(*) AS BIGINT) AS trips,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS vessels
+        |FROM trips GROUP BY 1, 2 ORDER BY origin_cell, dest_cell""".stripMargin,
 
     "props_parse" ->
       """WITH p AS (SELECT event_type,

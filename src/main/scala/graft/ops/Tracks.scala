@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.pos_cell
+
 /** Track/cohort serving queries: the Spark re-expression of
   * `apps/export_tracks_to_explore.py` (parameterized cohort export) and
   * `apps/track_explorer.py` (path assembly, top-k selection).
@@ -79,6 +81,43 @@ object Tracks {
       .agg(min(col("ts_ms")).as("start_ms"), max(col("ts_ms")).as("end_ms"),
         count(lit(1)).as("n_points"))
       .orderBy("user_id", "trip_seq")
+  }
+
+  /** Origin→destination flow matrix: [[tripSegments]]' gap-based trips
+    * reduced to their first/last position cell and aggregated into
+    * (origin_cell, dest_cell) → (trips, vessels) — the port-to-port traffic
+    * summary a fleet analyst reads off the trip table (the reference's
+    * explorer renders individual trips, `track_explorer.py:65-84`; this is
+    * their corpus-level rollup).
+    *
+    * Scale: the trip windows ride the same per-vessel partitioning as
+    * [[tripSegments]] (a vessel's history fits a partition by the same
+    * argument), endpoints come from `min_by`/`max_by` inside the one trip
+    * aggregate — no sort of the full event set, no self-join — and the OD
+    * matrix itself is bounded by cells², not events. Endpoint determinism
+    * relies on (user_id, ts) being unique per vessel
+    * (`TestdataCanarySpec` pins it on the shipped data; real AIS feeds
+    * dedupe on exactly that key upstream — `window_dedup`).
+    */
+  def odFlows(events: DataFrame, gapMs: Long, res: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    events
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("value"))
+      .withColumn("new_trip",
+        when(col("ts_ms") - lag(col("ts_ms"), 1).over(w) > gapMs, 1).otherwise(0))
+      .withColumn("trip_seq", sum(col("new_trip"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "trip_seq")
+      .agg(expr("min_by(value, ts_ms)").as("o_val"),
+        expr("max_by(value, ts_ms)").as("d_val"))
+      .select(col("user_id"),
+        pos_cell(col("o_val"), res).as("origin_cell"),
+        pos_cell(col("d_val"), res).as("dest_cell"))
+      .groupBy("origin_cell", "dest_cell")
+      .agg(count(lit(1)).as("trips"),
+        countDistinct(col("user_id")).as("vessels"))
   }
 
   /** Synthetic-id repair (P11, `apps/track_explorer.py:180-185`): rows with

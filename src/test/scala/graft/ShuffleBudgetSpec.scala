@@ -123,6 +123,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     // rank-vector re-shuffle onto the edge partitioning, edge list itself
     // exchange-free after the one build-time repartition
     "pair_pagerank" -> 4,
+    // per-vessel trip window + OD rollup + final ORDER BY
+    "od_flows" -> 3,
     "pair_quantiles" -> 1,
     "pairs_daily" -> 1,
     "pairs_total" -> 3,

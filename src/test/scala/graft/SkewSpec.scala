@@ -77,6 +77,24 @@ class SkewSpec extends SparkSpec {
     assert(t1.map(_.getAs[Long]("n_points")).toSeq === Seq(2L, 2L))
   }
 
+  test("odFlows: trip endpoints land in the right cells, flows aggregate") {
+    def ts(s: String) = Timestamp.valueOf(s"2025-01-01 $s:00")
+    // res 3 → cell width 62.5: values 10→cell 0, 100→cell 1, 200→cell 3
+    val events = Seq(
+      // uid 1 trip 0: 10 → 100  (cells 0 → 1); mid-point must not matter
+      (1L, ts("00:00"), 101L, 10.0), (1L, ts("00:30"), 102L, 450.0),
+      (1L, ts("01:00"), 103L, 100.0),
+      // uid 1 trip 1 after >1h gap: 200 → 200 (cell 3 → 3, single point)
+      (1L, ts("04:00"), 104L, 200.0),
+      // uid 2: 10 → 100 as well — same OD pair, second vessel
+      (2L, ts("00:00"), 201L, 10.0), (2L, ts("00:10"), 202L, 100.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val got = Tracks.odFlows(events, gapMs = 3600000L, res = 3)
+      .orderBy("origin_cell", "dest_cell").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((0L, 1L, 2L, 2L), (3L, 3L, 1L, 1L)))
+  }
+
   test("skewReport: hand-computed distribution for a hot key") {
     // keys: a×6, b×2, c×1, null×1 → counts (6,2,1,1); p50 of (1,1,2,6)=1.5
     val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", null))

@@ -32,6 +32,15 @@ class TestdataCanarySpec extends SparkSpec {
       s"events.ts years span [$lo,$hi] — a nanos/micros/millis mix-up in Tables.events")
   }
 
+  test("(user_id, ts) is unique in events — od_flows endpoint determinism rests on it") {
+    import org.apache.spark.sql.functions._
+    val dups = engine.Tables.events(spark, sfDir)
+      .groupBy("user_id", "ts").count().filter(col("count") > 1).count()
+    assert(dups === 0L,
+      "events grew duplicate (user_id, ts) rows — min_by/arg_min trip endpoints " +
+        "become tie-dependent; add event_id to the od_flows endpoint ordering key")
+  }
+
   test("every other table still carries the columns the queries compile against") {
     val expected = Map(
       "documents" -> Set("doc_id", "text", "lang", "source", "n_chars"),
