@@ -172,7 +172,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     // two lanes by contract: sketch (day-agg + window-merge agg) and exact
     // comparison (distinct + explode + day-agg), then two day-keyed joins
     "sliding_distinct" -> 7,
-    "snm_pairs" -> 3,
+    "snm_pairs" -> 1, // ratcheted from 3 (r10 re-record after the globalIndex re-platform)
     "skew_report" -> 4,
     "text_normalize" -> 1,
     "text_quality" -> 1,
