@@ -84,6 +84,11 @@ object Bench {
       SparkEntry.queries("q1_agg")(spark, sfDir).count(); spark.catalog.clearCache()
     }
     val calibPre = calibrate()
+    // mid-suite probes: host contention arrives in PULSES (a query can read
+    // 3× slow while pre/post calibration both look normal) — re-time the
+    // fixed probe every `calibEvery` queries so the artifact carries a
+    // contention time SERIES, not just endpoints
+    val calibSeries = scala.collection.mutable.ArrayBuffer.empty[Double]
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 runs just those queries — the targeted
     // profiling loop; the driver never sets it, so round numbers are whole
@@ -96,7 +101,14 @@ object Bench {
     // hang protection mirrors Verify's: a query that stalls is cancelled and
     // recorded as an error instead of eating the round's wall clock
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "900").toLong
+    val calibEvery = math.max(1, selected.size / 5) // ~4 interior probes
+    var sinceCalib = 0
     val results = selected.map { case (name, fn) =>
+      sinceCalib += 1
+      if (sinceCalib >= calibEvery && selected.size > 5) {
+        sinceCalib = 0
+        calibSeries += calibrate()
+      }
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       // a TIMED-OUT query skips its remaining reps — a hang won't resolve
       // between reps, and retrying would cost reps × timeoutSec of wall
@@ -140,7 +152,8 @@ object Bench {
           s"${jstr(n)}:{\"min\":${num(minV)},\"median\":${num(median(ts))}," +
             s"\"reps\":[${ts.map(num).mkString(",")}]}"
         }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
+      val series = calibSeries.map(num).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
@@ -155,7 +168,8 @@ object Bench {
     def line(qMap: Seq[(String, Double)], omitted: Int): String = {
       val qs = qMap.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
+      val series = calibSeries.map(num).mkString("[", ",", "]")
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
     }
     val bySlowest = mins.toSeq.sortBy(-_._2)
     val budget = 1750 // leaves headroom for sbt's [success] trailer in the 2000-char tail
