@@ -478,6 +478,15 @@ object SparkEntry {
     "trip_segments" -> ((s, d) =>
       Tracks.tripSegments(Tables.events(s, d), gapMs = 30L * 86400 * 1000)),
 
+    // F15: deterministic display color per track id (first 6 hex chars of
+    // SHA-256 — track_explorer.py:251-257), oracle-checked end to end
+    "track_colors" -> ((s, d) =>
+      Tables.events(s, d).filter(col("user_id").isNotNull)
+        .select(col("user_id")).distinct()
+        .select(col("user_id"),
+          graft.functions.track_color(col("user_id")).as("color"))
+        .orderBy("user_id")),
+
     // origin→destination flow matrix: 6-hour-gap trips reduced to their
     // endpoint cells, rolled up to port-to-port traffic counts
     "od_flows" -> ((s, d) =>
@@ -2125,6 +2134,12 @@ object SparkEntry {
         |SELECT user_id, trip_seq, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms,
         |  CAST(count(*) AS BIGINT) AS n_points
         |FROM t GROUP BY 1, 2 ORDER BY user_id, trip_seq""".stripMargin,
+
+    "track_colors" ->
+      """SELECT user_id,
+        |       '#' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 6) AS color
+        |FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+        |ORDER BY user_id""".stripMargin,
 
     // same trip construction as the trip_segments twin (6 h gap), endpoints
     // via arg_min/arg_max on ts_ms — deterministic because (user_id, ts) is

@@ -181,6 +181,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "token_packing" -> 2,
     "top_tracks" -> 1,
     "topp_cap" -> 2,
+    // id distinct + final ORDER BY
+    "track_colors" -> 2,
     "track_export" -> 1,
     "track_paths" -> 2,
     "track_speed" -> 2,
