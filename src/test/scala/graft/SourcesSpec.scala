@@ -357,6 +357,38 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("full ingest chain: HTTP discover → mirror → graft-archive read → silver") {
+    // the reference's whole bronze→silver path over the wire in one pass:
+    // real zip + zstd archives served by the hermetic server, discovered via
+    // the year index, landed resumably, read through the DSv2 source, and
+    // cleaned to bucketed silver rows with per-row lineage
+    val html = """<a href="AIS_2025_01_01.zip">d1</a>
+                 |<a href="AIS_2025_01_02.csv.zst">d2</a>""".stripMargin
+    val zipBytes = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$archiveDir/AIS_2025_01_01.zip"))
+    val zstBytes = Files.readAllBytes(
+      java.nio.file.Paths.get(s"$archiveDir/AIS_2025_01_02.csv.zst"))
+    withHttpServer(routes = Map(
+      "/arch/2025/index.html" -> html.getBytes("UTF-8"),
+      "/arch/2025/AIS_2025_01_01.zip" -> zipBytes,
+      "/arch/2025/AIS_2025_01_02.csv.zst" -> zstBytes)) { (base, _) =>
+      val bronze = Files.createTempDirectory("chain-bronze")
+      val idx = new graft.sources.HttpArchive.HttpIndex(s"$base/arch")
+      val landed = graft.sources.HttpArchive.mirror(idx,
+        LocalDate.of(2025, 1, 1), LocalDate.of(2025, 1, 2), bronze)
+      assert(landed.length === 2)
+      val silver = SilverIngest.clean(
+        ArchiveSource.csv(spark, s"$bronze/*"), numBuckets = 96)
+      val rows = silver.collect()
+      assert(rows.length === 4, s"2 archives × 2 rows, got ${rows.length}")
+      // lineage points at the LANDED bronze copies, not the remote URL
+      val paths = silver.select("_archive_path").distinct()
+        .collect().map(_.getString(0)).sorted
+      assert(paths.forall(_.contains(bronze.getFileName.toString)), paths.mkString(","))
+      assert(silver.select("bucket_id").distinct().count() === 2)
+    }
+  }
+
   test("HTTP download (S3): TWO successive disconnects, each resume continues the prefix") {
     val payload = Array.tabulate[Byte](96 * 1024)(i => (i * 17 + 3).toByte)
     withHttpServer(
