@@ -145,7 +145,7 @@ object CoMovement {
     * arithmetic on the decoded address — no UDF, whole-stage codegen'd.
     * Delta enumeration mirrors [[graft.expressions.GeoCell.kRing]].
     */
-  private def ringDeltas(k: Int): Seq[Long] = {
+  private[graft] def ringDeltas(k: Int): Seq[Long] = {
     require(k >= 1, "ring radius must be >= 1")
     for {
       dq <- -k.toLong to k.toLong

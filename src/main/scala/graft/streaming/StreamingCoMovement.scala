@@ -45,11 +45,22 @@ import org.apache.spark.sql.types.StructType
 object StreamingCoMovement {
 
   /** Start the pair-hour stream: discovered co-located pair-hours
-    * (uid_a, uid_b, dt, hr, cell) append to `outDir`; presence rows append
-    * to `storeDir`.
+    * (uid_a, uid_b, dt, hr, cell_a, cell_b) append to `outDir`; presence
+    * rows append to `storeDir`.
+    *
+    * `ringK = 0` (default) co-locates on exact cell equality — `cell` may be
+    * any equi-joinable type. `ringK > 0` is the online twin of
+    * [[graft.ops.CoMovement.pairsDailyRing]]: `cell` must be a
+    * [[graft.expressions.GeoCell]] address, a pair-hour counts when the two
+    * cells are within hex distance k, and the output carries BOTH cells
+    * (`cell_a`/`cell_b`, aligned with `uid_a`/`uid_b`; in exact mode they
+    * are equal). The batch side expands to its 1+3k(k+1) ring addresses by
+    * the same pure long arithmetic as the batch operator; the store is
+    * probed on the expanded addresses, never self-joined, and stays raw
+    * presence rows either way.
     */
   def pairHourStream(hourly: DataFrame, storeDir: String, outDir: String,
-                     checkpointDir: String): StreamingQuery =
+                     checkpointDir: String, ringK: Int = 0): StreamingQuery =
     hourly.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
@@ -57,31 +68,81 @@ object StreamingCoMovement {
           val spark = batch0.sparkSession
           val batch = batch0.select("uid", "dt", "hr", "cell").persist()
           try {
-            val standing = readStore(spark, storeDir, batch.schema).distinct()
-              // probe only the buckets this batch touches
-              .join(batch.select("dt", "hr", "cell").distinct(),
-                Seq("dt", "hr", "cell"), "left_semi")
-            val bb = batch.select(col("uid").as("uid_a"), col("dt"), col("hr"),
-                col("cell"))
-              .join(batch.select(col("uid").as("uid_b"), col("dt"), col("hr"),
-                col("cell")), Seq("dt", "hr", "cell"))
-              .filter(col("uid_a") < col("uid_b"))
-              .select("uid_a", "uid_b", "dt", "hr", "cell")
-            val bs = batch.select(col("uid").as("uid_x"), col("dt"), col("hr"),
-                col("cell"))
-              .join(standing.select(col("uid").as("uid_y"), col("dt"), col("hr"),
-                col("cell")), Seq("dt", "hr", "cell"))
-              .filter(col("uid_x") =!= col("uid_y"))
-              .select(least(col("uid_x"), col("uid_y")).as("uid_a"),
-                greatest(col("uid_x"), col("uid_y")).as("uid_b"),
-                col("dt"), col("hr"), col("cell"))
-            bb.union(bs).write.mode("append").parquet(outDir)
+            val pairs =
+              if (ringK == 0) exactPairs(spark, batch, storeDir)
+              else ringPairs(spark, batch, storeDir, ringK)
+            pairs.write.mode("append").parquet(outDir)
             batch.write.mode("append").parquet(storeDir)
           } finally batch.unpersist(blocking = false)
         }
         ()
       }
       .start()
+
+  /** Exact-cell batch step: batch × batch plus batch × bucket-probed store. */
+  private def exactPairs(spark: SparkSession, batch: DataFrame,
+                         storeDir: String): DataFrame = {
+    val standing = readStore(spark, storeDir, batch.schema).distinct()
+      // probe only the buckets this batch touches
+      .join(batch.select("dt", "hr", "cell").distinct(),
+        Seq("dt", "hr", "cell"), "left_semi")
+    val bb = batch.select(col("uid").as("uid_a"), col("dt"), col("hr"),
+        col("cell"))
+      .join(batch.select(col("uid").as("uid_b"), col("dt"), col("hr"),
+        col("cell")), Seq("dt", "hr", "cell"))
+      .filter(col("uid_a") < col("uid_b"))
+      .select(col("uid_a"), col("uid_b"), col("dt"), col("hr"),
+        col("cell").as("cell_a"), col("cell").as("cell_b"))
+    val bs = batch.select(col("uid").as("uid_x"), col("dt"), col("hr"),
+        col("cell"))
+      .join(standing.select(col("uid").as("uid_y"), col("dt"), col("hr"),
+        col("cell")), Seq("dt", "hr", "cell"))
+      .filter(col("uid_x") =!= col("uid_y"))
+      .select(least(col("uid_x"), col("uid_y")).as("uid_a"),
+        greatest(col("uid_x"), col("uid_y")).as("uid_b"),
+        col("dt"), col("hr"),
+        col("cell").as("cell_a"), col("cell").as("cell_b"))
+    bb.union(bs)
+  }
+
+  /** Ring-k batch step: the batch side carries the 1+3k(k+1)-address
+    * expansion on the decoded lattice address; each (pair, hour) matches at
+    * most once because the expanded addresses are distinct and each side
+    * holds one row per vessel-hour.
+    */
+  private def ringPairs(spark: SparkSession, batch: DataFrame,
+                        storeDir: String, k: Int): DataFrame = {
+    val deltas = graft.ops.CoMovement.ringDeltas(k)
+    val b = batch.withColumn("v", conv(col("cell"), 16, 10).cast("long"))
+    val expanded = b
+      .withColumn("__d", explode(array(deltas.map(lit): _*)))
+      .select(col("uid"), col("dt"), col("hr"), col("cell"),
+        (col("v") + col("__d")).as("v"))
+    val bb = b.select(col("uid").as("uid_a"), col("dt"), col("hr"),
+        col("cell").as("cell_a"), col("v"))
+      .join(expanded.select(col("uid").as("uid_b"), col("dt"), col("hr"),
+        col("cell").as("cell_b"), col("v")), Seq("dt", "hr", "v"))
+      .filter(col("uid_a") < col("uid_b"))
+      .select("uid_a", "uid_b", "dt", "hr", "cell_a", "cell_b")
+    val standing = readStore(spark, storeDir, batch.schema).distinct()
+      .withColumn("v", conv(col("cell"), 16, 10).cast("long"))
+      // probe only the addresses the expanded batch can reach
+      .join(expanded.select("dt", "hr", "v").distinct(),
+        Seq("dt", "hr", "v"), "left_semi")
+    val bs = expanded.select(col("uid").as("uid_x"), col("dt"), col("hr"),
+        col("cell").as("cell_x"), col("v"))
+      .join(standing.select(col("uid").as("uid_y"), col("dt"), col("hr"),
+        col("cell").as("cell_y"), col("v")), Seq("dt", "hr", "v"))
+      .filter(col("uid_x") =!= col("uid_y"))
+      .select(least(col("uid_x"), col("uid_y")).as("uid_a"),
+        greatest(col("uid_x"), col("uid_y")).as("uid_b"),
+        col("dt"), col("hr"),
+        when(col("uid_x") <= col("uid_y"), col("cell_x"))
+          .otherwise(col("cell_y")).as("cell_a"),
+        when(col("uid_x") <= col("uid_y"), col("cell_y"))
+          .otherwise(col("cell_x")).as("cell_b"))
+    bb.union(bs)
+  }
 
   /** The standing presence store; empty (with `schema`) before the first
     * batch lands. Explicit-schema read so an uncommitted `_temporary`-only

@@ -473,7 +473,7 @@ class StreamingSpec extends SparkSpec {
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getDate(2).toString, r.getInt(3), r.getString(4))
     val streamed = spark.read.parquet(root + "/out")
-      .select("uid_a", "uid_b", "dt", "hr", "cell").collect().map(key).sorted.toSeq
+      .select("uid_a", "uid_b", "dt", "hr", "cell_a").collect().map(key).sorted.toSeq
     val batch = graft.ops.CoMovement.pairHours(
         (b1 ++ b2).toDF("uid", "dt", "hr", "cell"))
       .select("uid_a", "uid_b", "dt", "hr", "cell").collect().map(key).sorted.toSeq
@@ -507,6 +507,38 @@ class StreamingSpec extends SparkSpec {
     // against the resumed store — never re-joined history against itself
     assert(got === Seq((1L, 2L), (1L, 3L), (2L, 3L)),
       s"restart re-emitted or dropped pair-hours: $got")
+  }
+
+  test("streaming ring co-movement finds the cross-batch boundary pair exact mode misses") {
+    import graft.expressions.GeoCell
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = java.sql.Date.valueOf("2025-01-01")
+    val c = GeoCell.cellId(10.0, 10.0, 2)
+    val n = GeoCell.neighbors(c).head
+    def run(ringK: Int): Seq[(Long, Long, String, String)] = {
+      val in = MemoryStream[(Long, java.sql.Date, Int, String)]
+      val root = java.nio.file.Files.createTempDirectory(s"graft-comv-r$ringK").toString
+      val q = graft.streaming.StreamingCoMovement.pairHourStream(
+        in.toDF.toDF("uid", "dt", "hr", "cell"),
+        root + "/store", root + "/out", root + "/cp", ringK = ringK)
+      try {
+        in.addData((1L, d, 1, c)); q.processAllAvailable()
+        // vessel 2 lands in the NEIGHBOR cell one batch later
+        in.addData((2L, d, 1, n)); q.processAllAvailable()
+      } finally q.stop()
+      val out = new org.apache.hadoop.fs.Path(root + "/out")
+      val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(out)) Nil
+      else spark.read.parquet(root + "/out")
+        .select("uid_a", "uid_b", "cell_a", "cell_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+        .toSeq
+    }
+    // ring-1: the boundary pair surfaces via the standing store, with each
+    // vessel's OWN cell attributed to its side of the pair
+    assert(run(1) === Seq((1L, 2L, c, n)))
+    // exact mode structurally misses it
+    assert(run(0) === Nil)
   }
 
   test("streaming scrub survives stop/start: checkpoint + store resume, no re-emission") {
