@@ -32,9 +32,10 @@ import graft.ops.Dedup
   * Recovery: standard foreachBatch at-least-once. A replayed batch
   * re-appends digests, so the store may hold duplicate rows — the probe
   * `distinct`s it before joining, and re-appending cannot change any keep
-  * decision (the digest was already present). Point `outDir` at an
-  * idempotent sink or key downstream reads by doc id, as with any
-  * foreachBatch pipeline.
+  * decision (the digest was already present); periodic [[compactStore]]
+  * squeezes the duplicates back out and resets the store's file count.
+  * Point `outDir` at an idempotent sink or key downstream reads by doc id,
+  * as with any foreachBatch pipeline.
   */
 object StreamingScrub {
 
@@ -48,14 +49,17 @@ object StreamingScrub {
 
   /** Start the scrub stream: re-stitched batch docs (`doc_id`, `n_segs`,
     * `n_kept`, `clean_text`) append to `outDir`; digests of newly-kept
-    * segments append to `storeDir`.
+    * segments append to `storeDir`. Every `compactEvery` batches the store
+    * is rewritten `distinct` ([[compactStore]]) so its file count stays
+    * O(shuffle partitions) instead of O(batches processed) and any
+    * torn-replay duplicate rows are squeezed out.
     */
   def scrubStream(docs: DataFrame, idCol: String, textCol: String,
                   storeDir: String, outDir: String, checkpointDir: String,
-                  segTokens: Int): StreamingQuery =
+                  segTokens: Int, compactEvery: Int = 8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val segs = Dedup.segmentize(batch, idCol, textCol, segTokens)
@@ -77,6 +81,8 @@ object StreamingScrub {
                 .write.mode("append").parquet(storeDir)
             } finally flagged.unpersist(blocking = false)
           } finally segs.unpersist(blocking = false)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compactStore(spark, storeDir, StoreSchema)
         }
         ()
       }
@@ -95,10 +101,10 @@ object StreamingScrub {
     */
   def scrubSpansStream(docs: DataFrame, idCol: String, textCol: String,
                        storeDir: String, outDir: String, checkpointDir: String,
-                       w: Int): StreamingQuery =
+                       w: Int, compactEvery: Int = 8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val toks = Dedup.tokenArrays(batch, idCol, textCol).persist()
@@ -129,6 +135,8 @@ object StreamingScrub {
               } finally flagged.unpersist(blocking = false)
             } finally wins.unpersist(blocking = false)
           } finally toks.unpersist(blocking = false)
+          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+            compactStore(spark, storeDir, SpanStoreSchema)
         }
         ()
       }
@@ -146,8 +154,43 @@ object StreamingScrub {
                 schema: StructType = StoreSchema): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // heal a compaction interrupted between delete and rename: the snapshot
+    // held the complete distinct set at swap time and nothing appends
+    // concurrently (foreachBatch is sequential), so promoting it loses no
+    // history and the at-least-once keep decisions are unchanged
+    val snap = compactPath(p)
+    if (!fs.exists(p) && fs.exists(snap)) fs.rename(snap, p)
     if (fs.exists(p)) spark.read.schema(schema).parquet(storeDir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
+
+  /** Rewrite the append-only digest store as its distinct set. The store
+    * accrues one job's worth of parquet files per micro-batch that kept
+    * anything — after B batches the per-batch standing read pays an O(B)
+    * file-listing/open cost — and a torn replay can leave duplicate rows.
+    * Compaction bounds both: file count resets to one shuffle's worth and
+    * rows to the distinct digests. Crash-safe snapshot-and-swap: write the
+    * distinct set to a sibling `<store>.compact`, delete the store, rename
+    * the snapshot into place. A crash before the delete leaves the store
+    * authoritative (the stale snapshot is truncated on the next pass); a
+    * crash between delete and rename is healed by [[readStore]].
+    */
+  def compactStore(spark: SparkSession, storeDir: String,
+                   schema: StructType): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val snap = compactPath(p)
+      spark.read.schema(schema).parquet(storeDir).distinct()
+        .write.mode("overwrite").parquet(snap.toString)
+      fs.delete(p, true)
+      fs.rename(snap, p)
+    }
+  }
+
+  /** Sibling snapshot dir for [[compactStore]]'s swap. */
+  private def compactPath(store: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(
+      store.getParent, store.getName + ".compact")
 }

@@ -376,6 +376,59 @@ class StreamingSpec extends SparkSpec {
     assert(df.count() === 0L)
   }
 
+  test("store compaction squeezes replay duplicates and resets file count without changing keeps") {
+    // a torn replay appends the same digest again; compaction must bound the
+    // store at its DISTINCT digests (a triple-appended digest doesn't triple
+    // the store) and reset the file count that append-per-batch accretes —
+    // while the polluted store still suppresses the segment it names
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val (store, out, cp) = (root + "/store", root + "/out", root + "/cp")
+    val dup = spark.range(1)
+      .select(unhex(md5(lit("a b c"))).as("seg_key"))
+    (1 to 3).foreach(_ => dup.write.mode("append").parquet(store))
+    assert(spark.read.parquet(store).count() === 3L)
+    def dataFiles(): Int = {
+      val d = new java.io.File(store)
+      d.listFiles.count(f => f.getName.endsWith(".parquet"))
+    }
+    assert(dataFiles() >= 3, "each append lands at least one file")
+    val in = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingScrub.scrubStream(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text", store, out, cp,
+      segTokens = 3, compactEvery = 1)
+    try {
+      in.addData((1L, "a b c d e f"), (2L, "x y z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    // the seeded digest suppressed doc 1's first segment despite the dupes
+    val cleaned = spark.read.parquet(out).orderBy("doc_id")
+      .select("doc_id", "clean_text").as[(Long, String)].collect().toSeq
+    assert(cleaned === Seq((1L, "d e f"), (2L, "x y z")))
+    // post-compaction store: exactly the distinct digests (abc, def, xyz),
+    // no duplicate rows, and the file pile-up is gone
+    val st = spark.read.parquet(store)
+    assert(st.count() === 3L, "row count == distinct digests after compaction")
+    assert(st.count() === st.distinct().count())
+    assert(dataFiles() <= 2, s"compaction must reset the file count, got ${dataFiles()}")
+  }
+
+  test("a compaction swap interrupted between delete and rename heals on the next read") {
+    // crash window: the snapshot was fully written, the store deleted, the
+    // rename never ran — readStore must promote the snapshot (it held the
+    // complete distinct set at swap time; nothing appends concurrently)
+    val root = java.nio.file.Files.createTempDirectory("graft-heal").toString
+    val store = root + "/store"
+    spark.range(2).select(unhex(md5(col("id").cast("string"))).as("seg_key"))
+      .write.parquet(store + ".compact")
+    val df = graft.streaming.StreamingScrub.readStore(spark, store)
+    assert(df.count() === 2L, "the snapshot's digests survive the crash")
+    assert(new java.io.File(store).isDirectory,
+      "the snapshot is promoted in place so later appends extend it")
+    assert(!new java.io.File(store + ".compact").exists,
+      "no stale snapshot is left to shadow future swaps")
+  }
+
   test("streaming scrub ≡ batch scrubSegments on an id-ordered two-batch replay") {
     // the equivalence contract: same segmentation, keep rule, and re-stitch
     // as Dedup.scrubSegments, so replaying the corpus in doc-id order across
@@ -430,9 +483,11 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[(Long, String)]
     val docs = in.toDF.toDF("doc_id", "text")
     val root = java.nio.file.Files.createTempDirectory("graft-spanscrub").toString
+    // compactEvery = 1: every batch ends with a store rewrite, so this also
+    // pins that compaction changes no keep decision (batch equivalence holds)
     val q = graft.streaming.StreamingScrub.scrubSpansStream(
       docs, "doc_id", "text", root + "/store", root + "/out", root + "/cp",
-      w = 3)
+      w = 3, compactEvery = 1)
     try {
       in.addData(rows(0), rows(1))
       q.processAllAvailable()
