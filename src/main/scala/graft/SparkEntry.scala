@@ -868,6 +868,18 @@ object SparkEntry {
         .select(col("id").as("user_id"), col("deg"), col("rank_micro"))
         .orderBy("user_id")),
 
+    // multi-source BFS on the pair network: hop distance from the two
+    // top-degree hubs (deg DESC, id ASC tiebreak — deterministic) within 3
+    // hops. The curation primitive "how far from a known-bad seed set" run
+    // over association graphs; delta-frontier expansion, O(ball boundary)
+    // per hop (Graph.seedDistance).
+    "seed_distance" -> ((s, d) =>
+      Graph.seedDistanceFromHubs(
+          pairsGold(s, d).select("uid_a", "uid_b").distinct(),
+          "uid_a", "uid_b", k = 2, maxHops = 3)
+        .select(col("id").as("user_id"), col("hops"))
+        .orderBy("user_id")),
+
     // §2.5: percent-rank curve over pair max GTO (the notebook's procedural
     // sort+index). The rank rides [[Indexing.globalIndex]]'s range-partition
     // protocol, NOT a single-partition global window: the (max_gto, uid_a,
@@ -2632,6 +2644,29 @@ object SparkEntry {
          |       FROM deg d LEFT JOIN s3 ON s3.id = d.id)
          |SELECT id AS user_id, deg, CAST(r AS BIGINT) AS rank_micro
          |FROM r3 ORDER BY user_id""".stripMargin,
+
+    // mirrors Graph.seedDistance: seeds = top-2 hubs by (deg DESC, id ASC),
+    // then three unrolled delta-frontier hops — each level is the nodes NOT
+    // yet settled that touch the previous frontier, so a node appears once,
+    // at its minimal hop (identical to the Spark anti-join chain)
+    "seed_distance" ->
+      s"""$PairsCte,
+         |pe AS (SELECT DISTINCT uid_a, uid_b FROM pairs_g),
+         |ed AS (SELECT uid_a AS src, uid_b AS dst FROM pe
+         |       UNION SELECT uid_b, uid_a FROM pe),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
+         |sd AS (SELECT id FROM deg ORDER BY deg DESC, id LIMIT 2),
+         |v0 AS (SELECT id, 0 AS hops FROM sd),
+         |n1 AS (SELECT DISTINCT e.dst AS id FROM ed e JOIN sd f ON f.id = e.src
+         |       WHERE e.dst NOT IN (SELECT id FROM v0)),
+         |v1 AS (SELECT * FROM v0 UNION ALL SELECT id, 1 FROM n1),
+         |n2 AS (SELECT DISTINCT e.dst AS id FROM ed e JOIN n1 f ON f.id = e.src
+         |       WHERE e.dst NOT IN (SELECT id FROM v1)),
+         |v2 AS (SELECT * FROM v1 UNION ALL SELECT id, 2 FROM n2),
+         |n3 AS (SELECT DISTINCT e.dst AS id FROM ed e JOIN n2 f ON f.id = e.src
+         |       WHERE e.dst NOT IN (SELECT id FROM v2)),
+         |v3 AS (SELECT * FROM v2 UNION ALL SELECT id, 3 FROM n3)
+         |SELECT id AS user_id, hops FROM v3 ORDER BY user_id""".stripMargin,
 
     "gto_rank_curve" ->
       s"""$PairsCte,

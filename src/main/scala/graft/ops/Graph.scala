@@ -87,4 +87,79 @@ object Graph {
     }
     ranks.select(col("id"), col("deg"), col("r").as("rank_micro"))
   }
+
+  /** Multi-source BFS hop distance over an UNDIRECTED edge list: every node
+    * reachable from `seeds` within `maxHops` gets the hop count of its
+    * NEAREST seed (0 for seeds themselves); unreached nodes are absent.
+    * The curation read: "how many association hops from a known-bad set" —
+    * the trust-propagation primitive web-corpus pipelines run over link and
+    * near-dup graphs (spam neighborhoods, contamination balls), here over
+    * the vessel-pair network.
+    *
+    * Scale shape — DELTA expansion, not re-relaxation: the frontier at hop
+    * h is only the nodes FIRST discovered at h (anti-join against the
+    * settled set), so each hop moves one frontier→edges join (edges stay
+    * hash-partitioned by src, the big side never re-shuffles), one
+    * `distinct` on the candidates, and one keyed anti-join — per-hop cost
+    * is O(ball boundary), not O(ball). Distances never need a min-combine
+    * because a node enters exactly once, at its first (= minimal) hop.
+    * Bounded unrolled iterations keep the plan deterministic and
+    * oracle-mirrorable; a production caller with unbounded radius would
+    * early-stop on an empty persisted frontier (one cheap action per hop)
+    * — same plan, driver-side loop guard.
+    */
+  def seedDistance(edges: DataFrame, aCol: String, bCol: String,
+                   seeds: DataFrame, seedCol: String, maxHops: Int = 3,
+                   scope: CacheScope = CacheScope.global): DataFrame =
+    bfs(symmetrize(edges, aCol, bCol, scope),
+      seeds.select(col(seedCol).as("id")).distinct(), maxHops, scope)
+
+  /** [[seedDistance]] seeded at the `k` highest-degree nodes (deg DESC,
+    * id ASC tiebreak — deterministic): "how far is everything from the
+    * hubs". Seeds derive from the SAME persisted src-partitioned edge
+    * frame the BFS walks — the degree aggregate groups an already-keyed
+    * frame (no exchange, the pageRank deg shape), so hub selection adds a
+    * k-row TakeOrdered and nothing else.
+    */
+  def seedDistanceFromHubs(edges: DataFrame, aCol: String, bCol: String,
+                           k: Int, maxHops: Int = 3,
+                           scope: CacheScope = CacheScope.global): DataFrame = {
+    val und = symmetrize(edges, aCol, bCol, scope)
+    val hubs = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src").asc).limit(k)
+      .select(col("src").as("id"))
+    bfs(und, hubs, maxHops, scope)
+  }
+
+  /** Symmetrized, deduplicated edge list hash-partitioned by `src` once —
+    * every hop's frontier→edges join reuses it exchange-free on the big
+    * side (the same build [[pageRankMicro]] uses).
+    */
+  private def symmetrize(edges: DataFrame, aCol: String, bCol: String,
+                         scope: CacheScope): DataFrame =
+    scope.persisted(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct()
+        .repartition(col("src")))
+
+  private def bfs(und: DataFrame, seeds: DataFrame, maxHops: Int,
+                  scope: CacheScope): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    // each hop's delta persists ONCE (it feeds both the settled union and
+    // the next expansion); settled stays a lazy union of persisted deltas,
+    // so no hop re-executes an earlier hop's discovery
+    var settled = scope.persisted(seeds.withColumn("hops", lit(0)))
+    var frontier = settled.select("id")
+    for (h <- 1 to maxHops) {
+      val next = scope.persisted(
+        und.join(frontier.select(col("id").as("src")), "src")
+          .select(col("dst").as("id")).distinct()
+          .join(settled.select("id"), Seq("id"), "left_anti")
+          .withColumn("hops", lit(h)))
+      settled = settled.union(next)
+      frontier = next.select("id")
+    }
+    settled
+  }
 }

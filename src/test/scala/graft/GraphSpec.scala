@@ -35,6 +35,45 @@ class GraphSpec extends SparkSpec {
     scope.release()
   }
 
+  test("seedDistance: hop levels on a path, capped at maxHops, unreached absent") {
+    // 1-2-3-4-5 seeded at 1: hops 0,1,2,3 and node 5 (4 hops out) absent
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("x", "y")
+    val scope = new CacheScope
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.seedDistance(edges, "x", "y", seeds, "id", maxHops = 3, scope)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3),
+      s"path distances from node 1, node 5 beyond the cap: $got")
+    scope.release()
+  }
+
+  test("seedDistance: multi-source takes the nearest seed; edges are undirected") {
+    // 1-2-3-4-5 seeded at BOTH ends: middle node 3 is 2 hops from either,
+    // 2 and 4 are 1 hop from their near end — and reachability flows
+    // against the stored edge direction (5←4 discovered from seed 5)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("x", "y")
+    val scope = new CacheScope
+    val seeds = Seq(1L, 5L).toDF("id")
+    val got = Graph.seedDistance(edges, "x", "y", seeds, "id", maxHops = 3, scope)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got === Map(1L -> 0, 5L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+    scope.release()
+  }
+
+  test("seedDistance: a cycle settles each node once at its minimal hop") {
+    // square 1-2-3-4-1 seeded at 1: nodes 2 and 4 at hop 1, node 3 reached
+    // from both sides at hop 2 — exactly one row, no duplicate settlement
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("x", "y")
+    val scope = new CacheScope
+    val seeds = Seq(1L).toDF("id")
+    val rows = Graph.seedDistance(edges, "x", "y", seeds, "id", maxHops = 3, scope)
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    assert(rows.length === rows.map(_._1).distinct.length,
+      "a node must settle exactly once")
+    assert(rows.toMap === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 1))
+    scope.release()
+  }
+
   test("pageRankMicro: total rank mass stays near one million") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .toDF("x", "y")

@@ -123,6 +123,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     // rank-vector re-shuffle onto the edge partitioning, edge list itself
     // exchange-free after the one build-time repartition
     "pair_pagerank" -> 4,
+    // delta-frontier BFS: the per-hop expansion joins/distincts land on
+    // persisted deltas, so the declared plan's only live exchange is the
+    // final settled-union sort — the frontier work is cache-truncated,
+    // same accounting as the other CacheScope-backed queries
+    "seed_distance" -> 1,
     // per-vessel trip window + OD rollup + final ORDER BY
     "od_flows" -> 3,
     "pair_quantiles" -> 1,
