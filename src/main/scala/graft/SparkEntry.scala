@@ -880,6 +880,17 @@ object SparkEntry {
         .select(col("id").as("user_id"), col("hops"))
         .orderBy("user_id")),
 
+    // local clustering structure: per-vessel triangle participation —
+    // cohesive convoys close triangles, hub-and-spoke coincidence doesn't.
+    // Degree-ordered orientation bounds wedge fanout at O(sqrt m) per node
+    // (Graph.triangleCounts).
+    "triangle_counts" -> ((s, d) =>
+      Graph.triangleCounts(
+          pairsGold(s, d).select("uid_a", "uid_b").distinct(),
+          "uid_a", "uid_b")
+        .select(col("id").as("user_id"), col("triangles"))
+        .orderBy("user_id")),
+
     // §2.5: percent-rank curve over pair max GTO (the notebook's procedural
     // sort+index). The rank rides [[Indexing.globalIndex]]'s range-partition
     // protocol, NOT a single-partition global window: the (max_gto, uid_a,
@@ -2667,6 +2678,32 @@ object SparkEntry {
          |       WHERE e.dst NOT IN (SELECT id FROM v2)),
          |v3 AS (SELECT * FROM v2 UNION ALL SELECT id, 3 FROM n3)
          |SELECT id AS user_id, hops FROM v3 ORDER BY user_id""".stripMargin,
+
+    // mirrors Graph.triangleCounts: orient each edge low->high by (deg, id),
+    // wedge among rank-ordered out-neighbor pairs, close against the
+    // oriented edge — each triangle materializes once, at its lowest vertex
+    "triangle_counts" ->
+      s"""$PairsCte,
+         |pe AS (SELECT DISTINCT uid_a, uid_b FROM pairs_g),
+         |ed AS (SELECT uid_a AS src, uid_b AS dst FROM pe
+         |       UNION SELECT uid_b, uid_a FROM pe),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
+         |ore AS (SELECT e.src AS u, e.dst AS v, db.deg AS vd
+         |        FROM ed e
+         |        JOIN deg da ON da.id = e.src
+         |        JOIN deg db ON db.id = e.dst
+         |        WHERE da.deg < db.deg
+         |           OR (da.deg = db.deg AND e.src < e.dst)),
+         |wed AS (SELECT a.u, a.v, b.v AS w
+         |        FROM ore a JOIN ore b ON a.u = b.u
+         |        WHERE a.vd < b.vd OR (a.vd = b.vd AND a.v < b.v)),
+         |tri AS (SELECT t.u, t.v, t.w
+         |        FROM wed t JOIN ore c ON c.u = t.v AND c.v = t.w),
+         |ids AS (SELECT u AS id FROM tri
+         |        UNION ALL SELECT v FROM tri
+         |        UNION ALL SELECT w FROM tri)
+         |SELECT id AS user_id, count(*) AS triangles
+         |FROM ids GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "gto_rank_curve" ->
       s"""$PairsCte,

@@ -131,6 +131,50 @@ object Graph {
     bfs(und, hubs, maxHops, scope)
   }
 
+  /** Per-node triangle participation over an UNDIRECTED edge list:
+    * (id, triangles) for every node in ≥ 1 triangle. Triangles are the
+    * local-clustering signal — in an association graph they separate
+    * genuinely cohesive groups (convoys, coordinated spam farms) from
+    * hub-and-spoke coincidence, which pairwise scores alone cannot.
+    *
+    * Degree-ordered orientation (Suri & Vassilvitskii, "Counting triangles
+    * and the curse of the last reducer", WWW 2011): orient each edge
+    * low→high by (deg, id), enumerate wedges only among OUT-neighbors, and
+    * close each wedge against the oriented edge list — every triangle
+    * materializes exactly once, at its lowest-ranked vertex. The
+    * orientation caps out-degree at O(√m) for ANY degree distribution, so
+    * wedge volume is O(m^1.5) worst-case instead of Σ deg² — on a
+    * power-law co-movement graph the difference between the hub node
+    * generating deg²≈10¹² wedges and √m-bounded work. All joins are
+    * keyed equi-joins; counts are exact integers.
+    */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String,
+                     scope: CacheScope = CacheScope.global): DataFrame = {
+    val und = symmetrize(edges, aCol, bCol, scope)
+    // (deg, id) rank: deg groups the src-keyed frame exchange-free
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    // orient low→high: each undirected edge survives exactly once,
+    // carrying the head's rank so wedges can order without a re-join
+    val ore = scope.persisted(
+      und.join(deg.select(col("id").as("src"), col("deg").as("sd")), "src")
+        .join(deg.select(col("id").as("dst"), col("deg").as("vd")), "dst")
+        .filter(col("sd") < col("vd") ||
+          (col("sd") === col("vd") && col("src") < col("dst")))
+        .select(col("src").as("u"), col("dst").as("v"), col("vd"))
+        .repartition(col("u")))
+    // each out-neighbor PAIR of u once, rank-ordered v < w — half the
+    // naive self-join's output, and the half the close join can match
+    val wedges = ore.select(col("u"), col("v"), col("vd"))
+      .join(ore.select(col("u"), col("v").as("w"), col("vd").as("wd")), "u")
+      .filter(col("vd") < col("wd") ||
+        (col("vd") === col("wd") && col("v") < col("w")))
+    val tri = wedges.join(ore.select(col("u").as("v"), col("v").as("w")),
+      Seq("v", "w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("triangles"))
+  }
+
   /** Symmetrized, deduplicated edge list hash-partitioned by `src` once —
     * every hop's frontier→edges join reuses it exchange-free on the big
     * side (the same build [[pageRankMicro]] uses).

@@ -74,6 +74,43 @@ class GraphSpec extends SparkSpec {
     scope.release()
   }
 
+  test("triangleCounts: K4 — every node in three triangles, four total") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("x", "y")
+    val scope = new CacheScope
+    val got = Graph.triangleCounts(edges, "x", "y", scope)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+    assert(got.values.sum === 12L, "4 triangles x 3 corners")
+    scope.release()
+  }
+
+  test("triangleCounts: paths and stars are triangle-free; shared-edge pair counts once each") {
+    val scope = new CacheScope
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    assert(Graph.triangleCounts(path, "x", "y", scope).count() === 0L)
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("x", "y")
+    assert(Graph.triangleCounts(star, "x", "y", scope).count() === 0L)
+    // {1,2,3} and {2,3,4} share edge 2-3: nodes 2,3 sit in two triangles,
+    // 1 and 4 in one — and the shared edge does not double-close anything
+    val two = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("x", "y")
+    val got = Graph.triangleCounts(two, "x", "y", scope)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1, 2L -> 2, 3L -> 2, 4L -> 1))
+    scope.release()
+  }
+
+  test("triangleCounts: duplicate and reversed input edges do not inflate counts") {
+    // the symmetrize+distinct build must collapse (a,b), (b,a), and repeats
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+      .toDF("x", "y")
+    val scope = new CacheScope
+    val got = Graph.triangleCounts(edges, "x", "y", scope)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1, 2L -> 1, 3L -> 1))
+    scope.release()
+  }
+
   test("pageRankMicro: total rank mass stays near one million") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .toDF("x", "y")

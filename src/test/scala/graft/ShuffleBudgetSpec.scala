@@ -128,6 +128,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // final settled-union sort — the frontier work is cache-truncated,
     // same accounting as the other CacheScope-backed queries
     "seed_distance" -> 1,
+    // oriented-wedge triangle close + corner-count groupBy; the orientation
+    // build itself is cache-truncated behind the persisted ore frame
+    "triangle_counts" -> 2,
     // per-vessel trip window + OD rollup + final ORDER BY
     "od_flows" -> 3,
     "pair_quantiles" -> 1,
