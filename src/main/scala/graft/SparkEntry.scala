@@ -891,6 +891,19 @@ object SparkEntry {
         .select(col("id").as("user_id"), col("triangles"))
         .orderBy("user_id")),
 
+    // link prediction / second-order association: vessels that never
+    // co-moved but share >= 2 co-movement partners, with neighborhood
+    // Jaccard. Per-node neighbor cap (1000 >> any test-SF degree, so
+    // counts are exact) keeps the wedge volume bounded on hubs
+    // (Graph.commonNeighborPairs).
+    "shadow_pairs" -> ((s, d) =>
+      Graph.commonNeighborPairs(
+          pairsGold(s, d).select("uid_a", "uid_b").distinct(),
+          "uid_a", "uid_b", minCommon = 2, maxNeighbors = 1000)
+        .select(col("v").as("uid_a"), col("w").as("uid_b"),
+          col("common"), col("jaccard"))
+        .orderBy("uid_a", "uid_b")),
+
     // §2.5: percent-rank curve over pair max GTO (the notebook's procedural
     // sort+index). The rank rides [[Indexing.globalIndex]]'s range-partition
     // protocol, NOT a single-partition global window: the (max_gto, uid_a,
@@ -2704,6 +2717,34 @@ object SparkEntry {
          |        UNION ALL SELECT w FROM tri)
          |SELECT id AS user_id, count(*) AS triangles
          |FROM ids GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // mirrors Graph.commonNeighborPairs: capped id-first neighbor lists,
+    // wedges among id-ordered pairs, adjacency anti-join, true-degree
+    // Jaccard — cap arithmetic identical (row_number over dst order)
+    "shadow_pairs" ->
+      s"""$PairsCte,
+         |pe AS (SELECT DISTINCT uid_a, uid_b FROM pairs_g),
+         |ed AS (SELECT uid_a AS src, uid_b AS dst FROM pe
+         |       UNION SELECT uid_b, uid_a FROM pe),
+         |deg AS (SELECT src AS id, count(*) AS deg FROM ed GROUP BY 1),
+         |nbc AS (SELECT src, dst FROM (
+         |          SELECT src, dst,
+         |            row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+         |          FROM ed) WHERE rn <= 1000),
+         |wed AS (SELECT a.dst AS v, b.dst AS w
+         |        FROM nbc a JOIN nbc b ON a.src = b.src
+         |        WHERE a.dst < b.dst),
+         |cmn AS (SELECT v, w, count(*) AS common FROM wed
+         |        GROUP BY 1, 2 HAVING count(*) >= 2),
+         |non AS (SELECT c.v, c.w, c.common FROM cmn c
+         |        LEFT JOIN ed e ON e.src = c.v AND e.dst = c.w
+         |        WHERE e.src IS NULL)
+         |SELECT n.v AS uid_a, n.w AS uid_b, n.common,
+         |  round(n.common * 1.0 / (da.deg + db.deg - n.common), 6) AS jaccard
+         |FROM non n
+         |JOIN deg da ON da.id = n.v
+         |JOIN deg db ON db.id = n.w
+         |ORDER BY uid_a, uid_b""".stripMargin,
 
     "gto_rank_curve" ->
       s"""$PairsCte,

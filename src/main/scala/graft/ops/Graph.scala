@@ -175,6 +175,54 @@ object Graph {
       .groupBy("id").agg(count(lit(1)).as("triangles"))
   }
 
+  /** Second-order association: non-adjacent node pairs sharing at least
+    * `minCommon` neighbors, with common-neighbor count and Jaccard
+    * (|N(a)∩N(b)| / |N(a)∪N(b)|). The "shadow relationship" read: two
+    * vessels that never co-move but share many partners — link prediction
+    * over the association graph, the same primitive that surfaces
+    * coordinated accounts sharing audiences without direct contact.
+    *
+    * Scale contract: unlike the triangle close, common-neighbor output is
+    * INHERENTLY Θ(Σ deg²) — no orientation trick shrinks it, because the
+    * wedge itself is the answer. The honest mitigation is an explicit,
+    * deterministic per-node neighbor cap (`maxNeighbors`, first-by-id —
+    * the [[graft.ops.Dedup]] `maxDocsPerShingle` skew discipline applied
+    * to vertices): a hub contributes at most C(cap, 2) wedges, `common`
+    * becomes a documented lower bound when any endpoint's neighborhood is
+    * clipped, and `deg` in the Jaccard denominator stays the TRUE degree.
+    * Choose cap > max expected degree to make the count exact (the
+    * declared query does at every test SF — the oracle mirrors the cap
+    * arithmetic row for row).
+    */
+  def commonNeighborPairs(edges: DataFrame, aCol: String, bCol: String,
+                          minCommon: Long = 2, maxNeighbors: Int = 1000,
+                          scope: CacheScope = CacheScope.global): DataFrame = {
+    val und = symmetrize(edges, aCol, bCol, scope)
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    // deterministic clip: first maxNeighbors by id — a keyed window over
+    // the already-src-partitioned frame, never a global sort
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val nbc = und.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxNeighbors).select("src", "dst")
+    val wedges = nbc.select(col("src"), col("dst").as("v"))
+      .join(nbc.select(col("src"), col("dst").as("w")), "src")
+      .filter(col("v") < col("w"))
+    val cmn = wedges.groupBy("v", "w").agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+    // keep only NON-adjacent pairs: the edge (v,w) — stored both ways in
+    // und, so one direction suffices — must be absent
+    val non = cmn.join(
+      und.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"),
+      "left_anti")
+    non.join(deg.select(col("id").as("v"), col("deg").as("da")), "v")
+      .join(deg.select(col("id").as("w"), col("deg").as("db")), "w")
+      .select(col("v"), col("w"), col("common"),
+        round(col("common").cast("double") /
+          (col("da") + col("db") - col("common")), 6).as("jaccard"))
+  }
+
   /** Symmetrized, deduplicated edge list hash-partitioned by `src` once —
     * every hop's frontier→edges join reuses it exchange-free on the big
     * side (the same build [[pageRankMicro]] uses).

@@ -111,6 +111,38 @@ class GraphSpec extends SparkSpec {
     scope.release()
   }
 
+  test("commonNeighborPairs: shadow pair found, adjacent pairs excluded, jaccard exact") {
+    // 1 and 4 never touch but share neighbors {2,3}: common=2,
+    // deg(1)=deg(4)=2 → jaccard = 2/(2+2-2) = 1.0. Pair (2,3) IS an edge
+    // → excluded despite sharing neighbors {1,4}.
+    val edges = Seq((1L, 2L), (1L, 3L), (4L, 2L), (4L, 3L), (2L, 3L))
+      .toDF("x", "y")
+    val scope = new CacheScope
+    val got = Graph.commonNeighborPairs(edges, "x", "y", minCommon = 2,
+        maxNeighbors = 100, scope = scope)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 4L, 2L, 1.0)),
+      s"only the non-adjacent shadow pair qualifies: ${got.toSeq}")
+    scope.release()
+  }
+
+  test("commonNeighborPairs: minCommon gates and the neighbor cap clips a hub deterministically") {
+    // star hub 9 with leaves 1..4: every leaf pair shares exactly {9} —
+    // common=1, below minCommon=2 → empty
+    val scope = new CacheScope
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("x", "y")
+    assert(Graph.commonNeighborPairs(star, "x", "y", minCommon = 2,
+      maxNeighbors = 100, scope = scope).count() === 0L)
+    // with minCommon=1 and cap=2 the hub keeps neighbors {1,2} (first by
+    // id): only pair (1,2) survives — the clip is by id, not arrival
+    val capped = Graph.commonNeighborPairs(star, "x", "y", minCommon = 1,
+        maxNeighbors = 2, scope = scope)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(capped.toSeq === Seq((1L, 2L, 1L)),
+      s"cap must keep the id-first neighbors: ${capped.toSeq}")
+    scope.release()
+  }
+
   test("pageRankMicro: total rank mass stays near one million") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .toDF("x", "y")

@@ -131,6 +131,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // oriented-wedge triangle close + corner-count groupBy; the orientation
     // build itself is cache-truncated behind the persisted ore frame
     "triangle_counts" -> 2,
+    // wedge groupBy + final ORDER BY; capped neighbor window and adjacency
+    // anti-join ride the persisted src-partitioned edge frame
+    "shadow_pairs" -> 2,
     // per-vessel trip window + OD rollup + final ORDER BY
     "od_flows" -> 3,
     "pair_quantiles" -> 1,
