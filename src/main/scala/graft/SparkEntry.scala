@@ -904,6 +904,17 @@ object SparkEntry {
           col("common"), col("jaccard"))
         .orderBy("uid_a", "uid_b")),
 
+    // graph-local relevance: personalized PageRank teleporting to the
+    // top-2 hubs — trust propagation from a curated seed set, rank
+    // concentrating in the seeds' neighborhood. Integer micro-units,
+    // bit-identical to the oracle's unrolled chain.
+    "seed_pagerank" -> ((s, d) =>
+      Graph.personalizedPageRankFromHubs(
+          pairsGold(s, d).select("uid_a", "uid_b").distinct(),
+          "uid_a", "uid_b", k = 2, iterations = 3)
+        .select(col("id").as("user_id"), col("deg"), col("ppr_micro"))
+        .orderBy("user_id")),
+
     // §2.5: percent-rank curve over pair max GTO (the notebook's procedural
     // sort+index). The rank rides [[Indexing.globalIndex]]'s range-partition
     // protocol, NOT a single-partition global window: the (max_gto, uid_a,
@@ -2745,6 +2756,42 @@ object SparkEntry {
          |JOIN deg da ON da.id = n.v
          |JOIN deg db ON db.id = n.w
          |ORDER BY uid_a, uid_b""".stripMargin,
+
+    // mirrors Graph.personalizedPageRankFromHubs: top-2 hub seeds, init
+    // 1e6//|S| on seeds else 0, teleport base 150000//|S| on seeds else 0,
+    // three unrolled all-bigint iterations — bit-identical at every step
+    "seed_pagerank" ->
+      s"""$PairsCte,
+         |pe AS (SELECT DISTINCT uid_a, uid_b FROM pairs_g),
+         |ed AS (SELECT uid_a AS src, uid_b AS dst FROM pe
+         |       UNION SELECT uid_b, uid_a FROM pe),
+         |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg
+         |        FROM ed GROUP BY 1),
+         |sd AS (SELECT id FROM deg ORDER BY deg DESC, id LIMIT 2),
+         |ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sd),
+         |r0 AS (SELECT d.id, d.deg,
+         |         CASE WHEN s.id IS NOT NULL
+         |              THEN 1000000 // (SELECT n FROM ns) ELSE 0 END AS r,
+         |         CASE WHEN s.id IS NOT NULL
+         |              THEN 150000 // (SELECT n FROM ns) ELSE 0 END AS b
+         |       FROM deg d LEFT JOIN sd s ON s.id = d.id),
+         |s1 AS (SELECT e.dst AS id, CAST(sum(p.r // p.deg) AS BIGINT) AS m
+         |       FROM ed e JOIN r0 p ON p.id = e.src GROUP BY 1),
+         |r1 AS (SELECT d.id, d.deg, d.b,
+         |         d.b + CAST((17 * coalesce(s1.m, 0)) // 20 AS BIGINT) AS r
+         |       FROM r0 d LEFT JOIN s1 ON s1.id = d.id),
+         |s2 AS (SELECT e.dst AS id, CAST(sum(p.r // p.deg) AS BIGINT) AS m
+         |       FROM ed e JOIN r1 p ON p.id = e.src GROUP BY 1),
+         |r2 AS (SELECT d.id, d.deg, d.b,
+         |         d.b + CAST((17 * coalesce(s2.m, 0)) // 20 AS BIGINT) AS r
+         |       FROM r1 d LEFT JOIN s2 ON s2.id = d.id),
+         |s3 AS (SELECT e.dst AS id, CAST(sum(p.r // p.deg) AS BIGINT) AS m
+         |       FROM ed e JOIN r2 p ON p.id = e.src GROUP BY 1),
+         |r3 AS (SELECT d.id, d.deg, d.b,
+         |         d.b + CAST((17 * coalesce(s3.m, 0)) // 20 AS BIGINT) AS r
+         |       FROM r2 d LEFT JOIN s3 ON s3.id = d.id)
+         |SELECT id AS user_id, deg, CAST(r AS BIGINT) AS ppr_micro
+         |FROM r3 ORDER BY user_id""".stripMargin,
 
     "gto_rank_curve" ->
       s"""$PairsCte,

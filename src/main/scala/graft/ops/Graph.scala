@@ -46,11 +46,7 @@ object Graph {
     // iteration's rank→edge join is exchange-free on the (big) edge side.
     // At corpus scale this is the difference between shuffling the full
     // edge list per iteration and shuffling only the (tiny) rank vector.
-    val und = scope.persisted(
-      edges.select(col(aCol).as("src"), col(bCol).as("dst"))
-        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct()
-        .repartition(col("src")))
+    val und = symmetrize(edges, aCol, bCol, scope)
     // deg groups the already-src-partitioned edges (no exchange) and is
     // persisted keyed by id — the per-iteration contrib→deg join aligns on
     // both sides (groupBy dst emits HashPartitioning(dst→id)), so it is
@@ -68,12 +64,71 @@ object Graph {
       .select(col("id"), col("deg"),
         expr("1000000L div __n").as("__r0"),
         expr("150000L div __n").as("__base")))
-    // Lineage is LINEAR in iterations (ranks feeds each next plan exactly
-    // once — deg, not ranks, supplies the id/deg side of the update join),
-    // so per-iteration checkpoints aren't needed for plan size; checkpoint
-    // every 4th iteration to bound optimizer input, each one an eager
-    // barrier that preserves outputPartitioning (LogicalRDD keeps the
-    // physical partitioning), so the alignment above survives it.
+    rankLoop(und, deg, iterations)
+      .select(col("id"), col("deg"), col("r").as("rank_micro"))
+  }
+
+  /** Personalized PageRank: the damping-complement mass teleports to the
+    * SEED set only (init `1e6 div |S|` on seeds, 0 elsewhere; per-node
+    * base `150000 div |S|` for seeds, 0 elsewhere), so rank concentrates
+    * in the seeds' neighborhood — graph-local relevance. The curation
+    * read: propagate trust/quality from a hand-curated seed set through
+    * the association graph, scoring every node by proximity-weighted
+    * connectivity rather than global importance. Same integer-micro-unit
+    * determinism contract and per-iteration plan shape as
+    * [[pageRankMicro]] (one keyed join + one map-side-combined groupBy).
+    */
+  def personalizedPageRankMicro(edges: DataFrame, aCol: String, bCol: String,
+                                seeds: DataFrame, seedCol: String,
+                                iterations: Int = 3,
+                                scope: CacheScope = CacheScope.global): DataFrame =
+    pprCore(symmetrize(edges, aCol, bCol, scope),
+      seeds.select(col(seedCol).as("id")).distinct(), iterations, scope)
+
+  /** [[personalizedPageRankMicro]] seeded at the `k` highest-degree nodes
+    * (deg DESC, id ASC — deterministic), sharing one persisted edge frame
+    * between hub selection and the rank loop.
+    */
+  def personalizedPageRankFromHubs(edges: DataFrame, aCol: String,
+                                   bCol: String, k: Int, iterations: Int = 3,
+                                   scope: CacheScope = CacheScope.global): DataFrame = {
+    val und = symmetrize(edges, aCol, bCol, scope)
+    val hubs = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("src").asc).limit(k)
+      .select(col("src").as("id"))
+    pprCore(und, hubs, iterations, scope)
+  }
+
+  private def pprCore(und: DataFrame, seeds: DataFrame, iterations: Int,
+                      scope: CacheScope): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val deg0 = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    val sd = seeds.withColumn("__seed", lit(true))
+    val nDf = sd.agg(count(lit(1)).as("__n"))
+    // seed flag + |S| ride the persisted deg frame exactly like N does in
+    // the global variant — no eager count at construction time
+    val deg = scope.persisted(deg0
+      .join(sd, Seq("id"), "left").crossJoin(broadcast(nDf))
+      .select(col("id"), col("deg"),
+        when(col("__seed"), expr("1000000L div __n")).otherwise(0L).as("__r0"),
+        when(col("__seed"), expr("150000L div __n")).otherwise(0L).as("__base")))
+    rankLoop(und, deg, iterations)
+      .select(col("id"), col("deg"), col("r").as("ppr_micro"))
+  }
+
+  /** The shared Pregel-style update loop: `deg` carries per-node init
+    * (`__r0`) and teleport base (`__base`); each iteration is ONE keyed
+    * join (ranks onto edge sources) and ONE map-side-combined groupBy.
+    * Lineage is LINEAR in iterations (ranks feeds each next plan exactly
+    * once — deg, not ranks, supplies the id/deg side of the update join),
+    * so per-iteration checkpoints aren't needed for plan size; checkpoint
+    * every 4th iteration to bound optimizer input, each one an eager
+    * barrier that preserves outputPartitioning (LogicalRDD keeps the
+    * physical partitioning), so the build-time alignment survives it.
+    */
+  private def rankLoop(und: DataFrame, deg: DataFrame,
+                       iterations: Int): DataFrame = {
     var ranks = deg.select(col("id"), col("deg"), col("__r0").as("r"))
     for (it <- 1 to iterations) {
       val contrib = und
@@ -85,7 +140,7 @@ object Graph {
           (col("__base") + expr("(17 * coalesce(m, 0L)) div 20")).as("r"))
       if (it % 4 == 0 && it < iterations) ranks = ranks.localCheckpoint()
     }
-    ranks.select(col("id"), col("deg"), col("r").as("rank_micro"))
+    ranks
   }
 
   /** Multi-source BFS hop distance over an UNDIRECTED edge list: every node

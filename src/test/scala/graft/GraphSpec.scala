@@ -143,6 +143,35 @@ class GraphSpec extends SparkSpec {
     scope.release()
   }
 
+  test("personalizedPageRankMicro: exact integers on a-b-c seeded at b") {
+    // |S|=1: init r(b)=1000000, others 0; base(b)=150000, others 0.
+    // iter1: a and c each receive 1000000 div 2 = 500000 →
+    //   r(a)=r(c) = 0 + (17*500000) div 20 = 425000; r(b) = 150000 + 0.
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("x", "y")
+    val scope = new CacheScope
+    val seeds = Seq("b").toDF("id")
+    val got = Graph.personalizedPageRankMicro(edges, "x", "y", seeds, "id",
+        iterations = 1, scope)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got === Map("a" -> 425000L, "b" -> 150000L, "c" -> 425000L))
+    scope.release()
+  }
+
+  test("personalizedPageRankMicro: rank never reaches a disconnected component") {
+    // two components; seed lives in {1,2} — {8,9} must stay at exactly 0
+    // through every iteration (no uniform teleport mass leaks across)
+    val edges = Seq((1L, 2L), (8L, 9L)).toDF("x", "y")
+    val scope = new CacheScope
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.personalizedPageRankMicro(edges, "x", "y", seeds, "id",
+        iterations = 3, scope)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(8L) === 0L && got(9L) === 0L,
+      s"disconnected nodes must hold zero rank: $got")
+    assert(got(1L) > 0L && got(2L) > 0L)
+    scope.release()
+  }
+
   test("pageRankMicro: total rank mass stays near one million") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .toDF("x", "y")

@@ -134,6 +134,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // wedge groupBy + final ORDER BY; capped neighbor window and adjacency
     // anti-join ride the persisted src-partitioned edge frame
     "shadow_pairs" -> 2,
+    // same unrolled 3-iteration accounting as pair_pagerank — the seeded
+    // teleport changes only the init/base columns, not the plan
+    "seed_pagerank" -> 4,
     // per-vessel trip window + OD rollup + final ORDER BY
     "od_flows" -> 3,
     "pair_quantiles" -> 1,
