@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Schema-enforced JSONL (one JSON object per line) ingestion with
+  * corrupt-record quarantine — the interchange format LLM training-data
+  * pipelines actually exchange (one document per line, exported shard by
+  * shard). The reference's ingest path is CSV-in-zip
+  * (`pipelines/ais_pipeline.py:388-401`); JSONL is its contemporary twin and gets
+  * the same contract the silver CSV ingest enforces: nothing unparsable
+  * silently vanishes (`SilverIngest.clean`'s P5 discipline) — it lands in
+  * a quarantine frame with the offending raw line intact.
+  *
+  * Spark-first shape: `spark.read.schema(...).json` in PERMISSIVE mode
+  * with an explicit `_corrupt_record` column. The EXPLICIT schema is the
+  * scale decision: schema inference reads the entire corpus once before
+  * the real scan (2 passes over 100 TB), and a drifted field silently
+  * widens types; a declared schema makes ingestion one pass and turns
+  * drift into quarantined rows the DQ reconciliation can count. Malformed
+  * lines parse to all-null rows carrying the raw text in the corrupt
+  * column; well-formed lines missing a field get SQL NULL there (absent
+  * field ≠ corrupt — the usual JSONL contract).
+  *
+  * Caveat baked into [[read]]: Spark cannot return ONLY the corrupt
+  * column from a parse — referencing `_corrupt_record` alone throws by
+  * design — so the split materializes the parsed frame as-is and filters
+  * it twice; both branches are one scan each over the same files, no
+  * driver-side state.
+  */
+object JsonlSource {
+
+  val CorruptCol = "_graft_corrupt"
+
+  /** Parsed frame: `schema`'s fields plus [[CorruptCol]] (null for clean
+    * rows, the raw line for malformed ones).
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val withCorrupt = StructType(
+      schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .json(path)
+  }
+
+  /** The ingest contract: (clean, quarantine). Clean rows carry exactly
+    * `schema`'s columns; quarantine rows carry the raw offending line and
+    * nothing else. `requiredCols` promotes missing-field rows (legal JSON,
+    * absent key) into quarantine too — for pipelines where a document
+    * without an id or text is as useless as a parse failure.
+    */
+  def readSplit(spark: SparkSession, path: String, schema: StructType,
+                requiredCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    val parsed = read(spark, path, schema)
+    val missing = requiredCols.foldLeft(lit(false)) { (acc, c) =>
+      acc || col(c).isNull
+    }
+    val bad = col(CorruptCol).isNotNull || missing
+    val clean = parsed.filter(!bad).select(schema.fieldNames.map(col): _*)
+    val quarantine = parsed.filter(bad)
+      .select(coalesce(col(CorruptCol), to_json(struct(schema.fieldNames.map(col): _*)))
+        .as("raw_line"))
+    (clean, quarantine)
+  }
+}

@@ -503,6 +503,53 @@ class SourcesSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ext_gold_test")
   }
 
+  test("JSONL ingest: clean rows parse, corrupt and required-null lines quarantine with raw text") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl").toString
+    val f = new java.io.File(dir, "docs.jsonl")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("""{"doc_id": 1, "text": "hello world", "lang": "en"}""")
+    w.println("""{"doc_id": 2, "text": "bonjour"}""")              // lang absent → null, still clean
+    w.println("""{"doc_id": 3, "lang": "de"}""")                   // text absent → required → quarantine
+    w.println("""{"doc_id": "4", "text" broken json""")            // malformed → quarantine
+    w.println("""{"doc_id": 5, "text": "ok", "lang": "fr"}""")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val (clean, quarantine) = graft.sources.JsonlSource.readSplit(
+      spark, f.toString, schema, requiredCols = Seq("doc_id", "text"))
+    assert(clean.columns.toSeq === Seq("doc_id", "text", "lang"),
+      "clean frame carries exactly the declared schema")
+    val rows = clean.orderBy("doc_id")
+      .as[(Long, String, Option[String])].collect().toSeq
+    assert(rows === Seq((1L, "hello world", Some("en")),
+      (2L, "bonjour", None), (5L, "ok", Some("fr"))))
+    val q = quarantine.as[String].collect().toSeq
+    assert(q.length === 2, s"one malformed + one required-null line: $q")
+    assert(q.exists(_.contains("broken json")),
+      "the malformed raw line survives verbatim for replay/debugging")
+    assert(q.exists(_.contains("\"doc_id\":3")),
+      s"the required-null row is reconstructible from quarantine: $q")
+  }
+
+  test("JSONL ingest: type drift on a declared column quarantines, not silently widens") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl2").toString
+    val f = new java.io.File(dir, "drift.jsonl")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    w.println("""{"doc_id": 10, "text": "fine"}""")
+    w.println("""{"doc_id": "not-a-number", "text": "drifted"}""")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, quarantine) = graft.sources.JsonlSource.readSplit(
+      spark, f.toString, schema, requiredCols = Seq("doc_id"))
+    assert(clean.as[(Long, String)].collect().toSeq === Seq((10L, "fine")))
+    assert(quarantine.count() === 1L,
+      "a row whose id no longer parses as LONG must surface, not vanish")
+  }
+
   test("csv export sink writes single header file (K7)") {
     val out = Files.createTempDirectory("csv_out").toString + "/export"
     Tracks.exportCsv(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), out)
