@@ -366,6 +366,31 @@ object SparkEntry {
     Await.result(Future.sequence(builds), Duration.Inf); ()
   }
 
+  /** Bootstrap the SQL catalog: every base table and maintained gold stage
+    * becomes a named session view, so a SQL-first user of the reference
+    * (its workflow is DDL + ad-hoc SELECTs over gold tables,
+    * `refresh_gold_tables.py` + the `sql/gold/` DDL) can point `spark.sql`
+    * at the same names and compose freely. Gold stages materialize through
+    * [[GoldCache]] on registration — the refresh-once/query-many lifecycle;
+    * re-registering after new data lands refreshes the views.
+    */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem").foreach { t =>
+      Tables.load(spark, dir, t).createOrReplaceTempView(t)
+    }
+    Tables.events(spark, dir).createOrReplaceTempView("events")
+    Tables.documents(spark, dir).createOrReplaceTempView("documents")
+    Tables.embeddings(spark, dir).createOrReplaceTempView("embeddings")
+    hourlyGold(spark, dir).createOrReplaceTempView("uid_hourly")
+    pairsGold(spark, dir).createOrReplaceTempView("pairs_daily")
+    ringPairsGold(spark, dir).createOrReplaceTempView("pairs_ring")
+    minhashPairsGold(spark, dir).createOrReplaceTempView("minhash_pairs")
+    clustersGold(spark, dir).createOrReplaceTempView("dup_clusters")
+    pairMaxGold(spark, dir).createOrReplaceTempView("pair_max_gto")
+    pqCodesGold(spark, dir).createOrReplaceTempView("pq_codes")
+  }
+
   /** Flagship: the reference's semantic heart (daily co-movement pairs) on
     * sf0.001; driver smoke-checks rows>0 (3 rows at res=3).
     */

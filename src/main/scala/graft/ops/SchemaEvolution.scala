@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.types._
+
+/** Schema-evolution compatibility checking — the data-contract primitive a
+  * long-lived lakehouse needs before any writer ships a new shard schema.
+  * The reference's tables evolve implicitly (its gold DDL is re-run by
+  * hand, the DDL files under `sql/gold/`); at 100 TB an incompatible shard poisons a
+  * partitioned table silently until a reader hits it, so the check belongs
+  * in the engine, before the write.
+  *
+  * Compatibility model (the common lakehouse/Avro-style rules):
+  *   - ADD of a nullable column: compatible (old shards read it as null).
+  *   - ADD of a non-nullable column: breaking for readers of old shards —
+  *     there is no value to materialize.
+  *   - DROP: breaking for readers that project the column.
+  *   - TYPE WIDENING along the safe numeric ladder (byte→short→int→long,
+  *     float→double, and integer→long-range decimal style promotions):
+  *     compatible — every old value embeds losslessly.
+  *   - Any other type change, or NARROWING: breaking.
+  *   - nullable→non-nullable tightening: breaking (old nulls violate it);
+  *     non-nullable→nullable loosening: compatible.
+  *
+  * Pure metadata — no data pass. Nested structs recurse with dotted paths;
+  * arrays/maps compare element/value types by the same rules.
+  */
+object SchemaEvolution {
+
+  /** One finding per changed path. `change` ∈ added / dropped / retyped /
+    * tightened / loosened / widened; `breaking` is the verdict.
+    */
+  final case class Finding(path: String, change: String,
+                           from: String, to: String, breaking: Boolean)
+
+  private val widenings: Set[(DataType, DataType)] = Set(
+    (ByteType, ShortType), (ByteType, IntegerType), (ByteType, LongType),
+    (ShortType, IntegerType), (ShortType, LongType),
+    (IntegerType, LongType),
+    (FloatType, DoubleType))
+
+  /** Full diff of `old` → `next`. Empty = identical contracts. */
+  def diff(old: StructType, next: StructType, prefix: String = ""): Seq[Finding] = {
+    val oldF = old.fields.map(f => f.name -> f).toMap
+    val nextF = next.fields.map(f => f.name -> f).toMap
+    val added = next.fields.filterNot(f => oldF.contains(f.name)).map { f =>
+      Finding(prefix + f.name, "added", "", f.dataType.simpleString,
+        breaking = !f.nullable)
+    }
+    val dropped = old.fields.filterNot(f => nextF.contains(f.name)).map { f =>
+      Finding(prefix + f.name, "dropped", f.dataType.simpleString, "",
+        breaking = true)
+    }
+    val changed = old.fields.filter(f => nextF.contains(f.name)).flatMap { f =>
+      val n = nextF(f.name)
+      val path = prefix + f.name
+      val typeFindings = (f.dataType, n.dataType) match {
+        case (a, b) if a == b => Nil
+        case (a: StructType, b: StructType) => diff(a, b, path + ".")
+        case (ArrayType(a, _), ArrayType(b, _)) =>
+          typeChange(path + "[]", a, b)
+        case (MapType(ka, va, _), MapType(kb, vb, _)) =>
+          typeChange(path + ".key", ka, kb) ++ typeChange(path + ".value", va, vb)
+        case (a, b) => typeChange(path, a, b)
+      }
+      val nullFindings =
+        if (f.nullable == n.nullable) Nil
+        else if (f.nullable && !n.nullable)
+          Seq(Finding(path, "tightened", "nullable", "not null", breaking = true))
+        else
+          Seq(Finding(path, "loosened", "not null", "nullable", breaking = false))
+      typeFindings ++ nullFindings
+    }
+    (added ++ dropped ++ changed).toSeq
+  }
+
+  private def typeChange(path: String, a: DataType, b: DataType): Seq[Finding] =
+    if (a == b) Nil
+    else if (widenings((a, b)))
+      Seq(Finding(path, "widened", a.simpleString, b.simpleString, breaking = false))
+    else (a, b) match {
+      case (sa: StructType, sb: StructType) => diff(sa, sb, path + ".")
+      case _ =>
+        Seq(Finding(path, "retyped", a.simpleString, b.simpleString, breaking = true))
+    }
+
+  /** Reader-compatibility verdict: can a reader of `next`-shaped data still
+    * consume every shard written under `old`?
+    */
+  def compatible(old: StructType, next: StructType): Boolean =
+    !diff(old, next).exists(_.breaking)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.SchemaEvolution
+import graft.ops.SchemaEvolution.Finding
+
+/** Pure-metadata specs for the schema-evolution contract checker. */
+class SchemaEvolutionSpec extends AnyFunSuite {
+
+  private def s(fields: (String, DataType, Boolean)*): StructType =
+    StructType(fields.map { case (n, t, nl) => StructField(n, t, nl) })
+
+  test("identical schemas diff to nothing and are compatible") {
+    val a = s(("id", LongType, false), ("text", StringType, true))
+    assert(SchemaEvolution.diff(a, a).isEmpty)
+    assert(SchemaEvolution.compatible(a, a))
+  }
+
+  test("nullable add is compatible; non-nullable add breaks old-shard readers") {
+    val old = s(("id", LongType, false))
+    val okAdd = s(("id", LongType, false), ("lang", StringType, true))
+    assert(SchemaEvolution.compatible(old, okAdd))
+    val badAdd = s(("id", LongType, false), ("lang", StringType, false))
+    val f = SchemaEvolution.diff(old, badAdd)
+    assert(f === Seq(Finding("lang", "added", "", "string", breaking = true)))
+    assert(!SchemaEvolution.compatible(old, badAdd))
+  }
+
+  test("drop breaks; safe numeric widening does not; narrowing and retype do") {
+    val old = s(("id", IntegerType, false), ("score", FloatType, true))
+    assert(!SchemaEvolution.compatible(old, s(("id", IntegerType, false))),
+      "dropped column must break")
+    val widened = s(("id", LongType, false), ("score", DoubleType, true))
+    assert(SchemaEvolution.diff(old, widened).forall(!_.breaking))
+    assert(SchemaEvolution.compatible(old, widened))
+    val narrowed = s(("id", ShortType, false), ("score", FloatType, true))
+    assert(!SchemaEvolution.compatible(old, narrowed), "narrowing must break")
+    val retyped = s(("id", StringType, false), ("score", FloatType, true))
+    assert(SchemaEvolution.diff(old, retyped)
+      .exists(f => f.path == "id" && f.change == "retyped" && f.breaking))
+  }
+
+  test("nullability: tightening breaks, loosening does not") {
+    val old = s(("v", StringType, true))
+    assert(!SchemaEvolution.compatible(old, s(("v", StringType, false))))
+    assert(SchemaEvolution.compatible(s(("v", StringType, false)), old))
+  }
+
+  test("nested structs report dotted paths; array element changes carry []") {
+    val old = s(("meta", s(("w", IntegerType, true)), true),
+      ("tags", ArrayType(IntegerType), true))
+    val next = s(("meta", s(("w", StringType, true)), true),
+      ("tags", ArrayType(LongType), true))
+    val f = SchemaEvolution.diff(old, next)
+    assert(f.exists(x => x.path == "meta.w" && x.change == "retyped" && x.breaking))
+    assert(f.exists(x => x.path == "tags[]" && x.change == "widened" && !x.breaking))
+  }
+}
