@@ -250,6 +250,15 @@ object SparkEntry {
   private val PqM = 8
   private val PqKsub = 4
 
+  /** geofence_hits zones — config-scale bounding boxes tiling the synthetic
+    * position domain (lat = value/100 ∈ [0,4.9), lon = value/50): harbor /
+    * channel / offshore bands, half-open on both axes.
+    */
+  private val GeofenceZones = Seq(
+    ("harbor", 0.0, 1.0, 0.0, 2.0),
+    ("channel", 1.0, 3.0, 2.0, 6.0),
+    ("offshore", 3.0, 5.0, 6.0, 10.0))
+
   private def hourly(spark: SparkSession, dir: String): DataFrame =
     CoMovement.hourlyRollup(Tables.events(spark, dir), "user_id", "ts", "value", Res)
 
@@ -939,6 +948,22 @@ object SparkEntry {
           "uid_a", "uid_b", k = 2, iterations = 3)
         .select(col("id").as("user_id"), col("deg"), col("ppr_micro"))
         .orderBy("user_id")),
+
+    // port-area containment: daily traffic per rectangular geofence —
+    // zones are config (constant in SF, the nation-table class), so the
+    // containment join broadcasts them and the fact side never shuffles
+    // before the rollup (Tracks.geofenceHits; half-open bounds).
+    "geofence_hits" -> ((s, d) => {
+      val pos = Tables.events(s, d)
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), to_date(col("ts")).as("dt"),
+          (col("value") / 100.0).as("lat"), (col("value") / 50.0).as("lon"))
+      Tracks.geofenceHits(pos, "lat", "lon", GeofenceZones)
+        .groupBy("zone", "dt")
+        .agg(count(lit(1)).as("hits"),
+          countDistinct(col("user_id")).as("vessels"))
+        .orderBy("zone", "dt")
+    }),
 
     // §2.5: percent-rank curve over pair max GTO (the notebook's procedural
     // sort+index). The rank rides [[Indexing.globalIndex]]'s range-partition
@@ -2817,6 +2842,25 @@ object SparkEntry {
          |       FROM r2 d LEFT JOIN s3 ON s3.id = d.id)
          |SELECT id AS user_id, deg, CAST(r AS BIGINT) AS ppr_micro
          |FROM r3 ORDER BY user_id""".stripMargin,
+
+    // mirrors Tracks.geofenceHits: same literal zones, half-open bounds
+    "geofence_hits" ->
+      """WITH pos AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS dt,
+        |         value / 100.0 AS lat, value / 50.0 AS lon
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |zones(zone, lat_min, lat_max, lon_min, lon_max) AS (VALUES
+        |  ('harbor', 0.0, 1.0, 0.0, 2.0),
+        |  ('channel', 1.0, 3.0, 2.0, 6.0),
+        |  ('offshore', 3.0, 5.0, 6.0, 10.0)),
+        |hit AS (
+        |  SELECT z.zone, p.dt, p.user_id
+        |  FROM pos p JOIN zones z
+        |    ON p.lat >= z.lat_min AND p.lat < z.lat_max
+        |   AND p.lon >= z.lon_min AND p.lon < z.lon_max)
+        |SELECT zone, dt, count(*) AS hits,
+        |       count(DISTINCT user_id) AS vessels
+        |FROM hit GROUP BY 1, 2 ORDER BY zone, dt""".stripMargin,
 
     "gto_rank_curve" ->
       s"""$PairsCte,

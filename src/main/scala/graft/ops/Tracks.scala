@@ -148,6 +148,28 @@ object Tracks {
     * consumer pattern, `docs/data_contracts.md:113`): keep the newest event per
     * (user_id, hour), full deterministic tie-break.
     */
+  /** Tag each position with the rectangular geofence containing it —
+    * half-open [min, max) on both axes so a boundary point lands in exactly
+    * one adjacent zone. Zones are CONFIG, not data: constant cardinality in
+    * the scale factor (the nation-table class), so the broadcast
+    * nested-loop containment join is the right plan — the fact side streams
+    * once, never shuffles, and each row tests a handful of bounding boxes.
+    * A deployment with thousands of zones would pre-bucket both sides by
+    * `GeoCell` and equi-join on the cell before the exact containment test;
+    * at config scale that indirection costs more than it saves. Positions
+    * outside every zone drop (inner join) — the port-area filter semantics.
+    */
+  def geofenceHits(pos: DataFrame, latCol: String, lonCol: String,
+                   zones: Seq[(String, Double, Double, Double, Double)]): DataFrame = {
+    val spark = pos.sparkSession
+    import spark.implicits._
+    val zdf = zones.toDF("zone", "lat_min", "lat_max", "lon_min", "lon_max")
+    pos.join(broadcast(zdf),
+      col(latCol) >= col("lat_min") && col(latCol) < col("lat_max") &&
+        col(lonCol) >= col("lon_min") && col(lonCol) < col("lon_max"))
+      .drop("lat_min", "lat_max", "lon_min", "lon_max")
+  }
+
   def windowDedup(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // order on epoch micros, not raw ts: the parquet stores ns, Spark reads µs,

@@ -137,6 +137,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // same unrolled 3-iteration accounting as pair_pagerank — the seeded
     // teleport changes only the init/base columns, not the plan
     "seed_pagerank" -> 4,
+    // broadcast containment join (zones are config-scale), then the
+    // distinct-vessel rollup's two-phase aggregate + final ORDER BY
+    "geofence_hits" -> 3,
     // per-vessel trip window + OD rollup + final ORDER BY
     "od_flows" -> 3,
     "pair_quantiles" -> 1,

@@ -11,6 +11,20 @@ class TrajectorySpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("geofenceHits: half-open containment — boundary point lands in exactly one zone") {
+    val zones = Seq(("a", 0.0, 1.0, 0.0, 1.0), ("b", 1.0, 2.0, 1.0, 2.0))
+    val pos = Seq(
+      (1L, 0.5, 0.5),   // inside a
+      (2L, 1.0, 1.0),   // ON the a/b corner: [min,max) puts it in b only
+      (3L, 1.5, 0.5),   // lat in b's band, lon in a's — no zone, dropped
+      (4L, 2.0, 2.0))   // on b's open upper bound — outside, dropped
+      .toDF("uid", "lat", "lon")
+    val got = graft.ops.Tracks.geofenceHits(pos, "lat", "lon", zones)
+      .select("uid", "zone").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 2L -> "b"),
+      s"half-open bounds: boundary in exactly one zone, misses drop: $got")
+  }
+
   test("impliedSpeed: hand-computed distance, speed, and teleport flag") {
     // one degree of pure latitude in one hour = 111.195 km/h exactly
     val pts = Seq(
