@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Online geofence transition detection — the streaming twin of
+  * [[graft.ops.Tracks.geofenceHits]]: instead of tagging positions after
+  * the fact, emit an event the moment a vessel ENTERS, EXITS, or SWITCHES
+  * zones. The alerting read of the same config-scale bounding boxes
+  * (half-open [min, max) on both axes, identical containment semantics to
+  * the batch operator — a position on a shared boundary belongs to exactly
+  * one zone, so batch and stream agree on every tag).
+  *
+  * State per vessel is ONE (zone, ts) pair — constant, no history — so
+  * state-store size is O(active vessels) regardless of stream length; keys
+  * shard by uid hash like every other per-vessel processor here.
+  *
+  * Ordering contract: rows within a micro-batch sort by event time before
+  * folding; a ping OLDER than the state's timestamp (cross-batch
+  * straggler) is dropped, never applied — state must not regress, the same
+  * monotonicity discipline as [[StreamingTrajectory]]. A vessel's first
+  * ever ping emits `enter` only if it is inside a zone (the unknown prior
+  * is treated as outside).
+  */
+object StreamingGeofence {
+
+  case class Ping(uid: Long, ts: Timestamp, lat: Double, lon: Double)
+  /** `zone` is "" while the vessel is outside every fence. */
+  case class ZoneState(zone: String, tsMs: Long)
+  case class Transition(uid: Long, ts: Timestamp, from_zone: String,
+                        to_zone: String, kind: String)
+
+  /** First containing zone in declaration order (zones normally disjoint;
+    * overlap resolves deterministically to the earliest declared).
+    */
+  def zoneOf(zones: Seq[(String, Double, Double, Double, Double)],
+             lat: Double, lon: Double): String =
+    zones.collectFirst {
+      case (name, la0, la1, lo0, lo1)
+        if lat >= la0 && lat < la1 && lon >= lo0 && lon < lo1 => name
+    }.getOrElse("")
+
+  private def kindOf(from: String, to: String): String =
+    if (from.isEmpty) "enter" else if (to.isEmpty) "exit" else "switch"
+
+  /** Per-vessel fold: compare each in-order ping's zone to the running
+    * one, emit a [[Transition]] on every change, keep only the latest
+    * (zone, ts) in state.
+    */
+  def update(zones: Seq[(String, Double, Double, Double, Double)])(
+      uid: Long, rows: Iterator[Ping],
+      state: GroupState[ZoneState]): Iterator[Transition] = {
+    val prev = state.getOption.getOrElse(ZoneState("", Long.MinValue))
+    val inOrder = rows.toList.sortBy(_.ts.getTime)
+      .filter(_.ts.getTime > prev.tsMs) // drop cross-batch stragglers
+    val (last, out) = inOrder.foldLeft((prev, List.empty[Transition])) {
+      case ((cur, acc), p) =>
+        val z = zoneOf(zones, p.lat, p.lon)
+        val next = ZoneState(z, p.ts.getTime)
+        if (z == cur.zone) (next, acc)
+        else (next, Transition(uid, p.ts, cur.zone, z, kindOf(cur.zone, z)) :: acc)
+    }
+    if (last.tsMs != Long.MinValue) state.update(last)
+    out.reverse.iterator
+  }
+
+  /** Wire the transition detector over a streaming Dataset[Ping]. */
+  def transitions(pings: Dataset[Ping],
+                  zones: Seq[(String, Double, Double, Double, Double)]): Dataset[Transition] = {
+    val spark = pings.sparkSession
+    import spark.implicits._
+    pings.groupByKey(_.uid)
+      .flatMapGroupsWithState[ZoneState, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(update(zones))
+  }
+}

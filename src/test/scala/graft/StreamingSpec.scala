@@ -376,6 +376,39 @@ class StreamingSpec extends SparkSpec {
     assert(df.count() === 0L)
   }
 
+  test("streaming geofence emits enter/switch/exit transitions across micro-batches") {
+    import graft.streaming.StreamingGeofence
+    import graft.streaming.StreamingGeofence.{Ping, Transition}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val zones = Seq(("a", 0.0, 1.0, 0.0, 1.0), ("b", 1.0, 2.0, 1.0, 2.0))
+    val in = MemoryStream[Ping]
+    val q = StreamingGeofence.transitions(in.toDS(), zones)
+      .writeStream.format("memory").queryName("geo_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: outside → a (enter), stays in a (silent), a → b (switch)
+      in.addData(
+        Ping(1L, ts("10:00"), 5.0, 5.0),
+        Ping(1L, ts("10:01"), 0.5, 0.5),
+        Ping(1L, ts("10:02"), 0.6, 0.6),
+        Ping(1L, ts("10:03"), 1.5, 1.5))
+      q.processAllAvailable()
+      // batch 2: still b (silent) — state crossed the batch boundary —
+      // then out (exit); a straggler OLDER than state must not regress
+      in.addData(
+        Ping(1L, ts("10:04"), 1.6, 1.6),
+        Ping(1L, ts("10:05"), 9.0, 9.0),
+        Ping(1L, ts("10:01"), 0.5, 0.5))
+      q.processAllAvailable()
+      val got = spark.table("geo_out").as[Transition]
+        .collect().sortBy(_.ts.getTime)
+        .map(t => (t.from_zone, t.to_zone, t.kind)).toSeq
+      assert(got === Seq(("", "a", "enter"), ("a", "b", "switch"),
+        ("b", "", "exit")),
+        s"exactly one event per zone change, none for staying put: $got")
+    } finally q.stop()
+  }
+
   test("store compaction squeezes replay duplicates and resets file count without changing keeps") {
     // a torn replay appends the same digest again; compaction must bound the
     // store at its DISTINCT digests (a triple-appended digest doesn't triple
