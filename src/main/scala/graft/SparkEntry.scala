@@ -1233,6 +1233,18 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    // asymmetric containment: the quote detector — a short doc embedded
+    // wholesale in a long one scores jaccard ~ 0 but containment 1.0;
+    // either direction clearing 0.8 keeps the pair (Dedup.containmentPairs,
+    // same guarded shingle machinery and cost as dedup_ngram).
+    "containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8, maxDocsPerShingle = 50)
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+          round(col("cont_a_in_b"), 6).as("cont_a_in_b"),
+          round(col("cont_b_in_a"), 6).as("cont_b_in_a"))
+        .orderBy("doc_a", "doc_b")),
+
     // MinHash + LSH candidate pairs (k=8 string-ordered minhashes, bands of 2)
     "dedup_minhash" -> ((s, d) =>
       minhashPairsGold(s, d).orderBy("doc_a", "doc_b")),
@@ -3461,6 +3473,27 @@ object SparkEntry {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // same guarded shingle chain as dedup_ngram; asymmetric denominators
+    "containment_pairs" ->
+      s"""$ShingleCte,
+         |hot AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) > 50),
+         |shg AS (SELECT doc_id, shingle FROM sh
+         |  WHERE shingle NOT IN (SELECT shingle FROM hot)),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shg GROUP BY 1),
+         |shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM shg a JOIN shg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+         |  round(CAST(inter AS DOUBLE) / sa.n, 6) AS cont_a_in_b,
+         |  round(CAST(inter AS DOUBLE) / sb.n, 6) AS cont_b_in_a
+         |FROM shared
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE greatest(CAST(inter AS DOUBLE) / sa.n,
+         |               CAST(inter AS DOUBLE) / sb.n) >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     // minhash candidates (same CTE chain as dedup_minhash) re-ranked by the

@@ -171,6 +171,31 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric containment pairs: |A∩B| / |A| and |A∩B| / |B| over the
+    * same guarded shingle machinery as [[ngramJaccardPairs]]. Containment
+    * is the quote detector symmetric Jaccard structurally misses: a short
+    * document quoted wholesale inside a much larger one scores
+    * jaccard ≈ |small|/|big| ≈ 0 but containment(small→big) = 1.0. The
+    * filter keeps pairs where EITHER direction clears `threshold` —
+    * downstream decides which side is the quote.
+    *
+    * Cost identical to the Jaccard pass (the pair frame is the same; only
+    * the denominator differs), including the `maxDocsPerShingle` hot-
+    * shingle guard.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       maxDocsPerShingle: Int = Int.MaxValue,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
+    val pairs = ngramJaccardPairs(df, idCol, textCol, n, threshold = 0.0,
+      maxDocsPerShingle, scope)
+    pairs.select(col("doc_a"), col("doc_b"), col("inter"),
+        col("na"), col("nb"),
+        (col("inter").cast("double") / col("na")).as("cont_a_in_b"),
+        (col("inter").cast("double") / col("nb")).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
   /** MinHash signatures, wide: one row per doc with columns h0..h(k-1), where
     * hash i of a shingle is the (lexicographically ordered) md5 of
     * `"i:shingle"` — a string-ordered MinHash that both engines compute

@@ -352,6 +352,26 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(_.getAs[Double]("jaccard") === 1.0))
   }
 
+  test("containment finds the wholesale quote that jaccard misses") {
+    // doc 1 (4 shingles) is quoted verbatim inside doc 2 (12 shingles):
+    // jaccard = 4/12 ≈ 0.33 — below any dedup threshold — but
+    // containment(1→2) = 4/4 = 1.0. The reverse direction stays low.
+    val small = "a b c d e f"                              // shingles: 4
+    val big = small + " p q r s t u v w"                   // 12, superset
+    val df = Seq((1L, small), (2L, big), (3L, "z z z y y y x x x"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "doc_id", "text", n = 3,
+      threshold = 0.8).collect()
+    assert(got.length === 1)
+    val r = got.head
+    assert((r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) === ((1L, 2L)))
+    assert(r.getAs[Double]("cont_a_in_b") === 1.0,
+      "every shingle of the quote appears in the host")
+    assert(r.getAs[Double]("cont_b_in_a") < 0.5)
+    // the symmetric score would have rejected this pair
+    assert(Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5).isEmpty)
+  }
+
   test("minhash LSH: identical docs share all bands, disjoint docs none") {
     val df = Seq((1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "q r s t u v"))
       .toDF("doc_id", "text")

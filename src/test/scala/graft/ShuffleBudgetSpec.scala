@@ -59,6 +59,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_exact" -> 2,
     "dedup_minhash" -> 1,
     "dedup_ngram" -> 2, // ratcheted from 3 (round-9 re-record)
+    // same guarded shingle machinery as dedup_ngram (asymmetric denominator
+    // changes no stage)
+    "containment_pairs" -> 2,
     "dedup_simhash" -> 3,
     "doc_chunks" -> 1,
     "doc_fingerprint" -> 1,
