@@ -60,10 +60,11 @@ object StreamingCoMovement {
     * presence rows either way.
     */
   def pairHourStream(hourly: DataFrame, storeDir: String, outDir: String,
-                     checkpointDir: String, ringK: Int = 0): StreamingQuery =
+                     checkpointDir: String, ringK: Int = 0,
+                     compactEvery: Int = 8): StreamingQuery =
     hourly.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch0: DataFrame, _: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         if (!batch0.isEmpty) {
           val spark = batch0.sparkSession
           val batch = batch0.select("uid", "dt", "hr", "cell").persist()
@@ -73,6 +74,8 @@ object StreamingCoMovement {
               else ringPairs(spark, batch, storeDir, ringK)
             pairs.write.mode("append").parquet(outDir)
             batch.write.mode("append").parquet(storeDir)
+            if (StandingStore.due(batchId, compactEvery))
+              StandingStore.compact(spark, storeDir, batch.schema)
           } finally batch.unpersist(blocking = false)
         }
         ()
@@ -144,17 +147,10 @@ object StreamingCoMovement {
     bb.union(bs)
   }
 
-  /** The standing presence store; empty (with `schema`) before the first
-    * batch lands. Explicit-schema read so an uncommitted `_temporary`-only
-    * store dir cannot break restart (the [[StreamingScrub.readStore]]
-    * lesson).
+  /** The standing presence store — [[StandingStore.read]] (schema-enforced,
+    * compaction-swap heal, empty before the first batch lands).
     */
   def readStore(spark: SparkSession, storeDir: String,
-                schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(storeDir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
+                schema: StructType): DataFrame =
+    StandingStore.read(spark, storeDir, schema)
 }

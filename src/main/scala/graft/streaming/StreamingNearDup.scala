@@ -37,10 +37,11 @@ object StreamingNearDup {
     */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
                     storeDir: String, outDir: String, checkpointDir: String,
-                    k: Int = 8, rowsPerBand: Int = 2, n: Int = 3): StreamingQuery =
+                    k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
+                    compactEvery: Int = 8): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val sigs = Dedup.bandedSignature(batch, idCol, textCol,
@@ -73,21 +74,20 @@ object StreamingNearDup {
               sigs.join(keptIds, Seq("doc_id"), "left_semi")
                 .write.mode("append").parquet(storeDir)
             } finally out.unpersist(blocking = false)
+            if (StandingStore.due(batchId, compactEvery))
+              StandingStore.compact(spark, storeDir, sigs.schema)
           } finally sigs.unpersist(blocking = false)
         }
         ()
       }
       .start()
 
-  /** The standing signature store; an empty frame of the signature schema
-    * before the first batch lands.
+  /** The standing signature store — [[StandingStore.read]]: schema-ENFORCED
+    * (an uncommitted `_temporary`-only dir after a first-write crash must
+    * not wedge restart on schema inference), compaction-swap heal, empty
+    * frame of `schema` before the first batch lands.
     */
   def readStore(spark: SparkSession, storeDir: String,
-                schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) spark.read.parquet(storeDir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
+                schema: StructType): DataFrame =
+    StandingStore.read(spark, storeDir, schema)
 }

@@ -81,7 +81,7 @@ object StreamingScrub {
                 .write.mode("append").parquet(storeDir)
             } finally flagged.unpersist(blocking = false)
           } finally segs.unpersist(blocking = false)
-          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          if (StandingStore.due(batchId, compactEvery))
             compactStore(spark, storeDir, StoreSchema)
         }
         ()
@@ -135,62 +135,25 @@ object StreamingScrub {
               } finally flagged.unpersist(blocking = false)
             } finally wins.unpersist(blocking = false)
           } finally toks.unpersist(blocking = false)
-          if (compactEvery > 0 && batchId % compactEvery == compactEvery - 1)
+          if (StandingStore.due(batchId, compactEvery))
             compactStore(spark, storeDir, SpanStoreSchema)
         }
         ()
       }
       .start()
 
-  /** The standing digest store; empty (with `schema`) before the first
-    * batch lands. The read always supplies the known `schema` rather than
-    * inferring it: a crash during the very first store write can leave
-    * `storeDir` existing with only an uncommitted `_temporary` (no parquet
-    * footers), and schema inference over that directory fails on every
-    * restart — with the explicit schema the read yields zero rows and the
-    * documented at-least-once recovery proceeds.
+  /** The standing digest store — [[StandingStore.read]] with this
+    * module's segment schema as the default (schema-enforced read,
+    * compaction-swap heal, empty-dir tolerance; see [[StandingStore]]).
     */
   def readStore(spark: SparkSession, storeDir: String,
-                schema: StructType = StoreSchema): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // heal a compaction interrupted between delete and rename: the snapshot
-    // held the complete distinct set at swap time and nothing appends
-    // concurrently (foreachBatch is sequential), so promoting it loses no
-    // history and the at-least-once keep decisions are unchanged
-    val snap = compactPath(p)
-    if (!fs.exists(p) && fs.exists(snap)) fs.rename(snap, p)
-    if (fs.exists(p)) spark.read.schema(schema).parquet(storeDir)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
+                schema: StructType = StoreSchema): DataFrame =
+    StandingStore.read(spark, storeDir, schema)
 
-  /** Rewrite the append-only digest store as its distinct set. The store
-    * accrues one job's worth of parquet files per micro-batch that kept
-    * anything — after B batches the per-batch standing read pays an O(B)
-    * file-listing/open cost — and a torn replay can leave duplicate rows.
-    * Compaction bounds both: file count resets to one shuffle's worth and
-    * rows to the distinct digests. Crash-safe snapshot-and-swap: write the
-    * distinct set to a sibling `<store>.compact`, delete the store, rename
-    * the snapshot into place. A crash before the delete leaves the store
-    * authoritative (the stale snapshot is truncated on the next pass); a
-    * crash between delete and rename is healed by [[readStore]].
+  /** [[StandingStore.compact]] — rewrite the digest store as its distinct
+    * set via the shared crash-safe snapshot-and-swap.
     */
   def compactStore(spark: SparkSession, storeDir: String,
-                   schema: StructType): Unit = {
-    val p = new org.apache.hadoop.fs.Path(storeDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val snap = compactPath(p)
-      spark.read.schema(schema).parquet(storeDir).distinct()
-        .write.mode("overwrite").parquet(snap.toString)
-      fs.delete(p, true)
-      fs.rename(snap, p)
-    }
-  }
-
-  /** Sibling snapshot dir for [[compactStore]]'s swap. */
-  private def compactPath(store: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(
-      store.getParent, store.getName + ".compact")
+                   schema: StructType): Unit =
+    StandingStore.compact(spark, storeDir, schema)
 }

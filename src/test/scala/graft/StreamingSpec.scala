@@ -376,6 +376,22 @@ class StreamingSpec extends SparkSpec {
     assert(df.count() === 0L)
   }
 
+  test("near-dup signature store read survives the same first-write crash (shared StandingStore)") {
+    // regression: this readStore used to INFER the schema, so the
+    // footer-less dir wedged every restart — the shared StandingStore read
+    // must make all standing stores equally crash-tolerant
+    import org.apache.spark.sql.types._
+    val root = java.nio.file.Files.createTempDirectory("graft-nd-crash")
+    val store = root.resolve("store")
+    java.nio.file.Files.createDirectories(store.resolve("_temporary/0"))
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("band", IntegerType), StructField("bucket", StringType)))
+    val df = graft.streaming.StreamingNearDup.readStore(
+      spark, store.toString, schema)
+    assert(df.schema === schema)
+    assert(df.count() === 0L)
+  }
+
   test("streaming geofence emits enter/switch/exit transitions across micro-batches") {
     import graft.streaming.StreamingGeofence
     import graft.streaming.StreamingGeofence.{Ping, Transition}
@@ -550,8 +566,10 @@ class StreamingSpec extends SparkSpec {
     val in = MemoryStream[(Long, java.sql.Date, Int, String)]
     val hourly = in.toDF.toDF("uid", "dt", "hr", "cell")
     val root = java.nio.file.Files.createTempDirectory("graft-comv").toString
+    // compactEvery = 1: every batch rewrites the presence store distinct —
+    // cross-batch discovery surviving it pins compaction as meaning-free
     val q = graft.streaming.StreamingCoMovement.pairHourStream(
-      hourly, root + "/store", root + "/out", root + "/cp")
+      hourly, root + "/store", root + "/out", root + "/cp", compactEvery = 1)
     try {
       in.addData(b1: _*); q.processAllAvailable()
       // pair (3,4): vessel 3 arrived in batch 1, vessel 4 only now — the
