@@ -127,6 +127,38 @@ object GoldPipeline {
     nFiles
   }
 
+  /** Selective per-partition small-file compaction for a PARTITIONED gold
+    * table: walk the partition tree, rewrite only the leaf partitions whose
+    * parquet file count exceeds `maxFiles` (via [[compact]]'s swap — a
+    * reader never sees a half-compacted leaf), leave healthy partitions
+    * byte-untouched. Incremental refreshes concentrate small files in the
+    * recent partitions, so table-wide rewrites burn a full table scan to
+    * fix a handful of days — selective maintenance touches only the
+    * offenders, which is the only shape that survives a 100 TB table with
+    * years of history. Returns (partitionPath, filesBefore, filesAfter)
+    * for the audit log.
+    */
+  def compactPartitions(spark: SparkSession, root: String, targetBytes: Long,
+                        maxFiles: Int = 8): Seq[(String, Int, Int)] = {
+    require(maxFiles >= 1, "maxFiles must be at least 1")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val entries = fs.listStatus(p).toSeq
+        .filterNot(_.getPath.getName.startsWith("_"))
+      val dirs = entries.filter(_.isDirectory)
+      if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
+    }
+    leaves(rootPath).flatMap { leaf =>
+      val before = fs.listStatus(leaf)
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (before > maxFiles) {
+        val after = compact(spark, leaf.toString, targetBytes)
+        Some((leaf.toString, before, after))
+      } else None
+    }
+  }
+
   /** Z-order-clustered parquet write: range-partition on the Morton key of
     * (xCol, yCol) and sort within each partition, so every output file owns
     * a compact 2-D tile — parquet min/max row-group stats then prune scans

@@ -103,6 +103,33 @@ class GoldPipelineSpec extends SparkSpec {
     assert(GoldPipeline.compact(spark, dir, targetBytes = 8 * 1024L) > 1)
   }
 
+  test("partitioned compaction touches only the offending partitions") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("gp_pcompact").toString + "/t"
+    // dt=a accretes 6 small appends (the fresh partition an incremental
+    // refresh hammers); dt=b is healthy with 2 files
+    val mk = (dt: String, lo: Long, hi: Long) =>
+      (lo to hi).map(i => (i, dt)).toDF("id", "dt")
+    (1 to 6).foreach(k => mk("a", k * 10L, k * 10L + 5)
+      .coalesce(1).write.mode("append").partitionBy("dt").parquet(root))
+    (1 to 2).foreach(k => mk("b", k * 100L, k * 100L + 5)
+      .coalesce(1).write.mode("append").partitionBy("dt").parquet(root))
+    def files(part: String) = new java.io.File(s"$root/dt=$part").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    val bBefore = files("b")
+    assert(files("a").size === 6 && bBefore.size === 2)
+    val report = GoldPipeline.compactPartitions(spark, root,
+      targetBytes = 1L << 30, maxFiles = 3)
+    assert(report.map(r => (r._1.endsWith("dt=a"), r._2, r._3)) ===
+      Seq((true, 6, 1)), s"only dt=a qualifies: $report")
+    assert(files("a").size === 1, "offender rewritten to the packed count")
+    assert(files("b") === bBefore, "healthy partition byte-untouched")
+    val back = spark.read.parquet(root)
+    assert(back.count() === 6 * 6 + 2 * 6)
+    assert(back.filter(col("dt") === "a").count() === 36,
+      "partition values survive the leaf rewrite")
+  }
+
   test("z-ordered write: every file owns a compact 2-D tile in BOTH dims") {
     import spark.implicits._
     // full 64x64 grid → 16 range partitions on the Morton key = 16x16 tiles
