@@ -949,6 +949,21 @@ object SparkEntry {
         .select(col("id").as("user_id"), col("deg"), col("ppr_micro"))
         .orderBy("user_id")),
 
+    // release-safety: k-anonymity audit over (event_type, day) quasi-ids —
+    // combos mapping to fewer than 5 distinct users re-identify them;
+    // summarized per event type (DataQuality.kAnonymityAudit).
+    "k_anon_audit" -> ((s, d) =>
+      DataQuality.kAnonymityAudit(
+          Tables.events(s, d)
+            .filter(col("user_id").isNotNull && col("ts").isNotNull)
+            .withColumn("dt", to_date(col("ts"))),
+          "user_id", Seq("event_type", "dt"), k = 5)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_combos"),
+          sum(when(col("risky"), 1L).otherwise(0L)).as("risky_combos"),
+          min(col("group_size")).as("min_group"))
+        .orderBy("event_type")),
+
     // port-area containment: daily traffic per rectangular geofence —
     // zones are config (constant in SF, the nation-table class), so the
     // containment join broadcasts them and the fact side never shuffles
@@ -2854,6 +2869,19 @@ object SparkEntry {
          |       FROM r2 d LEFT JOIN s3 ON s3.id = d.id)
          |SELECT id AS user_id, deg, CAST(r AS BIGINT) AS ppr_micro
          |FROM r3 ORDER BY user_id""".stripMargin,
+
+    // mirrors DataQuality.kAnonymityAudit + the per-type summary
+    "k_anon_audit" ->
+      """WITH g AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS dt,
+        |         CAST(count(DISTINCT user_id) AS BIGINT) AS group_size
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_combos,
+        |  CAST(sum(CASE WHEN group_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS risky_combos,
+        |  min(group_size) AS min_group
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // mirrors Tracks.geofenceHits: same literal zones, half-open bounds
     "geofence_hits" ->

@@ -22,6 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
+  /** k-anonymity audit: does every quasi-identifier combination map to at
+    * least `k` distinct individuals? The release-safety check a dataset
+    * needs before rows leave the trust boundary — a combo seen for fewer
+    * than k people re-identifies them (Sweeney 2002). Returns one row per
+    * combo: the quasi columns, `group_size` (distinct `idCol`), and
+    * `risky` (< k).
+    *
+    * Scale: one keyed aggregate (count-distinct per combo) — partial
+    * map-side like any groupBy; no all-pairs, no per-row state. The combo
+    * universe, not the fact table, bounds the output.
+    */
+  def kAnonymityAudit(df: DataFrame, idCol: String, quasiCols: Seq[String],
+                      k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(idCol)).as("group_size"))
+      .withColumn("risky", col("group_size") < k)
+  }
+
   /** One row per rule: (rule, n_rows, n_violations, violation_rate,
     * first_bad_id) — `first_bad_id` is the minimum `keyCol` among violating
     * rows (NULL when the rule passes everywhere), a stable exemplar for

@@ -49,6 +49,24 @@ class DataQualitySpec extends SparkSpec {
     assert(got(5L) === ((2L, false)), "bit 1 = rule 1 failed")
   }
 
+  test("kAnonymityAudit: combos below k flag risky on DISTINCT individuals, not rows") {
+    // combo (a, d1): users {1,2,3} → size 3; (a, d2): user {1} ×3 rows →
+    // size 1 (row count must NOT mask the re-identification risk);
+    // (b, d1): users {1..5} → size 5, safe at k=5
+    val df = Seq(
+      ("a", "d1", 1L), ("a", "d1", 2L), ("a", "d1", 3L),
+      ("a", "d2", 1L), ("a", "d2", 1L), ("a", "d2", 1L),
+      ("b", "d1", 1L), ("b", "d1", 2L), ("b", "d1", 3L),
+      ("b", "d1", 4L), ("b", "d1", 5L))
+      .toDF("qa", "qb", "uid")
+    val got = DataQuality.kAnonymityAudit(df, "uid", Seq("qa", "qb"), k = 5)
+      .orderBy("qa", "qb")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    assert(got === Seq(("a", "d1", 3L, true), ("a", "d2", 1L, true),
+      ("b", "d1", 5L, false)),
+      s"size counts distinct uids; risky means size < k: $got")
+  }
+
   test("psiDrift: matching slice reads ~0, shifted slice reads broken, no infinities") {
     import org.apache.spark.sql.functions.col
     // healthy slices dominate the corpus (the realistic monitoring ratio),

@@ -143,6 +143,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     // broadcast containment join (zones are config-scale), then the
     // distinct-vessel rollup's two-phase aggregate + final ORDER BY
     "geofence_hits" -> 3,
+    // two-phase count-distinct per combo, per-type summary, final ORDER BY
+    "k_anon_audit" -> 4,
     // per-vessel trip window + OD rollup + final ORDER BY
     "od_flows" -> 3,
     "pair_quantiles" -> 1,
