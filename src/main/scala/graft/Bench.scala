@@ -132,6 +132,12 @@ object Bench {
       name -> (if (times.nonEmpty) times.toSeq else Seq.empty[Double])
     }
     val calibPost = calibrate()
+    // one-number contention verdict: max/min over every calibration sample
+    // of the SAME warmed plan. ~1 on a quiet box; a pulse mid-suite shows
+    // up here even when the endpoints look normal (round 9's failure mode)
+    val calibAll = (calibSeries.toSeq :+ calibPre :+ calibPost).filter(_ > 0)
+    val calibSpread =
+      if (calibAll.size >= 2) calibAll.max / calibAll.min else 1.0
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
@@ -153,7 +159,7 @@ object Bench {
             s"\"reps\":[${ts.map(num).mkString(",")}]}"
         }.mkString("{", ",", "}")
       val series = calibSeries.map(num).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
@@ -169,7 +175,7 @@ object Bench {
       val qs = qMap.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val series = calibSeries.map(num).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
     }
     val bySlowest = mins.toSeq.sortBy(-_._2)
     val budget = 1750 // leaves headroom for sbt's [success] trailer in the 2000-char tail
