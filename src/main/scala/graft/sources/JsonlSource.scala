@@ -46,6 +46,21 @@ object JsonlSource {
       .json(path)
   }
 
+  /** The export half of the interchange loop: write `df` as JSONL shards
+    * with a bounded record count per file — the unit downstream training
+    * jobs actually consume and retry. `maxRecordsPerFile` bounds shard size
+    * WITHOUT a repartition (Spark's writer rolls files mid-task), so the
+    * export adds no shuffle; pair with a keyed `repartition` upstream only
+    * when shard-to-content affinity matters. Columns serialize in schema
+    * order; absent-optional semantics mirror [[read]] (null fields are
+    * written as JSON null, preserving round-trip fidelity with the
+    * schema-enforced read).
+    */
+  def writeShards(df: DataFrame, path: String,
+                  maxRecordsPerFile: Long = 100000L): Unit =
+    df.write.option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .mode("overwrite").json(path)
+
   /** The ingest contract: (clean, quarantine). Clean rows carry exactly
     * `schema`'s columns; quarantine rows carry the raw offending line and
     * nothing else. `requiredCols` promotes missing-field rows (legal JSON,

@@ -533,6 +533,24 @@ class SourcesSpec extends SparkSpec {
       s"the required-null row is reconstructible from quarantine: $q")
   }
 
+  test("JSONL export shards by record count and round-trips through the schema-enforced read") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl_out").toString + "/shards"
+    val df = (1L to 250L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+      .coalesce(1) // one task → the roll must come from maxRecordsPerFile
+    graft.sources.JsonlSource.writeShards(df, dir, maxRecordsPerFile = 100L)
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(shards.length === 3, s"250 rows at 100/file → 3 shards: ${shards.length}")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (clean, quarantine) = graft.sources.JsonlSource.readSplit(
+      spark, dir, schema, requiredCols = Seq("doc_id"))
+    assert(quarantine.count() === 0L, "own export must re-ingest cleanly")
+    assert(clean.count() === 250L)
+    assert(clean.agg(sum("doc_id")).head.getLong(0) === 250L * 251 / 2)
+  }
+
   test("JSONL ingest: type drift on a declared column quarantines, not silently widens") {
     import org.apache.spark.sql.types._
     val dir = Files.createTempDirectory("jsonl2").toString
