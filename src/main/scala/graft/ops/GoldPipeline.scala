@@ -106,25 +106,51 @@ object GoldPipeline {
     * Streaming sinks and per-day incremental refreshes accrete small files;
     * at 100 TB unmanaged file counts dominate scan planning time and NN/
     * metadata pressure, so compaction is a first-class lifecycle op, not
-    * housekeeping. Uses `coalesce` (no shuffle — packs existing partitions)
-    * and writes to a temp sibling then swaps, so a reader never sees a
-    * half-compacted directory.
+    * housekeeping. Uses `coalesce` (no shuffle — packs existing partitions).
+    *
+    * Swap protocol: the rewrite lands in a DOT-PREFIXED sibling
+    * (`.{name}__compacting`) — hidden from Hadoop file listings and Spark
+    * partition discovery, so when `dir` is a partition leaf inside a table
+    * root, a concurrent reader of the root can never pick the temp dir up
+    * as a bogus extra partition (or double-count the leaf) mid-swap. A
+    * crash before the delete leaves `dir` authoritative (the stale temp is
+    * truncated on the next pass); a crash between delete and rename is
+    * healed on the next [[compact]]/[[compactPartitions]] over the same
+    * path, which promotes the completed temp before doing anything else.
     */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = compactTmpPath(path)
+    healInterrupted(fs, path)
     val totalBytes = fs.listStatus(path)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
     spark.read.parquet(dir).coalesce(nFiles)
       .write.mode("overwrite").option("compression", "snappy")
       .parquet(tmp.toString)
     fs.delete(path, true)
     fs.rename(tmp, path)
     nFiles
+  }
+
+  /** Dot-prefixed swap sibling: invisible to readers (Hadoop input listing
+    * and Spark partition discovery skip `.`/`_` names).
+    */
+  private def compactTmpPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(
+      dir.getParent, "." + dir.getName + "__compacting")
+
+  /** Promote a completed-but-unrenamed compaction temp when the target dir
+    * is gone (the delete→rename crash window); the temp held the full
+    * rewrite, so promotion loses nothing.
+    */
+  private def healInterrupted(fs: org.apache.hadoop.fs.FileSystem,
+                              dir: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = compactTmpPath(dir)
+    if (!fs.exists(dir) && fs.exists(tmp)) { fs.rename(tmp, dir); () }
   }
 
   /** Selective per-partition small-file compaction for a PARTITIONED gold
@@ -144,8 +170,22 @@ object GoldPipeline {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      // skip hidden/system names (_SUCCESS, _temporary, .X__compacting) —
+      // the same convention readers use, so a swap temp is never a "leaf".
+      // An interrupted swap shows up as an orphan temp whose TARGET leaf is
+      // gone: heal it here so the walk sees the recovered partition.
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(".") &&
+          s.getPath.getName.endsWith("__compacting"))
+        .foreach { s =>
+          val target = new org.apache.hadoop.fs.Path(p,
+            s.getPath.getName.stripPrefix(".").stripSuffix("__compacting"))
+          healInterrupted(fs, target)
+        }
       val entries = fs.listStatus(p).toSeq
-        .filterNot(_.getPath.getName.startsWith("_"))
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
       val dirs = entries.filter(_.isDirectory)
       if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
     }

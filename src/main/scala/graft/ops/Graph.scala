@@ -77,6 +77,9 @@ object Graph {
     * connectivity rather than global importance. Same integer-micro-unit
     * determinism contract and per-iteration plan shape as
     * [[pageRankMicro]] (one keyed join + one map-side-combined groupBy).
+    * Seeds absent from the edge list are IGNORED — they have no edges to
+    * propagate through — and `|S|` counts only the present ones, so the
+    * full teleport mass always lands on seeds that exist.
     */
   def personalizedPageRankMicro(edges: DataFrame, aCol: String, bCol: String,
                                 seeds: DataFrame, seedCol: String,
@@ -104,7 +107,13 @@ object Graph {
     require(iterations >= 1, "need at least one iteration")
     val deg0 = und.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))
-    val sd = seeds.withColumn("__seed", lit(true))
+    // |S| counts only seeds PRESENT in the graph: a curated seed absent
+    // from the edge list has no edges to propagate through, and counting
+    // it would silently deflate every present seed's share of the teleport
+    // mass (init 1e6 div |S| must inject the full mass over the seeds that
+    // actually exist)
+    val sd = seeds.join(deg0.select("id"), Seq("id"), "left_semi")
+      .withColumn("__seed", lit(true))
     val nDf = sd.agg(count(lit(1)).as("__n"))
     // seed flag + |S| ride the persisted deg frame exactly like N does in
     // the global variant — no eager count at construction time

@@ -56,10 +56,12 @@ object SchemaEvolution {
       val typeFindings = (f.dataType, n.dataType) match {
         case (a, b) if a == b => Nil
         case (a: StructType, b: StructType) => diff(a, b, path + ".")
-        case (ArrayType(a, _), ArrayType(b, _)) =>
-          typeChange(path + "[]", a, b)
-        case (MapType(ka, va, _), MapType(kb, vb, _)) =>
-          typeChange(path + ".key", ka, kb) ++ typeChange(path + ".value", va, vb)
+        case (ArrayType(a, an), ArrayType(b, bn)) =>
+          typeChange(path + "[]", a, b) ++ nullFlagChange(path + "[]", an, bn)
+        case (MapType(ka, va, van), MapType(kb, vb, vbn)) =>
+          typeChange(path + ".key", ka, kb) ++
+            typeChange(path + ".value", va, vb) ++
+            nullFlagChange(path + ".value", van, vbn)
         case (a, b) => typeChange(path, a, b)
       }
       val nullFindings =
@@ -72,6 +74,18 @@ object SchemaEvolution {
     }
     (added ++ dropped ++ changed).toSeq
   }
+
+  /** Element/value null-permission change — the same tightening/loosening
+    * rule as field nullability: old data may hold null elements, so
+    * `containsNull`/`valueContainsNull` going false is breaking.
+    */
+  private def nullFlagChange(path: String, old: Boolean,
+                             next: Boolean): Seq[Finding] =
+    if (old == next) Nil
+    else if (old && !next)
+      Seq(Finding(path, "tightened", "nullable", "not null", breaking = true))
+    else
+      Seq(Finding(path, "loosened", "not null", "nullable", breaking = false))
 
   private def typeChange(path: String, a: DataType, b: DataType): Seq[Finding] =
     if (a == b) Nil

@@ -62,22 +62,33 @@ object JsonlSource {
       .mode("overwrite").json(path)
 
   /** The ingest contract: (clean, quarantine). Clean rows carry exactly
-    * `schema`'s columns; quarantine rows carry the raw offending line and
-    * nothing else. `requiredCols` promotes missing-field rows (legal JSON,
-    * absent key) into quarantine too — for pipelines where a document
-    * without an id or text is as useless as a parse failure.
+    * `schema`'s columns; quarantine rows carry the raw offending line
+    * VERBATIM — not a schema-projected reconstruction, so fields outside
+    * the declared schema, formatting, and key order all survive for
+    * replay/audit. (The implementation reads lines as text and parses with
+    * `from_json` precisely so the original line is always in hand; a
+    * parsed-first read can only rebuild quarantine rows from the declared
+    * columns, silently dropping everything else.) `requiredCols` promotes
+    * missing-field rows (legal JSON, absent key) into quarantine too — for
+    * pipelines where a document without an id or text is as useless as a
+    * parse failure.
     */
   def readSplit(spark: SparkSession, path: String, schema: StructType,
                 requiredCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
-    val parsed = read(spark, path, schema)
+    val withCorrupt = StructType(
+      schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
+    val lines = spark.read.text(path)
+      .select(col("value").as("raw_line"),
+        from_json(col("value"), withCorrupt, Map(
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> CorruptCol)).as("p"))
     val missing = requiredCols.foldLeft(lit(false)) { (acc, c) =>
-      acc || col(c).isNull
+      acc || col(s"p.$c").isNull
     }
-    val bad = col(CorruptCol).isNotNull || missing
-    val clean = parsed.filter(!bad).select(schema.fieldNames.map(col): _*)
-    val quarantine = parsed.filter(bad)
-      .select(coalesce(col(CorruptCol), to_json(struct(schema.fieldNames.map(col): _*)))
-        .as("raw_line"))
+    val bad = col("p").isNull || col(s"p.$CorruptCol").isNotNull || missing
+    val clean = lines.filter(!bad)
+      .select(schema.fieldNames.map(f => col(s"p.$f").as(f)): _*)
+    val quarantine = lines.filter(bad).select("raw_line")
     (clean, quarantine)
   }
 }

@@ -36,20 +36,25 @@ object StandingStore {
            schema: StructType): DataFrame = {
     val p = new Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snap = compactPath(p)
-    if (!fs.exists(p) && fs.exists(snap)) fs.rename(snap, p)
+    heal(fs, p)
     if (fs.exists(p)) spark.read.schema(schema).parquet(storeDir)
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Rewrite the store as its distinct rows via crash-safe
-    * snapshot-and-swap (see the object doc, invariant 3).
+    * snapshot-and-swap (see the object doc, invariant 3). Heals an earlier
+    * interrupted swap FIRST — recovery must not depend on the convention
+    * that every batch reads before it appends: a direct compact() on the
+    * crashed state would otherwise no-op while the snapshot holding the
+    * full history sat stranded (and the first append would create a fresh
+    * store that shadows it forever).
     */
   def compact(spark: SparkSession, storeDir: String,
               schema: StructType): Unit = {
     val p = new Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    heal(fs, p)
     if (fs.exists(p)) {
       val snap = compactPath(p)
       spark.read.schema(schema).parquet(storeDir).distinct()
@@ -57,6 +62,15 @@ object StandingStore {
       fs.delete(p, true)
       fs.rename(snap, p)
     }
+  }
+
+  /** Promote a completed snapshot whose swap was interrupted between
+    * delete and rename; the snapshot held the complete distinct set at
+    * swap time (foreachBatch is sequential), so promotion loses nothing.
+    */
+  private def heal(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
+    val snap = compactPath(p)
+    if (!fs.exists(p) && fs.exists(snap)) { fs.rename(snap, p); () }
   }
 
   /** True on the micro-batches where a `compactEvery`-cadence store should

@@ -53,8 +53,12 @@ object StreamingGeofence {
       uid: Long, rows: Iterator[Ping],
       state: GroupState[ZoneState]): Iterator[Transition] = {
     val prev = state.getOption.getOrElse(ZoneState("", Long.MinValue))
+    // drop only pings STRICTLY older than state — an equal-timestamp ping
+    // (second sensor, coarse clocks) still applies, matching the batch
+    // operator which has no drop at all; replaying the state-setting ping
+    // itself is idempotent (same zone → no transition)
     val inOrder = rows.toList.sortBy(_.ts.getTime)
-      .filter(_.ts.getTime > prev.tsMs) // drop cross-batch stragglers
+      .filter(_.ts.getTime >= prev.tsMs)
     val (last, out) = inOrder.foldLeft((prev, List.empty[Transition])) {
       case ((cur, acc), p) =>
         val z = zoneOf(zones, p.lat, p.lon)

@@ -130,6 +130,36 @@ class GoldPipelineSpec extends SparkSpec {
       "partition values survive the leaf rewrite")
   }
 
+  test("partition compaction temp dirs are invisible to readers and heal after a crash") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("gp_heal").toString + "/t"
+    Seq((1L, "a"), (2L, "a")).toDF("id", "dt")
+      .write.partitionBy("dt").parquet(root)
+    Seq((3L, "b")).toDF("id", "dt")
+      .write.mode("append").partitionBy("dt").parquet(root)
+    // crash-before-delete: a completed rewrite sits in the DOT-prefixed
+    // temp while the real partition still exists — a reader of the root
+    // must see neither a bogus partition nor doubled rows
+    spark.read.parquet(s"$root/dt=a")
+      .write.parquet(s"$root/.dt=a__compacting")
+    val dts = spark.read.parquet(root).select("dt").distinct()
+      .as[String].collect().sorted.toSeq
+    assert(dts === Seq("a", "b"), s"hidden temp must not become a partition: $dts")
+    assert(spark.read.parquet(root).count() === 3L, "no double counting")
+    // crash-between-delete-and-rename: partition gone, snapshot complete —
+    // the next maintenance pass promotes it before walking
+    val fs = new java.io.File(s"$root/dt=a")
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec)); f.delete(); ()
+    }
+    deleteRec(fs)
+    assert(!fs.exists)
+    GoldPipeline.compactPartitions(spark, root, targetBytes = 1L << 30)
+    assert(spark.read.parquet(root).filter(col("dt") === "a").count() === 2L,
+      "the crashed partition's data is healed from the snapshot")
+    assert(!new java.io.File(s"$root/.dt=a__compacting").exists)
+  }
+
   test("z-ordered write: every file owns a compact 2-D tile in BOTH dims") {
     import spark.implicits._
     // full 64x64 grid → 16 range partitions on the Morton key = 16x16 tiles

@@ -157,6 +157,20 @@ class GraphSpec extends SparkSpec {
     scope.release()
   }
 
+  test("personalizedPageRankMicro: a seed absent from the graph neither appears nor dilutes the mass") {
+    // seeds {b, zz}: zz has no edges — |S| must count only b, so the
+    // result is bit-identical to seeding {b} alone (no silent deflation)
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("x", "y")
+    val scope = new CacheScope
+    val both = Graph.personalizedPageRankMicro(edges, "x", "y",
+        Seq("b", "zz").toDF("id"), "id", iterations = 1, scope)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(both === Map("a" -> 425000L, "b" -> 150000L, "c" -> 425000L),
+      s"present seeds must receive the FULL teleport mass: $both")
+    assert(!both.contains("zz"), "an edgeless seed has nothing to rank")
+    scope.release()
+  }
+
   test("personalizedPageRankMicro: rank never reaches a disconnected component") {
     // two components; seed lives in {1,2} — {8,9} must stay at exactly 0
     // through every iteration (no uniform teleport mass leaks across)

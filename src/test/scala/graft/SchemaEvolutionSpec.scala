@@ -48,6 +48,19 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(SchemaEvolution.compatible(s(("v", StringType, false)), old))
   }
 
+  test("array containsNull / map valueContainsNull tightening breaks like field nullability") {
+    val oldA = s(("tags", ArrayType(StringType, containsNull = true), true))
+    val tightA = s(("tags", ArrayType(StringType, containsNull = false), true))
+    val f = SchemaEvolution.diff(oldA, tightA)
+    assert(f === Seq(Finding("tags[]", "tightened", "nullable", "not null",
+      breaking = true)),
+      s"old shards may hold null elements — tightening must break: $f")
+    assert(SchemaEvolution.compatible(tightA, oldA), "loosening is fine")
+    val oldM = s(("m", MapType(StringType, LongType, valueContainsNull = true), true))
+    val tightM = s(("m", MapType(StringType, LongType, valueContainsNull = false), true))
+    assert(!SchemaEvolution.compatible(oldM, tightM))
+  }
+
   test("nested structs report dotted paths; array element changes carry []") {
     val old = s(("meta", s(("w", IntegerType, true)), true),
       ("tags", ArrayType(IntegerType), true))

@@ -529,8 +529,26 @@ class SourcesSpec extends SparkSpec {
     assert(q.length === 2, s"one malformed + one required-null line: $q")
     assert(q.exists(_.contains("broken json")),
       "the malformed raw line survives verbatim for replay/debugging")
-    assert(q.exists(_.contains("\"doc_id\":3")),
-      s"the required-null row is reconstructible from quarantine: $q")
+    assert(q.contains("""{"doc_id": 3, "lang": "de"}"""),
+      s"the required-null line is the VERBATIM source line, not a projected rebuild: $q")
+  }
+
+  test("JSONL quarantine preserves fields OUTSIDE the declared schema verbatim") {
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("jsonl3").toString
+    val f = new java.io.File(dir, "extra.jsonl")
+    val w = new java.io.PrintWriter(f, "UTF-8")
+    // legal JSON, required text missing — quarantined; the provenance field
+    // is NOT in the declared schema and must still survive for replay
+    w.println("""{"doc_id": 7, "provenance": "crawl-7"}""")
+    w.close()
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val (_, quarantine) = graft.sources.JsonlSource.readSplit(
+      spark, f.toString, schema, requiredCols = Seq("text"))
+    val q = quarantine.as[String].collect().toSeq
+    assert(q === Seq("""{"doc_id": 7, "provenance": "crawl-7"}"""),
+      s"undeclared fields must not be dropped from quarantine: $q")
   }
 
   test("JSONL export shards by record count and round-trips through the schema-enforced read") {

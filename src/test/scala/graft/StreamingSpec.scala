@@ -416,12 +416,19 @@ class StreamingSpec extends SparkSpec {
         Ping(1L, ts("10:05"), 9.0, 9.0),
         Ping(1L, ts("10:01"), 0.5, 0.5))
       q.processAllAvailable()
+      // batch 3: a second reading at the SAME timestamp as state (coarse
+      // clocks / second sensor) must still apply — only strictly-older
+      // pings drop — so the re-entry into zone a at 10:05 emits
+      in.addData(Ping(1L, ts("10:05"), 0.5, 0.5))
+      q.processAllAvailable()
       val got = spark.table("geo_out").as[Transition]
-        .collect().sortBy(_.ts.getTime)
+        .collect().sortBy(t => (t.ts.getTime, t.kind))
         .map(t => (t.from_zone, t.to_zone, t.kind)).toSeq
+      // ties at 10:05 sort "enter" < "exit" lexically; emission order was
+      // exit (batch 2) then the equal-ts re-enter (batch 3)
       assert(got === Seq(("", "a", "enter"), ("a", "b", "switch"),
-        ("b", "", "exit")),
-        s"exactly one event per zone change, none for staying put: $got")
+        ("", "a", "enter"), ("b", "", "exit")),
+        s"one event per zone change incl. the equal-timestamp reading: $got")
     } finally q.stop()
   }
 
@@ -476,6 +483,22 @@ class StreamingSpec extends SparkSpec {
       "the snapshot is promoted in place so later appends extend it")
     assert(!new java.io.File(store + ".compact").exists,
       "no stale snapshot is left to shadow future swaps")
+  }
+
+  test("compact() itself heals an interrupted swap — recovery doesn't depend on read-first") {
+    // same crash window, but the next touch is a COMPACT, not a read: it
+    // must promote the stranded snapshot first, not no-op and leave the
+    // history to be shadowed by the next append
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val root = java.nio.file.Files.createTempDirectory("graft-heal2").toString
+    val store = root + "/store"
+    val schema = StructType(Seq(StructField("seg_key", BinaryType)))
+    spark.range(3).select(unhex(md5(col("id").cast("string"))).as("seg_key"))
+      .write.parquet(store + ".compact")
+    graft.streaming.StandingStore.compact(spark, store, schema)
+    assert(spark.read.schema(schema).parquet(store).count() === 3L,
+      "the stranded snapshot's full history survives a direct compact")
+    assert(!new java.io.File(store + ".compact").exists)
   }
 
   test("streaming scrub ≡ batch scrubSegments on an id-ordered two-batch replay") {
