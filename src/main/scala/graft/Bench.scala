@@ -66,14 +66,23 @@ object Bench {
     // fixed calibration probe: q1_agg, warmed once untimed so pre and post
     // measure the same already-codegen'd plan under the machine's CURRENT
     // load — the pre/post pair brackets the suite
+    // the probe gets the SAME hang protection as real queries: a stalled
+    // probe (the very contention it measures, taken to the extreme) must
+    // cost one error entry, not the round's JSON line
     def calibrate(): Double = {
       try {
         val fn = SparkEntry.queries("q1_agg")
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        val res = engine.Watchdog.run(spark, "calibration",
+          sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "900").toLong) {
+          fn(spark, sfDir).count()
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        sec
+        res match {
+          case Right(_) => sec
+          case Left(reason) => errors("calibration") = reason; -1.0
+        }
       } catch { case e: Throwable =>
         errors("calibration") =
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"

@@ -2107,7 +2107,9 @@ object SparkEntry {
       |                 CAST(q AS BIGINT) AS q, CAST(r AS BIGINT) AS r FROM c4),
       |p AS (
       |  SELECT a.uid AS uid_a, b.uid AS uid_b, a.dt,
-      |         (a.q = b.q AND a.r = b.r) AS is_exact
+      |         (a.q = b.q AND a.r = b.r) AS is_exact,
+      |         CAST(a.q * 268435456 + a.r AS VARCHAR) || ':' ||
+      |           CAST(b.q * 268435456 + b.r AS VARCHAR) AS cfg
       |  FROM cells a JOIN cells b
       |    ON a.dt = b.dt AND a.hr = b.hr AND a.uid < b.uid
       |   AND ((a.q - b.q) * 268435456 + (a.r - b.r)) IN
@@ -2115,8 +2117,9 @@ object SparkEntry {
       |g AS (
       |  SELECT uid_a, uid_b, dt AS day_date,
       |         CAST(count(*) AS BIGINT) AS h_ring,
+      |         CAST(count(DISTINCT cfg) AS BIGINT) AS g_ring,
       |         CAST(sum(CASE WHEN is_exact THEN 1 ELSE 0 END) AS BIGINT) AS h_exact
-      |  FROM p GROUP BY 1, 2, 3 HAVING count(*) > 1)""".stripMargin
+      |  FROM p GROUP BY 1, 2, 3 HAVING count(DISTINCT cfg) > 1)""".stripMargin
 
   private val PairsCte =
     s"""$HourlyCte,
@@ -2190,7 +2193,7 @@ object SparkEntry {
     // axial delta (dq·2^28 + dr) — mirroring CoMovement.ringDeltas exactly
     "pairs_daily_ring" ->
       s"""$RingPairsCte
-        |SELECT uid_a, uid_b, day_date, h_ring, h_exact,
+        |SELECT uid_a, uid_b, day_date, h_ring, g_ring, h_exact,
         |       h_ring - h_exact AS ring_only
         |FROM g ORDER BY uid_a, uid_b, day_date""".stripMargin,
 

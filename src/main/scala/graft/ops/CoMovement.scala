@@ -169,9 +169,15 @@ object CoMovement {
     * the expanded addresses are distinct and the A side holds one row per
     * vessel-hour, so `count(*)` is exactly the shared-hour count.
     *
-    * Output: (uid_a, uid_b, day_date, h_ring, h_exact, ring_only) with the
-    * same `> 1` shared-hours quality gate as the exact pipeline; ring_only
-    * > 0 flags pairs invisible to exact-cell equality.
+    * Output: (uid_a, uid_b, day_date, h_ring, g_ring, h_exact, ring_only).
+    * The quality gate is `g_ring > 1` — g_ring counts DISTINCT cell
+    * CONFIGURATIONS (a-cell, b-cell) across the day's matched hours, the
+    * ring analog of the exact pipeline's `gT > 1` distinct-shared-cells
+    * gate: a pair parked all day in one spot (same cell, or two adjacent
+    * cells across a boundary) is the stationary-anchorage noise class both
+    * gates exist to drop; co-MOVEMENT means the configuration changes.
+    * A shared-hours gate (h_ring > 1) would re-admit exactly that noise.
+    * ring_only > 0 flags pairs invisible to exact-cell equality.
     */
   def pairsDailyRing(hourly: DataFrame, k: Int = 1): DataFrame = {
     val h = hourly.select(col("uid"), col("dt"), col("hr"),
@@ -185,8 +191,9 @@ object CoMovement {
       .filter(col("uid_a") < col("uid_b"))
       .groupBy(col("uid_a"), col("uid_b"), col("dt").as("day_date"))
       .agg(count(lit(1)).as("h_ring"),
+        countDistinct(col("v"), col("v0")).as("g_ring"),
         sum(when(col("v") === col("v0"), 1L).otherwise(0L)).as("h_exact"))
-      .filter(col("h_ring") > 1)
+      .filter(col("g_ring") > 1)
       .withColumn("ring_only", col("h_ring") - col("h_exact"))
   }
 

@@ -48,17 +48,21 @@ object StandingStore {
     * that every batch reads before it appends: a direct compact() on the
     * crashed state would otherwise no-op while the snapshot holding the
     * full history sat stranded (and the first append would create a fresh
-    * store that shadows it forever).
+    * store that shadows it forever). `partitionCols` preserves a
+    * partitioned store's layout (the pruning a partitioned probe relies
+    * on must survive its own maintenance).
     */
-  def compact(spark: SparkSession, storeDir: String,
-              schema: StructType): Unit = {
+  def compact(spark: SparkSession, storeDir: String, schema: StructType,
+              partitionCols: Seq[String] = Nil): Unit = {
     val p = new Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     heal(fs, p)
     if (fs.exists(p)) {
       val snap = compactPath(p)
-      spark.read.schema(schema).parquet(storeDir).distinct()
-        .write.mode("overwrite").parquet(snap.toString)
+      val w = spark.read.schema(schema).parquet(storeDir).distinct()
+        .write.mode("overwrite")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(snap.toString)
       fs.delete(p, true)
       fs.rename(snap, p)
     }

@@ -28,10 +28,14 @@ import org.apache.spark.sql.types.StructType
   * `pairHours` multiset — each unordered pair-hour is discovered exactly
   * once, in the batch where its later side arrived.
   *
-  * Scale: per-batch cost is O(batch ⋈ batch) + O(batch-bucket slice of the
-  * store); the store is one narrow row per vessel-hour (the same table the
-  * batch pipeline materializes as hourly gold) keyed by the join bucket, so
-  * the probe shuffles only the touched buckets. Day-grain scoring (the
+  * Scale: per-batch cost is O(batch ⋈ batch) + O(batch-day slice of the
+  * store). The store is one narrow row per vessel-hour (the same table the
+  * batch pipeline materializes as hourly gold), PARTITIONED BY dt and
+  * probed under a literal `dt IN (batch days)` predicate — partition
+  * pruning bounds the SCAN to the days the batch touches (the bucket
+  * semi-join alone would bound shuffle volume but still scan all history,
+  * so per-batch cost would grow with stream lifetime), and the semi-join
+  * then narrows the shuffle to the touched space-time buckets. Day-grain scoring (the
   * gT > 1 gate, overlap coefficients, GTO) runs downstream as the standard
   * periodic rollup over the accumulated pair-hour log — the same lambda
   * split as [[StreamingNearDup]] documents.
@@ -73,19 +77,34 @@ object StreamingCoMovement {
               if (ringK == 0) exactPairs(spark, batch, storeDir)
               else ringPairs(spark, batch, storeDir, ringK)
             pairs.write.mode("append").parquet(outDir)
-            batch.write.mode("append").parquet(storeDir)
+            // dt-partitioned: the probe prunes the store to the days the
+            // batch touches, so per-batch scan cost tracks the batch's
+            // time span, not the stream's lifetime
+            batch.write.mode("append").partitionBy("dt").parquet(storeDir)
             if (StandingStore.due(batchId, compactEvery))
-              StandingStore.compact(spark, storeDir, batch.schema)
+              StandingStore.compact(spark, storeDir, batch.schema, Seq("dt"))
           } finally batch.unpersist(blocking = false)
         }
         ()
       }
       .start()
 
+  /** The batch's distinct days as literals: a `dt IN (...)` filter on the
+    * dt-partitioned store is PARTITION PRUNING — the probe's scan cost
+    * tracks the batch's time span, not the accumulated history. (The
+    * bucket semi-join alone bounds shuffle volume but not scan volume; a
+    * literal predicate prunes at planning time, no DPP reliance.) One tiny
+    * driver collect per batch over the persisted batch frame.
+    */
+  private def batchDates(batch: DataFrame): Seq[Any] =
+    batch.select("dt").distinct().collect().map(_.get(0)).toSeq
+
   /** Exact-cell batch step: batch × batch plus batch × bucket-probed store. */
   private def exactPairs(spark: SparkSession, batch: DataFrame,
                          storeDir: String): DataFrame = {
-    val standing = readStore(spark, storeDir, batch.schema).distinct()
+    val standing = readStore(spark, storeDir, batch.schema)
+      .filter(col("dt").isInCollection(batchDates(batch)))
+      .distinct()
       // probe only the buckets this batch touches
       .join(batch.select("dt", "hr", "cell").distinct(),
         Seq("dt", "hr", "cell"), "left_semi")
@@ -127,7 +146,9 @@ object StreamingCoMovement {
         col("cell").as("cell_b"), col("v")), Seq("dt", "hr", "v"))
       .filter(col("uid_a") < col("uid_b"))
       .select("uid_a", "uid_b", "dt", "hr", "cell_a", "cell_b")
-    val standing = readStore(spark, storeDir, batch.schema).distinct()
+    val standing = readStore(spark, storeDir, batch.schema)
+      .filter(col("dt").isInCollection(batchDates(batch)))
+      .distinct()
       .withColumn("v", conv(col("cell"), 16, 10).cast("long"))
       // probe only the addresses the expanded batch can reach
       .join(expanded.select("dt", "hr", "v").distinct(),

@@ -107,48 +107,71 @@ class CoMovementSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("ring-1 co-location finds the boundary pair exact-cell equality misses") {
+  test("ring-1 co-location finds the MOVING boundary pair; parked-adjacent noise is gated") {
     import graft.expressions.GeoCell
     val d = java.sql.Date.valueOf("2025-01-01")
     val c = GeoCell.cellId(10.0, 10.0, 2)
     val n = GeoCell.neighbors(c).head
-    // a hex-distance-2 cell from c that is ALSO outside n's 1-ring, so the
-    // vessel parked there pairs with nobody
+    // a hex-distance-2 cell from c that is ALSO outside n's 1-ring, so a
+    // vessel there pairs with nobody at ring-1
     val far = (GeoCell.kRing(c, 2).toSet -- GeoCell.kRing(c, 1)
       -- GeoCell.kRing(n, 1)).toSeq.sorted.head
+    // an isolated spot ≥4 cells from everything: the parked pair there can
+    // never cross-match the moving vessels, even at ring-2
+    val p = GeoCell.kRing(c, 6).filter(x =>
+      Seq(c, n, far).forall(y => GeoCell.hexDistance(x, y) >= 4)).sorted.head
+    val pn = GeoCell.neighbors(p).head
     val hourly = Seq(
-      (1L, d, 1, c), (2L, d, 1, n),     // vessels straddling the boundary
+      // the boundary pair MOVES together: two hours straddling the c|n
+      // boundary, then both relocate to far — configurations (c,n) and
+      // (far,far), so the g_ring>1 co-movement gate passes
+      (1L, d, 1, c), (2L, d, 1, n),
       (1L, d, 2, c), (2L, d, 2, n),
-      (4L, d, 1, c), (4L, d, 2, c),     // vessel co-located with 1 exactly
-      (1L, d, 3, far), (4L, d, 3, far), // second distinct shared cell: the
-                                        //  exact pipeline's gT>1 gate passes
-      (3L, d, 1, far), (3L, d, 2, far)) // distance 2 those hours: no pair
+      (1L, d, 3, far), (2L, d, 3, far),
+      // vessel 4 rides exactly with 1 the whole day (c, c, far)
+      (4L, d, 1, c), (4L, d, 2, c), (4L, d, 3, far),
+      // vessel 3 sits at far early (distance 2 from c and n: invisible at
+      // ring-1), joining the flotilla's cell only at hour 3
+      (3L, d, 1, far), (3L, d, 2, far), (3L, d, 3, far),
+      // the stationary-noise class BOTH gates exist to drop: 5 and 6
+      // parked in adjacent cells all day, configuration never changes
+      (5L, d, 1, p), (6L, d, 1, pn),
+      (5L, d, 2, p), (6L, d, 2, pn))
       .toDF("uid", "dt", "hr", "cell")
     val ring = CoMovement.pairsDailyRing(hourly)
       .orderBy("uid_a", "uid_b").collect()
     assert(ring.map(r => (r.getAs[Long]("uid_a"), r.getAs[Long]("uid_b"),
-        r.getAs[Long]("h_ring"), r.getAs[Long]("h_exact"),
-        r.getAs[Long]("ring_only"))).toSeq === Seq(
-      (1L, 2L, 2L, 0L, 2L),   // found ONLY via adjacency
-      (1L, 4L, 3L, 3L, 0L),   // exact co-location still counts
-      (2L, 4L, 2L, 0L, 2L)))
+        r.getAs[Long]("h_ring"), r.getAs[Long]("g_ring"),
+        r.getAs[Long]("h_exact"), r.getAs[Long]("ring_only"))).toSeq === Seq(
+      (1L, 2L, 3L, 2L, 1L, 2L),   // found mostly via adjacency
+      (1L, 3L, 1L, 1L, 1L, 0L),   // hour-3 only → gated
+      (1L, 4L, 3L, 2L, 3L, 0L),   // exact co-movement still counts
+      (2L, 3L, 1L, 1L, 1L, 0L),
+      (2L, 4L, 3L, 2L, 1L, 2L),
+      (3L, 4L, 1L, 1L, 1L, 0L))
+      .filter(t => t._4 > 1),
+      "only pairs whose cell configuration CHANGES survive the gate")
+    val kept = ring.map(r => (r.getAs[Long]("uid_a"), r.getAs[Long]("uid_b"))).toSeq
+    assert(kept === Seq((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(!kept.contains((5L, 6L)),
+      "the parked-adjacent pair is the noise class the gate drops")
     // the exact-cell pipeline misses the boundary pairs entirely
     assert(CoMovement.pairsDaily(hourly)
       .select("uid_a", "uid_b").collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSeq === Seq((1L, 4L)))
     spark.catalog.clearCache()
 
-    // widening to ring-2 picks up the hex-distance-2 vessel
+    // widening to ring-2 picks up the hex-distance-2 vessel 3 (it moves to
+    // the flotilla cell at hour 3, so its configuration changes too)
     val ring2 = CoMovement.pairsDailyRing(hourly, k = 2)
       .orderBy("uid_a", "uid_b").collect()
       .map(r => (r.getAs[Long]("uid_a"), r.getAs[Long]("uid_b"),
         r.getAs[Long]("h_ring"), r.getAs[Long]("h_exact"))).toSeq
     val expected2 = Seq(
-      (1L, 2L, 2L, 0L), (1L, 3L, 2L, 0L), (1L, 4L, 3L, 3L),
-      (3L, 4L, 2L, 0L)) ++
+      (1L, 2L, 3L, 1L), (1L, 3L, 3L, 1L), (1L, 4L, 3L, 3L)) ++
       // (2,3) appears iff n and far happen to sit within hex distance 2
-      (if (GeoCell.hexDistance(n, far) <= 2) Seq((2L, 3L, 2L, 0L)) else Nil) ++
-      Seq((2L, 4L, 2L, 0L))
+      (if (GeoCell.hexDistance(n, far) <= 2) Seq((2L, 3L, 3L, 1L)) else Nil) ++
+      Seq((2L, 4L, 3L, 1L), (3L, 4L, 3L, 1L))
     assert(ring2 === expected2.sorted)
     spark.catalog.clearCache()
   }

@@ -35,6 +35,20 @@ class IndexingSpec extends SparkSpec {
     assert(e0 !== (0L until 200L).toSeq)           // actually shuffled
   }
 
+  test("globalIndex carries the 2^33 per-partition overflow guard in its live plan") {
+    // the guard must ride a USED column (coalesce into __min) — if an
+    // optimizer change ever prunes it, index corruption at >= 2^33 rows
+    // per partition would be silent again; pin its presence in the plan
+    import spark.implicits._
+    val df = Indexing.globalIndex((1L to 10L).toDF("k"), "k", numPartitions = 2)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("assert_true") || plan.contains("raise_error"),
+      s"the overflow fail-fast must survive optimization:\n${plan.take(400)}")
+    // and it is transparent on the happy path
+    assert(df.select("global_idx").as[Long].collect().sorted.toSeq ===
+      (0L to 9L))
+  }
+
   test("globalIndex: empty input yields empty output with the stamped schema") {
     val df = spark.range(0).toDF("k")
     val out = Indexing.globalIndex(df, "k")
