@@ -136,6 +136,7 @@ object Bench {
           errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
         }
         spark.catalog.clearCache() // operators may persist shared frames
+        engine.CacheScope.releaseAll() // and the retained plan handles
         rep += 1
       }
       name -> (if (times.nonEmpty) times.toSeq else Seq.empty[Double])

@@ -46,6 +46,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache() // operators may persist shared frames
+      // also drop the CacheScope HANDLES: clearCache unpersists, but the
+      // global scope's buffer would otherwise retain every query's plan
+      // objects for the whole 150-query dump
+      engine.CacheScope.releaseAll()
     }
     // loud summary on stdout; exit code stays 0 so the per-query dumps that
     // DID succeed still reach the driver compare (it records the missing
