@@ -186,6 +186,111 @@ class GraphSpec extends SparkSpec {
     scope.release()
   }
 
+  // deterministic Erdős–Rényi-ish fixture: every unordered pair of 1..n
+  // becomes an edge with probability p under a fixed seed
+  private def randomGraph(seed: Long, n: Int, p: Double): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    for {
+      i <- 1 to n; j <- (i + 1) to n
+      if rnd.nextDouble() < p
+    } yield (i.toLong, j.toLong)
+  }
+
+  private def adjacency(edges: Seq[(Long, Long)]): Map[Long, Set[Long]] =
+    edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupMap(_._1)(_._2).view.mapValues(_.toSet).toMap
+
+  test("triangleCounts matches the brute-force count on random graphs") {
+    val scope = new CacheScope
+    for (seed <- Seq(11L, 23L, 47L)) {
+      val edges = randomGraph(seed, 12, 0.4)
+      val adj = adjacency(edges)
+      val expected = adj.keys.toSeq.map { v =>
+        val nb = adj(v).toSeq
+        v -> (for {
+          i <- nb.indices; j <- (i + 1) until nb.size
+          if adj(nb(i)).contains(nb(j))
+        } yield 1).size.toLong
+      }.filter(_._2 > 0).toMap
+      val got = Graph.triangleCounts(edges.toDF("x", "y"), "x", "y", scope)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"random graph seed=$seed, edges=$edges")
+    }
+    scope.release()
+  }
+
+  test("seedDistance matches a reference BFS on random graphs and seeds") {
+    val scope = new CacheScope
+    for (seed <- Seq(5L, 31L, 77L)) {
+      val edges = randomGraph(seed, 14, 0.25)
+      val adj = adjacency(edges)
+      val nodes = adj.keys.toSeq.sorted
+      val rnd = new scala.util.Random(seed * 7)
+      val seeds = rnd.shuffle(nodes).take(2)
+      // reference: frontier BFS to 3 hops over the adjacency map
+      var dist = seeds.map(_ -> 0).toMap
+      var frontier = seeds.toSet
+      for (h <- 1 to 3) {
+        val next = frontier.flatMap(adj).diff(dist.keySet)
+        dist = dist ++ next.map(_ -> h)
+        frontier = next
+      }
+      val got = Graph.seedDistance(edges.toDF("x", "y"), "x", "y",
+          seeds.toDF("id"), "id", maxHops = 3, scope)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === dist, s"seed=$seed, seeds=$seeds")
+    }
+    scope.release()
+  }
+
+  test("commonNeighborPairs matches brute force on random graphs (uncapped)") {
+    val scope = new CacheScope
+    for (seed <- Seq(3L, 59L)) {
+      val edges = randomGraph(seed, 12, 0.35)
+      val adj = adjacency(edges)
+      val nodes = adj.keys.toSeq.sorted
+      val expected = (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size
+        a = nodes(i); b = nodes(j)
+        if !adj(a).contains(b)
+        common = (adj(a) & adj(b)).size.toLong
+        if common >= 2
+      } yield (a, b) -> ((common,
+        BigDecimal(common.toDouble / (adj(a).size + adj(b).size - common))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))).toMap
+      val got = Graph.commonNeighborPairs(edges.toDF("x", "y"), "x", "y",
+          minCommon = 2, maxNeighbors = 1000, scope = scope)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getLong(2), BigDecimal(r.getDouble(3))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))).toMap
+      assert(got === expected, s"seed=$seed")
+    }
+    scope.release()
+  }
+
+  test("personalized rank support equals the BFS ball of the iteration radius") {
+    // cross-operator invariant: after k iterations, ppr rank is positive on
+    // exactly the nodes within k hops of the seed (teleport mass only
+    // enters at seeds; each iteration propagates one hop; with n=14 the
+    // integer truncation cannot starve a reachable node to zero)
+    val scope = new CacheScope
+    for (seed <- Seq(13L, 41L)) {
+      val edges = randomGraph(seed, 14, 0.15)
+      val nodes = adjacency(edges).keys.toSeq.sorted
+      val s0 = nodes.head
+      val ball = Graph.seedDistance(edges.toDF("x", "y"), "x", "y",
+          Seq(s0).toDF("id"), "id", maxHops = 3, scope)
+        .collect().map(_.getLong(0)).toSet
+      val positive = Graph.personalizedPageRankMicro(edges.toDF("x", "y"),
+          "x", "y", Seq(s0).toDF("id"), "id", iterations = 3, scope)
+        .collect().filter(_.getLong(2) > 0L).map(_.getLong(0)).toSet
+      assert(positive === ball,
+        s"seed=$seed: rank support must be the 3-hop ball of $s0")
+    }
+    scope.release()
+  }
+
   test("pageRankMicro: total rank mass stays near one million") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
       .toDF("x", "y")
