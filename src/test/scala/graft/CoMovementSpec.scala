@@ -176,6 +176,43 @@ class CoMovementSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ring-k pairing matches brute-force hexDistance on random fleets (k = 1 and 2)") {
+    // the packed-long delta expansion must agree with GeoCell.hexDistance
+    // on arbitrary positions — this pins ringDeltas' axial arithmetic
+    // against the independent cube-coordinate distance, including the
+    // g_ring configuration gate, on data with no hand-placed structure
+    import graft.expressions.GeoCell
+    val d = java.sql.Date.valueOf("2025-03-01")
+    val rnd = new scala.util.Random(271L)
+    for (k <- Seq(1, 2)) {
+      val rows = for {
+        uid <- 1L to 10L
+        hr <- 1 to 3
+      } yield (uid, d, hr,
+        GeoCell.cellId(10.0 + rnd.nextDouble() * 0.8,
+          10.0 + rnd.nextDouble() * 0.8, 2))
+      // brute force: matched hours per pair via hexDistance ≤ k, then the
+      // distinct-configuration gate
+      val byHour = rows.groupBy(_._3)
+      val cand = (for {
+        (_, hs) <- byHour.toSeq
+        a <- hs; b <- hs
+        if a._1 < b._1 && GeoCell.hexDistance(a._4, b._4) <= k
+      } yield ((a._1, b._1), (a._4, b._4))).groupBy(_._1)
+      val expected = cand.view.mapValues { ms =>
+        (ms.size.toLong, ms.map(_._2).distinct.size.toLong,
+          ms.count(m => m._2._1 == m._2._2).toLong)
+      }.filter(_._2._2 > 1).toMap
+      val got = CoMovement.pairsDailyRing(
+          rows.toDF("uid", "dt", "hr", "cell"), k)
+        .collect().map(r => (r.getAs[Long]("uid_a"), r.getAs[Long]("uid_b")) ->
+          ((r.getAs[Long]("h_ring"), r.getAs[Long]("g_ring"),
+            r.getAs[Long]("h_exact")))).toMap
+      assert(got === expected, s"k=$k random-fleet mismatch")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("out-of-range and null positions are filtered before rollup") {
     val dirty = Seq(
       (1L, ts(0), 600.0),           // out of [0,500]
