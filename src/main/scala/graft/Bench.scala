@@ -14,11 +14,13 @@ import org.apache.spark.sql.SparkSession
   *
   * Contention detection: a recorded round once tripled on untouched code
   * because the box was loaded, and nothing in the artifact distinguished
-  * noise from regression. Two probes make that diagnosable from the JSON
-  * alone: (1) a FIXED calibration query (`q1_agg`, warmed once untimed) is
-  * timed immediately before and after the suite — `calib_pre_sec` /
-  * `calib_post_sec` drifting apart, or far off their historical ~0.25 s,
-  * means the machine (not the code) moved; (2) every query's full rep
+  * noise from regression. Three probes make that diagnosable from the JSON
+  * alone: (1) a FIXED calibration query (`q1_agg`, warmed once untimed,
+  * Watchdog-guarded like any real query) is timed before the suite, after
+  * it, and every ~N/5 queries in between (`calib_series` — contention
+  * arrives in pulses the endpoints alone miss); (2) `calib_spread` =
+  * max/min over all calibration samples of that one warmed plan, the
+  * one-number verdict (~1 quiet, ≫1 loaded); (3) every query's full rep
   * vector, min, and median land in `BENCH_full.json` next to the repo (the
   * 2000-char driver tail keeps only the slowest queries, which is exactly
   * where a fast query's 10× relative regression hides). A min ≪ median
