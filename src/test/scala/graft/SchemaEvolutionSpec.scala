@@ -71,3 +71,38 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(f.exists(x => x.path == "tags[]" && x.change == "widened" && !x.breaking))
   }
 }
+
+/** The verdicts grounded in the ENGINE: a `compatible` evolution must
+  * actually read old parquet shards under the new schema, and a `breaking`
+  * one must actually fail — the model is worth nothing if it diverges from
+  * what Spark's reader does.
+  */
+class SchemaEvolutionEngineSpec extends SparkSpec {
+  import org.apache.spark.sql.types._
+  import spark.implicits._
+
+  test("a compatible evolution (widen + nullable add) reads old shards; a retype fails") {
+    val dir = java.nio.file.Files.createTempDirectory("schema_evo").toString + "/t"
+    Seq((1, 1.5f), (2, 2.5f)).toDF("id", "score").write.parquet(dir)
+    val next = StructType(Seq(
+      StructField("id", LongType),        // int → long: safe widening
+      StructField("score", DoubleType),   // float → double: safe widening
+      StructField("lang", StringType)))   // nullable add
+    val old = spark.read.parquet(dir).schema
+    assert(graft.ops.SchemaEvolution.compatible(old, next),
+      "the model must call this evolution compatible")
+    val rows = spark.read.schema(next).parquet(dir)
+      .orderBy("id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 1.5), (2L, 2.5)), "old values embed losslessly")
+    assert(rows.forall(_.isNullAt(2)), "the added column reads as null")
+    // negative control: the model calls id STRING breaking — and the
+    // engine agrees (the read cannot produce the rows)
+    val retyped = StructType(Seq(
+      StructField("id", StringType), StructField("score", FloatType)))
+    assert(!graft.ops.SchemaEvolution.compatible(old, retyped))
+    intercept[Exception] {
+      spark.read.schema(retyped).parquet(dir).collect()
+    }
+  }
+}
