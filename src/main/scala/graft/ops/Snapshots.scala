@@ -1,0 +1,118 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Immutable dataset snapshots with an atomic latest pointer — the
+  * reproducibility primitive a training-data pipeline needs: a training
+  * run records the VERSION it consumed, and that version re-reads
+  * byte-identically forever, while curation keeps publishing newer ones.
+  * The reference's gold lifecycle overwrites in place
+  * (`refresh_gold_tables.py` replace mode), which is right for dashboards
+  * and wrong for reproducing a model: yesterday's corpus is gone the
+  * moment today's lands.
+  *
+  * Layout: `root/v=N/` per published version (immutable once the pointer
+  * moves), plus a one-line `root/_latest` pointer file. Publication
+  * protocol: write the full data to the NEXT `v=N` dir, then swap the
+  * pointer via write-temp + atomic rename. Readers resolve through the
+  * pointer, so
+  *   - a crash mid-write leaves a partial `v=N` that no pointer
+  *     references — invisible; the next publish rewrites it (overwrite
+  *     mode) before the pointer ever moves there;
+  *   - a crash between data commit and pointer swap loses only the
+  *     pointer move — the publish is simply not visible, and re-running
+  *     it is idempotent;
+  *   - concurrent readers during a publish keep reading the old version —
+  *     there is no in-place mutation anywhere.
+  *
+  * Scale: versioning is METADATA plus the published write itself — no
+  * copy, no manifest rewrite proportional to history. Retention
+  * ([[prune]]) deletes whole version dirs oldest-first, never the one the
+  * pointer names.
+  */
+object Snapshots {
+
+  private val Pointer = "_latest"
+
+  /** Publish `df` as the next version and move the pointer to it.
+    * Returns the published version number.
+    */
+  def publish(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val next = versions(spark, root).lastOption.getOrElse(0L) + 1L
+    df.write.mode("overwrite").parquet(s"$root/v=$next")
+    writePointer(spark, root, next)
+    next
+  }
+
+  /** Read the version the pointer names (the newest COMMITTED publish). */
+  def readLatest(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root, latestVersion(spark, root)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed snapshot under $root")))
+
+  /** Read one pinned, immutable version. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
+    spark.read.parquet(s"$root/v=$v")
+
+  /** Committed latest version per the pointer; None before any publish. */
+  def latestVersion(spark: SparkSession, root: String): Option[Long] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(root, Pointer)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+        Option(r.readLine()).map(_.trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Version numbers present on disk, ascending — includes a trailing
+    * uncommitted partial if a publish crashed mid-write (harmless: it is
+    * unreferenced and the next publish overwrites it).
+    */
+  def versions(spark: SparkSession, root: String): Seq[Long] = {
+    val fs = fsOf(spark, root)
+    val p = new Path(root)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+      .sorted
+  }
+
+  /** Delete versions oldest-first down to `keep`, never touching the
+    * pointer's target (a pinned training run re-reads its version until
+    * retention explicitly outlives it — callers own that policy).
+    */
+  def prune(spark: SparkSession, root: String, keep: Int): Seq[Long] = {
+    require(keep >= 1, "keep must retain at least one version")
+    val fs = fsOf(spark, root)
+    val all = versions(spark, root)
+    val protect = all.takeRight(keep).toSet ++ latestVersion(spark, root)
+    val toDrop = all.filterNot(protect)
+    toDrop.foreach(v => fs.delete(new Path(s"$root/v=$v"), true))
+    toDrop
+  }
+
+  private def writePointer(spark: SparkSession, root: String, v: Long): Unit = {
+    val fs = fsOf(spark, root)
+    val tmp = new Path(root, s"$Pointer.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = new Path(root, Pointer)
+    if (fs.exists(dst)) fs.delete(dst, false)
+    fs.rename(tmp, dst)
+    ()
+  }
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+}
