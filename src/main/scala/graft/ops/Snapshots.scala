@@ -58,19 +58,26 @@ object Snapshots {
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame =
     spark.read.parquet(s"$root/v=$v")
 
-  /** Committed latest version per the pointer; None before any publish. */
+  /** Committed latest version per the pointer; None before any publish.
+    * The swap is delete-then-rename (local FS rename refuses an existing
+    * destination), so a reader landing exactly in that gap — or after a
+    * crash inside it — falls back to the `.tmp` side, which is always
+    * fully written and closed before the swap begins.
+    */
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
     val fs = fsOf(spark, root)
-    val p = new Path(root, Pointer)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val r = new java.io.BufferedReader(
-          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
-        Option(r.readLine()).map(_.trim.toLong)
-      } finally in.close()
-    }
+    def readAt(p: Path): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val r = new java.io.BufferedReader(
+            new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+          Option(r.readLine()).map(_.trim.toLong)
+        } finally in.close()
+      }
+    readAt(new Path(root, Pointer))
+      .orElse(readAt(new Path(root, s"$Pointer.tmp")))
   }
 
   /** Version numbers present on disk, ascending — includes a trailing

@@ -39,6 +39,19 @@ class SnapshotsSpec extends SparkSpec {
       .collect().toSeq === Seq((7L, "y")))
   }
 
+  test("a reader landing inside the pointer swap gap resolves via the tmp side") {
+    val root = Files.createTempDirectory("snap4").toString + "/corpus"
+    Snapshots.publish(Seq((1L, "a")).toDF("id", "t"), root)
+    // simulate the delete→rename gap: pointer gone, tmp fully written
+    val dir = new java.io.File(root)
+    val w = new java.io.PrintWriter(new java.io.File(dir, "_latest.tmp"), "UTF-8")
+    w.print("1"); w.close()
+    assert(new java.io.File(dir, "_latest").delete())
+    assert(Snapshots.latestVersion(spark, root) === Some(1L),
+      "the tmp pointer is complete before the swap starts — readers never blank out")
+    assert(Snapshots.readLatest(spark, root).count() === 1L)
+  }
+
   test("prune drops oldest versions but never the pointer target") {
     val root = Files.createTempDirectory("snap3").toString + "/corpus"
     (1 to 4).foreach(i => Snapshots.publish(Seq((i.toLong, "x")).toDF("id", "t"), root))
