@@ -432,6 +432,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming scrub ≡ batch on RANDOM corpora with RANDOM batch splits (compacting)") {
+    // the deterministic two-batch fixture pins the contract; this drives it
+    // on corpora with no hand-placed structure — random repeated phrases,
+    // random split points, compaction after every batch — and demands
+    // bit-equality with the batch operator on every one
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    for (seed <- Seq(19L, 83L)) {
+      val rnd = new scala.util.Random(seed)
+      val phrases = Vector("a b c", "d e f", "g h i", "j k l")
+      val docs = (1L to 9L).map { id =>
+        id -> (1 to (1 + rnd.nextInt(3)))
+          .map(_ => phrases(rnd.nextInt(phrases.size))).mkString(" ")
+      }
+      val cut1 = 1 + rnd.nextInt(7)
+      val cut2 = cut1 + 1 + rnd.nextInt(9 - cut1)
+      val batches = Seq(docs.take(cut1), docs.slice(cut1, cut2), docs.drop(cut2))
+        .filter(_.nonEmpty)
+      val in = MemoryStream[(Long, String)]
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-randscrub-$seed").toString
+      val q = graft.streaming.StreamingScrub.scrubStream(
+        in.toDF.toDF("doc_id", "text"), "doc_id", "text",
+        root + "/store", root + "/out", root + "/cp",
+        segTokens = 3, compactEvery = 1)
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val streamed = spark.read.parquet(root + "/out")
+        .orderBy("doc_id").select("doc_id", "n_segs", "n_kept", "clean_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      val batch = graft.ops.Dedup
+        .scrubSegments(docs.toDF("doc_id", "text"), "doc_id", "text", 3)
+        .orderBy("doc_id").select("doc_id", "n_segs", "n_kept", "clean_text")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(streamed === batch,
+        s"seed=$seed cuts=($cut1,$cut2): random corpus must replay batch-identically")
+    }
+  }
+
   test("store compaction squeezes replay duplicates and resets file count without changing keeps") {
     // a torn replay appends the same digest again; compaction must bound the
     // store at its DISTINCT digests (a triple-appended digest doesn't triple
