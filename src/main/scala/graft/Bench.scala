@@ -71,11 +71,16 @@ object Bench {
     // the probe gets the SAME hang protection as real queries: a stalled
     // probe (the very contention it measures, taken to the extreme) must
     // cost one error entry, not the round's JSON line
+    // each probe failure gets its OWN error key (calibration_0, _1, ...):
+    // the series can hold several -1.0 samples and the artifact must say
+    // which probe produced which failure, not just the last one
+    var calibSeq = 0
     def calibrate(): Double = {
+      val key = s"calibration_$calibSeq"; calibSeq += 1
       try {
         val fn = SparkEntry.queries("q1_agg")
         val t0 = System.nanoTime()
-        val res = engine.Watchdog.run(spark, "calibration",
+        val res = engine.Watchdog.run(spark, key,
           sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "900").toLong) {
           fn(spark, sfDir).count()
         }
@@ -83,10 +88,10 @@ object Bench {
         spark.catalog.clearCache()
         res match {
           case Right(_) => sec
-          case Left(reason) => errors("calibration") = reason; -1.0
+          case Left(reason) => errors(key) = reason; -1.0
         }
       } catch { case e: Throwable =>
-        errors("calibration") =
+        errors(key) =
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
         -1.0
       }

@@ -170,20 +170,24 @@ object GoldPipeline {
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
-      // skip hidden/system names (_SUCCESS, _temporary, .X__compacting) —
-      // the same convention readers use, so a swap temp is never a "leaf".
-      // An interrupted swap shows up as an orphan temp whose TARGET leaf is
-      // gone: heal it here so the walk sees the recovered partition.
-      fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory &&
+      // ONE listing per directory (this pass exists to relieve metadata
+      // pressure — it must not double it). Skip hidden/system names
+      // (_SUCCESS, _temporary, .X__compacting) like readers do, so a swap
+      // temp is never a "leaf"; an interrupted swap shows up as an orphan
+      // temp whose TARGET leaf is gone — heal it, then re-list only that
+      // healed directory level.
+      val listed = fs.listStatus(p).toSeq
+      val healed = listed.filter(s => s.isDirectory &&
           s.getPath.getName.startsWith(".") &&
           s.getPath.getName.endsWith("__compacting"))
-        .foreach { s =>
+        .map { s =>
           val target = new org.apache.hadoop.fs.Path(p,
             s.getPath.getName.stripPrefix(".").stripSuffix("__compacting"))
           healInterrupted(fs, target)
+          target
         }
-      val entries = fs.listStatus(p).toSeq
+      val entries = (if (healed.isEmpty) listed
+        else fs.listStatus(p).toSeq)
         .filterNot(s => s.getPath.getName.startsWith("_") ||
           s.getPath.getName.startsWith("."))
       val dirs = entries.filter(_.isDirectory)

@@ -75,18 +75,19 @@ object Indexing {
       .sortWithinPartitions(keyCol)
       .withColumn("__mono", monotonically_increasing_id())
       .withColumn("__pid", shiftrightunsigned(col("__mono"), 33)))
-    // mono ids hold the local position in 33 bits: a range partition at or
-    // over 2^33 rows (~8.6e9 — reachable at the 100 TB target with too few
-    // partitions or heavy range skew) would overflow into the partition
-    // bits and silently corrupt indices. Fail FAST instead: the assert
+    // mono ids hold the local position in 33 bits: a range partition with
+    // MORE than 2^33 rows (~8.6e9 — reachable at the 100 TB target with too
+    // few partitions or heavy range skew) would overflow into the partition
+    // bits and silently corrupt indices (exactly 2^33 rows still fits:
+    // positions 0..2^33-1). Fail FAST instead: the assert
     // rides the __min column (coalesce of its null result) so column
     // pruning can never drop it.
     val stats = sorted.groupBy(col("__pid"))
       .agg(count(lit(1)).as("__cnt"), min(col("__mono")).as("__min0"))
       .select(col("__pid"), col("__cnt"),
         (col("__min0") + coalesce(
-          expr("CAST(assert_true(__cnt < 8589934592, " +
-            "'globalIndex: a range partition holds >= 2^33 rows; " +
+          expr("CAST(assert_true(__cnt <= 8589934592, " +
+            "'globalIndex: a range partition holds > 2^33 rows; " +
             "monotonically_increasing_id would overflow into the " +
             "partition bits — raise numPartitions') AS BIGINT)"),
           lit(0L))).as("__min"))

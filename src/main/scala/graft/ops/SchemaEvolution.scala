@@ -53,17 +53,7 @@ object SchemaEvolution {
     val changed = old.fields.filter(f => nextF.contains(f.name)).flatMap { f =>
       val n = nextF(f.name)
       val path = prefix + f.name
-      val typeFindings = (f.dataType, n.dataType) match {
-        case (a, b) if a == b => Nil
-        case (a: StructType, b: StructType) => diff(a, b, path + ".")
-        case (ArrayType(a, an), ArrayType(b, bn)) =>
-          typeChange(path + "[]", a, b) ++ nullFlagChange(path + "[]", an, bn)
-        case (MapType(ka, va, van), MapType(kb, vb, vbn)) =>
-          typeChange(path + ".key", ka, kb) ++
-            typeChange(path + ".value", va, vb) ++
-            nullFlagChange(path + ".value", van, vbn)
-        case (a, b) => typeChange(path, a, b)
-      }
+      val typeFindings = typeChange(path, f.dataType, n.dataType)
       val nullFindings =
         if (f.nullable == n.nullable) Nil
         else if (f.nullable && !n.nullable)
@@ -87,12 +77,23 @@ object SchemaEvolution {
     else
       Seq(Finding(path, "loosened", "not null", "nullable", breaking = false))
 
+  /** Recursive type comparison — containers recurse HERE (not one level
+    * up in [[diff]]), so an array-inside-array widening or a nested
+    * element-nullability change resolves by the same rules at any depth
+    * instead of collapsing to a blanket "retyped".
+    */
   private def typeChange(path: String, a: DataType, b: DataType): Seq[Finding] =
     if (a == b) Nil
     else if (widenings((a, b)))
       Seq(Finding(path, "widened", a.simpleString, b.simpleString, breaking = false))
     else (a, b) match {
       case (sa: StructType, sb: StructType) => diff(sa, sb, path + ".")
+      case (ArrayType(ea, an), ArrayType(eb, bn)) =>
+        typeChange(path + "[]", ea, eb) ++ nullFlagChange(path + "[]", an, bn)
+      case (MapType(ka, va, van), MapType(kb, vb, vbn)) =>
+        typeChange(path + ".key", ka, kb) ++
+          typeChange(path + ".value", va, vb) ++
+          nullFlagChange(path + ".value", van, vbn)
       case _ =>
         Seq(Finding(path, "retyped", a.simpleString, b.simpleString, breaking = true))
     }

@@ -14,19 +14,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * and wrong for reproducing a model: yesterday's corpus is gone the
   * moment today's lands.
   *
-  * Layout: `root/v=N/` per published version (immutable once the pointer
-  * moves), plus a one-line `root/_latest` pointer file. Publication
-  * protocol: write the full data to the NEXT `v=N` dir, then swap the
-  * pointer via write-temp + atomic rename. Readers resolve through the
-  * pointer, so
-  *   - a crash mid-write leaves a partial `v=N` that no pointer
-  *     references — invisible; the next publish rewrites it (overwrite
-  *     mode) before the pointer ever moves there;
-  *   - a crash between data commit and pointer swap loses only the
-  *     pointer move — the publish is simply not visible, and re-running
-  *     it is idempotent;
+  * Layout: `root/v=N/` per published version (immutable once it exists),
+  * plus a one-line `root/_latest` pointer file. Publication protocol:
+  * write the full data to a HIDDEN staging dir (`.staging-v=N` — readers,
+  * `versions`, and `prune` never see dot-names), rename it to `v=N` (a
+  * version dir therefore only ever appears COMPLETE), then swap the
+  * pointer via write-temp + atomic rename. Consequences:
+  *   - a crash mid-write leaves only hidden staging debris — no partial
+  *     ever becomes a version, consumes a version number, or distorts
+  *     retention; the next publish overwrites the staging dir;
+  *   - a crash between the version rename and the pointer swap loses only
+  *     the pointer move — the publish is invisible and re-running it
+  *     publishes the NEXT number (the completed orphan is still a valid,
+  *     readable version);
   *   - concurrent readers during a publish keep reading the old version —
-  *     there is no in-place mutation anywhere.
+  *     there is no in-place mutation anywhere. Single WRITER assumed
+  *     (publishes are a pipeline step, not a concurrent API).
   *
   * Scale: versioning is METADATA plus the published write itself — no
   * copy, no manifest rewrite proportional to history. Retention
@@ -42,8 +45,11 @@ object Snapshots {
     */
   def publish(df: DataFrame, root: String): Long = {
     val spark = df.sparkSession
+    val fs = fsOf(spark, root)
     val next = versions(spark, root).lastOption.getOrElse(0L) + 1L
-    df.write.mode("overwrite").parquet(s"$root/v=$next")
+    val staging = new Path(root, s".staging-v=$next")
+    df.write.mode("overwrite").parquet(staging.toString)
+    fs.rename(staging, new Path(root, s"v=$next"))
     writePointer(spark, root, next)
     next
   }
@@ -62,27 +68,33 @@ object Snapshots {
     * The swap is delete-then-rename (local FS rename refuses an existing
     * destination), so a reader landing exactly in that gap — or after a
     * crash inside it — falls back to the `.tmp` side, which is always
-    * fully written and closed before the swap begins.
+    * fully written and closed before the swap begins. Opens race the
+    * swap's delete/rename, so a vanished file between the exists check
+    * and the open is the SAME gap, not an error — each side retries as
+    * absent, and one more pass over the pair covers the tmp→pointer
+    * rename landing mid-lookup.
     */
   def latestVersion(spark: SparkSession, root: String): Option[Long] = {
     val fs = fsOf(spark, root)
     def readAt(p: Path): Option[Long] =
-      if (!fs.exists(p)) None
-      else {
+      try {
         val in = fs.open(p)
         try {
           val r = new java.io.BufferedReader(
             new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
           Option(r.readLine()).map(_.trim.toLong)
         } finally in.close()
-      }
-    readAt(new Path(root, Pointer))
-      .orElse(readAt(new Path(root, s"$Pointer.tmp")))
+      } catch { case _: java.io.FileNotFoundException => None }
+    def attempt(): Option[Long] =
+      readAt(new Path(root, Pointer))
+        .orElse(readAt(new Path(root, s"$Pointer.tmp")))
+    attempt().orElse(attempt())
   }
 
-  /** Version numbers present on disk, ascending — includes a trailing
-    * uncommitted partial if a publish crashed mid-write (harmless: it is
-    * unreferenced and the next publish overwrites it).
+  /** Version numbers present on disk, ascending. Every listed version is
+    * COMPLETE — data lands in a hidden staging dir and only renames to
+    * `v=N` after the write commits, so a crashed publish contributes
+    * nothing here.
     */
   def versions(spark: SparkSession, root: String): Seq[Long] = {
     val fs = fsOf(spark, root)

@@ -77,7 +77,12 @@ object JsonlSource {
                 requiredCols: Seq[String] = Nil): (DataFrame, DataFrame) = {
     val withCorrupt = StructType(
       schema.fields :+ StructField(CorruptCol, StringType, nullable = true))
+    // blank/whitespace-only lines are formatting artifacts (trailing
+    // newlines, shard-concat seams), not documents — skip them outright so
+    // they never inflate quarantine counts the DQ reconciliation reads as
+    // real data loss (the JSON line reader skips them silently too)
     val lines = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
       .select(col("value").as("raw_line"),
         from_json(col("value"), withCorrupt, Map(
           "mode" -> "PERMISSIVE",

@@ -80,6 +80,7 @@ object StreamingCoMovement {
             // dt-partitioned: the probe prunes the store to the days the
             // batch touches, so per-batch scan cost tracks the batch's
             // time span, not the stream's lifetime
+            migrateFlatStore(spark, storeDir, batch.schema)
             batch.write.mode("append").partitionBy("dt").parquet(storeDir)
             if (StandingStore.due(batchId, compactEvery))
               StandingStore.compact(spark, storeDir, batch.schema, Seq("dt"))
@@ -174,4 +175,21 @@ object StreamingCoMovement {
   def readStore(spark: SparkSession, storeDir: String,
                 schema: StructType): DataFrame =
     StandingStore.read(spark, storeDir, schema)
+
+  /** Migration shim for stores written before the dt-partitioned layout:
+    * a store holding ROOT-LEVEL parquet files (flat layout, dt as a data
+    * column) would become unreadable the moment a partitioned append lands
+    * dt= dirs next to them. Detect the legacy shape and rewrite it
+    * partitioned — one [[StandingStore.compact]] with partition columns,
+    * the same crash-safe swap maintenance already uses — BEFORE the first
+    * partitioned append touches the dir.
+    */
+  private def migrateFlatStore(spark: SparkSession, storeDir: String,
+                               schema: StructType): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val flat = fs.exists(p) && fs.listStatus(p)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (flat) StandingStore.compact(spark, storeDir, schema, Seq("dt"))
+  }
 }

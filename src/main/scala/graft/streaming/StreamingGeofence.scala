@@ -18,11 +18,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * shard by uid hash like every other per-vessel processor here.
   *
   * Ordering contract: rows within a micro-batch sort by event time before
-  * folding; a ping OLDER than the state's timestamp (cross-batch
-  * straggler) is dropped, never applied — state must not regress, the same
-  * monotonicity discipline as [[StreamingTrajectory]]. A vessel's first
-  * ever ping emits `enter` only if it is inside a zone (the unknown prior
-  * is treated as outside).
+  * folding; a cross-batch ping AT OR BEFORE the state's timestamp is
+  * dropped, never applied — state must not regress and an at-least-once
+  * redelivery must be a no-op (see the inline note in [[update]] for why
+  * equal timestamps cannot be accepted without breaking replay
+  * idempotence), the same monotonicity discipline as
+  * [[StreamingTrajectory]]. A vessel's first ever ping emits `enter` only
+  * if it is inside a zone (the unknown prior is treated as outside).
   */
 object StreamingGeofence {
 
@@ -53,12 +55,17 @@ object StreamingGeofence {
       uid: Long, rows: Iterator[Ping],
       state: GroupState[ZoneState]): Iterator[Transition] = {
     val prev = state.getOption.getOrElse(ZoneState("", Long.MinValue))
-    // drop only pings STRICTLY older than state — an equal-timestamp ping
-    // (second sensor, coarse clocks) still applies, matching the batch
-    // operator which has no drop at all; replaying the state-setting ping
-    // itself is idempotent (same zone → no transition)
+    // drop pings at or before the state's timestamp. Accepting EQUAL
+    // timestamps was tried and reverted: with only (zone, ts) in state, a
+    // redelivered old ping at the state's exact ts is indistinguishable
+    // from a genuine second same-ts reading, so an at-least-once replay
+    // whose zone differs would emit a spurious transition and ping-pong
+    // state on every redelivery. Idempotence and monotonicity win; the
+    // cost is that a cross-batch same-timestamp reading is dropped
+    // (in-batch same-ts pings all apply — the filter only guards against
+    // HISTORY). Feed sub-second event times if same-ts readings matter.
     val inOrder = rows.toList.sortBy(_.ts.getTime)
-      .filter(_.ts.getTime >= prev.tsMs)
+      .filter(_.ts.getTime > prev.tsMs)
     val (last, out) = inOrder.foldLeft((prev, List.empty[Transition])) {
       case ((cur, acc), p) =>
         val z = zoneOf(zones, p.lat, p.lon)

@@ -70,6 +70,24 @@ class SchemaEvolutionSpec extends AnyFunSuite {
     assert(f.exists(x => x.path == "meta.w" && x.change == "retyped" && x.breaking))
     assert(f.exists(x => x.path == "tags[]" && x.change == "widened" && !x.breaking))
   }
+
+  test("container rules apply at ANY nesting depth, not just the outermost level") {
+    // array<array<int>> → array<array<long>>: safe widening two levels down
+    val old2 = s(("xs", ArrayType(ArrayType(IntegerType, false), true), true))
+    val wide2 = s(("xs", ArrayType(ArrayType(LongType, false), true), true))
+    val fw = SchemaEvolution.diff(old2, wide2)
+    assert(fw === Seq(Finding("xs[][]", "widened", "int", "bigint",
+      breaking = false)), s"nested widening must not read as a retype: $fw")
+    assert(SchemaEvolution.compatible(old2, wide2))
+    // inner containsNull loosening is compatible; tightening breaks
+    val loose2 = s(("xs", ArrayType(ArrayType(IntegerType, true), true), true))
+    assert(SchemaEvolution.compatible(old2, loose2), "inner loosening is fine")
+    assert(!SchemaEvolution.compatible(loose2, old2), "inner tightening breaks")
+    // map<string, array<int>> value-element widening
+    val oldM = s(("m", MapType(StringType, ArrayType(IntegerType, false)), true))
+    val wideM = s(("m", MapType(StringType, ArrayType(LongType, false)), true))
+    assert(SchemaEvolution.compatible(oldM, wideM))
+  }
 }
 
 /** The verdicts grounded in the ENGINE: a `compatible` evolution must

@@ -23,18 +23,34 @@ class SnapshotsSpec extends SparkSpec {
       .collect().sortBy(_._1).toSeq === Seq((1L, "a"), (2L, "b")))
   }
 
-  test("a crashed publish (data written, pointer not moved) stays invisible and heals") {
+  test("a publish crashed MID-WRITE leaves only hidden staging — no version, no number") {
     val root = Files.createTempDirectory("snap2").toString + "/corpus"
     Snapshots.publish(Seq((1L, "a")).toDF("id", "t"), root)
-    // simulate the crash window: v=2 data fully written, pointer untouched
+    // simulate the crash: partial data sits in the hidden staging dir, the
+    // version rename never happened
+    Seq((9L, "z")).toDF("id", "t").write.parquet(s"$root/.staging-v=2")
+    assert(Snapshots.versions(spark, root) === Seq(1L),
+      "a partial never becomes a version")
+    assert(Snapshots.latestVersion(spark, root) === Some(1L))
+    // recovery = just publish again: the staging debris is overwritten and
+    // the new publish takes the number the crash never consumed
+    val v = Snapshots.publish(Seq((7L, "y")).toDF("id", "t"), root)
+    assert(v === 2L, "the crashed attempt consumed no version number")
+    assert(Snapshots.readLatest(spark, root).as[(Long, String)]
+      .collect().toSeq === Seq((7L, "y")))
+  }
+
+  test("a publish crashed between version rename and pointer swap leaves a readable orphan") {
+    val root = Files.createTempDirectory("snap2b").toString + "/corpus"
+    Snapshots.publish(Seq((1L, "a")).toDF("id", "t"), root)
+    // crash AFTER the rename: v=2 is complete on disk, pointer still at 1
     Seq((9L, "z")).toDF("id", "t").write.parquet(s"$root/v=2")
     assert(Snapshots.latestVersion(spark, root) === Some(1L),
-      "readers resolve through the pointer — the orphan is invisible")
-    assert(Snapshots.readLatest(spark, root).count() === 1L)
-    // re-running the publish is the documented recovery: it rewrites the
-    // partial dir before the pointer ever moves there
+      "readers resolve through the pointer — the unreferenced publish is invisible")
+    assert(Snapshots.versions(spark, root) === Seq(1L, 2L),
+      "but the orphan is a COMPLETE version (data committed before rename)")
     val v = Snapshots.publish(Seq((7L, "y")).toDF("id", "t"), root)
-    assert(v === 3L, "the orphan still consumed its version number")
+    assert(v === 3L)
     assert(Snapshots.readLatest(spark, root).as[(Long, String)]
       .collect().toSeq === Seq((7L, "y")))
   }

@@ -510,8 +510,10 @@ class SourcesSpec extends SparkSpec {
     val w = new java.io.PrintWriter(f, "UTF-8")
     w.println("""{"doc_id": 1, "text": "hello world", "lang": "en"}""")
     w.println("""{"doc_id": 2, "text": "bonjour"}""")              // lang absent → null, still clean
+    w.println("")                                                  // blank seam → skipped, NOT quarantined
     w.println("""{"doc_id": 3, "lang": "de"}""")                   // text absent → required → quarantine
     w.println("""{"doc_id": "4", "text" broken json""")            // malformed → quarantine
+    w.println("   ")                                               // whitespace-only → skipped
     w.println("""{"doc_id": 5, "text": "ok", "lang": "fr"}""")
     w.close()
     val schema = StructType(Seq(

@@ -416,20 +416,52 @@ class StreamingSpec extends SparkSpec {
         Ping(1L, ts("10:05"), 9.0, 9.0),
         Ping(1L, ts("10:01"), 0.5, 0.5))
       q.processAllAvailable()
-      // batch 3: a second reading at the SAME timestamp as state (coarse
-      // clocks / second sensor) must still apply — only strictly-older
-      // pings drop — so the re-entry into zone a at 10:05 emits
+      // batch 3: an at-least-once REDELIVERY of the state-setting ping at
+      // its exact timestamp but a different zone — with (zone, ts) state
+      // this is indistinguishable from a genuine same-ts reading, so the
+      // monotone contract drops it: no spurious transition, no state
+      // ping-pong on repeated redelivery
+      in.addData(Ping(1L, ts("10:05"), 0.5, 0.5))
+      q.processAllAvailable()
       in.addData(Ping(1L, ts("10:05"), 0.5, 0.5))
       q.processAllAvailable()
       val got = spark.table("geo_out").as[Transition]
-        .collect().sortBy(t => (t.ts.getTime, t.kind))
+        .collect().sortBy(_.ts.getTime)
         .map(t => (t.from_zone, t.to_zone, t.kind)).toSeq
-      // ties at 10:05 sort "enter" < "exit" lexically; emission order was
-      // exit (batch 2) then the equal-ts re-enter (batch 3)
       assert(got === Seq(("", "a", "enter"), ("a", "b", "switch"),
-        ("", "a", "enter"), ("b", "", "exit")),
-        s"one event per zone change incl. the equal-timestamp reading: $got")
+        ("b", "", "exit")),
+        s"equal-ts redeliveries must be no-ops — replay idempotence: $got")
     } finally q.stop()
+  }
+
+  test("a legacy FLAT presence store migrates to dt-partitioned on first touch") {
+    // a store written before the partitioned layout holds root-level
+    // parquet files with dt as a data column; the first batch must rewrite
+    // it partitioned BEFORE appending, or the mixed layout wedges reads —
+    // and the migrated history must still pair with new arrivals
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = java.sql.Date.valueOf("2025-01-01")
+    val root = java.nio.file.Files.createTempDirectory("graft-migrate").toString
+    val store = root + "/store"
+    Seq((1L, d, 1, "X")).toDF("uid", "dt", "hr", "cell")
+      .write.parquet(store) // legacy flat layout
+    val in = MemoryStream[(Long, java.sql.Date, Int, String)]
+    val q = graft.streaming.StreamingCoMovement.pairHourStream(
+      in.toDF.toDF("uid", "dt", "hr", "cell"),
+      store, root + "/out", root + "/cp")
+    try {
+      in.addData((2L, d, 1, "X")); q.processAllAvailable()
+    } finally q.stop()
+    val pairs = spark.read.parquet(root + "/out")
+      .select("uid_a", "uid_b").as[(Long, Long)].collect().toSeq
+    assert(pairs === Seq((1L, 2L)),
+      "the migrated flat history must surface the cross-era pair")
+    assert(new java.io.File(store).listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("dt=")),
+      "the store is partitioned after migration")
+    assert(!new java.io.File(store).listFiles()
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "no root-level legacy files remain to wedge the layout")
   }
 
   test("streaming scrub ≡ batch on RANDOM corpora with RANDOM batch splits (compacting)") {
