@@ -7,7 +7,13 @@ import org.apache.spark.sql.SparkSession
   * shared gold-stage build (timed separately as `gold_build_sec` — the
   * refresh-once cost every later query amortizes, mirroring the reference's
   * gold refresh), then run each query `SPARK_GRAFT_BENCH_REPS` times (default
-  * 3) and report the per-query minimum — the machine shows ±8 s/query
+  * 3) REP-MAJOR — rep round 1 of every query, then round 2, then round 3 —
+  * and report the per-query minimum. Query-major rep loops let one
+  * sustained contention pulse cover ALL reps of the queries it lands on
+  * (BENCH_r10 recorded 113 s where the quiet truth was 71 s); rep-major
+  * spreads each query's reps across the suite's whole wall clock so a
+  * pulse taints at most one rep and the min recovers the quiet number.
+  * The machine shows ±8 s/query
   * background variance, so single-shot numbers aren't trustworthy. A query
   * that throws is reported as value -1 plus an `"errors"` entry; it can never
   * record a plausible-looking wall time.
@@ -20,7 +26,8 @@ import org.apache.spark.sql.SparkSession
   * it, and every ~N/5 queries in between (`calib_series` — contention
   * arrives in pulses the endpoints alone miss); (2) `calib_spread` =
   * max/min over all calibration samples of that one warmed plan, the
-  * one-number verdict (~1 quiet, ≫1 loaded); (3) every query's full rep
+  * one-number verdict (~1 quiet, ≫1 loaded), surfaced as `"tainted": true`
+  * in the JSON whenever it exceeds 2; (3) every query's full rep
   * vector, min, and median land in `BENCH_full.json` next to the repo (the
   * 2000-char driver tail keeps only the slowest queries, which is exactly
   * where a fast query's 10× relative regression hides). A min ≪ median
@@ -117,37 +124,48 @@ object Bench {
     // hang protection mirrors Verify's: a query that stalls is cancelled and
     // recorded as an error instead of eating the round's wall clock
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "900").toLong
-    val calibEvery = math.max(1, selected.size / 5) // ~4 interior probes
+    val calibEvery = math.max(1, selected.size / 5) // ~4 interior probes per rep round
     var sinceCalib = 0
-    val results = selected.map { case (name, fn) =>
-      sinceCalib += 1
-      if (sinceCalib >= calibEvery && selected.size > 5) {
-        sinceCalib = 0
-        calibSeries += calibrate()
-      }
-      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
-      // a TIMED-OUT query skips its remaining reps — a hang won't resolve
-      // between reps, and retrying would cost reps × timeoutSec of wall
-      // clock; a thrown exception still retries (flakes fail fast + cheap)
-      var hung = false
-      var rep = 0
-      while (rep < reps && !hung) {
-        val t0 = System.nanoTime()
-        try {
-          engine.Watchdog.run(spark, name, timeoutSec) { fn(spark, sfDir).count() } match {
-            case Right(_) => times += (System.nanoTime() - t0) / 1e9
-            case Left(reason) => errors(name) = reason; hung = true
+    // REP-MAJOR interleaving: run rep round 1 of ALL queries, then round 2,
+    // then round 3 — not 3 back-to-back reps per query. A sustained host
+    // contention pulse (minutes long) used to cover every rep of the queries
+    // it landed on, inflating their MINIMA with nothing in the artifact able
+    // to say so (BENCH_r10: recorded 113 s, quiet truth 71 s). Spreading a
+    // query's reps across the whole suite's wall clock means one pulse can
+    // taint at most one rep of any query; the min recovers the quiet number.
+    val order = selected.toSeq
+    val times = scala.collection.mutable.LinkedHashMap(
+      order.map { case (n, _) => n -> scala.collection.mutable.ArrayBuffer.empty[Double] }: _*)
+    // a TIMED-OUT query skips its remaining rep rounds — a hang won't
+    // resolve between reps, and retrying would cost reps × timeoutSec of
+    // wall clock; a thrown exception still retries (flakes fail fast+cheap)
+    val hung = scala.collection.mutable.Set.empty[String]
+    var rep = 0
+    while (rep < reps) {
+      order.foreach { case (name, fn) =>
+        if (!hung(name)) {
+          sinceCalib += 1
+          if (sinceCalib >= calibEvery && selected.size > 5) {
+            sinceCalib = 0
+            calibSeries += calibrate()
           }
+          val t0 = System.nanoTime()
+          try {
+            engine.Watchdog.run(spark, name, timeoutSec) { fn(spark, sfDir).count() } match {
+              case Right(_) => times(name) += (System.nanoTime() - t0) / 1e9
+              case Left(reason) => errors(name) = reason; hung += name
+            }
+          }
+          catch { case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          }
+          spark.catalog.clearCache() // operators may persist shared frames
+          engine.CacheScope.releaseAll() // and the retained plan handles
         }
-        catch { case e: Throwable =>
-          errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-        }
-        spark.catalog.clearCache() // operators may persist shared frames
-        engine.CacheScope.releaseAll() // and the retained plan handles
-        rep += 1
       }
-      name -> (if (times.nonEmpty) times.toSeq else Seq.empty[Double])
+      rep += 1
     }
+    val results = times.map { case (n, ts) => n -> ts.toSeq }
     val calibPost = calibrate()
     // one-number contention verdict: max/min over every calibration sample
     // of the SAME warmed plan. ~1 on a quiet box; a pulse mid-suite shows
@@ -155,6 +173,11 @@ object Bench {
     val calibAll = (calibSeries.toSeq :+ calibPre :+ calibPost).filter(_ > 0)
     val calibSpread =
       if (calibAll.size >= 2) calibAll.max / calibAll.min else 1.0
+    // self-labeling artifact: spread > 2 means the SAME warmed plan varied
+    // 2×+ across the suite — the box was loaded and the totals can't be
+    // trusted as regression evidence. The flag lives IN the JSON so a later
+    // reader doesn't have to re-derive the verdict from the series.
+    val tainted = calibSpread > 2.0
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
@@ -176,7 +199,7 @@ object Bench {
             s"\"reps\":[${ts.map(num).mkString(",")}]}"
         }.mkString("{", ",", "}")
       val series = calibSeries.map(num).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"tainted":$tainted,"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
@@ -192,7 +215,7 @@ object Bench {
       val qs = qMap.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val series = calibSeries.map(num).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"tainted":$tainted,"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
     }
     val bySlowest = mins.toSeq.sortBy(-_._2)
     val budget = 1750 // leaves headroom for sbt's [success] trailer in the 2000-char tail

@@ -30,9 +30,15 @@ object GoldPipeline {
     */
   def refreshUidHourly(hourly: DataFrame, outRoot: String,
                        fromDay: String, untilDay: String,
-                       replace: Boolean = true, buckets: Int = 64): Unit = {
-    hourly
+                       replace: Boolean = true, buckets: Int = 64,
+                       enforceContract: Boolean = true): Unit = {
+    val bounded = hourly
       .filter(col("dt").between(lit(fromDay).cast("date"), lit(untilDay).cast("date")))
+    // contract gate BEFORE any file lands: an incompatible refresh schema
+    // would poison the partitioned table silently until a reader hit it
+    if (enforceContract)
+      SchemaEvolution.checkCompatible(hourly.sparkSession, outRoot, bounded.schema)
+    bounded
       .repartition(buckets, col("uid")) // bucket-role shuffle; bounds files/partition
       .write.mode(if (replace) "overwrite" else "append")
       // per-write scope — doesn't leak into the caller's session conf
@@ -48,13 +54,18 @@ object GoldPipeline {
     */
   def refreshPairsDaily(hourly: DataFrame, outRoot: String,
                         fromDay: String, untilDay: String,
-                        replace: Boolean = true, buckets: Int = 32): Unit = {
+                        replace: Boolean = true, buckets: Int = 32,
+                        enforceContract: Boolean = true): Unit = {
     val bounded = hourly.filter(
       col("dt").between(lit(fromDay).cast("date"), lit(untilDay).cast("date")))
-    CoMovement.pairsDaily(bounded)
+    val pairs = CoMovement.pairsDaily(bounded)
       .withColumn("year", year(col("day_date")))
       .withColumn("month", month(col("day_date")))
       .withColumn("day", dayofmonth(col("day_date")))
+    // contract gate BEFORE any file lands (see refreshUidHourly)
+    if (enforceContract)
+      SchemaEvolution.checkCompatible(hourly.sparkSession, outRoot, pairs.schema)
+    pairs
       .repartition(buckets, col("uid_a"), col("uid_b"))
       .write.mode(if (replace) "overwrite" else "append")
       .option("partitionOverwriteMode", "dynamic")
@@ -113,10 +124,17 @@ object GoldPipeline {
     * partition discovery, so when `dir` is a partition leaf inside a table
     * root, a concurrent reader of the root can never pick the temp dir up
     * as a bogus extra partition (or double-count the leaf) mid-swap. A
-    * crash before the delete leaves `dir` authoritative (the stale temp is
-    * truncated on the next pass); a crash between delete and rename is
-    * healed on the next [[compact]]/[[compactPartitions]] over the same
-    * path, which promotes the completed temp before doing anything else.
+    * The swap itself is ALL-RENAMES: rename `dir` to a dot-prefixed
+    * `.{name}__old`, rename the temp into place, delete the old dir. A
+    * recursive delete of a live dir can be interrupted half-way, leaving a
+    * PARTIAL dir that a heal keyed on "target fully absent" would wrongly
+    * treat as authoritative; a rename is atomic per directory entry, so
+    * every crash window here is binary and healable: before the first
+    * rename `dir` is intact (stale temp truncated next pass); between the
+    * renames the completed temp is promoted; after the second rename the
+    * orphan `__old` is dropped. Heals run on the next
+    * [[compact]]/[[compactPartitions]] over the same path, before
+    * anything else.
     */
   def compact(spark: SparkSession, dir: String, targetBytes: Long): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
@@ -131,8 +149,12 @@ object GoldPipeline {
     spark.read.parquet(dir).coalesce(nFiles)
       .write.mode("overwrite").option("compression", "snappy")
       .parquet(tmp.toString)
-    fs.delete(path, true)
-    fs.rename(tmp, path)
+    val old = compactOldPath(path)
+    // Hadoop rename reports failure by RETURNING false — require() both,
+    // or a silent failure would let the next step run on the wrong state
+    require(fs.rename(path, old), s"compact swap: rename failed: $path -> $old")
+    require(fs.rename(tmp, path), s"compact swap: rename failed: $tmp -> $path")
+    fs.delete(old, true)
     nFiles
   }
 
@@ -143,14 +165,33 @@ object GoldPipeline {
     new org.apache.hadoop.fs.Path(
       dir.getParent, "." + dir.getName + "__compacting")
 
-  /** Promote a completed-but-unrenamed compaction temp when the target dir
-    * is gone (the delete→rename crash window); the temp held the full
-    * rewrite, so promotion loses nothing.
+  private def compactOldPath(dir: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(
+      dir.getParent, "." + dir.getName + "__old")
+
+  /** Heal an interrupted all-renames swap. `.{name}__old` existing means a
+    * swap was in flight — the temp held the complete rewrite at that
+    * moment, so prefer it: promote it if the target slot is empty, then
+    * drop the old dir (a crash mid-THIS-delete just re-enters heal; only
+    * the renames are load-bearing). The trailing legacy arm heals a
+    * pre-round-11 delete-then-rename crash (target fully gone, temp
+    * stranded) left by an older build.
     */
   private def healInterrupted(fs: org.apache.hadoop.fs.FileSystem,
                               dir: org.apache.hadoop.fs.Path): Unit = {
     val tmp = compactTmpPath(dir)
-    if (!fs.exists(dir) && fs.exists(tmp)) { fs.rename(tmp, dir); () }
+    val old = compactOldPath(dir)
+    if (fs.exists(old)) {
+      if (!fs.exists(dir) && fs.exists(tmp))
+        require(fs.rename(tmp, dir), s"heal: rename failed: $tmp -> $dir")
+      else if (!fs.exists(dir)) // defensive: temp lost — keep the original
+        require(fs.rename(old, dir), s"heal: rename failed: $old -> $dir")
+      fs.delete(old, true)
+      ()
+    } else if (!fs.exists(dir) && fs.exists(tmp)) {
+      require(fs.rename(tmp, dir), s"heal: rename failed: $tmp -> $dir")
+      ()
+    }
   }
 
   /** Selective per-partition small-file compaction for a PARTITIONED gold
@@ -179,10 +220,12 @@ object GoldPipeline {
       val listed = fs.listStatus(p).toSeq
       val healed = listed.filter(s => s.isDirectory &&
           s.getPath.getName.startsWith(".") &&
-          s.getPath.getName.endsWith("__compacting"))
+          (s.getPath.getName.endsWith("__compacting") ||
+            s.getPath.getName.endsWith("__old")))
         .map { s =>
           val target = new org.apache.hadoop.fs.Path(p,
-            s.getPath.getName.stripPrefix(".").stripSuffix("__compacting"))
+            s.getPath.getName.stripPrefix(".")
+              .stripSuffix("__compacting").stripSuffix("__old"))
           healInterrupted(fs, target)
           target
         }

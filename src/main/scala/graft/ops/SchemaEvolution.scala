@@ -103,4 +103,61 @@ object SchemaEvolution {
     */
   def compatible(old: StructType, next: StructType): Boolean =
     !diff(old, next).exists(_.breaking)
+
+  /** Raised by [[checkCompatible]] when an incoming write would break the
+    * existing dataset's contract — BEFORE any file lands.
+    */
+  final class ContractViolation(val target: String, val findings: Seq[Finding])
+    extends IllegalStateException(
+      s"incompatible schema change for $target: " +
+        findings.map(f => s"${f.path} ${f.change} ${f.from}->${f.to}")
+          .mkString("; "))
+
+  /** Schema of the dataset already at `dir`; None when nothing committed
+    * is there (missing dir, or only an uncommitted `_temporary`). Metadata
+    * only — parquet footer read, no data pass.
+    */
+  def existingSchema(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): Option[StructType] =
+    try Some(spark.read.parquet(dir).schema)
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** The pre-write contract gate: diff the dataset already at `dir`
+    * against `incoming` and THROW ([[ContractViolation]]) on any breaking
+    * change, before the caller writes a byte. First write (nothing at
+    * `dir`) always passes — there is no contract yet.
+    *
+    * Nullability is normalized away here (unlike the raw [[diff]]):
+    * parquet footers read back all-nullable regardless of what the writer
+    * declared, so at a WRITE gate nullability diffs are round-trip noise,
+    * not contract signal — the add/drop/type rules carry the real
+    * contract. Returns the full (non-breaking) diff for callers that log
+    * evolution.
+    */
+  def checkCompatible(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      incoming: StructType): Seq[Finding] =
+    existingSchema(spark, dir) match {
+      case None => Nil
+      case Some(old) =>
+        val findings = diff(normalize(old), normalize(incoming))
+        val breaking = findings.filter(_.breaking)
+        if (breaking.nonEmpty) throw new ContractViolation(dir, breaking)
+        findings
+    }
+
+  /** All-nullable copy of a schema (recursing through containers) — the
+    * shape parquet hands back on read, used to keep the write gate free of
+    * round-trip nullability noise.
+    */
+  private def normalize(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      StructField(f.name, normalize(f.dataType), nullable = true, f.metadata)))
+    case ArrayType(e, _) => ArrayType(normalize(e), containsNull = true)
+    case MapType(k, v, _) =>
+      MapType(normalize(k), normalize(v), valueContainsNull = true)
+    case other => other
+  }
+
+  private def normalize(s: StructType): StructType =
+    normalize(s: DataType).asInstanceOf[StructType]
 }

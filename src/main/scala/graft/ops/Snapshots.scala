@@ -42,14 +42,34 @@ object Snapshots {
 
   /** Publish `df` as the next version and move the pointer to it.
     * Returns the published version number.
+    *
+    * `enforceContract` (default on) diffs `df` against the POINTER's
+    * version before anything is written: consumers pin `readLatest` into
+    * jobs, so a publish that drops or retypes a column breaks every one
+    * of them at read time — the gate surfaces it at publish time instead
+    * ([[SchemaEvolution.ContractViolation]]). Additive/widening evolution
+    * still publishes. Opt out for an intentional contract break (readers
+    * must migrate).
     */
-  def publish(df: DataFrame, root: String): Long = {
+  def publish(df: DataFrame, root: String,
+              enforceContract: Boolean = true): Long = {
     val spark = df.sparkSession
+    if (enforceContract)
+      latestVersion(spark, root).foreach { v =>
+        SchemaEvolution.checkCompatible(spark, s"$root/v=$v", df.schema)
+      }
     val fs = fsOf(spark, root)
     val next = versions(spark, root).lastOption.getOrElse(0L) + 1L
     val staging = new Path(root, s".staging-v=$next")
     df.write.mode("overwrite").parquet(staging.toString)
-    fs.rename(staging, new Path(root, s"v=$next"))
+    // Hadoop rename reports failure by RETURNING false (dest exists, parent
+    // listing raced, ...). An unchecked failure here would still advance
+    // the pointer to a version dir that doesn't exist — breaking the
+    // invariant that the pointer always names a committed, readable
+    // version. Fail the publish BEFORE the pointer moves.
+    val dst = new Path(root, s"v=$next")
+    require(fs.rename(staging, dst),
+      s"publish: staging rename failed: $staging -> $dst")
     writePointer(spark, root, next)
     next
   }
@@ -128,7 +148,10 @@ object Snapshots {
     finally out.close()
     val dst = new Path(root, Pointer)
     if (fs.exists(dst)) fs.delete(dst, false)
-    fs.rename(tmp, dst)
+    // checked for the same reason as the version rename in [[publish]]: a
+    // silent false would leave the pointer stale (or absent with only the
+    // .tmp side readable) while the caller believes the swap landed
+    require(fs.rename(tmp, dst), s"pointer swap: rename failed: $tmp -> $dst")
     ()
   }
 

@@ -19,13 +19,20 @@ import org.apache.spark.sql.types.StructType
   *      as its distinct rows without changing meaning.
   *   3. **Bounded file count.** Append-per-batch accretes one job's worth
   *      of files per micro-batch; after B batches every standing read pays
-  *      an O(B) listing/open cost. [[compact]] resets it: write the
-  *      distinct set to a sibling `<store>.compact` snapshot, delete the
-  *      store, rename the snapshot into place. A crash before the delete
-  *      leaves the store authoritative (the stale snapshot is truncated on
-  *      the next pass); a crash between delete and rename is healed by
-  *      [[read]] promoting the snapshot — complete at swap time, because
-  *      foreachBatch is sequential and nothing appends concurrently.
+  *      an O(B) listing/open cost. [[compact]] resets it with an
+  *      ALL-RENAMES swap: write the distinct set to a sibling
+  *      `<store>.compact` snapshot, rename the store to `<store>.old`,
+  *      rename the snapshot into place, delete `<store>.old`. Every crash
+  *      window is binary — either a complete store or a complete snapshot
+  *      is nameable, never a partial dir that shadows the truth. (The
+  *      previous delete-then-rename protocol had a non-binary window: a
+  *      crash MID-delete left a partial store alongside the complete
+  *      snapshot, and heal — which only promoted on a fully absent store —
+  *      would treat the partial store as authoritative, silently losing
+  *      rows.) [[read]]/[[compact]] heal an interrupted swap by preferring
+  *      the snapshot whenever `<store>.old` exists: the snapshot was
+  *      complete at swap time, because foreachBatch is sequential and
+  *      nothing appends concurrently.
   */
 object StandingStore {
 
@@ -63,19 +70,68 @@ object StandingStore {
         .write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(snap.toString)
-      fs.delete(p, true)
-      fs.rename(snap, p)
+      val old = oldPath(p)
+      // all-renames swap: rename never leaves a partial dir (unlike a
+      // recursive delete), so every crash window here is binary. Hadoop
+      // rename reports failure by RETURNING false — require() both, or a
+      // silent failure would let the next line run against the wrong state.
+      require(fs.rename(p, old), s"compact swap: rename failed: $p -> $old")
+      require(fs.rename(snap, p), s"compact swap: rename failed: $snap -> $p")
+      fs.delete(old, true)
     }
   }
 
-  /** Promote a completed snapshot whose swap was interrupted between
-    * delete and rename; the snapshot held the complete distinct set at
-    * swap time (foreachBatch is sequential), so promotion loses nothing.
+  /** Heal an interrupted swap. `<store>.old` existing means a swap was in
+    * flight — the snapshot was complete at that moment (foreachBatch is
+    * sequential), so prefer it: promote it if the store slot is empty,
+    * then drop `<store>.old` (a crash mid-THIS-delete just re-enters heal;
+    * deletes here are not load-bearing, only renames are). The trailing
+    * legacy arm heals a pre-round-11 delete-then-rename crash (store fully
+    * gone, snapshot stranded) left by an older build.
     */
   private def heal(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
     val snap = compactPath(p)
-    if (!fs.exists(p) && fs.exists(snap)) { fs.rename(snap, p); () }
+    val old = oldPath(p)
+    if (fs.exists(old)) {
+      if (!fs.exists(p) && fs.exists(snap))
+        require(fs.rename(snap, p), s"heal: rename failed: $snap -> $p")
+      else if (!fs.exists(p)) // defensive: snapshot lost — keep the original
+        require(fs.rename(old, p), s"heal: rename failed: $old -> $p")
+      fs.delete(old, true)
+      ()
+    } else if (!fs.exists(p) && fs.exists(snap)) {
+      require(fs.rename(snap, p), s"heal: rename failed: $snap -> $p")
+      ()
+    }
   }
+
+  /** Contract-gated append — the standing-store write path. Before the
+    * FIRST append this JVM makes to `storeDir`, the on-disk store's schema
+    * is diffed against the incoming batch's
+    * ([[graft.ops.SchemaEvolution.checkCompatible]]): a store written by
+    * an OLDER build with a since-evolved schema would otherwise be
+    * silently misread through this build's declared schema (missing
+    * columns all-null, retyped columns corrupted) — restarts across
+    * deploys are exactly when standing state is most at risk. Checked once
+    * per (JVM, store): a footer read per micro-batch would tax every
+    * batch for a condition that can only change across restarts. The dir
+    * is marked checked only AFTER the gate passes — a violating stream
+    * fails every batch, not just its first.
+    */
+  def append(df: DataFrame, storeDir: String,
+             partitionCols: Seq[String] = Nil): Unit = {
+    if (!checked.contains(storeDir)) {
+      graft.ops.SchemaEvolution.checkCompatible(df.sparkSession, storeDir, df.schema)
+      checked.add(storeDir)
+      ()
+    }
+    val w = df.write.mode("append")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(storeDir)
+  }
+
+  private val checked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** True on the micro-batches where a `compactEvery`-cadence store should
     * compact (after its appends); 0 disables.
@@ -85,4 +141,7 @@ object StandingStore {
 
   private def compactPath(store: Path) =
     new Path(store.getParent, store.getName + ".compact")
+
+  private def oldPath(store: Path) =
+    new Path(store.getParent, store.getName + ".old")
 }

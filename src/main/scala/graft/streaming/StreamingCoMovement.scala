@@ -81,7 +81,7 @@ object StreamingCoMovement {
             // batch touches, so per-batch scan cost tracks the batch's
             // time span, not the stream's lifetime
             migrateFlatStore(spark, storeDir, batch.schema)
-            batch.write.mode("append").partitionBy("dt").parquet(storeDir)
+            StandingStore.append(batch, storeDir, Seq("dt"))
             if (StandingStore.due(batchId, compactEvery))
               StandingStore.compact(spark, storeDir, batch.schema, Seq("dt"))
           } finally batch.unpersist(blocking = false)

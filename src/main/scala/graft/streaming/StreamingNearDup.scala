@@ -71,8 +71,8 @@ object StreamingNearDup {
               out.write.mode("append").parquet(outDir)
               val keptIds = out.filter(!col("dup_candidate"))
                 .select(col(idCol).as("doc_id"))
-              sigs.join(keptIds, Seq("doc_id"), "left_semi")
-                .write.mode("append").parquet(storeDir)
+              StandingStore.append(
+                sigs.join(keptIds, Seq("doc_id"), "left_semi"), storeDir)
             } finally out.unpersist(blocking = false)
             if (StandingStore.due(batchId, compactEvery))
               StandingStore.compact(spark, storeDir, sigs.schema)

@@ -77,8 +77,8 @@ object StreamingScrub {
               .persist()
             try {
               Dedup.restitch(flagged).write.mode("append").parquet(outDir)
-              flagged.filter(col("kept")).select("seg_key")
-                .write.mode("append").parquet(storeDir)
+              StandingStore.append(
+                flagged.filter(col("kept")).select("seg_key"), storeDir)
             } finally flagged.unpersist(blocking = false)
           } finally segs.unpersist(blocking = false)
           if (StandingStore.due(batchId, compactEvery))
@@ -130,8 +130,8 @@ object StreamingScrub {
                 Dedup.assembleUncovered(toks, covered)
                   .write.mode("append").parquet(outDir)
                 // only NEW first occurrences extend the store
-                flagged.filter(!col("dup")).select("wkey")
-                  .write.mode("append").parquet(storeDir)
+                StandingStore.append(
+                  flagged.filter(!col("dup")).select("wkey"), storeDir)
               } finally flagged.unpersist(blocking = false)
             } finally wins.unpersist(blocking = false)
           } finally toks.unpersist(blocking = false)

@@ -160,6 +160,35 @@ class GoldPipelineSpec extends SparkSpec {
     assert(!new java.io.File(s"$root/.dt=a__compacting").exists)
   }
 
+  test("all-renames swap: mid-swap crash states heal with the rewrite preferred") {
+    import spark.implicits._
+    // window 1: leaf renamed to .dt=a__old, the completed rewrite still in
+    // the __compacting temp, second rename never ran — the next maintenance
+    // pass must promote the temp (complete at swap time), not resurrect the
+    // pre-compact pile from __old
+    val root = Files.createTempDirectory("gp_heal_old").toString + "/t"
+    Seq((9L, "b")).toDF("id", "dt").write.partitionBy("dt").parquet(root)
+    (1 to 3).foreach(_ => Seq((1L, 0)).toDF("id", "pad").drop("pad")
+      .write.mode("append").parquet(s"$root/.dt=a__old"))
+    Seq(1L).toDF("id").write.parquet(s"$root/.dt=a__compacting")
+    // both dot-dirs are invisible to a reader of the root
+    assert(spark.read.parquet(root).select("dt").distinct()
+      .as[String].collect().toSeq === Seq("b"))
+    GoldPipeline.compactPartitions(spark, root, targetBytes = 1L << 30)
+    assert(spark.read.parquet(s"$root/dt=a").count() === 1L,
+      "the completed rewrite is promoted, not the 3-row pre-compact pile")
+    assert(!new java.io.File(s"$root/.dt=a__old").exists, "__old dropped")
+    assert(!new java.io.File(s"$root/.dt=a__compacting").exists)
+    // window 2: rewrite already promoted, only the orphan __old remains —
+    // the leaf stays authoritative and the orphan is dropped
+    Seq(7L, 8L).toDF("id").write.parquet(s"$root/.dt=c__old")
+    Seq(5L).toDF("id").write.parquet(s"$root/dt=c")
+    GoldPipeline.compactPartitions(spark, root, targetBytes = 1L << 30)
+    assert(spark.read.parquet(s"$root/dt=c").as[Long].collect().toSeq === Seq(5L),
+      "the promoted leaf stays authoritative")
+    assert(!new java.io.File(s"$root/.dt=c__old").exists)
+  }
+
   test("z-ordered write: every file owns a compact 2-D tile in BOTH dims") {
     import spark.implicits._
     // full 64x64 grid → 16 range partitions on the Morton key = 16x16 tiles

@@ -123,4 +123,75 @@ class SchemaEvolutionEngineSpec extends SparkSpec {
       spark.read.schema(retyped).parquet(dir).collect()
     }
   }
+
+  test("gold refresh gate: an incompatible append is rejected BEFORE any file lands") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("schema_gate").toString + "/gold"
+    def frame(xCast: String) = Seq(("u1", "2024-01-01", 0, 7L))
+      .toDF("uid", "dt", "hr", "x")
+      .withColumn("dt", col("dt").cast("date"))
+      .withColumn("x", col("x").cast(xCast))
+    graft.ops.GoldPipeline.refreshUidHourly(
+      frame("long"), root, "2024-01-01", "2024-01-01")
+    val filesBefore = new java.io.File(s"$root/dt=2024-01-01/hr=0")
+      .listFiles().map(_.getName).toSet
+    // retyping x long -> string is a contract break: reject pre-write
+    intercept[graft.ops.SchemaEvolution.ContractViolation] {
+      graft.ops.GoldPipeline.refreshUidHourly(
+        frame("string"), root, "2024-01-01", "2024-01-01")
+    }
+    assert(new java.io.File(s"$root/dt=2024-01-01/hr=0")
+      .listFiles().map(_.getName).toSet === filesBefore,
+      "the rejected refresh must not have touched a single file")
+    assert(spark.read.parquet(root).select("x").as[Long].collect().toSeq
+      === Seq(7L), "the committed data is intact")
+    // additive evolution (nullable add) still refreshes; opt-out also works
+    graft.ops.GoldPipeline.refreshUidHourly(
+      frame("long").withColumn("extra", lit("e")),
+      root, "2024-01-01", "2024-01-01")
+    graft.ops.GoldPipeline.refreshUidHourly(
+      frame("string"), root, "2024-01-01", "2024-01-01",
+      enforceContract = false)
+  }
+
+  test("snapshot publish gate: a contract-breaking publish fails with the pointer unmoved") {
+    val root = java.nio.file.Files.createTempDirectory("snap_gate").toString + "/c"
+    graft.ops.Snapshots.publish(Seq((1L, "a")).toDF("id", "t"), root)
+    intercept[graft.ops.SchemaEvolution.ContractViolation] {
+      graft.ops.Snapshots.publish(Seq("x").toDF("id"), root) // id retyped, t dropped
+    }
+    assert(graft.ops.Snapshots.versions(spark, root) === Seq(1L),
+      "no version number consumed, no staging promoted")
+    assert(graft.ops.Snapshots.latestVersion(spark, root) === Some(1L))
+    // widening long->? no — ADDITIVE evolution publishes fine
+    val v2 = graft.ops.Snapshots.publish(
+      Seq((2L, "b", 0.5)).toDF("id", "t", "score"), root)
+    assert(v2 === 2L)
+    // an intentional break goes through the explicit opt-out
+    val v3 = graft.ops.Snapshots.publish(
+      Seq("x").toDF("id"), root, enforceContract = false)
+    assert(v3 === 3L)
+  }
+
+  test("standing-store append gate: a store from an older deploy with an evolved schema is refused") {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("store_gate").toString
+    val store = root + "/store"
+    // "older build" wrote signatures keyed by a LONG doc_id
+    Seq(1L).toDF("doc_id").write.parquet(store)
+    // this build declares doc_id STRING — silently misreading the standing
+    // set would corrupt every later dedup decision; refuse the append
+    intercept[graft.ops.SchemaEvolution.ContractViolation] {
+      graft.streaming.StandingStore.append(Seq("d1").toDF("doc_id"), store)
+    }
+    assert(spark.read.parquet(store).count() === 1L, "store untouched")
+    // the violating store stays unchecked: a retry fails again (the gate
+    // is memoized only on SUCCESS)
+    intercept[graft.ops.SchemaEvolution.ContractViolation] {
+      graft.streaming.StandingStore.append(Seq("d2").toDF("doc_id"), store)
+    }
+    // a compatible append (same schema) passes and memoizes
+    graft.streaming.StandingStore.append(Seq(2L).toDF("doc_id"), store)
+    assert(spark.read.parquet(store).count() === 2L)
+  }
 }

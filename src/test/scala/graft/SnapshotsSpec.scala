@@ -77,4 +77,32 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readLatest(spark, root).as[(Long, String)]
       .collect().toSeq === Seq((4L, "x")))
   }
+
+  test("a FAILED staging rename aborts the publish before the pointer moves") {
+    // Hadoop FileSystem.rename reports failure by returning false (e.g. the
+    // destination already exists). A silently-ignored failure would advance
+    // the pointer to a version dir that doesn't exist, breaking the
+    // invariant that the pointer always names a committed readable version.
+    val root = Files.createTempDirectory("snap4").toString + "/corpus"
+    Snapshots.publish(Seq((1L, "a")).toDF("id", "t"), root)
+    assert(Snapshots.latestVersion(spark, root) === Some(1L))
+    // sabotage: occupy the NEXT version's slot with a plain file — the
+    // local-FS rename of staging onto it must return false, not throw
+    val blocker = new java.io.File(s"$root/v=2")
+    assert(blocker.createNewFile())
+    // local FS surfaces this either as rename→false (our require throws
+    // IllegalArgumentException) or as an IOException from Hadoop's copy
+    // fallback — both must abort the publish loudly, never silently
+    val failed =
+      try { Snapshots.publish(Seq((2L, "b")).toDF("id", "t"), root); false }
+      catch {
+        case _: IllegalArgumentException | _: java.io.IOException => true
+      }
+    assert(failed, "a blocked version rename must fail the publish loudly")
+    // the pointer still names the last COMMITTED version and resolves
+    assert(Snapshots.latestVersion(spark, root) === Some(1L),
+      "a failed publish must not move the pointer")
+    assert(Snapshots.readLatest(spark, root).as[(Long, String)]
+      .collect().toSeq === Seq((1L, "a")))
+  }
 }

@@ -572,6 +572,42 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(store + ".compact").exists)
   }
 
+  test("all-renames swap: crash between the two renames — snapshot wins, .old dropped") {
+    // window: store renamed to <store>.old, snapshot complete, second rename
+    // never ran. heal must prefer the snapshot (complete at swap time) and
+    // drop the .old side — NOT resurrect the pre-compact pile
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val root = java.nio.file.Files.createTempDirectory("graft-heal3").toString
+    val store = root + "/store"
+    val schema = StructType(Seq(StructField("seg_key", BinaryType)))
+    // .old holds the pre-compact triple-appended pile (3 dupes of 1 digest)
+    val dup = spark.range(1).select(unhex(md5(lit("k"))).as("seg_key"))
+    (1 to 3).foreach(_ => dup.write.mode("append").parquet(store + ".old"))
+    // the snapshot holds the distinct set
+    dup.write.parquet(store + ".compact")
+    val df = graft.streaming.StandingStore.read(spark, store, schema)
+    assert(df.count() === 1L, "the distinct snapshot is promoted, not the pile")
+    assert(new java.io.File(store).isDirectory)
+    assert(!new java.io.File(store + ".old").exists, ".old is dropped")
+    assert(!new java.io.File(store + ".compact").exists)
+  }
+
+  test("all-renames swap: crash after promotion but before the .old delete — store kept") {
+    // window: snapshot already renamed into place, the orphan .old remains.
+    // heal must keep the store authoritative and just drop .old
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val root = java.nio.file.Files.createTempDirectory("graft-heal4").toString
+    val store = root + "/store"
+    val schema = StructType(Seq(StructField("seg_key", BinaryType)))
+    spark.range(2).select(unhex(md5(col("id").cast("string"))).as("seg_key"))
+      .write.parquet(store)
+    spark.range(5).select(unhex(md5(col("id").cast("string"))).as("seg_key"))
+      .write.parquet(store + ".old")
+    val df = graft.streaming.StandingStore.read(spark, store, schema)
+    assert(df.count() === 2L, "the promoted store stays authoritative")
+    assert(!new java.io.File(store + ".old").exists, ".old is dropped")
+  }
+
   test("streaming scrub ≡ batch scrubSegments on an id-ordered two-batch replay") {
     // the equivalence contract: same segmentation, keep rule, and re-stitch
     // as Dedup.scrubSegments, so replaying the corpus in doc-id order across
