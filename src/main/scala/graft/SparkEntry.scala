@@ -935,7 +935,7 @@ object SparkEntry {
           pairsGold(s, d).select("uid_a", "uid_b").distinct(),
           "uid_a", "uid_b", minCommon = 2, maxNeighbors = 1000)
         .select(col("v").as("uid_a"), col("w").as("uid_b"),
-          col("common"), col("jaccard"))
+          col("common"), col("jaccard"), col("clipped"))
         .orderBy("uid_a", "uid_b")),
 
     // graph-local relevance: personalized PageRank teleporting to the
@@ -2829,12 +2829,18 @@ object SparkEntry {
          |        GROUP BY 1, 2 HAVING count(*) >= 2),
          |non AS (SELECT c.v, c.w, c.common FROM cmn c
          |        LEFT JOIN ed e ON e.src = c.v AND e.dst = c.w
-         |        WHERE e.src IS NULL)
+         |        WHERE e.src IS NULL),
+         |cl AS (SELECT id FROM deg WHERE deg > 1000),
+         |fl AS (SELECT DISTINCT e.src AS id FROM ed e
+         |       JOIN cl ON cl.id = e.dst)
          |SELECT n.v AS uid_a, n.w AS uid_b, n.common,
-         |  round(n.common * 1.0 / (da.deg + db.deg - n.common), 6) AS jaccard
+         |  round(n.common * 1.0 / (da.deg + db.deg - n.common), 6) AS jaccard,
+         |  (fv.id IS NOT NULL OR fw.id IS NOT NULL) AS clipped
          |FROM non n
          |JOIN deg da ON da.id = n.v
          |JOIN deg db ON db.id = n.w
+         |LEFT JOIN fl fv ON fv.id = n.v
+         |LEFT JOIN fl fw ON fw.id = n.w
          |ORDER BY uid_a, uid_b""".stripMargin,
 
     // mirrors Graph.personalizedPageRankFromHubs: top-2 hub seeds, init

@@ -24,16 +24,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * identical address from the same SQL-expressible chain; see
   * `SparkEntry.oracleSql("uid_hourly_h3")`).
   *
-  * Why not bit-exact H3: a faithful port can only be trusted against ground
-  * truth, and this environment has none — no H3 jar under /opt/spark/jars,
-  * no python h3 module, no DuckDB h3 extension (all checked), no cell ids in
-  * the reference repo (its notebooks carry only aggregate outputs), and zero
-  * egress to fetch test vectors. Reproducing H3's icosahedral constant
-  * tables from memory without any way to verify a single address would risk
-  * silently-wrong ids — strictly worse than an honest, tested, documented
-  * deviation. Revisit iff an H3 library or test-vector file lands in the
-  * environment: the swap is localized to this Expression and the
-  * `uid_hourly_h3` oracle twin.
+  * Why not bit-exact H3 — CLOSED (final decision, revisited and re-confirmed):
+  * a faithful port can only be trusted against ground truth, and this
+  * environment has none. The revisit attempted to construct an offline
+  * fixture and exhausted every avenue: no H3 jar under /opt/spark/jars, no
+  * python h3 module, DuckDB's community h3 extension cannot install (zero
+  * egress — download refused), the reference repo contains no literal cell
+  * ids anywhere (grep for 15-hex-char tokens over notebooks/docs/apps finds
+  * only decimal aggregate outputs), and authoring a "published vectors"
+  * fixture from recollection fails its own premise — a handful of
+  * half-remembered addresses at the wrong resolutions cannot anchor the
+  * 122-entry base-cell table plus the 540-entry face-orientation table a
+  * real port must reproduce exactly; one mis-transcribed entry yields
+  * plausible 15-hex addresses that are silently wrong for a whole face
+  * region, strictly worse than this honest, tested, documented deviation.
+  * The capability distance is otherwise closed: kRing adjacency +
+  * hexDistance provide the boundary-straddle semantics H3 would give, and
+  * every reference query needs only an equi-joinable hex key. What remains
+  * is address-format interoperability with external H3-keyed data, which is
+  * exactly the part that cannot ship unverified. If an H3 library or
+  * test-vector file ever lands in the environment, the swap is localized to
+  * this Expression and the `uid_hourly_h3` oracle twin — but absent that,
+  * this exclusion is permanent, not pending.
   *
   * Address layout (60 bits, so always 15 hex chars with %015x):
   * {{{

@@ -195,6 +195,47 @@ object Graph {
     bfs(und, hubs, maxHops, scope)
   }
 
+  /** UNBOUNDED-radius [[seedDistance]]: expand until the frontier drains —
+    * the whole reachable ball gets its exact nearest-seed hop count. The
+    * loop guard is driver-side: each hop's delta is persisted anyway (it
+    * feeds both the settled union and the next expansion), so asking it
+    * `count() == 0` is one cheap action against cached partitions, and the
+    * loop stops at the ball's true eccentricity instead of a guessed
+    * radius — on a 100 TB graph the difference between paying for the
+    * diameter you HAVE and the worst case you feared. `hopCap` is a safety
+    * rail for pathological graphs (a path graph's diameter = |V|−1 would
+    * otherwise run unbounded driver rounds), generous enough that real
+    * small-world association graphs (diameter ≲ 20) never hit it.
+    * Exact-result contract vs [[seedDistance]]: identical rows whenever
+    * the ball's eccentricity ≤ the bounded call's maxHops.
+    */
+  def seedDistanceAll(edges: DataFrame, aCol: String, bCol: String,
+                      seeds: DataFrame, seedCol: String, hopCap: Int = 64,
+                      scope: CacheScope = CacheScope.global): DataFrame = {
+    require(hopCap >= 0, "hopCap must be non-negative")
+    val und = symmetrize(edges, aCol, bCol, scope)
+    var settled = scope.persisted(
+      seeds.select(col(seedCol).as("id")).distinct()
+        .withColumn("hops", lit(0)))
+    var frontier = settled.select("id")
+    var h = 1
+    var drained = false
+    while (h <= hopCap && !drained) {
+      val next = scope.persisted(
+        und.join(frontier.select(col("id").as("src")), "src")
+          .select(col("dst").as("id")).distinct()
+          .join(settled.select("id"), Seq("id"), "left_anti")
+          .withColumn("hops", lit(h)))
+      if (next.isEmpty) drained = true // early stop: the ball is complete
+      else {
+        settled = settled.union(next)
+        frontier = next.select("id")
+        h += 1
+      }
+    }
+    settled
+  }
+
   /** Per-node triangle participation over an UNDIRECTED edge list:
     * (id, triangles) for every node in ≥ 1 triangle. Triangles are the
     * local-clustering signal — in an association graph they separate
@@ -251,12 +292,15 @@ object Graph {
     * wedge itself is the answer. The honest mitigation is an explicit,
     * deterministic per-node neighbor cap (`maxNeighbors`, first-by-id —
     * the [[graft.ops.Dedup]] `maxDocsPerShingle` skew discipline applied
-    * to vertices): a hub contributes at most C(cap, 2) wedges, `common`
-    * becomes a documented lower bound when any endpoint's neighborhood is
-    * clipped, and `deg` in the Jaccard denominator stays the TRUE degree.
-    * Choose cap > max expected degree to make the count exact (the
-    * declared query does at every test SF — the oracle mirrors the cap
-    * arithmetic row for row).
+    * to vertices): a hub contributes at most C(cap, 2) wedges, and `deg`
+    * in the Jaccard denominator stays the TRUE degree. Each output row
+    * carries a `clipped` boolean: false GUARANTEES `common` is exact for
+    * that pair; true means it may be a lower bound (some common neighbor's
+    * list may have been clipped — see the flag derivation at the end of
+    * the method). Choose cap > max expected degree to make every row
+    * exact and unflagged (the declared query does at every test SF — the
+    * oracle mirrors the cap and flag arithmetic row for row).
+    * Output: (v, w, common, jaccard, clipped).
     */
   def commonNeighborPairs(edges: DataFrame, aCol: String, bCol: String,
                           minCommon: Long = 2, maxNeighbors: Int = 1000,
@@ -280,11 +324,29 @@ object Graph {
     val non = cmn.join(
       und.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"),
       "left_anti")
+    // clip visibility: `common` for (v, w) undercounts exactly when some
+    // TRUE common neighbor s had its list clipped (the wedge through s is
+    // enumerated from s's capped list; v's and w's own lists never enter).
+    // Every common neighbor of the pair is a neighbor of v, so the sound
+    // per-row flag is "v or w has >= 1 neighbor whose degree exceeds the
+    // cap": when false, no common neighbor can have been clipped and the
+    // count is EXACT; when true it is a lower bound. (Flagging on the
+    // endpoints' own degree — the obvious guess — would be wrong in both
+    // directions.) Clipped nodes are the rare hubs, so the flag costs one
+    // broadcast semi-probe of the edge frame + a small distinct.
+    val clippedNodes = deg.filter(col("deg") > maxNeighbors)
+      .select(col("id").as("dst"))
+    val flagged = und.join(broadcast(clippedNodes), Seq("dst"), "left_semi")
+      .select(col("src").as("id")).distinct()
     non.join(deg.select(col("id").as("v"), col("deg").as("da")), "v")
       .join(deg.select(col("id").as("w"), col("deg").as("db")), "w")
+      .join(flagged.select(col("id").as("v"), lit(true).as("__cv")), Seq("v"), "left")
+      .join(flagged.select(col("id").as("w"), lit(true).as("__cw")), Seq("w"), "left")
       .select(col("v"), col("w"), col("common"),
         round(col("common").cast("double") /
-          (col("da") + col("db") - col("common")), 6).as("jaccard"))
+          (col("da") + col("db") - col("common")), 6).as("jaccard"),
+        (coalesce(col("__cv"), lit(false)) ||
+          coalesce(col("__cw"), lit(false))).as("clipped"))
   }
 
   /** Symmetrized, deduplicated edge list hash-partitioned by `src` once —

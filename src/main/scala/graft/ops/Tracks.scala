@@ -148,9 +148,16 @@ object Tracks {
     * consumer pattern, `docs/data_contracts.md:113`): keep the newest event per
     * (user_id, hour), full deterministic tie-break.
     */
-  /** Tag each position with the rectangular geofence containing it —
+  /** Tag each position with the rectangular geofence(s) containing it —
     * half-open [min, max) on both axes so a boundary point lands in exactly
-    * one adjacent zone. Zones are CONFIG, not data: constant cardinality in
+    * one of two ADJACENT zones. Overlap semantics: one output row per
+    * containing zone (all memberships) — under deliberately overlapping
+    * zones a position tags multiply, which is what a rollup over zones
+    * wants; the streaming twin [[graft.streaming.StreamingGeofence]]
+    * instead resolves overlap to the first-declared zone (a transition
+    * stream needs ONE current zone), so batch/stream equivalence holds on
+    * DISJOINT zone configs, divergence under overlap is by design, and
+    * both docs say so. Zones are CONFIG, not data: constant cardinality in
     * the scale factor (the nation-table class), so the broadcast
     * nested-loop containment join is the right plan — the fact side streams
     * once, never shuffles, and each row tests a handful of bounding boxes.

@@ -9,17 +9,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[graft.ops.Tracks.geofenceHits]]: instead of tagging positions after
   * the fact, emit an event the moment a vessel ENTERS, EXITS, or SWITCHES
   * zones. The alerting read of the same config-scale bounding boxes
-  * (half-open [min, max) on both axes, identical containment semantics to
-  * the batch operator — a position on a shared boundary belongs to exactly
-  * one zone, so batch and stream agree on every tag).
+  * (half-open [min, max) on both axes). Batch/stream equivalence is
+  * scoped to DISJOINT zone configs (which half-open bounds give any
+  * edge-to-edge tiling): there a position has at most one containing zone
+  * and the two operators agree on every tag. Under deliberately
+  * OVERLAPPING zones they diverge by design — the batch join tags a
+  * position once per containing zone (all memberships), while this
+  * tracker needs the single current zone per vessel and resolves overlap
+  * to the first-declared ([[zoneOf]]); a transition stream over
+  * multi-membership is not well-defined without a policy, and
+  * first-declared is the deterministic one chosen here.
   *
   * State per vessel is ONE (zone, ts) pair — constant, no history — so
   * state-store size is O(active vessels) regardless of stream length; keys
   * shard by uid hash like every other per-vessel processor here.
   *
-  * Ordering contract: rows within a micro-batch sort by event time before
-  * folding; a cross-batch ping AT OR BEFORE the state's timestamp is
-  * dropped, never applied — state must not regress and an at-least-once
+  * Ordering contract: rows within a micro-batch sort by (event time, lat,
+  * lon) before folding — the position components break ties among
+  * same-timestamp pings, so the fold order (and thus the emitted
+  * transition sequence and final state) is a pure function of the batch's
+  * row SET, stable across task retries, where a bare event-time sort
+  * would leave same-ts pings in arrival order and a retried micro-batch
+  * could emit a different sequence; a cross-batch ping AT OR BEFORE the
+  * state's timestamp is dropped, never applied — state must not regress
+  * and an at-least-once
   * redelivery must be a no-op (see the inline note in [[update]] for why
   * equal timestamps cannot be accepted without breaking replay
   * idempotence), the same monotonicity discipline as
@@ -64,7 +77,10 @@ object StreamingGeofence {
     // cost is that a cross-batch same-timestamp reading is dropped
     // (in-batch same-ts pings all apply — the filter only guards against
     // HISTORY). Feed sub-second event times if same-ts readings matter.
-    val inOrder = rows.toList.sortBy(_.ts.getTime)
+    // deterministic total order: (ts, lat, lon) — see the ordering
+    // contract in the object doc for why same-ts ties must not fall back
+    // to arrival order
+    val inOrder = rows.toList.sortBy(p => (p.ts.getTime, p.lat, p.lon))
       .filter(_.ts.getTime > prev.tsMs)
     val (last, out) = inOrder.foldLeft((prev, List.empty[Transition])) {
       case ((cur, acc), p) =>

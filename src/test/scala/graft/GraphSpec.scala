@@ -120,9 +120,10 @@ class GraphSpec extends SparkSpec {
     val scope = new CacheScope
     val got = Graph.commonNeighborPairs(edges, "x", "y", minCommon = 2,
         maxNeighbors = 100, scope = scope)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-    assert(got.toSeq === Seq((1L, 4L, 2L, 1.0)),
-      s"only the non-adjacent shadow pair qualifies: ${got.toSeq}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq === Seq((1L, 4L, 2L, 1.0, false)),
+      s"only the non-adjacent shadow pair qualifies, exact (unclipped): ${got.toSeq}")
     scope.release()
   }
 
@@ -137,10 +138,64 @@ class GraphSpec extends SparkSpec {
     // id): only pair (1,2) survives — the clip is by id, not arrival
     val capped = Graph.commonNeighborPairs(star, "x", "y", minCommon = 1,
         maxNeighbors = 2, scope = scope)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(capped.toSeq === Seq((1L, 2L, 1L)),
-      s"cap must keep the id-first neighbors: ${capped.toSeq}")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(4)))
+    assert(capped.toSeq === Seq((1L, 2L, 1L, true)),
+      s"cap must keep the id-first neighbors AND flag the survivors as " +
+        s"possibly-undercounted (their common neighbor 9 was clipped): ${capped.toSeq}")
     scope.release()
+  }
+
+  test("clipped flag keys on clipped COMMON NEIGHBORS, not the endpoints' own degree") {
+    // hub 9 (deg 4 > cap 3) is clipped; 5 (deg 1) and 6 (deg 1) share only
+    // UNclipped neighbor 7 — their count is exact and must NOT be flagged,
+    // even though a clipped node exists elsewhere in the graph; while
+    // (1,2) — common neighbor 9 clipped — must be flagged
+    val scope = new CacheScope
+    val g = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L),
+      (7L, 5L), (7L, 6L)).toDF("x", "y")
+    val got = Graph.commonNeighborPairs(g, "x", "y", minCommon = 1,
+        maxNeighbors = 3, scope = scope)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getBoolean(4))).toMap
+    assert(got((5L, 6L)) === false,
+      "a pair whose every common neighbor kept its full list is exact")
+    assert(got.filterKeys(k => k._1 <= 4 && k._2 <= 4).values.forall(identity),
+      s"pairs through the clipped hub are flagged lower-bound: $got")
+    scope.release()
+  }
+
+  test("seedDistanceAll: early-stops when the frontier drains; matches bounded BFS") {
+    // path 1-2-3-4 seeded at 1: eccentricity 3. hopCap=1000 must cost a
+    // handful of driver rounds, not a thousand — count jobs to observe the
+    // early exit directly
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    val seeds = Seq(1L).toDF("id")
+    val scope = new CacheScope
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val all = Graph.seedDistanceAll(edges, "x", "y", seeds, "id",
+          hopCap = 1000, scope = scope)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(all === Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3),
+        "the whole ball gets exact nearest-seed hops")
+      assert(jobs.get < 60,
+        s"early exit must bound driver rounds by the true eccentricity, " +
+          s"not hopCap: ${jobs.get} jobs for hopCap=1000")
+      // row-identical to the bounded call once maxHops covers the ball
+      val bounded = Graph.seedDistance(edges, "x", "y", seeds, "id",
+          maxHops = 5, scope = scope)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(bounded === all, "bounded and drained BFS agree on a covered ball")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      scope.release()
+    }
   }
 
   test("personalizedPageRankMicro: exact integers on a-b-c seeded at b") {

@@ -434,6 +434,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("geofence fold is a pure function of the batch's row SET — same-ts ties ordered by position") {
+    // two pings share one timestamp but sit in different zones; the update
+    // fold must order them (ts, lat, lon) regardless of arrival order, so
+    // a retried micro-batch delivering rows in any iterator order emits
+    // the SAME transition sequence and final state
+    import graft.streaming.StreamingGeofence
+    import graft.streaming.StreamingGeofence.{Ping, ZoneState}
+    val zones = Seq(("a", 0.0, 1.0, 0.0, 1.0), ("b", 1.0, 2.0, 1.0, 2.0))
+    val p1 = Ping(1L, ts("10:00"), 0.5, 0.5)  // zone a
+    val p2 = Ping(1L, ts("10:00"), 1.5, 1.5)  // zone b, same ts
+    val p3 = Ping(1L, ts("10:01"), 0.6, 0.6)  // zone a
+    def run(order: Seq[Ping]) = {
+      val st = org.apache.spark.sql.streaming.TestGroupState.create[ZoneState](
+        org.apache.spark.api.java.Optional.empty[ZoneState](),
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout(),
+        0L, org.apache.spark.api.java.Optional.empty[Long](),
+        hasTimedOut = false)
+      val out = StreamingGeofence.update(zones)(1L, order.iterator, st).toSeq
+      (out.map(t => (t.from_zone, t.to_zone, t.kind)), st.getOption)
+    }
+    val (seqA, stateA) = run(Seq(p1, p2, p3))
+    val (seqB, stateB) = run(Seq(p2, p1, p3))
+    val (seqC, stateC) = run(Seq(p3, p2, p1))
+    assert(seqA === seqB && seqB === seqC,
+      s"retry-order independence: $seqA vs $seqB vs $seqC")
+    assert(stateA === stateB && stateB === stateC, "final state identical")
+    assert(seqA === Seq(("", "a", "enter"), ("a", "b", "switch"),
+      ("b", "a", "switch")), s"fold follows the (ts, lat, lon) order: $seqA")
+  }
+
   test("a legacy FLAT presence store migrates to dt-partitioned on first touch") {
     // a store written before the partitioned layout holds root-level
     // parquet files with dt as a data column; the first batch must rewrite
