@@ -70,6 +70,26 @@ object CoMovement {
     *   (`README.md:130`: busy-anchorage noise). Bound with the cap: pair
     *   fanout ≤ cells × C(cap, 2).
     */
+  /** The dense-cell guard alone (see the `maxUidsPerCell` doc above):
+    * projects the (uid, dt, hr, cell) pairing columns and excludes every
+    * (dt, hr, cell) bucket holding more vessels than the cap. Factored out
+    * so the rehearsal spec can measure the guarded self-join fanout
+    * directly; the count window shuffles on the SAME key the self-join
+    * needs, so the guard adds no extra exchange to the pipeline's shape.
+    */
+  private[graft] def guardedHourly(hourly: DataFrame,
+                                   maxUidsPerCell: Int): DataFrame = {
+    val base = hourly.select("uid", "dt", "hr", "cell")
+    if (maxUidsPerCell <= 0) base
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dt"), col("hr"), col("cell"))
+      base.withColumn("__cell_n", count(lit(1)).over(w))
+        .filter(col("__cell_n") <= maxUidsPerCell)
+        .drop("__cell_n")
+    }
+  }
+
   def pairsDaily(hourly: DataFrame, maxUidsPerCell: Int = 0): DataFrame = {
     // The hourly frame feeds FOUR consumers (both self-join sides + both
     // ship-day stat legs); Catalyst cannot reuse the subplan through the
@@ -80,19 +100,7 @@ object CoMovement {
     // repartition on the self-join key BEFORE caching: the rollup's AQE-
     // coalesced output would otherwise cache as ~1 partition and serialize
     // every downstream join that streams it
-    val base = hourly.select("uid", "dt", "hr", "cell")
-    val guarded =
-      if (maxUidsPerCell <= 0) base
-      else {
-        // the count window shuffles on the SAME key the self-join needs, so
-        // the guard adds no extra exchange to the pipeline's shape
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("dt"), col("hr"), col("cell"))
-        base.withColumn("__cell_n", count(lit(1)).over(w))
-          .filter(col("__cell_n") <= maxUidsPerCell)
-          .drop("__cell_n")
-      }
-    val h = guarded
+    val h = guardedHourly(hourly, maxUidsPerCell)
       .repartition(col("dt"), col("hr"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
