@@ -914,6 +914,18 @@ object SparkEntry {
         .select(col("id").as("user_id"), col("hops"))
         .orderBy("user_id")),
 
+    // coordinated-cluster density: the 2-core of the pair network —
+    // iterative peeling removes chains and stars, keeping only subgraphs
+    // where every member retains >= 2 in-core partners; unique fixpoint,
+    // early-stopped driver loop, per-round cost tracks surviving edges
+    // (Graph.kCore).
+    "k_core" -> ((s, d) =>
+      Graph.kCore(
+          pairsGold(s, d).select("uid_a", "uid_b").distinct(),
+          "uid_a", "uid_b", k = 2)
+        .select(col("id").as("user_id"), col("deg_core"))
+        .orderBy("user_id")),
+
     // local clustering structure: per-vessel triangle participation —
     // cohesive convoys close triangles, hub-and-spoke coincidence doesn't.
     // Degree-ordered orientation bounds wedge fanout at O(sqrt m) per node
@@ -1029,6 +1041,32 @@ object SparkEntry {
     // language-ID (stopword-marker heuristic, deterministic argmax)
     "lang_id" -> ((s, d) =>
       TextOps.languageId(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+
+    // PII redaction (DataQuality.piiScrub): the synthetic corpus carries no
+    // PII, so the query SEEDS each doc with deterministic doc_id-derived
+    // email/SSN/phone/card/IP spans, then proves the scrub finds and
+    // replaces every one — counts and placeholders checked against
+    // DuckDB's RE2 on the byte-identical input (the patterns are written
+    // in the Java-regex ∩ RE2 common subset precisely so this oracle
+    // exists)
+    "pii_scrub" -> ((s, d) => {
+      val seeded = Tables.documents(s, d).select(col("doc_id"),
+        concat_ws(" ", col("text"),
+          concat(lit("user"), col("doc_id").cast("string"), lit("@example.com")),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("ssn "), (col("doc_id") % 900 + 100).cast("string"),
+              lit("-"), (col("doc_id") % 90 + 10).cast("string"),
+              lit("-"), (col("doc_id") % 9000 + 1000).cast("string"))),
+          when(col("doc_id") % 4 === 0,
+            concat(lit("call +14155550"),
+              lpad((col("doc_id") % 100).cast("string"), 2, "0"))),
+          when(col("doc_id") % 5 === 0,
+            concat(lit("ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))),
+          when(col("doc_id") % 7 === 0,
+            concat(lit("card 4111111111111"),
+              lpad((col("doc_id") % 1000).cast("string"), 3, "0")))).as("text"))
+      DataQuality.piiScrub(seeded, "doc_id", "text").orderBy("doc_id")
+    }),
 
     // per-doc top-k TF-IDF terms: doc-term counts -> df from the same frame
     // -> broadcast corpus size -> WindowGroupLimit top-k per doc
@@ -2843,6 +2881,33 @@ object SparkEntry {
          |LEFT JOIN fl fw ON fw.id = n.w
          |ORDER BY uid_a, uid_b""".stripMargin,
 
+    // mirrors Graph.kCore: 8 unrolled peeling rounds (the engine's round
+    // cap — its early stop past convergence is a no-op, so fixed unrolling
+    // and the driver-guard loop agree whether either converges early),
+    // then degrees inside the final induced subgraph. MATERIALIZED is
+    // load-bearing: each round references the previous alive set TWICE, so
+    // DuckDB's default CTE inlining would clone the whole upstream chain
+    // 2^8 times and never finish; materialization makes the unrolled chain
+    // linear, exactly like the engine's per-round persisted frame
+    "k_core" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""kd$i AS MATERIALIZED (SELECT e.src AS id, count(*) AS c FROM ed e
+           |  JOIN ka${i - 1} s ON e.src = s.id
+           |  JOIN ka${i - 1} t ON e.dst = t.id GROUP BY 1),
+           |ka$i AS MATERIALIZED (SELECT id FROM kd$i WHERE c >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""$PairsCte,
+         |pe AS (SELECT DISTINCT uid_a, uid_b FROM pairs_g),
+         |ed AS MATERIALIZED (SELECT uid_a AS src, uid_b AS dst FROM pe
+         |       UNION SELECT uid_b, uid_a FROM pe),
+         |ka0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM ed),
+         |$rounds,
+         |kdf AS (SELECT e.src AS id, count(*) AS c FROM ed e
+         |  JOIN ka8 s ON e.src = s.id JOIN ka8 t ON e.dst = t.id GROUP BY 1)
+         |SELECT id AS user_id, CAST(c AS BIGINT) AS deg_core
+         |FROM kdf ORDER BY user_id""".stripMargin
+    },
+
     // mirrors Graph.personalizedPageRankFromHubs: top-2 hub seeds, init
     // 1e6//|S| on seeds else 0, teleport base 150000//|S| on seeds else 0,
     // three unrolled all-bigint iterations — bit-identical at every step
@@ -3435,6 +3500,43 @@ object SparkEntry {
          |FROM s)
          |SELECT doc_id, ${scoreCols.mkString(", ")}, $pred AS pred_lang
          |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    // mirrors DataQuality.piiScrub: same doc_id-derived seeding, then the
+    // SAME pattern fold — counts on the previous stage's redacted text,
+    // stages GENERATED from DataQuality.PiiPatterns so Spark and the
+    // oracle cannot drift; 'g' flag because DuckDB's regexp_replace is
+    // first-match-only by default where Spark's replaces all
+    "pii_scrub" -> {
+      val stages = graft.ops.DataQuality.PiiPatterns.zipWithIndex
+        .map { case ((name, pat, repl), i) =>
+          val carried = graft.ops.DataQuality.PiiPatterns.take(i)
+            .map { case (n, _, _) => s"n_$n" }
+          val carry = if (carried.isEmpty) "" else carried.mkString("", ", ", ",")
+          s"""s${i + 1} AS (SELECT doc_id, $carry
+             |  CAST(len(regexp_extract_all(t$i, '$pat')) AS BIGINT) AS n_$name,
+             |  regexp_replace(t$i, '$pat', '$repl', 'g') AS t${i + 1} FROM s$i)"""
+            .stripMargin
+        }.mkString(",\n")
+      val names = graft.ops.DataQuality.PiiPatterns.map { case (n, _, _) => s"n_$n" }
+      val last = graft.ops.DataQuality.PiiPatterns.length
+      s"""WITH s0 AS (SELECT doc_id, concat_ws(' ', text,
+         |    concat('user', CAST(doc_id AS VARCHAR), '@example.com'),
+         |    CASE WHEN doc_id % 3 = 0 THEN concat('ssn ',
+         |      CAST(doc_id % 900 + 100 AS VARCHAR), '-',
+         |      CAST(doc_id % 90 + 10 AS VARCHAR), '-',
+         |      CAST(doc_id % 9000 + 1000 AS VARCHAR)) END,
+         |    CASE WHEN doc_id % 4 = 0 THEN concat('call +14155550',
+         |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) END,
+         |    CASE WHEN doc_id % 5 = 0 THEN concat('ip 10.0.',
+         |      CAST(doc_id % 256 AS VARCHAR), '.7') END,
+         |    CASE WHEN doc_id % 7 = 0 THEN concat('card 4111111111111',
+         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')) END) AS t0
+         |  FROM documents),
+         |$stages
+         |SELECT doc_id, ${names.mkString(", ")},
+         |  ${names.mkString(" + ")} AS pii_total, t$last AS clean_text
+         |FROM s$last ORDER BY doc_id""".stripMargin
     },
 
     // score = tf · ln((N+1)/(df+1)); ln() ulp noise absorbed by round(,6),

@@ -349,6 +349,67 @@ object Graph {
           coalesce(col("__cw"), lit(false))).as("clipped"))
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly remove every
+    * node whose degree in the SURVIVING subgraph is < k until no node
+    * falls, then report each survivor with its degree inside the final
+    * core. The density primitive pairwise scores and triangles both miss:
+    * a k-core is a subgraph where EVERY member keeps ≥ k in-core partners,
+    * the classic signature of coordinated clusters (convoy fleets, spam
+    * farms, botnet rings) as opposed to chains and stars, which peel away.
+    *
+    * Determinism: the k-core is unique (peeling is confluent — removal
+    * order cannot change the fixpoint), counts are exact integers, and the
+    * round structure is pinned: `maxRounds` peeling rounds, early-stopped
+    * when a round removes nobody. Extra rounds past convergence are
+    * no-ops, so the early stop is pure optimization — the result equals
+    * the oracle's fixed unrolled chain whether either side converges
+    * early or runs the cap out.
+    *
+    * Scale shape: per round, restrict the src-partitioned edge frame to
+    * surviving endpoints (two keyed joins — the src side aligned with the
+    * build partitioning, the dst side a shrinking semi-join), one
+    * map-side-combined degree groupBy, one filter; the per-round frontier
+    * cost tracks the SURVIVING edge count, which only shrinks. The
+    * surviving-set count per round is one cheap action on a persisted
+    * frame (the [[seedDistanceAll]] driver-guard discipline). Peeling
+    * depth on real association graphs is small (each round must remove ≥1
+    * node or stop, and hub-poor fringes fall in the first rounds).
+    * Output: (id, deg_core) for final-core members.
+    */
+  def kCore(edges: DataFrame, aCol: String, bCol: String, k: Long,
+            maxRounds: Int = 8,
+            scope: CacheScope = CacheScope.global): DataFrame = {
+    require(k >= 1, "k must be positive")
+    require(maxRounds >= 1, "need at least one peeling round")
+    val und = symmetrize(edges, aCol, bCol, scope)
+    var alive = scope.persisted(und.select(col("src").as("id")).distinct())
+    var nAlive = alive.count()
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val deg = inducedDegrees(und, alive)
+      val next = scope.persisted(
+        deg.filter(col("deg") >= k).select("id"))
+      val nNext = next.count()
+      // peeling only removes — equal count ⟺ equal set, no anti-join needed
+      if (nNext == nAlive) converged = true
+      else { alive = next; nAlive = nNext; round += 1 }
+    }
+    inducedDegrees(und, alive)
+      .select(col("id"), col("deg").as("deg_core"))
+  }
+
+  /** Degrees within the subgraph induced by `alive`: edges with BOTH
+    * endpoints surviving, grouped by source. A node isolated by its
+    * neighbors' removal simply doesn't appear (degree 0 — outside any
+    * k≥1 core).
+    */
+  private def inducedDegrees(und: DataFrame, alive: DataFrame): DataFrame =
+    und.join(alive.select(col("id").as("src")), "src")
+      .join(alive.select(col("id").as("dst")), "dst")
+      .groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+
   /** Symmetrized, deduplicated edge list hash-partitioned by `src` once —
     * every hop's frontier→edges join reuses it exchange-free on the big
     * side (the same build [[pageRankMicro]] uses).

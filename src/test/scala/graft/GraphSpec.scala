@@ -163,6 +163,29 @@ class GraphSpec extends SparkSpec {
     scope.release()
   }
 
+  test("kCore: chains and stars peel away, cycles and cliques survive with in-core degrees") {
+    val scope = new CacheScope
+    // a 4-cycle with a pendant tail and a star: the 2-core is exactly the
+    // cycle (everyone keeps 2 partners); tail and star peel in cascades
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), // cycle
+      (4L, 5L), (5L, 6L),                               // tail off the cycle
+      (9L, 10L), (9L, 11L), (9L, 12L)).toDF("x", "y")   // star
+    val core = Graph.kCore(g, "x", "y", k = 2, scope = scope)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L, 4L -> 2L),
+      s"only the cycle survives, each member at in-core degree 2: $core")
+    // K4 at k=3: the whole clique stays at degree 3
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("x", "y")
+    val c4 = Graph.kCore(k4, "x", "y", k = 3, scope = scope)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c4 === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // a pure path has no 2-core at all
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("x", "y")
+    assert(Graph.kCore(path, "x", "y", k = 2, scope = scope).count() === 0L,
+      "peeling a path must cascade to empty")
+    scope.release()
+  }
+
   test("seedDistanceAll: early-stops when the frontier drains; matches bounded BFS") {
     // path 1-2-3-4 seeded at 1: eccentricity 3. hopCap=1000 must cost a
     // handful of driver rounds, not a thousand — count jobs to observe the
