@@ -1042,13 +1042,13 @@ object SparkEntry {
     "lang_id" -> ((s, d) =>
       TextOps.languageId(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
-    // PII redaction (DataQuality.piiScrub): the synthetic corpus carries no
-    // PII, so the query SEEDS each doc with deterministic doc_id-derived
-    // email/SSN/phone/card/IP spans, then proves the scrub finds and
-    // replaces every one — counts and placeholders checked against
-    // DuckDB's RE2 on the byte-identical input (the patterns are written
-    // in the Java-regex ∩ RE2 common subset precisely so this oracle
-    // exists)
+    // PII detection proven end-to-end (Curation.redactPii — the same
+    // operator pii_redact audits on the raw corpus): the synthetic corpus
+    // carries no PII, so this query SEEDS each doc with deterministic
+    // doc_id-derived email/SSN/phone/card/IP spans and checks counts AND
+    // the full redacted text against DuckDB's RE2 on byte-identical input
+    // (the patterns live in the Java-regex ∩ RE2 common subset precisely
+    // so this oracle exists)
     "pii_scrub" -> ((s, d) => {
       val seeded = Tables.documents(s, d).select(col("doc_id"),
         concat_ws(" ", col("text"),
@@ -1065,7 +1065,10 @@ object SparkEntry {
           when(col("doc_id") % 7 === 0,
             concat(lit("card 4111111111111"),
               lpad((col("doc_id") % 1000).cast("string"), 3, "0")))).as("text"))
-      DataQuality.piiScrub(seeded, "doc_id", "text").orderBy("doc_id")
+      Curation.redactPii(seeded, "doc_id", "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_ids"),
+          col("n_cards"), col("n_phones"), col("redacted").as("clean_text"))
+        .orderBy("doc_id")
     }),
 
     // per-doc top-k TF-IDF terms: doc-term counts -> df from the same frame
@@ -1141,11 +1144,14 @@ object SparkEntry {
           "first_chunk", "last_chunk")
         .orderBy("doc_id")),
 
-    // PII scrub: per-type counts + sequentially redacted text (md5 digest)
+    // PII scrub audit on the raw corpus: per-type counts + sequentially
+    // redacted text (md5 digest); counts measured on the previously
+    // redacted text so types never double-count (Curation.redactPii)
     "pii_redact" -> ((s, d) =>
       Curation.redactPii(Tables.documents(s, d), "doc_id", "text")
         .select(col("doc_id"), col("n_urls"), col("n_emails"), col("n_ips"),
-          col("n_phones"), md5(col("redacted")).as("redacted_md5"))
+          col("n_ids"), col("n_cards"), col("n_phones"),
+          md5(col("redacted")).as("redacted_md5"))
         .orderBy("doc_id")),
 
     // C4-style quality filter: keep flag + drop-reason bitmask per doc
@@ -2990,6 +2996,25 @@ object SparkEntry {
   private def markerList(lang: String): String =
     TextOps.LangMarkers.find(_._1 == lang).get._2.map(m => s"'$m'").mkString(", ")
 
+  private def piiCountNames: Seq[String] =
+    Curation.PiiPatterns.map { case (n, _, _) => s"n_$n" }
+
+  /** The DuckDB twin of Curation.redactPii's sequential fold, generated
+    * from the same PiiPatterns inventory: stage i counts pattern i on
+    * `prefix{i-1}` (the text redacted by stages 1..i-1) and emits
+    * `prefix{i}` with pattern i replaced ('g' — DuckDB's regexp_replace is
+    * first-match-only by default where Spark's replaces all).
+    */
+  private def piiStagesSql(prefix: String): String =
+    Curation.PiiPatterns.zipWithIndex.map { case ((name, re, tag), i) =>
+      val carried = piiCountNames.take(i)
+      val carry = if (carried.isEmpty) "" else carried.mkString("", ", ", ",")
+      s"""pt${i + 1} AS (SELECT doc_id, $carry
+         |  CAST(len(regexp_extract_all($prefix$i, '$re')) AS INTEGER) AS n_$name,
+         |  regexp_replace($prefix$i, '$re', '$tag', 'g') AS $prefix${i + 1}
+         |  FROM pt$i)""".stripMargin
+    }.mkString(",\n")
+
   /** Distinct 3-token shingles per doc (list comprehension; empty for <3 toks
     * exactly like the Spark-side `when(size >= 3, ...)` guard).
     */
@@ -3372,17 +3397,39 @@ object SparkEntry {
 
     // generated from the SAME PiiPatterns the engine applies (RE2 ∩ Java
     // regex subset); DuckDB regexp_replace needs the explicit 'g' flag
+    // mirrors Curation.redactPii's sequential fold: stage i counts on the
+    // text redacted by stages 1..i-1, then replaces — generated from the
+    // SAME PiiPatterns inventory so Spark and the oracle cannot drift
     "pii_redact" -> {
-      val countCols = Curation.PiiPatterns.map { case (name, re, _) =>
-        s"CAST(len(regexp_extract_all(text, '$re')) AS INTEGER) AS n_$name"
-      }.mkString(",\n  ")
-      val redacted = Curation.PiiPatterns.foldLeft("text") {
-        case (acc, (_, re, tag)) => s"regexp_replace($acc, '$re', '$tag', 'g')"
-      }
-      s"""SELECT doc_id,
-         |  $countCols,
-         |  md5($redacted) AS redacted_md5
-         |FROM documents ORDER BY doc_id""".stripMargin
+      val stages = piiStagesSql("t")
+      s"""WITH pt0 AS (SELECT doc_id, text AS t0 FROM documents),
+         |$stages
+         |SELECT doc_id, ${piiCountNames.mkString(", ")},
+         |  md5(t${Curation.PiiPatterns.length}) AS redacted_md5
+         |FROM pt${Curation.PiiPatterns.length} ORDER BY doc_id""".stripMargin
+    },
+
+    // mirrors the seeded pii_scrub query: same doc_id-derived PII spans,
+    // same generated stage chain, full redacted text compared
+    "pii_scrub" -> {
+      val stages = piiStagesSql("t")
+      s"""WITH pt0 AS (SELECT doc_id, concat_ws(' ', text,
+         |    concat('user', CAST(doc_id AS VARCHAR), '@example.com'),
+         |    CASE WHEN doc_id % 3 = 0 THEN concat('ssn ',
+         |      CAST(doc_id % 900 + 100 AS VARCHAR), '-',
+         |      CAST(doc_id % 90 + 10 AS VARCHAR), '-',
+         |      CAST(doc_id % 9000 + 1000 AS VARCHAR)) END,
+         |    CASE WHEN doc_id % 4 = 0 THEN concat('call +14155550',
+         |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) END,
+         |    CASE WHEN doc_id % 5 = 0 THEN concat('ip 10.0.',
+         |      CAST(doc_id % 256 AS VARCHAR), '.7') END,
+         |    CASE WHEN doc_id % 7 = 0 THEN concat('card 4111111111111',
+         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')) END) AS t0
+         |  FROM documents),
+         |$stages
+         |SELECT doc_id, n_emails, n_ips, n_ids, n_cards, n_phones,
+         |  t${Curation.PiiPatterns.length} AS clean_text
+         |FROM pt${Curation.PiiPatterns.length} ORDER BY doc_id""".stripMargin
     },
 
     "repetition" ->
@@ -3500,43 +3547,6 @@ object SparkEntry {
          |FROM s)
          |SELECT doc_id, ${scoreCols.mkString(", ")}, $pred AS pred_lang
          |FROM sc ORDER BY doc_id""".stripMargin
-    },
-
-    // mirrors DataQuality.piiScrub: same doc_id-derived seeding, then the
-    // SAME pattern fold — counts on the previous stage's redacted text,
-    // stages GENERATED from DataQuality.PiiPatterns so Spark and the
-    // oracle cannot drift; 'g' flag because DuckDB's regexp_replace is
-    // first-match-only by default where Spark's replaces all
-    "pii_scrub" -> {
-      val stages = graft.ops.DataQuality.PiiPatterns.zipWithIndex
-        .map { case ((name, pat, repl), i) =>
-          val carried = graft.ops.DataQuality.PiiPatterns.take(i)
-            .map { case (n, _, _) => s"n_$n" }
-          val carry = if (carried.isEmpty) "" else carried.mkString("", ", ", ",")
-          s"""s${i + 1} AS (SELECT doc_id, $carry
-             |  CAST(len(regexp_extract_all(t$i, '$pat')) AS BIGINT) AS n_$name,
-             |  regexp_replace(t$i, '$pat', '$repl', 'g') AS t${i + 1} FROM s$i)"""
-            .stripMargin
-        }.mkString(",\n")
-      val names = graft.ops.DataQuality.PiiPatterns.map { case (n, _, _) => s"n_$n" }
-      val last = graft.ops.DataQuality.PiiPatterns.length
-      s"""WITH s0 AS (SELECT doc_id, concat_ws(' ', text,
-         |    concat('user', CAST(doc_id AS VARCHAR), '@example.com'),
-         |    CASE WHEN doc_id % 3 = 0 THEN concat('ssn ',
-         |      CAST(doc_id % 900 + 100 AS VARCHAR), '-',
-         |      CAST(doc_id % 90 + 10 AS VARCHAR), '-',
-         |      CAST(doc_id % 9000 + 1000 AS VARCHAR)) END,
-         |    CASE WHEN doc_id % 4 = 0 THEN concat('call +14155550',
-         |      lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')) END,
-         |    CASE WHEN doc_id % 5 = 0 THEN concat('ip 10.0.',
-         |      CAST(doc_id % 256 AS VARCHAR), '.7') END,
-         |    CASE WHEN doc_id % 7 = 0 THEN concat('card 4111111111111',
-         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')) END) AS t0
-         |  FROM documents),
-         |$stages
-         |SELECT doc_id, ${names.mkString(", ")},
-         |  ${names.mkString(" + ")} AS pii_total, t$last AS clean_text
-         |FROM s$last ORDER BY doc_id""".stripMargin
     },
 
     // score = tf · ln((N+1)/(df+1)); ln() ulp noise absorbed by round(,6),

@@ -254,26 +254,42 @@ object Curation {
     * lookaround, no backrefs). Order matters: URLs first, so an email inside
     * a URL redacts as part of the URL, then emails, IPv4s, phones.
     */
+  /** PII pattern inventory for [[redactPii]] and its oracle twins. Every
+    * pattern is written in the COMMON subset of Java regex (Spark) and RE2
+    * (DuckDB) — no lookarounds, no backreferences — so both engines match
+    * identical spans. Order is part of the contract: URLs first (an email
+    * or IP inside a URL redacts as part of the URL, never double-counts),
+    * then emails, then the structured-digit shapes from most to least
+    * specific (IP, SSN-style id, card-style run) so the generic phone
+    * alternation can never swallow them.
+    */
   val PiiPatterns: Seq[(String, String, String)] = Seq(
     ("urls", "https?://\\S+", "[URL]"),
     ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
     ("ips", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP]"),
-    ("phones", "\\b\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "[PHONE]"))
+    ("ids", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "[ID]"),
+    ("cards", "\\b\\d{15,16}\\b", "[CARD]"),
+    ("phones", "\\+\\d{9,14}\\b|\\b\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}\\b", "[PHONE]"))
 
-  /** PII scrub (emails / URLs / IPv4 / phone shapes): per-type match counts
-    * for the removal audit plus the sequentially redacted text — the standard
-    * pre-training scrub stage. Counts are measured on the ORIGINAL text (what
-    * was there), redaction applies the patterns in [[PiiPatterns]] order (so
-    * nested matches redact once, deterministically). Narrow codegen'd row map;
-    * no shuffle at any scale.
+  /** PII scrub (URLs / emails / IPv4 / SSN-shaped ids / card-shaped
+    * numbers / phone shapes): per-type match counts for the removal audit
+    * plus the sequentially redacted text — the standard pre-training scrub
+    * stage. Each pattern's count is measured ON THE RESULT OF THE PREVIOUS
+    * REDACTIONS (the same fold as the rewrite), so counts and placeholders
+    * always agree: a dashed SSN counts once as `ids` and never again as
+    * `phones`, an email inside a URL counts as part of the URL. Regex-based
+    * by design — auditable, deterministic, engine-portable (see
+    * [[PiiPatterns]]); an ML NER pass is a separate, slower stage that
+    * doesn't belong in the engine. Narrow codegen'd row map; no shuffle at
+    * any scale.
     */
   def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counts = PiiPatterns.map { case (name, re, _) =>
-      size(regexp_extract_all(col(textCol), lit(re), lit(0))).as(s"n_$name")
-    }
-    val redacted = PiiPatterns.foldLeft(col(textCol)) {
-      case (acc, (_, re, tag)) => regexp_replace(acc, re, tag)
-    }
+    val (redacted, counts) =
+      PiiPatterns.foldLeft((col(textCol), Seq.empty[Column])) {
+        case ((txt, acc), (name, re, tag)) =>
+          val n = size(regexp_extract_all(txt, lit(re), lit(0))).as(s"n_$name")
+          (regexp_replace(txt, re, tag), acc :+ n)
+      }
     df.select(col(idCol) +: counts :+ redacted.as("redacted"): _*)
   }
 

@@ -41,56 +41,6 @@ object DataQuality {
       .withColumn("risky", col("group_size") < k)
   }
 
-  /** PII pattern inventory shared by [[piiScrub]] and its oracle twin.
-    * Every pattern is written in the COMMON subset of Java regex (Spark)
-    * and RE2 (DuckDB): no lookarounds, no backreferences — `\d`, `\b`,
-    * bounded repetition, and literal classes mean both engines match the
-    * identical spans, which is what makes the scrub oracle-checkable.
-    * Order matters and is part of the contract: structured-digit patterns
-    * (SSN-style, card-style) run BEFORE the generic phone pattern so a
-    * dashed SSN is tagged `<ID>`, not swallowed as a phone prefix; email
-    * runs first so its digits never feed the numeric patterns.
-    */
-  val PiiPatterns: Seq[(String, String, String)] = Seq(
-    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
-    ("id", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<ID>"),
-    ("card", "\\b\\d{15,16}\\b", "<CARD>"),
-    ("phone", "\\+\\d{9,14}\\b|\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"))
-
-  /** PII detection + redaction over a text column — the compliance pass a
-    * web corpus runs before training: count and replace emails, IPv4
-    * addresses, SSN-shaped ids, card-shaped numbers, and phone numbers
-    * with typed placeholder tokens. Regex-based by design: the patterns
-    * are auditable, deterministic, engine-portable (see [[PiiPatterns]]),
-    * and run inside whole-stage codegen — an ML NER pass would be a
-    * separate, slower, non-reproducible stage; the regex tier is what
-    * belongs in the engine.
-    *
-    * Output: (idCol, n_email, n_ip, n_id, n_card, n_phone, pii_total,
-    * clean_text). Counts are measured per pattern ON THE RESULT OF THE
-    * PREVIOUS REDACTIONS (same fold as the rewrite), so a dashed SSN
-    * counts once as `id` and never again as `phone` — counts and
-    * placeholders always agree.
-    *
-    * Scale: one narrow projection, no shuffle, no UDF — each pattern is a
-    * codegen'd `regexp_extract_all` size + `regexp_replace`. Cost is
-    * O(text length × patterns) per row, embarrassingly parallel.
-    */
-  def piiScrub(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val (cleaned, counts) = PiiPatterns.foldLeft((col(textCol), Seq.empty[Column])) {
-      case ((txt, acc), (name, pat, repl)) =>
-        val n = size(regexp_extract_all(txt, lit(pat), lit(0)))
-          .cast("long").as(s"n_$name")
-        (regexp_replace(txt, pat, repl), acc :+ n)
-    }
-    df.select(col(idCol) +: counts :+ cleaned.as("clean_text"): _*)
-      .withColumn("pii_total",
-        PiiPatterns.map { case (n, _, _) => col(s"n_$n") }.reduce(_ + _))
-      .select(col(idCol), col("n_email"), col("n_ip"), col("n_id"),
-        col("n_card"), col("n_phone"), col("pii_total"), col("clean_text"))
-  }
-
   /** One row per rule: (rule, n_rows, n_violations, violation_rate,
     * first_bad_id) — `first_bad_id` is the minimum `keyCol` among violating
     * rows (NULL when the rule passes everywhere), a stable exemplar for

@@ -158,21 +158,24 @@ class CurationSpec extends SparkSpec {
 
   // ---- PII redaction ----------------------------------------------------
 
-  test("pii redaction: counts per type; nested email redacts as part of its URL") {
+  test("pii redaction: counts fold with the rewrite — no type ever double-counts") {
     val df = Seq(
       (1L, "mail me at jo.doe+x@test.org or visit https://x.io/a?u=a@b.co now"),
       (2L, "server 10.0.255.7 and call 555-123-4567 or +44 123 4567"),
-      (3L, "nothing sensitive here")).toDF("doc_id", "text")
+      (3L, "nothing sensitive here"),
+      (4L, "ssn 123-45-6789 card 4111111111111111 intl +4915123456789")
+    ).toDF("doc_id", "text")
     val got = Curation.redactPii(df, "doc_id", "text").orderBy("doc_id").collect()
 
-    // doc 1: one bare email + one URL (the a@b.co inside the URL counts as an
-    // email on the original text, but redacts inside [URL])
+    // doc 1: the a@b.co inside the URL is swallowed by the URL stage, so
+    // the email count (measured AFTER URL redaction) sees only the bare
+    // one — counts and placeholders agree
     assert(got(0).getAs[Int]("n_urls") === 1)
-    assert(got(0).getAs[Int]("n_emails") === 2)
+    assert(got(0).getAs[Int]("n_emails") === 1)
     assert(got(0).getAs[String]("redacted") ===
       "mail me at [EMAIL] or visit [URL] now")
 
-    // doc 2: ip + one standard phone; "+44 123 4567" lacks the 3-3-4 shape
+    // doc 2: ip + one standard phone; "+44 123 4567" fits neither shape
     assert(got(1).getAs[Int]("n_ips") === 1)
     assert(got(1).getAs[Int]("n_phones") === 1)
     assert(got(1).getAs[String]("redacted") ===
@@ -180,8 +183,16 @@ class CurationSpec extends SparkSpec {
 
     // doc 3 untouched
     assert(got(2).getAs[String]("redacted") === "nothing sensitive here")
-    assert(Seq("n_urls", "n_emails", "n_ips", "n_phones")
+    assert(Seq("n_urls", "n_emails", "n_ips", "n_ids", "n_cards", "n_phones")
       .forall(c => got(2).getAs[Int](c) === 0))
+
+    // doc 4: the dashed SSN is an [ID] (never re-counted as a phone), the
+    // 16-digit run a [CARD], the international number a [PHONE]
+    assert(got(3).getAs[Int]("n_ids") === 1)
+    assert(got(3).getAs[Int]("n_cards") === 1)
+    assert(got(3).getAs[Int]("n_phones") === 1)
+    assert(got(3).getAs[String]("redacted") ===
+      "ssn [ID] card [CARD] intl [PHONE]")
   }
 
   // ---- Fingerprint overlap pairs ----------------------------------------

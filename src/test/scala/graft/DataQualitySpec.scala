@@ -94,29 +94,4 @@ class DataQualitySpec extends SparkSpec {
       "p == q bin-for-bin must round to exactly 0")
   }
 
-  test("piiScrub: every pattern redacts; order keeps an SSN an <ID>, email digits never leak") {
-    val docs = Seq(
-      (1L, "mail bob.smith+x@corp.example.org now"),
-      (2L, "server at 192.168.0.1 answered"),
-      (3L, "ssn 123-45-6789 on file"),            // id, NOT phone
-      (4L, "call 415-555-1234 or +4915123456789"), // both phone forms
-      (5L, "card 4111111111111111 charged"),
-      (6L, "user99@ex.io from 10.0.0.7 ssn 987-65-4321 card 4111111111111111 tel 555-123-9876"),
-      (7L, "no pii here, just 42 and 1-2-3")).toDF("doc_id", "text")
-    val got = DataQuality.piiScrub(docs, "doc_id", "text")
-      .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
-          r.getLong(6), r.getString(7))).toMap
-    assert(got(1L) === ((1L, 0L, 0L, 0L, 0L, 1L, "mail <EMAIL> now")))
-    assert(got(2L) === ((0L, 1L, 0L, 0L, 0L, 1L, "server at <IP> answered")))
-    // the dashed SSN must be tagged <ID> by the earlier pattern, and the
-    // phone count must NOT double-count it
-    assert(got(3L) === ((0L, 0L, 1L, 0L, 0L, 1L, "ssn <ID> on file")))
-    assert(got(4L) === ((0L, 0L, 0L, 0L, 2L, 2L, "call <PHONE> or <PHONE>")))
-    assert(got(5L) === ((0L, 0L, 0L, 1L, 0L, 1L, "card <CARD> charged")))
-    assert(got(6L) === ((1L, 1L, 1L, 1L, 1L, 5L,
-      "<EMAIL> from <IP> ssn <ID> card <CARD> tel <PHONE>")))
-    assert(got(7L) === ((0L, 0L, 0L, 0L, 0L, 0L, "no pii here, just 42 and 1-2-3")),
-      "benign digits must pass untouched")
-  }
 }

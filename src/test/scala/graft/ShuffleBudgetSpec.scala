@@ -145,6 +145,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "geofence_hits" -> 3,
     // two-phase count-distinct per combo, per-type summary, final ORDER BY
     "k_anon_audit" -> 4,
+    // the peeling loop runs at construction (per-round frames live behind
+    // persisted boundaries); the returned plan is the final induced-degree
+    // pass + ORDER BY
+    "k_core" -> 1,
     // per-vessel trip window + OD rollup + final ORDER BY
     "od_flows" -> 3,
     "pair_quantiles" -> 1,
@@ -152,6 +156,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "pairs_total" -> 3,
     "pairs_total_ext" -> 3,
     "pii_redact" -> 1,
+    // seeded variant of the same narrow scrub projection: ORDER BY only
+    "pii_scrub" -> 1,
     "pmi_bigrams" -> 3,
     "pq_encode" -> 1,
     "pq_topk" -> 2,

@@ -807,6 +807,55 @@ class StreamingSpec extends SparkSpec {
     assert(run(0) === Nil)
   }
 
+  test("streaming ring co-movement ≡ brute-force hexDistance on RANDOM fleets and batch splits") {
+    // the ring twin's equivalence contract at k=1: replaying a random
+    // fleet's hourly rows across random micro-batch splits yields exactly
+    // the set of unordered pairs within hex distance <= 1 per hour —
+    // verified against an INDEPENDENT brute-force oracle (hexDistance over
+    // all pairs), not the ringDeltas arithmetic the operator itself uses
+    import graft.expressions.GeoCell
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = java.sql.Date.valueOf("2025-01-01")
+    for (seed <- Seq(11, 47)) {
+      val rnd = new scala.util.Random(seed)
+      // small lat/lon patch at res 3 so neighbor/straddle cases occur often
+      val rows = (1L to 10L).flatMap { uid =>
+        (0 until 2).map { hr =>
+          val lat = 10.0 + rnd.nextDouble() * 40.0
+          val lon = 10.0 + rnd.nextDouble() * 40.0
+          (uid, d, hr, GeoCell.cellId(lat, lon, 3))
+        }
+      }
+      val expected = (for {
+        Seq(a, b) <- rows.combinations(2)
+        if a._3 == b._3 && a._1 != b._1
+        if GeoCell.hexDistance(a._4, b._4) <= 1
+        (lo, hi) = if (a._1 < b._1) (a, b) else (b, a)
+      } yield (lo._1, hi._1, lo._3, lo._4, hi._4)).toSeq.sorted
+      val cut1 = 1 + rnd.nextInt(rows.length - 2)
+      val cut2 = cut1 + 1 + rnd.nextInt(rows.length - cut1 - 1)
+      val in = MemoryStream[(Long, java.sql.Date, Int, String)]
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-ringeq-$seed").toString
+      val q = graft.streaming.StreamingCoMovement.pairHourStream(
+        in.toDF.toDF("uid", "dt", "hr", "cell"),
+        root + "/store", root + "/out", root + "/cp",
+        ringK = 1, compactEvery = 1)
+      try {
+        in.addData(rows.take(cut1): _*); q.processAllAvailable()
+        in.addData(rows.slice(cut1, cut2): _*); q.processAllAvailable()
+        in.addData(rows.drop(cut2): _*); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.read.parquet(root + "/out")
+        .select("uid_a", "uid_b", "hr", "cell_a", "cell_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+          r.getString(3), r.getString(4))).sorted.toSeq
+      assert(streamed === expected,
+        s"seed=$seed cuts=($cut1,$cut2): ring stream must equal the " +
+          s"brute-force distance-1 pair set")
+    }
+  }
+
   test("streaming scrub survives stop/start: checkpoint + store resume, no re-emission") {
     // the scrub's production claim: kill the stream between batches, restart
     // from the checkpoint, and (a) the standing digest store still suppresses
