@@ -914,6 +914,18 @@ object SparkEntry {
         .select(col("id").as("user_id"), col("hops"))
         .orderBy("user_id")),
 
+    // sustained-association centrality: PageRank with rank flowing in
+    // proportion to total shared hours per pair — a 3-month convoy tie
+    // outweighs a 1-hour coincidence. Same integer micro-unit contract
+    // and per-iteration plan as pair_pagerank (Graph.weightedPageRankMicro).
+    "weighted_pagerank" -> ((s, d) =>
+      Graph.weightedPageRankMicro(
+          pairsGold(s, d).groupBy("uid_a", "uid_b")
+            .agg(sum(col("hT")).as("w")),
+          "uid_a", "uid_b", "w", iterations = 3)
+        .select(col("id").as("user_id"), col("w_total"), col("rank_micro"))
+        .orderBy("user_id")),
+
     // coordinated-cluster density: the 2-core of the pair network —
     // iterative peeling removes chains and stars, keeping only subgraphs
     // where every member retains >= 2 in-core partners; unique fixpoint,
@@ -2886,6 +2898,35 @@ object SparkEntry {
          |LEFT JOIN fl fv ON fv.id = n.v
          |LEFT JOIN fl fw ON fw.id = n.w
          |ORDER BY uid_a, uid_b""".stripMargin,
+
+    // mirrors Graph.weightedPageRankMicro: summed-hT edge weights, three
+    // unrolled all-bigint iterations with per-edge truncating division
+    // (r*w)//wout — bit-identical at every step; non-negative operands so
+    // DuckDB's floor // equals the engine's truncating div
+    "weighted_pagerank" -> {
+      def iter(i: Int): String =
+        s"""ws$i AS (SELECT e.dst AS id,
+           |  CAST(sum((p.r * e.w) // p.wout) AS BIGINT) AS m
+           |  FROM wed e JOIN wr${i - 1} p ON p.id = e.src GROUP BY 1),
+           |wr$i AS (SELECT w.id, w.wout, 150000 // (SELECT n FROM wnp)
+           |  + CAST((17 * coalesce(ws$i.m, 0)) // 20 AS BIGINT) AS r
+           |  FROM wo w LEFT JOIN ws$i ON ws$i.id = w.id)""".stripMargin
+      s"""$PairsCte,
+         |pw AS (SELECT uid_a, uid_b, CAST(sum(hT) AS BIGINT) AS w
+         |       FROM pairs_g GROUP BY 1, 2),
+         |wed AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+         |       SELECT uid_a AS src, uid_b AS dst, w FROM pw
+         |       UNION ALL SELECT uid_b, uid_a, w FROM pw) GROUP BY 1, 2),
+         |wo AS (SELECT src AS id, CAST(sum(w) AS BIGINT) AS wout
+         |       FROM wed GROUP BY 1),
+         |wnp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM wo),
+         |wr0 AS (SELECT id, wout, 1000000 // (SELECT n FROM wnp) AS r FROM wo),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT id AS user_id, wout AS w_total, CAST(r AS BIGINT) AS rank_micro
+         |FROM wr3 ORDER BY user_id""".stripMargin
+    },
 
     // mirrors Graph.kCore: 8 unrolled peeling rounds (the engine's round
     // cap — its early stop past convergence is a no-op, so fixed unrolling

@@ -68,6 +68,57 @@ object Graph {
       .select(col("id"), col("deg"), col("r").as("rank_micro"))
   }
 
+  /** Weight-proportional PageRank: like [[pageRankMicro]] but each
+    * neighbor receives rank in proportion to its EDGE WEIGHT —
+    * `c = (r · w_edge) div W_out(src)` — so a vessel ranks by the
+    * STRENGTH of its co-movement ties (shared hours, co-occurrence
+    * counts), not just their number. The topology-only variant treats a
+    * 1-hour coincidence and a 3-month convoy as the same edge; weighting
+    * is what makes the rank read as sustained-association centrality.
+    *
+    * Weights must be non-negative integers (counts — shared hours here);
+    * the determinism contract is unchanged: integer micro-units, per-edge
+    * truncating division, bit-identical to the oracle's unrolled chain.
+    * Same per-iteration plan shape (ONE keyed join + ONE map-side-combined
+    * groupBy over the src-partitioned weighted edge frame); the weighted
+    * symmetrize sums duplicate directed weights so an input listing both
+    * orientations still conserves mass. Output: (id, w_total, rank_micro)
+    * where w_total is the node's total incident weight.
+    */
+  def weightedPageRankMicro(edges: DataFrame, aCol: String, bCol: String,
+                            wCol: String, iterations: Int = 3,
+                            scope: CacheScope = CacheScope.global): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val und = scope.persisted(
+      edges.select(col(aCol).as("src"), col(bCol).as("dst"),
+          col(wCol).cast("long").as("w"))
+        .union(edges.select(col(bCol).as("src"), col(aCol).as("dst"),
+          col(wCol).cast("long").as("w")))
+        .groupBy("src", "dst").agg(sum("w").as("w"))
+        .repartition(col("src")))
+    val wout = und.groupBy("src").agg(sum("w").as("wout"))
+      .select(col("src").as("id"), col("wout"))
+    val nDf = wout.agg(count(lit(1)).as("__n"))
+    val deg = scope.persisted(wout.crossJoin(broadcast(nDf))
+      .select(col("id"), col("wout"),
+        expr("1000000L div __n").as("__r0"),
+        expr("150000L div __n").as("__base")))
+    var ranks = deg.select(col("id"), col("wout"), col("__r0").as("r"))
+    for (it <- 1 to iterations) {
+      val contrib = und
+        .join(ranks.select(col("id").as("src"), col("r"),
+          col("wout")), "src")
+        .select(col("dst"), expr("(r * w) div wout").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+        .select(col("dst").as("id"), col("m"))
+      ranks = deg.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("wout"),
+          (col("__base") + expr("(17 * coalesce(m, 0L)) div 20")).as("r"))
+      if (it % 4 == 0 && it < iterations) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("id"), col("wout").as("w_total"), col("r").as("rank_micro"))
+  }
+
   /** Personalized PageRank: the damping-complement mass teleports to the
     * SEED set only (init `1e6 div |S|` on seeds, 0 elsewhere; per-node
     * base `150000 div |S|` for seeds, 0 elsewhere), so rank concentrates

@@ -163,6 +163,31 @@ class GraphSpec extends SparkSpec {
     scope.release()
   }
 
+  test("weightedPageRankMicro: exact integers, rank flows by edge weight") {
+    // a-b (w=3), b-c (w=1): wout a=3, b=4, c=1; N=3, r0=333333 each.
+    // iter1: m(b) = (333333*3) div 3 + (333333*1) div 1 = 666666
+    //        m(a) = (333333*3) div 4 = 249999;  m(c) = (333333*1) div 4 = 83333
+    //        base = 150000 div 3 = 50000
+    //        r(a) = 50000 + (17*249999) div 20 = 262499
+    //        r(b) = 50000 + (17*666666) div 20 = 616666
+    //        r(c) = 50000 + (17*83333)  div 20 = 120833
+    val edges = Seq(("a", "b", 3L), ("b", "c", 1L)).toDF("x", "y", "w")
+    val scope = new CacheScope
+    val got = Graph.weightedPageRankMicro(edges, "x", "y", "w",
+        iterations = 1, scope)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got === Map("a" -> ((3L, 262499L)), "b" -> ((4L, 616666L)),
+      "c" -> ((1L, 120833L))), s"hand-computed iteration-1 integers: $got")
+    // uniform weights must reproduce the unweighted operator exactly
+    val uni = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("x", "y", "w")
+    val w1 = Graph.weightedPageRankMicro(uni, "x", "y", "w", 2, scope)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val p1 = Graph.pageRankMicro(uni.select("x", "y"), "x", "y", 2, scope)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(w1 === p1, "uniform weights degenerate to topology-only PageRank")
+    scope.release()
+  }
+
   test("kCore: chains and stars peel away, cycles and cliques survive with in-core degrees") {
     val scope = new CacheScope
     // a 4-cycle with a pendant tail and a star: the 2-core is exactly the

@@ -126,6 +126,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     // rank-vector re-shuffle onto the edge partitioning, edge list itself
     // exchange-free after the one build-time repartition
     "pair_pagerank" -> 4,
+    // weighted twin: + the pair-weight aggregate feeding the edge build
+    "weighted_pagerank" -> 5,
     // delta-frontier BFS: the per-hop expansion joins/distincts land on
     // persisted deltas, so the declared plan's only live exchange is the
     // final settled-union sort — the frontier work is cache-truncated,
