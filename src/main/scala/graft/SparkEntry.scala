@@ -495,6 +495,19 @@ object SparkEntry {
     // bloom_distinct, so the DuckDB oracle rebuilds the estimate
     // bit-for-bit; Spark's HLL would differ across engines and lose the
     // hash check). Merge is bitwise-OR ⇒ partitioning-independent.
+    // robust per-user anomaly flags: daily event volumes vs the user's own
+    // median ± 3 MADs (the Hampel identifier — breakdown-resistant where a
+    // z-score lets one burst day inflate its own threshold). Exact
+    // medians, aligned keyed shuffles (DataQuality.madOutliers).
+    "mad_outliers" -> ((s, d) =>
+      DataQuality.madOutliers(
+          Tables.events(s, d)
+            .filter(col("user_id").isNotNull && col("ts").isNotNull)
+            .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+            .agg(count(lit(1)).as("cnt")),
+          "user_id", "cnt", k = 3.0)
+        .orderBy("user_id", "day")),
+
     "approx_users_daily" -> ((s, d) => {
       val sk = Sketches.bitsetDistinct(BloomM, BloomK)
       Tables.events(s, d)
@@ -4583,6 +4596,24 @@ object SparkEntry {
          |    AS approx_users
          |FROM e JOIN s USING (day_date)
          |ORDER BY day_date""".stripMargin,
+
+    // mirrors DataQuality.madOutliers over per-user daily volumes: exact
+    // medians (DuckDB median interpolates even counts like Spark's
+    // percentile), deviations in halves so the strict > is binary-exact
+    "mad_outliers" ->
+      """WITH dc AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |md AS (SELECT user_id, median(cnt) AS med FROM dc GROUP BY 1),
+        |dv AS (SELECT dc.user_id, dc.day, dc.cnt, md.med,
+        |    abs(dc.cnt - md.med) AS dev
+        |  FROM dc JOIN md USING (user_id)),
+        |ma AS (SELECT user_id, median(dev) AS mad FROM dv GROUP BY 1)
+        |SELECT d.user_id, d.day, d.cnt, round(d.med, 6) AS med,
+        |  round(m.mad, 6) AS mad, (d.dev > 3 * m.mad) AS is_outlier
+        |FROM dv d JOIN ma m USING (user_id)
+        |ORDER BY user_id, day""".stripMargin,
 
     "bloom_distinct" ->
       s"""WITH pos AS (

@@ -41,6 +41,44 @@ object DataQuality {
       .withColumn("risky", col("group_size") < k)
   }
 
+  /** Robust per-entity outlier flagging: for each key, flag observations
+    * whose absolute deviation from the key's MEDIAN exceeds `k` × the
+    * key's MAD (median absolute deviation). The monitoring primitive for
+    * activity streams — "which vessel-days look nothing like that vessel's
+    * normal volume" — where mean/stddev would let one burst day inflate
+    * its own threshold (a 50% breakdown point vs a single point for the
+    * z-score), the textbook Hampel identifier.
+    *
+    * Determinism: EXACT percentile medians (the [[graft.ops.CoMovement]]
+    * median discipline), deviations in halves of integers, so the flag
+    * comparison is binary-exact and the DuckDB twin agrees bit-for-bit.
+    * A key with MAD 0 (constant history) flags ANY deviation — strict
+    * inequality, mirrored in SQL.
+    *
+    * Scale: two keyed aggregates and two keyed joins, all on `keyCol` —
+    * the shuffles align on one key, no all-pairs, no global sort. Exact
+    * per-group percentiles sort within groups; at 100 TB swap
+    * `percentile` for `approx_percentile` per the documented trade
+    * (monitoring thresholds tolerate sketch error; the oracle contract is
+    * what pins exact here).
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valCol: String,
+                  k: Double): DataFrame = {
+    val med = df.groupBy(col(keyCol))
+      .agg(expr(s"percentile($valCol, 0.5)").as("med"))
+    val dev = df.join(med, Seq(keyCol))
+      .withColumn("__dev", abs(col(valCol) - col("med")))
+    val mad = dev.groupBy(col(keyCol))
+      .agg(expr("percentile(__dev, 0.5)").as("mad"))
+    val valueCols = dev.columns.filterNot(c =>
+      c == keyCol || c == "med" || c == "__dev").map(col).toSeq
+    dev.join(mad, Seq(keyCol))
+      .select((col(keyCol) +: valueCols) ++ Seq(
+        round(col("med"), 6).as("med"),
+        round(col("mad"), 6).as("mad"),
+        (col("__dev") > lit(k) * col("mad")).as("is_outlier")): _*)
+  }
+
   /** One row per rule: (rule, n_rows, n_violations, violation_rate,
     * first_bad_id) — `first_bad_id` is the minimum `keyCol` among violating
     * rows (NULL when the rule passes everywhere), a stable exemplar for

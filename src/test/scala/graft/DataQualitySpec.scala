@@ -85,6 +85,24 @@ class DataQualitySpec extends SparkSpec {
     assert(got("same") < 0.1, s"the majority shape must read stable: $got")
   }
 
+  test("madOutliers: burst days flag against the entity's own median, MAD-0 history flags any deviation") {
+    val rows = Seq(
+      ("a", 10L), ("a", 10L), ("a", 10L), ("a", 100L), // constant + burst
+      ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L), ("b", 5L) // spread, no outlier
+    ).toDF("k", "v")
+    val got = DataQuality.madOutliers(rows, "k", "v", k = 3.0)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    // a: med 10, MAD 0 — the burst is the only flagged day (strict >)
+    assert(got(("a", 100L)) === ((10.0, 0.0, true)))
+    assert(got(("a", 10L)) === ((10.0, 0.0, false)),
+      "zero deviation never flags even at MAD 0")
+    // b: med 3, MAD 1 → threshold 3; max deviation 2 stays inside
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(v => !got(("b", v))._3),
+      s"spread-but-normal history must not flag: $got")
+    assert(got(("b", 1L)) === ((3.0, 1.0, false)))
+  }
+
   test("psiDrift: a slice equal to the whole input is exactly zero") {
     import org.apache.spark.sql.functions.lit
     val df = Seq.tabulate(50)(i => i % 100 * 1.0).toDF("v")

@@ -151,6 +151,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // persisted boundaries); the returned plan is the final induced-degree
     // pass + ORDER BY
     "k_core" -> 1,
+    // day-count aggregate, median aggregate, MAD aggregate (the two keyed
+    // joins ride the aggregates' partitioning), final ORDER BY
+    "mad_outliers" -> 4,
     // per-vessel trip window + OD rollup + final ORDER BY
     "od_flows" -> 3,
     "pair_quantiles" -> 1,
