@@ -927,6 +927,24 @@ object SparkEntry {
         .select(col("id").as("user_id"), col("hops"))
         .orderBy("user_id")),
 
+    // association communities: connected components of the pair network
+    // with component sizes — which vessels form one co-movement web at
+    // all. Reuses the dedup cluster resolver (min-label propagation to
+    // the unique fixpoint, per-round localCheckpoint); the oracle is
+    // DuckDB's recursive reachability closure — a convergence-free twin
+    // (Dedup.dupClusters).
+    "pair_components" -> ((s, d) => {
+      val labels = Dedup.dupClusters(
+        pairsGold(s, d).select("uid_a", "uid_b").distinct(),
+        "uid_a", "uid_b", maxRounds = 30)
+      labels
+        .join(labels.groupBy("cluster").agg(count(lit(1)).as("comp_size")),
+          Seq("cluster"))
+        .select(col("id").as("user_id"), col("cluster"), col("comp_size"),
+          col("is_canonical"))
+        .orderBy("user_id")
+    }),
+
     // sustained-association centrality: PageRank with rank flowing in
     // proportion to total shared hours per pair — a 3-month convoy tie
     // outweighs a 1-hour coincidence. Same integer micro-unit contract
@@ -2911,6 +2929,27 @@ object SparkEntry {
          |LEFT JOIN fl fv ON fv.id = n.v
          |LEFT JOIN fl fw ON fw.id = n.w
          |ORDER BY uid_a, uid_b""".stripMargin,
+
+    // mirrors pair_components via DuckDB's recursive reachability closure:
+    // reach(id, r) holds every (node, reachable node) pair, min(r) is the
+    // same canonical min-label the engine's propagation converges to —
+    // no unrolled rounds to keep in sync
+    "pair_components" ->
+      s"""${PairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |pe AS (SELECT DISTINCT uid_a, uid_b FROM pairs_g),
+         |sym AS (SELECT uid_a AS id, uid_b AS nbr FROM pe
+         |        UNION SELECT uid_b, uid_a FROM pe),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT id, id FROM sym
+         |  UNION
+         |  SELECT s.id, reach.r FROM sym s JOIN reach ON s.nbr = reach.id),
+         |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY 1),
+         |cs AS (SELECT cluster, CAST(count(*) AS BIGINT) AS comp_size
+         |       FROM lab GROUP BY 1)
+         |SELECT l.id AS user_id, l.cluster, cs.comp_size,
+         |  (l.id = l.cluster) AS is_canonical
+         |FROM lab l JOIN cs USING (cluster)
+         |ORDER BY user_id""".stripMargin,
 
     // mirrors Graph.weightedPageRankMicro: summed-hT edge weights, three
     // unrolled all-bigint iterations with per-edge truncating division

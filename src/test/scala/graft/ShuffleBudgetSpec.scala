@@ -125,6 +125,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     // not the real work): per iteration one message groupBy plus the
     // rank-vector re-shuffle onto the edge partitioning, edge list itself
     // exchange-free after the one build-time repartition
+    // the label loop runs at construction (per-round localCheckpoint);
+    // the returned plan is size join + ORDER BY
+    "pair_components" -> 2,
     "pair_pagerank" -> 4,
     // weighted twin: + the pair-weight aggregate feeding the edge build
     "weighted_pagerank" -> 5,
