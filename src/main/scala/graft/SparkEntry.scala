@@ -1023,6 +1023,13 @@ object SparkEntry {
     // zones are config (constant in SF, the nation-table class), so the
     // containment join broadcasts them and the fact side never shuffles
     // before the rollup (Tracks.geofenceHits; half-open bounds).
+    // fixed-interval trajectory resampling: every vessel's irregular
+    // series onto a 6-hour grid with linear interpolation — one keyed
+    // window pass, no as-of self-join (Tracks.resample)
+    "track_resample" -> ((s, d) =>
+      Tracks.resample(Tables.events(s, d), intervalMs = 21600000L)
+        .orderBy("user_id", "tick_ms")),
+
     "geofence_hits" -> ((s, d) => {
       val pos = Tables.events(s, d)
         .filter(col("user_id").isNotNull && col("ts").isNotNull)
@@ -3057,6 +3064,39 @@ object SparkEntry {
         |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     // mirrors Tracks.geofenceHits: same literal zones, half-open bounds
+    // mirrors Tracks.resample: same union-of-points-and-ticks window, same
+    // (t, kind) ordering so coincident ticks take the observation, same
+    // interpolation shape and operation order (ulp-identical), 6dp round
+    "track_resample" ->
+      """WITH p AS (SELECT user_id, epoch_ms(ts) AS t, value FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |b AS (SELECT user_id, min(t) AS lo, max(t) AS hi FROM p GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(
+        |    CAST(ceil(CAST(lo AS DOUBLE) / 21600000) AS BIGINT) * 21600000,
+        |    hi + 1, 21600000)) AS tick
+        |  FROM b),
+        |u AS (SELECT user_id, t, value, NULL AS tick, 0 AS kind FROM p
+        |      UNION ALL
+        |      SELECT user_id, tick, NULL, tick, 1 FROM g),
+        |w AS (SELECT user_id, tick, kind,
+        |    last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, kind
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        |    last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, kind
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |    first_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, kind
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+        |    first_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY t, kind
+        |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+        |  FROM u)
+        |SELECT user_id, CAST(tick AS BIGINT) AS tick_ms,
+        |  round(CASE WHEN nt IS NULL OR nt = pt THEN pv
+        |    ELSE pv + (nv - pv) * (tick - pt) / (nt - pt) END, 6) AS value_i
+        |FROM w WHERE kind = 1 ORDER BY user_id, tick_ms""".stripMargin,
+
     "geofence_hits" ->
       """WITH pos AS (
         |  SELECT user_id, CAST(ts AS DATE) AS dt,

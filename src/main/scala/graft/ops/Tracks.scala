@@ -120,6 +120,79 @@ object Tracks {
         countDistinct(col("user_id")).as("vessels"))
   }
 
+  /** Fixed-interval trajectory resampling with linear interpolation: put
+    * every vessel's irregular position series onto a regular `intervalMs`
+    * grid — the normalization step anything downstream that compares
+    * tracks point-for-point needs (the explorer plots raw points,
+    * `track_explorer.py:53-84`; co-movement quantizes to hours; a model
+    * consuming tracks wants a fixed step). Grid ticks span
+    * [ceil(first/ival)·ival, last] per vessel, each tick linearly
+    * interpolated between its neighboring observations (exact-hit ticks
+    * take the observation's value).
+    *
+    * Division of labor vs [[graft.ops.Trajectory.interpolateHourly]]: that
+    * operator AGGREGATES to hour buckets first (per-hour means in integer
+    * micro-units, densified hour grid) — the gold-rollup gap-filler; this
+    * one interpolates between RAW observations at any caller-chosen
+    * interval, preserving sub-hour structure — the track-normalization
+    * primitive. Different grain, different consumers; neither subsumes
+    * the other.
+    *
+    * Scale shape: ONE keyed shuffle. Points and generated ticks union into
+    * a single per-vessel ordered window; the previous/next observation at
+    * every tick comes from running `last`/`first` with ignoreNulls over
+    * the two unbounded frames — same partitioning, same ordering, one
+    * sort. No as-of self-join, no per-tick probe: cost is
+    * O(points + ticks) per vessel regardless of gap structure. Tick count
+    * is span/interval, bounded by the caller's interval choice, and the
+    * grid generation is a per-vessel `sequence` off the min/max aggregate
+    * — no driver loop.
+    *
+    * Determinism: ticks are exact epoch-ms longs; interpolation is the
+    * fixed-shape `pv + (nv-pv)·(tick-pt)/(nt-pt)` with identical operation
+    * order in the DuckDB twin, rounded to 6dp.
+    */
+  def resample(events: DataFrame, intervalMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(intervalMs > 0, "interval must be positive")
+    val p = events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_millis(col("ts")).as("t"), col("value"))
+    val grid = p.groupBy("user_id")
+      .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
+      .select(col("user_id"),
+        (ceil(col("lo").cast("double") / intervalMs).cast("long") * intervalMs)
+          .as("start"), col("hi"))
+      .filter(col("start") <= col("hi")) // a span shorter than one tick has no grid
+      .select(col("user_id"),
+        explode(sequence(col("start"), col("hi"), lit(intervalMs))).as("tick"))
+    // union points (kind 0) and ticks (kind 1): at a coincident timestamp
+    // the point sorts FIRST, so the tick's running `last` sees it and the
+    // interpolation degenerates to the exact observation
+    val u = p.select(col("user_id"), col("t"),
+        col("value"), lit(null).cast("long").as("tick"), lit(0).as("kind"))
+      .unionByName(grid.select(col("user_id"), col("tick").as("t"),
+        lit(null).cast("double").as("value"), col("tick"), lit(1).as("kind")))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+    val prev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val next = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsT = when(col("kind") === 0, col("t"))
+    val obsV = when(col("kind") === 0, col("value"))
+    u.withColumn("pt", last(obsT, ignoreNulls = true).over(prev))
+      .withColumn("pv", last(obsV, ignoreNulls = true).over(prev))
+      .withColumn("nt", first(obsT, ignoreNulls = true).over(next))
+      .withColumn("nv", first(obsV, ignoreNulls = true).over(next))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("tick").as("tick_ms"),
+        round(
+          // nt null = the tick coincides with the vessel's LAST point (the
+          // grid never extends past it), which sorted before the tick row
+          when(col("nt").isNull || col("nt") === col("pt"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("tick") - col("pt")) / (col("nt") - col("pt"))),
+          6).as("value_i"))
+  }
+
   /** Synthetic-id repair (P11, `apps/track_explorer.py:180-185`): rows with
     * a missing track id get a unique `track_<n>` id. `monotonically_
     * increasing_id` is partition-prefixed — unique and stable within a job

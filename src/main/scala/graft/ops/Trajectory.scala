@@ -129,6 +129,12 @@ object Trajectory {
     *
     * Per-partition cost: the prev/next scans are running `last/first` over
     * rows frames — one forward and one backward pass per key, O(grid).
+    *
+    * Division of labor vs [[graft.ops.Tracks.resample]]: this operator
+    * gap-fills the HOURLY ROLLUP (per-hour means, integer-exact) — the
+    * gold-stage consumer; `resample` interpolates between raw observations
+    * at an arbitrary interval, preserving sub-hour structure. Different
+    * grain, different consumers; neither subsumes the other.
     */
   def interpolateHourly(events: DataFrame, keyCol: String, tsCol: String,
                         valueCol: String, unitScale: Int = 1000000): DataFrame = {

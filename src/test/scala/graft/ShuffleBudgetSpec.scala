@@ -159,6 +159,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "mad_outliers" -> 4,
     // per-vessel trip window + OD rollup + final ORDER BY
     "od_flows" -> 3,
+    // span aggregate (grid), one keyed union window, final ORDER BY
+    "track_resample" -> 3,
     "pair_quantiles" -> 1,
     "pairs_daily" -> 1,
     "pairs_total" -> 3,

@@ -119,6 +119,26 @@ class TrajectorySpec extends SparkSpec {
     assert(got(0).getAs[Boolean]("is_observed"))
   }
 
+  test("resample: linear interpolation on the grid, exact hits take the observation") {
+    // points at t=0ms (v=10) and t=100ms (v=20), interval 40ms → ticks
+    // 0, 40, 80: exact hit at 0, then 10 + 10·40/100 = 14 and 18
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val pts = Seq((1L, t(0), 10.0), (1L, t(100), 20.0),
+      // vessel 2: grid tick coincides with the LAST point (nt-null path)
+      (2L, t(0), 5.0), (2L, t(80), 30.0))
+      .toDF("user_id", "ts", "value")
+    val got = graft.ops.Tracks.resample(pts, intervalMs = 40L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got === Map(
+      (1L, 0L) -> 10.0, (1L, 40L) -> 14.0, (1L, 80L) -> 18.0,
+      (2L, 0L) -> 5.0, (2L, 40L) -> 17.5, (2L, 80L) -> 30.0),
+      s"grid interpolation must be exact: $got")
+    // a vessel whose whole span is shorter than one tick gets no grid rows
+    val tiny = Seq((9L, t(41), 1.0), (9L, t(75), 2.0)).toDF("user_id", "ts", "value")
+    assert(graft.ops.Tracks.resample(tiny, 40L).count() === 0L,
+      "span [41,75] contains no multiple of 40")
+  }
+
   test("trajectory plans: one exchange on the track key, no extra shuffles") {
     val pts = Seq((1L, 1L, ts("2024-01-01 00:00:00"), 1.0, 2.0))
       .toDF("uid", "eid", "t", "lat", "lon")
