@@ -13,10 +13,14 @@ import org.apache.spark.sql.types.StructType
   *      (no parquet footers); schema INFERENCE over that dir fails every
   *      restart, wedging the stream — with the declared schema the read
   *      yields zero rows and at-least-once recovery proceeds.
-  *   2. **Set semantics under replay.** Every store here means a SET (the
-  *      probes `distinct` it), so a torn replay appending duplicate rows
-  *      can never change a decision — and compaction may rewrite the store
-  *      as its distinct rows without changing meaning.
+  *   2. **Replay-idempotent row semantics.** Most stores here mean a SET
+  *      (the probes `distinct` it), so a torn replay appending duplicate
+  *      rows can never change a decision — and compaction may rewrite the
+  *      store as its distinct rows without changing meaning. Count stores
+  *      (`StreamingCounts`) reach the same idempotence differently: rows
+  *      are DETERMINISTIC per batch and carry their `batch_id`, so a
+  *      replay re-appends byte-identical rows and the distinct-read
+  *      restores exactly-once totals.
   *   3. **Bounded file count.** Append-per-batch accretes one job's worth
   *      of files per micro-batch; after B batches every standing read pays
   *      an O(B) listing/open cost. [[compact]] resets it with an
@@ -60,13 +64,26 @@ object StandingStore {
     * on must survive its own maintenance).
     */
   def compact(spark: SparkSession, storeDir: String, schema: StructType,
+              partitionCols: Seq[String] = Nil): Unit =
+    rewrite(spark, storeDir, schema, _.distinct(), partitionCols)
+
+  /** The generalized maintenance rewrite behind [[compact]]: replace the
+    * store with `transform(store)` via the same crash-safe all-renames
+    * swap. The transform must be MEANING-PRESERVING for the store's
+    * consumers (distinct for set stores; a committed-batch merge for
+    * count stores — see `StreamingCounts`); the swap machinery guarantees
+    * only that a crash at any point leaves either the complete old store
+    * or the complete rewrite nameable, never a partial.
+    */
+  def rewrite(spark: SparkSession, storeDir: String, schema: StructType,
+              transform: DataFrame => DataFrame,
               partitionCols: Seq[String] = Nil): Unit = {
     val p = new Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     heal(fs, p)
     if (fs.exists(p)) {
       val snap = compactPath(p)
-      val w = spark.read.schema(schema).parquet(storeDir).distinct()
+      val w = transform(spark.read.schema(schema).parquet(storeDir))
         .write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(snap.toString)

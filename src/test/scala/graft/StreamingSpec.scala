@@ -807,6 +807,66 @@ class StreamingSpec extends SparkSpec {
     assert(run(0) === Nil)
   }
 
+  test("streaming counts: exactly-once totals across batches, replay re-appends are no-ops") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-counts").toString
+    val (store, cp) = (root + "/store", root + "/cp")
+    val in = MemoryStream[String]
+    val q = graft.streaming.StreamingCounts.countStream(
+      in.toDF.toDF("k"), "k", store, cp, compactEvery = 0)
+    try {
+      in.addData("a", "b", "a"); q.processAllAvailable()
+      in.addData("a", "c"); q.processAllAvailable()
+      in.addData("b", "a"); q.processAllAvailable()
+    } finally q.stop()
+    def totals() = graft.streaming.StreamingCounts.readCounts(spark, store)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals() === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    // at-least-once replay: the crashed batch re-appends BYTE-IDENTICAL
+    // partial rows (deterministic per batch) — totals must not move
+    val batch2 = spark.read.parquet(store)
+      .filter(col("batch_id") === 2L)
+    batch2.write.mode("append").parquet(store)
+    assert(totals() === Map("a" -> 4L, "b" -> 2L, "c" -> 1L),
+      "replayed partials must collapse in the distinct-read")
+    // top-k: count DESC, key ASC
+    assert(graft.streaming.StreamingCounts.topK(spark, store, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 4L), ("b", 2L)))
+  }
+
+  test("streaming counts: committed-batch merge bounds the store without changing totals") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-counts2").toString
+    val (store, cp) = (root + "/store", root + "/cp")
+    val in = MemoryStream[String]
+    val q = graft.streaming.StreamingCounts.countStream(
+      in.toDF.toDF("k"), "k", store, cp, compactEvery = 0)
+    try {
+      in.addData("x", "y", "x"); q.processAllAvailable()
+      in.addData("y", "z"); q.processAllAvailable()
+      in.addData("x"); q.processAllAvailable()
+    } finally q.stop()
+    graft.streaming.StreamingCounts.mergeCommitted(spark, store)
+    val rows = spark.read.parquet(store)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // batches 0 and 1 folded to base rows; batch 2 untouched (it is the
+    // only one that could still replay)
+    assert(rows === Set(("x", 2L, -1L), ("y", 2L, -1L), ("z", 1L, -1L),
+      ("x", 1L, 2L)), s"merge must fold only committed batches: $rows")
+    def totals() = graft.streaming.StreamingCounts.readCounts(spark, store)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals() === Map("x" -> 3L, "y" -> 2L, "z" -> 1L))
+    // the newest batch replays AFTER the merge: still a no-op
+    spark.createDataFrame(Seq(("x", 1L, 2L)))
+      .toDF("key", "cnt", "batch_id").write.mode("append").parquet(store)
+    assert(totals() === Map("x" -> 3L, "y" -> 2L, "z" -> 1L),
+      "post-merge replay of the newest batch must still dedup")
+    // merging again is idempotent
+    graft.streaming.StreamingCounts.mergeCommitted(spark, store)
+    assert(totals() === Map("x" -> 3L, "y" -> 2L, "z" -> 1L))
+  }
+
   test("streaming ring co-movement ≡ brute-force hexDistance on RANDOM fleets and batch splits") {
     // the ring twin's equivalence contract at k=1: replaying a random
     // fleet's hourly rows across random micro-batch splits yields exactly
