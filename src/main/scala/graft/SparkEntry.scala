@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GoldCache, Tables}
@@ -1448,6 +1448,35 @@ object SparkEntry {
           frameBytes = 16, stride = 2)
         .toDF()
         .orderBy("media_id", "frame_idx")),
+
+    // REAL image-header parsing (no decode library, no stub): synthesize
+    // valid PNG / GIF / JPEG container headers from doc_id (three format
+    // branches: big-endian IHDR, little-endian logical screen, SOF marker
+    // walk behind a JFIF APP0), parse them back through the codegen'd
+    // ImageDims expression; the oracle derives the same dimensions
+    // arithmetically, so any parser or byte-layout bug breaks equality
+    // (Multimodal.imageDims; JDK-ImageIO ground truth in ExpressionsSpec)
+    "image_dims" -> ((s, d) => {
+      val id = col("doc_id")
+      def be32h(c: Column) = lpad(hex(c), 8, "0")
+      def be16h(c: Column) = lpad(hex(c), 4, "0")
+      def le16h(c: Column) = concat(lpad(hex(c % 256), 2, "0"),
+        lpad(hex((c / 256).cast("long")), 2, "0"))
+      val hexStr = when(id % 3 === 0,
+          concat(lit("89504E470D0A1A0A0000000D49484452"),
+            be32h(id % 900 + 100), be32h(id % 500 + 50)))
+        .when(id % 3 === 1,
+          concat(lit("474946383961"),
+            le16h(id % 300 + 1), le16h(id % 200 + 1)))
+        .otherwise(
+          concat(lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+            be16h(id % 500 + 8), be16h(id % 1000 + 16),
+            lit("03011100021101031101FFD9")))
+      Multimodal.imageDims(
+          Tables.documents(s, d).select(id, unhex(hexStr).as("img")),
+          "doc_id", "img")
+        .orderBy("doc_id")
+    }),
 
     // multimodal plumbing: binary payloads through the batched decode stub;
     // metadata contract (sizes, stub dims, payload sha) is oracle-checked
@@ -4063,6 +4092,21 @@ object SparkEntry {
         |  CAST(least(16, length(text) - j * 16) AS INTEGER) AS n_bytes,
         |  sha256(substr(text, CAST(j * 16 + 1 AS INTEGER), 16)) AS frame_sha
         |FROM f WHERE j % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin,
+
+    // mirrors image_dims: the dimensions the Spark side must RECOVER from
+    // the synthesized container bytes, derived arithmetically — equality
+    // proves the synthesize→parse loop byte-for-byte
+    "image_dims" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+        |    WHEN 1 THEN 'gif' ELSE 'jpeg' END AS format,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN doc_id % 900 + 100
+        |    WHEN 1 THEN doc_id % 300 + 1
+        |    ELSE doc_id % 1000 + 16 END AS BIGINT) AS width,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN doc_id % 500 + 50
+        |    WHEN 1 THEN doc_id % 200 + 1
+        |    ELSE doc_id % 500 + 8 END AS BIGINT) AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "media_features" ->
       """SELECT doc_id AS media_id, 'text' AS kind,

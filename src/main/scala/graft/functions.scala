@@ -18,6 +18,12 @@ object functions {
 
   def geo_cell(lat: Column, lon: Column, res: Int): Column = geo_cell(lat, lon, lit(res))
 
+  /** Image format + dimensions (`fmt w h`, null for unparseable) from raw
+    * header bytes of a binary column — see [[graft.expressions.ImageDims]].
+    */
+  def image_dims(bin: Column): Column =
+    expressions.col(expressions.ImageDims(expressions.expr(bin)))
+
   /** 1-D variant used against the testdata `events.value` column (FIXTURES.md §3:
     * `value` plays the position role). `cell = floor(value / (500 / 2^res))` —
     * SQL-expressible for the DuckDB oracle as

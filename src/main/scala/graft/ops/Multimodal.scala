@@ -122,4 +122,22 @@ object Multimodal {
       .select(col("media_id"), col("kind"), col("n_bytes"),
         col("width"), col("height"))
   }
+
+  /** REAL container-header parsing over a binary column — unlike the decode
+    * stub above, nothing here is faked: PNG/GIF/JPEG format + dimensions
+    * come from the actual header bytes via the codegen'd
+    * [[graft.expressions.ImageDims]] expression (validated against
+    * JDK-ImageIO-encoded fixtures in `ExpressionsSpec`). This is the
+    * pre-decode gate an image intake runs at full scan width: dimension /
+    * aspect / format predicates route rows BEFORE the 10⁴×-costlier pixel
+    * decode is scheduled; unparseable payloads surface as null format —
+    * the quarantine predicate. Output: (idCol, format, width, height).
+    */
+  def imageDims(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val parts = split(graft.functions.image_dims(col(binCol)), " ")
+    df.select(col(idCol), parts.as("__p"))
+      .select(col(idCol), col("__p").getItem(0).as("format"),
+        col("__p").getItem(1).cast("long").as("width"),
+        col("__p").getItem(2).cast("long").as("height"))
+  }
 }

@@ -179,4 +179,41 @@ class ExpressionsSpec extends SparkSpec {
     assert(got(5) === None)
     assert(got(6) === None)
   }
+
+  test("image_dims recovers dimensions from REAL JDK-encoded PNG/JPEG/GIF bytes") {
+    // ground truth from an independent encoder: javax.imageio ships with
+    // the JDK, so these are genuine container files, not hand-typed hex
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"JDK lacks $fmt writer")
+      bos.toByteArray
+    }
+    val cases = Seq(
+      ("png", 640, 480), ("png", 1, 1), ("png", 7, 30000),
+      ("jpg", 320, 200), ("jpg", 16, 16),
+      ("gif", 300, 200), ("gif", 1, 65535))
+    val rows = cases.zipWithIndex.map { case ((fmt, w, h), i) =>
+      (i.toLong, fmt, w.toLong, h.toLong, encode(fmt, w, h))
+    }
+    val df = rows.toDF("id", "fmt", "w", "h", "bytes")
+    val got = graft.ops.Multimodal.imageDims(df, "id", "bytes")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { case (i, fmt, w, h, _) =>
+      val expectFmt = if (fmt == "jpg") "jpeg" else fmt
+      assert(got(i) === ((expectFmt, w, h)),
+        s"case $i ($fmt ${w}x$h): got ${got(i)}")
+    }
+    // non-images and truncated headers parse to null format, the
+    // quarantine predicate
+    val junk = Seq(
+      (100L, "junk".getBytes("UTF-8")),
+      (101L, Array[Byte](0x89.toByte, 'P', 'N')),     // truncated PNG sig
+      (102L, Array[Byte](0xff.toByte, 0xd8.toByte)),  // bare JPEG SOI
+      (103L, Array.empty[Byte])).toDF("id", "bytes")
+    val nulls = graft.ops.Multimodal.imageDims(junk, "id", "bytes").collect()
+    assert(nulls.forall(_.isNullAt(1)), "unparseable bytes must yield null format")
+  }
 }
