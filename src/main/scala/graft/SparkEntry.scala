@@ -1478,6 +1478,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the audio sibling of image_dims: synthesize PCM-WAV RIFF containers
+    // from doc_id (fmt + data chunk walk, all little-endian), parse them
+    // back through the codegen'd WavMeta expression; oracle derives the
+    // stream parameters arithmetically (Multimodal.wavMeta; JDK
+    // javax.sound ground truth in ExpressionsSpec)
+    "wav_meta" -> ((s, d) => {
+      val id = col("doc_id")
+      def le16h(c: Column) = concat(lpad(hex(c % 256), 2, "0"),
+        lpad(hex((c / 256).cast("long") % 256), 2, "0"))
+      def le32h(c: Column) = concat(le16h(c % 65536),
+        le16h((c / 65536).cast("long")))
+      val ch = id % 2 + 1
+      val rate = id % 5 * 4000 + 8000
+      val frames = id % 100 + 1
+      val blockAlign = ch * 2 // 16-bit PCM
+      val dataSize = frames * blockAlign
+      val hexStr = concat(lit("52494646"), le32h(dataSize + 36), // RIFF size
+        lit("57415645666D742010000000"), // WAVE, "fmt ", chunk len 16
+        lit("0100"), le16h(ch),          // PCM tag, channels
+        le32h(rate), le32h(rate * blockAlign), le16h(blockAlign),
+        lit("1000"),                     // bits = 16
+        lit("64617461"), le32h(dataSize))
+      Multimodal.wavMeta(
+          Tables.documents(s, d).select(id, unhex(hexStr).as("wav")),
+          "doc_id", "wav")
+        .orderBy("doc_id")
+    }),
+
     // multimodal plumbing: binary payloads through the batched decode stub;
     // metadata contract (sizes, stub dims, payload sha) is oracle-checked
     "media_features" -> ((s, d) => {
@@ -4092,6 +4120,16 @@ object SparkEntry {
         |  CAST(least(16, length(text) - j * 16) AS INTEGER) AS n_bytes,
         |  sha256(substr(text, CAST(j * 16 + 1 AS INTEGER), 16)) AS frame_sha
         |FROM f WHERE j % 2 = 0 ORDER BY media_id, frame_idx""".stripMargin,
+
+    // mirrors wav_meta: the stream parameters the Spark side must RECOVER
+    // from the synthesized RIFF bytes, derived arithmetically
+    "wav_meta" ->
+      """SELECT doc_id,
+        |  CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+        |  CAST(doc_id % 5 * 4000 + 8000 AS BIGINT) AS sample_rate,
+        |  CAST(16 AS BIGINT) AS bits,
+        |  CAST(doc_id % 100 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // mirrors image_dims: the dimensions the Spark side must RECOVER from
     // the synthesized container bytes, derived arithmetically — equality

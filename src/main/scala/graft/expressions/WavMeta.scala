@@ -1,0 +1,78 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** PCM-WAV stream metadata from RAW RIFF BYTES, no audio library — the
+  * audio-role sibling of [[ImageDims]]: an audio-corpus intake filters on
+  * channel count / sample rate / duration at full scan width before any
+  * sample decode or resample stage runs. Pure chunk-walk arithmetic
+  * (RIFF/WAVE container, all little-endian):
+  *
+  *   - "RIFF" + size + "WAVE" preamble (offsets 0/8);
+  *   - then a chunk walk (id + LE32 size, word-aligned) — chunks may
+  *     appear in any order and extra chunks (LIST, fact, cue) are legal,
+  *     so both "fmt " (channels@+10, rate@+12, bits@+22 relative to the
+  *     chunk id) and "data" (payload size) are FOUND, not assumed at
+  *     fixed offsets;
+  *   - frames = dataSize / blockAlign (channels · bits/8).
+  *
+  * Returns `wav <channels> <rate> <bits> <frames>`; null when the bytes
+  * are not a parseable PCM WAV — the quarantine predicate. Codegen'd
+  * static call, stays inside WholeStageCodegen.
+  */
+case class WavMeta(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "wav_meta"
+
+  override def nullSafeEval(b: Any): Any =
+    WavMeta.meta(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.WavMeta.meta($c)")
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WavMeta {
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+  private def tag(b: Array[Byte], i: Int, t: String): Boolean =
+    b(i) == t.charAt(0).toByte && b(i + 1) == t.charAt(1).toByte &&
+      b(i + 2) == t.charAt(2).toByte && b(i + 3) == t.charAt(3).toByte
+
+  /** `wav ch rate bits frames`, or null for non-PCM-WAV bytes. */
+  def meta(b: Array[Byte]): UTF8String = {
+    if (b.length < 36 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
+    var i = 12
+    var ch = -1; var rate = -1L; var bits = -1; var dataSize = -1L
+    while (i + 8 <= b.length && (ch < 0 || dataSize < 0)) {
+      val size = le32(b, i + 4)
+      if (tag(b, i, "fmt ") && i + 8 + 16 <= b.length) {
+        ch = le16(b, i + 10)
+        rate = le32(b, i + 12)
+        bits = le16(b, i + 22)
+      } else if (tag(b, i, "data")) {
+        dataSize = size
+      }
+      // chunks are word-aligned: odd sizes carry a pad byte
+      i += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (ch <= 0 || rate <= 0 || bits <= 0 || dataSize < 0) return null
+    val blockAlign = ch.toLong * (bits / 8)
+    if (blockAlign <= 0) return null
+    UTF8String.fromString(s"wav $ch $rate $bits ${dataSize / blockAlign}")
+  }
+}

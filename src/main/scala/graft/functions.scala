@@ -24,6 +24,12 @@ object functions {
   def image_dims(bin: Column): Column =
     expressions.col(expressions.ImageDims(expressions.expr(bin)))
 
+  /** PCM-WAV metadata (`wav ch rate bits frames`, null for unparseable)
+    * from raw RIFF bytes — see [[graft.expressions.WavMeta]].
+    */
+  def wav_meta(bin: Column): Column =
+    expressions.col(expressions.WavMeta(expressions.expr(bin)))
+
   /** 1-D variant used against the testdata `events.value` column (FIXTURES.md §3:
     * `value` plays the position role). `cell = floor(value / (500 / 2^res))` —
     * SQL-expressible for the DuckDB oracle as

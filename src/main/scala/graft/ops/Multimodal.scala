@@ -140,4 +140,21 @@ object Multimodal {
         col("__p").getItem(1).cast("long").as("width"),
         col("__p").getItem(2).cast("long").as("height"))
   }
+
+  /** Audio-role sibling of [[imageDims]]: PCM-WAV stream metadata from the
+    * RIFF chunk walk ([[graft.expressions.WavMeta]], JDK-javax.sound
+    * ground truth in `ExpressionsSpec`) — the pre-decode gate an audio
+    * intake filters on (channels / sample rate / duration) before any
+    * sample-level stage. Output: (idCol, channels, sample_rate,
+    * bits, n_frames); unparseable payloads are all-null.
+    */
+  def wavMeta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val parts = split(graft.functions.wav_meta(col(binCol)), " ")
+    df.select(col(idCol), parts.as("__p"))
+      .select(col(idCol),
+        col("__p").getItem(1).cast("long").as("channels"),
+        col("__p").getItem(2).cast("long").as("sample_rate"),
+        col("__p").getItem(3).cast("long").as("bits"),
+        col("__p").getItem(4).cast("long").as("n_frames"))
+  }
 }

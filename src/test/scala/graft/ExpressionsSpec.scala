@@ -216,4 +216,37 @@ class ExpressionsSpec extends SparkSpec {
     val nulls = graft.ops.Multimodal.imageDims(junk, "id", "bytes").collect()
     assert(nulls.forall(_.isNullAt(1)), "unparseable bytes must yield null format")
   }
+
+  test("wav_meta recovers stream parameters from REAL JDK-encoded WAV bytes") {
+    // ground truth from javax.sound.sampled (stock JDK): genuine RIFF
+    // containers with whatever chunk layout the JDK writer emits
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+    def encode(rate: Float, bits: Int, ch: Int, frames: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, bits, ch, true, false)
+      val data = new Array[Byte](frames * ch * (bits / 8))
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val cases = Seq(
+      (8000f, 16, 1, 100), (44100f, 16, 2, 441), (16000f, 8, 1, 1))
+    val rows = cases.zipWithIndex.map { case ((r, b, c, f), i) =>
+      (i.toLong, c.toLong, r.toLong, b.toLong, f.toLong, encode(r, b, c, f))
+    }
+    val got = graft.ops.Multimodal.wavMeta(
+        rows.toDF("id", "ch", "rate", "bits", "frames", "bytes"), "id", "bytes")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    rows.foreach { case (i, c, r, b, f, _) =>
+      assert(got(i) === ((c, r, b, f)), s"case $i: got ${got(i)}")
+    }
+    // junk and truncated RIFF preambles are all-null
+    val junk = Seq((9L, "RIFFxxxx".getBytes("UTF-8")),
+      (10L, "not audio at all".getBytes("UTF-8"))).toDF("id", "bytes")
+    assert(graft.ops.Multimodal.wavMeta(junk, "id", "bytes")
+      .collect().forall(_.isNullAt(1)))
+  }
 }

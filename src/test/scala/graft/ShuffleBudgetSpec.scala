@@ -150,8 +150,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "geofence_hits" -> 3,
     // two-phase count-distinct per combo, per-type summary, final ORDER BY
     "k_anon_audit" -> 4,
-    // narrow synthesize→parse projection: ORDER BY only
+    // narrow synthesize→parse projections: ORDER BY only
     "image_dims" -> 1,
+    "wav_meta" -> 1,
     // the peeling loop runs at construction (per-round frames live behind
     // persisted boundaries); the returned plan is the final induced-degree
     // pass + ORDER BY
