@@ -927,6 +927,16 @@ object SparkEntry {
         .select(col("id").as("user_id"), col("hops"))
         .orderBy("user_id")),
 
+    // who is associating NOW: half-life-decayed pair scores — a 3-month-
+    // old tie fades, last week's counts full; pure-integer decay
+    // (truncating div by a power of two), reference day rides a broadcast
+    // 1-row aggregate (CoMovement.pairsDecayed)
+    "decayed_pairs" -> ((s, d) =>
+      CoMovement.pairsDecayed(pairsGold(s, d), halfLifeDays = 7)
+        .withColumn("last_day_ms", unix_millis(col("last_day").cast("timestamp")))
+        .drop("last_day")
+        .orderBy("uid_a", "uid_b")),
+
     // association communities: connected components of the pair network
     // with component sizes — which vessels form one co-movement web at
     // all. Reuses the dedup cluster resolver (min-label propagation to
@@ -2992,6 +3002,21 @@ object SparkEntry {
          |JOIN deg db ON db.id = n.w
          |LEFT JOIN fl fv ON fv.id = n.v
          |LEFT JOIN fl fw ON fw.id = n.w
+         |ORDER BY uid_a, uid_b""".stripMargin,
+
+    // mirrors CoMovement.pairsDecayed: corpus-max reference day, integer
+    // floor-div ages, power-of-two truncating decay — non-negative
+    // operands so DuckDB's floor // equals the engine's truncating div
+    "decayed_pairs" ->
+      s"""$PairsCte,
+         |rf AS (SELECT max(day_date) AS ref FROM pairs_g)
+         |SELECT uid_a, uid_b,
+         |  CAST(sum(hT // (1::BIGINT << least(
+         |    CAST(date_diff('day', day_date, (SELECT ref FROM rf)) AS BIGINT) // 7,
+         |    62))) AS BIGINT) AS decayed_hours,
+         |  CAST(sum(hT) AS BIGINT) AS total_hours,
+         |  epoch_ms(CAST(max(day_date) AS TIMESTAMP)) AS last_day_ms
+         |FROM pairs_g GROUP BY 1, 2
          |ORDER BY uid_a, uid_b""".stripMargin,
 
     // mirrors pair_components via DuckDB's recursive reachability closure:

@@ -217,4 +217,31 @@ object CoMovement {
       min(col("gto")).as("min_gto"),
       avg(col("gto")).as("avg_gto"),
       expr("percentile(gto, 0.5)").as("median_gto"))
+
+  /** Recency-decayed pair association: Σ over days of
+    * `hT div 2^(age div halfLifeDays)` where age counts back from the
+    * CORPUS's newest pair day — a 3-month-old convoy tie fades, last
+    * week's counts full. `pairsTotal` treats all history equally, which is
+    * right for lifetime audits and wrong for "who is associating NOW";
+    * half-life weighting is the standard monitoring decay, done here in
+    * pure integers (truncating div by a power of two, exponent clamped at
+    * 62) so the score is bit-stable cross-engine — no float pow anywhere.
+    *
+    * Scale shape: the reference day rides a broadcast 1-row aggregate
+    * (no construction-time action) and the rest is ONE keyed groupBy of
+    * the pair-day frame; emits both the decayed score and the undecayed
+    * total so consumers can ratio them into a freshness index.
+    */
+  def pairsDecayed(pairsDaily: DataFrame, halfLifeDays: Int = 7): DataFrame = {
+    require(halfLifeDays >= 1, "halfLifeDays must be positive")
+    val ref = pairsDaily.agg(max(col("day_date")).as("__ref"))
+    pairsDaily.crossJoin(broadcast(ref))
+      .withColumn("__age", datediff(col("__ref"), col("day_date")))
+      .withColumn("__w",
+        least(expr(s"__age div $halfLifeDays"), lit(62)).cast("int"))
+      .groupBy("uid_a", "uid_b")
+      .agg(sum(expr("hT div shiftleft(1L, __w)")).as("decayed_hours"),
+        sum(col("hT")).as("total_hours"),
+        max(col("day_date")).as("last_day"))
+  }
 }

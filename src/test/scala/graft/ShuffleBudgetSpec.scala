@@ -55,6 +55,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "cust_inactive" -> 2,
     "days_seen_hist" -> 4,
     "decontam" -> 4,
+    // pair-day aggregate + the broadcast 1-row reference day's aggregate
+    // + final ORDER BY
+    "decayed_pairs" -> 3,
     "dedup_embed" -> 2,
     "dedup_exact" -> 2,
     "dedup_minhash" -> 1,
