@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BitInterleave, BpeApply, BpeMerge, DeflateSize, GeoCell, MinHashSig, MinHashText, RollingKgramHash, ShingleHashes, StableHashBucket, VecDot}
+import graft.expressions.{BitInterleave, BpeApply, BpeMerge, DeflateSize, GeoCell, ImageDims, MinHashSig, MinHashText, RollingKgramHash, ShingleHashes, StableHashBucket, VecDot, WavMeta}
 
 /** SQL surface for the engine's native Catalyst expressions: registers
   * `geo_cell`, `stable_bucket`, `vec_dot`, and `rolling_kgrams` as SQL
@@ -105,6 +105,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "z_order(x, y) takes 2 arguments")
         BitInterleave(args(0), args(1))
+      }),
+    (FunctionIdentifier("image_dims"),
+      info("image_dims", "image_dims(bin) - 'fmt w h' from PNG/GIF/JPEG header bytes, null if unparseable"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "image_dims(bin) takes 1 argument")
+        ImageDims(args(0))
+      }),
+    (FunctionIdentifier("wav_meta"),
+      info("wav_meta", "wav_meta(bin) - 'wav ch rate bits frames' from RIFF bytes, null if unparseable"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "wav_meta(bin) takes 1 argument")
+        WavMeta(args(0))
       }))
 
   /** Register every engine function on a live session (the per-session form

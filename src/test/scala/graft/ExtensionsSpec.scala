@@ -70,6 +70,29 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql === ((1 << 0) | (1 << 1) | (1 << 3) | (1 << 4)))
   }
 
+  test("sql image_dims / wav_meta match the column functions on real JDK-encoded bytes") {
+    import org.apache.spark.sql.functions.col
+    val img = new java.awt.image.BufferedImage(
+      12, 34, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    Seq(Tuple1(bos.toByteArray)).toDF("b").createOrReplaceTempView("imgs")
+    assert(spark.sql("SELECT image_dims(b) AS d FROM imgs")
+      .as[String].head() === "png 12 34")
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](20)), fmt, 10L)
+    val wos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, wos)
+    Seq(Tuple1(wos.toByteArray)).toDF("b").createOrReplaceTempView("wavs")
+    val viaSql = spark.sql("SELECT wav_meta(b) AS m FROM wavs").as[String].head()
+    assert(viaSql === "wav 1 8000 16 10")
+    val viaCol = Seq(Tuple1(wos.toByteArray)).toDF("b")
+      .select(graft.functions.wav_meta(col("b"))).as[String].head()
+    assert(viaSql === viaCol)
+  }
+
   test("extensions class injects into a fresh session (spark.sql.extensions path)") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
