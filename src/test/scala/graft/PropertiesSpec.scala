@@ -228,4 +228,36 @@ object GraftProperties extends Properties("graft") {
       out.size == truth.size &&
         out.forall(h => truth(h.item) == h.est && h.err == 0L)
     }
+
+  // ---- binary-header parsers vs the JDK's own encoders -------------------
+  // every (w, h) the JDK can encode must round-trip through the pure
+  // byte-arithmetic parsers — an independent-implementation property, not
+  // a fixture check
+
+  private val dim: Gen[Int] = Gen.chooseNum(1, 4096)
+
+  property("image_dims: JDK png/gif/jpg round-trip at any dimensions") =
+    forAll(dim, dim, Gen.oneOf("png", "gif", "jpg")) { (w, h, fmt) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      val expectFmt = if (fmt == "jpg") "jpeg" else fmt
+      val got = graft.expressions.ImageDims.dims(bos.toByteArray)
+      got != null && got.toString == s"$expectFmt $w $h"
+    }
+
+  property("wav_meta: JDK wav round-trip over rates/depths/channels/frames") =
+    forAll(Gen.oneOf(8000, 16000, 22050, 44100), Gen.oneOf(8, 16),
+      Gen.oneOf(1, 2), Gen.chooseNum(1, 2000)) { (rate, bits, ch, frames) =>
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, bits, ch, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](frames * ch * (bits / 8))),
+        fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      val got = graft.expressions.WavMeta.meta(bos.toByteArray)
+      got != null && got.toString == s"wav $ch $rate $bits $frames"
+    }
 }
