@@ -56,19 +56,24 @@ object WavMeta {
   /** `wav ch rate bits frames`, or null for non-PCM-WAV bytes. */
   def meta(b: Array[Byte]): UTF8String = {
     if (b.length < 36 || !tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return null
-    var i = 12
+    // LONG cursor: a corrupt LE32 chunk size near 2^31 must walk the
+    // cursor off the END (loop exits, null result), never wrap negative
+    // into an out-of-bounds read — corrupt bytes are an expected input
+    // class for an intake gate, and the contract is null, not a throw
+    var i = 12L
     var ch = -1; var rate = -1L; var bits = -1; var dataSize = -1L
     while (i + 8 <= b.length && (ch < 0 || dataSize < 0)) {
-      val size = le32(b, i + 4)
-      if (tag(b, i, "fmt ") && i + 8 + 16 <= b.length) {
-        ch = le16(b, i + 10)
-        rate = le32(b, i + 12)
-        bits = le16(b, i + 22)
-      } else if (tag(b, i, "data")) {
+      val ii = i.toInt
+      val size = le32(b, ii + 4)
+      if (tag(b, ii, "fmt ") && i + 8 + 16 <= b.length) {
+        ch = le16(b, ii + 10)
+        rate = le32(b, ii + 12)
+        bits = le16(b, ii + 22)
+      } else if (tag(b, ii, "data")) {
         dataSize = size
       }
       // chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size.toInt + (size.toInt & 1)
+      i += 8L + size + (size & 1L)
     }
     if (ch <= 0 || rate <= 0 || bits <= 0 || dataSize < 0) return null
     val blockAlign = ch.toLong * (bits / 8)

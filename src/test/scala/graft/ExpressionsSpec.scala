@@ -243,9 +243,16 @@ class ExpressionsSpec extends SparkSpec {
     rows.foreach { case (i, c, r, b, f, _) =>
       assert(got(i) === ((c, r, b, f)), s"case $i: got ${got(i)}")
     }
-    // junk and truncated RIFF preambles are all-null
+    // junk, truncated RIFF preambles, and a HOSTILE chunk size near 2^31
+    // (would wrap an int cursor negative → out-of-bounds read) are all
+    // null, never a throw — corrupt bytes are an expected input class
+    val hostile = "RIFF0000WAVE".getBytes("UTF-8") ++
+      "fmt ".getBytes("UTF-8") ++
+      Array[Byte](0xf8.toByte, 0xff.toByte, 0xff.toByte, 0x7f.toByte) ++
+      new Array[Byte](24)
     val junk = Seq((9L, "RIFFxxxx".getBytes("UTF-8")),
-      (10L, "not audio at all".getBytes("UTF-8"))).toDF("id", "bytes")
+      (10L, "not audio at all".getBytes("UTF-8")),
+      (11L, hostile)).toDF("id", "bytes")
     assert(graft.ops.Multimodal.wavMeta(junk, "id", "bytes")
       .collect().forall(_.isNullAt(1)))
   }
