@@ -1187,6 +1187,15 @@ object SparkEntry {
           k = FpK, p = FpModP, minShared = FpMinShared, maxDocsPerHash = FpMaxDocs)
         .orderBy("doc_a", "doc_b")),
 
+    // winnowing fingerprint selection (Schleimer et al. SIGMOD'03 / MOSS):
+    // window-minimum selection with the guarantee the mod-p sieve lacks —
+    // every match of length >= w+k-1 shares a selected fingerprint
+    // (TextOps.winnowedFingerprints)
+    "fp_winnow" -> ((s, d) =>
+      TextOps.winnowedFingerprints(Tables.documents(s, d), "doc_id", "text",
+          k = FpK, w = 8)
+        .orderBy("doc_id", "h")),
+
     // deterministic stratified sample: sha256 bucket under per-lang rate
     "doc_sample" -> ((s, d) =>
       Curation.stratifiedHashSample(Tables.documents(s, d), "doc_id", "lang",
@@ -2969,6 +2978,27 @@ object SparkEntry {
          |        UNION ALL SELECT w FROM tri)
          |SELECT id AS user_id, count(*) AS triangles
          |FROM ids GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    // mirrors TextOps.winnowedFingerprints: same rolling-hash chain as
+    // fp_overlap, then the window-minimum comprehension; the selected SET
+    // is tie-rule-independent (equal minima share the value), which is
+    // what makes this list-comprehension twin exact
+    "fp_winnow" ->
+      s"""WITH hl AS (SELECT doc_id,
+         |    [list_reduce(
+         |        list_prepend(0::HUGEINT,
+         |          [ascii(substr(text, i, 1))::HUGEINT for i in range(j, j + $FpK)]),
+         |        (acc, b) -> (acc * 257 + b) % 2147483647)
+         |     for j in range(1, len(text) - $FpK + 2)] AS hs
+         |  FROM documents),
+         |sel AS (SELECT doc_id,
+         |    CASE WHEN len(hs) >= 8 THEN
+         |      list_distinct([list_min(hs[j:j+7]) for j in range(1, len(hs) - 6)])
+         |    WHEN len(hs) > 0 THEN [list_min(hs)]
+         |    ELSE [] END AS sf
+         |  FROM hl)
+         |SELECT doc_id, CAST(unnest(sf) AS BIGINT) AS h
+         |FROM sel ORDER BY doc_id, h""".stripMargin,
 
     // mirrors Graph.commonNeighborPairs: capped id-first neighbor lists,
     // wedges among id-ordered pairs, adjacency anti-join, true-degree

@@ -213,6 +213,39 @@ object TextOps {
       .select(col(idCol), (col("pos0") + 1).cast("long").as("pos"), col("h"))
   }
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): from each document's rolling
+    * k-gram hash sequence, select the MINIMUM hash of every length-`w`
+    * window, deduplicated. Unlike [[rollingFingerprints]]' `h % p == 0`
+    * sieve — which can leave arbitrarily long unselected gaps, so a
+    * matching substring may contribute no shared fingerprint at all —
+    * winnowing guarantees every match of length ≥ `w + k − 1` shares at
+    * least one selected fingerprint, with expected density 2/(w+1). The
+    * guaranteed-recall selection tier for plagiarism/near-dup detection.
+    *
+    * Implemented as a single narrow projection over codegen'd pieces:
+    * `rolling_kgrams` (native expression) then a `transform`/`slice`/
+    * `array_min` comprehension — per-row cost O(n·w), no shuffle before
+    * the output explode; the window-minimum SET is tie-rule-independent
+    * (equal minima share the hash value), which is what makes the DuckDB
+    * list-comprehension twin exact. Documents shorter than one window
+    * contribute their global minimum (the ≥1-fingerprint convention);
+    * documents shorter than `k` contribute nothing.
+    * Output: (idCol, h) distinct selected fingerprints.
+    */
+  def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 8, w: Int = 8): DataFrame = {
+    require(w >= 1, "window must be at least 1")
+    val h = graft.functions.rolling_kgrams(col(textCol), k)
+    val n = size(h)
+    val sel = when(n >= w,
+        array_distinct(transform(sequence(lit(0), n - w),
+          i => array_min(slice(h, i + 1, lit(w))))))
+      .otherwise(when(n > 0, array(array_min(h)))
+        .otherwise(array().cast("array<long>")))
+    df.select(col(idCol), explode(sel).as("h"))
+  }
+
   /** Substring-level near-dup pairs from shared rolling-hash fingerprints
     * (the content-defined-chunking dedup tier between exact-hash and
     * token-shingle methods): two documents sharing `minShared`+ selected

@@ -87,6 +87,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "event_transitions" -> 3,
     "events_pivot" -> 3,
     "events_rollup" -> 2,
+    // narrow per-row comprehension + explode: ORDER BY only
+    "fp_winnow" -> 1,
     "fp_overlap" -> 4,
     "frame_sample" -> 1,
     "funnel_steps" -> 4,

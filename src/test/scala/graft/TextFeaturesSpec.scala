@@ -193,4 +193,35 @@ class TextFeaturesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(3)))
     assert(again.map(_._2).toSeq === out.map(_._4).toSeq)
   }
+
+  test("winnowing: the match-length guarantee the mod-p sieve lacks") {
+    // Schleimer et al.: any shared substring of length >= w + k - 1 must
+    // yield >= 1 SHARED selected fingerprint. Randomized adversarial
+    // check: random docs with a planted common substring of exactly the
+    // guarantee length at random offsets
+    val k = 8; val w = 8
+    val rnd = new scala.util.Random(7)
+    def randStr(n: Int) = (1 to n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val planted = randStr(w + k - 1)
+    val docs = (1L to 20L).map { i =>
+      val pre = randStr(rnd.nextInt(40))
+      val post = randStr(rnd.nextInt(40))
+      (i, pre + planted + post)
+    }.toDF("doc_id", "text")
+    val sel = graft.ops.TextOps.winnowedFingerprints(docs, "doc_id", "text", k, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val common = sel.values.reduce(_ intersect _)
+    assert(common.nonEmpty,
+      "every doc pair shares the planted substring at guarantee length — " +
+        "the winnowed sets must share a fingerprint")
+    // a doc shorter than one window still yields its global-min fingerprint
+    val tiny = Seq((1L, "abcdefghij")).toDF("doc_id", "text") // 3 kgrams < w
+    assert(graft.ops.TextOps.winnowedFingerprints(tiny, "doc_id", "text", k, w)
+      .count() === 1L)
+    // and shorter than k yields nothing
+    val sub = Seq((1L, "abc")).toDF("doc_id", "text")
+    assert(graft.ops.TextOps.winnowedFingerprints(sub, "doc_id", "text", k, w)
+      .count() === 0L)
+  }
 }
