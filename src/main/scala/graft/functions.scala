@@ -30,6 +30,14 @@ object functions {
   def wav_meta(bin: Column): Column =
     expressions.col(expressions.WavMeta(expressions.expr(bin)))
 
+  /** Distinct sliding-window minima of a long array (O(n) monotonic
+    * deque) — the winnowing selection kernel; see
+    * [[graft.expressions.WinnowMin]].
+    */
+  def winnow_min(arr: Column, w: Int): Column =
+    expressions.col(expressions.WinnowMin(expressions.expr(arr),
+      expressions.expr(lit(w))))
+
   /** 1-D variant used against the testdata `events.value` column (FIXTURES.md §3:
     * `value` plays the position role). `cell = floor(value / (500 / 2^res))` —
     * SQL-expressible for the DuckDB oracle as

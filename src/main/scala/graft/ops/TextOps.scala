@@ -223,26 +223,23 @@ object TextOps {
     * least one selected fingerprint, with expected density 2/(w+1). The
     * guaranteed-recall selection tier for plagiarism/near-dup detection.
     *
-    * Implemented as a single narrow projection over codegen'd pieces:
-    * `rolling_kgrams` (native expression) then a `transform`/`slice`/
-    * `array_min` comprehension — per-row cost O(n·w), no shuffle before
-    * the output explode; the window-minimum SET is tie-rule-independent
-    * (equal minima share the hash value), which is what makes the DuckDB
-    * list-comprehension twin exact. Documents shorter than one window
-    * contribute their global minimum (the ≥1-fingerprint convention);
-    * documents shorter than `k` contribute nothing.
-    * Output: (idCol, h) distinct selected fingerprints.
+    * Implemented as a single narrow projection over two native codegen'd
+    * expressions: `rolling_kgrams` then [[graft.expressions.WinnowMin]] —
+    * the O(n) monotonic-deque sliding minimum (the naive
+    * `transform`/`slice`/`array_min` comprehension is O(n·w) with a
+    * w-slice allocation per window and benched 13× slower). No shuffle
+    * before the output explode; the window-minimum SET is
+    * tie-rule-independent (equal minima share the hash value), which is
+    * what makes the DuckDB list-comprehension twin exact. Documents
+    * shorter than one window contribute their global minimum (the
+    * ≥1-fingerprint convention); documents shorter than `k` contribute
+    * nothing. Output: (idCol, h) distinct selected fingerprints.
     */
   def winnowedFingerprints(df: DataFrame, idCol: String, textCol: String,
                            k: Int = 8, w: Int = 8): DataFrame = {
     require(w >= 1, "window must be at least 1")
-    val h = graft.functions.rolling_kgrams(col(textCol), k)
-    val n = size(h)
-    val sel = when(n >= w,
-        array_distinct(transform(sequence(lit(0), n - w),
-          i => array_min(slice(h, i + 1, lit(w))))))
-      .otherwise(when(n > 0, array(array_min(h)))
-        .otherwise(array().cast("array<long>")))
+    val sel = graft.functions.winnow_min(
+      graft.functions.rolling_kgrams(col(textCol), k), w)
     df.select(col(idCol), explode(sel).as("h"))
   }
 

@@ -224,4 +224,30 @@ class TextFeaturesSpec extends SparkSpec {
     assert(graft.ops.TextOps.winnowedFingerprints(sub, "doc_id", "text", k, w)
       .count() === 0L)
   }
+
+  test("winnow_min deque == the naive slice/array_min comprehension on random input") {
+    // the O(n) kernel must select the IDENTICAL set as the O(n·w)
+    // reference comprehension (the DuckDB twin's shape) — including
+    // tie-heavy inputs where many windows share minima
+    val k = 8; val w = 8
+    val rnd = new scala.util.Random(13)
+    val docs = (1L to 30L).map { i =>
+      val alpha = if (i % 2 == 0) 3 else 26 // half tie-heavy, half diverse
+      (i, (1 to rnd.nextInt(200)).map(_ => ('a' + rnd.nextInt(alpha)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    val h = graft.functions.rolling_kgrams(col("text"), k)
+    val n = size(h)
+    val naive = when(n >= w,
+        array_distinct(transform(sequence(lit(0), n - w),
+          i => array_min(slice(h, i + 1, lit(w))))))
+      .otherwise(when(n > 0, array(array_min(h)))
+        .otherwise(array().cast("array<long>")))
+    val got = docs.select(col("doc_id"),
+        graft.functions.winnow_min(h, w).as("fast"), naive.as("ref"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1).toSet === r.getSeq[Long](2).toSet,
+        s"doc ${r.getLong(0)}: deque and comprehension must select the same set")
+    }
+  }
 }
