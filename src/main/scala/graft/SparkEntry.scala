@@ -3177,8 +3177,10 @@ object SparkEntry {
 
     // mirrors Tracks.geofenceHits: same literal zones, half-open bounds
     // mirrors Tracks.resample: same union-of-points-and-ticks window, same
-    // (t, kind) ordering so coincident ticks take the observation, same
-    // interpolation shape and operation order (ulp-identical), 6dp round
+    // (t, kind, value) ordering — kind so coincident ticks take the
+    // observation, value so duplicate same-millisecond observations fold
+    // deterministically — same interpolation shape and operation order
+    // (ulp-identical), 6dp round
     "track_resample" ->
       """WITH p AS (SELECT user_id, epoch_ms(ts) AS t, value FROM events
         |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
@@ -3192,16 +3194,16 @@ object SparkEntry {
         |      SELECT user_id, tick, NULL, tick, 1 FROM g),
         |w AS (SELECT user_id, tick, kind,
         |    last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS) OVER
-        |      (PARTITION BY user_id ORDER BY t, kind
+        |      (PARTITION BY user_id ORDER BY t, kind, value NULLS LAST
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
         |    last_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS) OVER
-        |      (PARTITION BY user_id ORDER BY t, kind
+        |      (PARTITION BY user_id ORDER BY t, kind, value NULLS LAST
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
         |    first_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS) OVER
-        |      (PARTITION BY user_id ORDER BY t, kind
+        |      (PARTITION BY user_id ORDER BY t, kind, value NULLS LAST
         |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
         |    first_value(CASE WHEN kind = 0 THEN value END IGNORE NULLS) OVER
-        |      (PARTITION BY user_id ORDER BY t, kind
+        |      (PARTITION BY user_id ORDER BY t, kind, value NULLS LAST
         |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
         |  FROM u)
         |SELECT user_id, CAST(tick AS BIGINT) AS tick_ms,

@@ -66,15 +66,32 @@ object ImageDims {
         (b(4) == '7' || b(4) == '9') && b(5) == 'a')
       return UTF8String.fromString(s"gif ${le16(b, 6)} ${le16(b, 8)}")
     if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
-      // marker walk: FFD8, then FF xx [be16 length including itself]
+      // marker walk: FFD8, then FF xx [be16 length including itself].
+      // T.81 §B.1.1.2 allows any number of 0xFF FILL bytes before a
+      // marker byte, so the walk consumes the whole 0xFF run before
+      // reading the marker — treating a fill byte as the marker would
+      // misread the next 0xFF as a segment length. The walk TERMINATES at
+      // SOS (entropy-coded data follows, where naive length-skips are
+      // meaningless) and EOI: reaching either without an SOF means no
+      // parseable frame header — null, the quarantine contract.
       var i = 2
-      while (i + 9 < b.length && u8(b, i) == 0xff) {
-        val m = u8(b, i + 1)
-        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc)
+      while (i < b.length && u8(b, i) == 0xff) {
+        while (i < b.length && u8(b, i) == 0xff) i += 1 // fill bytes
+        if (i >= b.length) return null
+        val m = u8(b, i)
+        if (m == 0xd9 || m == 0xda) return null // EOI / SOS before any SOF
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (i + 7 >= b.length) return null
           return UTF8String.fromString(
-            s"jpeg ${be16(b, i + 7)} ${be16(b, i + 5)}")
-        if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2 // bare markers
-        else i += 2 + be16(b, i + 2)
+            s"jpeg ${be16(b, i + 6)} ${be16(b, i + 4)}")
+        }
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 1 // bare markers
+        else {
+          if (i + 2 >= b.length) return null
+          val len = be16(b, i + 1)
+          if (len < 2) return null // corrupt length would stall the walk
+          i += 1 + len
+        }
       }
     }
     null

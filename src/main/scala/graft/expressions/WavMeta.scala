@@ -66,6 +66,13 @@ object WavMeta {
       val ii = i.toInt
       val size = le32(b, ii + 4)
       if (tag(b, ii, "fmt ") && i + 8 + 16 <= b.length) {
+        // PCM only: audioFormat (LE16 at +8) must be 1 and the fmt chunk
+        // must carry the full 16-byte PCM layout. IEEE-float (3), ADPCM
+        // (2), and WAVE_FORMAT_EXTENSIBLE (0xFFFE) streams would otherwise
+        // parse "successfully" with frames = dataSize/blockAlign — wrong
+        // for compressed formats — where the contract says null for
+        // anything that is not a parseable PCM WAV.
+        if (size < 16 || le16(b, ii + 8) != 1) return null
         ch = le16(b, ii + 10)
         rate = le32(b, ii + 12)
         bits = le16(b, ii + 22)

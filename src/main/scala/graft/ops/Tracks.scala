@@ -173,7 +173,13 @@ object Tracks {
         col("value"), lit(null).cast("long").as("tick"), lit(0).as("kind"))
       .unionByName(grid.select(col("user_id"), col("tick").as("t"),
         lit(null).cast("double").as("value"), col("tick"), lit(1).as("kind")))
-    val ord = Window.partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+    // `value` as the final key breaks ties between two OBSERVATIONS at the
+    // same millisecond — without it pv/nv (and the interpolated output)
+    // would depend on arbitrary intra-tie order: nondeterministic across
+    // task retries and free to diverge from the oracle. nulls_last matches
+    // DuckDB's ASC default (Spark's default is nulls-first).
+    val ord = Window.partitionBy(col("user_id"))
+      .orderBy(col("t"), col("kind"), col("value").asc_nulls_last)
     val prev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val next = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val obsT = when(col("kind") === 0, col("t"))

@@ -134,9 +134,23 @@ object StandingStore {
     * batch for a condition that can only change across restarts. The dir
     * is marked checked only AFTER the gate passes — a violating stream
     * fails every batch, not just its first.
+    *
+    * Heals FIRST, before the schema gate and the write: a replayed
+    * micro-batch whose processor appends without reading (some probes are
+    * write-only on early batches) would otherwise recreate the store slot
+    * while a completed compaction snapshot sat beside it — and a later
+    * heal, seeing both `.old` and a store present, would drop the `.old`
+    * marker and let the NEXT rewrite overwrite the stranded snapshot,
+    * silently losing the store's full history. Heal-before-append makes
+    * "every crash window is binary and healable" hold on every entry
+    * point, not just the read-first ones.
     */
   def append(df: DataFrame, storeDir: String,
              partitionCols: Seq[String] = Nil): Unit = {
+    val p = new Path(storeDir)
+    val fs = p.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    heal(fs, p)
     if (!checked.contains(storeDir)) {
       graft.ops.SchemaEvolution.checkCompatible(df.sparkSession, storeDir, df.schema)
       checked.add(storeDir)

@@ -256,4 +256,67 @@ class ExpressionsSpec extends SparkSpec {
     assert(graft.ops.Multimodal.wavMeta(junk, "id", "bytes")
       .collect().forall(_.isNullAt(1)))
   }
+
+  test("wav_meta rejects non-PCM formats — frames = dataSize/blockAlign is only right for PCM") {
+    // a compressed or float WAV parsed as PCM would report a WRONG frame
+    // count; the contract is null for anything that is not parseable PCM
+    def wav(audioFormat: Int, fmtSize: Int = 16): Array[Byte] = {
+      def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+      def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+        (v >> 16).toByte, (v >> 24).toByte)
+      "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(fmtSize) ++
+        (le16(audioFormat) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+          le16(2) ++ le16(16)).take(fmtSize) ++
+        "data".getBytes ++ le32(32) ++ new Array[Byte](32)
+    }
+    val rows = Seq(
+      (1L, wav(1)),            // PCM — the control, must parse
+      (2L, wav(3)),            // IEEE float
+      (3L, wav(2)),            // ADPCM
+      (4L, wav(0xFFFE)),       // WAVE_FORMAT_EXTENSIBLE
+      (5L, wav(1, fmtSize = 14))) // fmt chunk too short for PCM layout
+      .toDF("id", "bytes")
+    val got = graft.ops.Multimodal.wavMeta(rows, "id", "bytes")
+      .select("id", "channels").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!got(1L), "audioFormat 1 with full PCM layout parses")
+    Seq(2L, 3L, 4L, 5L).foreach(i =>
+      assert(got(i), s"row $i (non-PCM / short fmt) must quarantine to null"))
+  }
+
+  test("image_dims JPEG walk: legal 0xFF fill bytes and EOI/SOS termination") {
+    // T.81 §B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    // byte — a walk that reads a fill byte as the marker misparses the
+    // next 0xFF as a segment length. And reaching SOS/EOI without an SOF
+    // means no parseable frame header: null, never a garbage read.
+    def sof0(w: Int, h: Int) = Array[Byte](0xff.toByte, 0xc0.toByte,
+      0, 17, 8, (h >> 8).toByte, h.toByte, (w >> 8).toByte, w.toByte,
+      3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    val soi = Array[Byte](0xff.toByte, 0xd8.toByte)
+    val fill = Array.fill(3)(0xff.toByte)
+    val cases = Seq(
+      // fill bytes directly before the SOF marker byte
+      (1L, soi ++ fill ++ Array(0xc0.toByte) ++ sof0(320, 200).drop(2),
+        Some(("jpeg", 320L, 200L))),
+      // a padded APP0 boundary, then a clean SOF
+      (2L, soi ++ Array[Byte](0xff.toByte, 0xe0.toByte, 0, 4, 0, 0) ++
+        fill ++ Array(0xc0.toByte) ++ sof0(64, 32).drop(2),
+        Some(("jpeg", 64L, 32L))),
+      // EOI before any SOF — terminate, null
+      (3L, soi ++ Array[Byte](0xff.toByte, 0xd9.toByte) ++ sof0(9, 9), None),
+      // SOS before any SOF — entropy data follows, walk must stop
+      (4L, soi ++ Array[Byte](0xff.toByte, 0xda.toByte, 0, 2) ++
+        new Array[Byte](40), None),
+      // corrupt zero segment length must not stall the walk
+      (5L, soi ++ Array[Byte](0xff.toByte, 0xe0.toByte, 0, 0, 0, 0), None))
+    val got = graft.ops.Multimodal.imageDims(
+        cases.map(c => (c._1, c._2)).toDF("id", "bytes"), "id", "bytes")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None
+         else Some((r.getString(1), r.getLong(2), r.getLong(3))))).toMap
+    cases.foreach { case (i, _, want) =>
+      assert(got(i) === want, s"case $i: got ${got(i)}, want $want")
+    }
+  }
 }

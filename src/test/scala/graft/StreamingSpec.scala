@@ -638,6 +638,32 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(store + ".old").exists, ".old is dropped")
   }
 
+  test("append() heals an interrupted swap first — replayed write-only batches can't shadow the snapshot") {
+    // window: store renamed to <store>.old, snapshot complete, second rename
+    // never ran — and the next touch is an APPEND (a replayed micro-batch
+    // whose processor writes before it reads). Without heal-on-append the
+    // append would recreate the store slot with only the batch's rows; the
+    // NEXT heal, seeing both .old and a store, would drop .old and let a
+    // later rewrite overwrite the stranded snapshot — full history lost.
+    import org.apache.spark.sql.types.{BinaryType, StructField, StructType}
+    val root = java.nio.file.Files.createTempDirectory("graft-heal5").toString
+    val store = root + "/store"
+    val schema = StructType(Seq(StructField("seg_key", BinaryType)))
+    // .old = the pre-swap pile; snapshot = the complete 4-digest history
+    spark.range(1).select(unhex(md5(lit("k"))).as("seg_key"))
+      .write.parquet(store + ".old")
+    spark.range(4).select(unhex(md5(col("id").cast("string"))).as("seg_key"))
+      .write.parquet(store + ".compact")
+    // the replayed batch appends one NEW digest without reading first
+    graft.streaming.StandingStore.append(
+      spark.range(1).select(unhex(md5(lit("new"))).as("seg_key")), store)
+    val df = graft.streaming.StandingStore.read(spark, store, schema)
+    assert(df.count() === 5L,
+      "snapshot history (4) + the replayed batch (1) — nothing shadowed")
+    assert(!new java.io.File(store + ".old").exists, ".old is dropped")
+    assert(!new java.io.File(store + ".compact").exists)
+  }
+
   test("streaming scrub ≡ batch scrubSegments on an id-ordered two-batch replay") {
     // the equivalence contract: same segmentation, keep rule, and re-stitch
     // as Dedup.scrubSegments, so replaying the corpus in doc-id order across
