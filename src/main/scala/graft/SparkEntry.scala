@@ -1525,6 +1525,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the video member of the intake-gate trio: synthesize minimal-but-
+    // spec-shaped ISO-BMFF containers from doc_id (16-byte ftyp; moov
+    // holding a full-size v0 mvhd and a trak/tkhd with the 16.16
+    // fixed-point extent after the 36-byte matrix), parse them back
+    // through the codegen'd Mp4Meta box walk; the oracle derives brand /
+    // extent / timescale / duration arithmetically, so any box-layout or
+    // parser bug breaks equality (Multimodal.mp4Meta; hostile-size and
+    // v1-layout cases in ExpressionsSpec)
+    "video_meta" -> ((s, d) => {
+      val id = col("doc_id")
+      def be32h(c: Column) = lpad(hex(c), 8, "0")
+      def be16h(c: Column) = lpad(hex(c), 4, "0")
+      def z(nBytes: Int) = lit("00" * nBytes)
+      val ts = id % 5 * 1000 + 1000
+      val dur = id % 90000 + 1
+      val w = id % 1280 + 16
+      val h = id % 720 + 16
+      val brandHex = when(id % 3 === 0, lit("69736F6D"))     // isom
+        .when(id % 3 === 1, lit("6D703432"))                 // mp42
+        .otherwise(lit("61766331"))                          // avc1
+      val ftyp = concat(lit("0000001066747970"), brandHex, lit("00000000"))
+      val mvhd = concat(lit("0000006C6D766864"), lit("00000000"), z(8),
+        be32h(ts), be32h(dur), z(80))
+      val tkhd = concat(lit("0000005C746B6864"), lit("00000007"), z(8),
+        lit("00000001"), z(4), be32h(dur), z(52),
+        be16h(w), lit("0000"), be16h(h), lit("0000"))
+      val moov = concat(lit("000000D86D6F6F76"), mvhd,
+        concat(lit("000000647472616B"), tkhd))
+      Multimodal.mp4Meta(
+          Tables.documents(s, d).select(id,
+            unhex(concat(ftyp, moov)).as("vid")),
+          "doc_id", "vid")
+        .orderBy("doc_id")
+    }),
+
     // multimodal plumbing: binary payloads through the batched decode stub;
     // metadata contract (sizes, stub dims, payload sha) is oracle-checked
     "media_features" -> ((s, d) => {
@@ -3099,32 +3134,46 @@ object SparkEntry {
          |FROM wr3 ORDER BY user_id""".stripMargin
     },
 
-    // mirrors Graph.kCore: 8 unrolled peeling rounds (the engine's round
-    // cap — its early stop past convergence is a no-op, so fixed unrolling
-    // and the driver-guard loop agree whether either converges early),
-    // then degrees inside the final induced subgraph. MATERIALIZED is
-    // load-bearing: each round references the previous alive set TWICE, so
-    // DuckDB's default CTE inlining would clone the whole upstream chain
-    // 2^8 times and never finish; materialization makes the unrolled chain
-    // linear, exactly like the engine's per-round persisted frame
-    "k_core" -> {
-      val rounds = (1 to 8).map { i =>
-        s"""kd$i AS MATERIALIZED (SELECT e.src AS id, count(*) AS c FROM ed e
-           |  JOIN ka${i - 1} s ON e.src = s.id
-           |  JOIN ka${i - 1} t ON e.dst = t.id GROUP BY 1),
-           |ka$i AS MATERIALIZED (SELECT id FROM kd$i WHERE c >= 2)""".stripMargin
-      }.mkString(",\n")
-      s"""$PairsCte,
+    // mirrors Graph.kCore via a CONVERGENCE-FREE recursive peel — no
+    // unrolled round count to keep in sync with the engine's drained loop
+    // (the pair_components precedent, adapted to a SHRINKING fixpoint,
+    // which a recursive CTE can't express directly because UNION dedup
+    // would empty the working table after one generation): each recursive
+    // iteration's working table is one whole alive-set GENERATION tagged
+    // with its size n, plus a NULL-id sentinel row carrying n even when
+    // the survivor set is empty. Survivors are emitted only while the
+    // count still FALLS, so the recursion halts exactly at the fixpoint
+    // (peeling strictly shrinks: count equality ⟺ set equality) and the
+    // k-core is the generation with the minimal sentinel n — including
+    // the empty-core case, where the last sentinel is 0 and no id rows
+    // carry it.
+    "k_core" ->
+      s"""${PairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |pe AS (SELECT DISTINCT uid_a, uid_b FROM pairs_g),
          |ed AS MATERIALIZED (SELECT uid_a AS src, uid_b AS dst FROM pe
          |       UNION SELECT uid_b, uid_a FROM pe),
-         |ka0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM ed),
-         |$rounds,
+         |alive(id, n) AS (
+         |  SELECT src, (SELECT count(DISTINCT src) FROM ed) FROM ed
+         |  UNION
+         |  SELECT NULL, (SELECT count(DISTINCT src) FROM ed)
+         |  UNION ALL
+         |  (WITH w AS (SELECT * FROM alive),
+         |   s AS (SELECT e.src AS id FROM ed e
+         |         JOIN w a ON e.src = a.id
+         |         JOIN w b ON e.dst = b.id
+         |         GROUP BY 1 HAVING count(*) >= 2),
+         |   c AS (SELECT count(*) AS m FROM s)
+         |   SELECT s.id, c.m FROM s, c WHERE c.m < (SELECT min(n) FROM w)
+         |   UNION ALL
+         |   SELECT NULL, c.m FROM c
+         |   WHERE c.m < (SELECT min(w.n) FROM w))),
+         |core AS (SELECT id FROM alive
+         |  WHERE n = (SELECT min(n) FROM alive WHERE id IS NULL)
+         |    AND id IS NOT NULL),
          |kdf AS (SELECT e.src AS id, count(*) AS c FROM ed e
-         |  JOIN ka8 s ON e.src = s.id JOIN ka8 t ON e.dst = t.id GROUP BY 1)
+         |  JOIN core s ON e.src = s.id JOIN core t ON e.dst = t.id GROUP BY 1)
          |SELECT id AS user_id, CAST(c AS BIGINT) AS deg_core
-         |FROM kdf ORDER BY user_id""".stripMargin
-    },
+         |FROM kdf ORDER BY user_id""".stripMargin,
 
     // mirrors Graph.personalizedPageRankFromHubs: top-2 hub seeds, init
     // 1e6//|S| on seeds else 0, teleport base 150000//|S| on seeds else 0,
@@ -4186,6 +4235,19 @@ object SparkEntry {
         |  CAST(doc_id % 5 * 4000 + 8000 AS BIGINT) AS sample_rate,
         |  CAST(16 AS BIGINT) AS bits,
         |  CAST(doc_id % 100 + 1 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors video_meta: the brand / extent / timescale / duration the
+    // Spark side must RECOVER from the synthesized ISO-BMFF bytes,
+    // derived arithmetically — equality proves the box walk byte-for-byte
+    "video_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'isom'
+        |    WHEN 1 THEN 'mp42' ELSE 'avc1' END AS brand,
+        |  CAST(doc_id % 1280 + 16 AS BIGINT) AS width,
+        |  CAST(doc_id % 720 + 16 AS BIGINT) AS height,
+        |  CAST(doc_id % 5 * 1000 + 1000 AS BIGINT) AS timescale,
+        |  CAST(doc_id % 90000 + 1 AS BIGINT) AS duration
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // mirrors image_dims: the dimensions the Spark side must RECOVER from

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BitInterleave, BpeApply, BpeMerge, DeflateSize, GeoCell, ImageDims, MinHashSig, MinHashText, RollingKgramHash, ShingleHashes, StableHashBucket, VecDot, WavMeta}
+import graft.expressions.{BitInterleave, BpeApply, BpeMerge, DeflateSize, GeoCell, ImageDims, MinHashSig, MinHashText, Mp4Meta, RollingKgramHash, ShingleHashes, StableHashBucket, VecDot, WavMeta, WinnowMin}
 
 /** SQL surface for the engine's native Catalyst expressions: registers
   * `geo_cell`, `stable_bucket`, `vec_dot`, and `rolling_kgrams` as SQL
@@ -117,6 +117,18 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "wav_meta(bin) takes 1 argument")
         WavMeta(args(0))
+      }),
+    (FunctionIdentifier("mp4_meta"),
+      info("mp4_meta", "mp4_meta(bin) - 'mp4 brand w h timescale duration' from ISO-BMFF bytes, null if unparseable"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "mp4_meta(bin) takes 1 argument")
+        Mp4Meta(args(0))
+      }),
+    (FunctionIdentifier("winnow_min"),
+      info("winnow_min", "winnow_min(arr, w) - distinct sliding-window minima of a long array (winnowing kernel)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "winnow_min(arr, w) takes 2 arguments")
+        WinnowMin(args(0), args(1))
       }))
 
   /** Register every engine function on a live session (the per-session form

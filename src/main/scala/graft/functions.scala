@@ -30,6 +30,12 @@ object functions {
   def wav_meta(bin: Column): Column =
     expressions.col(expressions.WavMeta(expressions.expr(bin)))
 
+  /** MP4/ISO-BMFF metadata (`mp4 brand w h timescale duration`, null for
+    * unparseable) from raw box bytes — see [[graft.expressions.Mp4Meta]].
+    */
+  def mp4_meta(bin: Column): Column =
+    expressions.col(expressions.Mp4Meta(expressions.expr(bin)))
+
   /** Distinct sliding-window minima of a long array (O(n) monotonic
     * deque) — the winnowing selection kernel; see
     * [[graft.expressions.WinnowMin]].

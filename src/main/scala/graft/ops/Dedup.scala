@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graftbridge.bridge
+
 import graft.engine.CacheScope
 
 /** Deduplication operators for a training-data pipeline over `documents`.
@@ -775,6 +777,14 @@ object Dedup {
     * rounds; pathological chain-shaped graphs would want the large-star/
     * small-star variant (Kiveris et al. 2014), which this deliberately keeps
     * simpler than.
+    *
+    * Converge-or-fail: `maxRounds` is a safety cap, not a result parameter.
+    * Min-label propagation needs ~diameter rounds, and a component deeper
+    * than the cap would otherwise be SILENTLY mislabeled (split into
+    * several "clusters") — and this operator feeds cluster resolution,
+    * leak-free splits, and the curation funnel, where a wrong cluster id
+    * quietly changes which documents survive. Exhausting the cap throws;
+    * a caller expecting deeper graphs raises it explicitly.
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
                   maxRounds: Int = 20): DataFrame = {
@@ -785,25 +795,33 @@ object Dedup {
     // seed with the one-hop minimum (id vs smallest neighbor): the node list
     // needs a groupBy anyway, and for the common shallow near-dup cluster
     // (copies of one document = a star) this converges in a single round
-    var labels = edges.groupBy(col("id"))
+    // bridge.truncated, not localCheckpoint: each round's plan references
+    // the label frame on two join sides, and Dataset.localCheckpoint's
+    // constraint rewrite doubles the carried constraint set per checkpoint
+    // generation — a >25-round propagation goes driver-bound for minutes
+    // in the stats visitor (see bridge.truncated's doc; measured on the
+    // 30-hop chain spec before the switch)
+    var labels = bridge.truncated(edges.groupBy(col("id"))
       .agg(min(col("nbr")).as("__m"))
-      .select(col("id"), least(col("id"), col("__m")).as("cluster"))
-      .localCheckpoint()
+      .select(col("id"), least(col("id"), col("__m")).as("cluster")))
     var round = 0
     var changed = 1L
     while (changed > 0 && round < maxRounds) {
       val nbrMin = edges
         .join(labels.select(col("id").as("nbr"), col("cluster").as("nbr_cluster")), "nbr")
         .groupBy("id").agg(min("nbr_cluster").as("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
+      val next = bridge.truncated(labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("moved"))
-        .localCheckpoint() // eager: materializes this round, truncates lineage
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("moved")))
+      // eager: materializes this round, truncates lineage + constraints
       changed = next.filter(col("moved")).count() // reads the checkpoint, no re-join
       labels = next.select("id", "cluster")
       round += 1
     }
+    require(changed == 0L, s"dupClusters: label propagation did not " +
+      s"converge within maxRounds=$maxRounds ($changed labels still moving);" +
+      " raise maxRounds — rounds track component diameter")
     edges.unpersist()
     labels.select(col("id"), col("cluster"),
       (col("id") === col("cluster")).as("is_canonical"))

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.bridge
 
 import graft.engine.CacheScope
 
@@ -410,11 +411,15 @@ object Graph {
     *
     * Determinism: the k-core is unique (peeling is confluent — removal
     * order cannot change the fixpoint), counts are exact integers, and the
-    * round structure is pinned: `maxRounds` peeling rounds, early-stopped
-    * when a round removes nobody. Extra rounds past convergence are
-    * no-ops, so the early stop is pure optimization — the result equals
-    * the oracle's fixed unrolled chain whether either side converges
-    * early or runs the cap out.
+    * contract is CONVERGE-OR-FAIL: the loop drains to the fixpoint (a
+    * round that removes nobody) and `maxRounds` is a safety cap, not a
+    * result parameter — exhausting it THROWS rather than silently
+    * reporting the partially-peeled superset as "the k-core" (a long
+    * chain welded to a core needs ~len/2 rounds; at graph scale that
+    * depth is reachable, and a caller acting on a non-core would have no
+    * signal). Peeling strictly shrinks, so rounds ≤ nodes; the default
+    * cap covers any real association graph, and a caller that genuinely
+    * expects deeper peels raises it explicitly.
     *
     * Scale shape: per round, restrict the src-partitioned edge frame to
     * surviving endpoints (two keyed joins — the src side aligned with the
@@ -428,24 +433,39 @@ object Graph {
     * Output: (id, deg_core) for final-core members.
     */
   def kCore(edges: DataFrame, aCol: String, bCol: String, k: Long,
-            maxRounds: Int = 8,
+            maxRounds: Int = 64,
             scope: CacheScope = CacheScope.global): DataFrame = {
     require(k >= 1, "k must be positive")
     require(maxRounds >= 1, "need at least one peeling round")
     val und = symmetrize(edges, aCol, bCol, scope)
-    var alive = scope.persisted(und.select(col("src").as("id")).distinct())
+    // per-round bridge.truncated, not persist and not localCheckpoint:
+    // inducedDegrees references the alive frame TWICE (both join sides),
+    // so without lineage truncation the logical plan DOUBLES every round
+    // (a 40-round peel = a 2^40-node plan tree, driver OOM) — and
+    // Dataset.localCheckpoint truncates the TREE but rewrites CONSTRAINTS
+    // from the original plan, which double per checkpoint generation for
+    // the same two-reference reason (minutes per round in the stats
+    // visitor by round ~30, measured). The constraint-free truncation
+    // caps both and doubles as the per-round materializing action.
+    var alive = bridge.truncated(
+      und.select(col("src").as("id")).distinct())
     var nAlive = alive.count()
     var round = 0
-    var converged = false
+    var converged = nAlive == 0L
     while (round < maxRounds && !converged) {
-      val deg = inducedDegrees(und, alive)
-      val next = scope.persisted(
-        deg.filter(col("deg") >= k).select("id"))
+      val next = bridge.truncated(inducedDegrees(und, alive)
+        .filter(col("deg") >= k).select("id"))
       val nNext = next.count()
       // peeling only removes — equal count ⟺ equal set, no anti-join needed
       if (nNext == nAlive) converged = true
       else { alive = next; nAlive = nNext; round += 1 }
     }
+    // converge-or-fail: a partially-peeled survivor set is NOT a k-core,
+    // and returning it silently would hand callers a density signal that
+    // isn't one. Throwing is the contract (see the scaladoc).
+    require(converged, s"kCore: peel did not reach its fixpoint within " +
+      s"maxRounds=$maxRounds ($nAlive nodes still alive after $round " +
+      "rounds); raise maxRounds — peeling depth is bounded by node count")
     inducedDegrees(und, alive)
       .select(col("id"), col("deg").as("deg_core"))
   }

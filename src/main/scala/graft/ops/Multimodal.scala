@@ -157,4 +157,24 @@ object Multimodal {
         col("__p").getItem(3).cast("long").as("bits"),
         col("__p").getItem(4).cast("long").as("n_frames"))
   }
+
+  /** Video-role member of the intake-gate trio ([[imageDims]] /
+    * [[wavMeta]] / this): MP4/ISO-BMFF brand, track extent, and movie
+    * timescale/duration from the raw box walk
+    * ([[graft.expressions.Mp4Meta]]) — the pre-decode gate a video intake
+    * filters on (brand / dimensions / duration) before any frame-decode
+    * stage is scheduled. Output: (idCol, brand, width, height, timescale,
+    * duration); unparseable payloads are all-null, audio-only containers
+    * parse with 0×0 extent.
+    */
+  def mp4Meta(df: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val parts = split(graft.functions.mp4_meta(col(binCol)), " ")
+    df.select(col(idCol), parts.as("__p"))
+      .select(col(idCol),
+        col("__p").getItem(1).as("brand"),
+        col("__p").getItem(2).cast("long").as("width"),
+        col("__p").getItem(3).cast("long").as("height"),
+        col("__p").getItem(4).cast("long").as("timescale"),
+        col("__p").getItem(5).cast("long").as("duration"))
+  }
 }

@@ -30,4 +30,45 @@ object bridge {
   type SerConf = org.apache.spark.util.SerializableConfiguration
   def serializableConf(c: org.apache.hadoop.conf.Configuration): SerConf =
     new org.apache.spark.util.SerializableConfiguration(c)
+
+  /** Eager lineage truncation WITHOUT the constraint rewrite — the
+    * iterative-loop workhorse `Dataset.localCheckpoint` cannot be.
+    *
+    * Spark 4's `Dataset.checkpoint` path ends in
+    * `LogicalRDD.rewriteStatsAndConstraints`, which rebuilds the new leaf's
+    * constraint set from the ORIGINAL plan's. In a fixpoint loop whose
+    * per-round plan references the carried frame twice (min-label
+    * propagation, k-core peeling: both join the previous round's frame on
+    * two sides), the rewritten constraint set roughly DOUBLES per
+    * checkpoint generation — by round ~30 the driver spends minutes per
+    * round canonicalizing ExpressionSets inside the stats visitor, single-
+    * threaded, while every executor idles. Observed: a 40-round peel went
+    * from unbounded (>10 min, driver-bound) to seconds with this helper.
+    *
+    * Same materialization contract as `localCheckpoint(eager = true)`:
+    * compute once (rows COPIED before caching — `toRdd` reuses UnsafeRow
+    * buffers, the classic pitfall), truncate RDD lineage, return a frame
+    * whose plan is a bare `LogicalRDD` leaf. Constraints are dropped
+    * (downstream rounds never benefit from the carried frame's inferred
+    * predicates — they re-filter anyway), but STATS are kept, rebuilt
+    * from the materialized row count: without them the leaf defaults to
+    * `defaultSizeInBytes` = huge, every later join of the (small) carried
+    * frame stops broadcasting, and the final declared plan trades its
+    * broadcast joins for shuffle joins — a measured 1 → 4 live-exchange
+    * regression on the k-core output plan.
+    */
+  def truncated(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = classic.sparkSession
+    val rdd = classic.queryExecution.toRdd.map(_.copy())
+    rdd.localCheckpoint()
+    val n = rdd.count() // eager: materialize + finalize the truncation now
+    val sizeEst = BigInt(n).max(1) * (df.schema.defaultSize + 8)
+    val leaf = org.apache.spark.sql.execution.LogicalRDD(
+      classic.queryExecution.analyzed.output, rdd)(spark,
+      Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(
+        sizeInBytes = sizeEst, rowCount = Some(BigInt(n)))),
+      None)
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, leaf)
+  }
 }

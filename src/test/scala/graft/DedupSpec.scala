@@ -450,6 +450,24 @@ class DedupSpec extends SparkSpec {
       (5L, 5L, true), (6L, 5L, false), (9L, 1L, false)))
   }
 
+  test("dup clusters converge-or-fail: a >20-diameter chain converges with a raised cap, throws at the default") {
+    // a 30-hop chain seeded from the HIGH end: min-label propagation moves
+    // the label one hop per round, so depth ≈ diameter — past the default
+    // 20-round cap. The old behavior silently split the component; the
+    // contract is now throw-or-converge (mislabeled clusters feed
+    // leakfree_split and the curation funnel downstream).
+    val chain = (0 until 30).map(i => (100L + i, 101L + i))
+      .toDF("doc_a", "doc_b")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupClusters(chain, "doc_a", "doc_b").count()
+    }
+    assert(e.getMessage.contains("converge"), e.getMessage)
+    val got = Dedup.dupClusters(chain, "doc_a", "doc_b", maxRounds = 40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size === 31 && got.values.forall(_ == 100L),
+      "one component labeled by its minimum id end-to-end")
+  }
+
   test("planesFor sizes signatures to hold expected occupancy constant") {
     assert(Similarity.planesFor(512, 8) === 6)            // 2^6 buckets ≈ 512/8
     assert(Similarity.planesFor(1L << 20, 8) === 17)

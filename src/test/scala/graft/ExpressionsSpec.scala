@@ -319,4 +319,62 @@ class ExpressionsSpec extends SparkSpec {
       assert(got(i) === want, s"case $i: got ${got(i)}, want $want")
     }
   }
+
+  test("mp4_meta walks ISO-BMFF boxes: v0/v1 layouts, largesize, audio-only, hostile sizes") {
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def be64(v: Long) = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def box(tag: String, payload: Array[Byte]) =
+      be32(payload.length + 8L) ++ tag.getBytes ++ payload
+    def ftyp(brand: String) = box("ftyp", brand.getBytes ++ be32(0))
+    def mvhd0(ts: Long, dur: Long) =
+      box("mvhd", be32(0) ++ be32(0) ++ be32(0) ++ be32(ts) ++ be32(dur) ++
+        new Array[Byte](80))
+    def mvhd1(ts: Long, dur: Long) =
+      box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+        be32(ts) ++ be64(dur) ++ new Array[Byte](80))
+    def tkhd0(w: Long, h: Long) =
+      box("tkhd", be32(7) ++ new Array[Byte](8) ++ be32(1) ++ be32(0) ++
+        be32(0) ++ new Array[Byte](52) ++ be32(w << 16) ++ be32(h << 16))
+    def tkhd1(w: Long, h: Long) =
+      box("tkhd", Array[Byte](1, 0, 0, 7) ++ be64(0) ++ be64(0) ++ be32(1) ++
+        be32(0) ++ be64(0) ++ new Array[Byte](52) ++
+        be32(w << 16) ++ be32(h << 16))
+    val v0 = ftyp("isom") ++
+      box("moov", mvhd0(600, 1234) ++ box("trak", tkhd0(640, 480)))
+    val v1 = ftyp("mp42") ++
+      box("moov", mvhd1(90000, 5000000L) ++ box("trak", tkhd1(1920, 1080)))
+    // audio trak (0x0) FIRST, then the video trak — the walk must keep
+    // looking past zero-extent traks
+    val av = ftyp("avc1") ++ box("moov", mvhd0(44100, 88200) ++
+      box("trak", tkhd0(0, 0)) ++ box("trak", tkhd0(320, 240)))
+    // 64-bit largesize header on the moov box
+    val moovP = mvhd0(600, 42) ++ box("trak", tkhd0(12, 34))
+    val big = ftyp("isom") ++
+      (be32(1) ++ "moov".getBytes ++ be64(moovP.length + 16L) ++ moovP)
+    // hostile: a declared be32 size near 2^31 must walk off the end (null),
+    // never wrap an int cursor negative
+    val hostile = ftyp("isom") ++ be32(0x7ffffff8L) ++ "moov".getBytes
+    // corrupt: a box smaller than its own header
+    val tiny = ftyp("isom") ++ be32(4) ++ "moov".getBytes
+    val noMoov = ftyp("isom")
+    val rows = Seq(
+      (1L, v0, Some("mp4 isom 640 480 600 1234")),
+      (2L, v1, Some("mp4 mp42 1920 1080 90000 5000000")),
+      (3L, av, Some("mp4 avc1 320 240 44100 88200")),
+      (4L, big, Some("mp4 isom 12 34 600 42")),
+      (5L, hostile, None),
+      (6L, tiny, None),
+      (7L, noMoov, None),
+      (8L, "not a video".getBytes("UTF-8"), None),
+      (9L, Array.empty[Byte], None))
+    val got = rows.map(r => (r._1, r._2)).toDF("id", "bytes")
+      .select(col("id"), graft.functions.mp4_meta(col("bytes")).as("m"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    rows.foreach { case (i, _, want) =>
+      assert(got(i) === want, s"case $i: got ${got(i)}, want $want")
+    }
+  }
 }

@@ -93,6 +93,30 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql === viaCol)
   }
 
+  test("sql mp4_meta / winnow_min complete the SQL surface for the newest expressions") {
+    import org.apache.spark.sql.functions.col
+    // a minimal spec-shaped MP4: 16-byte ftyp + moov(mvhd v0 + trak/tkhd)
+    def be32(v: Long) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val ftyp = be32(16) ++ "ftypisom".getBytes ++ be32(0)
+    val mvhd = be32(108) ++ "mvhd".getBytes ++ be32(0) ++ be32(0) ++ be32(0) ++
+      be32(600) ++ be32(1234) ++ new Array[Byte](80)
+    val tkhd = be32(92) ++ "tkhd".getBytes ++ be32(7) ++ new Array[Byte](8) ++
+      be32(1) ++ be32(0) ++ be32(1234) ++ new Array[Byte](52) ++
+      be32(640L << 16) ++ be32(480L << 16)
+    val trak = be32(100) ++ "trak".getBytes ++ tkhd
+    val moov = be32(216) ++ "moov".getBytes ++ mvhd ++ trak
+    Seq(Tuple1(ftyp ++ moov)).toDF("b").createOrReplaceTempView("vids")
+    val viaSql = spark.sql("SELECT mp4_meta(b) AS m FROM vids").as[String].head()
+    assert(viaSql === "mp4 isom 640 480 600 1234")
+    val viaCol = Seq(Tuple1(ftyp ++ moov)).toDF("b")
+      .select(graft.functions.mp4_meta(col("b"))).as[String].head()
+    assert(viaSql === viaCol)
+    Seq(Tuple1(Seq(5L, 3L, 4L, 1L, 2L))).toDF("a").createOrReplaceTempView("arrs")
+    assert(spark.sql("SELECT winnow_min(a, 3) AS m FROM arrs")
+      .as[Seq[Long]].head() === Seq(3L, 1L))
+  }
+
   test("extensions class injects into a fresh session (spark.sql.extensions path)") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

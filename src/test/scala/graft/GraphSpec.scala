@@ -211,6 +211,26 @@ class GraphSpec extends SparkSpec {
     scope.release()
   }
 
+  test("kCore converge-or-fail: a deep chain peels to fixpoint; an exhausted cap throws") {
+    val scope = new CacheScope
+    // a triangle welded to a 40-node chain: the chain peels ONE node per
+    // round from its free end (~40 rounds — far past the old 8-round cap,
+    // which would have silently reported chain remnants as "the 2-core")
+    val deep = (Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 100L)) ++
+      (0 until 39).map(i => (100L + i, 101L + i))).toDF("x", "y")
+    val core = Graph.kCore(deep, "x", "y", k = 2, scope = scope)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"the drained peel must strip the whole chain: $core")
+    // the same graph under a too-small safety cap must THROW, never
+    // return the partially-peeled superset
+    val e = intercept[IllegalArgumentException] {
+      Graph.kCore(deep, "x", "y", k = 2, maxRounds = 5, scope = scope).count()
+    }
+    assert(e.getMessage.contains("fixpoint"), e.getMessage)
+    scope.release()
+  }
+
   test("seedDistanceAll: early-stops when the frontier drains; matches bounded BFS") {
     // path 1-2-3-4 seeded at 1: eccentricity 3. hopCap=1000 must cost a
     // handful of driver rounds, not a thousand — count jobs to observe the

@@ -158,6 +158,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     // narrow synthesize→parse projections: ORDER BY only
     "image_dims" -> 1,
     "wav_meta" -> 1,
+    "video_meta" -> 1,
     // the peeling loop runs at construction (per-round frames live behind
     // persisted boundaries); the returned plan is the final induced-degree
     // pass + ORDER BY
