@@ -125,7 +125,22 @@ object Bpe {
     * determinism), never the raw vocabulary.
     */
   def trainLocal(df: DataFrame, textCol: String, nMerges: Int,
-                 maxVocab: Int = DefaultMaxVocab): DataFrame = {
+                 maxVocab: Int = DefaultMaxVocab): DataFrame =
+    trainLocalWithStats(df, textCol, nMerges, maxVocab)._1
+
+  /** Exhaustion telemetry for [[trainLocalWithStats]]: `mergesLearned` of
+    * the requested budget, and `exhausted` = the pair supply ran dry
+    * BEFORE the budget (every word fully merged to a single symbol) — a
+    * production caller alerts on it, because a tokenizer trained to
+    * exhaustion on a too-small corpus has memorized the corpus, not
+    * learned subword structure (its "vocabulary size" silently differs
+    * from the requested one).
+    */
+  final case class TrainLocalStats(mergesLearned: Int, exhausted: Boolean)
+
+  /** [[trainLocal]] plus [[TrainLocalStats]] — same loop, same output. */
+  def trainLocalWithStats(df: DataFrame, textCol: String, nMerges: Int,
+                          maxVocab: Int = DefaultMaxVocab): (DataFrame, TrainLocalStats) = {
     val spark = df.sparkSession
     import spark.implicits._
     require(maxVocab > 0, "maxVocab must be positive")
@@ -160,7 +175,8 @@ object Bpe {
         step += 1
       }
     }
-    merges.toSeq.toDF("step", "lhs", "rhs", "cnt")
+    (merges.toSeq.toDF("step", "lhs", "rhs", "cnt"),
+      TrainLocalStats(step, exhausted))
   }
 
   /** ENCODE a text column with a learned merge table: one narrow codegen'd

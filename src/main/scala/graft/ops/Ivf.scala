@@ -25,20 +25,31 @@ import graft.functions.vec_dot
   */
 object Ivf {
 
-  case class Index(centroids: Array[Array[Double]], assigned: DataFrame)
+  /** `trainIters`/`trainConverged` are the quantizer's convergence
+    * telemetry: iterations the ML k-means actually ran, and whether it
+    * stopped BEFORE its budget (tolerance met — a true fixpoint-ish stop)
+    * rather than exhausting `maxIter` mid-descent. A production caller
+    * alerts on `trainConverged == false`: the cell boundaries it is about
+    * to build posting lists around were still moving when training quit,
+    * and recall measured against them can silently degrade.
+    */
+  case class Index(centroids: Array[Array[Double]], assigned: DataFrame,
+                   trainIters: Int = -1, trainConverged: Boolean = true)
 
   /** Train the coarse quantizer and assign every vector to its list. */
   def build(emb: DataFrame, idCol: String, vecCol: String,
-            nLists: Int, seed: Long = 42L): Index = {
+            nLists: Int, seed: Long = 42L, maxIter: Int = 20): Index = {
     val data = emb.select(col(idCol).as("vid"),
         Similarity.vecd(col(vecCol)).as("v"))
       .withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(nLists).setSeed(seed)
+    val model = new KMeans().setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("list_id")
       .fit(data)
     val assigned = model.transform(data)
       .select(col("vid"), col("v"), col("list_id"))
-    Index(model.clusterCenters.map(_.toArray), assigned)
+    val iters = model.summary.numIter
+    Index(model.clusterCenters.map(_.toArray), assigned,
+      trainIters = iters, trainConverged = iters < maxIter)
   }
 
   /** Nearest `nProbe` list ids per query, via a broadcast join against the

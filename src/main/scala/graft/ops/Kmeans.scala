@@ -39,6 +39,16 @@ object Kmeans {
   def microVec(vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(vecCol.cast("array<double>"), x => round(x * 1e6))
 
+  /** Convergence telemetry for [[trainWithStats]]: `iterationsRun` Lloyd
+    * steps actually executed, `converged` = the centroid fixpoint was
+    * REACHED (an iteration left every centroid unchanged — further
+    * iterations are provably no-ops, so the loop also early-stops there).
+    * A production caller alerts on `converged == false`: the quantizer it
+    * is about to ship is still moving, and `iterations` was a budget, not
+    * a fixpoint.
+    */
+  final case class TrainStats(iterationsRun: Int, converged: Boolean)
+
   /** `iterations` Lloyd steps from deterministic seeds (the k lowest-id
     * vectors, in id order). Returns (list_id, pos, c_micro) — the final
     * centroids, exploded to one row per dimension, c_micro a long.
@@ -46,14 +56,27 @@ object Kmeans {
     * k ≪ N and lowest-id seeding it essentially never triggers).
     */
   def train(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-            iterations: Int): DataFrame = {
+            iterations: Int): DataFrame =
+    trainWithStats(emb, idCol, vecCol, k, iterations)._1
+
+  /** [[train]] plus [[TrainStats]]. Early-stops at the centroid fixpoint:
+    * identical centroids reproduce identical assignments (the argmin is a
+    * pure function of centroids) and hence identical sums, so once an
+    * iteration moves nothing, every remaining iteration is a no-op — the
+    * result is bit-identical to running the full budget, which is why the
+    * unrolled DuckDB twin needs no matching early-stop.
+    */
+  def trainWithStats(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                     iterations: Int): (DataFrame, TrainStats) = {
     val spark = emb.sparkSession
     val e = emb.select(col(idCol).as("vec_id"), microVec(col(vecCol)).as("x"))
     var cents = e.orderBy("vec_id").limit(k).orderBy("vec_id")
       .collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
     require(cents.length == k, s"need at least $k vectors to seed k-means")
-    for (_ <- 1 to iterations) {
+    var it = 0
+    var converged = false
+    while (it < iterations && !converged) {
       val assigned = assignOnce(e, spark, cents)
       val sums = assigned
         .select(col("list_id"), posexplode(col("x")).as(Seq("pos", "v")))
@@ -64,21 +87,25 @@ object Kmeans {
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
       val byList = sums.groupBy(_._1)
-      cents = cents.map { case (lid, prev) =>
+      val next = cents.map { case (lid, prev) =>
         byList.get(lid) match {
           case Some(dims) =>
-            val next = prev.clone()
-            dims.foreach { case (_, pos, c) => next(pos) = c }
-            (lid, next)
+            val nv = prev.clone()
+            dims.foreach { case (_, pos, c) => nv(pos) = c }
+            (lid, nv)
           case None => (lid, prev) // emptied cluster: keep previous centroid
         }
       }
+      converged = next.zip(cents).forall { case ((_, a), (_, b)) =>
+        java.util.Arrays.equals(a, b) }
+      cents = next
+      it += 1
     }
     val rows = cents.flatMap { case (lid, cv) =>
       cv.zipWithIndex.map { case (c, pos) => (lid, pos, c.toLong) }
     }.toSeq
     import spark.implicits._
-    rows.toDF("list_id", "pos", "c_micro")
+    (rows.toDF("list_id", "pos", "c_micro"), TrainStats(it, converged))
   }
 
   /** Final assignment under trained centroids: (vec_id, list_id). */

@@ -152,20 +152,40 @@ object Tracks {
     * fixed-shape `pv + (nv-pv)·(tick-pt)/(nt-pt)` with identical operation
     * order in the DuckDB twin, rounded to 6dp.
     */
-  def resample(events: DataFrame, intervalMs: Long): DataFrame = {
+  /** @param maxTicksPerKey tick-explosion guard (0 = off, the declared
+    *   default — the oracle-matched semantics). The per-key grid is
+    *   `span/interval` ticks, and span is MIN-to-MAX over whatever
+    *   timestamps survived upstream cleaning: ONE bad-but-castable
+    *   timestamp (epoch 0, a year-9999 typo) stretches a vessel's span to
+    *   decades and its grid to millions of rows — a single poisoned input
+    *   row costing more than the rest of the corpus combined, the
+    *   `sequence`-explode sibling of the J1 dense-cell quadratic. With the
+    *   cap on, any key whose grid would exceed it is excluded from the
+    *   output ENTIRELY (its observations generate no ticks): a span that
+    *   absurd is corrupt evidence, and interpolating across it would
+    *   fabricate decades of synthetic positions — the same drop-don't-
+    *   sample judgment as [[graft.ops.CoMovement]]'s `maxUidsPerCell`.
+    *   The guard rides the existing span aggregate: no extra shuffle.
+    */
+  def resample(events: DataFrame, intervalMs: Long,
+               maxTicksPerKey: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(intervalMs > 0, "interval must be positive")
     val p = events
       .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .select(col("user_id"), unix_millis(col("ts")).as("t"), col("value"))
-    val grid = p.groupBy("user_id")
+    val spans = p.groupBy("user_id")
       .agg(min(col("t")).as("lo"), max(col("t")).as("hi"))
       .select(col("user_id"),
         (ceil(col("lo").cast("double") / intervalMs).cast("long") * intervalMs)
           .as("start"), col("hi"))
       .filter(col("start") <= col("hi")) // a span shorter than one tick has no grid
-      .select(col("user_id"),
-        explode(sequence(col("start"), col("hi"), lit(intervalMs))).as("tick"))
+    val guarded =
+      if (maxTicksPerKey <= 0L) spans
+      else spans.filter(
+        (col("hi") - col("start")) / intervalMs + 1L <= maxTicksPerKey)
+    val grid = guarded.select(col("user_id"),
+      explode(sequence(col("start"), col("hi"), lit(intervalMs))).as("tick"))
     // union points (kind 0) and ticks (kind 1): at a coincident timestamp
     // the point sorts FIRST, so the tick's running `last` sees it and the
     // interpolation degenerates to the exact observation

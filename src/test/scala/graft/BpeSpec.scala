@@ -146,4 +146,17 @@ class BpeSpec extends SparkSpec {
     val m = Bpe.train(df, "text", 10, new CacheScope).collect()
     assert(m.length === 2)
   }
+
+  test("trainLocalWithStats: exhaustion is reported, not silently under-delivered") {
+    // "ab" alone supplies exactly 2 merges ((a,b) then (ab,</w>)); asking
+    // for 10 exhausts the pair supply — the caller must see that the
+    // learned table is smaller than the requested budget
+    val df = Seq("ab ab").toDF("text")
+    val (m, stats) = Bpe.trainLocalWithStats(df, "text", nMerges = 10)
+    assert(stats.exhausted, "supply ran dry before the budget")
+    assert(stats.mergesLearned === 2 && m.count() === 2L)
+    // a budget the corpus can fill is NOT exhaustion
+    val (_, s2) = Bpe.trainLocalWithStats(df, "text", nMerges = 1)
+    assert(!s2.exhausted && s2.mergesLearned === 1)
+  }
 }

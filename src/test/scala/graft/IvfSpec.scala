@@ -140,4 +140,15 @@ class IvfSpec extends SparkSpec {
     assert(d2(p(0), p(1)) * 10 < d2(p(0), p(2)),
       "a near pair must project far closer than a far pair")
   }
+
+  test("build surfaces quantizer convergence telemetry") {
+    val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 8)
+    assert(idx.trainIters >= 1, "the summary's iteration count is recorded")
+    assert(idx.trainConverged === (idx.trainIters < 20),
+      "converged ⟺ stopped before the maxIter budget (tolerance met)")
+    // a 1-iteration budget cannot certify a tolerance stop on this corpus
+    val tight = Ivf.build(emb, "vec_id", "embedding", nLists = 8, maxIter = 1)
+    assert(tight.trainIters === 1 && !tight.trainConverged,
+      "exhausting maxIter mid-descent must read as non-converged")
+  }
 }

@@ -78,4 +78,27 @@ class KmeansSpec extends SparkSpec {
     val c1 = cost(1); val c2 = cost(2); val c3 = cost(3)
     assert(c2 <= c1 && c3 <= c2, s"cost must not increase: $c1, $c2, $c3")
   }
+
+  test("trainWithStats: fixpoint early-stop reported as converged, a moving budget as not") {
+    // two points seeding two clusters: assignments can never change, so
+    // iteration 1 moves nothing — converged, early-stopped, and the result
+    // is bit-identical to the full budget (the no-op-iterations argument)
+    val tiny = emb(0L -> Seq(0f), 1L -> Seq(1f))
+    val (c10, s10) = Kmeans.trainWithStats(tiny, "vec_id", "embedding",
+      k = 2, iterations = 10)
+    assert(s10.converged, "a reached fixpoint must be reported")
+    assert(s10.iterationsRun < 10, "further no-op iterations are skipped")
+    val full = Kmeans.train(tiny, "vec_id", "embedding", k = 2, iterations = 10)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    assert(c10.collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      === full)
+    // 60 spread vectors, budget 1: centroids move on the first step —
+    // the telemetry must say the budget, not a fixpoint, ended training
+    val vecs = (0L until 60L).map(i =>
+      i -> Seq.tabulate(8)(j => math.sin(i * 13.7 + j).toFloat))
+    val (_, s1) = Kmeans.trainWithStats(emb(vecs: _*), "vec_id", "embedding",
+      k = 4, iterations = 1)
+    assert(!s1.converged && s1.iterationsRun === 1,
+      "an exhausted budget with moving centroids is NOT convergence")
+  }
 }

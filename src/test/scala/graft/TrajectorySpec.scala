@@ -139,6 +139,30 @@ class TrajectorySpec extends SparkSpec {
       "span [41,75] contains no multiple of 40")
   }
 
+  test("resample maxTicksPerKey: one poisoned epoch-0 timestamp can't explode a key's grid") {
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val base = 1700000000000L // a sane 2023 epoch
+    val pts = Seq(
+      // vessel 1: healthy — 3 points over 200 ms
+      (1L, t(base), 1.0), (1L, t(base + 100), 2.0), (1L, t(base + 200), 3.0),
+      // vessel 2: one bad-but-castable epoch-0 row stretches its span to
+      // ~54 years — unguarded, a 100 ms interval would demand ~1.7e13 ticks
+      (2L, t(0), 9.0), (2L, t(base), 10.0), (2L, t(base + 100), 11.0))
+      .toDF("user_id", "ts", "value")
+    val got = graft.ops.Tracks.resample(pts, intervalMs = 100L,
+        maxTicksPerKey = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(got.map(_._1._1).toSet === Set(1L),
+      "the poisoned key is excluded entirely; healthy keys are untouched")
+    assert(got.length === 3, s"vessel 1 keeps its full 3-tick grid: ${got.length}")
+    // guard off (the declared default) preserves the old semantics — the
+    // healthy vessel's grid is identical
+    val off = graft.ops.Tracks.resample(
+        pts.filter(col("user_id") === 1L), intervalMs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(off.toMap === got.toMap)
+  }
+
   test("trajectory plans: one exchange on the track key, no extra shuffles") {
     val pts = Seq((1L, 1L, ts("2024-01-01 00:00:00"), 1.0, 2.0))
       .toDF("uid", "eid", "t", "lat", "lon")
