@@ -766,65 +766,110 @@ object Dedup {
     * the pair graph gets `cluster` = the minimum doc id reachable from it, and
     * `is_canonical` marks the cluster representative — the keep-one-per-cluster
     * resolution step that turns pairwise similarity output into dedup
-    * decisions. Iterative min-label propagation: each round joins labels to
-    * edges and takes the neighborhood minimum, checkpointing per round to cut
-    * lineage (no exponential plan growth), until a fixpoint.
+    * decisions.
     *
-    * Scale: label frame = nodes OF THE PAIR GRAPH (docs with ≥1 near-dup),
-    * typically a small fraction of the corpus; each round is one shuffle join
-    * keyed on doc id. Rounds = component diameter — near-dup clusters are
-    * shallow (copies of one document), so this converges in a handful of
-    * rounds; pathological chain-shaped graphs would want the large-star/
-    * small-star variant (Kiveris et al. 2014), which this deliberately keeps
-    * simpler than.
+    * Algorithm: alternating large-star / small-star rounds (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    * DIAMETER-INDEPENDENT resolution min-label propagation is not. Each
+    * round rewrites the edge set from every node's neighborhood minimum
+    * `m(u) = min(Γ(u) ∪ u)`:
     *
-    * Converge-or-fail: `maxRounds` is a safety cap, not a result parameter.
-    * Min-label propagation needs ~diameter rounds, and a component deeper
-    * than the cap would otherwise be SILENTLY mislabeled (split into
-    * several "clusters") — and this operator feeds cluster resolution,
-    * leak-free splits, and the curation funnel, where a wrong cluster id
-    * quietly changes which documents survive. Exhausting the cap throws;
-    * a caller expecting deeper graphs raises it explicitly.
+    *   - large-star: for every u, connect each STRICTLY LARGER neighbor to
+    *     `m(u)` — long tails fold toward local minima;
+    *   - small-star: for every u, connect each smaller-or-equal neighbor
+    *     AND u itself to `m(u)` — local minima chain toward the component
+    *     minimum.
+    *
+    * Both operations preserve connectivity and node presence (paper §3), so
+    * the fixpoint — an edge set both operations leave unchanged — is a
+    * disjoint union of STARS, one per component, centered at the component
+    * minimum; rounds grow with log(component size), not diameter (a 30-hop
+    * chain resolves in 3 rounds where propagation needs 30). Labels then
+    * read directly off the star edges: leaf → its center, center → itself.
+    *
+    * Scale: the edge frame only ever holds CANONICAL (lo < hi) distinct
+    * pairs — bounded by the input pair count, shrinking toward one edge per
+    * non-center node; each round is two groupBy-join-distinct passes keyed
+    * on node id, each behind an eager constraint-free truncation
+    * ([[org.apache.spark.sql.graftbridge.bridge.truncated]] — see its doc
+    * for why `Dataset.localCheckpoint` is poison in two-reference loops).
+    * The fixpoint test rides the round's shuffle shape: equal edge counts
+    * plus an empty one-sided anti-join certify set equality for distinct
+    * sets.
+    *
+    * Converge-or-fail: `maxRounds` is a safety cap, not a result parameter —
+    * a partially-starred graph would SILENTLY mislabel components, and this
+    * operator feeds cluster resolution, leak-free splits, and the curation
+    * funnel, where a wrong cluster id quietly changes which documents
+    * survive. The log-round bound makes the default cap astronomically
+    * deep (2^20-node components), but exhausting it still throws.
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
                   maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("id"), col(bCol).as("nbr"))
-      .union(pairs.select(col(bCol).as("id"), col(aCol).as("nbr")))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // seed with the one-hop minimum (id vs smallest neighbor): the node list
-    // needs a groupBy anyway, and for the common shallow near-dup cluster
-    // (copies of one document = a star) this converges in a single round
-    // bridge.truncated, not localCheckpoint: each round's plan references
-    // the label frame on two join sides, and Dataset.localCheckpoint's
-    // constraint rewrite doubles the carried constraint set per checkpoint
-    // generation — a >25-round propagation goes driver-bound for minutes
-    // in the stats visitor (see bridge.truncated's doc; measured on the
-    // 30-hop chain spec before the switch)
-    var labels = bridge.truncated(edges.groupBy(col("id"))
-      .agg(min(col("nbr")).as("__m"))
-      .select(col("id"), least(col("id"), col("__m")).as("cluster")))
+    var e = bridge.truncated(
+      pairs.select(least(col(aCol), col(bCol)).as("lo"),
+          greatest(col(aCol), col(bCol)).as("hi"))
+        .filter(col("lo").isNotNull && col("lo") =!= col("hi"))
+        .distinct())
     var round = 0
-    var changed = 1L
-    while (changed > 0 && round < maxRounds) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("nbr"), col("cluster").as("nbr_cluster")), "nbr")
-        .groupBy("id").agg(min("nbr_cluster").as("nbr_min"))
-      val next = bridge.truncated(labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("moved")))
-      // eager: materializes this round, truncates lineage + constraints
-      changed = next.filter(col("moved")).count() // reads the checkpoint, no re-join
-      labels = next.select("id", "cluster")
+    var converged = false
+    while (round < maxRounds && !converged) {
+      val next = bridge.truncated(star(star(e, large = true), large = false))
+      // distinct canonical sets: same count + nothing in next missing from
+      // e ⟹ equal sets (one anti-join, no symmetric difference needed)
+      converged = next.count() == e.count() &&
+        next.join(e, Seq("lo", "hi"), "left_anti").isEmpty
+      e = next
       round += 1
     }
-    require(changed == 0L, s"dupClusters: label propagation did not " +
-      s"converge within maxRounds=$maxRounds ($changed labels still moving);" +
-      " raise maxRounds — rounds track component diameter")
-    edges.unpersist()
-    labels.select(col("id"), col("cluster"),
-      (col("id") === col("cluster")).as("is_canonical"))
+    require(converged, s"dupClusters: star rounds did not reach the " +
+      s"union-of-stars fixpoint within maxRounds=$maxRounds; raise " +
+      "maxRounds — rounds grow with log(component size)")
+    // the fixpoint is a union of stars: every edge is (center, leaf) with
+    // center = component min, so labels are one aggregate over the
+    // symmetric view — leaf → min neighbor, center → itself. The final
+    // left join against the ORIGINAL endpoint set keeps the output's node
+    // universe exactly the input's (a degenerate self-pair row (x, x)
+    // never enters the star rounds but must still label x as its own
+    // singleton cluster, as the propagation implementation did).
+    val starLabels = e.select(col("lo").as("id"), col("hi").as("nbr"))
+      .union(e.select(col("hi").as("id"), col("lo").as("nbr")))
+      .groupBy("id").agg(min(col("nbr")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("cluster"))
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id")))
+      .filter(col("id").isNotNull).distinct()
+    // one last truncation so CONSUMERS see a leaf, not the label-assembly
+    // exchanges — the declared queries' shuffle budgets (and any caller
+    // joining the labels twice) count live exchanges in the returned plan,
+    // and the labels are node-bounded and already being materialized once
+    // per fixpoint check anyway
+    bridge.truncated(nodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      .select(col("id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_canonical")))
+  }
+
+  /** One star operation over a canonical (lo < hi) distinct edge frame —
+    * see [[dupClusters]]. Output is again canonical and distinct; emitted
+    * (v, m) edges always satisfy m < v (m ≤ u and, in the large arm,
+    * u < v; in the small arm self-pairs are the only m = v cases and are
+    * filtered), so `least/greatest` is re-canonicalization, not a guess.
+    */
+  private def star(e: DataFrame, large: Boolean): DataFrame = {
+    val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+      .union(e.select(col("hi").as("u"), col("lo").as("v")))
+    val m = sym.groupBy("u").agg(min(col("v")).as("__n"))
+      .select(col("u"), least(col("u"), col("__n")).as("m"))
+    val j = sym.join(m, "u")
+    val emitted =
+      if (large) j.filter(col("v") > col("u")).select(col("v"), col("m"))
+      else j.filter(col("v") < col("u")).select(col("v"), col("m"))
+        .union(m.select(col("u").as("v"), col("m"))) // u itself joins its min
+    emitted.filter(col("v") =!= col("m"))
+      .select(least(col("v"), col("m")).as("lo"),
+        greatest(col("v"), col("m")).as("hi"))
+      .distinct()
   }
 
   /** Hybrid near-dup pairs: MinHash-LSH TEXT candidates confirmed by

@@ -450,22 +450,29 @@ class DedupSpec extends SparkSpec {
       (5L, 5L, true), (6L, 5L, false), (9L, 1L, false)))
   }
 
-  test("dup clusters converge-or-fail: a >20-diameter chain converges with a raised cap, throws at the default") {
-    // a 30-hop chain seeded from the HIGH end: min-label propagation moves
-    // the label one hop per round, so depth ≈ diameter — past the default
-    // 20-round cap. The old behavior silently split the component; the
-    // contract is now throw-or-converge (mislabeled clusters feed
-    // leakfree_split and the curation funnel downstream).
+  test("dup clusters: star rounds resolve a >20-diameter chain inside the default cap; an exhausted cap throws") {
+    // a 30-hop chain: min-label propagation would need ~diameter (30)
+    // rounds — past the default cap; the large-star/small-star interior is
+    // diameter-INDEPENDENT (log-round folding), so the same default cap
+    // resolves it with room to spare. Mislabeled clusters would feed
+    // leakfree_split and the curation funnel downstream, so the cap is
+    // still converge-or-fail: a cap too small to reach the union-of-stars
+    // fixpoint throws rather than returning a partially-starred labeling.
     val chain = (0 until 30).map(i => (100L + i, 101L + i))
       .toDF("doc_a", "doc_b")
-    val e = intercept[IllegalArgumentException] {
-      Dedup.dupClusters(chain, "doc_a", "doc_b").count()
-    }
-    assert(e.getMessage.contains("converge"), e.getMessage)
-    val got = Dedup.dupClusters(chain, "doc_a", "doc_b", maxRounds = 40)
+    val got = Dedup.dupClusters(chain, "doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got.size === 31 && got.values.forall(_ == 100L),
       "one component labeled by its minimum id end-to-end")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dupClusters(chain, "doc_a", "doc_b", maxRounds = 1).count()
+    }
+    assert(e.getMessage.contains("fixpoint"), e.getMessage)
+    // a degenerate self-pair still labels its node as a singleton cluster
+    val selfp = Seq((7L, 7L), (1L, 2L)).toDF("doc_a", "doc_b")
+    val s = Dedup.dupClusters(selfp, "doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(s === Set((1L, 1L, true), (2L, 1L, false), (7L, 7L, true)))
   }
 
   test("planesFor sizes signatures to hold expected occupancy constant") {
