@@ -768,44 +768,105 @@ object Dedup {
     * resolution step that turns pairwise similarity output into dedup
     * decisions.
     *
-    * Algorithm: alternating large-star / small-star rounds (Kiveris et al.,
-    * "Connected Components in MapReduce and Beyond", SoCC 2014) — the
-    * DIAMETER-INDEPENDENT resolution min-label propagation is not. Each
-    * round rewrites the edge set from every node's neighborhood minimum
-    * `m(u) = min(Γ(u) ∪ u)`:
+    * TWO-TIER resolution, both tiers converging to the same unique labeling
+    * (component-minimum ids), so the escalation is invisible in results:
     *
-    *   - large-star: for every u, connect each STRICTLY LARGER neighbor to
-    *     `m(u)` — long tails fold toward local minima;
-    *   - small-star: for every u, connect each smaller-or-equal neighbor
-    *     AND u itself to `m(u)` — local minima chain toward the component
-    *     minimum.
+    *   1. Min-label propagation for up to `propRounds` rounds — ONE cheap
+    *      join+groupBy per round. Real near-dup clusters are stars (copies
+    *      of one document, diameter ≤ 2) and resolve here in a round or
+    *      two; this tier exists so the common case never pays the star
+    *      machinery (switching wholesale to star rounds measured +75% on
+    *      pair_components at sf0.1).
+    *   2. If propagation hasn't reached its fixpoint — rounds track
+    *      component DIAMETER, so a deep chain exhausts the budget —
+    *      escalate to alternating large-star / small-star rounds (Kiveris
+    *      et al., "Connected Components in MapReduce and Beyond",
+    *      SoCC 2014), which are diameter-INDEPENDENT. Each round rewrites
+    *      the edge set from every node's neighborhood minimum
+    *      `m(u) = min(Γ(u) ∪ u)`: large-star connects each strictly
+    *      larger neighbor to m(u) (long tails fold toward local minima);
+    *      small-star connects each smaller neighbor and u itself to m(u)
+    *      (local minima chain toward the component minimum). Both
+    *      operations preserve connectivity and node presence (paper §3),
+    *      so the fixpoint — an edge set both leave unchanged — is a
+    *      disjoint union of STARS centered at component minima; rounds
+    *      grow with log(component size) (the 30-hop chain fixture: 3 star
+    *      rounds where propagation needs 30). Labels read directly off
+    *      the star edges: leaf → its center, center → itself.
     *
-    * Both operations preserve connectivity and node presence (paper §3), so
-    * the fixpoint — an edge set both operations leave unchanged — is a
-    * disjoint union of STARS, one per component, centered at the component
-    * minimum; rounds grow with log(component size), not diameter (a 30-hop
-    * chain resolves in 3 rounds where propagation needs 30). Labels then
-    * read directly off the star edges: leaf → its center, center → itself.
-    *
-    * Scale: the edge frame only ever holds CANONICAL (lo < hi) distinct
-    * pairs — bounded by the input pair count, shrinking toward one edge per
-    * non-center node; each round is two groupBy-join-distinct passes keyed
-    * on node id, each behind an eager constraint-free truncation
+    * Scale: the star tier's edge frame only ever holds CANONICAL (lo < hi)
+    * distinct pairs — bounded by the input pair count; each round is two
+    * groupBy-join-distinct passes keyed on node id behind an eager
+    * constraint-free truncation
     * ([[org.apache.spark.sql.graftbridge.bridge.truncated]] — see its doc
     * for why `Dataset.localCheckpoint` is poison in two-reference loops).
-    * The fixpoint test rides the round's shuffle shape: equal edge counts
-    * plus an empty one-sided anti-join certify set equality for distinct
-    * sets.
+    * The star fixpoint test rides the round's shuffle shape: equal edge
+    * counts plus an empty one-sided anti-join certify set equality for
+    * distinct sets.
     *
-    * Converge-or-fail: `maxRounds` is a safety cap, not a result parameter —
-    * a partially-starred graph would SILENTLY mislabel components, and this
-    * operator feeds cluster resolution, leak-free splits, and the curation
-    * funnel, where a wrong cluster id quietly changes which documents
-    * survive. The log-round bound makes the default cap astronomically
-    * deep (2^20-node components), but exhausting it still throws.
+    * Converge-or-fail: `maxRounds` caps the STAR tier, and exhausting it
+    * throws rather than silently mislabeling — this operator feeds cluster
+    * resolution, leak-free splits, and the curation funnel, where a wrong
+    * cluster id quietly changes which documents survive. The log-round
+    * bound makes the default cap astronomically deep (2^20-node
+    * components), so in practice it guards corrupt topology, not honest
+    * graphs.
     */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
-                  maxRounds: Int = 20): DataFrame = {
+                  maxRounds: Int = 20, propRounds: Int = 4): DataFrame =
+    propagationClusters(pairs, aCol, bCol, propRounds).getOrElse(
+      starClusters(pairs, aCol, bCol, maxRounds))
+
+  /** Tier-1 resolver (see [[dupClusters]]): min-label propagation, up to
+    * `rounds` rounds. Some(labels) on fixpoint, None when the budget runs
+    * out — the caller escalates, it never throws.
+    */
+  private def propagationClusters(pairs: DataFrame, aCol: String,
+                                  bCol: String, rounds: Int): Option[DataFrame] = {
+    val edges = pairs.select(col(aCol).as("id"), col(bCol).as("nbr"))
+      .union(pairs.select(col(bCol).as("id"), col(aCol).as("nbr")))
+      .filter(col("id").isNotNull)
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seed with the one-hop minimum (id vs smallest neighbor): the node
+    // list needs a groupBy anyway, and a star-shaped cluster converges in
+    // a single round from this seed. Plain localCheckpoint here, NOT
+    // bridge.truncated: the constraint-rewrite blowup it exists to dodge
+    // doubles per checkpoint generation, and this tier is capped at
+    // `rounds` (default 4) generations — ≤16 carried constraint exprs,
+    // harmless — while the truncation helper's extra materialization pass
+    // measured ~+0.12 s per call on the hot resolution path. The UNCAPPED
+    // star tier below is where the helper is load-bearing.
+    var labels = edges.groupBy(col("id"))
+      .agg(min(col("nbr")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("cluster"))
+      .localCheckpoint()
+    var round = 0
+    var changed = 1L
+    while (changed > 0 && round < rounds) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nbr"), col("cluster").as("nbr_cluster")), "nbr")
+        .groupBy("id").agg(min("nbr_cluster").as("nbr_min"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("moved"))
+        .localCheckpoint()
+      changed = next.filter(col("moved")).count()
+      labels = next.select("id", "cluster")
+      round += 1
+    }
+    edges.unpersist()
+    if (changed > 0) None
+    else Some(labels.select(col("id"), col("cluster"),
+      (col("id") === col("cluster")).as("is_canonical")))
+  }
+
+  /** Tier-2 resolver (see [[dupClusters]]): alternating large-star /
+    * small-star to the union-of-stars fixpoint, converge-or-fail.
+    */
+  private def starClusters(pairs: DataFrame, aCol: String, bCol: String,
+                           maxRounds: Int): DataFrame = {
     var e = bridge.truncated(
       pairs.select(least(col(aCol), col(bCol)).as("lo"),
           greatest(col(aCol), col(bCol)).as("hi"))

@@ -58,14 +58,66 @@ object bridge {
     * regression on the k-core output plan.
     */
   def truncated(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression}
+    import org.apache.spark.sql.catalyst.plans.physical.{Partitioning, PartitioningCollection}
     val classic = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
     val spark = classic.sparkSession
-    val rdd = classic.queryExecution.toRdd.map(_.copy())
+    val qe = classic.queryExecution
+    val rdd = qe.toRdd.map(_.copy())
     rdd.localCheckpoint()
     val n = rdd.count() // eager: materialize + finalize the truncation now
+    // keep the PHYSICAL output partitioning/ordering on the leaf, exactly
+    // as Dataset.checkpoint does (read AFTER the count, so AQE's final
+    // plan is what we capture): a per-round frame usually comes out of a
+    // groupBy/join hash-partitioned on the loop key, and the next round's
+    // join reuses that exchange-free — dropping it re-shuffled both sides
+    // every round (pair_components measured 1.5 s → 3.0 s on exactly this)
+    // unwrap the AQE root: AdaptiveSparkPlanExec itself reports
+    // UnknownPartitioning — the final result stage (available once the
+    // count above has executed it) carries the real one, typically a
+    // CoalescedHashPartitioning that still satisfies the loop key's
+    // clustered distribution
+    val exec = qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val logicalOut = qe.analyzed.output
+    val attrMap: Map[Attribute, Attribute] = exec.output.zip(logicalOut)
+      .filter { case (p, l) => p.exprId != l.exprId }.toMap
+    def rebase(e: Expression): Expression =
+      if (attrMap.isEmpty) e
+      else e.transform { case a: Attribute => attrMap.getOrElse(a, a) }
+    @annotation.tailrec
+    def firstLeaf(p: Partitioning): Partitioning = p match {
+      case pc: PartitioningCollection => firstLeaf(pc.partitionings.head)
+      case other => other
+    }
+    // AQE usually coalesces a small frame's shuffle: the result is a
+    // CoalescedHashPartitioning the STATIC planner can't match against a
+    // plain hash requirement, and claiming the underlying hash would be
+    // WRONG once buckets were actually merged (key→partition is no longer
+    // hash(k) % n). Truthful ladder: one partition ⟹ SinglePartition
+    // (satisfies everything); identity coalescing ⟹ the underlying
+    // HashPartitioning; real coalescing ⟹ keep the coalesced form (an
+    // extra exchange at worst, never a wrong plan).
+    val nParts = rdd.getNumPartitions
+    val part0 = firstLeaf(exec.outputPartitioning) match {
+      case c: org.apache.spark.sql.catalyst.plans.physical.CoalescedHashPartitioning
+        if c.from.numPartitions == nParts => c.from
+      case p => p
+    }
+    val part =
+      if (nParts == 1) org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+      else part0 match {
+        case e: Expression => rebase(e).asInstanceOf[Partitioning]
+        case p => p
+      }
+    val ord = exec.outputOrdering.map(so =>
+      rebase(so).asInstanceOf[org.apache.spark.sql.catalyst.expressions.SortOrder])
     val sizeEst = BigInt(n).max(1) * (df.schema.defaultSize + 8)
     val leaf = org.apache.spark.sql.execution.LogicalRDD(
-      classic.queryExecution.analyzed.output, rdd)(spark,
+      logicalOut, rdd, part, ord)(spark,
       Some(org.apache.spark.sql.catalyst.plans.logical.Statistics(
         sizeInBytes = sizeEst, rowCount = Some(BigInt(n)))),
       None)
