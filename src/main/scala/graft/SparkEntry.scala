@@ -1721,6 +1721,71 @@ object SparkEntry {
         .orderBy("doc_id", "wi", "tj")
     }),
 
+    // tokenizer ROUND-TRIP: encode the cohort with the corpus-trained
+    // merges, then decode back (Bpe.decodeTokens — word reassembly in tj
+    // order, sentinel strip, wi-order rejoin). The oracle is the
+    // normalized source text itself, so equality proves encode∘decode
+    // lossless corpus-wide — the detokenization contract a serving stack
+    // depends on, and a guard no per-merge unit test gives
+    "bpe_roundtrip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = Bpe.trainLocal(docs, "text", BpeMergeSteps)
+        .orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      Bpe.decodeTokens(
+          Bpe.encodeTokens(docs.filter(col("doc_id") < BpeEncodeDocs),
+            "doc_id", "text", merges),
+          "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // multimodal intake ROUTER: one opaque binary column carrying a mixed
+    // corpus (synthesized per doc: PNG / PCM-WAV / MP4 / junk by
+    // doc_id % 4), routed by the three header gates in a single narrow
+    // pass — the first stage a mixed-media 100 TB intake runs, where
+    // nothing downstream (decoders, samplers, dimension filters) should
+    // ever see a payload of the wrong modality. Unparseable payloads land
+    // in quarantine, the drop-unparsable discipline at corpus width
+    "media_router" -> ((s, d) => {
+      val id = col("doc_id")
+      def be32h(c: Column) = lpad(hex(c), 8, "0")
+      def be16h(c: Column) = lpad(hex(c), 4, "0")
+      def le16h(c: Column) = concat(lpad(hex(c % 256), 2, "0"),
+        lpad(hex((c / 256).cast("long") % 256), 2, "0"))
+      def le32h(c: Column) = concat(le16h(c % 65536),
+        le16h((c / 65536).cast("long")))
+      def z(nBytes: Int) = lit("00" * nBytes)
+      val png = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        be32h(id % 900 + 100), be32h(id % 500 + 50))
+      val ch = id % 2 + 1
+      val blockAlign = ch * 2
+      val dataSize = (id % 100 + 1) * blockAlign
+      val wav = concat(lit("52494646"), le32h(dataSize + 36),
+        lit("57415645666D742010000000"), lit("0100"), le16h(ch),
+        le32h(id % 5 * 4000 + 8000), le32h((id % 5 * 4000 + 8000) * blockAlign),
+        le16h(blockAlign), lit("1000"), lit("64617461"), le32h(dataSize))
+      val mp4 = concat(lit("0000001066747970"), lit("69736F6D"), z(4),
+        concat(lit("000000D86D6F6F76"),
+          concat(lit("0000006C6D766864"), lit("00000000"), z(8),
+            be32h(id % 5 * 1000 + 1000), be32h(id % 90000 + 1), z(80)),
+          concat(lit("000000647472616B"),
+            concat(lit("0000005C746B6864"), lit("00000007"), z(8),
+              lit("00000001"), z(4), be32h(id % 90000 + 1), z(52),
+              be16h(id % 1280 + 16), lit("0000"),
+              be16h(id % 720 + 16), lit("0000")))))
+      val junk = lit("6E6F7420766964656F206F7220696D616765") // "not video or image"
+      val payload = unhex(when(id % 4 === 0, png).when(id % 4 === 1, wav)
+        .when(id % 4 === 2, mp4).otherwise(junk))
+      Tables.documents(s, d).select(id, payload.as("p"))
+        .select(id,
+          when(graft.functions.image_dims(col("p")).isNotNull, "image")
+            .when(graft.functions.wav_meta(col("p")).isNotNull, "audio")
+            .when(graft.functions.mp4_meta(col("p")).isNotNull, "video")
+            .otherwise("quarantine").as("modality"))
+        .groupBy("modality").agg(count(lit(1)).as("n_docs"))
+        .orderBy("modality")
+    }),
+
     // end-to-end IVF ANN search with the same fixed codebook: a fixed-size
     // query cohort probes its IvfNProbe nearest lists and runs exact cosine
     // inside them only — the full accuracy/throughput dial under oracle
@@ -4236,6 +4301,34 @@ object SparkEntry {
         |  CAST(16 AS BIGINT) AS bits,
         |  CAST(doc_id % 100 + 1 AS BIGINT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // mirrors bpe_roundtrip: the decoded text must equal the NORMALIZED
+    // source text (same hygiene regex chain as the encode oracle) — BPE
+    // merges only regroup characters within words, so encode∘decode is
+    // identity on the normalized corpus; docs normalizing to empty never
+    // produce tokens and are excluded on both sides
+    "bpe_roundtrip" ->
+      s"""SELECT doc_id, trim(regexp_replace(regexp_replace(regexp_replace(
+         |    text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |    '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+         |    '[ \\t\\n\\r\\f]+', ' ', 'g')) AS text_rt
+         |FROM documents
+         |WHERE doc_id < $BpeEncodeDocs
+         |  AND trim(regexp_replace(regexp_replace(regexp_replace(
+         |    text, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+         |    '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
+         |    '[ \\t\\n\\r\\f]+', ' ', 'g')) <> ''
+         |ORDER BY doc_id""".stripMargin,
+
+    // mirrors media_router: the modality each synthesized payload must
+    // route to is pure doc_id arithmetic; the parser side has to agree
+    // through real byte synthesis + three-gate routing
+    "media_router" ->
+      """SELECT CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    WHEN 2 THEN 'video' ELSE 'quarantine' END AS modality,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin,
 
     // mirrors video_meta: the brand / extent / timescale / duration the
     // Spark side must RECOVER from the synthesized ISO-BMFF bytes,

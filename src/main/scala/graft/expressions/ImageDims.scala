@@ -37,8 +37,16 @@ case class ImageDims(child: Expression)
   override def nullSafeEval(b: Any): Any =
     ImageDims.dims(b.asInstanceOf[Array[Byte]])
 
+  // nullSafeCodeGen with an EXPLICIT isNull-from-result assignment, NOT
+  // defineCodeGen: the latter assumes the function never returns null, so
+  // a quarantined (null) parse escapes with isNull=false and NPEs the
+  // UnsafeWriter once codegen splitting separates the assignment from the
+  // consumer (surfaced by the media_router multi-parser projection).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.ImageDims.dims($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.ImageDims.dims($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override def nullable: Boolean = true
 

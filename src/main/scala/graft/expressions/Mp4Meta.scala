@@ -49,8 +49,16 @@ case class Mp4Meta(child: Expression)
   override def nullSafeEval(b: Any): Any =
     Mp4Meta.meta(b.asInstanceOf[Array[Byte]])
 
+  // nullSafeCodeGen with an EXPLICIT isNull-from-result assignment, NOT
+  // defineCodeGen: the latter assumes the function never returns null, so
+  // a quarantined (null) parse escapes with isNull=false and NPEs the
+  // UnsafeWriter once codegen splitting separates the assignment from the
+  // consumer (surfaced by the media_router multi-parser projection).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.Mp4Meta.meta($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.Mp4Meta.meta($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override def nullable: Boolean = true
 

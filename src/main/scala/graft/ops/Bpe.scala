@@ -179,6 +179,37 @@ object Bpe {
       TrainLocalStats(step, exhausted))
   }
 
+  /** DECODE — the inverse of [[encodeTokens]], closing the tokenizer
+    * round-trip a serving stack needs (detokenize model output, audit that
+    * an encoded corpus is losslessly recoverable). Tokens of a word
+    * concatenate in `tj` order and shed the trailing `</w>` sentinel
+    * (merges may have GLUED the sentinel into a larger token — "ab</w>" —
+    * so the strip is an end-anchored suffix removal on the reassembled
+    * word, not a token filter); words join in `wi` order with single
+    * spaces. Output: (idCol, text_rt) = exactly the normalized text
+    * encoding started from — BPE merges only ever regroup characters
+    * within a word, so the round-trip is lossless by construction, and
+    * the bpe_roundtrip oracle asserts it corpus-wide.
+    *
+    * Scale shape: two keyed aggregations (word assembly, then document
+    * assembly — the second rides the first's partitioning on the shared
+    * id key prefix only if bucketed, otherwise one exchange each) with
+    * `sort_array(collect_list(struct(...)))` per group — per-group sort,
+    * no window, no per-token shuffle row wider than (id, positions,
+    * token).
+    */
+  def decodeTokens(tokens: DataFrame, idCol: String): DataFrame = {
+    val word = array_join(
+      transform(array_sort(collect_list(struct(col("tj"), col("token")))),
+        s => s.getField("token")), "")
+    val words = tokens.groupBy(col(idCol), col("wi"))
+      .agg(regexp_replace(word, "</w>$", "").as("__w"))
+    words.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("wi"), col("__w")))),
+          s => s.getField("__w")), " ").as("text_rt"))
+  }
+
   /** ENCODE a text column with a learned merge table: one narrow codegen'd
     * map over the corpus ([[graft.expressions.BpeApply]] — replay-order
     * exact, merge-table-size independent), exploded to one row per output

@@ -159,6 +159,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "image_dims" -> 1,
     "wav_meta" -> 1,
     "video_meta" -> 1,
+    // narrow synth + three-gate routing, one two-phase aggregate, ORDER BY
+    "media_router" -> 2,
+    // word-assembly aggregate + document-assembly aggregate + ORDER BY
+    // (the zero-shuffle encode feeds the first aggregate directly)
+    "bpe_roundtrip" -> 3,
     // the peeling loop runs at construction (per-round frames live behind
     // persisted boundaries); the returned plan is the final induced-degree
     // pass + ORDER BY
