@@ -1,0 +1,214 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
+
+/** Incremental connected-component maintenance over a STREAM of near-dup
+  * pairs — the streaming analog of [[graft.ops.Dedup.dupClusters]]: as
+  * candidate pairs arrive batch by batch, every document keeps a resolved
+  * `cluster` = minimum id reachable through ALL pairs seen so far, without
+  * ever re-running components over the accumulated graph.
+  *
+  * Why not re-cluster per batch: the batch resolver costs O(edges seen) per
+  * run; at stream scale that is quadratic in time. The incremental
+  * invariant instead: the standing state is ALREADY a forest of resolved
+  * clusters, so a new pair can only (a) connect two known clusters,
+  * (b) attach new nodes, or (c) repeat known structure. All three are
+  * decided by probing the pair ENDPOINTS' labels — O(batch), never
+  * O(corpus).
+  *
+  * State = two [[StandingStore]]s under `root`:
+  *
+  *   - `root/labels` (id, cluster, batch_id): one row per document,
+  *     appended the first time the id is seen, NEVER rewritten by later
+  *     merges (append-only is what makes replay cheap to reason about);
+  *   - `root/remap` (old_cluster, new_cluster, batch_id): one row per
+  *     merge EVENT — "cluster old was absorbed into new (new < old)".
+  *     Resolution at read time follows remap chains to their root.
+  *
+  * Per batch: probe the endpoints' labels (one keyed join), pull the
+  * batch's (pair, resolved-cluster) rows to the driver, run a min-root
+  * union-find there (driver state is BATCH-bounded — the same judgment as
+  * the BPE merge loop: thousands of driver micro-ops beat thousands of
+  * Spark jobs), append label rows for first-seen ids and remap rows for
+  * every cluster whose root changed.
+  *
+  * Exactly-once by the [[StandingStore]] determinism discipline: a
+  * replayed batch probes state that already reflects its own appends —
+  * first-seen ids are no longer first-seen (no label re-append, or an
+  * identical-row re-append collapsed by the reader's distinct) and its
+  * merges are already merged (union-find finds nothing to do, no remap
+  * rows). Both TORN orders heal: labels-without-remap makes the replay
+  * re-derive the same merges from the pair endpoints; remap-without-labels
+  * makes the replay re-attach the same new ids to the already-merged
+  * cluster.
+  *
+  * Driver-state bounds, explicitly: the union-find holds one entry per
+  * batch endpoint (batch-sized); read-time resolution collects the remap
+  * table — one row per merge event since the last [[compact]], which folds
+  * remaps into labels and resets it. Compaction cadence is the knob that
+  * bounds the collect, exactly like `mergeCommitted` bounds the counts
+  * store.
+  *
+  * Ids are LONGs (the engine's document/vessel id type) — the min-label
+  * contract needs the ids' NATURAL order, so no stringly typing.
+  */
+object StreamingClusters {
+
+  val LabelSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("cluster", LongType),
+    StructField("batch_id", LongType)))
+
+  val RemapSchema: StructType = StructType(Seq(
+    StructField("old_cluster", LongType),
+    StructField("new_cluster", LongType),
+    StructField("batch_id", LongType)))
+
+  private def labelsDir(root: String) = root + "/labels"
+  private def remapDir(root: String) = root + "/remap"
+
+  /** Start the maintenance stream over a pair stream. */
+  def clusterStream(pairs: DataFrame, aCol: String, bCol: String,
+                    root: String, checkpointDir: String,
+                    compactEvery: Int = 16): StreamingQuery =
+    pairs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, aCol, bCol, root, batchId)
+        if (StandingStore.due(batchId, compactEvery))
+          compact(batch.sparkSession, root)
+      }
+      .start()
+
+  /** One micro-batch of pairs into the standing state (exposed directly so
+    * batch jobs and specs can drive the identical code path).
+    */
+  def processBatch(batch: DataFrame, aCol: String, bCol: String,
+                   root: String, batchId: Long): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val p = batch.select(col(aCol).cast("long").as("a"),
+        col(bCol).cast("long").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+    val labels = StandingStore.read(spark, labelsDir(root), LabelSchema)
+      .select(col("id"), col("cluster")).distinct()
+    // one keyed probe for BOTH endpoints' current labels; null = first-seen
+    val probed = p
+      .join(labels.select(col("id").as("a"), col("cluster").as("ca")), Seq("a"), "left")
+      .join(labels.select(col("id").as("b"), col("cluster").as("cb")), Seq("b"), "left")
+      .collect() // batch-bounded driver state, see the scaladoc
+    val remap = closedRemap(spark, root)
+    def resolve(c: Long): Long = remap.getOrElse(c, c)
+
+    // min-root union-find over the batch's resolved clusters + new ids
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(x: Long, y: Long): Unit = {
+      val rx = find(x); val ry = find(y)
+      if (rx != ry) {
+        if (rx < ry) parent(ry) = rx else parent(rx) = ry
+      }
+    }
+    val newIds = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val existingClusters = scala.collection.mutable.LinkedHashSet.empty[Long]
+    probed.foreach { r =>
+      val a = r.getLong(r.fieldIndex("a")); val b = r.getLong(r.fieldIndex("b"))
+      val ka = if (r.isNullAt(r.fieldIndex("ca"))) { newIds += a; a }
+        else { val c = resolve(r.getLong(r.fieldIndex("ca"))); existingClusters += c; c }
+      val kb = if (r.isNullAt(r.fieldIndex("cb"))) { newIds += b; b }
+        else { val c = resolve(r.getLong(r.fieldIndex("cb"))); existingClusters += c; c }
+      union(ka, kb)
+    }
+    import spark.implicits._
+    val newLabels = newIds.toSeq.map(id => (id, find(id), batchId))
+    val merges = existingClusters.toSeq
+      .map(c => (c, find(c), batchId)).filter { case (c, r, _) => r != c }
+    if (newLabels.nonEmpty)
+      StandingStore.append(newLabels.toDF("id", "cluster", "batch_id"),
+        labelsDir(root))
+    if (merges.nonEmpty)
+      StandingStore.append(merges.toDF("old_cluster", "new_cluster", "batch_id"),
+        remapDir(root))
+  }
+
+  /** Remap table closed to its transitive roots, as a driver map (bounded
+    * by merge events since the last compact — see the scaladoc).
+    */
+  private def closedRemap(spark: SparkSession, root: String): Map[Long, Long] = {
+    val raw = StandingStore.read(spark, remapDir(root), RemapSchema)
+      .select("old_cluster", "new_cluster").distinct()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def root0(c: Long): Long = {
+      var r = c
+      var hops = 0
+      while (raw.contains(r)) {
+        r = raw(r); hops += 1
+        require(hops <= raw.size, s"remap cycle at $c — store corrupted")
+      }
+      r
+    }
+    raw.keys.map(k => k -> root0(k)).toMap
+  }
+
+  /** Current resolved labels: (id, cluster, is_canonical) — the same
+    * contract as the batch resolver, so the two are interchangeable (and
+    * spec-pinned equal on identical pair sets). Distinct collapses any
+    * replay re-appends; the remap closure rides in as a broadcast join.
+    */
+  def resolvedLabels(spark: SparkSession, root: String): DataFrame = {
+    val labels = StandingStore.read(spark, labelsDir(root), LabelSchema)
+      .select(col("id"), col("cluster")).distinct()
+    import spark.implicits._
+    val rm = closedRemap(spark, root).toSeq.toDF("old_cluster", "new_cluster")
+    labels.join(broadcast(rm), labels("cluster") === rm("old_cluster"), "left")
+      .select(col("id"),
+        coalesce(col("new_cluster"), col("cluster")).as("cluster"))
+      .select(col("id"), col("cluster"),
+        (col("id") === col("cluster")).as("is_canonical"))
+  }
+
+  /** Fold the remap chains into the label store and reset the remap store —
+    * the growth bound. Order is load-bearing for crash safety: labels fold
+    * FIRST (a crash after leaves stale remap rows that no longer match any
+    * label cluster — harmless no-ops at read), remap clears second. Both
+    * legs ride [[StandingStore.rewrite]]'s all-renames swap.
+    */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val rm = closedRemap(spark, root)
+    if (rm.nonEmpty) {
+      import spark.implicits._
+      val rmDf = rm.toSeq.toDF("__old", "__new")
+      StandingStore.rewrite(spark, labelsDir(root), LabelSchema, df =>
+        df.join(broadcast(rmDf), df("cluster") === rmDf("__old"), "left")
+          .select(col("id"),
+            coalesce(col("__new"), col("cluster")).as("cluster"),
+            col("batch_id"))
+          .distinct())
+    }
+    StandingStore.rewrite(spark, remapDir(root), RemapSchema,
+      df => df.filter(lit(false)))
+  }
+
+  /** Cluster-size summary off the resolved labels (monitoring surface). */
+  def clusterSizes(spark: SparkSession, root: String): DataFrame =
+    resolvedLabels(spark, root)
+      .groupBy("cluster").agg(count(lit(1)).as("size"))
+
+  /** Declared-output shape parity with the batch resolver, for joins that
+    * expect the boolean column typed.
+    */
+  val OutputSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    StructField("cluster", LongType),
+    StructField("is_canonical", BooleanType)))
+}

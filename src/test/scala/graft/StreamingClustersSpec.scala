@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingClusters
+
+/** [[graft.streaming.StreamingClusters]] — incremental components: the
+  * equivalence contract vs the batch resolver, replay idempotence, torn-
+  * append healing, and the compaction growth bound.
+  */
+class StreamingClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() =
+    java.nio.file.Files.createTempDirectory("graft-sclust").toString
+
+  private def resolved(root: String) =
+    StreamingClusters.resolvedLabels(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+  private def batchLabels(pairs: Seq[(Long, Long)]) =
+    graft.ops.Dedup.dupClusters(pairs.toDF("a", "b"), "a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+  test("three-batch incremental maintenance ≡ batch dupClusters on the full pair set") {
+    val root = tmp()
+    // batch 1: two separate components; batch 2: extend one, new third;
+    // batch 3: a bridge pair MERGES components 1 and 3 (remap path) and a
+    // smaller-id newcomer takes over a cluster minimum
+    val b1 = Seq((10L, 20L), (30L, 40L))
+    val b2 = Seq((20L, 25L), (50L, 60L))
+    val b3 = Seq((25L, 50L), (5L, 40L))
+    Seq(b1, b2, b3).zipWithIndex.foreach { case (b, i) =>
+      StreamingClusters.processBatch(b.toDF("a", "b"), "a", "b", root, i.toLong)
+    }
+    val got = resolved(root)
+    assert(got === batchLabels(b1 ++ b2 ++ b3),
+      s"incremental resolution must equal the batch resolver: $got")
+    // spot the two interesting facts: the merge resolved to the global
+    // min (10), and the late small id 5 now canonically owns 30/40's web
+    assert(got.contains((60L, 10L, false)), "bridged component takes min 10")
+    assert(got.contains((30L, 5L, false)) && got.contains((5L, 5L, true)),
+      "a late smaller id becomes the canonical representative")
+  }
+
+  test("replayed batch is a no-op: same labels, no duplicate remaps") {
+    val root = tmp()
+    StreamingClusters.processBatch(Seq((1L, 9L)).toDF("a", "b"), "a", "b", root, 0L)
+    StreamingClusters.processBatch(Seq((9L, 2L)).toDF("a", "b"), "a", "b", root, 1L)
+    val before = resolved(root)
+    // crash-before-checkpoint: batch 1 replays verbatim
+    StreamingClusters.processBatch(Seq((9L, 2L)).toDF("a", "b"), "a", "b", root, 1L)
+    assert(resolved(root) === before, "replay must not change resolution")
+    assert(before === batchLabels(Seq((1L, 9L), (9L, 2L))))
+  }
+
+  test("torn append (labels landed, remap lost) heals on replay") {
+    val root = tmp()
+    StreamingClusters.processBatch(Seq((10L, 20L)).toDF("a", "b"), "a", "b", root, 0L)
+    // batch 1 wants to attach NEW node 5 to cluster 10 — which makes 5 the
+    // new minimum: label (5,5) lands, the remap (10 -> 5) is LOST in a
+    // crash. Simulate the torn state by appending only the label row.
+    graft.streaming.StandingStore.append(
+      Seq((5L, 5L, 1L)).toDF("id", "cluster", "batch_id"), root + "/labels")
+    // replay of batch 1 must re-derive the merge from the pair endpoints
+    StreamingClusters.processBatch(Seq((5L, 10L)).toDF("a", "b"), "a", "b", root, 1L)
+    assert(resolved(root) === batchLabels(Seq((10L, 20L), (5L, 10L))),
+      "the lost remap is re-derived, not silently dropped")
+  }
+
+  test("compact folds remap chains into labels and resets the remap store; resolution unchanged") {
+    val root = tmp()
+    // build a remap CHAIN: 30-cluster absorbed into 20, then into 10
+    StreamingClusters.processBatch(Seq((30L, 40L)).toDF("a", "b"), "a", "b", root, 0L)
+    StreamingClusters.processBatch(Seq((20L, 30L)).toDF("a", "b"), "a", "b", root, 1L)
+    StreamingClusters.processBatch(Seq((10L, 20L)).toDF("a", "b"), "a", "b", root, 2L)
+    val before = resolved(root)
+    StreamingClusters.compact(spark, root)
+    assert(resolved(root) === before, "compaction is meaning-preserving")
+    assert(spark.read.schema(StreamingClusters.RemapSchema)
+      .parquet(root + "/remap").count() === 0L, "remap store resets")
+    // post-compact batches keep working against the folded labels
+    StreamingClusters.processBatch(Seq((40L, 99L)).toDF("a", "b"), "a", "b", root, 3L)
+    assert(resolved(root) === batchLabels(
+      Seq((30L, 40L), (20L, 30L), (10L, 20L), (40L, 99L))))
+  }
+
+  test("streaming path end-to-end: memory-stream pairs through clusterStream") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp()
+    val ckpt = tmp()
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = StreamingClusters.clusterStream(
+      mem.toDF().toDF("a", "b"), "a", "b", root, ckpt, compactEvery = 2)
+    try {
+      mem.addData((1L, 2L), (7L, 8L))
+      q.processAllAvailable()
+      mem.addData((2L, 7L)) // bridge
+      q.processAllAvailable()
+      assert(resolved(root) === batchLabels(Seq((1L, 2L), (7L, 8L), (2L, 7L))))
+    } finally q.stop()
+  }
+}
