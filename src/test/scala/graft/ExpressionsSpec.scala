@@ -358,6 +358,13 @@ class ExpressionsSpec extends SparkSpec {
     // corrupt: a box smaller than its own header
     val tiny = ftyp("isom") ++ be32(4) ++ "moov".getBytes
     val noMoov = ftyp("isom")
+    // interleaved free/skip boxes are legal anywhere (§4.3 note): between
+    // top-level boxes AND between moov children — the walk must skip, not
+    // quarantine
+    val freeb = box("free", new Array[Byte](11))
+    val padded = ftyp("isom") ++ freeb ++
+      box("moov", freeb ++ mvhd0(600, 77) ++ box("skip", new Array[Byte](3)) ++
+        box("trak", tkhd0(111, 222)) ++ freeb) ++ freeb
     val rows = Seq(
       (1L, v0, Some("mp4 isom 640 480 600 1234")),
       (2L, v1, Some("mp4 mp42 1920 1080 90000 5000000")),
@@ -367,7 +374,8 @@ class ExpressionsSpec extends SparkSpec {
       (6L, tiny, None),
       (7L, noMoov, None),
       (8L, "not a video".getBytes("UTF-8"), None),
-      (9L, Array.empty[Byte], None))
+      (9L, Array.empty[Byte], None),
+      (10L, padded, Some("mp4 isom 111 222 600 77")))
     val got = rows.map(r => (r._1, r._2)).toDF("id", "bytes")
       .select(col("id"), graft.functions.mp4_meta(col("bytes")).as("m"))
       .collect()

@@ -85,6 +85,37 @@ class StreamingClustersSpec extends SparkSpec {
       Seq((30L, 40L), (20L, 30L), (10L, 20L), (40L, 99L))))
   }
 
+  test("composition: doc stream → incremental LSH pairs → incremental clusters ≡ batch pipeline") {
+    // the full streaming curation story: documents arrive in batches, the
+    // incremental LSH probe emits each batch's candidate pairs (vs batch
+    // + standing signatures), and cluster maintenance folds them in — the
+    // final resolution must equal running the BATCH pipeline (corpus-wide
+    // LSH pairs → dupClusters) over everything seen
+    val root = tmp()
+    val docs = engine.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).limit(120).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batches = docs.grouped(40).toSeq
+    var standing: Option[org.apache.spark.sql.DataFrame] = None
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val sigs = graft.ops.Dedup.bandedSignature(
+        b.toSeq.toDF("doc_id", "text"), "doc_id", "text").persist()
+      val st = standing.getOrElse(
+        sigs.filter(lit(false))) // empty frame, same schema
+      val pairs = graft.ops.Dedup.incrementalLshPairs(sigs, st)
+        .select(col("doc_a"), col("doc_b")).distinct()
+      StreamingClusters.processBatch(pairs, "doc_a", "doc_b", root, i.toLong)
+      standing = Some(st.unionByName(sigs))
+    }
+    val batchPairs = graft.ops.Dedup.minhashLshPairs(
+        docs.toSeq.toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batchPairs.nonEmpty, "fixture must produce near-dup pairs")
+    assert(resolved(root) === batchLabels(batchPairs),
+      "streamed pair folding must reproduce the batch pipeline's clusters")
+  }
+
   test("streaming path end-to-end: memory-stream pairs through clusterStream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = tmp()
