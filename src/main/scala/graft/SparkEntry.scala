@@ -1739,6 +1739,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // HTML → text extraction: wrap each document in a deterministic
+    // markup shell (head/title, a script block whose code must VANISH,
+    // entities incl. the double-encoded &amp;lt; that must single-decode,
+    // a comment) and extract — the C4/CCNet first step before any
+    // text-quality signal; one narrow codegen'd regex map, no UDF
+    // (TextOps.htmlExtract / htmlExtractDocs)
+    "html_extract" -> ((s, d) => {
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>T"), id, lit("</title>"),
+        lit("<script type=\"text/javascript\">var x = "), id,
+        lit("; x = x + 1;</script></head><body><p>"), col("text"),
+        lit("</p><p>A &amp; B &lt;ok&gt; &amp;lt;keep&amp;gt;</p>" +
+          "<!-- hidden --></body></html>"))
+      TextOps.htmlExtractDocs(
+          Tables.documents(s, d).select(id, html.as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // multimodal intake ROUTER: one opaque binary column carrying a mixed
     // corpus (synthesized per doc: PNG / PCM-WAV / MP4 / junk by
     // doc_id % 4), routed by the three header gates in a single narrow
@@ -4319,6 +4339,21 @@ object SparkEntry {
          |    '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'),
          |    '[ \\t\\n\\r\\f]+', ' ', 'g')) <> ''
          |ORDER BY doc_id""".stripMargin,
+
+    // mirrors html_extract: the extraction of the synthesized shell is
+    // derivable directly — title text + body text + the decoded entity
+    // sentence (script code and comment gone, &amp;lt; single-decoded to
+    // a literal &lt;), whitespace-collapsed over the whole concatenation
+    // so an empty or padded document can't produce a double separator
+    "html_extract" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    'T' || CAST(doc_id AS VARCHAR) || ' ' || text ||
+        |    ' A & B <ok> &lt;keep&gt;',
+        |    '[ \t\n\r\f]+', ' ', 'g')) AS text_clean,
+        |  CAST(15 AS BIGINT) AS n_tags,
+        |  TRUE AS had_html
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // mirrors media_router: the modality each synthesized payload must
     // route to is pure doc_id arithmetic; the parser side has to agree

@@ -40,6 +40,50 @@ object TextOps {
       "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", ""),
       "[ \\t\\n\\r\\f]+", " "))
 
+  /** HTML → text extraction — the step BEFORE every text-quality signal
+    * when the corpus arrives as markup (the C4/CCNet lineage starts here):
+    * drop script/style subtrees WITH their contents (their text is code,
+    * not prose), drop comments, turn every remaining tag into a space
+    * (tag boundaries are word boundaries — `<p>a</p><p>b</p>` must not
+    * fuse into "ab"), decode the six ubiquitous entities, collapse
+    * whitespace. Regex-only in the Java∩RE2 subset ([[normalizeText]]'s
+    * discipline, so the DuckDB twin replays identically): `(?s)` dot-all
+    * with non-greedy bodies for the block rules, explicit whitespace
+    * class for the collapse.
+    *
+    * Entity order is load-bearing: `&amp;` decodes LAST, so the
+    * double-encoded `&amp;lt;` yields the literal `&lt;` (single decode,
+    * the spec-correct reading) instead of `<`.
+    *
+    * One narrow codegen'd map — no shuffle, no UDF; a full-corpus
+    * extraction is scan-speed.
+    */
+  def htmlExtract(c: Column): Column = {
+    val blocks = regexp_replace(c,
+      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noComment = regexp_replace(blocks, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (e, v)) =>
+        regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(v))
+      }
+    trim(regexp_replace(ent, "[ \\t\\n\\r\\f]+", " "))
+  }
+
+  /** [[htmlExtract]] over a frame, with the audit columns an intake wants
+    * alongside the cleaned text: the tag count (markup density is itself a
+    * quality signal) and whether the row looked like HTML at all.
+    * Output: (idCol, text_clean, n_tags, had_html).
+    */
+  def htmlExtractDocs(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      htmlExtract(col(textCol)).as("text_clean"),
+      size(regexp_extract_all(col(textCol), lit("<[^>]+>"), lit(0)))
+        .cast("long").as("n_tags"),
+      (size(regexp_extract_all(col(textCol), lit("<[^>]+>"), lit(0))) > 0)
+        .as("had_html"))
+
   /** Token counting (whitespace + a BPE-ish regex): `\\w+` word runs plus
     * single non-space punctuation — the standard pre-tokenizer shape.
     */

@@ -161,6 +161,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "video_meta" -> 1,
     // narrow synth + three-gate routing, one two-phase aggregate, ORDER BY
     "media_router" -> 2,
+    // narrow synthesize→extract regex map: ORDER BY only
+    "html_extract" -> 1,
     // word-assembly aggregate + document-assembly aggregate + ORDER BY
     // (the zero-shuffle encode feeds the first aggregate directly)
     "bpe_roundtrip" -> 3,

@@ -250,4 +250,36 @@ class TextFeaturesSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: deque and comprehension must select the same set")
     }
   }
+
+  test("htmlExtract: script subtrees vanish, tags become boundaries, entities single-decode") {
+    import spark.implicits._
+    val cases = Seq(
+      // multiline script WITH markup-looking code inside; style block too
+      (1L, "<html><head><style>p { color: red; }</style>" +
+        "<script>\nif (a < b && c > d) { f(\"<p>\"); }\n</script></head>" +
+        "<body><p>Hello</p><p>world</p></body></html>",
+        "Hello world"),
+      // tag boundary must be a WORD boundary, never a fusion
+      (2L, "<p>alpha</p><p>beta</p>", "alpha beta"),
+      // entity decoding incl. the double-encoded form: one decode only
+      (3L, "A &amp; B, 5 &lt; 6, say &quot;hi&quot;, it&#39;s" +
+        " &nbsp;spaced, literal &amp;lt;tag&amp;gt;",
+        "A & B, 5 < 6, say \"hi\", it's spaced, literal &lt;tag&gt;"),
+      // comments drop, attributes don't leak, whitespace collapses
+      (4L, "  <div class=\"x\" data-v='1'>\n  kept\n  </div> <!-- not me --> ",
+        "kept"),
+      // plain text passes through untouched (modulo collapse)
+      (5L, "no markup  here", "no markup here"))
+    val got = cases.map(c => (c._1, c._2)).toDF("id", "t")
+      .select(col("id"), graft.ops.TextOps.htmlExtract(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (i, _, want) =>
+      assert(got(i) === want, s"case $i: got '${got(i)}'")
+    }
+    // audit columns: tag count + the had_html flag
+    val d = graft.ops.TextOps.htmlExtractDocs(
+        Seq((1L, "<p>x</p>"), (2L, "plain")).toDF("id", "t"), "id", "t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(d(1L) === ((2L, true)) && d(2L) === ((0L, false)))
+  }
 }
