@@ -475,6 +475,28 @@ class DedupSpec extends SparkSpec {
     assert(s === Set((1L, 1L, true), (2L, 1L, false), (7L, 7L, true)))
   }
 
+  test("star tier ≡ propagation tier on randomized graphs (the escalation is invisible in results)") {
+    // the two-tier resolver's correctness rests on both tiers converging
+    // to the SAME unique component-minimum labeling — pin it empirically
+    // on random topology, forcing each tier via propRounds: 0 sends every
+    // graph straight to star rounds, a large budget keeps propagation
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 4).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val pairs = (0 until n).map { _ =>
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+      }.filter { case (a, b) => a != b }
+      val df = pairs.toDF("doc_a", "doc_b")
+      val viaStar = Dedup.dupClusters(df, "doc_a", "doc_b",
+          maxRounds = 30, propRounds = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val viaProp = Dedup.dupClusters(df, "doc_a", "doc_b",
+          maxRounds = 30, propRounds = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(viaStar === viaProp, s"trial $trial (${pairs.size} pairs)")
+    }
+  }
+
   test("planesFor sizes signatures to hold expected occupancy constant") {
     assert(Similarity.planesFor(512, 8) === 6)            // 2^6 buckets ≈ 512/8
     assert(Similarity.planesFor(1L << 20, 8) === 17)
