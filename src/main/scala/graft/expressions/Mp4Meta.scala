@@ -76,8 +76,24 @@ object Mp4Meta {
       (u8(b, i + 2) << 8) | u8(b, i + 3)
   private def be64(b: Array[Byte], i: Long): Long =
     (be32(b, i) << 32) | be32(b, i + 4)
-  private def fourcc(b: Array[Byte], i: Long): String =
-    new String(b, i.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+  /** Brand 4cc, SANITIZED for the space-delimited output contract: the
+    * result string is `mp4 <brand> <w> ...`, so a brand carrying spaces or
+    * non-printable bytes would silently SHIFT every downstream split
+    * column. Real brands are printable (and QuickTime's `qt  ` carries
+    * trailing spaces by spec), so printable-non-space bytes pass through
+    * and everything else — including the space — becomes '_' : `qt__`,
+    * still equi-joinable and filterable, never a column shift.
+    */
+  private def fourcc(b: Array[Byte], i: Long): String = {
+    val cs = new Array[Char](4)
+    var k = 0
+    while (k < 4) {
+      val c = b(i.toInt + k) & 0xff
+      cs(k) = if (c > 0x20 && c < 0x7f) c.toChar else '_'
+      k += 1
+    }
+    new String(cs)
+  }
   private def isTag(b: Array[Byte], i: Long, t: String): Boolean =
     b(i.toInt) == t.charAt(0).toByte && b(i.toInt + 1) == t.charAt(1).toByte &&
       b(i.toInt + 2) == t.charAt(2).toByte && b(i.toInt + 3) == t.charAt(3).toByte

@@ -108,7 +108,10 @@ object bridge {
       case p => p
     }
     val part =
-      if (nParts == 1) org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+      if (nParts == 0) // empty frame: claim nothing rather than a layout
+        org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning(0)
+      else if (nParts == 1)
+        org.apache.spark.sql.catalyst.plans.physical.SinglePartition
       else part0 match {
         case e: Expression => rebase(e).asInstanceOf[Partitioning]
         case p => p

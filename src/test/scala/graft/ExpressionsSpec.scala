@@ -375,7 +375,14 @@ class ExpressionsSpec extends SparkSpec {
       (7L, noMoov, None),
       (8L, "not a video".getBytes("UTF-8"), None),
       (9L, Array.empty[Byte], None),
-      (10L, padded, Some("mp4 isom 111 222 600 77")))
+      (10L, padded, Some("mp4 isom 111 222 600 77")),
+      // QuickTime's real 'qt  ' brand (trailing spaces by spec) and a
+      // hostile control-byte brand: both sanitize to '_' instead of
+      // shifting the space-delimited output's downstream split columns
+      (11L, ftyp("qt  ") ++ box("moov", mvhd0(600, 9) ++
+        box("trak", tkhd0(1, 2))), Some("mp4 qt__ 1 2 600 9")),
+      (12L, (be32(16) ++ "ftyp".getBytes ++ Array[Byte](0x07, 'a', 'b', 0x7f.toByte) ++ be32(0)) ++
+        box("moov", mvhd0(10, 1)), Some("mp4 _ab_ 0 0 10 1")))
     val got = rows.map(r => (r._1, r._2)).toDF("id", "bytes")
       .select(col("id"), graft.functions.mp4_meta(col("bytes")).as("m"))
       .collect()
