@@ -1742,9 +1742,14 @@ object SparkEntry {
     // HTML → text extraction: wrap each document in a deterministic
     // markup shell (head/title, a script block whose code must VANISH,
     // entities incl. the double-encoded &amp;lt; that must single-decode,
-    // a comment) and extract — the C4/CCNet first step before any
-    // text-quality signal; one narrow codegen'd regex map, no UDF
-    // (TextOps.htmlExtract / htmlExtractDocs)
+    // a style block that CLOSES WITH </script> inside — the cross-match
+    // trap the per-tag block passes exist for, its css must vanish too —
+    // numeric character references across all four fates (decimal, hex,
+    // non-printable kept literal, surrogate kept literal) plus both
+    // double-encoded numeric forms (&#38;amp; and &amp;#65; — only a
+    // single left-to-right decode gets both right), and a comment) and
+    // extract — the C4/CCNet first step before any text-quality signal;
+    // narrow codegen'd maps, no UDF (TextOps.htmlExtract / htmlExtractDocs)
     "html_extract" -> ((s, d) => {
       val id = col("doc_id")
       val html = concat(
@@ -1752,6 +1757,8 @@ object SparkEntry {
         lit("<script type=\"text/javascript\">var x = "), id,
         lit("; x = x + 1;</script></head><body><p>"), col("text"),
         lit("</p><p>A &amp; B &lt;ok&gt; &amp;lt;keep&amp;gt;</p>" +
+          "<style>p{x:1}</script>leak</style>" +
+          "<p>&#65;&#x42; &#8212;&#169; &#7; &#xD800; &#38;amp; &amp;#65;</p>" +
           "<!-- hidden --></body></html>"))
       TextOps.htmlExtractDocs(
           Tables.documents(s, d).select(id, html.as("text")),
@@ -4342,16 +4349,21 @@ object SparkEntry {
 
     // mirrors html_extract: the extraction of the synthesized shell is
     // derivable directly — title text + body text + the decoded entity
-    // sentence (script code and comment gone, &amp;lt; single-decoded to
-    // a literal &lt;), whitespace-collapsed over the whole concatenation
-    // so an empty or padded document can't produce a double separator
+    // sentence (script code, css — including the style block that closes
+    // with </script> inside — and comment gone, &amp;lt; single-decoded
+    // to a literal &lt;) + the numeric-reference sentence (decimal 65→A,
+    // hex 42→B, 8212→em dash, 169→©, control 7 and surrogate D800 kept
+    // literal, &#38;amp;→literal &amp; and &amp;#65;→literal &#65; —
+    // one decode per source reference), whitespace-collapsed over the
+    // whole concatenation so an empty or padded document can't produce a
+    // double separator
     "html_extract" ->
       """SELECT doc_id,
         |  trim(regexp_replace(
         |    'T' || CAST(doc_id AS VARCHAR) || ' ' || text ||
-        |    ' A & B <ok> &lt;keep&gt;',
+        |    ' A & B <ok> &lt;keep&gt; AB —© &#7; &#xD800; &amp; &#65;',
         |    '[ \t\n\r\f]+', ' ', 'g')) AS text_clean,
-        |  CAST(15 AS BIGINT) AS n_tags,
+        |  CAST(20 AS BIGINT) AS n_tags,
         |  TRUE AS had_html
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BitInterleave, BpeApply, BpeMerge, DeflateSize, GeoCell, ImageDims, MinHashSig, MinHashText, Mp4Meta, RollingKgramHash, ShingleHashes, StableHashBucket, VecDot, WavMeta, WinnowMin}
+import graft.expressions.{BitInterleave, BpeApply, BpeMerge, DeflateSize, EntityDecode, GeoCell, ImageDims, MinHashSig, MinHashText, Mp4Meta, RollingKgramHash, ShingleHashes, StableHashBucket, VecDot, WavMeta, WinnowMin}
 
 /** SQL surface for the engine's native Catalyst expressions: registers
   * `geo_cell`, `stable_bucket`, `vec_dot`, and `rolling_kgrams` as SQL
@@ -123,6 +123,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "mp4_meta(bin) takes 1 argument")
         Mp4Meta(args(0))
+      }),
+    (FunctionIdentifier("entity_decode"),
+      info("entity_decode", "entity_decode(str) - HTML named + printable numeric character references, one single-decode pass"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "entity_decode(str) takes 1 argument")
+        EntityDecode(args(0))
       }),
     (FunctionIdentifier("winnow_min"),
       info("winnow_min", "winnow_min(arr, w) - distinct sliding-window minima of a long array (winnowing kernel)"),

@@ -157,6 +157,14 @@ object functions {
   def deflate_size(s: Column): Column =
     expressions.col(expressions.DeflateSize(expressions.expr(s)))
 
+  /** HTML character-reference decode: the six ubiquitous named entities +
+    * printable-subset numeric references, one left-to-right pass (the only
+    * shape under which every form single-decodes) — see
+    * [[graft.expressions.EntityDecode]].
+    */
+  def entity_decode(s: Column): Column =
+    expressions.col(expressions.EntityDecode(expressions.expr(s)))
+
   /** Deterministic display color from a track id (F15,
     * `apps/track_explorer.py:251-257`): first 6 hex chars of SHA-256 as RGB.
     */

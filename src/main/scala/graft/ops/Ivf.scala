@@ -27,11 +27,22 @@ object Ivf {
 
   /** `trainIters`/`trainConverged` are the quantizer's convergence
     * telemetry: iterations the ML k-means actually ran, and whether it
-    * stopped BEFORE its budget (tolerance met — a true fixpoint-ish stop)
-    * rather than exhausting `maxIter` mid-descent. A production caller
-    * alerts on `trainConverged == false`: the cell boundaries it is about
-    * to build posting lists around were still moving when training quit,
-    * and recall measured against them can silently degrade.
+    * PROVABLY stopped before its budget (tolerance met — a true
+    * fixpoint-ish stop) rather than exhausting `maxIter` mid-descent. A
+    * production caller alerts on `trainConverged == false`: the cell
+    * boundaries it is about to build posting lists around were still
+    * moving when training quit, and recall measured against them can
+    * silently degrade.
+    *
+    * The flag is CONSERVATIVE at the exact boundary: a run that
+    * tolerance-converges precisely on its final budgeted iteration
+    * reports false, because Spark's `KMeansSummary` exposes only
+    * `numIter` (no last-iteration movement/cost delta), so
+    * `numIter == maxIter` is indistinguishable from a mid-descent stop.
+    * Read false as "cannot prove convergence — re-run with a larger
+    * budget", never as "provably diverged"; the safe direction for an
+    * alerting contract (a false alarm costs a retrain, a missed one
+    * costs silent recall loss).
     */
   case class Index(centroids: Array[Array[Double]], assigned: DataFrame,
                    trainIters: Int = -1, trainConverged: Boolean = true)

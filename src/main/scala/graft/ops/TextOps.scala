@@ -45,29 +45,34 @@ object TextOps {
     * drop script/style subtrees WITH their contents (their text is code,
     * not prose), drop comments, turn every remaining tag into a space
     * (tag boundaries are word boundaries — `<p>a</p><p>b</p>` must not
-    * fuse into "ab"), decode the six ubiquitous entities, collapse
-    * whitespace. Regex-only in the Java∩RE2 subset ([[normalizeText]]'s
-    * discipline, so the DuckDB twin replays identically): `(?s)` dot-all
-    * with non-greedy bodies for the block rules, explicit whitespace
-    * class for the collapse.
+    * fuse into "ab"), decode character references (the six ubiquitous
+    * named entities PLUS numeric `&#NNN;`/`&#xHH;` for the printable
+    * subset — [[graft.expressions.EntityDecode]]), collapse whitespace.
+    * The block/tag/comment rules stay regex in the Java∩RE2 subset
+    * ([[normalizeText]]'s discipline): `(?s)` dot-all with non-greedy
+    * bodies, explicit whitespace class for the collapse.
     *
-    * Entity order is load-bearing: `&amp;` decodes LAST, so the
-    * double-encoded `&amp;lt;` yields the literal `&lt;` (single decode,
-    * the spec-correct reading) instead of `<`.
+    * The script and style rules are SEPARATE passes on purpose: a combined
+    * alternation `<(script|style)…</(script|style)>` lets a block open as
+    * one tag and close as the other, so `<style>x</script>y</style>`
+    * terminated at `</script>` and leaked `y` into the text. Per-tag
+    * passes can't cross-match — and need no backreference, staying RE2.
+    *
+    * Entity decode is ONE left-to-right pass, which is what makes the
+    * single-decode reading hold everywhere at once: `&amp;lt;` yields the
+    * literal `&lt;`, `&amp;#65;` the literal `&#65;`, and `&#38;amp;` the
+    * literal `&amp;` — no regex ordering can satisfy all three (see
+    * [[graft.expressions.EntityDecode]]).
     *
     * One narrow codegen'd map — no shuffle, no UDF; a full-corpus
     * extraction is scan-speed.
     */
   def htmlExtract(c: Column): Column = {
-    val blocks = regexp_replace(c,
-      "(?s)<(script|style)[^>]*>.*?</(script|style)>", " ")
-    val noComment = regexp_replace(blocks, "(?s)<!--.*?-->", " ")
+    val noScript = regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
-    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
-      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
-      .foldLeft(noTags) { case (acc, (e, v)) =>
-        regexp_replace(acc, e, java.util.regex.Matcher.quoteReplacement(v))
-      }
+    val ent = graft.functions.entity_decode(noTags)
     trim(regexp_replace(ent, "[ \\t\\n\\r\\f]+", " "))
   }
 

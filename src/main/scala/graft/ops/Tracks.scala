@@ -180,10 +180,14 @@ object Tracks {
         (ceil(col("lo").cast("double") / intervalMs).cast("long") * intervalMs)
           .as("start"), col("hi"))
       .filter(col("start") <= col("hi")) // a span shorter than one tick has no grid
+    // integer `div`, not `/`: Spark's `/` is double division, so a key
+    // whose span is not interval-aligned compared a FRACTIONAL tick count
+    // against the cap (span 15 @ interval 10 gave 2.5 > 2 and dropped a
+    // 2-tick key). `div` floors, matching the actual `sequence` grid size.
     val guarded =
       if (maxTicksPerKey <= 0L) spans
       else spans.filter(
-        (col("hi") - col("start")) / intervalMs + 1L <= maxTicksPerKey)
+        expr(s"(hi - start) div ${intervalMs}") + 1L <= maxTicksPerKey)
     val grid = guarded.select(col("user_id"),
       explode(sequence(col("start"), col("hi"), lit(intervalMs))).as("tick"))
     // union points (kind 0) and ticks (kind 1): at a coincident timestamp

@@ -45,17 +45,48 @@ import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructTyp
   * makes the replay re-attach the same new ids to the already-merged
   * cluster.
   *
-  * Driver-state bounds, explicitly: the union-find holds one entry per
-  * batch endpoint (batch-sized); read-time resolution collects the remap
-  * table — one row per merge event since the last [[compact]], which folds
-  * remaps into labels and resets it. Compaction cadence is the knob that
-  * bounds the collect, exactly like `mergeCommitted` bounds the counts
-  * store.
+  * Driver-state bounds, explicitly ENFORCED, not just contractual:
+  *
+  *   - the union-find holds one entry per batch endpoint, and
+  *     `maxPairsPerBatch` makes that bound a hard gate — "batch-bounded"
+  *     is meaningless under a `Trigger.AvailableNow` backfill, where the
+  *     whole backlog arrives as ONE batch. Past the cap the batch THROWS
+  *     (the `maxUidsPerCell`/converge-or-fail house discipline: never
+  *     silently drop graph edges — a dropped pair is a missed merge and a
+  *     silently wrong clustering forever after). The routed path for a
+  *     big backlog: run [[graft.ops.Dedup.dupClusters]] over the backlog
+  *     pairs once (it IS the batch-scale resolver), seed `root/labels`
+  *     from its output, and let the stream take over from there.
+  *   - read-time resolution collects the remap table — one row per merge
+  *     event since the last [[compact]], which folds remaps into labels
+  *     and resets it. [[BatchStats.remapRows]] is the telemetry for that
+  *     growth: alert/compact when it nears the driver budget. Sizing
+  *     rule: the collect costs ~50 bytes/row driver-side, so size
+  *     `compactEvery` such that (expected merges per batch ×
+  *     `compactEvery`) stays well under budget — e.g. ≤10M rows ≈ 0.5 GB;
+  *     merges per batch is itself ≤ `maxPairsPerBatch`, so the worst case
+  *     is already finite.
   *
   * Ids are LONGs (the engine's document/vessel id type) — the min-label
   * contract needs the ids' NATURAL order, so no stringly typing.
   */
 object StreamingClusters {
+
+  /** Default hard cap on distinct pairs per micro-batch: 2M endpoints in
+    * the driver union-find ≈ low hundreds of MB — comfortable on any
+    * driver that runs Spark at all, far past any steady-state micro-batch.
+    */
+  val DefaultMaxPairsPerBatch: Long = 1000000L
+
+  /** Per-batch telemetry ([[graft.ops.Kmeans.TrainStats]] discipline):
+    * `pairs` distinct pair rows processed, `newLabels` first-seen ids
+    * appended, `merges` remap rows appended by this batch, `remapRows`
+    * total remap rows live AFTER this batch (merge events since the last
+    * [[compact]] — the read-time collect's size, the number to watch).
+    * An empty batch reports all zeros without touching the stores.
+    */
+  final case class BatchStats(pairs: Long, newLabels: Long,
+                              merges: Long, remapRows: Long)
 
   val LabelSchema: StructType = StructType(Seq(
     StructField("id", LongType),
@@ -73,11 +104,12 @@ object StreamingClusters {
   /** Start the maintenance stream over a pair stream. */
   def clusterStream(pairs: DataFrame, aCol: String, bCol: String,
                     root: String, checkpointDir: String,
-                    compactEvery: Int = 16): StreamingQuery =
+                    compactEvery: Int = 16,
+                    maxPairsPerBatch: Long = DefaultMaxPairsPerBatch): StreamingQuery =
     pairs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, aCol, bCol, root, batchId)
+        processBatch(batch, aCol, bCol, root, batchId, maxPairsPerBatch)
         if (StandingStore.due(batchId, compactEvery))
           compact(batch.sparkSession, root)
       }
@@ -87,20 +119,40 @@ object StreamingClusters {
     * batch jobs and specs can drive the identical code path).
     */
   def processBatch(batch: DataFrame, aCol: String, bCol: String,
-                   root: String, batchId: Long): Unit = {
-    if (batch.isEmpty) return
+                   root: String, batchId: Long,
+                   maxPairsPerBatch: Long = DefaultMaxPairsPerBatch): Unit = {
+    processBatchWithStats(batch, aCol, bCol, root, batchId, maxPairsPerBatch)
+    ()
+  }
+
+  /** [[processBatch]] plus [[BatchStats]] telemetry. */
+  def processBatchWithStats(batch: DataFrame, aCol: String, bCol: String,
+                            root: String, batchId: Long,
+                            maxPairsPerBatch: Long = DefaultMaxPairsPerBatch): BatchStats = {
+    require(maxPairsPerBatch > 0, "maxPairsPerBatch must be positive")
+    if (batch.isEmpty) return BatchStats(0L, 0L, 0L, 0L)
     val spark = batch.sparkSession
     val p = batch.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
       .distinct()
+    // the hard gate BEFORE the collect — counting past the cap is pointless
+    // (and the LIMIT lets the scan early-stop), so count at most cap+1
+    val nPairs = p.limit(
+      math.min(maxPairsPerBatch + 1L, Int.MaxValue.toLong).toInt).count()
+    if (nPairs > maxPairsPerBatch) throw new IllegalStateException(
+      s"StreamingClusters batch $batchId carries >$maxPairsPerBatch distinct " +
+        "pairs — past maxPairsPerBatch, so the driver union-find is no longer " +
+        "batch-bounded (a Trigger.AvailableNow backfill arrives as ONE batch). " +
+        "Route the backlog through graft.ops.Dedup.dupClusters and seed the " +
+        "label store from its output, or raise the cap knowingly.")
     val labels = StandingStore.read(spark, labelsDir(root), LabelSchema)
       .select(col("id"), col("cluster")).distinct()
     // one keyed probe for BOTH endpoints' current labels; null = first-seen
     val probed = p
       .join(labels.select(col("id").as("a"), col("cluster").as("ca")), Seq("a"), "left")
       .join(labels.select(col("id").as("b"), col("cluster").as("cb")), Seq("b"), "left")
-      .collect() // batch-bounded driver state, see the scaladoc
+      .collect() // batch-bounded driver state, gated by maxPairsPerBatch above
     val remap = closedRemap(spark, root)
     def resolve(c: Long): Long = remap.getOrElse(c, c)
 
@@ -139,6 +191,11 @@ object StreamingClusters {
     if (merges.nonEmpty)
       StandingStore.append(merges.toDF("old_cluster", "new_cluster", "batch_id"),
         remapDir(root))
+    // remapRows: what the NEXT read-time closure will collect — the rows
+    // this batch saw plus the merge events it appended (the keys are
+    // disjoint: a merge's old_cluster was a live root, never a remap key)
+    BatchStats(pairs = nPairs, newLabels = newLabels.size.toLong,
+      merges = merges.size.toLong, remapRows = remap.size.toLong + merges.size)
   }
 
   /** Remap table closed to its transitive roots, as a driver map (bounded

@@ -117,6 +117,19 @@ class ExtensionsSpec extends SparkSpec {
       .as[Seq[Long]].head() === Seq(3L, 1L))
   }
 
+  test("sql entity_decode matches the column facade and single-decodes") {
+    import org.apache.spark.sql.functions.col
+    Seq(Tuple1("5 &lt; 6 &#65;&#x42; &#38;amp; &amp;#65; &#7; tail"))
+      .toDF("t").createOrReplaceTempView("ents")
+    val viaSql = spark.sql("SELECT entity_decode(t) AS d FROM ents")
+      .as[String].head()
+    assert(viaSql === "5 < 6 AB &amp; &#65; &#7; tail",
+      s"one decode per source reference, non-printables literal: '$viaSql'")
+    val viaCol = Seq(Tuple1("5 &lt; 6 &#65;&#x42; &#38;amp; &amp;#65; &#7; tail"))
+      .toDF("t").select(graft.functions.entity_decode(col("t"))).as[String].head()
+    assert(viaSql === viaCol)
+  }
+
   test("extensions class injects into a fresh session (spark.sql.extensions path)") {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()

@@ -145,10 +145,13 @@ class IvfSpec extends SparkSpec {
     val idx = Ivf.build(emb, "vec_id", "embedding", nLists = 8)
     assert(idx.trainIters >= 1, "the summary's iteration count is recorded")
     assert(idx.trainConverged === (idx.trainIters < 20),
-      "converged ⟺ stopped before the maxIter budget (tolerance met)")
+      "converged ⟺ stopped strictly before the maxIter budget — the " +
+        "documented CONSERVATIVE contract (a tolerance stop exactly on " +
+        "the final budgeted iteration also reads false: Spark's summary " +
+        "has no last-iteration delta, so it cannot be proven converged)")
     // a 1-iteration budget cannot certify a tolerance stop on this corpus
     val tight = Ivf.build(emb, "vec_id", "embedding", nLists = 8, maxIter = 1)
     assert(tight.trainIters === 1 && !tight.trainConverged,
-      "exhausting maxIter mid-descent must read as non-converged")
+      "exhausting maxIter (provable or not) must read as non-converged")
   }
 }

@@ -116,6 +116,50 @@ class StreamingClustersSpec extends SparkSpec {
       "streamed pair folding must reproduce the batch pipeline's clusters")
   }
 
+  test("maxPairsPerBatch: an over-cap batch throws with the routed-path message, state untouched") {
+    val root = tmp()
+    StreamingClusters.processBatch(Seq((1L, 2L)).toDF("a", "b"), "a", "b", root, 0L)
+    val before = resolved(root)
+    // an AvailableNow-shaped backlog: 4 distinct pairs against a cap of 3
+    val backlog = Seq((10L, 20L), (20L, 30L), (40L, 50L), (60L, 70L))
+    val ex = intercept[IllegalStateException] {
+      StreamingClusters.processBatch(backlog.toDF("a", "b"), "a", "b",
+        root, 1L, maxPairsPerBatch = 3L)
+    }
+    assert(ex.getMessage.contains("dupClusters"),
+      s"the error must name the routed batch path: ${ex.getMessage}")
+    assert(resolved(root) === before,
+      "the gate fires BEFORE any append — a rejected batch leaves no trace")
+    // the same batch under a sufficient cap proceeds normally
+    StreamingClusters.processBatch(backlog.toDF("a", "b"), "a", "b",
+      root, 1L, maxPairsPerBatch = 4L)
+    assert(resolved(root) === batchLabels(Seq((1L, 2L)) ++ backlog))
+    // duplicates collapse before the gate: 4 distinct pairs sent twice
+    // still pass a cap of 4 (the bound is on union-find load, not volume)
+    StreamingClusters.processBatch((backlog ++ backlog).toDF("a", "b"),
+      "a", "b", root, 2L, maxPairsPerBatch = 4L)
+  }
+
+  test("telemetry: remapRows tracks merge events since the last compact") {
+    val root = tmp()
+    def stats(pairs: Seq[(Long, Long)], id: Long) =
+      StreamingClusters.processBatchWithStats(
+        pairs.toDF("a", "b"), "a", "b", root, id)
+    val s0 = stats(Seq((30L, 40L)), 0L) // two new ids, no merge
+    assert(s0 === StreamingClusters.BatchStats(1L, 2L, 0L, 0L))
+    val s1 = stats(Seq((20L, 30L)), 1L) // absorbs cluster 30 → merge event
+    assert(s1.merges === 1L && s1.remapRows === 1L)
+    val s2 = stats(Seq((10L, 20L)), 2L) // chains: 20 absorbed too
+    assert(s2.merges === 1L && s2.remapRows === 2L,
+      "remapRows accumulates merge events across batches")
+    StreamingClusters.compact(spark, root)
+    val s3 = stats(Seq((40L, 99L)), 3L) // post-compact: no merge, count reset
+    assert(s3.remapRows === 0L,
+      "compaction resets the remap growth the telemetry watches")
+    // empty batch reports zeros without touching the stores
+    assert(stats(Seq.empty, 4L) === StreamingClusters.BatchStats(0L, 0L, 0L, 0L))
+  }
+
   test("streaming path end-to-end: memory-stream pairs through clusterStream") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = tmp()

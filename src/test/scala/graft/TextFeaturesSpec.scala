@@ -269,7 +269,18 @@ class TextFeaturesSpec extends SparkSpec {
       (4L, "  <div class=\"x\" data-v='1'>\n  kept\n  </div> <!-- not me --> ",
         "kept"),
       // plain text passes through untouched (modulo collapse)
-      (5L, "no markup  here", "no markup here"))
+      (5L, "no markup  here", "no markup here"),
+      // the cross-match trap: a style block whose body contains
+      // </script> must die as ONE style block — nothing leaks (the old
+      // combined alternation terminated at </script> and leaked "leak")
+      (6L, "<style>p{color:red}</script>leak</style><p>kept</p>", "kept"),
+      // numeric character references, all four fates: decimal + hex
+      // decode, C0 control and surrogate stay literal, and BOTH
+      // double-encoded forms single-decode (no regex ordering does this)
+      (7L, "<p>&#65;&#x42; &#8212;&#169; &#7; &#xD800; &#38;amp; &amp;#65;" +
+        " &#1114112; &#x110000; &#; bare&#65 tail</p>",
+        "AB —© &#7; &#xD800; &amp; &#65;" +
+          " &#1114112; &#x110000; &#; bare&#65 tail"))
     val got = cases.map(c => (c._1, c._2)).toDF("id", "t")
       .select(col("id"), graft.ops.TextOps.htmlExtract(col("t")).as("c"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

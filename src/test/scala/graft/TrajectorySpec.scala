@@ -163,6 +163,26 @@ class TrajectorySpec extends SparkSpec {
     assert(off.toMap === got.toMap)
   }
 
+  test("resample maxTicksPerKey: a key whose grid EXACTLY fills the cap survives, aligned or not") {
+    def t(ms: Long) = new java.sql.Timestamp(ms)
+    val base = 1700000000000L // multiple of 10 → start == lo
+    // span 15 ms @ interval 10: grid is {base, base+10} — exactly 2 ticks,
+    // but double division said 15/10 + 1 = 2.5 > 2 and dropped the key
+    val pts = Seq((1L, t(base), 1.0), (1L, t(base + 15), 4.0))
+      .toDF("user_id", "ts", "value")
+    val at2 = graft.ops.Tracks.resample(pts, intervalMs = 10L,
+      maxTicksPerKey = 2L).count()
+    assert(at2 === 2L, s"a 2-tick grid must survive a cap of 2: got $at2 rows")
+    // one tick below the true grid size still excludes
+    assert(graft.ops.Tracks.resample(pts, intervalMs = 10L,
+      maxTicksPerKey = 1L).count() === 0L)
+    // aligned span at the boundary: 10 ms span = 2 ticks, cap 2 keeps it
+    val aligned = Seq((1L, t(base), 1.0), (1L, t(base + 10), 2.0))
+      .toDF("user_id", "ts", "value")
+    assert(graft.ops.Tracks.resample(aligned, intervalMs = 10L,
+      maxTicksPerKey = 2L).count() === 2L)
+  }
+
   test("trajectory plans: one exchange on the track key, no extra shuffles") {
     val pts = Seq((1L, 1L, ts("2024-01-01 00:00:00"), 1.0, 2.0))
       .toDF("uid", "eid", "t", "lat", "lon")
