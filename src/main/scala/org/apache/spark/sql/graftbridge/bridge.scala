@@ -24,6 +24,13 @@ object bridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
 
+  /** Drain the async listener bus so task-metric totals (e.g. spill bytes
+    * accumulated by a SparkListener) are complete before reading them —
+    * `SparkContext.listenerBus` is `private[spark]`.
+    */
+  def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** `SerializableConfiguration` is `private[spark]`; sources broadcast ONE
     * copy of the Hadoop conf instead of shipping it inside every partition.
     */
