@@ -20,8 +20,19 @@ import org.apache.spark.sql.DataFrame
   * Scale: at 100 TB this is not an optimization but a requirement — the gold
   * stage is the contract boundary between the O(raw) ingest cost and the
   * O(gold) analysis cost. Keyed by (logical name, source dir); safe under
-  * concurrent first use (computeIfAbsent); the temp root is deleted on JVM
-  * exit. Cache lifecycle is filesystem-scoped, not Spark-cache-scoped, so
+  * concurrent first use AND under RE-ENTRANT builds — a gold table's
+  * `build` may read other gold tables (pairs reads the hourly rollup), so
+  * the memoization must tolerate nesting. The original `computeIfAbsent`
+  * implementation did not: ConcurrentHashMap forbids recursive updates and
+  * detects them ONLY when the two keys hash to the same bin, so the bug was
+  * invisible for every sfDir string shipped — until a scale-up directory's
+  * key collided with its dependency's and warm_gold died with
+  * `IllegalStateException: Recursive update` (found by the round-13 sf1e
+  * scaling leg). Now: double-checked get + a plain object monitor, which is
+  * reentrant for the nested same-thread build and serializes concurrent
+  * first-builds (they are rare, heavy, and IO-bound — parallelizing them
+  * was never the point). The temp root is deleted on JVM exit. Cache
+  * lifecycle is filesystem-scoped, not Spark-cache-scoped, so
   * `spark.catalog.clearCache()` between queries cannot evict it.
   */
 object GoldCache {
@@ -40,18 +51,29 @@ object GoldCache {
     f.delete(); ()
   }
 
+  private val buildLock = new Object
+
   /** Read-or-build: materialize `build` once per (name, srcDir) per JVM and
     * return a parquet-backed DataFrame over it. `build` is only evaluated on
-    * first use; any later session reads the same files.
+    * first use; any later session reads the same files. `build` may itself
+    * call [[table]] (gold stages compose) — see the reentrancy note above.
     */
   def table(spark: org.apache.spark.sql.SparkSession, name: String, srcDir: String)(
       build: => DataFrame): DataFrame = {
     val key = s"$name@$srcDir"
-    val path = built.computeIfAbsent(key, { _ =>
-      val out = s"$root/$name-${Integer.toHexString(srcDir.hashCode)}"
-      build.write.mode("overwrite").parquet(out)
-      out
-    })
+    val cached = built.get(key)
+    val path =
+      if (cached != null) cached
+      else buildLock.synchronized {
+        val again = built.get(key)
+        if (again != null) again
+        else {
+          val out = s"$root/$name-${Integer.toHexString(srcDir.hashCode)}"
+          build.write.mode("overwrite").parquet(out)
+          built.put(key, out)
+          out
+        }
+      }
     spark.read.parquet(path)
   }
 }

@@ -57,4 +57,24 @@ class CacheScopeSpec extends SparkSpec {
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"releaseAll() left cached RDDs behind: $leaked")
   }
+
+  test("GoldCache.table survives a re-entrant build (gold stages compose)") {
+    // pairs reads the hourly rollup THROUGH the cache, so build-inside-build
+    // is the production shape. Under the original computeIfAbsent
+    // memoization this threw IllegalStateException("Recursive update")
+    // whenever the two keys happened to share a ConcurrentHashMap bin —
+    // srcDir-string-dependent, found by the round-13 sf1e scaling leg.
+    // Exercise MANY key pairs so bin collisions occur regardless of layout.
+    (0 until 24).foreach { i =>
+      val dir = s"/reentrant-probe-$i"
+      val outer = engine.GoldCache.table(spark, s"outer$i", dir) {
+        engine.GoldCache.table(spark, s"inner$i", dir) { docs }
+          .groupBy("doc_id").count()
+      }
+      assert(outer.count() === 3, s"nested build $i must materialize")
+      // both layers cached: re-reads serve parquet without re-building
+      assert(engine.GoldCache.table(spark, s"inner$i", dir) {
+        fail(s"inner$i must be served from cache") }.count() === 3)
+    }
+  }
 }
