@@ -392,4 +392,34 @@ class ExpressionsSpec extends SparkSpec {
       assert(got(i) === want, s"case $i: got ${got(i)}, want $want")
     }
   }
+
+  // ----------------------------------------------------------- EntityDecode
+
+  test("entity_decode: single pass, printable subset, boundary code points (eval + codegen)") {
+    def decode(s: String): String = graft.expressions.EntityDecode
+      .decode(org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+    assert(decode("no refs here") === "no refs here") // '&'-free fast path
+    // astral plane decodes to a surrogate PAIR in the output, one ref in
+    assert(decode("&#x1F600;") === new String(Character.toChars(0x1F600)))
+    // the last scalar value decodes; one past it stays literal (both radices)
+    assert(decode("&#1114111;") === new String(Character.toChars(0x10FFFF)))
+    assert(decode("&#1114112;") === "&#1114112;")
+    assert(decode("&#x10FFFF;") === new String(Character.toChars(0x10FFFF)))
+    assert(decode("&#x110000;") === "&#x110000;")
+    // textual whitespace refs decode (the collapse absorbs them downstream)
+    assert(decode("a&#9;b&#10;c") === "a\tb\nc")
+    // malformed / unterminated / truncated forms all stay literal
+    assert(decode("&lt &#; &#xZ; tail&") === "&lt &#; &#xZ; tail&")
+    assert(decode("&#12345678;") === "&#12345678;") // over-long digit run
+    // the codegen'd column path agrees with the direct kernel, and is null-safe
+    import spark.implicits._
+    val cases = Seq("x &#169; &quot;q&quot;", "A &amp;&amp; B", "&#x48;i")
+    val viaCol = cases.toDF("t")
+      .select(graft.functions.entity_decode(col("t"))).as[String].collect().toSeq
+    assert(viaCol === cases.map(decode))
+    assert(viaCol === Seq("x © \"q\"", "A && B", "Hi"))
+    val nullRow = Seq(None: Option[String]).toDF("t")
+      .select(graft.functions.entity_decode(col("t"))).first()
+    assert(nullRow.isNullAt(0))
+  }
 }
