@@ -1029,6 +1029,21 @@ object SparkEntry {
           min(col("group_size")).as("min_group"))
         .orderBy("event_type")),
 
+    // release-safety, the companion audit: l-diversity over the customer
+    // quasi-ids (nation, segment) with the account-balance band as the
+    // sensitive attribute — a combo can be k-anonymous and still leak if
+    // every member shares one band (DataQuality.lDiversityAudit; dedup
+    // first, expand over the distinct set only)
+    "l_diversity" -> ((s, d) =>
+      DataQuality.lDiversityAudit(
+          Tables.customer(s, d)
+            .withColumn("bal_band",
+              floor(col("c_acctbal") / 2000.0).cast("long")),
+          "c_custkey", Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 3)
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("group_size"), col("l_distinct"), col("risky"))
+        .orderBy("c_nationkey", "c_mktsegment")),
+
     // port-area containment: daily traffic per rectangular geofence —
     // zones are config (constant in SF, the nation-table class), so the
     // containment join broadcasts them and the fact side never shuffles
@@ -3315,6 +3330,21 @@ object SparkEntry {
         |    AS risky_combos,
         |  min(group_size) AS min_group
         |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // mirrors DataQuality.lDiversityAudit: distinct-first, then the two
+    // count-distincts per combo; risky repeats the expression (SQL can't
+    // read its own alias), floor band math identical IEEE doubles
+    "l_diversity" ->
+      """WITH dd AS (
+        |  SELECT DISTINCT c_nationkey, c_mktsegment, c_custkey,
+        |         CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band
+        |  FROM customer)
+        |SELECT c_nationkey, c_mktsegment,
+        |  CAST(count(DISTINCT c_custkey) AS BIGINT) AS group_size,
+        |  CAST(count(DISTINCT bal_band) AS BIGINT) AS l_distinct,
+        |  count(DISTINCT bal_band) < 3 AS risky
+        |FROM dd GROUP BY 1, 2
+        |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
 
     // mirrors Tracks.geofenceHits: same literal zones, half-open bounds
     // mirrors Tracks.resample: same union-of-points-and-ticks window, same

@@ -54,7 +54,7 @@ case class EntityDecode(child: Expression)
 object EntityDecode {
 
   private val Named: Array[(String, Char)] = Array(
-    "&lt;" -> '<', "&gt;" -> '>', "&quot;" -> '"',
+    "&lt;" -> '<', "&gt;" -> '>', "&quot;" -> '"', "&apos;" -> '\'',
     "&nbsp;" -> ' ', "&amp;" -> '&')
 
   /** Textual whitespace or a printable assignable scalar value. */

@@ -41,6 +41,30 @@ object DataQuality {
       .withColumn("risky", col("group_size") < k)
   }
 
+  /** l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's blind
+    * spot: a quasi-identifier combo can hold ≥ k distinct individuals who
+    * ALL share one sensitive value, so group size protects membership while
+    * leaking the attribute itself ("everyone in that ZIP+age bucket has the
+    * same diagnosis"). One row per combo: `group_size` (distinct `idCol`),
+    * `l_distinct` (distinct `sensitiveCol`), `risky` (< l).
+    *
+    * Scale: multi-distinct aggregates make Catalyst EXPAND the input (one
+    * duplicated stream per distinct), so the audit first dedups
+    * (quasi, id, sensitive) — one keyed exchange over the fact table — and
+    * runs the expand over that far smaller distinct set, bounded by the
+    * combo×individual×value universe rather than raw row count.
+    */
+  def lDiversityAudit(df: DataFrame, idCol: String, quasiCols: Seq[String],
+                      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    val dedup = df
+      .select((quasiCols :+ idCol :+ sensitiveCol).map(col): _*).distinct()
+    dedup.groupBy(quasiCols.map(col): _*)
+      .agg(countDistinct(col(idCol)).as("group_size"),
+        countDistinct(col(sensitiveCol)).as("l_distinct"))
+      .withColumn("risky", col("l_distinct") < l)
+  }
+
   /** Robust per-entity outlier flagging: for each key, flag observations
     * whose absolute deviation from the key's MEDIAN exceeds `k` × the
     * key's MAD (median absolute deviation). The monitoring primitive for

@@ -67,6 +67,24 @@ class DataQualitySpec extends SparkSpec {
       s"size counts distinct uids; risky means size < k: $got")
   }
 
+  test("lDiversityAudit: a big-enough group still flags when everyone shares the sensitive value") {
+    // (a, d1): 5 users, ONE balance band → k-anonymous at 5, l-risky at 3
+    // (a, d2): 3 users, 3 bands → safe; (b, d1): 2 users, 2 bands → l-risky
+    // duplicate (user, band) rows must not inflate either count
+    val df = Seq(
+      ("a", "d1", 1L, 9L), ("a", "d1", 2L, 9L), ("a", "d1", 3L, 9L),
+      ("a", "d1", 4L, 9L), ("a", "d1", 5L, 9L), ("a", "d1", 5L, 9L),
+      ("a", "d2", 1L, 1L), ("a", "d2", 2L, 2L), ("a", "d2", 3L, 3L),
+      ("b", "d1", 1L, 1L), ("b", "d1", 2L, 2L))
+      .toDF("qa", "qb", "uid", "band")
+    val got = DataQuality.lDiversityAudit(df, "uid", Seq("qa", "qb"), "band", l = 3)
+      .orderBy("qa", "qb")
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(got === Seq(("a", "d1", 5L, 1L, true), ("a", "d2", 3L, 3L, false),
+      ("b", "d1", 2L, 2L, true)),
+      s"l counts distinct sensitive values per combo, risky means l < 3: $got")
+  }
+
   test("psiDrift: matching slice reads ~0, shifted slice reads broken, no infinities") {
     import org.apache.spark.sql.functions.col
     // healthy slices dominate the corpus (the realistic monitoring ratio),

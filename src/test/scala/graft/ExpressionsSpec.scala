@@ -408,6 +408,8 @@ class ExpressionsSpec extends SparkSpec {
     assert(decode("&#x110000;") === "&#x110000;")
     // textual whitespace refs decode (the collapse absorbs them downstream)
     assert(decode("a&#9;b&#10;c") === "a\tb\nc")
+    // apos: the XML/HTML5 predefined fifth, same pass
+    assert(decode("it&apos;s &amp;apos;") === "it's &apos;")
     // malformed / unterminated / truncated forms all stay literal
     assert(decode("&lt &#; &#xZ; tail&") === "&lt &#; &#xZ; tail&")
     assert(decode("&#12345678;") === "&#12345678;") // over-long digit run

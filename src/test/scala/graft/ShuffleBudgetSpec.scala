@@ -155,6 +155,9 @@ class ShuffleBudgetSpec extends SparkSpec {
     "geofence_hits" -> 3,
     // two-phase count-distinct per combo, per-type summary, final ORDER BY
     "k_anon_audit" -> 4,
+    // (quasi, id, sensitive) dedup exchange, ONE expand-backed aggregate
+    // exchange for both count-distincts over the deduped set, ORDER BY
+    "l_diversity" -> 3,
     // narrow synthesize→parse projections: ORDER BY only
     "image_dims" -> 1,
     "wav_meta" -> 1,
