@@ -1258,16 +1258,12 @@ object SparkEntry {
 
     // ensemble quality ranking: three incommensurable signals (logistic
     // score, char entropy, repetition fraction) blended as the mean of
-    // their corpus percent-ranks — rank space is the only shared scale
+    // their corpus percent-ranks — rank space is the only shared scale.
+    // ONE fused scan (Curation.qualitySignals): the former three-operator
+    // join was 3 corpus scans + 2 doc_id shuffles for a pure row map
     "quality_ensemble" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val signals = Curation.classifierScore(docs, "doc_id", "text",
-          ClfWeights, ClfBias, ClfMinScore)
-        .select(col("doc_id"), col("score"))
-        .join(TextOps.charEntropy(docs, "doc_id", "text")
-          .select(col("doc_id"), col("entropy")), Seq("doc_id"))
-        .join(TextOps.repetitionSignals(docs, "doc_id", "text")
-          .select(col("doc_id"), col("top_tok_frac")), Seq("doc_id"))
+      val signals = Curation.qualitySignals(Tables.documents(s, d),
+        "doc_id", "text", ClfWeights, ClfBias)
       Curation.qualityEnsemble(signals, "doc_id",
           Seq("score" -> true, "entropy" -> true, "top_tok_frac" -> false))
         .select("doc_id", "score", "entropy", "top_tok_frac",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{BitInterleave, BpeApply, BpeMerge, DeflateSize, EntityDecode, GeoCell, ImageDims, MinHashSig, MinHashText, Mp4Meta, RollingKgramHash, ShingleHashes, StableHashBucket, VecDot, WavMeta, WinnowMin}
+import graft.expressions.{BitInterleave, BpeApply, BpeMerge, DeflateSize, EntityDecode, EntropyTerms, GeoCell, ImageDims, MinHashSig, MinHashText, Mp4Meta, RollingKgramHash, ShingleHashes, StableHashBucket, VecDot, WavMeta, WinnowMin}
 
 /** SQL surface for the engine's native Catalyst expressions: registers
   * `geo_cell`, `stable_bucket`, `vec_dot`, and `rolling_kgrams` as SQL
@@ -123,6 +123,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "mp4_meta(bin) takes 1 argument")
         Mp4Meta(args(0))
+      }),
+    (FunctionIdentifier("entropy_terms"),
+      info("entropy_terms", "entropy_terms(str) - struct(n_chars, t_sum): code-point count + micro-unit entropy sum"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "entropy_terms(str) takes 1 argument")
+        EntropyTerms(args(0))
       }),
     (FunctionIdentifier("entity_decode"),
       info("entity_decode", "entity_decode(str) - HTML named + printable numeric character references, one single-decode pass"),

@@ -304,26 +304,55 @@ object Curation {
     * `keep` thresholds the sigmoid at `minScore` — the binary decision a
     * pacing/filtering stage consumes.
     */
-  def classifierScore(df: DataFrame, idCol: String, textCol: String,
-                      weights: Seq[Double], bias: Double,
-                      minScore: Double): DataFrame = {
+  /** The rounded logistic score as a column kernel — shared by
+    * [[classifierScore]] and the fused ensemble scan ([[qualitySignals]]):
+    * one expression shape, so both call sites produce identical doubles.
+    */
+  private[graft] def scoreExpr(text: Column, toks: Column,
+                               weights: Seq[Double], bias: Double): Column = {
     require(weights.length == 4, "model has 4 features: ln_toks, punct, stop, mean_len")
-    val toks = col("__toks")
-    val pre = df.select(col(idCol), col(textCol), TextOps.tokens(col(textCol)).as("__toks"))
     val nToks = size(toks).cast("double")
     val features = Seq(
       log(nToks + 1.0),
-      size(regexp_extract_all(col(textCol), lit("[^\\w\\s]"), lit(0))).cast("double")
-        / length(col(textCol)),
+      size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0))).cast("double")
+        / length(text),
       size(filter(toks, x =>
         TextOps.LangMarkers.head._2.map(m => x === lit(m)).reduce(_ || _)))
         .cast("double") / nToks,
-      (length(col(textCol)) - nToks + 1.0) / nToks) // mean token length
+      (length(text) - nToks + 1.0) / nToks) // mean token length
     val z = features.zip(weights).map { case (f, w) => f * w }
       .reduce(_ + _) + bias
-    val score = lit(1.0) / (lit(1.0) + exp(-z))
-    pre.select(col(idCol), round(score, 6).as("score"),
-      (round(score, 6) >= minScore).as("keep"))
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
+  def classifierScore(df: DataFrame, idCol: String, textCol: String,
+                      weights: Seq[Double], bias: Double,
+                      minScore: Double): DataFrame = {
+    val pre = df.select(col(idCol), col(textCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val score = scoreExpr(col(textCol), col("__toks"), weights, bias)
+    pre.select(col(idCol), score.as("score"), (score >= minScore).as("keep"))
+  }
+
+  /** One-scan fused signal frame for the quality ensemble: (doc_id, score,
+    * entropy, top_tok_frac) computed in a SINGLE projection from the same
+    * expression kernels [[classifierScore]] / [[graft.ops.TextOps.charEntropy]] /
+    * [[graft.ops.TextOps.repetitionSignals]] use — the three-operator
+    * composition joined this frame together on doc_id, which at corpus
+    * scale is three full scans and two corpus-wide shuffles for what is a
+    * pure row map. Inner-join semantics preserved: documents with no
+    * countable characters drop, exactly as charEntropy drops them.
+    */
+  def qualitySignals(df: DataFrame, idCol: String, textCol: String,
+                     weights: Seq[Double], bias: Double): DataFrame = {
+    val (nChars, tSum) = TextOps.entropyTerms(col(textCol))
+    df.select(col(idCol), col(textCol),
+        TextOps.tokens(col(textCol)).as("__toks"),
+        nChars.as("__nc"), tSum.as("__ts"))
+      .filter(col("__nc") > 0)
+      .select(col(idCol),
+        scoreExpr(col(textCol), col("__toks"), weights, bias).as("score"),
+        TextOps.entropyFrom(col("__nc"), col("__ts")).as("entropy"),
+        TextOps.topTokFrac(col("__toks")).as("top_tok_frac"))
   }
 
   /** Per-domain quality-percentile pruning (the fastText-score pruning

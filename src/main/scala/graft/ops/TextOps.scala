@@ -164,34 +164,46 @@ object TextOps {
         6).as("quality_score"))
   }
 
+  /** (n_chars, t_sum) column kernels for [[charEntropy]] — exposed so the
+    * fused ensemble scan ([[graft.ops.Curation.qualitySignals]]) computes
+    * the IDENTICAL expressions (same shapes ⇒ same doubles ⇒ the DuckDB
+    * twins stay bit-exact) without a join back to this operator's frame.
+    */
+  private[graft] def entropyTerms(text: Column): (Column, Column) = {
+    val t = graft.expressions.col(
+      graft.expressions.EntropyTerms(graft.expressions.expr(text)))
+    (t.getField("n_chars"), t.getField("t_sum"))
+  }
+
+  /** The rounded entropy from [[entropyTerms]]'s (n_chars, t_sum). */
+  private[graft] def entropyFrom(nChars: Column, tSum: Column): Column =
+    round(log(nChars.cast("double"))
+      - tSum.cast("double") / 1000000.0 / nChars, 6)
+
   /** Per-document Shannon character entropy (nats) — the gibberish/encoding
     * screen: natural text sits ~2.5–3.5 nats, base64/hex blobs and
     * single-character runs fall far outside. `H = ln n − (Σ c·ln c)/n` over
     * per-character counts `c`.
     *
-    * Scale/determinism: the char explode is a narrow per-doc fanout and the
-    * count is one keyed shuffle (map-side combined; key space is bounded by
-    * the alphabet × docs). The entropy sum is the integer micro-unit trick
-    * ([[bigramLmScore]]'s convention): each `c·ln c` term quantizes to a
-    * LONG before the per-doc SUM, so the aggregate is order-independent
-    * exact integer addition — never a float sum over unordered rows — and
-    * libm's final-ulp latitude is absorbed by the quantization.
+    * Scale/determinism: computed PER ROW by the native one-pass kernel
+    * [[graft.expressions.EntropyTerms]] — O(length) per document, zero
+    * shuffle, codegen'd. (History, both measured at sf0.1: the original
+    * explode-per-char + two hash aggregates ran 0.22 s — shuffle volume
+    * was fine via map-side combine, but the 300× row materialization is
+    * pure overhead; a higher-order-function rewrite removed the shuffles
+    * and ran 3.7 s, 16× worse, because HOFs evaluate interpreted at
+    * O(alphabet·length) with UTF8String equality per probe. The native
+    * kernel beats both.) The micro-unit LONG quantization is inside the
+    * kernel, bit-matching the SQL round (BigDecimal HALF_UP); empty/null
+    * text produces no row, exactly like the explode shape.
     */
   def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val perChar = df
-      .select(col(idCol).as("doc_id"), explode(split(col(textCol), "")).as("ch"))
-      .filter(col("ch") =!= "")
-      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-    val cd = col("c").cast("double")
-    perChar
-      .select(col("doc_id"), col("c"),
-        round(cd * log(cd) * lit(1000000.0)).cast("long").as("t_u"))
-      .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_chars"), sum(col("t_u")).as("t_sum"))
+    val (nChars, tSum) = entropyTerms(col(textCol))
+    df.select(col(idCol).as("doc_id"),
+        nChars.as("n_chars"), tSum.as("t_sum"))
+      .filter(col("n_chars") > 0)
       .select(col("doc_id"), col("n_chars"),
-        round(log(col("n_chars").cast("double"))
-          - col("t_sum").cast("double") / 1000000.0 / col("n_chars"), 6)
-          .as("entropy"))
+        entropyFrom(col("n_chars"), col("t_sum")).as("entropy"))
   }
 
   /** Compression-ratio quality signal (the CCNet/Gopher screen
@@ -208,6 +220,16 @@ object TextOps {
       graft.functions.deflate_size(col(textCol)).as("deflate_bytes"))
       .withColumn("compression_ratio",
         round(col("deflate_bytes") / col("n_bytes"), 6))
+
+  /** Top-token fraction kernel — the [[repetitionSignals]] `top_tok_frac`
+    * expression as a reusable column (same shape in the fused ensemble
+    * scan; the quality_ensemble oracle recomputes it independently, so any
+    * divergence between the two call sites fails the hash gate).
+    */
+  private[graft] def topTokFrac(toks: Column): Column =
+    round(array_max(transform(array_distinct(toks),
+        t => size(filter(toks, x => x === t))))
+      .cast("double") / size(toks), 6)
 
   /** Repetition signals (the Gopher/C4 repetitive-content filters): fraction
     * of tokens taken by the single most frequent token, and the fraction of

@@ -393,6 +393,31 @@ class ExpressionsSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------------------------- EntropyTerms
+
+  test("entropy_terms kernel ≡ the explode-aggregate definition, code-point iteration") {
+    def terms(s: String): (Long, Long) = {
+      val r = graft.expressions.EntropyTerms
+        .terms(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      (r.getLong(0), r.getLong(1))
+    }
+    // "aab": counts {a:2, b:1} → t_sum = round(2·ln2·1e6) = 1386294
+    assert(terms("aab") === ((3L, 1386294L)))
+    assert(terms("") === ((0L, 0L)))
+    // a surrogate pair is ONE code point (split("") has not cut pairs since Java 8)
+    assert(terms(new String(Character.toChars(0x1F600)) * 2 + "x")
+      === ((3L, 1386294L)))
+    // non-ASCII BMP rides the spill map, same arithmetic
+    assert(terms("ééx") === ((3L, 1386294L)))
+    // SQL surface + null safety through the column path
+    import spark.implicits._
+    engine.GraftExtensions.register(spark)
+    val row = Seq(Some("aab"), None).toDF("t")
+      .selectExpr("entropy_terms(t) AS e").select("e.n_chars", "e.t_sum").collect()
+    assert(row(0).getLong(0) === 3L && row(0).getLong(1) === 1386294L)
+    assert(row(1).isNullAt(0))
+  }
+
   // ----------------------------------------------------------- EntityDecode
 
   test("entity_decode: single pass, printable subset, boundary code points (eval + codegen)") {

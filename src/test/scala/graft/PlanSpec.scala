@@ -364,7 +364,7 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("char_entropy: scan pruned to (doc_id, text); one keyed count shuffle") {
+  test("char_entropy: scan pruned to (doc_id, text); per-row kernel, no join") {
     val plan = planOf(SparkEntry.queries("char_entropy")(spark, Sf))
     val readSchemas = "ReadSchema: [^\n]*".r.findAllIn(plan).toList
     assert(readSchemas.nonEmpty)

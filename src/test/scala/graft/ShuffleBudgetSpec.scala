@@ -39,7 +39,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     "bpe_pairs" -> 3,
     "brand_volume" -> 2,
     "cdc_apply" -> 3,
-    "char_entropy" -> 3,
+    "char_entropy" -> 1,
     "chunk_dedup" -> 3,
     "content_chunks" -> 3,
     "cluster_keep" -> 2,
@@ -200,7 +200,7 @@ class ShuffleBudgetSpec extends SparkSpec {
     // the SQL plan (no RDD hop since r10) and the bookkeeping exchanges
     // move <= numPartitions rows each; real data crosses the wire 3x
     // (once per signal order), same as before
-    "quality_ensemble" -> 12,
+    "quality_ensemble" -> 8,
     "quality_filter" -> 1,
     "quality_prune" -> 2,
     "range_join_bin" -> 2,
