@@ -20,9 +20,12 @@ import org.apache.spark.sql.functions._
   * duplicate/block density constant while row volume grows — the exact
   * contract a scale factor means.
   *
-  * Determinism: fixed seeds on every `rand`, `xxhash64` for word choice —
-  * same output bytes every run (the round's instrument must be
-  * reproducible), no wall-clock anywhere.
+  * Determinism: fixed seeds on every `rand`, `xxhash64` for word choice,
+  * and every `spark.range` PINS its partition count — `rand` seeds are
+  * per-partition, so an unpinned range (which follows defaultParallelism,
+  * i.e. the machine's core count) would draw different values per row on a
+  * different box. Same args ⇒ same output bytes on any machine; no
+  * wall-clock anywhere.
   *
   * Profile being matched (sf0.1, seed-42 driver data):
   *   - events: 100k rows, 1.5k users (both ∝ sf), ts uniform over
@@ -56,6 +59,9 @@ object ScaleGen {
     val (srcDir, outDir, factor, spanFactor) = args match {
       case Array(s, o, f) => (s, o, f.toLong, 1L)
       case Array(s, o, f, sp) => (s, o, f.toLong, sp.toLong)
+      case _ =>
+        System.err.println("usage: ScaleGen <srcSfDir> <outDir> <factor> [spanFactor]")
+        sys.exit(2)
     }
     require(factor >= 1 && spanFactor >= 1, "factors must be >= 1")
     val spark = SparkSession.builder()
@@ -80,7 +86,7 @@ object ScaleGen {
     val srcEv = engine.Tables.events(spark, srcDir)
     val nEvents = srcEv.count() * factor
     val nUsers = srcEv.select("user_id").distinct().count() * factor
-    spark.range(nEvents).repartition(32).select(
+    spark.range(0L, nEvents, 1L, 32).select(
         col("id").as("event_id"),
         timestamp_micros(lit(Day0Micros) +
           (rand(101) * lit((SpanMicros * spanFactor).toDouble)).cast("long"))
@@ -105,7 +111,7 @@ object ScaleGen {
     val langPick = when(rand(202) < 0.41, lit("en"))
       .otherwise(element_at(typedLit(Langs.drop(1)),
         (rand(203) * 4).cast("int") + 1))
-    spark.range(nDocs).repartition(32).select(
+    spark.range(0L, nDocs, 1L, 32).select(
         col("id").as("doc_id"),
         array_join(transform(sequence(lit(1), nWords), i =>
           element_at(typedLit(vocab),
@@ -113,14 +119,14 @@ object ScaleGen {
           " ").as("text"),
         langPick.as("lang"),
         concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
-      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     // customer: sequential names — the fuzzy blocking key structure
     // (prefix-of-name blocks of exactly 100) is a property of the FORMAT,
     // so extending the sequence preserves block density exactly
     val nCust = engine.Tables.customer(spark, srcDir).count() * factor
-    spark.range(nCust).repartition(8).select(
+    spark.range(0L, nCust, 1L, 8).select(
         col("id").as("c_custkey"),
         format_string("Customer#%09d", col("id")).as("c_name"),
         (rand(301) * 25).cast("int").as("c_nationkey"),

@@ -1769,6 +1769,7 @@ object SparkEntry {
         lit("; x = x + 1;</script></head><body><p>"), col("text"),
         lit("</p><p>A &amp; B &lt;ok&gt; &amp;lt;keep&amp;gt;</p>" +
           "<style>p{x:1}</script>leak</style>" +
+          "<style>q{c:\"<script>\"}</style><p>kept2</p>" +
           "<p>&#65;&#x42; &#8212;&#169; &#7; &#xD800; &#38;amp; &amp;#65;</p>" +
           "<!-- hidden --></body></html>"))
       TextOps.htmlExtractDocs(
@@ -4387,9 +4388,9 @@ object SparkEntry {
       """SELECT doc_id,
         |  trim(regexp_replace(
         |    'T' || CAST(doc_id AS VARCHAR) || ' ' || text ||
-        |    ' A & B <ok> &lt;keep&gt; AB —© &#7; &#xD800; &amp; &#65;',
+        |    ' A & B <ok> &lt;keep&gt; kept2 AB —© &#7; &#xD800; &amp; &#65;',
         |    '[ \t\n\r\f]+', ' ', 'g')) AS text_clean,
-        |  CAST(20 AS BIGINT) AS n_tags,
+        |  CAST(25 AS BIGINT) AS n_tags,
         |  TRUE AS had_html
         |FROM documents ORDER BY doc_id""".stripMargin,
 

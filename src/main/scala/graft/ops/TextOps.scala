@@ -52,11 +52,19 @@ object TextOps {
     * ([[normalizeText]]'s discipline): `(?s)` dot-all with non-greedy
     * bodies, explicit whitespace class for the collapse.
     *
-    * The script and style rules are SEPARATE passes on purpose: a combined
-    * alternation `<(script|style)…</(script|style)>` lets a block open as
-    * one tag and close as the other, so `<style>x</script>y</style>`
-    * terminated at `</script>` and leaked `y` into the text. Per-tag
-    * passes can't cross-match — and need no backreference, staying RE2.
+    * The block rule is ONE alternation of two COMPLETE per-tag patterns
+    * (`<script…</script> | <style…</style>`), which is the only regex
+    * shape that survives both cross-match directions without a
+    * backreference (staying RE2): the grouped-alternation form
+    * `<(script|style)…</(script|style)>` lets a block open as one tag and
+    * close as the other (`<style>x</script>y</style>` terminated at
+    * `</script>` and leaked `y`), while two SEQUENTIAL per-tag passes let
+    * a literal `<script` inside a style body hijack the script pass and
+    * delete prose past the block (`<style>.a{content:"<script>"}</style>
+    * <p>Hi</p><script>x</script>` lost `Hi`). With complete alternatives,
+    * the regex engine's leftmost-match rule means whichever block OPENS
+    * first is consumed to its OWN closing tag — embedded opener tokens are
+    * just body text.
     *
     * Entity decode is ONE left-to-right pass, which is what makes the
     * single-decode reading hold everywhere at once: `&amp;lt;` yields the
@@ -68,9 +76,9 @@ object TextOps {
     * extraction is scan-speed.
     */
   def htmlExtract(c: Column): Column = {
-    val noScript = regexp_replace(c, "(?s)<script[^>]*>.*?</script>", " ")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
-    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noBlocks = regexp_replace(c,
+      "(?s)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noBlocks, "(?s)<!--.*?-->", " ")
     val noTags = regexp_replace(noComment, "<[^>]+>", " ")
     val ent = graft.functions.entity_decode(noTags)
     trim(regexp_replace(ent, "[ \\t\\n\\r\\f]+", " "))

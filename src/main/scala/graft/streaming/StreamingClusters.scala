@@ -129,23 +129,38 @@ object StreamingClusters {
   def processBatchWithStats(batch: DataFrame, aCol: String, bCol: String,
                             root: String, batchId: Long,
                             maxPairsPerBatch: Long = DefaultMaxPairsPerBatch): BatchStats = {
-    require(maxPairsPerBatch > 0, "maxPairsPerBatch must be positive")
+    // upper bound: past Int.MaxValue - 1 the LIMIT clamp would silently
+    // disarm the gate (and a >2^31-pair union-find has no business on a
+    // driver anyway) — "raise the cap knowingly" stops where the driver does
+    require(maxPairsPerBatch > 0 && maxPairsPerBatch < Int.MaxValue,
+      s"maxPairsPerBatch must be in [1, ${Int.MaxValue - 1}]")
     if (batch.isEmpty) return BatchStats(0L, 0L, 0L, 0L)
     val spark = batch.sparkSession
     val p = batch.select(col(aCol).cast("long").as("a"),
         col(bCol).cast("long").as("b"))
       .filter(col("a").isNotNull && col("b").isNotNull)
       .distinct()
-    // the hard gate BEFORE the collect — counting past the cap is pointless
-    // (and the LIMIT lets the scan early-stop), so count at most cap+1
-    val nPairs = p.limit(
-      math.min(maxPairsPerBatch + 1L, Int.MaxValue.toLong).toInt).count()
-    if (nPairs > maxPairsPerBatch) throw new IllegalStateException(
-      s"StreamingClusters batch $batchId carries >$maxPairsPerBatch distinct " +
-        "pairs — past maxPairsPerBatch, so the driver union-find is no longer " +
-        "batch-bounded (a Trigger.AvailableNow backfill arrives as ONE batch). " +
-        "Route the backlog through graft.ops.Dedup.dupClusters and seed the " +
-        "label store from its output, or raise the cap knowingly.")
+      // persisted: the gate's count job and the probe join both consume the
+      // distinct — unpersisted, every micro-batch would pay the batch scan
+      // and the distinct exchange TWICE
+      .persist()
+    try {
+      // the hard gate BEFORE the collect — count at most cap+1 (the LIMIT
+      // caps the count job's result collection, the real bound is the cap)
+      val nPairs = p.limit(maxPairsPerBatch.toInt + 1).count()
+      if (nPairs > maxPairsPerBatch) throw new IllegalStateException(
+        s"StreamingClusters batch $batchId carries >$maxPairsPerBatch distinct " +
+          "pairs — past maxPairsPerBatch, so the driver union-find is no longer " +
+          "batch-bounded (a Trigger.AvailableNow backfill arrives as ONE batch). " +
+          "Route the backlog through graft.ops.Dedup.dupClusters and seed the " +
+          "label store from its output, or raise the cap knowingly.")
+      processGated(p, root, batchId, nPairs)
+    } finally { p.unpersist(); () }
+  }
+
+  private def processGated(p: DataFrame, root: String, batchId: Long,
+                           nPairs: Long): BatchStats = {
+    val spark = p.sparkSession
     val labels = StandingStore.read(spark, labelsDir(root), LabelSchema)
       .select(col("id"), col("cluster")).distinct()
     // one keyed probe for BOTH endpoints' current labels; null = first-seen

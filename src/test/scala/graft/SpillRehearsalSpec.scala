@@ -1,6 +1,5 @@
 package graft
 
-import scala.collection.mutable.ListBuffer
 import scala.sys.process.{Process, ProcessLogger}
 
 /** [[SpillRehearsal]] — the memory-pressure gate: the suite's two biggest
@@ -45,11 +44,15 @@ class SpillRehearsalSpec extends SparkSpec {
       "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
       "graft.SpillRehearsal", sfDir)
-    val out = ListBuffer.empty[String]
-    val exit = Process(cmd).!(ProcessLogger(out += _, out += _))
-    val log = out.mkString("\n")
+    // ProcessLogger pumps stdout and stderr on two threads — the sink must
+    // be thread-safe or a lost append can drop a SPILLJSON line flakily
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val exit = Process(cmd).!(ProcessLogger(out.add(_), out.add(_)))
+    import scala.jdk.CollectionConverters._
+    val lines = out.asScala.toSeq
+    val log = lines.mkString("\n")
     assert(exit === 0,
-      s"rehearsal JVM must exit clean (spill, not OOM); tail:\n${out.takeRight(40).mkString("\n")}")
+      s"rehearsal JVM must exit clean (spill, not OOM); tail:\n${lines.takeRight(40).mkString("\n")}")
 
     val line = "\"query\":\"([a-z_]+)\",\"rows\":(\\d+),\"digest\":\"([0-9a-f]+)\"".r
     val got = line.findAllMatchIn(log)

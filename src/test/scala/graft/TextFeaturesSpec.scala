@@ -270,10 +270,16 @@ class TextFeaturesSpec extends SparkSpec {
         "kept"),
       // plain text passes through untouched (modulo collapse)
       (5L, "no markup  here", "no markup here"),
-      // the cross-match trap: a style block whose body contains
+      // cross-match trap #1: a style block whose body contains
       // </script> must die as ONE style block — nothing leaks (the old
       // combined alternation terminated at </script> and leaked "leak")
       (6L, "<style>p{color:red}</script>leak</style><p>kept</p>", "kept"),
+      // cross-match trap #2 (the round-13 review find): a literal
+      // <script> token INSIDE a style body must not hijack the block —
+      // two sequential per-tag passes consumed from it to the real
+      // </script>, deleting the prose in between
+      (8L, "<style>.a{content:\"<script>\"}</style><p>Hello</p>" +
+        "<script>var x;</script><p>more</p>", "Hello more"),
       // numeric character references, all four fates: decimal + hex
       // decode, C0 control and surrogate stay literal, and BOTH
       // double-encoded forms single-decode (no regex ordering does this)

@@ -32,11 +32,14 @@ import sys
 RATIO_FLAG = 12.0   # 10x data, 20% headroom
 MIN_BIG_SEC = 0.30  # ignore ratios on queries still in fixed-overhead land
 
-# Flagged-but-adjudicated queries: the flag stays in the artifact (visible,
-# re-examined every round) but does not fail the gate. Every entry MUST
-# cite the SCALING.md section holding the measured rationale.
+# Flagged-but-adjudicated (LEG, query) pairs: the flag stays in the
+# artifact (visible, re-examined every round) but does not fail the gate.
+# Scoped per leg on purpose: shadow_pairs' rationale predicts FLAT scaling
+# on the density-preserving sf0.01->sf0.1 leg, so a flag THERE would be a
+# genuine regression the waiver must not silence. Every entry MUST cite
+# the SCALING.md section holding the measured rationale.
 WAIVERS = {
-    "shadow_pairs":
+    ("sf1e", "shadow_pairs"):
         "inherent wedge volume: the density-stress sf1e input grows true "
         "wedge count ~96x (960M vs ~10M; avg degree 338, max 902, nothing "
         "clipped at cap 1000) and measured runtime is LINEAR in wedges "
@@ -46,7 +49,7 @@ WAIVERS = {
 }
 
 
-def leg(lo, hi, lo_key, hi_key):
+def leg(lo, hi, lo_key, hi_key, leg_name):
     rows = []
     for name, h in hi["queries"].items():
         l = lo["queries"].get(name)
@@ -57,8 +60,8 @@ def leg(lo, hi, lo_key, hi_key):
         row = {"query": name, lo_key: round(lmin, 3),
                hi_key: round(hmin, 3), "ratio": round(ratio, 2),
                "flag": ratio >= RATIO_FLAG and hmin >= MIN_BIG_SEC}
-        if row["flag"] and name in WAIVERS:
-            row["waived"] = WAIVERS[name]
+        if row["flag"] and (leg_name, name) in WAIVERS:
+            row["waived"] = WAIVERS[(leg_name, name)]
         rows.append(row)
     rows.sort(key=lambda r: -r["ratio"])
     return rows
@@ -74,7 +77,7 @@ def run_meta(d):
 def main(small_path, big_path, huge_path=None):
     small = json.load(open(small_path))
     big = json.load(open(big_path))
-    rows = leg(small, big, "sf001_sec", "sf01_sec")
+    rows = leg(small, big, "sf001_sec", "sf01_sec", "small_big")
     out = {
         "data_ratio": 10.0,
         "flag_threshold": RATIO_FLAG,
@@ -90,7 +93,7 @@ def main(small_path, big_path, huge_path=None):
     flagged = gate_count(rows)
     if huge_path:
         huge = json.load(open(huge_path))
-        hrows = leg(big, huge, "sf01_sec", "sf1e_sec")
+        hrows = leg(big, huge, "sf01_sec", "sf1e_sec", "sf1e")
         out["huge"] = run_meta(huge)
         out["huge_leg"] = {
             "note": "sf1-equivalent (graft.ScaleGen x10 of sf0.1, "
