@@ -28,10 +28,15 @@ import org.apache.spark.sql.DataFrame
   * invisible for every sfDir string shipped — until a scale-up directory's
   * key collided with its dependency's and warm_gold died with
   * `IllegalStateException: Recursive update` (found by the round-13 sf1e
-  * scaling leg). Now: double-checked get + a plain object monitor, which is
-  * reentrant for the nested same-thread build and serializes concurrent
-  * first-builds (they are rare, heavy, and IO-bound — parallelizing them
-  * was never the point). The temp root is deleted on JVM exit. Cache
+  * scaling leg). Now: double-checked get + a PER-KEY object monitor (striped
+  * via a ConcurrentHashMap of plain monitors — that map's computeIfAbsent
+  * only allocates an Object, so it completes before `build` runs and can
+  * never recurse). Per-key striping means a slow first-build of one
+  * (name, srcDir) no longer serializes unrelated tables' first
+  * materializations — e.g. the Bench warm-up across scale dirs. Nested
+  * same-thread builds (pairs reads the hourly rollup) take the dependency's
+  * DIFFERENT monitor; the stage graph is a DAG, so cross-thread lock cycles
+  * are impossible. The temp root is deleted on JVM exit. Cache
   * lifecycle is filesystem-scoped, not Spark-cache-scoped, so
   * `spark.catalog.clearCache()` between queries cannot evict it.
   */
@@ -51,7 +56,7 @@ object GoldCache {
     f.delete(); ()
   }
 
-  private val buildLock = new Object
+  private val monitors = new ConcurrentHashMap[String, Object]()
 
   /** Read-or-build: materialize `build` once per (name, srcDir) per JVM and
     * return a parquet-backed DataFrame over it. `build` is only evaluated on
@@ -64,7 +69,7 @@ object GoldCache {
     val cached = built.get(key)
     val path =
       if (cached != null) cached
-      else buildLock.synchronized {
+      else monitors.computeIfAbsent(key, _ => new Object).synchronized {
         val again = built.get(key)
         if (again != null) again
         else {
