@@ -46,10 +46,29 @@ import org.apache.spark.sql.SparkSession
   */
 object SpillRehearsal {
 
-  /** The two heaviest shuffle queries in the suite (BENCH_full top movers:
-    * shingle explode → hot-key filter → self-join on shingle → pair agg).
+  /** The rehearsal matrix: one representative of every shape that behaves
+    * DIFFERENTLY under memory pressure, not just the biggest two shuffles.
+    *   - dedup_ngram / containment_pairs: shingle explode → hot-key filter →
+    *     sort-merge self-join → pair agg (the suite's biggest shuffles;
+    *     ExternalSorter + aggregation hash map spill paths).
+    *   - pair_components: the iterative two-tier connected-components loop —
+    *     per-round persists + lineage truncation under eviction pressure, a
+    *     shape where a cached plan silently recomputed mid-iteration would
+    *     change convergence accounting.
+    *   - quality_ensemble: the window-heavy quality battery — WindowExec's
+    *     row buffer spills through a different code path
+    *     (windowExec.buffer.spill.threshold) than sort-merge joins.
+    *   - l_diversity: the multi-distinct Expand — one input row fans out per
+    *     distinct-aggregate, so the aggregation state under the Expand is
+    *     the largest in the suite relative to input size.
+    *   - pairs_daily: runs LAST deliberately — in this fresh JVM the
+    *     GoldCache is cold, so the query drives the full co-movement gold
+    *     build (hourly rollup → hex self-join → pair-day distinct agg →
+    *     parquet write) under the starved manager, then reads it back.
     */
-  val Queries: Seq[String] = Seq("dedup_ngram", "containment_pairs")
+  val Queries: Seq[String] = Seq(
+    "dedup_ngram", "containment_pairs", "pair_components",
+    "quality_ensemble", "l_diversity", "pairs_daily")
 
   /** Order-independent row digest: SHA-256 over the sorted canonical row
     * strings. Rows are deterministic by the oracle discipline (rounded
@@ -76,6 +95,18 @@ object SpillRehearsal {
       .config("spark.testing.memory", (64L * 1024 * 1024).toString)
       .config("spark.testing.reservedMemory", (8L * 1024 * 1024).toString)
       .config("spark.memory.fraction", "0.2")
+      // The iterative-loop queries persist MEMORY_AND_DISK frames; the
+      // unified manager PROTECTS storageFraction of the pool from
+      // execution eviction, and at ~11 MB the default 0.5 leaves 4 tasks
+      // x multiple memory consumers less than one 64 KB page each —
+      // UNABLE_TO_ACQUIRE_MEMORY instead of a spill (observed when
+      // pair_components joined the matrix). 0.05 keeps persists honest
+      // (blocks degrade to disk, the 100-TB behavior) while execution
+      // keeps enough pages to always be ABLE to spill. Page size pinned
+      // 64 KB for the same reason: the auto heuristic scales pages with
+      // pool size, and consumer minimums are one page each.
+      .config("spark.memory.storageFraction", "0.05")
+      .config("spark.buffer.pageSize", "64k")
       .config("spark.shuffle.spill.numElementsForceSpillThreshold", "2000")
       .config("spark.sql.windowExec.buffer.spill.threshold", "2000")
       .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "2000")

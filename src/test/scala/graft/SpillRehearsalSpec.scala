@@ -2,9 +2,12 @@ package graft
 
 import scala.sys.process.{Process, ProcessLogger}
 
-/** [[SpillRehearsal]] — the memory-pressure gate: the suite's two biggest
-  * shuffle queries must complete under a starved memory manager by
-  * spilling (never OOM), with results IDENTICAL to the unconstrained run.
+/** [[SpillRehearsal]] — the memory-pressure gate: one representative of
+  * every memory-sensitive shape (big sort-merge shuffles, the iterative
+  * graph loop, a window-heavy battery, the multi-distinct Expand, and the
+  * cold co-movement gold build) must complete under a starved memory
+  * manager by spilling (never OOM), with results IDENTICAL to the
+  * unconstrained run.
   * The constrained context needs its own JVM (memory manager and
   * force-spill thresholds are fixed at SparkContext creation, and the
   * shared suite session can't be stopped under parallel suites), so this
@@ -24,7 +27,7 @@ class SpillRehearsalSpec extends SparkSpec {
     "java.base/sun.security.action", "java.base/sun.util.calendar",
   ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
 
-  test("starved memory manager: dedup_ngram + containment_pairs spill to completion, rows identical") {
+  test("starved memory manager: shuffle/graph-loop/window/expand/gold-build matrix spills to completion, rows identical") {
     val sfDir = "/root/testdata/sf0.01"
     val expected = SpillRehearsal.Queries.map { q =>
       val rows = SparkEntry.queries(q)(spark, sfDir).collect()
