@@ -73,6 +73,25 @@ object ScaleGen {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val (nEvents, nDocs, nCust) = generate(spark, srcDir, outDir, factor, spanFactor)
+    // scalastyle:off println — stdout is the tool's receipt
+    println(s"""SCALEGEN {"out":"$outDir","factor":$factor,"span_factor":$spanFactor,"events":$nEvents,"documents":$nDocs,"customers":$nCust}""")
+    spark.stop()
+  }
+
+  /** The generation recipe, callable on ANY session (the digest spec runs it
+    * on the shared test session — [[main]] above owns session lifecycle).
+    * Determinism contract: nothing here depends on the session's core count
+    * or `spark.sql.shuffle.partitions` — every `spark.range` pins its
+    * partition count (rand seeds are per-partition), the vocabulary is
+    * collected SORTED, and the copy-through rewrites source bytes unchanged.
+    * Same (srcDir, factor, spanFactor) ⇒ same rows on any machine —
+    * asserted by ScaleGenDigestSpec against recorded row digests, which is
+    * what makes the scaling legs reproducible evidence rather than same-box
+    * artifacts.
+    */
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+               factor: Long, spanFactor: Long): (Long, Long, Long) = {
 
     // copy-through: same bytes, so the calibration probe (q1_agg over
     // lineitem) and gold warm-up see a known workload
@@ -135,8 +154,6 @@ object ScaleGen {
           .as("c_mktsegment"))
       .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
 
-    // scalastyle:off println — stdout is the tool's receipt
-    println(s"""SCALEGEN {"out":"$outDir","factor":$factor,"span_factor":$spanFactor,"events":$nEvents,"documents":$nDocs,"customers":$nCust}""")
-    spark.stop()
+    (nEvents, nDocs, nCust)
   }
 }

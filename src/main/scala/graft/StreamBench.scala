@@ -1,0 +1,236 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.streaming.{StandingStore, StreamingClusters, StreamingCoMovement, StreamingNearDup, StreamingScrub}
+
+/** Streaming performance instrument (a `main`, like [[Bench]]): measures
+  * per-micro-batch wall time for every STANDING-STORE-backed streaming
+  * operator as the store grows 1× → 10× → 100×, and writes
+  * `BENCH_streaming.json`. The batch suite has BENCH / scaling / shuffle-
+  * budget / spill gates; until this instrument the streaming operators had
+  * only correctness proofs (batch ≡ stream, replay, crash heal) — their
+  * "per-batch cost is O(batch), not O(history)" claims were structural,
+  * never measured, and store-probe pruning claims are exactly the kind
+  * that rot silently (a dropped partition filter or a probe that starts
+  * self-joining history would pass every equivalence spec and only show up
+  * as per-batch latency creeping with store size).
+  *
+  * Protocol per operator: seed the standing store DIRECTLY at
+  * 1×/10×/100× of a baseline size (the store is plain parquet — seeding
+  * it is exactly the state a long-running deployment holds), start the
+  * real stream (MemoryStream → the operator's own foreachBatch body), run
+  * one untimed warm batch (codegen, store footers), then time `reps`
+  * FIXED-size batches and keep the minimum (same min-recovers-quiet
+  * rationale as [[Bench]]'s rep-major loop).
+  *
+  * What each probe claims, and what would flag:
+  *   - `neardup` (signature store): per-batch = batch signature + one
+  *     equi-join against the standing (band, bucket) rows. The store scan
+  *     is linear-in-store by construction but the rows are short strings —
+  *     at 100× (1M rows) the scan must stay ≪ job overhead. A flag means
+  *     the probe started shuffling or re-shingling history.
+  *   - `scrub` (segment-digest store): same shape over 16-byte digests.
+  *   - `comove` (presence store, dt-PARTITIONED): the probe prunes to the
+  *     batch's days, so per-batch time must stay FLAT as the store grows
+  *     by days — this is the dt-pruning claim measured directly. The 100×
+  *     store holds 100× the DAYS, the batch touches one.
+  *   - `clusters` (label store): one keyed probe join against distinct
+  *     labels + the gated driver union-find; the remap closure is empty
+  *     here, so growth tracks the label scan.
+  *
+  * Flag rule (mirrors `tools/bench_scaling.py`): an operator flags when
+  * t(100×) / t(1×) > [[RatioFlag]] AND t(100×) >= [[MinBigSec]] — the
+  * absolute floor keeps sub-second job-overhead noise from tripping it.
+  * The main EXITS NONZERO on any flag so the round-final step cannot
+  * forget the tripwire. Store sizes, batch sizes and all inputs are
+  * deterministic (seeded hashes, no wall-clock in data).
+  */
+object StreamBench {
+
+  val RatioFlag = 4.0
+  val MinBigSec = 0.75
+
+  private def timeBatch[T](mem: MemoryStream[T], q: StreamingQuery,
+                           data: Seq[T]): Double = {
+    mem.addData(data)
+    val t0 = System.nanoTime()
+    q.processAllAvailable()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** 40 deterministic pseudo-words per doc — enough tokens to segment. */
+  private def docText(id: Long): String =
+    (0 until 40).map(i => "w" + ((id * 31 + i * 7) % 211)).mkString(" ")
+
+  def main(args: Array[String]): Unit = {
+    val reps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .appName("graft-stream-bench")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val scales = Seq(1, 10, 100)
+    // op -> (store rows per scale, seconds per scale)
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Seq[Long], Seq[Double])]
+
+    // ---- neardup: banded-signature store -------------------------------
+    results("neardup") = {
+      val times = scales.map { scale =>
+        val store = tmp("sb-nd-store"); val out = tmp("sb-nd-out")
+        val n = 10000L * scale
+        // synthetic signatures: schema-identical to Dedup.bandedSignature
+        // output (doc_id, band, bucket); buckets are seeded hashes that the
+        // probe batch will not collide with — the measured cost is the
+        // store scan + equi-join, which is the operator's fixed per-batch
+        // work against history
+        StandingStore.append(
+          spark.range(0L, n, 1L, 8).select(
+            (col("id") + 1000000000L).as("doc_id"),
+            pmod(col("id"), lit(4)).cast("int").as("band"),
+            concat_ws("|", md5(concat(lit("sa"), col("id"))),
+              md5(concat(lit("sb"), col("id")))).as("bucket")),
+          store)
+        val mem = MemoryStream[(Long, String)]
+        val q = StreamingNearDup.nearDupStream(
+          mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+          store, out, tmp("sb-nd-cp"), compactEvery = 0)
+        try {
+          def batch(r: Int): Seq[(Long, String)] =
+            (0 until 500).map(i => (r * 1000L + i, docText(r * 1000L + i)))
+          timeBatch(mem, q, batch(0)) // warm
+          (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
+        } finally q.stop()
+      }
+      (scales.map(_ * 10000L), times)
+    }
+
+    // ---- scrub: segment-digest store -----------------------------------
+    results("scrub") = {
+      val times = scales.map { scale =>
+        val store = tmp("sb-sc-store"); val out = tmp("sb-sc-out")
+        val n = 10000L * scale
+        StandingStore.append(
+          spark.range(0L, n, 1L, 8).select(
+            unhex(md5(concat(lit("seg"), col("id")))).as("seg_key")),
+          store)
+        val mem = MemoryStream[(Long, String)]
+        val q = StreamingScrub.scrubStream(
+          mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+          store, out, tmp("sb-sc-cp"), segTokens = 20, compactEvery = 0)
+        try {
+          def batch(r: Int): Seq[(Long, String)] =
+            (0 until 500).map(i => (r * 1000L + i, docText(r * 1000L + i)))
+          timeBatch(mem, q, batch(0))
+          (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
+        } finally q.stop()
+      }
+      (scales.map(_ * 10000L), times)
+    }
+
+    // ---- comove: dt-partitioned presence store -------------------------
+    results("comove") = {
+      val rowsPerDay = 200L * 24 // 200 uids, 24 hours, one cell-row each
+      val times = scales.map { scale =>
+        val store = tmp("sb-cm-store"); val out = tmp("sb-cm-out")
+        val days = 3 * scale // the store grows by DAYS — stream lifetime
+        StandingStore.append(
+          spark.range(0L, days * rowsPerDay, 1L, 8).select(
+            pmod(col("id"), lit(200)).as("uid"),
+            date_add(lit("2024-01-01").cast("date"),
+              (col("id") / rowsPerDay).cast("int")).as("dt"),
+            pmod((col("id") / 200).cast("long"), lit(24)).cast("int").as("hr"),
+            (pmod(col("id"), lit(200)) / 10).cast("long").as("cell")),
+          store, Seq("dt"))
+        val mem = MemoryStream[(Long, java.sql.Date, Int, Long)]
+        val q = StreamingCoMovement.pairHourStream(
+          mem.toDF.toDF("uid", "dt", "hr", "cell"),
+          store, out, tmp("sb-cm-cp"), compactEvery = 0)
+        try {
+          // every batch touches ONE seeded day (day 0) with fresh uids:
+          // the probe must prune the store scan to that day's partition
+          // regardless of how many days history holds
+          val d0 = java.sql.Date.valueOf("2024-01-01")
+          def batch(r: Int): Seq[(Long, java.sql.Date, Int, Long)] =
+            (0 until 200).map(i => (10000L + r * 1000L + i, d0, r % 24, (i / 10).toLong))
+          timeBatch(mem, q, batch(0))
+          (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
+        } finally q.stop()
+      }
+      (scales.map(s => 3L * s * rowsPerDay), times)
+    }
+
+    // ---- clusters: label store + driver union-find ---------------------
+    results("clusters") = {
+      val times = scales.map { scale =>
+        val root = tmp("sb-cl-root")
+        val n = 10000L * scale
+        StandingStore.append(
+          spark.range(0L, n, 1L, 8).select(
+            col("id").as("id"),
+            (col("id") - pmod(col("id"), lit(10))).as("cluster"),
+            lit(0L).as("batch_id")),
+          root + "/labels")
+        val mem = MemoryStream[(Long, Long)]
+        val q = StreamingClusters.clusterStream(
+          mem.toDF.toDF("a", "b"), "a", "b", root, tmp("sb-cl-cp"),
+          compactEvery = 0)
+        try {
+          def batch(r: Int): Seq[(Long, Long)] =
+            (0 until 1000).map { i =>
+              val base = 2000000000L + r * 100000L + i * 2
+              (base, base + 1)
+            }
+          timeBatch(mem, q, batch(0))
+          (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
+        } finally q.stop()
+      }
+      (scales.map(_ * 10000L), times)
+    }
+
+    // ---- artifact + gate ----------------------------------------------
+    def num(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val flagged = results.toSeq.flatMap { case (op, (_, ts)) =>
+      val ratio = if (ts.head > 0) ts.last / ts.head else Double.PositiveInfinity
+      if (ratio > RatioFlag && ts.last >= MinBigSec) Some(op -> ratio) else None
+    }
+    val opsJson = results.map { case (op, (rows, ts)) =>
+      val ratio = if (ts.head > 0) ts.last / ts.head else -1.0
+      s""""$op":{"store_rows":[${rows.mkString(",")}],"sec":[${ts.map(num).mkString(",")}],"ratio_100x":${num(ratio)}}"""
+    }.mkString("{", ",", "}")
+    val flaggedJson = flagged.map { case (op, r) => s""""$op":${num(r)}""" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"stream_batch","unit":"sec","scales":[${scales.mkString(",")}],"reps":$reps,"flag_threshold":$RatioFlag,"min_big_sec":$MinBigSec,"ops":$opsJson,"flagged":$flaggedJson}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_streaming.json"),
+      (json + "\n").getBytes("UTF-8"))
+    // scalastyle:off println — stdout is the instrument's receipt
+    println(json)
+    results.foreach { case (op, (rows, ts)) =>
+      println(s"  $op: ${rows.zip(ts.map(num)).map { case (n, t) => s"$n rows -> ${t}s" }.mkString(", ")}")
+    }
+    spark.stop()
+    if (flagged.nonEmpty) {
+      println(s"STREAM GATE: per-batch time grows with store size on " +
+        s"${flagged.map(_._1).mkString(", ")} — failing (exit 1)")
+      sys.exit(1)
+    }
+  }
+}

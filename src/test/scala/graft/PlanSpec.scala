@@ -406,6 +406,117 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prior)
   }
 
+  test("EVERY declared query: retry-deterministic expressions only") {
+    // Oracle hash-match proves RUN-to-run determinism, but a task RETRY
+    // mid-query replays a different path: a nondeterministic expression
+    // (rand, uuid, monotonically_increasing_id outside a protocol that
+    // re-derives identical values, first/collect_* over unordered input)
+    // can produce a result that differs ONLY when a task fails — invisible
+    // to every green-path gate, visible as a corrupted result at 100 TB
+    // where task retries are routine. This walks every declared query's
+    // ANALYZED plan — the optimized plan hides every `persist()`ed subtree
+    // behind InMemoryRelation (cache substitution), which is exactly where
+    // the iterative operators' expressions live; the analyzed tree is the
+    // full logical surface. CurrentTimestamp/CurrentDate are exempted
+    // explicitly: the optimizer's ComputeCurrentTime folds them to ONE
+    // literal per query execution, so a task retry replays the same value
+    // by construction. It flags:
+    //   - any nondeterministic expression node (attributed at the leafmost
+    //     nondeterministic node, so "Rand" not its whole parent chain);
+    //   - order-sensitive aggregates (first/last/collect_list/collect_set)
+    //     not wrapped in sort_array/array_sort — the wrapper makes the
+    //     result order-independent, which is the repo's oracle discipline;
+    //   - order-sensitive WINDOW functions accepted only when the window
+    //     carries an orderSpec (the total-order discipline every declared
+    //     query already proves through the DuckDB hash match).
+    // Whitelist additions require the same scaladoc'd rationale the
+    // unpartitioned-window gate demands, and the ratchet fails on stale
+    // entries.
+    import org.apache.spark.sql.catalyst.expressions.{ArraySort, CurrentDate, CurrentTimestamp, Expression, Now, SortArray, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, CollectSet, First, Last}
+
+    // query -> allowed offender labels, each with the reason retry cannot
+    // change the result:
+    val Allowed: Map[String, Set[String]] = {
+      // globalIndex protocol (Indexing.scala:57): monotonically_increasing_id
+      // is stamped AFTER repartitionByRange(parts, key) + sortWithinPartitions
+      // with a pinned partition count and unique keys — a retried task
+      // re-sorts the same range partition and regenerates the SAME
+      // (partition << 33 | position) values, so the id is a pure function
+      // of the data. The offset-table fold then subtracts the per-partition
+      // minima, so even the partition prefix is derived, not physical.
+      // (several more queries — fuzzy_pairs, weighted_sample, curation_score,
+      // corpus_shuffle — run the same protocol but behind a GoldCache
+      // materialization, so their declared plans read parquet and carry no
+      // expression to whitelist; the ratchet keeps this list exact)
+      val globalIndexQueries = Set(
+        "gto_rank_curve", "curriculum_order",
+        "shuffle_index", "global_index", "snm_pairs", "quality_ensemble")
+      globalIndexQueries.map(_ -> Set("MonotonicallyIncreasingID")).toMap ++ Map(
+        // silver lineage: input_file_name() is flagged nondeterministic by
+        // Catalyst (it reads task state), but its VALUE is a pure function
+        // of which file split a row came from — a retried task re-reads
+        // the same split, so replay cannot change any row. The oracle
+        // hash-match covers it because the declared projection canonises
+        // the path.
+        "silver_clean" -> Set("InputFileName"),
+        // Kmeans assignment: first(x) rides a groupBy(vec_id) where x is
+        // functionally dependent on the group key (one vector per id), so
+        // ANY evaluation order returns the same value — the standard
+        // FD-first idiom (Kmeans.scala:129-144), retry-safe by
+        // construction.
+        "kmeans_assign" -> Set("first-unordered"))
+    }
+
+    def offendersOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[String] = {
+      val out = scala.collection.mutable.Set.empty[String]
+      def walk(e: Expression, sorted: Boolean): Unit = e match {
+        case s @ (_: SortArray | _: ArraySort) =>
+          s.children.foreach(walk(_, sorted = true))
+        case w: WindowExpression =>
+          val ordered = w.windowSpec.orderSpec.nonEmpty
+          w.children.foreach(walk(_, sorted || ordered))
+        case ae: AggregateExpression =>
+          ae.aggregateFunction match {
+            case f @ (_: First | _: Last | _: CollectList | _: CollectSet)
+                if !sorted =>
+              out += s"${f.prettyName}-unordered"
+            case _ =>
+          }
+          ae.aggregateFunction.children.foreach(walk(_, sorted))
+          ae.filter.foreach(walk(_, sorted))
+        case _: CurrentTimestamp | _: CurrentDate | _: Now =>
+          () // folded to one literal per execution by ComputeCurrentTime
+        case _ =>
+          if (!e.deterministic && e.children.forall(_.deterministic))
+            out += e.getClass.getSimpleName
+          e.children.foreach(walk(_, sorted))
+      }
+      plan.foreach(node => node.expressions.foreach(walk(_, sorted = false)))
+      out.toSet
+    }
+
+    val found = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val plan = fn(spark, Sf).queryExecution.analyzed
+      spark.catalog.clearCache()
+      name -> offendersOf(plan)
+    }.toMap
+
+    val violations = found.flatMap { case (q, offs) =>
+      val extra = offs -- Allowed.getOrElse(q, Set.empty)
+      if (extra.nonEmpty) Some(s"$q: ${extra.mkString(", ")}") else None
+    }
+    assert(violations.isEmpty,
+      "retry-nondeterministic expressions outside the documented protocol " +
+        s"(re-platform or whitelist WITH a rationale):\n${violations.mkString("\n")}")
+    val stale = Allowed.flatMap { case (q, allowed) =>
+      val gone = allowed -- found.getOrElse(q, Set.empty)
+      if (gone.nonEmpty) Some(s"$q: ${gone.mkString(", ")}") else None
+    }
+    assert(stale.isEmpty,
+      s"stale whitelist entries (offender is gone — ratchet): ${stale.mkString("; ")}")
+  }
+
   test("EVERY declared query plans without a CartesianProduct") {
     // the one blanket scale rule: no unkeyed big-big product anywhere.
     // (BroadcastNestedLoopJoin is allowed — it only appears here as the

@@ -1,0 +1,132 @@
+#!/usr/bin/env python3
+"""Cross-round bench comparator that ENFORCES the SCALING.md noise rule.
+
+The round-13 variance study measured same-code, untainted, same-box
+variance at +/-6% on suite totals and p90 1.33x per query — so a naked
+per-query ratio between two round artifacts is NOT evidence of a
+regression or an improvement. The operational rule it recorded:
+
+  - totals: compare only untainted artifacts; differences within +/-10%
+    are noise by default;
+  - per-query: a claim (either direction) needs a 15-rep probe pair on
+    the same box — the way `dwell_episodes` was adjudicated in round 13.
+
+This tool turns that prose into the gate the round-final step runs: it
+compares two committed `BENCH_full.json` artifacts and REFUSES (exit 1)
+to bless per-query regression/improvement claims that lack a probe —
+mirroring how the `tainted` flag already polices totals. Dev tool only
+(driver-side python).
+
+Usage:
+  python3 tools/bench_compare.py <old_BENCH_full.json> <new_BENCH_full.json> \
+      [--probes <dir>]
+
+Probe protocol: for a candidate query q, run BOTH builds 15-rep targeted
+  SPARK_GRAFT_BENCH_ONLY=q SPARK_GRAFT_BENCH_REPS=15 sbt "runMain graft.Bench"
+and drop the two artifacts at <dir>/q.old.json and <dir>/q.new.json.
+The probe verdict uses quartile separation: a claim holds only when the
+two 15-rep distributions don't overlap at the quartiles (p25 of the
+slower side above p75 of the faster side) AND medians differ > 10%.
+
+Exit codes: 0 = comparison clean (no unproven candidates), 1 = unproven
+per-query candidates present or a tainted artifact was offered, 2 = usage.
+"""
+import json
+import os
+import sys
+
+TOTAL_NOISE = 0.10      # +/-10% on untainted totals is noise
+QUERY_RATIO = 1.4       # per-query candidate threshold (either direction)
+QUERY_ABS_SEC = 0.15    # ... with an absolute floor so 0.02s->0.04s can't flag
+PROBE_MEDIAN_GAP = 0.10 # probe verdict needs >10% median separation
+
+
+def quartiles(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 4], s[n // 2], s[(3 * n) // 4]
+
+
+def probe_verdict(old_reps, new_reps):
+    """(verdict, detail): 'regression' / 'improvement' / 'noise'."""
+    o25, o50, o75 = quartiles(old_reps)
+    n25, n50, n75 = quartiles(new_reps)
+    detail = (f"old p25/p50/p75 {o25:.3f}/{o50:.3f}/{o75:.3f}; "
+              f"new {n25:.3f}/{n50:.3f}/{n75:.3f}")
+    if o50 <= 0:
+        return "noise", detail
+    gap = (n50 - o50) / o50
+    if gap > PROBE_MEDIAN_GAP and n25 > o75:
+        return "regression", detail
+    if gap < -PROBE_MEDIAN_GAP and n75 < o25:
+        return "improvement", detail
+    return "noise", detail
+
+
+def main(argv):
+    args = [a for a in argv if not a.startswith("--")]
+    probes_dir = None
+    if "--probes" in argv:
+        probes_dir = argv[argv.index("--probes") + 1]
+    if len(args) != 2:
+        print("usage: python3 tools/bench_compare.py <old_BENCH_full.json> "
+              "<new_BENCH_full.json> [--probes <dir>]")
+        return 2
+    old = json.load(open(args[0]))
+    new = json.load(open(args[1]))
+
+    bad = [p for p, d in ((args[0], old), (args[1], new)) if d.get("tainted")]
+    if bad:
+        print(f"TAINTED artifact(s): {', '.join(bad)} — totals from a "
+              "contended box are not regression evidence; re-run quiet.")
+        return 1
+
+    ot, nt = old.get("value"), new.get("value")
+    tr = nt / ot if ot else float("inf")
+    verdict = ("within noise (+/-10%)" if abs(1 - tr) <= TOTAL_NOISE
+               else ("TOTAL REGRESSION candidate" if tr > 1
+                     else "total improvement"))
+    print(f"totals: {ot}s -> {nt}s (x{tr:.3f}) — {verdict}")
+
+    oq = {k: v["min"] for k, v in old.get("queries", {}).items() if v["min"] > 0}
+    nq = {k: v["min"] for k, v in new.get("queries", {}).items() if v["min"] > 0}
+    candidates = []
+    for q in sorted(oq.keys() & nq.keys()):
+        r = nq[q] / oq[q] if oq[q] > 0 else float("inf")
+        if (r >= QUERY_RATIO or r <= 1 / QUERY_RATIO) and \
+                abs(nq[q] - oq[q]) >= QUERY_ABS_SEC:
+            candidates.append((q, oq[q], nq[q], r))
+
+    if not candidates:
+        print(f"per-query: no candidates beyond the {QUERY_RATIO}x/"
+              f"{QUERY_ABS_SEC}s noise threshold over "
+              f"{len(oq.keys() & nq.keys())} common queries")
+        return 0
+
+    unproven = []
+    for q, o, n, r in candidates:
+        direction = "slower" if r > 1 else "faster"
+        po = os.path.join(probes_dir, f"{q}.old.json") if probes_dir else None
+        pn = os.path.join(probes_dir, f"{q}.new.json") if probes_dir else None
+        if po and pn and os.path.exists(po) and os.path.exists(pn):
+            oreps = json.load(open(po))["queries"][q]["reps"]
+            nreps = json.load(open(pn))["queries"][q]["reps"]
+            v, detail = probe_verdict(oreps, nreps)
+            print(f"  {q}: {o:.3f} -> {n:.3f} (x{r:.2f}, {direction}) — "
+                  f"probe verdict: {v.upper()} ({detail})")
+        else:
+            unproven.append(q)
+            print(f"  {q}: {o:.3f} -> {n:.3f} (x{r:.2f}, {direction}) — "
+                  f"UNPROVEN: within p90-1.33x same-code variance reach; "
+                  f"needs a 15-rep probe pair "
+                  f"({q}.old.json/{q}.new.json under --probes)")
+
+    if unproven:
+        print(f"GATE: {len(unproven)} per-query claim(s) lack a probe — "
+              "do not record them as regressions/improvements (exit 1)")
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
