@@ -313,7 +313,12 @@ object SparkEntry {
         .agg(avg(col("lat")).as("raw_lat"), avg(col("lon")).as("raw_lon"))
         .select(col("uid"), to_date(col("hour_ts")).as("dt"),
           hour(col("hour_ts")).as("hr"),
-          graft.functions.geo_cell(col("raw_lat"), col("raw_lon"), RingRes)
+          // quantize-before-discontinuity (see uid_hourly_h3): raw avg
+          // differs from the oracle's in the last ulp, and a lattice tie
+          // point turns that into a different cell — the sf1e oracle found
+          // 2 of 7.7 M ring pairs flipped by exactly this
+          graft.functions.geo_cell(round(col("raw_lat"), 6),
+            round(col("raw_lon"), 6), RingRes)
             .as("cell"))
     }
 
@@ -431,7 +436,15 @@ object SparkEntry {
           count(lit(1)).as("message_count"))
         .select(col("user_id"), unix_millis(col("hour_ts")).as("hour_ms"),
           round(col("raw_lat"), 6).as("avg_lat"), round(col("raw_lon"), 6).as("avg_lon"),
-          graft.functions.geo_cell(col("raw_lat"), col("raw_lon"), 7).as("h3_index"),
+          // cell from the QUANTIZED coords, not the raw avg: avg(double) is
+          // summation-order dependent (Spark partial aggregation vs DuckDB
+          // sequential differ in the last ulp) and the lattice's
+          // floor(v + 0.5) is discontinuous — the sf1e stretch oracle caught
+          // exactly this as cells one step apart at tie points. 6-dp
+          // quantization collapses both engines to one canonical input
+          // (~0.1 µdeg — far below lattice granularity at any res).
+          graft.functions.geo_cell(round(col("raw_lat"), 6),
+            round(col("raw_lon"), 6), 7).as("h3_index"),
           col("message_count"))
         .orderBy("user_id", "hour_ms")
     }),
@@ -2399,8 +2412,10 @@ object SparkEntry {
       |h AS (
       |  SELECT uid, hour_ts, avg(lat) AS raw_lat, avg(lon) AS raw_lon
       |  FROM base GROUP BY 1, 2),
-      |c1 AS (SELECT uid, hour_ts, raw_lon * 4.0 / 2.0 - raw_lat * 4.0 / 3.0 AS qf,
-      |               raw_lat * 4.0 * 2.0 / 3.0 AS rf FROM h),
+      |c0 AS (SELECT uid, hour_ts, round(raw_lat, 6) AS qlat,
+      |               round(raw_lon, 6) AS qlon FROM h),
+      |c1 AS (SELECT uid, hour_ts, qlon * 4.0 / 2.0 - qlat * 4.0 / 3.0 AS qf,
+      |               qlat * 4.0 * 2.0 / 3.0 AS rf FROM c0),
       |c2 AS (SELECT *, -qf - rf AS sf FROM c1),
       |c3 AS (SELECT *, floor(qf + 0.5) AS q0, floor(rf + 0.5) AS r0,
       |               floor(sf + 0.5) AS s0 FROM c2),
@@ -2477,8 +2492,10 @@ object SparkEntry {
         |  SELECT user_id, hour_ts, avg(lat) AS raw_lat, avg(lon) AS raw_lon,
         |         CAST(count(*) AS BIGINT) AS message_count
         |  FROM base GROUP BY 1, 2),
-        |c1 AS (SELECT *, raw_lon * 128.0 / 2.0 - raw_lat * 128.0 / 3.0 AS qf,
-        |               raw_lat * 128.0 * 2.0 / 3.0 AS rf FROM h),
+        |c0 AS (SELECT *, round(raw_lat, 6) AS qlat, round(raw_lon, 6) AS qlon
+        |       FROM h),
+        |c1 AS (SELECT *, qlon * 128.0 / 2.0 - qlat * 128.0 / 3.0 AS qf,
+        |               qlat * 128.0 * 2.0 / 3.0 AS rf FROM c0),
         |c2 AS (SELECT *, -qf - rf AS sf FROM c1),
         |c3 AS (SELECT *, floor(qf + 0.5) AS q0, floor(rf + 0.5) AS r0,
         |               floor(sf + 0.5) AS s0 FROM c2),
@@ -5672,7 +5689,9 @@ object SparkEntry {
         |    CAST(sum(lp_u) AS BIGINT) AS lp_sum
         |  FROM bgf JOIN model USING (w1, w2) GROUP BY 1)
         |SELECT doc_id, n_bigrams,
-        |  round(CAST(lp_sum AS DOUBLE) / 1000000.0 / n_bigrams, 6) AS avg_logp
+        |  CAST((CASE WHEN lp_sum < 0 THEN -1 ELSE 1 END)
+        |       * ((2 * abs(lp_sum) + n_bigrams) // (2 * n_bigrams))
+        |       AS DOUBLE) / 1000000.0 AS avg_logp
         |FROM sc ORDER BY doc_id""".stripMargin,
 
     // same per-char counts; each c·ln c term quantizes to BIGINT before the

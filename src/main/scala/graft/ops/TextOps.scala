@@ -496,7 +496,15 @@ object TextOps {
     *
     * Determinism: each transition's log-prob quantizes to integer micro-nats
     * BEFORE the per-doc sum, so the aggregate is an exact integer in any
-    * partitioning/engine; only the closing mean divides in floating point.
+    * partitioning/engine — and the closing mean stays in integer arithmetic
+    * too: `lp_sum / n` lands EXACTLY on a 6-dp midpoint whenever n divides
+    * 2·lp_sum (the sf1e stretch oracle caught three docs where Spark's
+    * HALF_UP on the binary double — a hair below the decimal midpoint —
+    * rounded down while DuckDB rounded the midpoint away from zero). The
+    * mean micro-nat value is therefore computed as exact integer
+    * round-half-away-from-zero, `sign · (2·|lp_sum| + n) div (2·n)`,
+    * identical in any engine; the only float op left is the final exact
+    * small-integer-to-double display division.
     *
     * Scale: two count shuffles over the bigram stream (map-side combined),
     * one model join keyed on the bigram (dictionary-sized right side → AQE
@@ -527,8 +535,10 @@ object TextOps {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_u")).as("lp_sum"))
       .select(col("doc_id"), col("n_bigrams"),
-        round(col("lp_sum").cast("double") / 1000000.0 / col("n_bigrams"), 6)
-          .as("avg_logp"))
+        // exact integer half-away mean in micro-nats (see Determinism note)
+        (expr("CAST(CASE WHEN lp_sum < 0 THEN -1 ELSE 1 END AS BIGINT)") *
+          expr("(2 * abs(lp_sum) + n_bigrams) DIV (2 * n_bigrams)"))
+          .cast("double").divide(lit(1000000.0)).as("avg_logp"))
   }
 
   /** Corpus collocations by pointwise mutual information over adjacent token

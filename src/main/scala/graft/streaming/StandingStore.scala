@@ -53,6 +53,47 @@ object StandingStore {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
+  /** Partition-PRUNED standing read: list and read ONLY the
+    * `partCol=value` subdirectories the caller names, instead of the whole
+    * store root. `read` + a partition filter already prunes the SCAN, but
+    * the file index still LISTS every partition directory the store has
+    * ever written — O(stream lifetime) listing per micro-batch, which is
+    * exactly the cost profile StreamBench measured creeping on the
+    * dt-partitioned presence store (1.9x per-batch at 100x days with the
+    * scan fully pruned) and which a real object store bills per-request
+    * for. Here the probe's days are known before planning, so the listing
+    * itself can be O(touched partitions): existence-check each named dir
+    * (a handful per batch) and hand the reader only those paths, with
+    * `basePath` preserving the partition column.
+    *
+    * Falls back to the full [[read]] when the store still holds legacy
+    * FLAT files (pre-partitioned layout, partition values as data rows) —
+    * a pruned path-read would silently miss that history; callers keep
+    * their row-level partition filter, which restricts the flat fallback
+    * and is a no-op on the pruned path.
+    */
+  def readPartitions(spark: SparkSession, storeDir: String,
+                     schema: StructType, partCol: String,
+                     values: Seq[Any]): DataFrame = {
+    val p = new Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    heal(fs, p)
+    if (!fs.exists(p))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val flat = fs.listStatus(p)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (flat) return read(spark, storeDir, schema)
+    val dirs = values.distinct.map(v => new Path(p, s"$partCol=$v"))
+      .filter(fs.exists)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.option("basePath", storeDir).schema(schema)
+        .parquet(dirs.map(_.toString): _*)
+  }
+
   /** Rewrite the store as its distinct rows via crash-safe
     * snapshot-and-swap (see the object doc, invariant 3). Heals an earlier
     * interrupted swap FIRST — recovery must not depend on the convention

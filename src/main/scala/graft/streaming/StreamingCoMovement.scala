@@ -103,8 +103,14 @@ object StreamingCoMovement {
   /** Exact-cell batch step: batch × batch plus batch × bucket-probed store. */
   private def exactPairs(spark: SparkSession, batch: DataFrame,
                          storeDir: String): DataFrame = {
-    val standing = readStore(spark, storeDir, batch.schema)
-      .filter(col("dt").isInCollection(batchDates(batch)))
+    val days = batchDates(batch)
+    // path-level pruning: the probe lists ONLY the touched days' partition
+    // dirs (O(batch time span)), not the store root (O(stream lifetime) —
+    // the listing creep StreamBench measured). The row filter stays: it
+    // restricts the legacy-flat fallback and is a no-op when pruned.
+    val standing = StandingStore.readPartitions(
+        spark, storeDir, batch.schema, "dt", days)
+      .filter(col("dt").isInCollection(days))
       .distinct()
       // probe only the buckets this batch touches
       .join(batch.select("dt", "hr", "cell").distinct(),
@@ -147,8 +153,11 @@ object StreamingCoMovement {
         col("cell").as("cell_b"), col("v")), Seq("dt", "hr", "v"))
       .filter(col("uid_a") < col("uid_b"))
       .select("uid_a", "uid_b", "dt", "hr", "cell_a", "cell_b")
-    val standing = readStore(spark, storeDir, batch.schema)
-      .filter(col("dt").isInCollection(batchDates(batch)))
+    val days = batchDates(batch)
+    // same path-level pruning as exactPairs — see the comment there
+    val standing = StandingStore.readPartitions(
+        spark, storeDir, batch.schema, "dt", days)
+      .filter(col("dt").isInCollection(days))
       .distinct()
       .withColumn("v", conv(col("cell"), 16, 10).cast("long"))
       // probe only the addresses the expanded batch can reach

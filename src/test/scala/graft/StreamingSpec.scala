@@ -1330,4 +1330,39 @@ class StreamingSpec extends SparkSpec {
       }
     }
   }
+
+  test("readPartitions: O(touched) listing — named partitions only, flat fallback, absent dirs tolerated") {
+    import graft.streaming.StandingStore
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("uid", IntegerType), StructField("dt", StringType)))
+    val store = java.nio.file.Files.createTempDirectory("ss-rp").toString + "/s"
+    StandingStore.append(
+      Seq((1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-03"))
+        .toDF("uid", "dt"), store, Seq("dt"))
+    // pruned read: only the named days, partition column preserved, and a
+    // day the store has never seen must be tolerated (existence-checked,
+    // not an AnalysisException)
+    val got = StandingStore.readPartitions(spark, store, schema, "dt",
+        Seq("2024-01-01", "2024-01-03", "2024-09-09"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted
+    assert(got.toSeq === Seq((1, "2024-01-01"), (3, "2024-01-03")))
+    // no named partition exists -> empty frame of the declared schema
+    assert(StandingStore.readPartitions(spark, store, schema, "dt",
+      Seq("2030-01-01")).count() === 0)
+    // absent store -> empty frame (first-batch probe)
+    assert(StandingStore.readPartitions(spark, store + "-missing", schema,
+      "dt", Seq("2024-01-01")).count() === 0)
+    // legacy FLAT store (root-level files, dt as data column): the pruned
+    // path must fall back to the full read — silently missing history
+    // would corrupt keep-first decisions
+    val flat = java.nio.file.Files.createTempDirectory("ss-rpf").toString + "/s"
+    StandingStore.append(
+      Seq((7, "2024-01-01"), (8, "2024-01-02")).toDF("uid", "dt"), flat)
+    val fb = StandingStore.readPartitions(spark, flat, schema, "dt",
+        Seq("2024-01-01"))
+      .filter(col("dt").isInCollection(Seq("2024-01-01"))) // caller's row filter
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(fb.toSeq === Seq((7, "2024-01-01")))
+  }
 }

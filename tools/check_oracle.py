@@ -43,7 +43,13 @@ def canonize(df):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single parquet FILES; engine-generated scale
+        # dirs (graft.ScaleGen) are Spark-style DIRECTORIES of part files —
+        # accept both layouts
+        path = f"{sf_dir}/{t}.parquet"
+        import os
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
     for name, sql in sorted(oracle.items()):
