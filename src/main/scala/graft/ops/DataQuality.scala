@@ -85,6 +85,17 @@ object DataQuality {
     * `percentile` for `approx_percentile` per the documented trade
     * (monitoring thresholds tolerate sketch error; the oracle contract is
     * what pins exact here).
+    *
+    * Deliberately NOT persisted: the input has three consumers (median,
+    * deviations, MAD-through-deviations) and persisting it looks like the
+    * obvious fix for the span leg's 4.0×-on-10× ratio — measured round 14
+    * (same box, 7-rep min at sf1e_span) it is 2× SLOWER: base+dev
+    * persisted 2.56 s vs recompute 1.24 s. The "three recomputes" are
+    * cheap codegen'd scan→agg pipelines with AQE-broadcast joins back,
+    * while InMemoryRelation materialization pays row serialization and
+    * breaks the whole-stage pipeline on every consumer. Recompute wins
+    * while the upstream is a one-shuffle rollup; revisit only if callers
+    * feed a genuinely expensive `df`.
     */
   def madOutliers(df: DataFrame, keyCol: String, valCol: String,
                   k: Double): DataFrame = {
