@@ -303,24 +303,25 @@ object SparkEntry {
     * ~5°×10° operating area) so [[RingRes]]'s lattice granularity is
     * comparable to the exact pipeline's grid.
     */
+  private def ringHourlyBuild(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id").as("uid"), col("ts"),
+        (col("value") / 100.0).as("lat"), (col("value") / 50.0).as("lon"))
+      .groupBy(col("uid"), date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(avg(col("lat")).as("raw_lat"), avg(col("lon")).as("raw_lon"))
+      .select(col("uid"), to_date(col("hour_ts")).as("dt"),
+        hour(col("hour_ts")).as("hr"),
+        // quantize-before-discontinuity (see uid_hourly_h3): raw avg
+        // differs from the oracle's in the last ulp, and a lattice tie
+        // point turns that into a different cell — the sf1e oracle found
+        // 2 of 7.7 M ring pairs flipped by exactly this
+        graft.functions.geo_cell(round(col("raw_lat"), 6),
+          round(col("raw_lon"), 6), RingRes)
+          .as("cell"))
+
   private def ringHourlyGold(spark: SparkSession, dir: String): DataFrame =
-    GoldCache.table(spark, "ring_hourly", dir) {
-      Tables.events(spark, dir)
-        .filter(col("user_id").isNotNull && col("ts").isNotNull)
-        .select(col("user_id").as("uid"), col("ts"),
-          (col("value") / 100.0).as("lat"), (col("value") / 50.0).as("lon"))
-        .groupBy(col("uid"), date_trunc("hour", col("ts")).as("hour_ts"))
-        .agg(avg(col("lat")).as("raw_lat"), avg(col("lon")).as("raw_lon"))
-        .select(col("uid"), to_date(col("hour_ts")).as("dt"),
-          hour(col("hour_ts")).as("hr"),
-          // quantize-before-discontinuity (see uid_hourly_h3): raw avg
-          // differs from the oracle's in the last ulp, and a lattice tie
-          // point turns that into a different cell — the sf1e oracle found
-          // 2 of 7.7 M ring pairs flipped by exactly this
-          graft.functions.geo_cell(round(col("raw_lat"), 6),
-            round(col("raw_lon"), 6), RingRes)
-            .as("cell"))
-    }
+    GoldCache.table(spark, "ring_hourly", dir)(ringHourlyBuild(spark, dir))
 
   /** Ring-1 pair table — gold, like [[pairsGold]]: the neighbor join
     * refreshes once per corpus and every consumer reads the materialized
@@ -356,6 +357,31 @@ object SparkEntry {
       Pq.encode(emb, "vec_id", "embedding",
         Pq.codebookFromFirst(emb, "vec_id", "embedding", PqM, PqKsub))
     }
+
+  /** The gold-stage BUILD frames, UN-materialized — for the plan gates.
+    * The declared queries read the GoldCache parquet, so their plans carry
+    * none of the build's expressions; a retry DURING a gold refresh is the
+    * highest-stakes replay at 100 TB (the longest jobs, feeding every
+    * consumer), so the retry-determinism walk must see these trees too.
+    * `dup_clusters` is deliberately absent: cluster resolution is a
+    * driver-side converge-or-fail LOOP (actions at construction time), not
+    * one plan — its retry story is the loop's own converge contract plus
+    * the determinism of `minhash_pairs`, which IS walked.
+    */
+  private[graft] def goldBuilds(spark: SparkSession, dir: String): Map[String, DataFrame] = Map(
+    "uid_hourly" -> hourly(spark, dir),
+    "pairs_daily" -> CoMovement.pairsDaily(hourlyGold(spark, dir)),
+    "minhash_pairs" -> Dedup.minhashLshPairs(Tables.documents(spark, dir),
+      "doc_id", "text", k = 8, rowsPerBand = 2, n = 3),
+    "ring_hourly" -> ringHourlyBuild(spark, dir),
+    "pairs_ring" -> CoMovement.pairsDailyRing(ringHourlyGold(spark, dir)),
+    "pair_max_gto" -> pairsGold(spark, dir).groupBy("uid_a", "uid_b")
+      .agg(max(col("gto")).as("max_gto")),
+    "pq_codes" -> {
+      val emb = Tables.embeddings(spark, dir)
+      Pq.encode(emb, "vec_id", "embedding",
+        Pq.codebookFromFirst(emb, "vec_id", "embedding", PqM, PqKsub))
+    })
 
   /** Force-build the shared gold stages (bench warm-up hook). The AIS chain
     * (hourly → pairs) and the minhash pair stage are independent — they build

@@ -515,6 +515,24 @@ class PlanSpec extends SparkSpec {
     }
     assert(stale.isEmpty,
       s"stale whitelist entries (offender is gone — ratchet): ${stale.mkString("; ")}")
+
+    // ---- the gold BUILDS, un-materialized ------------------------------
+    // The declared queries read GoldCache parquet, so the walk above never
+    // sees the build trees — and a retry DURING a gold refresh is the
+    // highest-stakes replay at 100 TB (the longest jobs, feeding every
+    // consumer). Same offender logic, separate whitelist (currently empty:
+    // every gold build is clean after the round-14 quantize fix).
+    val goldFound = SparkEntry.goldBuilds(spark, Sf).toSeq.sortBy(_._1)
+      .map { case (name, df) =>
+        val offs = offendersOf(df.queryExecution.analyzed)
+        spark.catalog.clearCache()
+        name -> offs
+      }.toMap
+    val goldViolations = goldFound.filter(_._2.nonEmpty)
+      .map { case (g, offs) => s"$g: ${offs.mkString(", ")}" }
+    assert(goldViolations.isEmpty,
+      "retry-nondeterministic expressions in a gold BUILD plan:\n" +
+        goldViolations.mkString("\n"))
   }
 
   test("EVERY declared query plans without a CartesianProduct") {
