@@ -2391,7 +2391,7 @@ object SparkEntry {
        |         CAST(extract(hour FROM date_trunc('hour', ts)) AS INTEGER) AS hr,
        |         CAST(count(*) AS BIGINT) AS message_count,
        |         avg(value) AS avg_pos,
-       |         CAST(floor(avg(value) / $WidthSql) AS BIGINT) AS cell
+       |         CAST(floor(round(avg(value), 6) / $WidthSql) AS BIGINT) AS cell
        |  FROM events
        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value BETWEEN 0 AND 500
        |  GROUP BY user_id, date_trunc('hour', ts))""".stripMargin

@@ -40,7 +40,12 @@ object CoMovement {
       .select(col("uid"), col("hour_ts"),
         to_date(col("hour_ts")).as("dt"), hour(col("hour_ts")).as("hr"),
         col("message_count"), col("avg_pos"),
-        pos_cell(col("avg_pos"), res).as("cell"))
+        // quantize-before-discontinuity (the round-14 sf1e lesson, applied
+        // proactively to the flagship grid): avg(double) is summation-order
+        // dependent across engines/partitionings, and floor(avg/width) is
+        // discontinuous at bin edges — the cell derives from the 6-dp value
+        // the rollup already reports, so an ulp can never flip a bin
+        pos_cell(round(col("avg_pos"), 6), res).as("cell"))
 
   /** Daily vessel-pair co-movement scores from an hourly table with columns
     * (uid, dt, hr, cell). Output matches the reference's pairs_daily contract

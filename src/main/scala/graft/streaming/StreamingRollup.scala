@@ -36,7 +36,9 @@ object StreamingRollup {
       .select(col("uid"), col("w.start").as("hour_ts"),
         to_date(col("w.start")).as("dt"), hour(col("w.start")).as("hr"),
         col("message_count"), col("avg_pos"),
-        pos_cell(col("avg_pos"), res).as("cell"))
+        // quantized identically to the batch rollup (CoMovement.hourlyRollup)
+        // so the batch ≡ stream equivalence holds bit-for-bit at bin edges
+        pos_cell(round(col("avg_pos"), 6), res).as("cell"))
 
   /** File-source incremental ingestion: the reference's "process only new
     * daily archives" loop as a self-checkpointing stream. With
