@@ -32,6 +32,11 @@ object SparkEntry {
     */
   val RingRes = 2
   private val WidthSql = "62.5"
+  /** `2^Res` — the hourly lattice's cell count factor for the integer-form
+    * oracle (`(mean_micro * 2^res) // 500000000`, see
+    * [[graft.functions.pos_cell_micro]]).
+    */
+  private val ResCellsSql: String = (1L << Res).toString
 
   /** Query-term bag for the declared BM25 query (all present in the corpus). */
   private val Bm25Terms = Seq("join", "hash", "spark")
@@ -309,15 +314,22 @@ object SparkEntry {
       .select(col("user_id").as("uid"), col("ts"),
         (col("value") / 100.0).as("lat"), (col("value") / 50.0).as("lon"))
       .groupBy(col("uid"), date_trunc("hour", col("ts")).as("hour_ts"))
-      .agg(avg(col("lat")).as("raw_lat"), avg(col("lon")).as("raw_lon"))
+      // quantize-before-discontinuity (see uid_hourly_h3): raw avg differs
+      // from the oracle's in the last ulp, and a lattice tie point turns
+      // that into a different cell — the sf1e oracle found 2 of 7.7 M ring
+      // pairs flipped by exactly this. Round-15 form: exact integer
+      // micro-degree means (round(avg, 6)'s decimal-vs-binary HALF_UP seam
+      // removed, ADVICE r14), one shared division back to degrees.
+      .agg(sum(graft.functions.micro_units(col("lat"))).as("lat_sum"),
+        sum(graft.functions.micro_units(col("lon"))).as("lon_sum"),
+        count(lit(1)).as("n"))
       .select(col("uid"), to_date(col("hour_ts")).as("dt"),
         hour(col("hour_ts")).as("hr"),
-        // quantize-before-discontinuity (see uid_hourly_h3): raw avg
-        // differs from the oracle's in the last ulp, and a lattice tie
-        // point turns that into a different cell — the sf1e oracle found
-        // 2 of 7.7 M ring pairs flipped by exactly this
-        graft.functions.geo_cell(round(col("raw_lat"), 6),
-          round(col("raw_lon"), 6), RingRes)
+        graft.functions.geo_cell(
+          graft.functions.micro_mean(col("lat_sum"), col("n"))
+            .cast("double") / lit(1000000.0),
+          graft.functions.micro_mean(col("lon_sum"), col("n"))
+            .cast("double") / lit(1000000.0), RingRes)
           .as("cell"))
 
   private def ringHourlyGold(spark: SparkSession, dir: String): DataFrame =
@@ -443,7 +455,9 @@ object SparkEntry {
     // A1 + U1: hourly rollup with grid cell (create_uid_hourly_h3.sql:56-72)
     "uid_hourly" -> ((s, d) => hourlyGold(s, d)
       .select(col("uid").as("user_id"), unix_millis(col("hour_ts")).as("hour_ms"),
-        col("message_count"), round(col("avg_pos"), 6).as("avg_value"), col("cell"))
+        // avg_pos is already the exact-integer micro mean / 1e6 (round-15
+        // form) — 6-dp exact by construction, no edge round needed
+        col("message_count"), col("avg_pos").as("avg_value"), col("cell"))
       .orderBy("user_id", "hour_ms")),
 
     // U1 2-D: the reference's uid_hourly_h3 gold shape — hex cell address from
@@ -458,19 +472,29 @@ object SparkEntry {
           (col("value") % 180.0 - 90.0).as("lat"),
           ((col("value") * 2.0) % 360.0 - 180.0).as("lon"))
         .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour_ts"))
-        .agg(avg(col("lat")).as("raw_lat"), avg(col("lon")).as("raw_lon"),
+        // cell from EXACT-INTEGER micro-degree means, not the raw avg:
+        // avg(double) is summation-order dependent (Spark partial agg vs
+        // DuckDB sequential differ in the last ulp) and the lattice's
+        // floor(v + 0.5) is discontinuous — the sf1e stretch oracle caught
+        // exactly this as cells one step apart at tie points. Round 14
+        // quantized with round(avg, 6), which still leaned on Spark's
+        // decimal-string HALF_UP agreeing with DuckDB's binary round —
+        // structurally false at 7th-decimal shortest-repr midpoints
+        // (ADVICE r14). Round-15 form: per-row micro-degree BIGINTs, the
+        // mean in integer arithmetic, one shared division back to degrees
+        // — both engines feed the lattice bit-identical doubles.
+        .agg(sum(graft.functions.micro_units(col("lat"))).as("lat_sum"),
+          sum(graft.functions.micro_units(col("lon"))).as("lon_sum"),
           count(lit(1)).as("message_count"))
+        .withColumn("qlat",
+          graft.functions.micro_mean(col("lat_sum"), col("message_count"))
+            .cast("double") / lit(1000000.0))
+        .withColumn("qlon",
+          graft.functions.micro_mean(col("lon_sum"), col("message_count"))
+            .cast("double") / lit(1000000.0))
         .select(col("user_id"), unix_millis(col("hour_ts")).as("hour_ms"),
-          round(col("raw_lat"), 6).as("avg_lat"), round(col("raw_lon"), 6).as("avg_lon"),
-          // cell from the QUANTIZED coords, not the raw avg: avg(double) is
-          // summation-order dependent (Spark partial aggregation vs DuckDB
-          // sequential differ in the last ulp) and the lattice's
-          // floor(v + 0.5) is discontinuous — the sf1e stretch oracle caught
-          // exactly this as cells one step apart at tie points. 6-dp
-          // quantization collapses both engines to one canonical input
-          // (~0.1 µdeg — far below lattice granularity at any res).
-          graft.functions.geo_cell(round(col("raw_lat"), 6),
-            round(col("raw_lon"), 6), 7).as("h3_index"),
+          col("qlat").as("avg_lat"), col("qlon").as("avg_lon"),
+          graft.functions.geo_cell(col("qlat"), col("qlon"), 7).as("h3_index"),
           col("message_count"))
         .orderBy("user_id", "hour_ms")
     }),
@@ -2384,17 +2408,26 @@ object SparkEntry {
     * bit-identical doubles in both engines).
     */
   private val HourlyCte =
-    s"""WITH hourly AS (
+    s"""WITH hourly0 AS (
        |  SELECT user_id AS uid,
        |         date_trunc('hour', ts) AS hour_ts,
        |         CAST(date_trunc('hour', ts) AS DATE) AS dt,
        |         CAST(extract(hour FROM date_trunc('hour', ts)) AS INTEGER) AS hr,
        |         CAST(count(*) AS BIGINT) AS message_count,
-       |         avg(value) AS avg_pos,
-       |         CAST(floor(round(avg(value), 6) / $WidthSql) AS BIGINT) AS cell
+       |         -- round-15 integer form (graft.functions.micro_units): each
+       |         -- position quantized per row to micro-units, mean kept in
+       |         -- BIGINT — no double avg, no round(,6) decimal-vs-binary seam
+       |         CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro
        |  FROM events
        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value BETWEEN 0 AND 500
-       |  GROUP BY user_id, date_trunc('hour', ts))""".stripMargin
+       |  GROUP BY user_id, date_trunc('hour', ts)),
+       |hourly AS (
+       |  SELECT uid, hour_ts, dt, hr, message_count,
+       |         ((2 * sum_micro + message_count) // (2 * message_count))
+       |           / 1000000.0 AS avg_pos,
+       |         CAST(((2 * sum_micro + message_count) // (2 * message_count))
+       |           * $ResCellsSql // 500000000 AS BIGINT) AS cell
+       |  FROM hourly0)""".stripMargin
 
   /** Shared oracle CTE for the DSIR queries: tokenize → unigrams+bigrams →
     * sha256 bucket (the StableHashBucket mapping, corpus_split-style) →
@@ -2436,10 +2469,17 @@ object SparkEntry {
       |         value / 100.0 AS lat, value / 50.0 AS lon
       |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
       |h AS (
-      |  SELECT uid, hour_ts, avg(lat) AS raw_lat, avg(lon) AS raw_lon
+      |  SELECT uid, hour_ts,
+      |         CAST(sum(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS lat_sum,
+      |         CAST(sum(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS lon_sum,
+      |         CAST(count(*) AS BIGINT) AS n
       |  FROM base GROUP BY 1, 2),
-      |c0 AS (SELECT uid, hour_ts, round(raw_lat, 6) AS qlat,
-      |               round(raw_lon, 6) AS qlon FROM h),
+      |c0 AS (SELECT uid, hour_ts,
+      |         ((CASE WHEN lat_sum < 0 THEN -1 ELSE 1 END)
+      |           * ((2 * abs(lat_sum) + n) // (2 * n))) / 1000000.0 AS qlat,
+      |         ((CASE WHEN lon_sum < 0 THEN -1 ELSE 1 END)
+      |           * ((2 * abs(lon_sum) + n) // (2 * n))) / 1000000.0 AS qlon
+      |       FROM h),
       |c1 AS (SELECT uid, hour_ts, qlon * 4.0 / 2.0 - qlat * 4.0 / 3.0 AS qf,
       |               qlat * 4.0 * 2.0 / 3.0 AS rf FROM c0),
       |c2 AS (SELECT *, -qf - rf AS sf FROM c1),
@@ -2502,7 +2542,7 @@ object SparkEntry {
     "uid_hourly" ->
       s"""$HourlyCte
          |SELECT uid AS user_id, epoch_ms(hour_ts) AS hour_ms, message_count,
-         |       round(avg_pos, 6) AS avg_value, cell
+         |       avg_pos AS avg_value, cell
          |FROM hourly ORDER BY user_id, hour_ms""".stripMargin,
 
     // mirrors GeoCell.cellId exactly: same rational-constant lattice map,
@@ -2515,10 +2555,18 @@ object SparkEntry {
         |         ((value * 2.0) % 360.0) - 180.0 AS lon
         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
         |h AS (
-        |  SELECT user_id, hour_ts, avg(lat) AS raw_lat, avg(lon) AS raw_lon,
+        |  SELECT user_id, hour_ts,
+        |         CAST(sum(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS lat_sum,
+        |         CAST(sum(CAST(floor(lon * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS lon_sum,
         |         CAST(count(*) AS BIGINT) AS message_count
         |  FROM base GROUP BY 1, 2),
-        |c0 AS (SELECT *, round(raw_lat, 6) AS qlat, round(raw_lon, 6) AS qlon
+        |c0 AS (SELECT *,
+        |         ((CASE WHEN lat_sum < 0 THEN -1 ELSE 1 END)
+        |           * ((2 * abs(lat_sum) + message_count) // (2 * message_count)))
+        |           / 1000000.0 AS qlat,
+        |         ((CASE WHEN lon_sum < 0 THEN -1 ELSE 1 END)
+        |           * ((2 * abs(lon_sum) + message_count) // (2 * message_count)))
+        |           / 1000000.0 AS qlon
         |       FROM h),
         |c1 AS (SELECT *, qlon * 128.0 / 2.0 - qlat * 128.0 / 3.0 AS qf,
         |               qlat * 128.0 * 2.0 / 3.0 AS rf FROM c0),
@@ -2533,7 +2581,7 @@ object SparkEntry {
         |       THEN -q0-s0 ELSE r0 END AS r
         |  FROM c3)
         |SELECT user_id, epoch_ms(hour_ts) AS hour_ms,
-        |  round(raw_lat, 6) AS avg_lat, round(raw_lon, 6) AS avg_lon,
+        |  qlat AS avg_lat, qlon AS avg_lon,
         |  lower(lpad(to_hex((CAST(7 AS BIGINT) << 56)
         |    | ((CAST(q AS BIGINT) + 134217728) << 28)
         |    | (CAST(r AS BIGINT) + 134217728)), 15, '0')) AS h3_index,

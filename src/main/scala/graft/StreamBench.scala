@@ -211,11 +211,15 @@ object StreamBench {
       if (ratio > RatioFlag && ts.last >= MinBigSec) Some(op -> ratio) else None
     }
     val opsJson = results.map { case (op, (rows, ts)) =>
-      val ratio = if (ts.head > 0) ts.last / ts.head else -1.0
-      s""""$op":{"store_rows":[${rows.mkString(",")}],"sec":[${ts.map(num).mkString(",")}],"ratio_100x":${num(ratio)}}"""
+      // Zero-baseline ratio is +Infinity for the GATE above; record the
+      // same interpretation in the artifact ("inf", not a -1 sentinel) so
+      // the committed JSON can never disagree with the gate's verdict.
+      val ratio = if (ts.head > 0) num(ts.last / ts.head) else "\"inf\""
+      s""""$op":{"store_rows":[${rows.mkString(",")}],"sec":[${ts.map(num).mkString(",")}],"ratio_100x":$ratio}"""
     }.mkString("{", ",", "}")
-    val flaggedJson = flagged.map { case (op, r) => s""""$op":${num(r)}""" }
-      .mkString("{", ",", "}")
+    val flaggedJson = flagged.map { case (op, r) =>
+      s""""$op":${if (r.isInfinity) "\"inf\"" else num(r)}"""
+    }.mkString("{", ",", "}")
     val json =
       s"""{"metric":"stream_batch","unit":"sec","scales":[${scales.mkString(",")}],"reps":$reps,"flag_threshold":$RatioFlag,"min_big_sec":$MinBigSec,"ops":$opsJson,"flagged":$flaggedJson}"""
     java.nio.file.Files.write(

@@ -59,6 +59,45 @@ object functions {
     */
   def posCellWidth(res: Int): Double = 500.0 / (1L << res)
 
+  /** Per-row exact micro-unit quantization: round-half-up of `v · 1e6` as
+    * BIGINT. Cross-engine deterministic where `round(double, 6)` is NOT:
+    * `v` comes straight from storage (identical bits in every engine), and
+    * `v * 1e6 + 0.5` / `floor` are single IEEE-754 ops both engines perform
+    * identically — whereas Spark's `round(v, 6)` is HALF_UP on the
+    * shortest-decimal BigDecimal and DuckDB's rounds the binary value, so
+    * doubles whose shortest repr ends in a 7th-decimal '5' a hair off the
+    * true midpoint round DIFFERENTLY even from identical inputs (the
+    * lm_score lesson, `TextOps.bigramLmScore`). floor-then-cast (never
+    * cast-the-fraction) because double→BIGINT casts also disagree across
+    * engines (Spark truncates, DuckDB rounds); a floored integral double
+    * casts identically everywhere. DuckDB twin:
+    * `CAST(floor(v * 1000000.0 + 0.5) AS BIGINT)`.
+    */
+  def micro_units(v: Column): Column =
+    floor(v * lit(1000000.0) + lit(0.5)).cast("long")
+
+  /** Exact integer round-half-away-from-zero mean of a [[micro_units]] sum:
+    * `sign(s) · (2·|s| + n) div (2·n)` — the whole mean stays in BIGINT
+    * arithmetic, so it is summation-order independent AND engine independent
+    * (no double mean to differ in the last ulp, no decimal-vs-binary
+    * rounding seam at 6-dp midpoints). DuckDB twin:
+    * `(CASE WHEN s < 0 THEN -1 ELSE 1 END) * ((2*abs(s) + n) // (2*n))`.
+    */
+  def micro_mean(sumMicro: Column, n: Column): Column =
+    when(sumMicro < 0, lit(-1L)).otherwise(lit(1L)) *
+      call_function("div",
+        lit(2L) * abs(sumMicro) + n, lit(2L) * n)
+
+  /** [[pos_cell]] on an exact integer micro-unit mean: the [0, 500) value
+    * domain is 500e6 micro-units, so `cell = (mean_micro · 2^res) div 5e8`
+    * — pure BIGINT lattice math, no double division whose ulp could sit on
+    * the old `floor(q / width)` bin edge. Non-negative domain only (div
+    * truncates toward zero; for v ≥ 0 that IS floor). DuckDB twin:
+    * `(mean_micro * (1 << res)) // 500000000`.
+    */
+  def pos_cell_micro(meanMicro: Column, res: Int): Column =
+    call_function("div", meanMicro * lit(1L << res), lit(500000000L))
+
   /** Bit-exact reference bucket hash — see [[graft.expressions.StableHashBucket]]
     * (`ais_pipeline.py:532-535`).
     */

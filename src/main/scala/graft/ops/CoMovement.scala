@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{overlap_coef, pos_cell}
+import graft.functions.{micro_mean, micro_units, overlap_coef, pos_cell_micro}
 
 /** The semantic heart of the reference: co-movement discovery.
   *
@@ -36,16 +36,22 @@ object CoMovement {
       .filter(col(uidCol).isNotNull && col(tsCol).isNotNull &&
         col(posCol).between(0.0, 500.0))
       .groupBy(col(uidCol).as("uid"), date_trunc("hour", col(tsCol)).as("hour_ts"))
-      .agg(count(lit(1)).as("message_count"), avg(col(posCol)).as("avg_pos"))
+      // quantize-before-discontinuity, round-15 form: each position is
+      // quantized per row to exact integer micro-units and the mean stays
+      // in BIGINT arithmetic end-to-end (the lm_score pattern). avg(double)
+      // is summation-order dependent, and the round-14 `round(avg, 6)`
+      // repair still leaned on Spark's decimal-string HALF_UP agreeing with
+      // DuckDB's binary rounding — structurally false at 7th-decimal
+      // shortest-repr midpoints. Integer sum + integer mean + integer
+      // lattice leaves no seam for an ulp to flip a bin.
+      .agg(count(lit(1)).as("message_count"),
+        sum(micro_units(col(posCol))).as("sum_micro"))
+      .withColumn("mean_micro", micro_mean(col("sum_micro"), col("message_count")))
       .select(col("uid"), col("hour_ts"),
         to_date(col("hour_ts")).as("dt"), hour(col("hour_ts")).as("hr"),
-        col("message_count"), col("avg_pos"),
-        // quantize-before-discontinuity (the round-14 sf1e lesson, applied
-        // proactively to the flagship grid): avg(double) is summation-order
-        // dependent across engines/partitionings, and floor(avg/width) is
-        // discontinuous at bin edges — the cell derives from the 6-dp value
-        // the rollup already reports, so an ulp can never flip a bin
-        pos_cell(round(col("avg_pos"), 6), res).as("cell"))
+        col("message_count"),
+        (col("mean_micro").cast("double") / lit(1000000.0)).as("avg_pos"),
+        pos_cell_micro(col("mean_micro"), res).as("cell"))
 
   /** Daily vessel-pair co-movement scores from an hourly table with columns
     * (uid, dt, hr, cell). Output matches the reference's pairs_daily contract

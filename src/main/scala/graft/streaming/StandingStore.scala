@@ -84,7 +84,13 @@ object StandingStore {
     val flat = fs.listStatus(p)
       .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     if (flat) return read(spark, storeDir, schema)
-    val dirs = values.distinct.map(v => new Path(p, s"$partCol=$v"))
+    // Build each dir name with the SAME Hive escaping partitionBy used to
+    // write it ('=', '%', ' ', '/', ... are percent-encoded) — a raw
+    // s"$partCol=$v" would existence-check false for any value needing
+    // escaping and silently drop that partition's history, the exact
+    // silent-miss the flat fallback exists to prevent.
+    val dirs = values.distinct
+      .map(v => new Path(p, escapePart(partCol, if (v == null) null else v.toString)))
       .filter(fs.exists)
     if (dirs.isEmpty)
       spark.createDataFrame(
@@ -210,6 +216,18 @@ object StandingStore {
     */
   def due(batchId: Long, compactEvery: Int): Boolean =
     compactEvery > 0 && batchId % compactEvery == compactEvery - 1
+
+  /** One `partCol=value` path segment, escaped with the convention Spark's
+    * own partitioned writer uses (ExternalCatalogUtils.escapePathName), so
+    * pruned existence checks agree byte-for-byte with what partitionBy
+    * wrote. Null partition values land in Spark's default-partition dir.
+    */
+  private[streaming] def escapePart(partCol: String, value: String): String = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val v = if (value == null) ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+            else ExternalCatalogUtils.escapePathName(value)
+    s"${ExternalCatalogUtils.escapePathName(partCol)}=$v"
+  }
 
   private def compactPath(store: Path) =
     new Path(store.getParent, store.getName + ".compact")

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.pos_cell
+import graft.functions.{micro_mean, micro_units, pos_cell_micro}
 
 /** Structured Streaming variant of the hourly rollup (A1/U1 as a stream).
   *
@@ -32,13 +32,19 @@ object StreamingRollup {
         col(posCol).between(0.0, 500.0))
       .withWatermark(tsCol, watermark)
       .groupBy(col(uidCol).as("uid"), window(col(tsCol), "1 hour").as("w"))
-      .agg(count(lit(1)).as("message_count"), avg(col(posCol)).as("avg_pos"))
+      // quantized identically to the batch rollup (CoMovement.hourlyRollup)
+      // so the batch ≡ stream equivalence holds bit-for-bit at bin edges:
+      // exact integer micro-unit sum + integer mean + integer lattice
+      // (round-15 form — see micro_units)
+      .agg(count(lit(1)).as("message_count"),
+        sum(micro_units(col(posCol))).as("sum_micro"))
+      .withColumn("mean_micro",
+        micro_mean(col("sum_micro"), col("message_count")))
       .select(col("uid"), col("w.start").as("hour_ts"),
         to_date(col("w.start")).as("dt"), hour(col("w.start")).as("hr"),
-        col("message_count"), col("avg_pos"),
-        // quantized identically to the batch rollup (CoMovement.hourlyRollup)
-        // so the batch ≡ stream equivalence holds bit-for-bit at bin edges
-        pos_cell(round(col("avg_pos"), 6), res).as("cell"))
+        col("message_count"),
+        (col("mean_micro").cast("double") / lit(1000000.0)).as("avg_pos"),
+        pos_cell_micro(col("mean_micro"), res).as("cell"))
 
   /** File-source incremental ingestion: the reference's "process only new
     * daily archives" loop as a self-checkpointing stream. With

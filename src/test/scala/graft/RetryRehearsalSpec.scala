@@ -1,0 +1,93 @@
+package graft
+
+import scala.sys.process.{Process, ProcessLogger}
+
+/** [[RetryRehearsal]] — the failure-injection gate: every gold build and
+  * every query whose retry-determinism rests on a documented protocol
+  * (PlanSpec's whitelist) must produce BIT-IDENTICAL results when first
+  * task attempts are killed and failed, with the retries actually observed
+  * (injected-fault and successful-retry counts asserted positive — a
+  * rehearsal where nothing was killed proves nothing).
+  *
+  * The faulted context needs its own JVM: the fault-injecting `file:`
+  * scheme and local-mode maxFailures are fixed at SparkContext creation,
+  * and killing first attempts inside the shared parallel-suite session
+  * would fault every OTHER suite's jobs too.
+  */
+class RetryRehearsalSpec extends SparkSpec {
+
+  private val addOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+
+  test("killed and failed first attempts: gold builds + protocol queries retry to bit-identical results") {
+    val sfDir = "/root/testdata/sf0.01"
+    // expected digests from THIS (unfaulted) session — gold builds are
+    // un-materialized plans, queries read the suite GoldCache; cross-JVM
+    // digest equality IS the retry-determinism claim
+    val expected: Map[String, (Int, String)] =
+      (SparkEntry.goldBuilds(spark, sfDir).toSeq.map {
+        case (n, df) => s"gold:$n" -> df
+      } ++ RetryRehearsal.QueryTargets.map { q =>
+        q -> SparkEntry.queries(q)(spark, sfDir)
+      }).map { case (name, df) =>
+        val rows = df.collect()
+        name -> ((rows.length, SpillRehearsal.digest(rows)))
+      }.toMap
+    expected.foreach { case (q, (n, _)) =>
+      assert(n > 0, s"$q fixture must be non-trivial at sf0.01")
+    }
+
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx4g", "-XX:+UseG1GC",
+      "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.RetryRehearsal", sfDir)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val exit = Process(cmd).!(ProcessLogger(out.add(_), out.add(_)))
+    import scala.jdk.CollectionConverters._
+    val lines = out.asScala.toSeq
+    val log = lines.mkString("\n")
+    assert(exit === 0,
+      s"rehearsal JVM must survive the injected faults (retry, not die); tail:\n${lines.takeRight(40).mkString("\n")}")
+
+    val line = ("\"target\":\"([a-z_:]+)\",\"rows\":(\\d+),\"digest\":\"([0-9a-f]+)\"," +
+      "\"fs_faults\":(\\d+),\"killed\":(\\d+),\"retried_ok\":(\\d+)").r
+    val got = line.findAllMatchIn(log).map { m =>
+      m.group(1) -> ((m.group(2).toInt, m.group(3), m.group(4).toLong,
+        m.group(5).toLong, m.group(6).toLong))
+    }.toMap
+    assert(got.keySet === expected.keySet,
+      s"every rehearsed target must report; got ${got.keySet}")
+    expected.foreach { case (name, (n, digest)) =>
+      val (gn, gd, _, _, _) = got(name)
+      assert((gn, gd) === ((n, digest)),
+        s"$name under killed/failed first attempts must match the unfaulted run exactly")
+    }
+
+    // the evidence half: faults must have been INJECTED and retries must
+    // have SUCCEEDED, or the equality above is vacuous
+    val totals = ("\"total_fs_faults\":(\\d+),\"total_killed\":(\\d+)," +
+      "\"total_retried_ok\":(\\d+)").r
+    val t = totals.findFirstMatchIn(log).map(m =>
+      (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong))
+    assert(t.isDefined, "missing totals line")
+    val (fsFaults, killed, retriedOk) = t.get
+    assert(fsFaults > 0L,
+      "the FS injector must have failed at least one scan/write first attempt")
+    assert(killed > 0L,
+      "the kill listener must have killed at least one first attempt " +
+        "(shuffle-read stages are only covered by kills)")
+    assert(retriedOk >= fsFaults,
+      "every FS-faulted task must have retried to success " +
+        s"(fs_faults=$fsFaults retried_ok=$retriedOk)")
+  }
+}

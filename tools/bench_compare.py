@@ -63,14 +63,58 @@ def probe_verdict(old_reps, new_reps):
     return "noise", detail
 
 
+def parse_args(argv):
+    """Split argv into (positional, probes_dir), consuming --probes WITH its
+    value so the value never leaks into the positional list (the round-14
+    bug that made --probes mode unreachable). Returns (None, None) on a
+    malformed flag."""
+    args, probes_dir, i = [], None, 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--probes":
+            if i + 1 >= len(argv):
+                return None, None
+            probes_dir = argv[i + 1]
+            i += 2
+        elif a == "--selftest":
+            i += 1  # handled in main before parse_args
+        elif a.startswith("--"):
+            return None, None
+        else:
+            args.append(a)
+            i += 1
+    return args, probes_dir
+
+
+def selftest():
+    """Pin the arg-parsing contract and the probe verdict math."""
+    a, p = parse_args(["old.json", "new.json", "--probes", "/tmp/p"])
+    assert a == ["old.json", "new.json"] and p == "/tmp/p", (a, p)
+    a, p = parse_args(["--probes", "/tmp/p", "old.json", "new.json"])
+    assert a == ["old.json", "new.json"] and p == "/tmp/p", (a, p)
+    a, p = parse_args(["old.json", "new.json"])
+    assert a == ["old.json", "new.json"] and p is None, (a, p)
+    a, p = parse_args(["old.json", "new.json", "--probes"])  # missing value
+    assert a is None, (a, p)
+    a, p = parse_args(["old.json", "new.json", "--bogus"])
+    assert a is None, (a, p)
+    # probe verdict: non-overlapping quartiles + >10% median gap
+    slow = [1.5 + 0.01 * i for i in range(15)]
+    fast = [1.0 + 0.01 * i for i in range(15)]
+    assert probe_verdict(fast, slow)[0] == "regression"
+    assert probe_verdict(slow, fast)[0] == "improvement"
+    assert probe_verdict(fast, [x * 1.05 for x in fast])[0] == "noise"
+    print("selftest OK")
+    return 0
+
+
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
-    probes_dir = None
-    if "--probes" in argv:
-        probes_dir = argv[argv.index("--probes") + 1]
-    if len(args) != 2:
+    if "--selftest" in argv:
+        return selftest()
+    args, probes_dir = parse_args(argv)
+    if args is None or len(args) != 2:
         print("usage: python3 tools/bench_compare.py <old_BENCH_full.json> "
-              "<new_BENCH_full.json> [--probes <dir>]")
+              "<new_BENCH_full.json> [--probes <dir>] [--selftest]")
         return 2
     old = json.load(open(args[0]))
     new = json.load(open(args[1]))
