@@ -56,13 +56,18 @@ object RetryRehearsal {
   val fsFaults = new AtomicLong(0L)
   private val fired = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Throw once per (stage, partition, site) on a task's FIRST attempt.
-    * Called from [[RetryFaultFs]] inside executor threads; the retried
-    * attempt (attemptNumber ≥ 1) passes through untouched.
+  /** Throw once per (stage, partition, site) on the first attempt that
+    * actually REACHES the file — not pinned to attempt 0, because the kill
+    * listener usually kills attempt 0 before it opens anything (observed:
+    * 1506 kills, 0 FS faults on the attempt-0-only version), and a faulted
+    * task must still have retry headroom below local maxFailures (= 4
+    * total attempts; one ExceptionFailure per task keeps 2 spare). Called
+    * from [[RetryFaultFs]] inside executor threads; the attempt AFTER the
+    * fault passes through untouched.
     */
   def maybeFault(where: String): Unit = {
     val tc = TaskContext.get()
-    if (armed.get() && tc != null && tc.attemptNumber() == 0 &&
+    if (armed.get() && tc != null && tc.attemptNumber() <= 1 &&
         fired.add(s"${tc.stageId()}:${tc.partitionId()}:$where")) {
       fsFaults.incrementAndGet()
       throw new java.io.IOException(
@@ -93,7 +98,12 @@ object RetryRehearsal {
       // install the fault-injecting file: scheme for driver AND executors
       // (local mode: one JVM, statics shared with this object)
       .config("spark.hadoop.fs.file.impl", classOf[RetryFaultFs].getName)
-      .config("spark.hadoop.fs.file.impl.disable.cache", "false")
+      // The FileSystem cache keys on (scheme, authority, ugi) — NOT the impl
+      // class — so a plain LocalFileSystem created during context startup
+      // would be served to every later getFileSystem(conf) call and the
+      // injector would never see a single open. Disable the cache for
+      // `file:` in this JVM so each call constructs from the conf's impl.
+      .config("spark.hadoop.fs.file.impl.disable.cache", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext
