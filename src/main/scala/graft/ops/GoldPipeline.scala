@@ -263,4 +263,104 @@ object GoldPipeline {
       .drop("__z")
       .write.mode("overwrite").option("compression", "snappy").parquet(outRoot)
   }
+
+  /** TORN-READ-FREE per-partition compaction for a CATALOG-registered gold
+    * table ([[registerExternalTable]] / K5): rewrite each oversized
+    * partition to a fresh sibling location and flip the partition's
+    * registered LOCATION in the catalog — one atomic metadata update per
+    * partition, which is the only genuinely atomic "replace a directory's
+    * contents" primitive a raw filesystem/object store offers.
+    * [[compactPartitions]]' all-renames dir swap is crash-SAFE but not
+    * reader-ATOMIC: a path-based reader listing the table root between the
+    * two renames sees the leaf missing, and one that planned file paths
+    * before the swap hits FileNotFound after the old dir is deleted. The
+    * catalog swap has neither window: readers planning through
+    * `spark.table` resolve the partition's CURRENT location; readers
+    * mid-scan keep the OLD files, which stay on disk until a later
+    * [[sweepOrphans]] pass (deferred deletion — the grace period must
+    * exceed reader planning-to-finish lifetime, including any session's
+    * relation-cache staleness, before a sweep runs).
+    *
+    * Fresh locations are `<leaf>__c<k>` siblings (monotonic k), so repeated
+    * maintenance never reuses a live name. Returns
+    * (partitionSpec, filesBefore, filesAfter). Partition VALUES must be
+    * escape-free strings/numbers/dates (the same contract the standing
+    * store documents); the spec SQL quotes but does not escape.
+    */
+  def compactPartitionsCatalog(spark: SparkSession, table: String,
+                               targetBytes: Long,
+                               maxFiles: Int = 8): Seq[(String, Int, Int)] = {
+    require(maxFiles >= 1, "maxFiles must be at least 1")
+    require(targetBytes > 0, "targetBytes must be positive")
+    val cat = spark.sharedState.externalCatalog
+    val db = spark.catalog.currentDatabase
+    val partCols = cat.getTable(db, table).partitionColumnNames
+    cat.listPartitions(db, table).flatMap { p =>
+      val loc = new org.apache.hadoop.fs.Path(p.storage.locationUri.get)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val before = fs.listStatus(loc)
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (before <= maxFiles) None
+      else {
+        val totalBytes = fs.listStatus(loc)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum
+        val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+        // next __c sibling: strip a previous __c<k> suffix (keeps names
+        // flat across repeated maintenance), then take max+1 over every
+        // sibling that has ever existed — never reuse a live name
+        val n0 = loc.getName
+        val i = n0.lastIndexOf("__c")
+        val base =
+          if (i > 0 && n0.length > i + 3 && n0.drop(i + 3).forall(_.isDigit))
+            n0.take(i)
+          else n0
+        val taken = fs.listStatus(loc.getParent).map(_.getPath.getName)
+          .filter(n => n.startsWith(base + "__c") &&
+            n.length > base.length + 3 &&
+            n.drop(base.length + 3).forall(_.isDigit))
+          .map(_.drop(base.length + 3).toLong)
+        val next = new org.apache.hadoop.fs.Path(loc.getParent,
+          s"${base}__c${if (taken.isEmpty) 1L else taken.max + 1L}")
+        spark.read.parquet(loc.toString).coalesce(nFiles)
+          .write.mode("overwrite").option("compression", "snappy")
+          .parquet(next.toString)
+        val specSql = partCols.map(c => s"$c='${p.spec(c)}'").mkString(", ")
+        // the atomic flip: one metastore update, no filesystem window
+        spark.sql(s"ALTER TABLE $table PARTITION ($specSql) " +
+          s"SET LOCATION '${next.toString}'")
+        val after = fs.listStatus(next)
+          .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        Some((specSql, before, after))
+      }
+    }
+  }
+
+  /** Deferred-deletion half of [[compactPartitionsCatalog]]: delete leaf
+    * directories under the table's partition tree that are no longer ANY
+    * partition's registered location. Run only after the grace period —
+    * an in-flight reader (or a session with a stale relation cache) may
+    * still be scanning an orphan. Returns the deleted paths.
+    */
+  def sweepOrphans(spark: SparkSession, table: String): Seq[String] = {
+    val cat = spark.sharedState.externalCatalog
+    val db = spark.catalog.currentDatabase
+    val live = cat.listPartitions(db, table)
+      .flatMap(_.storage.locationUri).map(u =>
+        new org.apache.hadoop.fs.Path(u).toUri.getPath).toSet
+    val root = new org.apache.hadoop.fs.Path(
+      cat.getTable(db, table).storage.locationUri.get)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val entries = fs.listStatus(p).toSeq
+        .filterNot(s => s.getPath.getName.startsWith("_") ||
+          s.getPath.getName.startsWith("."))
+      val dirs = entries.filter(_.isDirectory)
+      if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
+    }
+    if (!fs.exists(root)) Seq.empty
+    else leaves(root).filter(l => l != root &&
+        !live.contains(l.toUri.getPath))
+      .map { orphan => fs.delete(orphan, true); orphan.toString }
+  }
 }

@@ -126,8 +126,14 @@ object Kmeans {
   /** One argmin pass: cross the (tiny, broadcast) centroid relation with
     * the vectors, reduce `min(struct(dd, list_id))` per vector — partial
     * aggregation folds the k candidates map-side, so the one exchange
-    * carries one row per vector. `first(x)` rides the same aggregate (x is
-    * constant within a vec_id group), avoiding a join back to the input.
+    * carries one row per vector. `x` rides the same aggregate as
+    * `min_by(x, struct(dd, list_id))` (avoiding a join back to the input):
+    * the ordering key is UNIQUE within the group (one row per list_id), so
+    * the argmin is single-valued and the result is hard-deterministic under
+    * any evaluation order — no FD-first whitelist rationale required (the
+    * round-14 retry gate carried `first(x)` on the documented
+    * x-constant-per-group argument; a unique-keyed min_by needs no
+    * argument).
     */
   private def assignOnce(e: DataFrame, spark: SparkSession,
                          cents: Array[(Int, Array[Double])]): DataFrame = {
@@ -141,7 +147,7 @@ object Kmeans {
         (col("c2") - lit(2.0) * vec_dot(col("x"), col("cv"))).as("dd"))
       .groupBy("vec_id")
       .agg(min(struct(col("dd"), col("list_id"))).as("m"),
-        first(col("x")).as("x"))
+        min_by(col("x"), struct(col("dd"), col("list_id"))).as("x"))
       .select(col("vec_id"), col("m.list_id").as("list_id"), col("x"))
   }
 }

@@ -459,13 +459,10 @@ class PlanSpec extends SparkSpec {
         // the same split, so replay cannot change any row. The oracle
         // hash-match covers it because the declared projection canonises
         // the path.
-        "silver_clean" -> Set("InputFileName"),
-        // Kmeans assignment: first(x) rides a groupBy(vec_id) where x is
-        // functionally dependent on the group key (one vector per id), so
-        // ANY evaluation order returns the same value — the standard
-        // FD-first idiom (Kmeans.scala:129-144), retry-safe by
-        // construction.
-        "kmeans_assign" -> Set("first-unordered"))
+        "silver_clean" -> Set("InputFileName"))
+        // (kmeans_assign left the list in round 15: the FD-first idiom was
+        // re-platformed to min_by over a unique (dd, list_id) ordering key
+        // — hard determinism needs no whitelist rationale.)
     }
 
     def offendersOf(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Set[String] = {
