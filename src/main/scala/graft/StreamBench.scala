@@ -177,16 +177,31 @@ object StreamBench {
     }
 
     // ---- clusters: label store + driver union-find ---------------------
+    // ---- clusters: id-range-partitioned label store --------------------
+    // Round 15: the round-14 probe (dense ids, batch probing a full label
+    // scan) measured per-batch time DOUBLING 10x -> 100x — the O(store)
+    // label read this probe exists to catch. The store is now id-range
+    // partitioned (StreamingClusters.LabelRangeWidth) and the probe reads
+    // only the batch endpoints' buckets, so the honest growth model is the
+    // comove one: the store grows by id RANGE (constant rows per bucket —
+    // ids seeded at stride 2048 keep 512 rows/bucket), each batch touches
+    // a FIXED set of historical ids plus fresh ids. Flat per-batch time as
+    // the store grows 1x -> 1000x is the pruning claim, measured at one
+    // more decade than the other probes BECAUSE this one regressed.
     results("clusters") = {
-      val times = scales.map { scale =>
+      val clScales = Seq(1, 10, 100, 1000)
+      val times = clScales.map { scale =>
         val root = tmp("sb-cl-root")
         val n = 10000L * scale
+        val width = StreamingClusters.LabelRangeWidth
         StandingStore.append(
           spark.range(0L, n, 1L, 8).select(
-            col("id").as("id"),
-            (col("id") - pmod(col("id"), lit(10))).as("cluster"),
-            lit(0L).as("batch_id")),
-          root + "/labels")
+            (col("id") * 2048L).as("id"),
+            ((col("id") - pmod(col("id"), lit(10))) * 2048L).as("cluster"),
+            lit(0L).as("batch_id"))
+            .withColumn("id_bkt",
+              call_function("div", col("id"), lit(width))),
+          root + "/labels", Seq("id_bkt"))
         val mem = MemoryStream[(Long, Long)]
         val q = StreamingClusters.clusterStream(
           mem.toDF.toDF("a", "b"), "a", "b", root, tmp("sb-cl-cp"),
@@ -195,13 +210,18 @@ object StreamBench {
           def batch(r: Int): Seq[(Long, Long)] =
             (0 until 1000).map { i =>
               val base = 2000000000L + r * 100000L + i * 2
-              (base, base + 1)
+              if (i < 200) {
+                // fixed historical touch: 200 seeded ids from the store's
+                // FIRST 10k rows (~20 buckets) — identical at every scale,
+                // so growth can only come from the store read itself
+                (base, ((i * 37 + r) % 10000).toLong * 2048L)
+              } else (base, base + 1)
             }
           timeBatch(mem, q, batch(0))
           (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
         } finally q.stop()
       }
-      (scales.map(_ * 10000L), times)
+      (clScales.map(_ * 10000L), times)
     }
 
     // ---- artifact + gate ----------------------------------------------
@@ -215,7 +235,9 @@ object StreamBench {
       // same interpretation in the artifact ("inf", not a -1 sentinel) so
       // the committed JSON can never disagree with the gate's verdict.
       val ratio = if (ts.head > 0) num(ts.last / ts.head) else "\"inf\""
-      s""""$op":{"store_rows":[${rows.mkString(",")}],"sec":[${ts.map(num).mkString(",")}],"ratio_100x":$ratio}"""
+      // "last_over_first" because probes may run different scale ladders
+      // (clusters measures one extra decade); store_rows carries the ladder
+      s""""$op":{"store_rows":[${rows.mkString(",")}],"sec":[${ts.map(num).mkString(",")}],"ratio_last_over_first":$ratio}"""
     }.mkString("{", ",", "}")
     val flaggedJson = flagged.map { case (op, r) =>
       s""""$op":${if (r.isInfinity) "\"inf\"" else num(r)}"""

@@ -91,7 +91,33 @@ object StreamingClusters {
   val LabelSchema: StructType = StructType(Seq(
     StructField("id", LongType),
     StructField("cluster", LongType),
-    StructField("batch_id", LongType)))
+    StructField("batch_id", LongType),
+    StructField("id_bkt", LongType)))
+
+  /** Label-store partition width: `id_bkt = id div 2^20`. The round-14
+    * StreamBench found the clusters probe's per-batch time DOUBLING from
+    * 10× to 100× store — the probe join re-scanned (and distinct-shuffled)
+    * the ENTIRE label store every micro-batch, the same O(history) disease
+    * the comove presence store had before dt-pruning. Labels are now
+    * id-range partitioned, and the probe reads ONLY the batch endpoints'
+    * buckets ([[StandingStore.readPartitions]]): document ids arrive
+    * roughly monotonically, so a steady-state batch touches O(1) buckets
+    * of new ids plus however many historical buckets its pair partners
+    * span — O(batch), never O(corpus). 2^20 ids/bucket keeps a 10⁹-doc
+    * corpus at ~1000 partitions (healthy dirs, prunable listings).
+    */
+  val LabelRangeWidth: Long = 1L << 20
+
+  /** Probe-pruning cutoff: past this many distinct endpoint buckets the
+    * per-directory existence checks cost more than the scan they save —
+    * fall back to the full store read (an adversarial batch spanning the
+    * whole id space degrades to exactly the pre-round-15 behavior, never
+    * worse).
+    */
+  val MaxProbePartitions: Int = 256
+
+  private def withBkt(df: DataFrame): DataFrame =
+    df.withColumn("id_bkt", call_function("div", col("id"), lit(LabelRangeWidth)))
 
   val RemapSchema: StructType = StructType(Seq(
     StructField("old_cluster", LongType),
@@ -161,8 +187,18 @@ object StreamingClusters {
   private def processGated(p: DataFrame, root: String, batchId: Long,
                            nPairs: Long): BatchStats = {
     val spark = p.sparkSession
-    val labels = StandingStore.read(spark, labelsDir(root), LabelSchema)
-      .select(col("id"), col("cluster")).distinct()
+    // the batch's endpoint buckets (p is persisted; this job is O(batch)):
+    // the probe needs labels ONLY for these ids, so read only their
+    // id-range partitions — O(batch) listing and scan, not O(corpus)
+    val bkts = p.select(explode(array(col("a"), col("b"))).as("id"))
+      .select(call_function("div", col("id"), lit(LabelRangeWidth)).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val labelStore =
+      if (bkts.size <= MaxProbePartitions)
+        StandingStore.readPartitions(spark, labelsDir(root), LabelSchema,
+          "id_bkt", bkts)
+      else StandingStore.read(spark, labelsDir(root), LabelSchema)
+    val labels = labelStore.select(col("id"), col("cluster")).distinct()
     // one keyed probe for BOTH endpoints' current labels; null = first-seen
     val probed = p
       .join(labels.select(col("id").as("a"), col("cluster").as("ca")), Seq("a"), "left")
@@ -201,8 +237,8 @@ object StreamingClusters {
     val merges = existingClusters.toSeq
       .map(c => (c, find(c), batchId)).filter { case (c, r, _) => r != c }
     if (newLabels.nonEmpty)
-      StandingStore.append(newLabels.toDF("id", "cluster", "batch_id"),
-        labelsDir(root))
+      StandingStore.append(withBkt(newLabels.toDF("id", "cluster", "batch_id")),
+        labelsDir(root), Seq("id_bkt"))
     if (merges.nonEmpty)
       StandingStore.append(merges.toDF("old_cluster", "new_cluster", "batch_id"),
         remapDir(root))
@@ -260,12 +296,15 @@ object StreamingClusters {
     if (rm.nonEmpty) {
       import spark.implicits._
       val rmDf = rm.toSeq.toDF("__old", "__new")
+      // id_bkt recomputed from id (not carried): this is also the one-shot
+      // migration path for a legacy FLAT label store — one compact() and
+      // the store is id-range partitioned
       StandingStore.rewrite(spark, labelsDir(root), LabelSchema, df =>
-        df.join(broadcast(rmDf), df("cluster") === rmDf("__old"), "left")
+        withBkt(df.join(broadcast(rmDf), df("cluster") === rmDf("__old"), "left")
           .select(col("id"),
             coalesce(col("__new"), col("cluster")).as("cluster"),
             col("batch_id"))
-          .distinct())
+          .distinct()), Seq("id_bkt"))
     }
     StandingStore.rewrite(spark, remapDir(root), RemapSchema,
       df => df.filter(lit(false)))

@@ -72,4 +72,43 @@ class SpillRehearsalSpec extends SparkSpec {
       s"the rehearsal must actually exercise the spill path (got $spilledBytes) — " +
         "a zero means the starvation knobs rotted and the test is vacuous")
   }
+
+  test("starved memory manager: the four streaming standing-store merge paths spill to bit-identical store state") {
+    // unconstrained baseline in the suite session — the SAME batch
+    // sequence the subprocess drives (shared through runAll, so the two
+    // sides cannot drift)
+    val expected = StreamSpillRehearsal.runAll(spark)
+      .map { case (op, n, d) => op -> ((n, d)) }.toMap
+    expected.foreach { case (op, (n, _)) =>
+      assert(n > 0, s"$op store must be non-trivial after the sequence")
+    }
+
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx2g", "-XX:+UseG1GC",
+      "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.StreamSpillRehearsal")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val exit = Process(cmd).!(ProcessLogger(out.add(_), out.add(_)))
+    import scala.jdk.CollectionConverters._
+    val lines = out.asScala.toSeq
+    val log = lines.mkString("\n")
+    assert(exit === 0,
+      s"streaming rehearsal JVM must exit clean (spill, not OOM); tail:\n${lines.takeRight(40).mkString("\n")}")
+
+    val line = "\"op\":\"([a-z_]+)\",\"store_rows\":(\\d+),\"digest\":\"([0-9a-f]+)\"".r
+    val got = line.findAllMatchIn(log)
+      .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3)))).toMap
+    assert(got.keySet === expected.keySet, s"every processor must report: $got")
+    expected.foreach { case (op, (n, d)) =>
+      assert(got(op) === ((n, d)),
+        s"$op standing-store state under memory pressure must match the unconstrained run exactly")
+    }
+    val spilledBytes = "\"spilled_bytes\":(\\d+)".r
+      .findFirstMatchIn(log).map(_.group(1).toLong)
+    assert(spilledBytes.exists(_ > 0L),
+      s"the streaming rehearsal must actually spill (got $spilledBytes)")
+  }
 }
