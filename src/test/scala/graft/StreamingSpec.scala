@@ -1365,4 +1365,32 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1)))
     assert(fb.toSeq === Seq((7, "2024-01-01")))
   }
+
+  test("readPartitions: Hive-escaped partition values round-trip (ADVICE r14)") {
+    import graft.streaming.StandingStore
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("uid", IntegerType), StructField("k", StringType)))
+    val store = java.nio.file.Files.createTempDirectory("ss-esc").toString + "/s"
+    // values Spark percent-encodes in partition dir names: space, '=',
+    // '%', ':', '/'. A raw s"$col=$v" existence check would miss every
+    // one of these partitions SILENTLY — the exact failure mode the flat
+    // fallback exists to prevent.
+    val nasty = Seq("a b", "x=y", "p%q", "h:m", "a/b")
+    StandingStore.append(
+      nasty.zipWithIndex.map { case (v, i) => (i, v) }.toDF("uid", "k"),
+      store, Seq("k"))
+    nasty.foreach { v =>
+      val got = StandingStore.readPartitions(spark, store, schema, "k", Seq(v))
+        .collect().map(r => (r.getInt(0), r.getString(1)))
+      assert(got.length === 1 && got.head._2 === v,
+        s"partition value '$v' must round-trip through the pruned read")
+    }
+    // null partition value lands in Spark's default-partition dir; the
+    // pruned read must address it the same way (reads back as null)
+    val withNull = StandingStore.readPartitions(spark, store, schema, "k",
+      Seq(null, "a b")).collect()
+    assert(withNull.map(_.getString(1)).toSet === Set("a b"),
+      "null value addresses the default partition (absent here) without error")
+  }
 }

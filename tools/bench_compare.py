@@ -108,13 +108,44 @@ def selftest():
     return 0
 
 
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BASELINE_bench.json")
+BASELINE_GATE = 2.0  # the driver's 2x rule, re-anchored at the 165-query surface
+
+
+def baseline_mode():
+    """Round-final gate: compare the working-tree BENCH_full.json against the
+    re-anchored 165-query baseline (BASELINE_bench.json, recorded from the
+    round-15 interleaved A/B's untainted HEAD pair). The round-1 26-query
+    recording (181.6 s) had decayed to a 0.41x non-constraint; this binds at
+    2x of a real same-surface number."""
+    base = json.load(open(BASELINE_PATH))
+    cur = json.load(open(os.path.join(os.path.dirname(BASELINE_PATH),
+                                      "BENCH_full.json")))
+    if cur.get("tainted"):
+        print("current BENCH_full.json is TAINTED — re-run quiet before gating")
+        return 1
+    ratio = cur["value"] / base["value"]
+    print(f"baseline {base['value']}s ({base.get('note', '')}) -> "
+          f"current {cur['value']}s = x{ratio:.3f} (gate {BASELINE_GATE}x)")
+    if ratio > BASELINE_GATE:
+        print(f"GATE FAILED: total exceeds {BASELINE_GATE}x of the "
+              "re-anchored baseline")
+        return 1
+    print("gate OK")
+    return 0
+
+
 def main(argv):
     if "--selftest" in argv:
         return selftest()
+    if "--baseline" in argv:
+        return baseline_mode()
     args, probes_dir = parse_args(argv)
     if args is None or len(args) != 2:
         print("usage: python3 tools/bench_compare.py <old_BENCH_full.json> "
-              "<new_BENCH_full.json> [--probes <dir>] [--selftest]")
+              "<new_BENCH_full.json> [--probes <dir>] [--selftest] "
+              "[--baseline]")
         return 2
     old = json.load(open(args[0]))
     new = json.load(open(args[1]))
