@@ -153,6 +153,13 @@ object SparkEntry {
 
   /** Sliding-distinct trailing window: 7 days (the weekly-actives window). */
   private val SlideDays = 7
+
+  /** HLL precision: 2^10 = 1024 registers (~3.2% standard error) — register
+    * tables stay small (days × ≤1024 rows) while the accuracy spec has
+    * headroom.
+    */
+  private val HllP = 10
+  private val HllM = 1 << HllP
   private val CmsDepth = 4
   private val CmsWidth = 256
 
@@ -2081,6 +2088,33 @@ object SparkEntry {
       Sketches.slidingDistinct(Tables.events(s, d), "ts", "user_id",
           SlideDays, BloomM, BloomK)
         .orderBy("day")),
+
+    // HyperLogLog register table from pure built-ins (Flajolet et al.,
+    // AofA 2007): per-day distinct-user registers — bucket = sha256 word 1
+    // mod 2^p, rho = leading-zero rank of sha256 word 2 in a 62-bit window,
+    // register = max(rho). Max-mergeable (store a day's registers, re-merge
+    // across days without rescanning) and cross-engine EXACT, unlike
+    // approx_count_distinct's engine-private HLL++ binary
+    "hll_registers" -> ((s, d) =>
+      Sketches.hllRegisters(
+        Tables.events(s, d).filter(col("ts").isNotNull)
+          .select(to_date(col("ts")).as("day_date"), col("user_id")),
+        Seq("day_date"), "user_id", HllP)
+        .orderBy("day_date", "bucket")),
+
+    // per-day HLL estimator state in EXACT integers (register count, empty
+    // registers, the 2^63-scaled harmonic denominator) — no engine-computed
+    // float crosses the oracle boundary (the lm_score discipline applied to
+    // a sketch); the double estimate is engine-side (Sketches.hllEstimate,
+    // accuracy pinned vs exact distinct in SketchesSpec)
+    "hll_distinct" -> ((s, d) =>
+      Sketches.hllDistinct(
+        Tables.events(s, d).filter(col("ts").isNotNull)
+          .select(to_date(col("ts")).as("day_date"), col("user_id")),
+        Seq("day_date"), "user_id", HllP)
+        .select(col("day_date"), col("n_buckets"), col("v_zero"),
+          col("denom_scaled").cast("string").as("denom_scaled"))
+        .orderBy("day_date")),
 
     // deterministic bitset distinct sketch (typed Aggregator UDAF): per-type
     // distinct users — set-bit count + linear-counting estimate vs exact
@@ -5114,6 +5148,43 @@ object SparkEntry {
          |  round(-$BloomM * ln(1 - CAST(w.n_set AS DOUBLE) / $BloomM), 4)
          |    AS est_distinct
          |FROM w JOIN ex USING (day) ORDER BY day""".stripMargin,
+
+    // word-for-word HLL register rebuild: same sha256 words, same 62-bit
+    // rho window (rho = 63 - bitlen, w=0 -> 63), same max
+    "hll_registers" ->
+      s"""WITH b AS (
+         |  SELECT CAST(ts AS DATE) AS day_date,
+         |    CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+         |      % ${HllM}::UBIGINT AS BIGINT) AS bucket,
+         |    ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 17, 16))::UBIGINT
+         |      % 4611686018427387904::UBIGINT AS w62
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL)
+         |SELECT day_date, bucket,
+         |  CAST(max(CASE WHEN w62 = 0 THEN 63
+         |                ELSE 63 - length(bin(w62)) END) AS INTEGER) AS r
+         |FROM b GROUP BY 1, 2 ORDER BY day_date, bucket""".stripMargin,
+
+    // exact-integer HLL state: HUGEINT shifts keep the 2^63-scaled
+    // denominator exact (2^(63-r) per register + 2^63 per empty register)
+    "hll_distinct" ->
+      s"""WITH b AS (
+         |  SELECT CAST(ts AS DATE) AS day_date,
+         |    CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+         |      % ${HllM}::UBIGINT AS BIGINT) AS bucket,
+         |    ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 17, 16))::UBIGINT
+         |      % 4611686018427387904::UBIGINT AS w62
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |reg AS (SELECT day_date, bucket,
+         |    max(CASE WHEN w62 = 0 THEN 63
+         |             ELSE 63 - length(bin(w62)) END) AS r
+         |  FROM b GROUP BY 1, 2)
+         |SELECT day_date,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST($HllM - count(*) AS BIGINT) AS v_zero,
+         |  CAST(sum(CAST(1 AS HUGEINT) << (63 - r))
+         |    + ($HllM - count(*)) * (CAST(1 AS HUGEINT) << 63) AS VARCHAR)
+         |    AS denom_scaled
+         |FROM reg GROUP BY 1 ORDER BY day_date""".stripMargin,
 
     // same sha256-position + linear-counting rebuild as bloom_distinct,
     // keyed by day instead of event_type

@@ -1,6 +1,7 @@
 package graft.ops
 
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+import java.security.MessageDigest
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
@@ -305,6 +306,90 @@ class BitsetUnion(m: Int)
     Encoders.product[BitsetDistinctResult]
 }
 
+/** Result of an [[HllSketch]] aggregation — the same exact-integer
+  * estimator state as [[Sketches.hllDistinct]]; `denom_scaled` rides as a
+  * plain integer STRING because Spark's default product encoding for
+  * BigDecimal is DECIMAL(38,18), whose 20 integer digits the 2^63-scaled
+  * denominator (up to m · 2^63 ≈ 10^22) can overflow.
+  */
+case class HllState(n_buckets: Long, v_zero: Long, denom_scaled: String)
+
+/** [[Sketches.hllRegisters]] as a typed single-pass `Aggregator`: a fixed
+  * 2^p-byte register buffer per group (rho ≤ 63 fits a byte), bytewise-max
+  * merge — the store-and-merge-later form (persist one sketch per
+  * day/shard, re-aggregate without rescanning). Hash math is
+  * BIT-IDENTICAL to the built-ins path (same sha256 words, same 62-bit rho
+  * window; spec-pinned), so a stored Aggregator sketch and a stored
+  * register TABLE are interchangeable state.
+  */
+class HllSketch(p: Int) extends Aggregator[String, Array[Byte], HllState] {
+  require(p >= 4 && p <= 16, "p in [4, 16]")
+  private val m = 1 << p
+
+  override def zero: Array[Byte] = new Array[Byte](m)
+
+  override def reduce(b: Array[Byte], v: String): Array[Byte] = {
+    if (v != null) {
+      val (bucket, rho) = HllSketch.bucketRho(v, m)
+      if (rho > b(bucket)) b(bucket) = rho
+    }
+    b
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(b: Array[Byte]): HllState = {
+    val two63 = new JBigDecimal("9223372036854775808")
+    var denom = JBigDecimal.ZERO
+    var seen = 0L
+    var i = 0
+    while (i < m) {
+      if (b(i) > 0) {
+        seen += 1
+        denom = denom.add(new JBigDecimal(1L << (Sketches.HllScaleBits - b(i))))
+      } else denom = denom.add(two63)
+      i += 1
+    }
+    HllState(seen, m - seen, denom.toPlainString)
+  }
+
+  override def bufferEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  override def outputEncoder: Encoder[HllState] = Encoders.product[HllState]
+}
+
+object HllSketch {
+  private val digest = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("SHA-256")
+  }
+
+  /** (bucket, rho) from sha256(v): word 1 (bytes 0-7, unsigned) mod m;
+    * word 2 (bytes 8-15) reduced to the 62-bit window, rho = 63 − bitlen
+    * (= leading-zero rank + 1 in the window; 63 when the window is zero).
+    */
+  def bucketRho(v: String, m: Int): (Int, Byte) = {
+    val md = digest.get()
+    md.reset()
+    val bytes = md.digest(v.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var u1 = 0L; var u2 = 0L
+    var i = 0
+    while (i < 8) {
+      u1 = (u1 << 8) | (bytes(i) & 0xffL)
+      u2 = (u2 << 8) | (bytes(i + 8) & 0xffL)
+      i += 1
+    }
+    val bucket = java.lang.Long.remainderUnsigned(u1, m.toLong).toInt
+    val w62 = java.lang.Long.remainderUnsigned(u2, Sketches.HllW)
+    val rho =
+      if (w62 == 0L) 63
+      else 63 - (64 - java.lang.Long.numberOfLeadingZeros(w62))
+    (bucket, rho.toByte)
+  }
+}
+
 object Sketches {
   /** Column-function form of [[BitsetDistinct]] for use in `agg(...)`. */
   def bitsetDistinct(m: Int, k: Int): UserDefinedFunction =
@@ -374,4 +459,111 @@ object Sketches {
     */
   def histogramSketch(lo: Double, hi: Double, nBins: Int): UserDefinedFunction =
     udaf(new HistogramSketch(lo, hi, nBins), Encoders.DOUBLE)
+
+  /** Column-function form of [[HllSketch]]: single-pass per-group HLL
+    * state, interchangeable with [[hllDistinct]]'s (spec-pinned).
+    */
+  def hllSketch(p: Int): UserDefinedFunction =
+    udaf(new HllSketch(p), Encoders.STRING)
+
+  // ----------------------------------------------------------------- HLL
+
+  /** The rho window width: the second sha256 word reduced mod 2^62 gives a
+    * uniform 62-bit stream, so rho = 63 − bitlen(w) ∈ [1, 63] (w = 0 → 63).
+    */
+  val HllW: Long = 1L << 62
+
+  /** The denominator scale: registers contribute 2^(63−r) EXACT integers
+    * (≤ 2^63 for the mandatory zero-register term), so the harmonic-mean
+    * denominator Σ 2^−r rides as `denom_scaled = Σ 2^(63−r)` in
+    * DECIMAL(38,0) — no float sum whose ordering could differ across
+    * engines or retries.
+    */
+  val HllScaleBits: Int = 63
+
+  /** HyperLogLog register table (Flajolet et al., AofA 2007) from PURE
+    * BUILT-INS — no custom expression, no engine-private sketch binary:
+    * `bucket` = first sha256 word mod 2^p, `rho` = leading-zero rank of the
+    * second sha256 word in a 62-bit window, register = `max(rho)` per
+    * (group, bucket). Every step is public arithmetic (sha2, conv,
+    * substring, bin, max), so the register table is IDENTICAL in any
+    * engine — unlike `approx_count_distinct`'s HLL++ binary — and
+    * merge-order / retry / partitioning independent by construction (max
+    * is idempotent-commutative-associative; the round-15 retry rehearsal's
+    * favorite property). This is the 100 TB COUNT DISTINCT shape: the
+    * shuffle carries ≤ 2^p register rows per group instead of every
+    * distinct key, and stored register tables for different days/shards
+    * re-merge by `max` without rescanning the data (the
+    * [[slidingDistinct]] pattern at HLL's O(log log n) register width).
+    */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, "p in [4, 16] (m = 2^p registers)")
+    val m = 1 << p
+    val h = sha2(col(valueCol).cast("string"), 256)
+    // conv(hex, 16, 10) yields the UNSIGNED 64-bit value as a decimal
+    // string; DECIMAL(20,0) holds it exactly (the corpus_split /
+    // StableHashBucket convention, SQL-expressible in DuckDB as
+    // ('0x' || substr(sha256(v), ...))::UBIGINT)
+    val u1 = conv(substring(h, 1, 16), 16, 10).cast("decimal(20,0)")
+    val u2 = conv(substring(h, 17, 16), 16, 10).cast("decimal(20,0)")
+    val w62 = (u2 % lit(HllW)).cast("long")
+    val rho = when(col("__w62") === 0L, lit(63))
+      .otherwise(lit(63) - length(bin(col("__w62")))).cast("int")
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        (u1 % lit(m.toLong)).cast("long").as("bucket") :+
+        w62.as("__w62"): _*)
+      .withColumn("r", rho)
+      .groupBy((groupCols :+ "bucket").map(col): _*)
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** Per-group HLL state in EXACT integers: `n_buckets` registers present,
+    * `v_zero` empty registers, and the 2^63-scaled harmonic denominator —
+    * the full estimator input with no engine-computed float anywhere
+    * (the lm_score/micro_mean oracle discipline applied to a sketch).
+    * Feed to [[hllEstimate]] for the number humans want.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  p: Int): DataFrame = {
+    val m = 1 << p
+    hllRegisters(df, groupCols, valueCol, p)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n_buckets"),
+        // r >= 1 always, so the shift is <= 62 and each term fits a long
+        // exactly before the decimal cast
+        sum(expr(s"CAST(shiftleft(1L, $HllScaleBits - r) AS DECIMAL(38,0))"))
+          .as("__nz"))
+      .select(groupCols.map(col) :+
+        col("n_buckets") :+
+        (lit(m.toLong) - col("n_buckets")).as("v_zero") :+
+        (col("__nz") + (lit(m.toLong) - col("n_buckets")).cast("decimal(38,0)") *
+          // 2^63 overflows a long literal — spell it as a decimal
+          lit(new java.math.BigDecimal("9223372036854775808"))
+            .cast("decimal(38,0)")).as("denom_scaled"): _*)
+  }
+
+  /** The standard HLL estimate from [[hllDistinct]]'s exact state:
+    * `alpha_m · m² · 2^63 / denom_scaled`, with the small-range
+    * linear-counting correction (`m · ln(m / v_zero)` when est ≤ 2.5m and
+    * empty registers remain). Engine-side only — the ln/division floats
+    * are NOT part of any oracle contract (accuracy is pinned by
+    * `SketchesSpec` against exact distinct counts instead).
+    */
+  def hllEstimate(state: DataFrame, p: Int): DataFrame = {
+    val m = (1 << p).toDouble
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = lit(alpha * m * m) /
+      (col("denom_scaled").cast("double") / lit(math.pow(2.0, HllScaleBits)))
+    state.withColumn("est_distinct",
+      when(raw <= lit(2.5 * m) && col("v_zero") > 0L,
+        lit(m) * log(lit(m) / col("v_zero").cast("double")))
+        .otherwise(raw))
+  }
 }

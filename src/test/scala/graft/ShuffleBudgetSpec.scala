@@ -108,6 +108,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // pair-keyed rollup of the gold ring table + final ORDER BY
     "pairs_total_ring" -> 2,
     "hard_negatives" -> 2,
+    // one (day, bucket) register agg + final ORDER BY
+    "hll_registers" -> 2,
+    // register agg + per-day state rollup + final ORDER BY
+    "hll_distinct" -> 3,
     "hybrid_dedup" -> 1,
     "incr_dedup" -> 3,
     // batch window pass + store distinct + digest join + final ORDER BY

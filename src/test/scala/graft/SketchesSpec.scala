@@ -197,4 +197,60 @@ class SketchesSpec extends SparkSpec {
     assert(out === Map("2025-01-01" -> 2L, "2025-01-03" -> 3L,
       "2025-01-10" -> 1L))
   }
+
+  test("HLL: estimate within the p=10 error envelope, registers partition-independent") {
+    import spark.implicits._
+    val p = 10
+    val n = 20000
+    val df = (0 until n).map(i => ("g", s"user-$i")).toDF("g", "v")
+    val est = Sketches.hllEstimate(
+      Sketches.hllDistinct(df, Seq("g"), "v", p), p)
+      .select("est_distinct").as[Double].head()
+    // 1.04/sqrt(1024) ≈ 3.25% standard error; 4 sigma ≈ 13%
+    assert(math.abs(est - n) / n < 0.13,
+      s"HLL estimate $est vs exact $n out of envelope")
+
+    // registers identical under any partitioning (max is order-independent)
+    val r1 = Sketches.hllRegisters(df.repartition(1), Seq("g"), "v", p)
+      .collect().map(_.toString).sorted
+    val r16 = Sketches.hllRegisters(df.repartition(16), Seq("g"), "v", p)
+      .collect().map(_.toString).sorted
+    assert(r1.toSeq === r16.toSeq)
+  }
+
+  test("HLL: small-range linear-counting correction engages and is near-exact") {
+    import spark.implicits._
+    val df = (0 until 50).map(i => ("g", s"u$i")).toDF("g", "v")
+    val est = Sketches.hllEstimate(
+      Sketches.hllDistinct(df, Seq("g"), "v", 10), 10)
+      .select("est_distinct").as[Double].head()
+    assert(math.abs(est - 50.0) < 3.0,
+      s"linear-counting range should be near-exact, got $est")
+  }
+
+  test("HLL: typed Aggregator state is interchangeable with the built-ins path") {
+    import spark.implicits._
+    val p = 8
+    val df = (0 until 5000).map(i => (s"d${i % 3}", s"v${i % 1700}"))
+      .toDF("g", "v")
+    val viaBuiltins = Sketches.hllDistinct(df, Seq("g"), "v", p)
+      .select(col("g"), col("n_buckets"), col("v_zero"),
+        col("denom_scaled").cast("string"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val sk = Sketches.hllSketch(p)
+    val viaAgg = df.groupBy("g").agg(sk(col("v")).as("s"))
+      .select(col("g"), col("s.n_buckets"), col("s.v_zero"),
+        col("s.denom_scaled"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(viaAgg === viaBuiltins,
+      "the Aggregator and the pure-built-ins path must produce identical exact state")
+    // and the Aggregator is partitioning-independent too
+    val viaAgg1 = df.repartition(1).groupBy("g").agg(sk(col("v")).as("s"))
+      .select(col("g"), col("s.n_buckets"), col("s.v_zero"), col("s.denom_scaled"))
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(viaAgg1 === viaAgg)
+  }
 }
