@@ -2089,6 +2089,41 @@ object SparkEntry {
           SlideDays, BloomM, BloomK)
         .orderBy("day")),
 
+    // Bloom-pruned semi-join (the 100 TB star-schema shape): the fact side
+    // is filtered by the dim subset's DETERMINISTIC Bloom filter BEFORE the
+    // join, so at scale the shuffle carries only maybe-matching rows; the
+    // left-semi join removes the false positives, so the result is exactly
+    // orders ⋉ cohort — the oracle is the plain semi-join
+    "bloom_semi" -> ((s, d) =>
+      Sketches.bloomSemiJoin(Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d).filter(col("c_nationkey") === 1), "c_custkey",
+          BloomM, BloomK)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
+    // the Bloom filter's own audit, oracle-recomputed bit for bit: pass /
+    // true-match / false-positive counts over the fact side, and the
+    // invariant the filter exists for — ZERO false negatives — as an
+    // exact-integer row the DuckDB twin derives from the same sha256
+    // positions
+    "bloom_prune" -> ((s, d) => {
+      val small = Tables.customer(s, d).filter(col("c_nationkey") === 1)
+      val bits = Sketches.bloomBits(small, "c_custkey", BloomM, BloomK)
+      Tables.orders(s, d).filter(col("o_custkey").isNotNull)
+        .select(col("o_custkey"),
+          Sketches.bloomMightContain(col("o_custkey"), bits, BloomM, BloomK)
+            .as("hit"))
+        .join(broadcast(small.select(col("c_custkey").as("o_custkey"))
+          .distinct().withColumn("__m", lit(true))), Seq("o_custkey"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("__m").isNotNull, 1L).otherwise(0L)).as("n_match"),
+          sum(when(col("hit") && col("__m").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"),
+          sum(when(!col("hit") && col("__m").isNotNull, 1L).otherwise(0L))
+            .as("n_false_neg"))
+    }),
+
     // HyperLogLog register table from pure built-ins (Flajolet et al.,
     // AofA 2007): per-day distinct-user registers — bucket = sha256 word 1
     // mod 2^p, rho = leading-zero rank of sha256 word 2 in a 62-bit window,
@@ -5148,6 +5183,40 @@ object SparkEntry {
          |  round(-$BloomM * ln(1 - CAST(w.n_set AS DOUBLE) / $BloomM), 4)
          |    AS est_distinct
          |FROM w JOIN ex USING (day) ORDER BY day""".stripMargin,
+
+    "bloom_semi" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_nationkey = 1)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the same k sha256 positions as BitsetBuild / bloomMightContain;
+    // "hit" = every position of the fact key present in the dim subset's
+    // position set (set membership ≡ bit test)
+    "bloom_prune" -> {
+      val hit = (0 until BloomK).map(j =>
+        s"""(CAST(('0x' || substr(sha256(CAST(o_custkey AS VARCHAR) || '#$j'),
+           |      1, 16))::UBIGINT % $BloomM AS BIGINT)
+           |  IN (SELECT p FROM pos))""".stripMargin).mkString("\n  AND ")
+      s"""WITH sm AS (SELECT DISTINCT c_custkey FROM customer
+         |  WHERE c_nationkey = 1),
+         |pos AS (SELECT DISTINCT
+         |    CAST(('0x' || substr(sha256(CAST(c_custkey AS VARCHAR) || '#'
+         |        || CAST(j AS VARCHAR)), 1, 16))::UBIGINT % $BloomM AS BIGINT) AS p
+         |  FROM sm, (SELECT unnest([${(0 until BloomK).mkString(", ")}]) AS j) js),
+         |f AS (SELECT o_custkey,
+         |    ($hit) AS hit,
+         |    o_custkey IN (SELECT c_custkey FROM sm) AS mt
+         |  FROM orders WHERE o_custkey IS NOT NULL)
+         |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN mt THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  CAST(sum(CASE WHEN hit AND NOT mt THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_false_pos,
+         |  CAST(sum(CASE WHEN NOT hit AND mt THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_false_neg
+         |FROM f""".stripMargin
+    },
 
     // word-for-word HLL register rebuild: same sha256 words, same 62-bit
     // rho window (rho = 63 - bitlen, w=0 -> 63), same max

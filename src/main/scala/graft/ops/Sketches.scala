@@ -3,7 +3,7 @@ package graft.ops
 import java.math.{BigDecimal => JBigDecimal, RoundingMode}
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.{Aggregator, UserDefinedFunction}
 import org.apache.spark.sql.functions._
@@ -465,6 +465,64 @@ object Sketches {
     */
   def hllSketch(p: Int): UserDefinedFunction =
     udaf(new HllSketch(p), Encoders.STRING)
+
+  // --------------------------------------------------------------- Bloom
+
+  /** Build the m-bit Bloom filter of a (small) key column as a driver-side
+    * long array — [[BitsetBuild]]'s buffer, collected. The filter is
+    * DETERMINISTIC (k sha256-derived positions per key, the engine's
+    * stable-bucket contract), so unlike Spark's own
+    * `spark.sql.optimizer.runtime.bloomFilter.*` rewrite — which is
+    * planner-private, per-query, and engine-specific — this one can be
+    * PERSISTED and shared across jobs/engines as 8·m/64 bytes, and an
+    * oracle can recompute every bit. Collect is bounded: m/64 longs (64 at
+    * the default m=4096), independent of the build side's row count.
+    */
+  def bloomBits(df: DataFrame, keyCol: String, m: Int, k: Int): Array[Long] = {
+    val buf = df.filter(col(keyCol).isNotNull)
+      .agg(bitsetBuild(m, k)(col(keyCol).cast("string")).as("b"))
+      .collect()(0).getSeq[Long](0)
+    buf.toArray
+  }
+
+  /** Membership test against a [[bloomBits]] filter as a pure codegen'd
+    * column: all k sha256 positions set ⇒ maybe-present (false positives
+    * possible, false negatives impossible). The filter rides as an array
+    * LITERAL — no broadcast machinery, no driver round trip at run time.
+    */
+  def bloomMightContain(key: Column, bits: Array[Long], m: Int, k: Int): Column = {
+    val arr = typedLit(bits.toSeq)
+    (0 until k).map { j =>
+      val pos = graft.functions.stable_bucket(
+        concat(key.cast("string"), lit("#"), lit(j.toString)), m)
+      // long `/` is double division in the Column algebra — use integral div
+      val word = element_at(arr,
+        call_function("div", pos, lit(64L)).cast("int") + 1)
+      // & 1, NOT % 2: shiftright is arithmetic (sign-extends), and a
+      // negative shifted word's `% 2` is -1 in SQL — a set bit 63 would
+      // read as ABSENT and manufacture false negatives
+      call_function("shiftright", word, (pos % 64).cast("int"))
+        .bitwiseAND(lit(1L)) === 1L
+    }.reduce(_ && _)
+  }
+
+  /** Bloom-pruned left-semi join — the 100 TB shape: the BIG side is
+    * filtered by the small side's Bloom filter BEFORE the join's exchange,
+    * so the shuffle carries only maybe-matching rows (true matches + the
+    * filter's false positives) instead of the full fact table; the
+    * left-semi join then removes the false positives, so the RESULT is
+    * exactly `big ⋉ small` — the filter can only cut cost, never change
+    * rows. This is what a star-schema semi-join looks like when the dim
+    * filter must survive across jobs (persisted [[bloomBits]]) instead of
+    * living inside one query's runtime-filter rewrite.
+    */
+  def bloomSemiJoin(big: DataFrame, bigKey: String, small: DataFrame,
+                    smallKey: String, m: Int, k: Int): DataFrame = {
+    val bits = bloomBits(small, smallKey, m, k)
+    big.filter(bloomMightContain(col(bigKey), bits, m, k))
+      .join(broadcast(small.select(col(smallKey).as(bigKey)).distinct()),
+        Seq(bigKey), "left_semi")
+  }
 
   // ----------------------------------------------------------------- HLL
 

@@ -108,6 +108,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     // pair-keyed rollup of the gold ring table + final ORDER BY
     "pairs_total_ring" -> 2,
     "hard_negatives" -> 2,
+    // fact-side scan + broadcast semi join; ORDER BY is the one exchange
+    "bloom_semi" -> 2,
+    // broadcast flag join + single-row agg
+    "bloom_prune" -> 2,
     // one (day, bucket) register agg + final ORDER BY
     "hll_registers" -> 2,
     // register agg + per-day state rollup + final ORDER BY

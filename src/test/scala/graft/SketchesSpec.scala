@@ -198,6 +198,30 @@ class SketchesSpec extends SparkSpec {
       "2025-01-10" -> 1L))
   }
 
+  test("bloom: no false negatives ever, pruning actually prunes, semi-join result exact") {
+    import spark.implicits._
+    val small = (0 until 40).map(i => i * 7).toDF("k")          // members
+    val big = (0 until 4000).map(i => i % 1000).toDF("k")       // fact side
+    val bits = Sketches.bloomBits(small, "k", 4096, 2)
+    val flags = big.select(col("k"),
+      Sketches.bloomMightContain(col("k"), bits, 4096, 2).as("hit"))
+      .collect().map(r => (r.getInt(0), r.getBoolean(1)))
+    val members = (0 until 40).map(_ * 7).toSet
+    // the filter's contract: a member NEVER reads absent
+    assert(flags.filter { case (k, _) => members(k) }.forall(_._2),
+      "false negative — the one thing a Bloom filter may never do")
+    // and it prunes: non-members overwhelmingly read absent at this load
+    val nonMemberHits = flags.count { case (k, h) => h && !members(k) }
+    assert(nonMemberHits < flags.length / 10,
+      s"filter passes too much ($nonMemberHits) — position math suspect")
+    // end-to-end: pruned semi-join == plain semi-join, exactly
+    val pruned = Sketches.bloomSemiJoin(big, "k", small, "k", 4096, 2)
+      .collect().map(_.getInt(0)).sorted
+    val plain = big.join(small.distinct(), Seq("k"), "left_semi")
+      .collect().map(_.getInt(0)).sorted
+    assert(pruned.toSeq === plain.toSeq)
+  }
+
   test("HLL: estimate within the p=10 error envelope, registers partition-independent") {
     import spark.implicits._
     val p = 10
