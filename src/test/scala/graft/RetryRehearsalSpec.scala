@@ -90,4 +90,44 @@ class RetryRehearsalSpec extends SparkSpec {
       "every FS-faulted task must have retried to success " +
         s"(fs_faults=$fsFaults retried_ok=$retriedOk)")
   }
+
+  test("killed and failed first attempts: the four streaming standing-store processors retry to bit-identical store state") {
+    // unfaulted baseline in the suite session — the same shared sequence
+    // StreamSpillRehearsal's spec uses, so all three rehearsal quadrants
+    // (memory, batch retry, streaming retry) pin against one truth
+    val expected = StreamSpillRehearsal.runAll(spark)
+      .map { case (op, n, d) => op -> ((n, d)) }.toMap
+
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx3g", "-XX:+UseG1GC",
+      "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.StreamRetryRehearsal")
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val exit = Process(cmd).!(ProcessLogger(out.add(_), out.add(_)))
+    import scala.jdk.CollectionConverters._
+    val lines = out.asScala.toSeq
+    val log = lines.mkString("\n")
+    assert(exit === 0,
+      s"streaming retry JVM must survive the injected faults; tail:\n${lines.takeRight(40).mkString("\n")}")
+
+    val line = "\"op\":\"([a-z_]+)\",\"store_rows\":(\\d+),\"digest\":\"([0-9a-f]+)\"".r
+    val got = line.findAllMatchIn(log)
+      .map(m => m.group(1) -> ((m.group(2).toLong, m.group(3)))).toMap
+    assert(got.keySet === expected.keySet, s"every processor must report: $got")
+    expected.foreach { case (op, (n, d)) =>
+      assert(got(op) === ((n, d)),
+        s"$op standing-store state under killed/failed first attempts must match the unfaulted run exactly")
+    }
+    val totals = ("\"total_fs_faults\":(\\d+),\"total_killed\":(\\d+)," +
+      "\"total_retried_ok\":(\\d+)").r
+    val t = totals.findFirstMatchIn(log).map(m =>
+      (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong))
+    assert(t.isDefined, "missing totals line")
+    val (fsFaults, killed, retriedOk) = t.get
+    assert(fsFaults > 0L && killed > 0L && retriedOk > 0L,
+      s"faults must be observed (fs=$fsFaults killed=$killed retried=$retriedOk)")
+  }
 }
