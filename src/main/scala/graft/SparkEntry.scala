@@ -2151,6 +2151,17 @@ object SparkEntry {
           col("denom_scaled").cast("string").as("denom_scaled"))
         .orderBy("day_date")),
 
+    // trailing-7-day distinct users by HLL REGISTER MERGE: one register
+    // table per day (events read once), windows max-merge register rows —
+    // never rescan — then roll up to the same exact-integer state as
+    // hll_distinct (the warehouse COUNT DISTINCT over overlapping windows)
+    "hll_sliding" -> ((s, d) =>
+      Sketches.hllSliding(Tables.events(s, d), "ts", "user_id",
+          SlideDays, HllP)
+        .select(col("day").as("day_date"), col("n_buckets"), col("v_zero"),
+          col("denom_scaled").cast("string").as("denom_scaled"))
+        .orderBy("day_date")),
+
     // deterministic bitset distinct sketch (typed Aggregator UDAF): per-type
     // distinct users — set-bit count + linear-counting estimate vs exact
     "bloom_distinct" -> ((s, d) => {
@@ -5217,6 +5228,33 @@ object SparkEntry {
          |    AS n_false_neg
          |FROM f""".stripMargin
     },
+
+    // per-day registers max-merged into each trailing window (observed
+    // days only), then the same exact-integer state rollup as hll_distinct
+    "hll_sliding" ->
+      s"""WITH b AS (
+         |  SELECT CAST(ts AS DATE) AS day,
+         |    CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+         |      % ${HllM}::UBIGINT AS BIGINT) AS bucket,
+         |    ('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 17, 16))::UBIGINT
+         |      % 4611686018427387904::UBIGINT AS w62
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |reg AS (SELECT day, bucket,
+         |    max(CASE WHEN w62 = 0 THEN 63
+         |             ELSE 63 - length(bin(w62)) END) AS r
+         |  FROM b GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM reg),
+         |win AS (SELECT d.day, r.bucket, max(r.r) AS r
+         |  FROM days d JOIN reg r ON r.day BETWEEN d.day - ${SlideDays - 1}
+         |    AND d.day
+         |  GROUP BY 1, 2)
+         |SELECT day AS day_date,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST($HllM - count(*) AS BIGINT) AS v_zero,
+         |  CAST(sum(CAST(1 AS HUGEINT) << (63 - r))
+         |    + ($HllM - count(*)) * (CAST(1 AS HUGEINT) << 63) AS VARCHAR)
+         |    AS denom_scaled
+         |FROM win GROUP BY 1 ORDER BY day_date""".stripMargin,
 
     // word-for-word HLL register rebuild: same sha256 words, same 62-bit
     // rho window (rho = 63 - bitlen, w=0 -> 63), same max

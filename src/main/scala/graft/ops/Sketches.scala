@@ -584,9 +584,18 @@ object Sketches {
     * Feed to [[hllEstimate]] for the number humans want.
     */
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  p: Int): DataFrame = {
+                  p: Int): DataFrame =
+    hllState(hllRegisters(df, groupCols, valueCol, p), groupCols, p)
+
+  /** Roll a register table (columns `groupCols :+ bucket :+ r`) up to the
+    * per-group exact estimator state — the shared second half of
+    * [[hllDistinct]] and [[hllSliding]]; callers may max-merge register
+    * tables (across days, shards, stores) before rolling up.
+    */
+  def hllState(registers: DataFrame, groupCols: Seq[String],
+               p: Int): DataFrame = {
     val m = 1 << p
-    hllRegisters(df, groupCols, valueCol, p)
+    registers
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_buckets"),
         // r >= 1 always, so the shift is <= 62 and each term fits a long
@@ -600,6 +609,33 @@ object Sketches {
           // 2^63 overflows a long literal — spell it as a decimal
           lit(new java.math.BigDecimal("9223372036854775808"))
             .cast("decimal(38,0)")).as("denom_scaled"): _*)
+  }
+
+  /** Trailing-window distinct state by HLL REGISTER MERGE — the
+    * [[slidingDistinct]] pattern at HLL's O(2^p) register width: one
+    * register table per observed day (raw data read ONCE), each output day
+    * max-merges the ≤ `windowDays` day-tables in its window, then rolls up
+    * to exact estimator state. Re-aggregation moves days × window × ≤2^p
+    * register rows and never rescans events — the warehouse COUNT DISTINCT
+    * over overlapping windows, where plain counts cannot merge and bitset
+    * linear counting saturates. Windows cover [day−W+1, day] restricted to
+    * observed days.
+    */
+  def hllSliding(df: DataFrame, tsCol: String, keyCol: String,
+                 windowDays: Int, p: Int): DataFrame = {
+    require(windowDays >= 1, "window must cover at least the day itself")
+    val daily = hllRegisters(
+      df.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+        .select(to_date(col(tsCol)).as("day"), col(keyCol)),
+      Seq("day"), keyCol, p)
+    // a day's registers serve every window ENDING within the next W−1 days
+    val windowed = daily
+      .select(explode(sequence(col("day"), date_add(col("day"), windowDays - 1)))
+        .as("day"), col("bucket"), col("r"))
+      .groupBy("day", "bucket").agg(max(col("r")).as("r"))
+    // restrict to observed days (the explode manufactures trailing ghosts)
+    hllState(windowed.join(daily.select("day").distinct(), Seq("day")),
+      Seq("day"), p)
   }
 
   /** The standard HLL estimate from [[hllDistinct]]'s exact state:

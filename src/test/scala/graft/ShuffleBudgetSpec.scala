@@ -116,6 +116,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     "hll_registers" -> 2,
     // register agg + per-day state rollup + final ORDER BY
     "hll_distinct" -> 3,
+    // daily registers + window merge + observed-days join + state + ORDER BY
+    "hll_sliding" -> 7,
     "hybrid_dedup" -> 1,
     "incr_dedup" -> 3,
     // batch window pass + store distinct + digest join + final ORDER BY

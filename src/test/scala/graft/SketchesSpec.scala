@@ -252,6 +252,36 @@ class SketchesSpec extends SparkSpec {
       s"linear-counting range should be near-exact, got $est")
   }
 
+  test("HLL sliding: W=1 equals per-day state; a covering window equals the global sketch") {
+    import spark.implicits._
+    val rows = (0 until 3000).map { i =>
+      (java.sql.Timestamp.valueOf(f"2025-01-${i % 5 + 1}%02d 08:00:00"),
+        s"u${i % 900}")
+    }.toDF("ts", "v")
+    val p = 8
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("day").cast("string"), col("n_buckets"), col("v_zero"),
+        col("denom_scaled").cast("string"))
+        .collect().map(_.toString).sorted.toSeq
+    val w1 = Sketches.hllSliding(rows, "ts", "v", 1, p)
+    val perDay = Sketches.hllDistinct(
+      rows.select(to_date(col("ts")).as("day"), col("v")), Seq("day"), "v", p)
+    assert(key(w1) === key(perDay))
+    // a window covering all 5 days: every day's state == the global sketch
+    val wAll = Sketches.hllSliding(rows, "ts", "v", 10, p)
+    val global = Sketches.hllDistinct(
+      rows.select(lit(1).as("g"), col("v")), Seq("g"), "v", p)
+      .select(col("n_buckets"), col("v_zero"),
+        col("denom_scaled").cast("string"))
+      .collect().map(_.toString).head
+    val lastDay = wAll.orderBy(col("day").desc)
+      .select(col("n_buckets"), col("v_zero"),
+        col("denom_scaled").cast("string"))
+      .collect().map(_.toString).head
+    assert(lastDay === global,
+      "the last day's covering window must equal the all-data sketch")
+  }
+
   test("HLL: typed Aggregator state is interchangeable with the built-ins path") {
     import spark.implicits._
     val p = 8
