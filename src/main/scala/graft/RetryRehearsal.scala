@@ -49,11 +49,16 @@ import org.apache.spark.sql.SparkSession
   */
 object RetryRehearsal {
 
-  /** Armed only while a target runs — keeps session setup / teardown IO
-    * clean so a fault can never be attributed to anything but the target.
+  /** Armed for the whole target phase (including eager gold-build
+    * materialization — see main), NOT during session setup/teardown, so a
+    * fault can never be attributed to harness bootstrap IO.
     */
   val armed = new AtomicBoolean(false)
   val fsFaults = new AtomicLong(0L)
+  /** create()-site faults only — the committer-isolation evidence: a WRITE
+    * task failed mid-output and its retry still produced correct files.
+    */
+  val fsCreateFaults = new AtomicLong(0L)
   private val fired = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Throw once per (stage, partition, site) on the first attempt that
@@ -70,6 +75,7 @@ object RetryRehearsal {
     if (armed.get() && tc != null && tc.attemptNumber() <= 1 &&
         fired.add(s"${tc.stageId()}:${tc.partitionId()}:$where")) {
       fsFaults.incrementAndGet()
+      if (where == "create") fsCreateFaults.incrementAndGet()
       throw new java.io.IOException(
         s"graft retry-rehearsal injected fault at $where " +
           s"(stage ${tc.stageId()} partition ${tc.partitionId()} attempt 0)")
@@ -85,6 +91,34 @@ object RetryRehearsal {
   val QueryTargets: Seq[String] = Seq(
     "gto_rank_curve", "curriculum_order", "shuffle_index", "global_index",
     "snm_pairs", "quality_ensemble", "silver_clean", "kmeans_assign")
+
+  /** The kill injector, shared with [[StreamRetryRehearsal]]: kill every
+    * `attemptNumber == 0` task start while [[armed]]; count TaskKilled ends
+    * and attempt>0 successes. Best-effort per task (a sub-ms task can finish
+    * before the kill lands) — the FS injector covers the scan/write
+    * population deterministically.
+    */
+  def killFirstAttemptListener(sc: org.apache.spark.SparkContext,
+                               killed: AtomicLong,
+                               retriedOk: AtomicLong): SparkListener =
+    new SparkListener {
+      override def onTaskStart(t: SparkListenerTaskStart): Unit =
+        if (armed.get() && t.taskInfo.attemptNumber == 0) {
+          try {
+            sc.killTaskAttempt(t.taskInfo.taskId, interruptThread = false,
+              reason = "graft retry-rehearsal: kill every first attempt")
+            ()
+          } catch { case scala.util.control.NonFatal(_) => }
+        }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        t.reason match {
+          case _: org.apache.spark.TaskKilled => killed.incrementAndGet(); ()
+          case org.apache.spark.Success if t.taskInfo.attemptNumber > 0 =>
+            retriedOk.incrementAndGet(); ()
+          case _ => ()
+        }
+      }
+    }
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir) = args
@@ -110,37 +144,12 @@ object RetryRehearsal {
 
     val killed = new AtomicLong(0L)
     val retriedOk = new AtomicLong(0L)
-    sc.addSparkListener(new SparkListener {
-      override def onTaskStart(t: SparkListenerTaskStart): Unit =
-        if (armed.get() && t.taskInfo.attemptNumber == 0) {
-          // best-effort: the task may already be done (returns false) or the
-          // backend may refuse — either way the FS injector still covers the
-          // scan/write population deterministically
-          try {
-            sc.killTaskAttempt(t.taskInfo.taskId, interruptThread = false,
-              reason = "graft retry-rehearsal: kill every first attempt")
-            ()
-          } catch { case scala.util.control.NonFatal(_) => }
-        }
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        t.reason match {
-          case _: org.apache.spark.TaskKilled => killed.incrementAndGet(); ()
-          case org.apache.spark.Success if t.taskInfo.attemptNumber > 0 =>
-            retriedOk.incrementAndGet(); ()
-          case _ => ()
-        }
-      }
-    })
+    sc.addSparkListener(killFirstAttemptListener(sc, killed, retriedOk))
 
     def run(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
       val (f0, k0, r0) = (fsFaults.get(), killed.get(), retriedOk.get())
-      armed.set(true)
-      val rows =
-        try df.collect()
-        finally {
-          armed.set(false)
-          org.apache.spark.sql.graftbridge.bridge.waitListenerBusEmpty(sc)
-        }
+      val rows = df.collect()
+      org.apache.spark.sql.graftbridge.bridge.waitListenerBusEmpty(sc)
       // scalastyle:off println — the stdout line IS the contract
       println(s"""RETRYJSON {"target":"$name","rows":${rows.length},""" +
         s""""digest":"${SpillRehearsal.digest(rows)}",""" +
@@ -149,14 +158,28 @@ object RetryRehearsal {
     }
 
     try {
-      SparkEntry.goldBuilds(spark, sfDir).toSeq.sortBy(_._1).foreach {
-        case (name, df) => run(s"gold:$name", df)
-      }
-      QueryTargets.foreach { q =>
-        run(q, SparkEntry.queries(q)(spark, sfDir))
-      }
-      println(s"""RETRYJSON {"total_fs_faults":${fsFaults.get()},""" +
-        s""""total_killed":${killed.get()},"total_retried_ok":${retriedOk.get()}}""")
+      // Armed for the WHOLE target phase, including goldBuilds() map
+      // CONSTRUCTION: the GoldCache-backed stages (hourly, pairs, ring,
+      // pq codebooks) materialize EAGERLY when the map literal evaluates —
+      // arming only inside run() (the first cut) let every real gold WRITE
+      // complete unfaulted and made the committer-isolation claim vacuous.
+      // Faults during construction attribute to the totals, not a
+      // per-target line; gold_write_faults pins that they happened.
+      armed.set(true)
+      try {
+        val preGold = fsCreateFaults.get()
+        val golds = SparkEntry.goldBuilds(spark, sfDir)
+        val goldWriteFaults = fsCreateFaults.get() - preGold
+        golds.toSeq.sortBy(_._1).foreach {
+          case (name, df) => run(s"gold:$name", df)
+        }
+        QueryTargets.foreach { q =>
+          run(q, SparkEntry.queries(q)(spark, sfDir))
+        }
+        println(s"""RETRYJSON {"gold_write_faults":$goldWriteFaults,""" +
+          s""""total_fs_faults":${fsFaults.get()},""" +
+          s""""total_killed":${killed.get()},"total_retried_ok":${retriedOk.get()}}""")
+      } finally armed.set(false)
     } finally spark.stop()
   }
 }

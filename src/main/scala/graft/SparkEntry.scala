@@ -317,7 +317,11 @@ object SparkEntry {
     */
   private def ringHourlyBuild(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      // value notNull is load-bearing for the integer mean: micro_units
+      // skips a null but count(*) would still count the row, silently
+      // diluting the mean vs avg()'s non-null denominator (review r15)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
       .select(col("user_id").as("uid"), col("ts"),
         (col("value") / 100.0).as("lat"), (col("value") / 50.0).as("lon"))
       .groupBy(col("uid"), date_trunc("hour", col("ts")).as("hour_ts"))
@@ -474,7 +478,11 @@ object SparkEntry {
     // expression (incl. its codegen path) is what's under oracle test here.
     "uid_hourly_h3" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+      // value notNull is load-bearing for the integer mean (see
+      // ringHourlyBuild): count(*) is the denominator, so a null value row
+      // must not reach the group
+      ev.filter(col("user_id").isNotNull && col("ts").isNotNull &&
+          col("value").isNotNull)
         .select(col("user_id"), col("ts"),
           (col("value") % 180.0 - 90.0).as("lat"),
           ((col("value") * 2.0) % 360.0 - 180.0).as("lon"))
@@ -2547,7 +2555,8 @@ object SparkEntry {
     """WITH base AS (
       |  SELECT user_id AS uid, date_trunc('hour', ts) AS hour_ts,
       |         value / 100.0 AS lat, value / 50.0 AS lon
-      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND value IS NOT NULL),
       |h AS (
       |  SELECT uid, hour_ts,
       |         CAST(sum(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS lat_sum,
@@ -2633,7 +2642,8 @@ object SparkEntry {
         |  SELECT user_id, date_trunc('hour', ts) AS hour_ts,
         |         (value % 180.0) - 90.0 AS lat,
         |         ((value * 2.0) % 360.0) - 180.0 AS lon
-        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
         |h AS (
         |  SELECT user_id, hour_ts,
         |         CAST(sum(CAST(floor(lat * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS lat_sum,

@@ -176,7 +176,6 @@ object StreamBench {
       (scales.map(s => 3L * s * rowsPerDay), times)
     }
 
-    // ---- clusters: label store + driver union-find ---------------------
     // ---- clusters: id-range-partitioned label store --------------------
     // Round 15: the round-14 probe (dense ids, batch probing a full label
     // scan) measured per-batch time DOUBLING 10x -> 100x — the O(store)
@@ -209,7 +208,11 @@ object StreamBench {
         try {
           def batch(r: Int): Seq[(Long, Long)] =
             (0 until 1000).map { i =>
-              val base = 2000000000L + r * 100000L + i * 2
+              // fresh ids must clear the LARGEST scale's seeded range
+              // (10000·1000·2048 ≈ 2.05e10) — a base inside it (the first
+              // cut's 2e9) made some "fresh" endpoints hit seeded ids at
+              // 100x/1000x only, skewing exactly the decades under test
+              val base = 30000000000L + r * 100000L + i * 2
               if (i < 200) {
                 // fixed historical touch: 200 seeded ids from the store's
                 // FIRST 10k rows (~20 buckets) — identical at every scale,

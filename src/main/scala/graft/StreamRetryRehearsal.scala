@@ -40,24 +40,8 @@ object StreamRetryRehearsal {
 
     val killed = new AtomicLong(0L)
     val retriedOk = new AtomicLong(0L)
-    sc.addSparkListener(new SparkListener {
-      override def onTaskStart(t: SparkListenerTaskStart): Unit =
-        if (RetryRehearsal.armed.get() && t.taskInfo.attemptNumber == 0) {
-          try {
-            sc.killTaskAttempt(t.taskInfo.taskId, interruptThread = false,
-              reason = "graft stream-retry rehearsal: kill every first attempt")
-            ()
-          } catch { case scala.util.control.NonFatal(_) => }
-        }
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        t.reason match {
-          case _: org.apache.spark.TaskKilled => killed.incrementAndGet(); ()
-          case org.apache.spark.Success if t.taskInfo.attemptNumber > 0 =>
-            retriedOk.incrementAndGet(); ()
-          case _ => ()
-        }
-      }
-    })
+    sc.addSparkListener(
+      RetryRehearsal.killFirstAttemptListener(sc, killed, retriedOk))
 
     try {
       RetryRehearsal.armed.set(true)

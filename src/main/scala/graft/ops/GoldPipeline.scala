@@ -298,13 +298,14 @@ object GoldPipeline {
     cat.listPartitions(db, table).flatMap { p =>
       val loc = new org.apache.hadoop.fs.Path(p.storage.locationUri.get)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val before = fs.listStatus(loc)
-        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      // ONE listing serves both the file count and the byte total — this
+      // pass exists to relieve metadata pressure, not to double-bill it
+      val parquet = fs.listStatus(loc)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val before = parquet.length
       if (before <= maxFiles) None
       else {
-        val totalBytes = fs.listStatus(loc)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(_.getLen).sum
+        val totalBytes = parquet.map(_.getLen).sum
         val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
         // next __c sibling: strip a previous __c<k> suffix (keeps names
         // flat across repeated maintenance), then take max+1 over every

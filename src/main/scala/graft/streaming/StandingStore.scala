@@ -81,9 +81,7 @@ object StandingStore {
     if (!fs.exists(p))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val flat = fs.listStatus(p)
-      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (flat) return read(spark, storeDir, schema)
+    if (isFlat(fs, p, storeDir)) return read(spark, storeDir, schema)
     // Build each dir name with the SAME Hive escaping partitionBy used to
     // write it ('=', '%', ' ', '/', ... are percent-encoded) — a raw
     // s"$partCol=$v" would existence-check false for any value needing
@@ -209,6 +207,33 @@ object StandingStore {
   }
 
   private val checked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Legacy-FLAT-layout detection with a per-(JVM, store) positive cache:
+    * the naive `listStatus(root).exists(.parquet)` is a FULL root listing —
+    * O(partition count) per call, and this check runs every micro-batch.
+    * On a 10M-row id-bucketed label store (19.5k partition dirs) the
+    * round-15 1000× StreamBench point measured the per-batch time
+    * DOUBLING from exactly this (and an object store bills the listing
+    * per request). Once a store has been SEEN partitioned it can never
+    * become flat again in this build (every append here is partitioned;
+    * migration only goes flat → partitioned), so the answer is cached and
+    * later batches pay one Set lookup. A flat or empty verdict is NOT
+    * cached — migration flips it.
+    */
+  private[streaming] def isFlat(fs: org.apache.hadoop.fs.FileSystem,
+                                p: Path, storeDir: String): Boolean = {
+    if (knownPartitioned.contains(storeDir)) return false
+    val entries = fs.listStatus(p)
+    val flat = entries.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (!flat && entries.exists(_.isDirectory)) {
+      knownPartitioned.add(storeDir)
+      ()
+    }
+    flat
+  }
+
+  private val knownPartitioned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** True on the micro-batches where a `compactEvery`-cadence store should

@@ -127,6 +127,25 @@ object StreamingClusters {
   private def labelsDir(root: String) = root + "/labels"
   private def remapDir(root: String) = root + "/remap"
 
+  /** One-shot migration of a pre-round-15 FLAT label store to the
+    * id-range-partitioned layout — must run before the first partitioned
+    * append (see the call site for the mixed-layout failure). The rewrite
+    * reads the flat files through the declared schema (id_bkt null),
+    * recomputes id_bkt from id, and swaps crash-safely.
+    */
+  private def migrateFlatLabels(spark: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(labelsDir(root))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // isFlat's known-partitioned cache makes this a Set lookup on every
+    // batch after the first — the naive full root listing here was HALF of
+    // the O(partitions)-per-batch term the 1000x StreamBench point caught
+    val flat = fs.exists(p) && StandingStore.isFlat(fs, p, labelsDir(root))
+    if (flat)
+      StandingStore.rewrite(spark, labelsDir(root), LabelSchema,
+        df => withBkt(df.select("id", "cluster", "batch_id").distinct()),
+        Seq("id_bkt"))
+  }
+
   /** Start the maintenance stream over a pair stream. */
   def clusterStream(pairs: DataFrame, aCol: String, bCol: String,
                     root: String, checkpointDir: String,
@@ -236,9 +255,19 @@ object StreamingClusters {
     val newLabels = newIds.toSeq.map(id => (id, find(id), batchId))
     val merges = existingClusters.toSeq
       .map(c => (c, find(c), batchId)).filter { case (c, r, _) => r != c }
-    if (newLabels.nonEmpty)
+    if (newLabels.nonEmpty) {
+      // migrate a legacy FLAT label store BEFORE the first partitioned
+      // append: id_bkt= subdirs landing beside root-level parquet files
+      // make a MIXED layout whose full reads silently drop the root files
+      // (Spark partition discovery ignores data files outside partition
+      // dirs) — every historical id would probe first-seen and be
+      // re-labeled, corrupting clusters forever. Same shim as
+      // StreamingCoMovement.migrateFlatStore; the rewrite recomputes
+      // id_bkt from id and rides the crash-safe swap.
+      migrateFlatLabels(spark, root)
       StandingStore.append(withBkt(newLabels.toDF("id", "cluster", "batch_id")),
         labelsDir(root), Seq("id_bkt"))
+    }
     if (merges.nonEmpty)
       StandingStore.append(merges.toDF("old_cluster", "new_cluster", "batch_id"),
         remapDir(root))

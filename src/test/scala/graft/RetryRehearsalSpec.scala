@@ -75,14 +75,19 @@ class RetryRehearsalSpec extends SparkSpec {
 
     // the evidence half: faults must have been INJECTED and retries must
     // have SUCCEEDED, or the equality above is vacuous
-    val totals = ("\"total_fs_faults\":(\\d+),\"total_killed\":(\\d+)," +
-      "\"total_retried_ok\":(\\d+)").r
+    val totals = ("\"gold_write_faults\":(\\d+),\"total_fs_faults\":(\\d+)," +
+      "\"total_killed\":(\\d+),\"total_retried_ok\":(\\d+)").r
     val t = totals.findFirstMatchIn(log).map(m =>
-      (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong))
+      (m.group(1).toLong, m.group(2).toLong, m.group(3).toLong,
+        m.group(4).toLong))
     assert(t.isDefined, "missing totals line")
-    val (fsFaults, killed, retriedOk) = t.get
+    val (goldWriteFaults, fsFaults, killed, retriedOk) = t.get
     assert(fsFaults > 0L,
       "the FS injector must have failed at least one scan/write first attempt")
+    assert(goldWriteFaults > 0L,
+      "faults must land during the EAGER gold-build materialization — zero " +
+        "means the builds ran before arming and the committer-isolation " +
+        "claim is vacuous (the first-cut bug)")
     assert(killed > 0L,
       "the kill listener must have killed at least one first attempt " +
         "(shuffle-read stages are only covered by kills)")

@@ -175,4 +175,31 @@ class StreamingClustersSpec extends SparkSpec {
       assert(resolved(root) === batchLabels(Seq((1L, 2L), (7L, 8L), (2L, 7L))))
     } finally q.stop()
   }
+
+  test("legacy FLAT label store migrates before the first partitioned append — no history loss") {
+    val root = tmp()
+    // a pre-round-15 store: root-level parquet files, NO id_bkt column
+    Seq((10L, 10L, 0L), (20L, 10L, 0L), (30L, 30L, 0L))
+      .toDF("id", "cluster", "batch_id")
+      .write.mode("append").parquet(root + "/labels")
+    // the batch touches ONE historical id and attaches a new one; without
+    // the migrate-before-append, the partitioned append would shadow the
+    // flat files and every later read would re-label history first-seen
+    StreamingClusters.processBatch(
+      Seq((20L, 40L)).toDF("a", "b"), "a", "b", root, 1L)
+    val got = resolved(root)
+    assert(got === Set((10L, 10L, true), (20L, 10L, false), (30L, 30L, true),
+      (40L, 10L, false)),
+      s"history must survive the layout migration: $got")
+    // the store is now purely partitioned (no root-level data files left)
+    val fs = new org.apache.hadoop.fs.Path(root + "/labels")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(root + "/labels"))
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")),
+      "flat files must be gone after the one-shot migration")
+    // a second batch probes the migrated (pruned) path and still resolves
+    StreamingClusters.processBatch(
+      Seq((40L, 50L)).toDF("a", "b"), "a", "b", root, 2L)
+    assert(resolved(root).contains((50L, 10L, false)))
+  }
 }
