@@ -104,6 +104,26 @@ def selftest():
     assert probe_verdict(fast, slow)[0] == "regression"
     assert probe_verdict(slow, fast)[0] == "improvement"
     assert probe_verdict(fast, [x * 1.05 for x in fast])[0] == "noise"
+    # set-aware baseline gate: added / removed queries stay OUT of the ratio
+    def art(qs, **kw):
+        d = {"value": round(sum(qs.values()), 3), "calib_spread": 1.2,
+             "tainted": False,
+             "queries": {k: {"min": v, "median": v, "reps": [v]}
+                         for k, v in qs.items()}}
+        d.update(kw)
+        return d
+    base = art({"a": 1.0, "b": 2.0})
+    # added query: current has new 100s query c — would be 34x on raw
+    # totals, but the intersection {a,b} is flat -> gate OK
+    assert baseline_gate(base, art({"a": 1.0, "b": 2.0, "c": 100.0})) == 0
+    # removed query: baseline-only b excluded; intersection {a} flat -> OK
+    assert baseline_gate(base, art({"a": 1.0})) == 0
+    # real regression on the intersection still fails regardless of set noise
+    assert baseline_gate(base, art({"a": 3.0, "b": 6.0, "c": 0.01})) == 1
+    # tainted current refuses
+    assert baseline_gate(base, art({"a": 1.0, "b": 2.0}, tainted=True)) == 1
+    # disjoint sets refuse rather than divide nothing
+    assert baseline_gate(base, art({"z": 1.0})) == 1
     print("selftest OK")
     return 0
 
@@ -113,27 +133,64 @@ BASELINE_PATH = os.path.join(os.path.dirname(os.path.dirname(
 BASELINE_GATE = 2.0  # the driver's 2x rule, re-anchored at the 165-query surface
 
 
-def baseline_mode():
-    """Round-final gate: compare the working-tree BENCH_full.json against the
-    re-anchored 165-query baseline (BASELINE_bench.json, recorded from the
-    round-15 interleaved A/B's untainted HEAD pair). The round-1 26-query
-    recording (181.6 s) had decayed to a 0.41x non-constraint; this binds at
-    2x of a real same-surface number."""
-    base = json.load(open(BASELINE_PATH))
-    cur = json.load(open(os.path.join(os.path.dirname(BASELINE_PATH),
-                                      "BENCH_full.json")))
+def baseline_gate(base, cur, base_name="BASELINE_bench.json",
+                  cur_name="BENCH_full.json"):
+    """Set-aware round-final gate (round 16): the baseline and the current
+    artifact may cover DIFFERENT query sets (the suite grows ~5 queries a
+    round), so dividing raw totals drifts toward spurious failure as the
+    numerator grows against a frozen denominator. Instead:
+
+      - compare per-query `min` totals over the QUERY-NAME INTERSECTION;
+      - report (not gate) the set differences with their own totals;
+      - extend BASELINE_bench.json with each new query's first untainted
+        measurement (provenance-noted) so the denominator grows with the
+        suite — `tools/extend_baseline.py` / the SCALING.md protocol.
+
+    Also prints exactly which record it gated against (path, total, spread,
+    tainted flag) per the round-15 #5 adjudication rule."""
     if cur.get("tainted"):
-        print("current BENCH_full.json is TAINTED — re-run quiet before gating")
+        print(f"current {cur_name} is TAINTED — re-run quiet before gating")
         return 1
-    ratio = cur["value"] / base["value"]
-    print(f"baseline {base['value']}s ({base.get('note', '')}) -> "
-          f"current {cur['value']}s = x{ratio:.3f} (gate {BASELINE_GATE}x)")
+    bq = {k: v["min"] for k, v in base.get("queries", {}).items()}
+    cq = {k: v["min"] for k, v in cur.get("queries", {}).items()}
+    common = sorted(bq.keys() & cq.keys())
+    only_base = sorted(bq.keys() - cq.keys())
+    only_cur = sorted(cq.keys() - bq.keys())
+    print(f"gating against: {base_name} (total {base.get('value')}s, "
+          f"{len(bq)} queries, spread {base.get('calib_spread')}) vs "
+          f"{cur_name} (total {cur.get('value')}s, {len(cq)} queries, "
+          f"spread {cur.get('calib_spread')}, tainted={cur.get('tainted')})")
+    if not common:
+        print("GATE FAILED: no common queries between baseline and current")
+        return 1
+    bt = sum(bq[q] for q in common)
+    ct = sum(cq[q] for q in common)
+    print(f"intersection: {len(common)} queries — baseline {bt:.3f}s, "
+          f"current {ct:.3f}s")
+    if only_base:
+        print(f"  baseline-only ({len(only_base)}): "
+              f"{', '.join(only_base)} = "
+              f"{sum(bq[q] for q in only_base):.3f}s (excluded from gate; "
+              f"removed queries should be pruned from the baseline)")
+    if only_cur:
+        print(f"  current-only ({len(only_cur)}): {', '.join(only_cur)} = "
+              f"{sum(cq[q] for q in only_cur):.3f}s (excluded from gate; "
+              f"extend the baseline with their first untainted measurement)")
+    ratio = ct / bt if bt > 0 else float("inf")
+    print(f"intersection ratio x{ratio:.3f} (gate {BASELINE_GATE}x)")
     if ratio > BASELINE_GATE:
-        print(f"GATE FAILED: total exceeds {BASELINE_GATE}x of the "
-              "re-anchored baseline")
+        print(f"GATE FAILED: intersection total exceeds {BASELINE_GATE}x "
+              "of the baseline")
         return 1
     print("gate OK")
     return 0
+
+
+def baseline_mode():
+    base = json.load(open(BASELINE_PATH))
+    cur = json.load(open(os.path.join(os.path.dirname(BASELINE_PATH),
+                                      "BENCH_full.json")))
+    return baseline_gate(base, cur)
 
 
 def main(argv):
