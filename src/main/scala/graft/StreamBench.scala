@@ -86,12 +86,19 @@ object StreamBench {
     import spark.implicits._
 
     val scales = Seq(1, 10, 100)
-    // op -> (store rows per scale, seconds per scale)
+    // op -> (scale ladder, store rows per scale, seconds per scale).
+    // Ladders are PER-OP (clusters and scrub run an extra decade), so the
+    // artifact records each op's ladder next to its numbers — a top-level
+    // scales header would misalign any consumer keying sec arrays off it.
     val results = scala.collection.mutable.LinkedHashMap
-      .empty[String, (Seq[Long], Seq[Double])]
+      .empty[String, (Seq[Int], Seq[Long], Seq[Double])]
+    // comma-separated op filter for targeted probe runs (all ops when unset)
+    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def wanted(op: String): Boolean = only.forall(_.contains(op))
 
     // ---- neardup: banded-signature store -------------------------------
-    results("neardup") = {
+    if (wanted("neardup")) results("neardup") = {
       val times = scales.map { scale =>
         val store = tmp("sb-nd-store"); val out = tmp("sb-nd-out")
         val n = 10000L * scale
@@ -118,12 +125,17 @@ object StreamBench {
           (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
         } finally q.stop()
       }
-      (scales.map(_ * 10000L), times)
+      (scales, scales.map(_ * 10000L), times)
     }
 
     // ---- scrub: segment-digest store -----------------------------------
-    results("scrub") = {
-      val times = scales.map { scale =>
+    // Round 16: one extra decade, same rationale as clusters — scrub was
+    // the only probe still growing at 100× (1.50×, under the flag), and
+    // clusters' identical-looking slope hid a real O(partition-count) term
+    // until its 1000× point exposed it.
+    if (wanted("scrub")) results("scrub") = {
+      val scScales = Seq(1, 10, 100, 1000)
+      val times = scScales.map { scale =>
         val store = tmp("sb-sc-store"); val out = tmp("sb-sc-out")
         val n = 10000L * scale
         StandingStore.append(
@@ -141,11 +153,11 @@ object StreamBench {
           (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
         } finally q.stop()
       }
-      (scales.map(_ * 10000L), times)
+      (scScales, scScales.map(_ * 10000L), times)
     }
 
     // ---- comove: dt-partitioned presence store -------------------------
-    results("comove") = {
+    if (wanted("comove")) results("comove") = {
       val rowsPerDay = 200L * 24 // 200 uids, 24 hours, one cell-row each
       val times = scales.map { scale =>
         val store = tmp("sb-cm-store"); val out = tmp("sb-cm-out")
@@ -173,7 +185,7 @@ object StreamBench {
           (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
         } finally q.stop()
       }
-      (scales.map(s => 3L * s * rowsPerDay), times)
+      (scales, scales.map(s => 3L * s * rowsPerDay), times)
     }
 
     // ---- clusters: id-range-partitioned label store --------------------
@@ -187,7 +199,7 @@ object StreamBench {
     // a FIXED set of historical ids plus fresh ids. Flat per-batch time as
     // the store grows 1x -> 1000x is the pruning claim, measured at one
     // more decade than the other probes BECAUSE this one regressed.
-    results("clusters") = {
+    if (wanted("clusters")) results("clusters") = {
       val clScales = Seq(1, 10, 100, 1000)
       val times = clScales.map { scale =>
         val root = tmp("sb-cl-root")
@@ -224,35 +236,40 @@ object StreamBench {
           (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
         } finally q.stop()
       }
-      (clScales.map(_ * 10000L), times)
+      (clScales, clScales.map(_ * 10000L), times)
     }
 
     // ---- artifact + gate ----------------------------------------------
     def num(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val flagged = results.toSeq.flatMap { case (op, (_, ts)) =>
+    val flagged = results.toSeq.flatMap { case (op, (_, _, ts)) =>
       val ratio = if (ts.head > 0) ts.last / ts.head else Double.PositiveInfinity
       if (ratio > RatioFlag && ts.last >= MinBigSec) Some(op -> ratio) else None
     }
-    val opsJson = results.map { case (op, (rows, ts)) =>
+    val opsJson = results.map { case (op, (lad, rows, ts)) =>
       // Zero-baseline ratio is +Infinity for the GATE above; record the
       // same interpretation in the artifact ("inf", not a -1 sentinel) so
       // the committed JSON can never disagree with the gate's verdict.
       val ratio = if (ts.head > 0) num(ts.last / ts.head) else "\"inf\""
-      // "last_over_first" because probes may run different scale ladders
-      // (clusters measures one extra decade); store_rows carries the ladder
-      s""""$op":{"store_rows":[${rows.mkString(",")}],"sec":[${ts.map(num).mkString(",")}],"ratio_last_over_first":$ratio}"""
+      // "last_over_first" because probes run different scale ladders
+      // (clusters and scrub measure one extra decade); each op carries its
+      // OWN ladder — a shared top-level header misaligned consumers by one
+      // decade the moment the first op grew a fourth point.
+      s""""$op":{"scales":[${lad.mkString(",")}],"store_rows":[${rows.mkString(",")}],"sec":[${ts.map(num).mkString(",")}],"ratio_last_over_first":$ratio}"""
     }.mkString("{", ",", "}")
     val flaggedJson = flagged.map { case (op, r) =>
       s""""$op":${if (r.isInfinity) "\"inf\"" else num(r)}"""
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"stream_batch","unit":"sec","scales":[${scales.mkString(",")}],"reps":$reps,"flag_threshold":$RatioFlag,"min_big_sec":$MinBigSec,"ops":$opsJson,"flagged":$flaggedJson}"""
+      s"""{"metric":"stream_batch","unit":"sec","reps":$reps,"flag_threshold":$RatioFlag,"min_big_sec":$MinBigSec,"ops":$opsJson,"flagged":$flaggedJson}"""
+    // a filtered probe run must not clobber the committed full artifact
+    val artifact = if (only.isDefined) "BENCH_streaming.partial.json"
+                   else "BENCH_streaming.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_streaming.json"),
+      java.nio.file.Paths.get(artifact),
       (json + "\n").getBytes("UTF-8"))
     // scalastyle:off println — stdout is the instrument's receipt
     println(json)
-    results.foreach { case (op, (rows, ts)) =>
+    results.foreach { case (op, (_, rows, ts)) =>
       println(s"  $op: ${rows.zip(ts.map(num)).map { case (n, t) => s"$n rows -> ${t}s" }.mkString(", ")}")
     }
     spark.stop()

@@ -337,13 +337,36 @@ object GoldPipeline {
     }
   }
 
+  /** Default [[sweepOrphans]] grace: 15 minutes. Must exceed the longest
+    * reader planning-to-finish lifetime (including relation-cache
+    * staleness in other sessions) for the deployment; tests pass 0.
+    */
+  val DefaultSweepGraceMs: Long = 15L * 60 * 1000
+
   /** Deferred-deletion half of [[compactPartitionsCatalog]]: delete leaf
     * directories under the table's partition tree that are no longer ANY
-    * partition's registered location. Run only after the grace period —
-    * an in-flight reader (or a session with a stale relation cache) may
-    * still be scanning an orphan. Returns the deleted paths.
+    * partition's registered location. The grace period is ENFORCED, not
+    * advisory: a leaf whose newest content is younger than `graceMs` is
+    * skipped, which covers BOTH hazards with one rule —
+    *
+    *   - an in-flight reader (or a session with a stale relation cache)
+    *     may still be scanning a just-orphaned location, so deletion must
+    *     wait out reader lifetime (the two-session LiveReader spec pins
+    *     this: a scan planned pre-compact finishes correctly post-sweep);
+    *   - a CONCURRENT [[compactPartitionsCatalog]] may have written its
+    *     fresh `__c<k>` sibling but not yet committed the ALTER — that dir
+    *     is not a registered location yet, and an ungated sweep would
+    *     delete it and leave the partition pointing at nothing the moment
+    *     the ALTER lands. A pre-ALTER sibling is by construction younger
+    *     than any sane grace period, so the same age gate excludes it
+    *     (maintenance-vs-maintenance exclusion without a lock file).
+    *
+    * Age is the newest modification time across the leaf dir and its
+    * files (a dir's own mtime alone can predate a late file close).
+    * Returns the deleted paths.
     */
-  def sweepOrphans(spark: SparkSession, table: String): Seq[String] = {
+  def sweepOrphans(spark: SparkSession, table: String,
+                   graceMs: Long = DefaultSweepGraceMs): Seq[String] = {
     val cat = spark.sharedState.externalCatalog
     val db = spark.catalog.currentDatabase
     val live = cat.listPartitions(db, table)
@@ -359,9 +382,15 @@ object GoldPipeline {
       val dirs = entries.filter(_.isDirectory)
       if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
     }
+    val cutoff = System.currentTimeMillis() - graceMs
+    def newestMs(p: org.apache.hadoop.fs.Path): Long = {
+      val self = fs.getFileStatus(p).getModificationTime
+      val kids = fs.listStatus(p).map(_.getModificationTime)
+      (self +: kids.toSeq).max
+    }
     if (!fs.exists(root)) Seq.empty
     else leaves(root).filter(l => l != root &&
-        !live.contains(l.toUri.getPath))
+        !live.contains(l.toUri.getPath) && newestMs(l) <= cutoff)
       .map { orphan => fs.delete(orphan, true); orphan.toString }
   }
 }

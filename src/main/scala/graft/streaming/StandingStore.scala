@@ -123,6 +123,16 @@ object StandingStore {
   def rewrite(spark: SparkSession, storeDir: String, schema: StructType,
               transform: DataFrame => DataFrame,
               partitionCols: Seq[String] = Nil): Unit = {
+    // Guard the isFlat positive cache's invariant: once a store has been
+    // SEEN partitioned, this JVM never re-checks the layout — so a rewrite
+    // that flattens it (empty partitionCols) would make every later
+    // readPartitions existence-check nonexistent partition dirs and
+    // silently return EMPTY, total history loss with no error. No current
+    // caller does this; if one ever does, fail loudly here instead.
+    require(partitionCols.nonEmpty || !knownPartitioned.contains(storeDir),
+      s"rewrite would FLATTEN a store this JVM has seen partitioned " +
+        s"($storeDir): pruned reads would silently return empty. Pass the " +
+        s"store's partition columns, or drop the pruned-read path first.")
     val p = new Path(storeDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     heal(fs, p)

@@ -109,14 +109,21 @@ class GoldConcurrencySpec extends SparkSpec {
     assert(torn.get() == null, String.valueOf(torn.get()))
     assert(reads.get() > 0, "the readers must actually have read during the pass")
 
-    // grace period over: the reader session refreshes its relation cache,
-    // THEN the orphaned pre-compaction leaf dirs are swept
+    // the grace period is ENFORCED: at the default grace the just-orphaned
+    // leaves are younger than the cutoff and must survive the sweep (this
+    // is also the guard that protects a concurrent compaction's pre-ALTER
+    // __cN sibling from a racing sweep)
+    assert(ops.GoldPipeline.sweepOrphans(spark, table).isEmpty,
+      "a sweep inside the grace period must delete nothing")
+    // grace period over (collapsed to 0 for the test): the reader session
+    // refreshes its relation cache, THEN the orphaned pre-compaction leaf
+    // dirs are swept
     reader.catalog.refreshTable(table)
-    val swept = ops.GoldPipeline.sweepOrphans(spark, table)
+    val swept = ops.GoldPipeline.sweepOrphans(spark, table, graceMs = 0L)
     assert(swept.size === 6, s"six orphaned original leaves: $swept")
     assert(reader.table(table).count() === 600,
       "reads must stay green after the sweep")
-    assert(ops.GoldPipeline.sweepOrphans(spark, table).isEmpty,
+    assert(ops.GoldPipeline.sweepOrphans(spark, table, graceMs = 0L).isEmpty,
       "a second sweep must be a no-op")
     spark.sql(s"DROP TABLE $table")
   }
