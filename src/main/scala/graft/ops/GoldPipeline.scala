@@ -287,6 +287,18 @@ object GoldPipeline {
     * escape-free strings/numbers/dates (the same contract the standing
     * store documents); the spec SQL quotes but does not escape.
     */
+  /** Crash-rehearsal seam for [[compactPartitionsCatalog]]: invoked at the
+    * two windows whose torn-read-free claims a crash actually exercises —
+    * `"after_rewrite"` (fresh `__c<k>` written, catalog NOT yet flipped)
+    * and `"after_flip"` (catalog flipped, old leaf not yet swept).
+    * [[graft.CompactCrashRehearsal]] installs `Runtime.halt` here from a
+    * throwaway JVM; production never touches it (no-op default, zero cost
+    * beyond a call). The call sits OUTSIDE any try/finally on purpose: a
+    * halt must model a hard crash, not an exception a cleanup path could
+    * soften.
+    */
+  private[graft] var maintenanceBoundaryHook: String => Unit = _ => ()
+
   def compactPartitionsCatalog(spark: SparkSession, table: String,
                                targetBytes: Long,
                                maxFiles: Int = 8): Seq[(String, Int, Int)] = {
@@ -326,10 +338,12 @@ object GoldPipeline {
         spark.read.parquet(loc.toString).coalesce(nFiles)
           .write.mode("overwrite").option("compression", "snappy")
           .parquet(next.toString)
+        maintenanceBoundaryHook("after_rewrite")
         val specSql = partCols.map(c => s"$c='${p.spec(c)}'").mkString(", ")
         // the atomic flip: one metastore update, no filesystem window
         spark.sql(s"ALTER TABLE $table PARTITION ($specSql) " +
           s"SET LOCATION '${next.toString}'")
+        maintenanceBoundaryHook("after_flip")
         val after = fs.listStatus(next)
           .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         Some((specSql, before, after))
