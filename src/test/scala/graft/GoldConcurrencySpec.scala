@@ -127,4 +127,48 @@ class GoldConcurrencySpec extends SparkSpec {
       "a second sweep must be a no-op")
     spark.sql(s"DROP TABLE $table")
   }
+
+  test("a scan PLANNED before compaction finishes correctly after compact + an in-grace sweep (the grace contract, demonstrated against a live reader)") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-grace-")
+      .toString
+    val table = "gold_grace_t"
+    val df = (0 until 600).map(i => (i, i % 6, s"v$i"))
+      .toDF("id", "dt", "s")
+    df.repartition(12).write.mode("overwrite").partitionBy("dt").parquet(root)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    ops.GoldPipeline.registerExternalTable(spark, table, root)
+
+    // the live reader: a SECOND session plans a scan and starts consuming
+    // it — toLocalIterator materializes the physical plan (including the
+    // resolved pre-compact file listing) at the first element, then runs
+    // one job per remaining partition against that SAME plan, so every
+    // element after the first is read off the OLD locations
+    val reader = spark.newSession()
+    val it = reader.table(table).select("id").toLocalIterator()
+    val first = it.next()
+
+    // maintenance runs underneath the in-flight scan
+    val compacted = ops.GoldPipeline.compactPartitionsCatalog(
+      spark, table, targetBytes = 1L << 30, maxFiles = 8)
+    assert(compacted.size === 6)
+    // a sweep INSIDE the grace period runs too — and must delete nothing,
+    // because the reader's remaining partitions still need the old files
+    assert(ops.GoldPipeline.sweepOrphans(spark, table).isEmpty,
+      "an in-grace sweep must not pull files out from under a live reader")
+
+    // the pre-compact scan drains to completion, correct and complete
+    val ids = (Iterator.single(first) ++ it.asScala).map(_.getInt(0)).toSeq
+    assert(ids.length === 600 && ids.toSet === (0 until 600).toSet,
+      "the scan planned before compaction must finish complete and duplicate-free")
+
+    // reader lifetime over: the post-grace sweep (collapsed to 0) removes
+    // the six orphaned old leaves, and fresh reads stay green
+    val swept = ops.GoldPipeline.sweepOrphans(spark, table, graceMs = 0L)
+    assert(swept.size === 6, s"six orphaned original leaves: $swept")
+    reader.catalog.refreshTable(table)
+    assert(reader.table(table).count() === 600)
+    spark.sql(s"DROP TABLE $table")
+  }
 }
