@@ -11,7 +11,9 @@ import graft.streaming.{StandingStore, StreamingClusters, StreamingCoMovement, S
 
 /** Streaming performance instrument (a `main`, like [[Bench]]): measures
   * per-micro-batch wall time for every STANDING-STORE-backed streaming
-  * operator as the store grows 1× → 10× → 100×, and writes
+  * operator as the store grows 1× → 10× → 100× → 1000× (all four probes
+  * run the fourth decade as of round 16 — twice it was the decade that
+  * turned a looks-flat slope into a real asymptotic term), and writes
   * `BENCH_streaming.json`. The batch suite has BENCH / scaling / shuffle-
   * budget / spill gates; until this instrument the streaming operators had
   * only correctness proofs (batch ≡ stream, replay, crash heal) — their
@@ -85,7 +87,6 @@ object StreamBench {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
 
-    val scales = Seq(1, 10, 100)
     // op -> (scale ladder, store rows per scale, seconds per scale).
     // Ladders are PER-OP (clusters and scrub run an extra decade), so the
     // artifact records each op's ladder next to its numbers — a top-level
@@ -98,8 +99,13 @@ object StreamBench {
     def wanted(op: String): Boolean = only.forall(_.contains(op))
 
     // ---- neardup: banded-signature store -------------------------------
+    // Round 16: fourth decade for symmetry with clusters/scrub — every
+    // standing-store probe now measures three decades of store growth
+    // (the decade that exposed clusters' O(partitions) listing and scrub's
+    // O(store) shuffle, both invisible at 100×).
     if (wanted("neardup")) results("neardup") = {
-      val times = scales.map { scale =>
+      val ndScales = Seq(1, 10, 100, 1000)
+      val times = ndScales.map { scale =>
         val store = tmp("sb-nd-store"); val out = tmp("sb-nd-out")
         val n = 10000L * scale
         // synthetic signatures: schema-identical to Dedup.bandedSignature
@@ -125,7 +131,7 @@ object StreamBench {
           (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
         } finally q.stop()
       }
-      (scales, scales.map(_ * 10000L), times)
+      (ndScales, ndScales.map(_ * 10000L), times)
     }
 
     // ---- scrub: segment-digest store -----------------------------------
@@ -158,8 +164,9 @@ object StreamBench {
 
     // ---- comove: dt-partitioned presence store -------------------------
     if (wanted("comove")) results("comove") = {
+      val cmScales = Seq(1, 10, 100, 1000)
       val rowsPerDay = 200L * 24 // 200 uids, 24 hours, one cell-row each
-      val times = scales.map { scale =>
+      val times = cmScales.map { scale =>
         val store = tmp("sb-cm-store"); val out = tmp("sb-cm-out")
         val days = 3 * scale // the store grows by DAYS — stream lifetime
         StandingStore.append(
@@ -185,7 +192,7 @@ object StreamBench {
           (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
         } finally q.stop()
       }
-      (scales, scales.map(s => 3L * s * rowsPerDay), times)
+      (cmScales, cmScales.map(s => 3L * s * rowsPerDay), times)
     }
 
     // ---- clusters: id-range-partitioned label store --------------------

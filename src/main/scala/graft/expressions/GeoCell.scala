@@ -24,7 +24,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * identical address from the same SQL-expressible chain; see
   * `SparkEntry.oracleSql("uid_hourly_h3")`).
   *
-  * Why not bit-exact H3 — CLOSED (final decision, revisited and re-confirmed):
+  * Why not bit-exact H3 — CLOSED (final decision, revisited and re-confirmed;
+  * last re-swept round 16, 2026-08-15: still no H3 jar under
+  * /opt/spark/jars or any pyspark jars dir, python `import h3` still
+  * fails, DuckDB extension install still refused offline, and a fresh
+  * 15-hex-token grep over the reference matches only decimal digit runs
+  * inside aggregate outputs — zero new ground truth, decision stands):
   * a faithful port can only be trusted against ground truth, and this
   * environment has none. The revisit attempted to construct an offline
   * fixture and exhausted every avenue: no H3 jar under /opt/spark/jars, no
