@@ -1393,4 +1393,31 @@ class StreamingSpec extends SparkSpec {
     assert(withNull.map(_.getString(1)).toSet === Set("a b"),
       "null value addresses the default partition (absent here) without error")
   }
+
+  test("rewrite refuses to FLATTEN a store this JVM has seen partitioned (isFlat cache invariant, ADVICE r15)") {
+    import graft.streaming.StandingStore
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("uid", IntegerType), StructField("dt", StringType)))
+    val store = java.nio.file.Files.createTempDirectory("ss-flat-guard")
+      .toString + "/s"
+    StandingStore.append(
+      Seq((1, "2024-01-01"), (2, "2024-01-02")).toDF("uid", "dt"),
+      store, Seq("dt"))
+    // a pruned read populates the positive layout cache
+    assert(StandingStore.readPartitions(spark, store, schema, "dt",
+      Seq("2024-01-01")).count() === 1)
+    // flattening now would make every later pruned read existence-check
+    // nonexistent partition dirs and silently return EMPTY — the guard
+    // must fail loudly instead
+    val e = intercept[IllegalArgumentException] {
+      StandingStore.compact(spark, store, schema) // no partitionCols
+    }
+    assert(e.getMessage.contains("FLATTEN"), e.getMessage)
+    // the layout-preserving maintenance call is unaffected
+    StandingStore.compact(spark, store, schema, Seq("dt"))
+    assert(StandingStore.readPartitions(spark, store, schema, "dt",
+      Seq("2024-01-01", "2024-01-02")).count() === 2,
+      "partition-preserving compaction keeps the pruned path whole")
+  }
 }

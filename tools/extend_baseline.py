@@ -25,10 +25,41 @@ BASELINE = os.path.join(ROOT, "BASELINE_bench.json")
 CURRENT = os.path.join(ROOT, "BENCH_full.json")
 
 
-def main(argv):
+def selftest():
+    import tempfile
+    d = tempfile.mkdtemp()
+    bp, cp = os.path.join(d, "b.json"), os.path.join(d, "c.json")
+
+    def write(path, qs, tainted=False):
+        json.dump({"value": round(sum(qs.values()), 3), "tainted": tainted,
+                   "calib_spread": 1.2,
+                   "queries": {k: {"min": v, "median": v, "reps": [v]}
+                               for k, v in qs.items()}}, open(path, "w"))
+    # tainted current refuses
+    write(bp, {"a": 1.0})
+    write(cp, {"a": 1.0, "b": 2.0}, tainted=True)
+    assert main([], baseline=bp, current=cp) == 1
+    # extension folds the new query in and recomputes value
+    write(cp, {"a": 1.5, "b": 2.0})
+    assert main([], baseline=bp, current=cp) == 0
+    got = json.load(open(bp))
+    assert set(got["queries"]) == {"a", "b"}, got
+    assert got["queries"]["a"]["min"] == 1.0, "existing entries must not move"
+    assert got["value"] == 3.0, got["value"]
+    assert "b" in got.get("provenance", {}), "extension must be provenance-noted"
+    # idempotent
+    assert main([], baseline=bp, current=cp) == 0
+    assert json.load(open(bp))["value"] == 3.0
+    print("selftest OK")
+    return 0
+
+
+def main(argv, baseline=BASELINE, current=CURRENT):
     note, dry = "", False
     i = 0
     while i < len(argv):
+        if argv[i] == "--selftest":
+            return selftest()
         if argv[i] == "--note" and i + 1 < len(argv):
             note, i = argv[i + 1], i + 2
         elif argv[i] == "--dry-run":
@@ -36,8 +67,8 @@ def main(argv):
         else:
             print(__doc__)
             return 2
-    base = json.load(open(BASELINE))
-    cur = json.load(open(CURRENT))
+    base = json.load(open(baseline))
+    cur = json.load(open(current))
     if cur.get("tainted"):
         print("BENCH_full.json is TAINTED — the baseline only accepts "
               "untainted first measurements; re-run quiet")
@@ -60,7 +91,7 @@ def main(argv):
     if dry:
         print("dry run — not written")
         return 0
-    json.dump(base, open(BASELINE, "w"), indent=1)
+    json.dump(base, open(baseline, "w"), indent=1)
     print("written")
     return 0
 
