@@ -2881,11 +2881,14 @@ object SparkEntry {
         |FROM e WHERE to_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
 
-    // identical per-term double chain, rounded to micro-units BEFORE the sum
+    // identical per-term double chain, rounded to micro-units BEFORE the
+    // sum; age clamped at 0 (full weight for post-refDate events — the
+    // unclamped exponent overflowed BIGINT on the 10x span corpus)
     "value_decayed" ->
       s"""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          |  round(CAST(sum(CAST(round(value * pow(2.0,
-         |      -CAST(datediff('day', CAST(ts AS DATE), DATE '$DecayRef')
+         |      -CAST(greatest(datediff('day', CAST(ts AS DATE),
+         |        DATE '$DecayRef'), 0)
          |        AS DOUBLE) / $DecayHalfLife) * 1000000.0) AS BIGINT))
          |    AS DOUBLE) / 1000000.0, 6) AS decayed_value
          |FROM events
@@ -5604,9 +5607,12 @@ object SparkEntry {
          |  round(CAST(sum_u AS DOUBLE) / (n_win * 10000), 6) AS avg_win
          |FROM w ORDER BY event_id""".stripMargin,
 
-    // identical micro-degree integer distance math; the float chain
-    // (sqrt → ×111.195 → /1e6 → ×3.6e6 → /dt) is written in the same op
-    // order as Trajectory.impliedSpeed so every IEEE step agrees
+    // identical micro-degree EXACT-INTEGER kinematics: exact BIGINT squared
+    // distance, floor-corrected integer sqrt, exact integer micro-deg/hour
+    // speed (remainder subtracted before the division so it is exact), one
+    // closing multiply by the shared 0.000111195 literal per output — no
+    // round(), no multi-step float chain (the old sqrt→×→/→×→/→round(,6)
+    // straddled a 6dp midpoint on the density-preserving 10x corpus)
     "track_speed" ->
       s"""WITH p AS (SELECT user_id, event_id, ts, epoch_ms(ts) AS ts_ms,
          |    CAST(round((value % 180.0 - 90.0) * 1000000) AS BIGINT) AS latu,
@@ -5623,19 +5629,31 @@ object SparkEntry {
          |         THEN 360000000 - abs(lonu - plonu)
          |         ELSE abs(lonu - plonu) END AS dlon
          |  FROM l),
-         |s AS (SELECT user_id, event_id, ts_ms,
-         |    CAST(ts_ms - pts AS BIGINT) AS gap_ms,
-         |    sqrt(CAST(dlat * dlat + dlon * dlon AS DOUBLE)) * 111.195
-         |      / 1000000.0 AS dist_raw
+         |d2t AS (SELECT user_id, event_id, ts_ms, pts,
+         |    dlat * dlat + dlon * dlon AS d2
          |  FROM d),
-         |v AS (SELECT user_id, event_id, ts_ms, gap_ms, dist_raw,
-         |    CASE WHEN gap_ms > 0
-         |         THEN dist_raw * 3600000.0 / CAST(gap_ms AS DOUBLE) END AS speed_raw
-         |  FROM s)
+         |g AS (SELECT user_id, event_id, ts_ms, pts, d2,
+         |    CAST(floor(sqrt(CAST(d2 AS DOUBLE))) AS BIGINT) AS s0
+         |  FROM d2t),
+         |g1 AS (SELECT user_id, event_id, ts_ms, pts, d2,
+         |    s0 - (CASE WHEN s0 * s0 > d2 THEN 1 ELSE 0 END) AS s1
+         |  FROM g),
+         |u AS (SELECT user_id, event_id, ts_ms,
+         |    CAST(ts_ms - pts AS BIGINT) AS gap_ms,
+         |    s1 + (CASE WHEN (s1 + 1) * (s1 + 1) <= d2 THEN 1 ELSE 0 END)
+         |      AS dist_u
+         |  FROM g1),
+         |v AS (SELECT user_id, event_id, ts_ms, gap_ms, dist_u,
+         |    CASE WHEN gap_ms > 0 THEN CAST(
+         |      (dist_u * 3600000 - ((dist_u * 3600000) % gap_ms))
+         |        / gap_ms AS BIGINT) END AS speed_mu
+         |  FROM u)
          |SELECT user_id, event_id, ts_ms, gap_ms,
-         |  round(dist_raw, 6) AS dist_km, round(speed_raw, 6) AS speed_kmh,
-         |  CASE WHEN speed_raw IS NULL THEN NULL
-         |       ELSE speed_raw > $TeleportKmh END AS is_teleport
+         |  CAST(dist_u AS DOUBLE) * 0.000111195 AS dist_km,
+         |  CAST(speed_mu AS DOUBLE) * 0.000111195 AS speed_kmh,
+         |  CASE WHEN speed_mu IS NULL THEN NULL
+         |       ELSE CAST(speed_mu AS DOUBLE) * 0.000111195 > $TeleportKmh
+         |       END AS is_teleport
          |FROM v ORDER BY user_id, event_id""".stripMargin,
 
     // same total order, same island id (global row_number minus per-cell

@@ -200,7 +200,13 @@ object Stats {
                  tsCol: Column, refDate: String, halfLifeDays: Double)
       : DataFrame = {
     require(halfLifeDays > 0, "halfLifeDays must be positive")
-    val age = datediff(lit(refDate).cast("date"), to_date(tsCol))
+    // age clamped at 0: an event NEWER than the reference date carries full
+    // weight 1, never exponential GROWTH — unclamped, a corpus extending
+    // past refDate (the density-preserving 10x span did) drives
+    // 2^(+age/7)·value·1e6 beyond 2^63, which Spark silently clamps and
+    // DuckDB rejects (caught by the span-corpus oracle, round 16)
+    val age = greatest(
+      datediff(lit(refDate).cast("date"), to_date(tsCol)), lit(0))
     val term = round(valueCol * pow(lit(2.0), -age.cast("double") / halfLifeDays)
       * 1000000.0).cast("long")
     df.select(col(keyCol), term.as("__t"))

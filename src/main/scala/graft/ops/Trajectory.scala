@@ -15,12 +15,21 @@ import org.apache.spark.sql.functions._
   * kinematic checks a production AIS pipeline runs before trusting a track.
   *
   * Determinism contract (cross-engine hash-match): positions become integer
-  * MICRO-DEGREES (`round(deg*1e6)` longs) before any arithmetic, so distance
-  * math runs on exact integers; the only floating ops are a final `sqrt`,
-  * one division chain, and a `round(..,6)` — IEEE-correctly-rounded ops any
-  * engine reproduces given the same op order. Interpolated values come from
-  * exact integer (sum, count) pairs with the closing float chain written
-  * identically in the oracle SQL.
+  * MICRO-DEGREES (`round(deg*1e6)` longs) before any arithmetic, and ALL
+  * kinematics stay in exact integers end to end — squared distance is an
+  * exact BIGINT, its square root is a floor-corrected INTEGER sqrt (the
+  * float `sqrt` only seeds a ±1 guess that two integer comparisons pin
+  * exactly), speed is an exact integer division in micro-degrees/hour, and
+  * the closing km conversions are each ONE multiply of an exactly-
+  * representable integer by the shared literal `0.000111195` — a single
+  * correctly-rounded IEEE op on identical inputs, bit-identical on every
+  * engine with NO `round()` anywhere. (The previous chain ended in
+  * `round(double, 6)`; the density-preserving 10x oracle caught a genuine
+  * midpoint straddle — 8564.474331 vs .47433 — the same seam class the
+  * round-15 geo rework removed. No engine-computed float reaches a bin
+  * boundary anymore.) Interpolated values come from exact integer
+  * (sum, count) pairs with the closing float chain written identically in
+  * the oracle SQL.
   *
   * Scale shape: every operator is one shuffle on the track key followed by
   * narrow per-partition window evaluation — the same plan as any per-entity
@@ -60,21 +69,44 @@ object Trajectory {
     val dlonAbs = abs(col("__lonu") - col("__p_lonu"))
     val dlon = when(dlonAbs > 180000000L, lit(360000000L) - dlonAbs)
       .otherwise(dlonAbs)
-    val distKm = sqrt((dlat * dlat + dlon * dlon).cast("double")) *
-      111.195 / 1000000.0
+    // exact integer sqrt of the exact BIGINT squared distance: the float
+    // sqrt seeds a guess within ±1 (d2 < 2^57, so the double conversion +
+    // correctly-rounded sqrt err by far less than one unit), and the two
+    // integer comparisons pin the true floor exactly — engine-independent
+    val d2 = dlat * dlat + dlon * dlon
+    val s0 = floor(sqrt(d2.cast("double"))).cast("long")
+    val s1 = s0 - when(s0 * s0 > d2, lit(1L)).otherwise(lit(0L))
+    val distU = s1 + when((s1 + lit(1L)) * (s1 + lit(1L)) <= d2, lit(1L))
+      .otherwise(lit(0L))
     val dtMs = col("__ts_ms") - col("__p_ts")
+    // exact integer micro-degrees/hour: subtract the remainder first so the
+    // double division is of exactly-divisible exactly-representable values
+    // (floor(a/b) on raw doubles can round UP across the integer when the
+    // remainder is within an ulp of b — this form cannot)
+    val spNum = distU * lit(3600000L)
+    val speedMu = ((spNum - (spNum % dtMs)) / dtMs).cast("long")
+    // ONE multiply of an exact integer by the shared literal — the only
+    // float in each output, bit-identical across engines; never round()ed
+    val distKm = distU.cast("double") * lit(KmPerMicroDeg)
     val speed = when(col("__p_ts").isNull, lit(null))
-      .when(dtMs > 0, distKm * 3600000.0 / dtMs.cast("double"))
+      .when(dtMs > 0, speedMu.cast("double") * lit(KmPerMicroDeg))
       .otherwise(lit(null))
     withPrev.select(
       col(idCol), col(rowIdCol), col("__ts_ms").as("ts_ms"),
       dtMs.as("gap_ms"),
-      when(col("__p_ts").isNull, lit(null)).otherwise(round(distKm, 6))
+      when(col("__p_ts").isNull, lit(null)).otherwise(distKm)
         .as("dist_km"),
-      round(speed, 6).as("speed_kmh"),
+      speed.as("speed_kmh"),
       when(speed.isNull, lit(null)).otherwise(speed > teleportKmh)
         .as("is_teleport"))
   }
+
+  /** km per integer micro-degree (111.195 km/deg ÷ 1e6) as ONE decimal
+    * literal — every consumer (batch, streaming, oracle SQL, specs) must
+    * multiply by THIS literal, never by `111.195 / 1e6` (the division can
+    * land one ulp away from the parsed literal).
+    */
+  val KmPerMicroDeg: Double = 0.000111195
 
   /** Dwell episodes: maximal runs of consecutive pings (per track, time
     * order) that share one grid cell, for runs of at least `minPings`.

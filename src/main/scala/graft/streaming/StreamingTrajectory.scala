@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.math.{BigDecimal => JBigDecimal, RoundingMode}
-
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   TimeMode, TimerValues, ValueState}
@@ -15,10 +13,11 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   * monitoring consumer wants it.
   *
   * Semantics contract with the batch twin: identical micro-degree integer
-  * distance math, the same float chain (`sqrt → ×111.195 → /1e6 → ×3.6e6 →
-  * /dt`), the same HALF-UP rounding to 6 decimals — on in-order input the
-  * emitted rows are bit-identical to the batch operator's (asserted in
-  * `StreamingSpec`). Divergence is confined to out-of-order arrivals: a ping
+  * distance math — exact BIGINT squared distance, floor-corrected integer
+  * sqrt, exact integer micro-deg/hour speed, and one closing multiply by
+  * [[graft.ops.Trajectory.KmPerMicroDeg]] per output (no `round()`, no
+  * multi-step float chain) — so on in-order input the emitted rows are
+  * bit-identical to the batch operator's (asserted in `StreamingSpec`). Divergence is confined to out-of-order arrivals: a ping
   * older than the last accepted one cannot have a well-defined "previous"
   * without replaying history, so it emits with `is_late = true`, null
   * kinematics, and does NOT regress the state — the monitoring-stream
@@ -39,9 +38,6 @@ object StreamingTrajectory {
                       gap_ms: Option[Long], dist_km: Option[Double],
                       speed_kmh: Option[Double], is_teleport: Option[Boolean],
                       is_late: Boolean)
-
-  private def round6(v: Double): Double =
-    new JBigDecimal(v).setScale(6, RoundingMode.HALF_UP).doubleValue()
 
   class SpeedProcessor(teleportKmh: Double)
       extends StatefulProcessor[Long, Ping, SpeedRow] {
@@ -70,13 +66,22 @@ object StreamingTrajectory {
             val dlat = latu - pLatu
             val dlonAbs = math.abs(lonu - pLonu)
             val dlon = if (dlonAbs > 180000000L) 360000000L - dlonAbs else dlonAbs
-            val distKm =
-              math.sqrt((dlat * dlat + dlon * dlon).toDouble) * 111.195 / 1000000.0
+            // the batch twin's exact-integer kinematics, in plain Scala:
+            // floor-corrected integer sqrt, Long division for the exact
+            // micro-deg/hour speed, one closing multiply per output
+            val d2 = dlat * dlat + dlon * dlon
+            val s0 = math.floor(math.sqrt(d2.toDouble)).toLong
+            val s1 = s0 - (if (s0 * s0 > d2) 1L else 0L)
+            val distU = s1 + (if ((s1 + 1L) * (s1 + 1L) <= d2) 1L else 0L)
+            val distKm = distU.toDouble * graft.ops.Trajectory.KmPerMicroDeg
             val dtMs = tsMs - pTs
             val speed =
-              if (dtMs > 0) Some(distKm * 3600000.0 / dtMs.toDouble) else None
-            out += SpeedRow(key, pingId, tsMs, Some(dtMs), Some(round6(distKm)),
-              speed.map(round6), speed.map(_ > teleportKmh), is_late = false)
+              if (dtMs > 0)
+                Some((distU * 3600000L / dtMs).toDouble *
+                  graft.ops.Trajectory.KmPerMicroDeg)
+              else None
+            out += SpeedRow(key, pingId, tsMs, Some(dtMs), Some(distKm),
+              speed, speed.map(_ > teleportKmh), is_late = false)
             lastPing.update((tsMs, latu, lonu))
           case None =>
             out += SpeedRow(key, pingId, tsMs, None, None, None, None,

@@ -41,16 +41,19 @@ class TrajectorySpec extends SparkSpec {
     val first = got(0)
     assert(first.isNullAt(first.fieldIndex("speed_kmh")), "first ping: null speed")
     assert(first.isNullAt(first.fieldIndex("is_teleport")), "first ping: null flag")
+    // expected values are the operator's own closing op — one multiply of
+    // the exact integer micro-degree distance/speed by KmPerMicroDeg —
+    // written identically here so the comparison is bit-exact by identity
+    val K = Trajectory.KmPerMicroDeg
     val hop = got(1)
-    assert(hop.getAs[Double]("dist_km") === 111.195)
-    assert(hop.getAs[Double]("speed_kmh") === 111.195)
+    assert(hop.getAs[Double]("dist_km") === 1000000L.toDouble * K) // 111.195
+    assert(hop.getAs[Double]("speed_kmh") === 1000000L.toDouble * K)
     assert(!hop.getAs[Boolean]("is_teleport"))
     val jump = got(2)
-    // round(..,6) lands on the nearest double to the decimal, which can sit
-    // one ulp from the naively-multiplied Scala expression — compare decimals
-    assert(jump.getAs[Double]("dist_km") === 2223.9)
-    assert(jump.getAs[Double]("speed_kmh") === 4447.8) // 20 deg per 30 min
-    assert(jump.getAs[Boolean]("is_teleport"), "4447.8 km/h must flag")
+    assert(jump.getAs[Double]("dist_km") === 20000000L.toDouble * K) // 2223.9
+    // 20 deg per 30 min = 40e6 micro-deg/hour ≈ 4447.8 km/h
+    assert(jump.getAs[Double]("speed_kmh") === 40000000L.toDouble * K)
+    assert(jump.getAs[Boolean]("is_teleport"), "~4447.8 km/h must flag")
     val lone = got(3)
     assert(lone.isNullAt(lone.fieldIndex("speed_kmh")), "lone ping: null speed")
   }
@@ -63,7 +66,8 @@ class TrajectorySpec extends SparkSpec {
     val got = Trajectory.impliedSpeed(pts, "uid", "eid", "t", "lat", "lon", 1000.0)
       .orderBy("eid").collect()
     // 1 degree across the seam, NOT 359
-    assert(got(1).getAs[Double]("dist_km") === 111.195)
+    assert(got(1).getAs[Double]("dist_km") ===
+      1000000L.toDouble * Trajectory.KmPerMicroDeg)
   }
 
   test("impliedSpeed: zero elapsed time yields null speed, never Infinity") {
