@@ -47,7 +47,24 @@ object StreamingNearDup {
           val sigs = Dedup.bandedSignature(batch, idCol, textCol,
             k, rowsPerBand, n).persist()
           try {
+            // Prune the standing store to the batch's (band, bucket) keys
+            // BEFORE the pair join: a standing row whose bucket no batch
+            // doc occupies cannot produce a pair, so the broadcast
+            // left-semi is semantics-free. Measured effect at the 1000x
+            // probe point (10M standing signatures): none on wall time —
+            // the planner was already broadcasting the small probe side,
+            // so the store was scan-bound before and after (~3.2 s/batch,
+            // the md5-string audit-path bucket scan floor; the production
+            // fast path, Dedup.fastBandedSignature's 8-byte long buckets,
+            // is the at-scale answer). The semi-join is kept because it
+            // PINS the exchange-free plan: without it, the moment the
+            // store's size estimate crosses the broadcast threshold the
+            // planner may flip to shuffling all standing rows on
+            // (band, bucket) every micro-batch — the failure mode scrub
+            // actually had.
+            val probeKeys = sigs.select("band", "bucket").distinct()
             val standing = readStore(spark, storeDir, sigs.schema)
+              .join(broadcast(probeKeys), Seq("band", "bucket"), "left_semi")
             val pairs = Dedup.incrementalLshPairs(sigs, standing)
             // each pair, seen from both ends: doc d vs its partner
             val oriented = pairs
