@@ -34,6 +34,12 @@ import graft.ops.Dedup
   * the previous `store.distinct()` + left-join shape shuffled the whole
   * history every batch, the O(store) term StreamBench's 1000× point
   * measured at 3.3× (1.12 s → 3.59 s per batch, 1M → 10M digests).
+  * BOUNDEDNESS CONTRACT: the broadcast carries the batch's distinct
+  * digests (16 bytes each), so the micro-batch must stay
+  * broadcast-sized — ~10M digests ≈ 160 MB is comfortable, and trigger
+  * sizing (maxFilesPerTrigger / maxOffsetsPerTrigger) is the knob that
+  * already bounds every other per-batch resource; a catch-up batch too
+  * large to broadcast fails loudly at the broadcast, never silently.
   *
   * Recovery: standard foreachBatch at-least-once. A replayed batch
   * re-appends digests, so the store may hold duplicate rows — the probe
