@@ -63,6 +63,23 @@ WAIVERS = {
             "flag marks approximation; density-preserving x10 is flat at "
             "0.92x. SCALING.md round 13.",
     },
+    ("sf1e", "triangle_counts"): {
+        # measured 16.8x (round 16; 1.30s -> 21.8s) against a TRUE
+        # triangle-volume growth of ~961x on the density-stress corpus
+        # (sum(triangles): 70,317,381 vs 73,185 at sf0.1; same degree
+        # inflation as shadow_pairs' wedges) — runtime is deeply
+        # SUBLINEAR in the inherent workload. 35 gives noise headroom
+        # (~2x measured) while still catching any genuinely super-linear
+        # engine term long before the volume bound. Density-preserving
+        # x10 is flat at 1.02x. SCALING.md round 16.
+        "max_ratio": 35.0,
+        "why":
+            "inherent triangle volume: the density-stress sf1e input "
+            "grows true triangle count ~961x (70.3M vs 73.2k; the same "
+            "avg-degree-338 inflation behind shadow_pairs' waiver) while "
+            "measured runtime grows 16.8x — sublinear in the workload; "
+            "density-preserving x10 is flat at 1.02x. SCALING.md round 16.",
+    },
 }
 
 
