@@ -93,9 +93,18 @@ object StreamBench {
     // scales header would misalign any consumer keying sec arrays off it.
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, (Seq[Int], Seq[Long], Seq[Double])]
-    // comma-separated op filter for targeted probe runs (all ops when unset)
+    // comma-separated op filter for targeted probe runs (all ops when
+    // unset). Names are validated against the known op set up front: a
+    // typo or an empty value would otherwise run ZERO probes and exit 0 —
+    // a vacuously green gate that measured nothing.
+    val knownOps = Set("neardup", "scrub", "comove", "clusters")
     val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
-      .map(_.split(",").map(_.trim).toSet)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { s =>
+      require(s.nonEmpty && s.subsetOf(knownOps),
+        s"SPARK_GRAFT_STREAM_ONLY must name ops from $knownOps, got: " +
+          sys.env("SPARK_GRAFT_STREAM_ONLY"))
+    }
     def wanted(op: String): Boolean = only.forall(_.contains(op))
 
     // ---- neardup: banded-signature store -------------------------------

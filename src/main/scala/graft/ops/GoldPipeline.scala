@@ -340,6 +340,17 @@ object GoldPipeline {
           .parquet(next.toString)
         maintenanceBoundaryHook("after_rewrite")
         val specSql = partCols.map(c => s"$c='${p.spec(c)}'").mkString(", ")
+        // Loud-failure guard on the rewrite->flip window: if anything (a
+        // sweep whose tombstone aged out during an extreme stall, an
+        // operator rm) removed the fresh sibling, fail HERE with the
+        // partition still on its old, intact location — never register a
+        // location that no longer exists. Shrinks the dangling-pointer
+        // hazard from the whole stall to the exists-check->ALTER instant.
+        if (!fs.exists(next))
+          throw new IllegalStateException(
+            s"compaction sibling $next vanished before the catalog flip " +
+              s"(concurrent sweepOrphans with too-short grace?); partition " +
+              s"($specSql) left on its current location")
         // the atomic flip: one metastore update, no filesystem window
         spark.sql(s"ALTER TABLE $table PARTITION ($specSql) " +
           s"SET LOCATION '${next.toString}'")
@@ -357,27 +368,46 @@ object GoldPipeline {
     */
   val DefaultSweepGraceMs: Long = 15L * 60 * 1000
 
+  /** Tombstone a sweep plants inside a leaf on FIRST observing it orphaned;
+    * deletion waits until the tombstone itself is older than the grace.
+    * Underscore-prefixed, so Spark/parquet readers never see it.
+    */
+  private[graft] val OrphanMarker = "_ORPHANED"
+
   /** Deferred-deletion half of [[compactPartitionsCatalog]]: delete leaf
     * directories under the table's partition tree that are no longer ANY
-    * partition's registered location. The grace period is ENFORCED, not
-    * advisory: a leaf whose newest content is younger than `graceMs` is
-    * skipped, which covers BOTH hazards with one rule —
+    * partition's registered location. The grace period is ENFORCED via
+    * first-observation tombstones, and it measures TIME SINCE ORPHANED —
+    * not content age, which is the wrong clock (a partition whose files
+    * were written days ago gets ZERO protection from a content-mtime gate
+    * the moment a compaction flips it):
     *
-    *   - an in-flight reader (or a session with a stale relation cache)
-    *     may still be scanning a just-orphaned location, so deletion must
-    *     wait out reader lifetime (the two-session LiveReader spec pins
-    *     this: a scan planned pre-compact finishes correctly post-sweep);
-    *   - a CONCURRENT [[compactPartitionsCatalog]] may have written its
-    *     fresh `__c<k>` sibling but not yet committed the ALTER — that dir
-    *     is not a registered location yet, and an ungated sweep would
-    *     delete it and leave the partition pointing at nothing the moment
-    *     the ALTER lands. A pre-ALTER sibling is by construction younger
-    *     than any sane grace period, so the same age gate excludes it
-    *     (maintenance-vs-maintenance exclusion without a lock file).
+    *   - on first observing a non-live leaf, a sweep plants an
+    *     [[OrphanMarker]] tombstone inside it and deletes NOTHING;
+    *   - a later sweep deletes the leaf only when BOTH the tombstone and
+    *     the newest content are older than `graceMs` (the content gate
+    *     keeps a leaf that is still being written — e.g. a concurrent
+    *     compaction's in-progress `__c<k>` sibling — alive regardless of
+    *     when it was first observed);
+    *   - a tombstoned leaf that becomes LIVE again (a stalled compaction's
+    *     ALTER finally landing) has its tombstone removed, never its data.
     *
-    * Age is the newest modification time across the leaf dir and its
-    * files (a dir's own mtime alone can predate a late file close).
-    * Returns the deleted paths.
+    * This covers the two hazards the gate exists for: an in-flight reader
+    * (or a stale relation cache) gets at least `graceMs` from the moment a
+    * sweep first SEES the orphan — observation is never earlier than the
+    * orphaning itself, so the wait is conservative (the two-session
+    * LiveReader spec pins the in-flight-scan case); and a concurrent
+    * compaction's pre-ALTER sibling survives unless it stays non-live
+    * across two sweep passes spanning a full grace period — and even that
+    * extreme stall fails LOUDLY, not silently, because
+    * [[compactPartitionsCatalog]] re-checks the sibling exists immediately
+    * before the flip and aborts with the partition still on its old
+    * location.
+    *
+    * `graceMs <= 0` is the explicit no-grace fast path (tests, and
+    * operators who have externally verified no reader is in flight):
+    * non-live leaves are deleted immediately, no tombstones involved.
+    * Returns the deleted paths (tombstone-only passes return empty).
     */
   def sweepOrphans(spark: SparkSession, table: String,
                    graceMs: Long = DefaultSweepGraceMs): Seq[String] = {
@@ -403,8 +433,24 @@ object GoldPipeline {
       (self +: kids.toSeq).max
     }
     if (!fs.exists(root)) Seq.empty
-    else leaves(root).filter(l => l != root &&
-        !live.contains(l.toUri.getPath) && newestMs(l) <= cutoff)
-      .map { orphan => fs.delete(orphan, true); orphan.toString }
+    else {
+      val (liveLeaves, orphans) = leaves(root).filter(_ != root)
+        .partition(l => live.contains(l.toUri.getPath))
+      liveLeaves.foreach { l =>
+        val m = new org.apache.hadoop.fs.Path(l, OrphanMarker)
+        if (fs.exists(m)) fs.delete(m, false)
+      }
+      orphans.flatMap { orphan =>
+        if (graceMs <= 0L) { fs.delete(orphan, true); Some(orphan.toString) }
+        else {
+          val m = new org.apache.hadoop.fs.Path(orphan, OrphanMarker)
+          if (!fs.exists(m)) { fs.create(m, true).close(); None }
+          else if (fs.getFileStatus(m).getModificationTime <= cutoff &&
+            newestMs(orphan) <= cutoff) {
+            fs.delete(orphan, true); Some(orphan.toString)
+          } else None
+        }
+      }
+    }
   }
 }

@@ -1,7 +1,5 @@
 package graft
 
-import scala.sys.process.{Process, ProcessLogger}
-
 /** [[CompactCrashRehearsal]] — JVM-kill rehearsal for the catalog-atomic
   * compaction. `compactPartitionsCatalog`'s torn-read-free and
   * never-reuse-a-live-name claims are argued at exactly two boundaries
@@ -19,28 +17,8 @@ import scala.sys.process.{Process, ProcessLogger}
   */
 class CompactCrashSpec extends SparkSpec {
 
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-
-  private def spawn(args: String*): (Int, Seq[String]) = {
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx3g", "-XX:+UseG1GC", "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.CompactCrashRehearsal") ++ args
-    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val exit = Process(cmd).!(ProcessLogger(out.add(_), out.add(_)))
-    import scala.jdk.CollectionConverters._
-    (exit, out.asScala.toSeq)
-  }
+  private def spawn(args: String*): (Int, Seq[String]) =
+    RehearsalSpawn.run("graft.CompactCrashRehearsal", "-Xmx3g", args: _*)
 
   private def field(line: String, key: String): String = {
     val m = (s""""$key":("[^"]*"|\\[[^\\]]*\\]|[0-9]+|true|false)""").r
@@ -83,33 +61,50 @@ class CompactCrashSpec extends SparkSpec {
     assert(vExit === 0, s"verify failed:\n${vOut.takeRight(40).mkString("\n")}")
 
     // 1. torn-read-free at the crash point: complete, row-identical read,
-    //    and the catalog points at exactly the side the boundary implies
+    //    and the catalog points at exactly the side the boundary implies.
+    //    WHICH partition the crash struck is whichever one the metastore
+    //    listed first — not a contract (HMS return order is unspecified) —
+    //    so it is DERIVED from the artifact, never hard-coded.
     val pc = crashLine(vOut, "post_crash")
     assert(field(pc, "rows") === "600", "post-crash read must be complete")
     assert(field(pc, "digest") === seedDigest,
       s"post-crash read must be row-identical to the seed ($boundary)")
     val pcLocs = arrField(pc, "locs")
-    if (boundary == "after_rewrite") {
-      assert(pcLocs === Seq("dt=0->dt=0", "dt=1->dt=1"),
-        "pre-flip crash: the catalog must still point at the OLD leaf")
-      assert(arrField(pc, "leaves").contains("dt=0__c1"),
-        "the stranded rewrite must be on disk (it becomes the orphan)")
-    } else {
-      assert(pcLocs === Seq("dt=0->dt=0__c1", "dt=1->dt=1"),
-        "post-flip crash: the catalog must already point at the NEW leaf")
-    }
+    val parts = Seq("dt=0", "dt=1")
+    val struck =
+      if (boundary == "after_rewrite") {
+        assert(pcLocs === parts.map(d => s"$d->$d"),
+          "pre-flip crash: the catalog must still point at the OLD leaves")
+        val stranded = arrField(pc, "leaves").filter(_.contains("__c"))
+        assert(stranded.length === 1 && stranded.head.endsWith("__c1"),
+          s"exactly one stranded __c1 rewrite must be on disk: $stranded")
+        stranded.head.stripSuffix("__c1")
+      } else {
+        val flipped = pcLocs.filter(_.contains("__c1"))
+        assert(flipped.length === 1,
+          s"post-flip crash: exactly one partition must be flipped: $pcLocs")
+        val s = flipped.head.split("->")(0)
+        assert(pcLocs === parts.map(d =>
+          if (d == s) s"$d->${d}__c1" else s"$d->$d"),
+          "post-flip crash: the catalog must point at the NEW leaf for the struck partition only")
+        s
+      }
+    val other = parts.filterNot(_ == struck).head
 
     // 2. convergence + never-reuse-a-live-name
     val rm = crashLine(vOut, "post_remaint")
     assert(field(rm, "digest") === seedDigest)
     val rmLocs = arrField(rm, "locs")
     if (boundary == "after_rewrite")
-      // dt=0's recovery compaction must SKIP the stranded __c1 name
-      assert(rmLocs === Seq("dt=0->dt=0__c2", "dt=1->dt=1__c1"),
+      // the struck partition's recovery compaction must SKIP the stranded
+      // __c1 name; the untouched partition compacts to its own __c1
+      assert(rmLocs === parts.map(d =>
+        if (d == struck) s"$d->${d}__c2" else s"$d->${d}__c1"),
         s"stranded __c1 must never be reused: $rmLocs")
     else {
-      assert(rmLocs === Seq("dt=0->dt=0__c1", "dt=1->dt=1__c1"))
-      assert(arrField(crashLine(vOut, "remaint"), "compacted") === Seq("dt='1'"),
+      assert(rmLocs === parts.map(d => s"$d->${d}__c1"))
+      assert(arrField(crashLine(vOut, "remaint"), "compacted") ===
+        Seq(s"dt='${other.stripPrefix("dt=")}'"),
         "the already-flipped partition must not re-compact")
     }
 
@@ -117,8 +112,8 @@ class CompactCrashSpec extends SparkSpec {
     val sw = crashLine(vOut, "sweep")
     val swept = arrField(sw, "swept")
     val expectedOrphans =
-      if (boundary == "after_rewrite") Set("dt=0", "dt=1", "dt=0__c1")
-      else Set("dt=0", "dt=1")
+      if (boundary == "after_rewrite") Set(struck, other, s"${struck}__c1")
+      else Set(struck, other)
     assert(swept.toSet === expectedOrphans,
       s"sweep must remove exactly the orphans: got $swept")
     assert(arrField(sw, "swept_again").isEmpty, "second sweep must be a no-op")

@@ -109,9 +109,10 @@ class GoldConcurrencySpec extends SparkSpec {
     assert(torn.get() == null, String.valueOf(torn.get()))
     assert(reads.get() > 0, "the readers must actually have read during the pass")
 
-    // the grace period is ENFORCED: at the default grace the just-orphaned
-    // leaves are younger than the cutoff and must survive the sweep (this
-    // is also the guard that protects a concurrent compaction's pre-ALTER
+    // the grace period is ENFORCED: the first graced sweep only plants
+    // tombstones in the just-orphaned leaves — deletion waits until a
+    // tombstone is older than the grace (this first-observation clock is
+    // also the guard that protects a concurrent compaction's pre-ALTER
     // __cN sibling from a racing sweep)
     assert(ops.GoldPipeline.sweepOrphans(spark, table).isEmpty,
       "a sweep inside the grace period must delete nothing")
@@ -169,6 +170,128 @@ class GoldConcurrencySpec extends SparkSpec {
     assert(swept.size === 6, s"six orphaned original leaves: $swept")
     reader.catalog.refreshTable(table)
     assert(reader.table(table).count() === 600)
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  /** The grace clock is TIME SINCE ORPHANED, not content age. A partition
+    * whose files were written long ago (content mtime aged well past any
+    * grace) is compacted and thereby orphaned NOW — a content-mtime gate
+    * would delete it instantly, pulling files out from under any reader
+    * that planned against the pre-compact locations. The tombstone scheme
+    * must give it a full grace from first observation.
+    */
+  test("an orphan with AGED content survives graced sweeps until its tombstone ages out") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-aged-").toString
+    val table = "gold_aged_t"
+    val df = (0 until 100).map(i => (i, 0, s"v$i")).toDF("id", "dt", "s")
+    df.repartition(12).write.mode("overwrite").partitionBy("dt").parquet(root)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    ops.GoldPipeline.registerExternalTable(spark, table, root)
+
+    // age every file and dir under the leaf far past the default grace
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leaf = new org.apache.hadoop.fs.Path(root, "dt=0")
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    (fs.listStatus(leaf).map(_.getPath) :+ leaf).foreach(p =>
+      fs.setTimes(p, old, old))
+
+    val compacted = ops.GoldPipeline.compactPartitionsCatalog(
+      spark, table, targetBytes = 1L << 30, maxFiles = 8)
+    assert(compacted.size === 1)
+    // first graced sweep: the leaf is non-live with 48h-old content — under
+    // the former content-mtime gate it would be deleted HERE; the tombstone
+    // gate must only mark it
+    assert(ops.GoldPipeline.sweepOrphans(spark, table).isEmpty,
+      "a just-orphaned leaf must survive its first graced sweep regardless of content age")
+    val marker = new org.apache.hadoop.fs.Path(leaf,
+      ops.GoldPipeline.OrphanMarker)
+    assert(fs.exists(marker), "the first graced sweep must plant a tombstone")
+    // second graced sweep: tombstone is seconds old — still inside grace
+    assert(ops.GoldPipeline.sweepOrphans(spark, table).isEmpty,
+      "a fresh tombstone must keep the leaf alive through the grace period")
+    // grace elapses (collapsed by aging the tombstone AND the dir mtime
+    // the tombstone's creation bumped): now it deletes
+    fs.setTimes(marker, old, old)
+    fs.setTimes(leaf, old, old)
+    val swept = ops.GoldPipeline.sweepOrphans(spark, table)
+    assert(swept.size === 1 && swept.head.endsWith("dt=0"), swept.toString)
+    assert(spark.table(table).count() === 100)
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  /** A tombstoned leaf that becomes LIVE again — a stalled compaction's
+    * ALTER finally landing on a sibling a sweep had already observed as
+    * non-live — must have its tombstone removed, never its data.
+    */
+  test("a tombstoned leaf that becomes a registered location is un-marked, not deleted") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-relive-").toString
+    val table = "gold_relive_t"
+    val df = (0 until 100).map(i => (i, 0, s"v$i")).toDF("id", "dt", "s")
+    df.repartition(2).write.mode("overwrite").partitionBy("dt").parquet(root)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    ops.GoldPipeline.registerExternalTable(spark, table, root)
+
+    // model a concurrent compaction mid-stall: its fresh __c1 sibling is
+    // fully written but the ALTER has not landed yet
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sibling = new org.apache.hadoop.fs.Path(root, "dt=0__c1")
+    spark.table(table).where(col("dt") === 0).drop("dt")
+      .coalesce(1).write.parquet(sibling.toString)
+    // a sweep observes the pre-ALTER sibling: tombstoned, not deleted
+    assert(ops.GoldPipeline.sweepOrphans(spark, table).isEmpty)
+    val marker = new org.apache.hadoop.fs.Path(sibling,
+      ops.GoldPipeline.OrphanMarker)
+    assert(fs.exists(marker), "the non-live sibling must be tombstoned")
+    // even an AGED tombstone must not take the leaf down once the stalled
+    // ALTER lands and the sibling becomes the partition's live location
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    fs.setTimes(marker, old, old)
+    spark.sql(s"ALTER TABLE $table PARTITION (dt='0') " +
+      s"SET LOCATION '${sibling.toString}'")
+    assert(ops.GoldPipeline.sweepOrphans(spark, table)
+      .forall(!_.endsWith("dt=0__c1")), "a live location must never be swept")
+    assert(fs.exists(sibling), "the now-live sibling must survive")
+    assert(!fs.exists(marker),
+      "the stale tombstone must be removed from a leaf that became live")
+    spark.catalog.refreshTable(table)
+    assert(spark.table(table).count() === 100)
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  /** The rewrite->flip window fails LOUDLY if the fresh sibling vanished:
+    * the ALTER must never register a location that no longer exists. The
+    * boundary hook models the extreme case (a sweep deleting the sibling
+    * mid-stall); the partition must stay readable on its old location.
+    */
+  test("compactPartitionsCatalog aborts loudly if the fresh sibling vanishes before the flip") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-vanish-").toString
+    val table = "gold_vanish_t"
+    val df = (0 until 100).map(i => (i, 0, s"v$i")).toDF("id", "dt", "s")
+    df.repartition(12).write.mode("overwrite").partitionBy("dt").parquet(root)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    ops.GoldPipeline.registerExternalTable(spark, table, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val saved = ops.GoldPipeline.maintenanceBoundaryHook
+    try {
+      ops.GoldPipeline.maintenanceBoundaryHook = {
+        case "after_rewrite" =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, "dt=0__c1"), true)
+        case _ => ()
+      }
+      val e = intercept[IllegalStateException] {
+        ops.GoldPipeline.compactPartitionsCatalog(
+          spark, table, targetBytes = 1L << 30, maxFiles = 8)
+      }
+      assert(e.getMessage.contains("vanished before the catalog flip"))
+    } finally ops.GoldPipeline.maintenanceBoundaryHook = saved
+    // the partition was never flipped: reads stay green on the old leaf
+    assert(spark.table(table).count() === 100)
     spark.sql(s"DROP TABLE $table")
   }
 }

@@ -16,16 +16,6 @@ import scala.sys.process.{Process, ProcessLogger}
   */
 class RetryRehearsalSpec extends SparkSpec {
 
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-
   test("killed and failed first attempts: gold builds + protocol queries retry to bit-identical results") {
     val sfDir = "/root/testdata/sf0.01"
     // expected digests from THIS (unfaulted) session — gold builds are
@@ -44,17 +34,7 @@ class RetryRehearsalSpec extends SparkSpec {
       assert(n > 0, s"$q fixture must be non-trivial at sf0.01")
     }
 
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx4g", "-XX:+UseG1GC",
-      "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.RetryRehearsal", sfDir)
-    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val exit = Process(cmd).!(ProcessLogger(out.add(_), out.add(_)))
-    import scala.jdk.CollectionConverters._
-    val lines = out.asScala.toSeq
+    val (exit, lines) = RehearsalSpawn.run("graft.RetryRehearsal", "-Xmx4g", sfDir)
     val log = lines.mkString("\n")
     assert(exit === 0,
       s"rehearsal JVM must survive the injected faults (retry, not die); tail:\n${lines.takeRight(40).mkString("\n")}")
@@ -103,17 +83,7 @@ class RetryRehearsalSpec extends SparkSpec {
     val expected = StreamSpillRehearsal.runAll(spark)
       .map { case (op, n, d) => op -> ((n, d)) }.toMap
 
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx3g", "-XX:+UseG1GC",
-      "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.StreamRetryRehearsal")
-    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val exit = Process(cmd).!(ProcessLogger(out.add(_), out.add(_)))
-    import scala.jdk.CollectionConverters._
-    val lines = out.asScala.toSeq
+    val (exit, lines) = RehearsalSpawn.run("graft.StreamRetryRehearsal", "-Xmx3g")
     val log = lines.mkString("\n")
     assert(exit === 0,
       s"streaming retry JVM must survive the injected faults; tail:\n${lines.takeRight(40).mkString("\n")}")

@@ -1,7 +1,5 @@
 package graft
 
-import scala.sys.process.{Process, ProcessLogger}
-
 /** [[SpillRehearsal]] — the memory-pressure gate: one representative of
   * every memory-sensitive shape (big sort-merge shuffles, the iterative
   * graph loop, a window-heavy battery, the multi-distinct Expand, and the
@@ -16,17 +14,6 @@ import scala.sys.process.{Process, ProcessLogger}
   */
 class SpillRehearsalSpec extends SparkSpec {
 
-  // Spark 4 on JDK 17 outside spark-submit (mirrors build.sbt javaOptions)
-  private val addOpens = Seq(
-    "java.base/java.lang", "java.base/java.lang.invoke",
-    "java.base/java.lang.reflect", "java.base/java.io",
-    "java.base/java.net", "java.base/java.nio",
-    "java.base/java.util", "java.base/java.util.concurrent",
-    "java.base/java.util.concurrent.atomic",
-    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-    "java.base/sun.security.action", "java.base/sun.util.calendar",
-  ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-
   test("starved memory manager: shuffle/graph-loop/window/expand/gold-build matrix spills to completion, rows identical") {
     val sfDir = "/root/testdata/sf0.01"
     val expected = SpillRehearsal.Queries.map { q =>
@@ -37,22 +24,10 @@ class SpillRehearsalSpec extends SparkSpec {
       assert(n > 0, s"$q fixture must be non-trivial at sf0.01")
     }
 
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      // modest heap on purpose: the STARVATION comes from
-      // spark.testing.memory inside the rehearsal, the heap just has to
-      // hold the JVM + collected results without masking an OOM as GC hell
-      "-Xmx2g", "-XX:+UseG1GC",
-      "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.SpillRehearsal", sfDir)
-    // ProcessLogger pumps stdout and stderr on two threads — the sink must
-    // be thread-safe or a lost append can drop a SPILLJSON line flakily
-    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val exit = Process(cmd).!(ProcessLogger(out.add(_), out.add(_)))
-    import scala.jdk.CollectionConverters._
-    val lines = out.asScala.toSeq
+    // modest heap on purpose: the STARVATION comes from
+    // spark.testing.memory inside the rehearsal, the heap just has to
+    // hold the JVM + collected results without masking an OOM as GC hell
+    val (exit, lines) = RehearsalSpawn.run("graft.SpillRehearsal", "-Xmx2g", sfDir)
     val log = lines.mkString("\n")
     assert(exit === 0,
       s"rehearsal JVM must exit clean (spill, not OOM); tail:\n${lines.takeRight(40).mkString("\n")}")
@@ -83,17 +58,7 @@ class SpillRehearsalSpec extends SparkSpec {
       assert(n > 0, s"$op store must be non-trivial after the sequence")
     }
 
-    val javaBin = new java.io.File(new java.io.File(
-      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
-    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
-      "-Xmx2g", "-XX:+UseG1GC",
-      "-Dspark.ui.enabled=false",
-      "-cp", System.getProperty("java.class.path"),
-      "graft.StreamSpillRehearsal")
-    val out = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val exit = Process(cmd).!(ProcessLogger(out.add(_), out.add(_)))
-    import scala.jdk.CollectionConverters._
-    val lines = out.asScala.toSeq
+    val (exit, lines) = RehearsalSpawn.run("graft.StreamSpillRehearsal", "-Xmx2g")
     val log = lines.mkString("\n")
     assert(exit === 0,
       s"streaming rehearsal JVM must exit clean (spill, not OOM); tail:\n${lines.takeRight(40).mkString("\n")}")
