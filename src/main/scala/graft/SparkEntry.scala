@@ -163,6 +163,14 @@ object SparkEntry {
   private val CmsDepth = 4
   private val CmsWidth = 256
 
+  /** KMV (bottom-k / theta) sketch size: 64 minima — small enough that the
+    * per-day user segments FILL the sketch at the sf0.01 oracle scale
+    * (~125-140 distinct users/day), so the theta-estimator path (not just
+    * the exact small-set path) is what the cross-engine gate proves;
+    * ~12.5% distinct-count standard error, Jaccard resolution 1/64.
+    */
+  private val KmvK = 64
+
   /** value_hist sketch domain: 10 bins over [0, 500) + under/overflow. */
   private val HistLo = 0.0
   private val HistHi = 500.0
@@ -2182,6 +2190,53 @@ object SparkEntry {
           col("sk.n_set").as("n_set"), col("sk.est_distinct").as("est_distinct"))
         .orderBy("event_type")
     }),
+
+    // KMV (bottom-k / theta) minhash table: per-day k smallest distinct
+    // 62-bit sha256 hashes of user_id, via the BOUNDED typed Aggregator
+    // (≤ 8k bytes of state per group, idempotent sorted-merge) — the
+    // oracle re-derives every row with a window rank over all distinct
+    // hashes, so the hash match PROVES bounded-aggregate ≡ naive bottom-k
+    "kmv_minhash" -> ((s, d) =>
+      Sketches.kmvMinhashes(
+        Tables.events(s, d).filter(col("ts").isNotNull)
+          .select(to_date(col("ts")).as("day_date"), col("user_id")),
+        Seq("day_date"), "user_id", KmvK)
+        .orderBy("day_date", "rank")),
+
+    // KMV estimator state in EXACT integers (sketch size + the 2^62-scaled
+    // kth minimum = theta): the distinct-count float stays engine-side
+    // (Sketches.kmvEstimate, accuracy pinned in SketchesSpec); n_exact
+    // rides as the audit column, the bloom_distinct convention
+    "kmv_distinct" -> ((s, d) => {
+      val sk = Sketches.kmvSketch(KmvK)
+      Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .select(to_date(col("ts")).as("day_date"), col("user_id"),
+          Sketches.kmvHash(col("user_id")).as("__hv"))
+        // ONE aggregation carries both the sketch and the exact audit
+        // count — no join back, no second scan
+        .groupBy("day_date")
+        .agg(sk(col("__hv")).as("__mins"),
+          count_distinct(col("user_id")).as("n_exact"))
+        .select(col("day_date"),
+          size(col("__mins")).cast("long").as("n_kept"),
+          element_at(col("__mins"), -1).as("kth_scaled"),
+          col("n_exact"))
+        .orderBy("day_date")
+    }),
+
+    // the set operation HLL cannot do: pairwise day-over-day audience
+    // overlap from the SKETCHES ALONE — union-k of each sketch pair is a
+    // valid union sketch, membership in both estimates Jaccard (Beyer et
+    // al., SIGMOD 2007). Events are read once for the sketch build; every
+    // pair is computed on broadcast k-long arrays (days² pairs of ≤ k
+    // longs — retention/overlap matrices over 100 TB without a rescan)
+    "kmv_overlap" -> ((s, d) =>
+      Sketches.kmvOverlap(
+        Tables.events(s, d).filter(col("ts").isNotNull)
+          .select(to_date(col("ts")).as("day_date"), col("user_id")),
+        "day_date", "user_id", KmvK)
+        .orderBy("seg_a", "seg_b")),
 
     // count-min sketch (typed Aggregator UDAF): one 4×256 counter matrix
     // over the whole stream, then every user's frequency estimated from the
@@ -5305,6 +5360,72 @@ object SparkEntry {
          |    + ($HllM - count(*)) * (CAST(1 AS HUGEINT) << 63) AS VARCHAR)
          |    AS denom_scaled
          |FROM reg GROUP BY 1 ORDER BY day_date""".stripMargin,
+
+    // naive bottom-k rebuild of the bounded KMV aggregator: window rank
+    // over ALL distinct 62-bit hashes — the hash match proves the k-long
+    // sketch state ≡ the k smallest of the full distinct set
+    "kmv_minhash" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS day_date,
+         |    CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+         |      % 4611686018427387904::UBIGINT AS BIGINT) AS hv
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |r AS (SELECT day_date, hv,
+         |    row_number() OVER (PARTITION BY day_date ORDER BY hv) AS rk
+         |  FROM h)
+         |SELECT day_date, CAST(rk AS INTEGER) AS rank, hv
+         |FROM r WHERE rk <= $KmvK ORDER BY day_date, rank""".stripMargin,
+
+    // exact-integer KMV estimator state: sketch size + the kth minimum
+    // (the 2^62-scaled theta); exact distinct rides as the audit column
+    "kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS day_date,
+         |    CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+         |      % 4611686018427387904::UBIGINT AS BIGINT) AS hv
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |r AS (SELECT day_date, hv,
+         |    row_number() OVER (PARTITION BY day_date ORDER BY hv) AS rk
+         |  FROM h),
+         |st AS (SELECT day_date, CAST(count(*) AS BIGINT) AS n_kept,
+         |    max(hv) AS kth_scaled
+         |  FROM r WHERE rk <= $KmvK GROUP BY 1),
+         |ex AS (SELECT CAST(ts AS DATE) AS day_date,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1)
+         |SELECT st.day_date, n_kept, kth_scaled, n_exact
+         |FROM st JOIN ex USING (day_date) ORDER BY day_date""".stripMargin,
+
+    // the KMV set operation, re-derived: per-pair union minima are the k
+    // smallest over both segments' bottom-k lists; membership flags mark
+    // presence in each sketch, and n_inter counts union minima in BOTH
+    "kmv_overlap" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS day_date,
+         |    CAST(('0x' || substr(sha256(CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+         |      % 4611686018427387904::UBIGINT AS BIGINT) AS hv
+         |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+         |r AS (SELECT day_date, hv,
+         |    row_number() OVER (PARTITION BY day_date ORDER BY hv) AS rk
+         |  FROM h),
+         |m AS (SELECT day_date, hv FROM r WHERE rk <= $KmvK),
+         |s AS (SELECT DISTINCT day_date FROM m),
+         |p AS (SELECT a.day_date AS seg_a, b.day_date AS seg_b
+         |  FROM s a JOIN s b ON a.day_date < b.day_date),
+         |u AS (SELECT p.seg_a, p.seg_b, m.hv,
+         |    max(CASE WHEN m.day_date = p.seg_a THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN m.day_date = p.seg_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM p JOIN m ON m.day_date IN (p.seg_a, p.seg_b)
+         |  GROUP BY 1, 2, 3),
+         |rk AS (SELECT *, row_number()
+         |    OVER (PARTITION BY seg_a, seg_b ORDER BY hv) AS rnk FROM u)
+         |SELECT seg_a, seg_b,
+         |  CAST(count(*) AS BIGINT) AS k_union,
+         |  max(hv) AS kth_union,
+         |  CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_inter
+         |FROM rk WHERE rnk <= $KmvK GROUP BY 1, 2
+         |ORDER BY seg_a, seg_b""".stripMargin,
 
     // same sha256-position + linear-counting rebuild as bloom_distinct,
     // keyed by day instead of event_type

@@ -390,6 +390,57 @@ object HllSketch {
   }
 }
 
+/** Bounded k-minimum-values (bottom-k / theta) sketch as a typed
+  * `Aggregator` over pre-hashed longs ([[Sketches.kmvHash]], 62-bit so
+  * signed ordering is the unsigned one): the buffer is the sorted array of
+  * the ≤ k smallest DISTINCT hashes seen, so state is ≤ 8k bytes per group
+  * regardless of cardinality and the merge (sorted-merge, dedup, truncate
+  * at k) is commutative, associative, and idempotent — partitioning-,
+  * retry-, and merge-order-independent by construction. Unlike the HLL
+  * register table, the KMV sketch supports SET OPERATIONS: the k smallest
+  * of two sketches' union is a valid sketch of the set union, and sketch
+  * membership intersections estimate Jaccard ([[Sketches.kmvOverlap]]).
+  */
+class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+  require(k >= 2 && k <= (1 << 20), "k in [2, 2^20]")
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  override def reduce(b: Array[Long], hv: Long): Array[Long] = {
+    val i = java.util.Arrays.binarySearch(b, hv)
+    if (i >= 0) b // already present
+    else {
+      val at = -i - 1
+      if (at >= k) b // not among the k smallest
+      else {
+        val n = math.min(b.length + 1, k)
+        val out = new Array[Long](n)
+        System.arraycopy(b, 0, out, 0, at)
+        out(at) = hv
+        System.arraycopy(b, at, out, at + 1, n - at - 1)
+        out
+      }
+    }
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val tmp = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var n = 0
+    while (n < tmp.length && (i < a.length || j < b.length)) {
+      val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+      val v = if (takeA) a(i) else b(j)
+      if (takeA) i += 1 else j += 1
+      if (n == 0 || tmp(n - 1) != v) { tmp(n) = v; n += 1 }
+    }
+    if (n == tmp.length) tmp else java.util.Arrays.copyOf(tmp, n)
+  }
+
+  override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder[Seq[Long]]()
+}
+
 object Sketches {
   /** Column-function form of [[BitsetDistinct]] for use in `agg(...)`. */
   def bitsetDistinct(m: Int, k: Int): UserDefinedFunction =
@@ -659,5 +710,128 @@ object Sketches {
       when(raw <= lit(2.5 * m) && col("v_zero") > 0L,
         lit(m) * log(lit(m) / col("v_zero").cast("double")))
         .otherwise(raw))
+  }
+
+  // ----------------------------------------------------------------- KMV
+
+  /** The KMV hash window: sha256 word 1 reduced mod 2^62 — uniform on
+    * [0, 2^62), always-positive longs, so natural BIGINT ordering agrees
+    * across engines (the [[HllW]] convention applied to word 1).
+    */
+  val KmvW: Long = 1L << 62
+
+  /** The 62-bit KMV hash from pure built-ins — same sha256-word-1
+    * derivation as [[hllRegisters]]'s bucket, full 62-bit width instead of
+    * mod m. SQL-expressible in DuckDB as
+    * `('0x' || substr(sha256(v), 1, 16))::UBIGINT % 2^62`.
+    */
+  def kmvHash(c: Column): Column =
+    (conv(substring(sha2(c.cast("string"), 256), 1, 16), 16, 10)
+      .cast("decimal(20,0)") % lit(KmvW)).cast("long")
+
+  /** Column-function form of [[KmvSketch]]: the group's k smallest
+    * distinct [[kmvHash]] values, ascending.
+    */
+  def kmvSketch(k: Int): UserDefinedFunction =
+    udaf(new KmvSketch(k), Encoders.scalaLong)
+
+  /** Per-group KMV minhash table in relational form: (group, rank 1..k,
+    * hv) — the bottom-k sketch a DuckDB window query can re-derive row for
+    * row, so the oracle's hash match PROVES the bounded aggregate ≡ the
+    * naive "k smallest of all distinct hashes". The shuffle carries one
+    * ≤ k-long array per group, never the distinct keys themselves.
+    */
+  def kmvMinhashes(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   k: Int): DataFrame = {
+    val sk = df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ kmvHash(col(valueCol)).as("__hv"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmvSketch(k)(col("__hv")).as("__mins"))
+    sk.select(groupCols.map(col) :+ posexplode(col("__mins")): _*)
+      .select(groupCols.map(col) :+
+        (col("pos") + 1).cast("int").as("rank") :+ col("col").as("hv"): _*)
+  }
+
+  /** Per-group KMV estimator state in EXACT integers: `n_kept` (sketch
+    * size, = exact distinct count while the group has < k distinct
+    * hashes) and `kth_scaled` (the k-th smallest hash, the 2^62-scaled
+    * theta). No engine-computed float crosses the oracle boundary; feed
+    * to [[kmvEstimate]] for the number humans want.
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ kmvHash(col(valueCol)).as("__hv"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(kmvSketch(k)(col("__hv")).as("__mins"))
+      .select(groupCols.map(col) :+
+        size(col("__mins")).cast("long").as("n_kept") :+
+        element_at(col("__mins"), -1).as("kth_scaled"): _*)
+
+  /** Pairwise segment overlap from the K-MIN-VALUE SKETCHES ALONE — the
+    * set operation HLL registers cannot express (max-merge is union-only;
+    * inclusion-exclusion on two ±2% estimates loses all precision when
+    * the overlap is small). The k smallest of `Sa ∪ Sb` is itself a valid
+    * KMV sketch of `A ∪ B` (any of the union's k smallest is necessarily
+    * within its own set's k smallest), and the fraction of those union
+    * minima present in BOTH sketches is the standard Jaccard estimator
+    * (Beyer et al., SIGMOD 2007 — the theta-sketch intersection shape).
+    *
+    * At 100 TB: per-segment sketches are built in one pass (bounded
+    * k-long state per group), and every pairwise overlap is then computed
+    * on the sketch table alone — S² / 2 pairs of ≤ k-long arrays, data
+    * never rescanned. The pair join broadcasts the sketch table (S·k
+    * longs) against itself, so the plan carries no shuffle at all beyond
+    * the sketch build. Output per pair, in exact integers: `k_union`
+    * (union sketch size), `kth_union` (its 2^62-scaled theta), `n_inter`
+    * (union minima present in both sketches). [[kmvEstimate]] turns the
+    * state into union / Jaccard / intersection estimates engine-side.
+    */
+  def kmvOverlap(df: DataFrame, segCol: String, valueCol: String,
+                 k: Int): DataFrame = {
+    val sk = df.filter(col(segCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(segCol).as("seg"), kmvHash(col(valueCol)).as("__hv"))
+      .groupBy("seg").agg(kmvSketch(k)(col("__hv")).as("__mins"))
+    val a = sk.select(col("seg").as("seg_a"), col("__mins").as("__ma"))
+    val b = sk.select(col("seg").as("seg_b"), col("__mins").as("__mb"))
+    // one sketch row per segment: broadcast forces BroadcastNestedLoopJoin
+    // for the non-equi pair condition (never a CartesianProduct)
+    a.join(broadcast(b), col("seg_a") < col("seg_b"))
+      .select(col("seg_a"), col("seg_b"),
+        slice(array_sort(array_union(col("__ma"), col("__mb"))), 1, k).as("__u"),
+        array_intersect(col("__ma"), col("__mb")).as("__both"))
+      .select(col("seg_a"), col("seg_b"),
+        size(col("__u")).cast("long").as("k_union"),
+        element_at(col("__u"), -1).as("kth_union"),
+        size(array_intersect(col("__u"), col("__both"))).cast("long")
+          .as("n_inter"))
+  }
+
+  /** Engine-side estimates from KMV exact-integer state — the ln/division
+    * floats are NOT part of any oracle contract (accuracy pinned in
+    * SketchesSpec against exact counts, the [[hllEstimate]] discipline).
+    * For distinct state (`n_kept`, `kth_scaled`): a sketch that never
+    * filled (n < k) holds EVERY distinct hash, so the count is exact;
+    * otherwise est = (k−1) / theta with theta = kth / 2^62.
+    */
+  def kmvEstimate(state: DataFrame, k: Int): DataFrame =
+    state.withColumn("est_distinct",
+      when(col("n_kept") < k, col("n_kept").cast("double"))
+        .otherwise(lit((k - 1).toDouble) *
+          (lit(KmvW.toDouble) / col("kth_scaled").cast("double"))))
+
+  /** [[kmvEstimate]] for [[kmvOverlap]] state: union size from
+    * (`k_union`, `kth_union`), Jaccard = `n_inter / k_union`, intersection
+    * = Jaccard · union.
+    */
+  def kmvOverlapEstimate(overlap: DataFrame, k: Int): DataFrame = {
+    val unionEst = when(col("k_union") < k, col("k_union").cast("double"))
+      .otherwise(lit((k - 1).toDouble) *
+        (lit(KmvW.toDouble) / col("kth_union").cast("double")))
+    overlap
+      .withColumn("est_union", unionEst)
+      .withColumn("est_jaccard",
+        col("n_inter").cast("double") / col("k_union").cast("double"))
+      .withColumn("est_inter", col("est_jaccard") * col("est_union"))
   }
 }

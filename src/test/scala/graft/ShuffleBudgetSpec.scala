@@ -129,6 +129,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     "kcenter_select" -> 1,
     "kmeans_assign" -> 2,
     "kmeans_centroids" -> 1,
+    // sketch agg + final ORDER BY; _distinct adds the count_distinct
+    // two-phase (sketch and exact audit count share ONE aggregation);
+    // _overlap's pair join is broadcast — no exchange beyond the build
+    "kmv_distinct" -> 3,
+    "kmv_minhash" -> 2,
+    "kmv_overlap" -> 2,
     "lang_id" -> 1,
     "leakfree_split" -> 1,
     "lm_score" -> 5,

@@ -307,4 +307,91 @@ class SketchesSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getString(3)))).toMap
     assert(viaAgg1 === viaAgg)
   }
+
+  test("KMV: bounded aggregator ≡ naive bottom-k over all distinct hashes, partition-independent") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 32
+    val df = (0 until 4000).map(i => (s"g${i % 3}", s"u${i % 1100}"))
+      .toDF("g", "v")
+    def viaAgg(parts: Int) =
+      Sketches.kmvMinhashes(df.repartition(parts), Seq("g"), "v", k)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .sorted.toSeq
+    // the naive form the oracle runs: rank over ALL distinct hashes
+    val naive = df.select(col("g"), Sketches.kmvHash(col("v")).as("hv"))
+      .distinct()
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy("g").orderBy("hv")).cast("int"))
+      .filter(col("rank") <= k)
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getLong(1)))
+      .sorted.toSeq
+    assert(viaAgg(16) === naive,
+      "the k-long bounded state must equal the k smallest of the full distinct set")
+    assert(viaAgg(1) === viaAgg(16),
+      "sorted-merge-dedup-truncate must be partitioning-independent")
+  }
+
+  test("KMV: estimate within the error envelope when full, EXACT below k") {
+    val k = 256
+    val n = 20000
+    val big = (0 until n).map(i => ("g", s"user-$i")).toDF("g", "v")
+    val est = Sketches.kmvEstimate(
+      Sketches.kmvDistinct(big, Seq("g"), "v", k), k)
+      .select("est_distinct").as[Double].head()
+    // 1/sqrt(k-1) ≈ 6.3% standard error; 4 sigma ≈ 25%
+    assert(math.abs(est - n) / n < 0.25,
+      s"KMV estimate $est vs exact $n out of envelope")
+    // a sketch that never filled holds every distinct hash: count is exact
+    val small = (0 until 100).map(i => ("g", s"u$i")).toDF("g", "v")
+    val exact = Sketches.kmvEstimate(
+      Sketches.kmvDistinct(small, Seq("g"), "v", k), k)
+      .select(col("n_kept"), col("est_distinct")).collect().head
+    assert(exact.getLong(0) === 100L && exact.getDouble(1) === 100.0,
+      "below k the KMV sketch IS the distinct set")
+  }
+
+  test("KMV overlap: union-of-sketches is a valid union sketch; Jaccard/intersection estimates track truth") {
+    val k = 128
+    // A = u0..u999, B = u500..u1499: |A|=|B|=1000, inter=500, union=1500,
+    // true Jaccard = 1/3
+    val rows = ((0 until 1000).map(i => ("A", s"u$i")) ++
+      (500 until 1500).map(i => ("B", s"u$i"))).toDF("seg", "v")
+    val ov = Sketches.kmvOverlapEstimate(
+      Sketches.kmvOverlap(rows, "seg", "v", k), k).collect()
+    assert(ov.length === 1)
+    val r = ov.head
+    assert(r.getAs[String]("seg_a") === "A" && r.getAs[String]("seg_b") === "B")
+    // structural exactness: the k smallest of (Sa ∪ Sb) must equal the k
+    // smallest hashes of the TRUE union — the property that makes a KMV
+    // union sketch valid (cheap to verify directly here)
+    val directUnion = (0 until 1500).map(i => ("U", s"u$i")).toDF("seg", "v")
+    val direct = Sketches.kmvDistinct(directUnion, Seq("seg"), "v", k)
+      .select(col("n_kept"), col("kth_scaled")).collect().head
+    assert(r.getAs[Long]("k_union") === direct.getLong(0) &&
+      r.getAs[Long]("kth_union") === direct.getLong(1),
+      "union-of-sketches must equal the sketch of the union")
+    // estimator accuracy (deterministic data — these are fixed numbers):
+    // Jaccard std err ≈ sqrt(J(1-J)/k) ≈ 0.042, envelope 4σ
+    assert(math.abs(r.getAs[Double]("est_jaccard") - 1.0 / 3) < 0.17,
+      s"Jaccard estimate ${r.getAs[Double]("est_jaccard")} vs 1/3")
+    assert(math.abs(r.getAs[Double]("est_union") - 1500) / 1500 < 0.35,
+      s"union estimate ${r.getAs[Double]("est_union")} vs 1500")
+    assert(math.abs(r.getAs[Double]("est_inter") - 500) / 500 < 0.5,
+      s"intersection estimate ${r.getAs[Double]("est_inter")} vs 500")
+  }
+
+  test("KMV aggregator kernel: dedup, truncation at k, commutative merge") {
+    val sk = new graft.ops.KmvSketch(4)
+    val a = Seq(7L, 3L, 9L, 3L, 1L, 9L).foldLeft(sk.zero)(sk.reduce)
+    assert(a.toSeq === Seq(1L, 3L, 7L, 9L), "sorted distinct inserts")
+    val b = Seq(2L, 8L, 1L, 5L, 6L).foldLeft(sk.zero)(sk.reduce)
+    assert(b.toSeq === Seq(1L, 2L, 5L, 6L), "insert past k evicts the max")
+    val ab = sk.merge(a.clone(), b.clone()).toSeq
+    val ba = sk.merge(b.clone(), a.clone()).toSeq
+    assert(ab === Seq(1L, 2L, 3L, 5L) && ab === ba,
+      "merge = sorted-merge + dedup + truncate, commutative")
+    assert(sk.merge(a.clone(), a.clone()).toSeq === a.toSeq,
+      "merge is idempotent (retry replays cannot change state)")
+    assert(sk.merge(a.clone(), sk.zero).toSeq === a.toSeq)
+  }
 }
