@@ -61,6 +61,12 @@ object SpillRehearsal {
     *   - l_diversity: the multi-distinct Expand — one input row fans out per
     *     distinct-aggregate, so the aggregation state under the Expand is
     *     the largest in the suite relative to input size.
+    *   - kmv_distinct: the typed-Aggregator (UDAF) path —
+    *     ObjectHashAggregateExec's sort-based FALLBACK (forced via a tiny
+    *     fallbackThreshold below) serializes the aggregation buffers and
+    *     re-merges them in sort order, a merge-order + serialization
+    *     round-trip no other matrix member exercises; only a
+    *     commutative-associative-idempotent merge survives it bit-identical.
     *   - pairs_daily: runs LAST deliberately — in this fresh JVM the
     *     GoldCache is cold, so the query drives the full co-movement gold
     *     build (hourly rollup → hex self-join → pair-day distinct agg →
@@ -68,7 +74,7 @@ object SpillRehearsal {
     */
   val Queries: Seq[String] = Seq(
     "dedup_ngram", "containment_pairs", "pair_components",
-    "quality_ensemble", "l_diversity", "pairs_daily")
+    "quality_ensemble", "l_diversity", "kmv_distinct", "pairs_daily")
 
   /** Order-independent row digest: SHA-256 over the sorted canonical row
     * strings. Rows are deterministic by the oracle discipline (rounded
@@ -108,6 +114,11 @@ object SpillRehearsal {
       .config("spark.memory.storageFraction", "0.05")
       .config("spark.buffer.pageSize", "64k")
       .config("spark.shuffle.spill.numElementsForceSpillThreshold", "2000")
+      // force ObjectHashAggregateExec (typed-Aggregator UDAFs, e.g.
+      // kmv_distinct's KmvSketch) into its sort-based fallback: buffers are
+      // serialized and re-merged in sort order — the default threshold of
+      // 128 in-memory keys would never trip at test-scale group counts
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4")
       .config("spark.sql.windowExec.buffer.spill.threshold", "2000")
       .config("spark.sql.sortMergeJoinExec.buffer.spill.threshold", "2000")
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -123,9 +134,18 @@ object SpillRehearsal {
     })
     try {
       Queries.foreach { name =>
-        val rows = SparkEntry.queries(name)(spark, sfDir).collect()
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val rows = df.collect()
         // scalastyle:off println — the stdout line IS the contract
         println(s"""SPILLJSON {"query":"$name","rows":${rows.length},"digest":"${digest(rows)}"}""")
+        // evidence that the UDAF leg exercised the sort-based fallback
+        // (serialized-buffer re-merge) — without it the digest equality
+        // above proves nothing about that path
+        if (name == "kmv_distinct") {
+          val fb = org.apache.spark.sql.graftbridge.bridge
+            .objectAggFallbackTasks(df)
+          println(s"""SPILLJSON {"objagg_fallback_tasks":$fb}""")
+        }
       }
       org.apache.spark.sql.graftbridge.bridge.waitListenerBusEmpty(spark.sparkContext)
       println(s"""SPILLJSON {"spilled_bytes":${spilled.get()}}""")

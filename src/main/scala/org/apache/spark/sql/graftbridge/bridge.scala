@@ -31,6 +31,34 @@ object bridge {
   def waitListenerBusEmpty(sc: org.apache.spark.SparkContext): Unit =
     sc.listenerBus.waitUntilEmpty()
 
+  /** Sum `ObjectHashAggregateExec`'s "number of sort fallback tasks"
+    * metric across an EXECUTED plan, unwrapping the AQE root and
+    * materialized query stages (both live in the `private[sql]`-adjacent
+    * `execution.adaptive` package, so the walk lives here). Evidence
+    * counter for the spill rehearsal: a typed-Aggregator digest equality
+    * is vacuous unless the sort-based fallback actually engaged.
+    */
+  def objectAggFallbackTasks(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    def walk(p: SparkPlan): Long = {
+      val self = p match {
+        case o: ObjectHashAggregateExec =>
+          o.metrics.get("numTasksFallBacked").map(_.value).getOrElse(0L)
+        case _ => 0L
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      self + kids.map(walk).sum
+    }
+    walk(df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .queryExecution.executedPlan)
+  }
+
   /** `SerializableConfiguration` is `private[spark]`; sources broadcast ONE
     * copy of the Hadoop conf instead of shipping it inside every partition.
     */

@@ -46,6 +46,12 @@ class SpillRehearsalSpec extends SparkSpec {
     assert(spilledBytes.exists(_ > 0L),
       s"the rehearsal must actually exercise the spill path (got $spilledBytes) — " +
         "a zero means the starvation knobs rotted and the test is vacuous")
+    val objAggFallbacks = "\"objagg_fallback_tasks\":(\\d+)".r
+      .findFirstMatchIn(log).map(_.group(1).toLong)
+    assert(objAggFallbacks.exists(_ > 0L),
+      "the typed-Aggregator leg must actually hit ObjectHashAggregate's " +
+        "sort-based fallback (serialized-buffer re-merge), or its digest " +
+        s"equality proves nothing about that path (got $objAggFallbacks)")
   }
 
   test("starved memory manager: the four streaming standing-store merge paths spill to bit-identical store state") {
