@@ -45,6 +45,10 @@ import graft.streaming.{StandingStore, StreamingClusters, StreamingCoMovement, S
   *   - `clusters` (label store): one keyed probe join against distinct
   *     labels + the gated driver union-find; the remap closure is empty
   *     here, so growth tracks the label scan.
+  *   - `kmv` (per-day bottom-k sketch store): append-only foreachBatch
+  *     body over a store whose size is O(days × k), decoupled from stream
+  *     volume — the ladder grows standing DAYS and measures the claim
+  *     instead of arguing it.
   *
   * Flag rule (mirrors `tools/bench_scaling.py`): an operator flags when
   * t(100×) / t(1×) > [[RatioFlag]] AND t(100×) >= [[MinBigSec]] — the
@@ -97,7 +101,7 @@ object StreamBench {
     // unset). Names are validated against the known op set up front: a
     // typo or an empty value would otherwise run ZERO probes and exit 0 —
     // a vacuously green gate that measured nothing.
-    val knownOps = Set("neardup", "scrub", "comove", "clusters")
+    val knownOps = Set("neardup", "scrub", "comove", "clusters", "kmv")
     val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { s =>
@@ -253,6 +257,51 @@ object StreamBench {
         } finally q.stop()
       }
       (clScales, clScales.map(_ * 10000L), times)
+    }
+
+    // ---- kmv: per-day bottom-k sketch store -----------------------------
+    // The standing state is O(days × k) BY DESIGN — decoupled from stream
+    // volume — and the foreachBatch body is append-only (one bounded
+    // aggregation of the batch, no store read). "Flat by construction" is
+    // exactly the argument that hid clusters' O(partition-count) listing
+    // term, so the claim is measured anyway: the ladder grows the standing
+    // DAYS 30 → 30,000 (the store's only growth axis; a 1000× ladder here
+    // is ~80 years of days — the store stays sketch-sized at ~15 MB) and
+    // per-batch append time must not care.
+    if (wanted("kmv")) results("kmv") = {
+      val kvScales = Seq(1, 10, 100, 1000)
+      val k = 64
+      val times = kvScales.map { scale =>
+        val store = tmp("sb-kv-store")
+        val days = 30 * scale
+        // seeded standing sketches: k base rows per day (batch_id = -1),
+        // the post-maintenance layout a long-running stream converges to
+        StandingStore.append(
+          spark.range(0L, days.toLong * k, 1L, 8).select(
+            date_add(lit(java.sql.Date.valueOf("2000-01-01")),
+              call_function("div", col("id"), lit(k.toLong)).cast("int"))
+              .as("day"),
+            pmod(xxhash64(col("id")), lit(1L << 62)).as("hv"),
+            lit(-1L).as("batch_id")),
+          store)
+        val mem = MemoryStream[(java.sql.Timestamp, Long)]
+        val q = graft.streaming.StreamingKmv.kmvStream(
+          mem.toDF.toDF("ts", "uid"), "ts", "uid", k,
+          store, tmp("sb-kv-cp"), compactEvery = 0)
+        try {
+          // 3 in-range days per batch, fresh uids per rep — identical
+          // batch work at every scale, so growth can only come from the
+          // append path itself
+          def batch(r: Int): Seq[(java.sql.Timestamp, Long)] =
+            (0 until 2000).map { i =>
+              (java.sql.Timestamp.valueOf(f"2001-03-${i % 3 + 1}%02d 08:00:00"),
+                r * 100000L + i)
+            }
+          timeBatch(mem, q, batch(0))
+          (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
+        } finally q.stop()
+      }
+      (kvScales, kvScales.map(_ * 30L * k), times)
     }
 
     // ---- artifact + gate ----------------------------------------------

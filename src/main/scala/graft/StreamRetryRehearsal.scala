@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
 /** Failure-injection rehearsal for the STREAMING standing-store processors
   * (a `main`, spawned by `RetryRehearsalSpec`'s streaming test): drive the
   * same deterministic micro-batch sequence as [[StreamSpillRehearsal]]
-  * through the four foreachBatch bodies while first task attempts are
+  * through the five foreachBatch bodies while first task attempts are
   * KILLED and FAILED ([[RetryRehearsal]]'s two injectors), and prove the
   * final standing-store state is bit-identical to the unfaulted run.
   *

@@ -12,9 +12,10 @@ import graft.streaming.{StandingStore, StreamingClusters, StreamingCoMovement, S
 
 /** Memory-pressure rehearsal for the STREAMING standing-store processors
   * (a `main`, spawned by `SpillRehearsalSpec`'s streaming test like
-  * [[SpillRehearsal]]): drive the four foreachBatch bodies — near-dup
+  * [[SpillRehearsal]]): drive the five foreachBatch bodies — near-dup
   * signature merge, scrub digest union, co-movement presence upsert,
-  * cluster gate + remap — through a deterministic micro-batch sequence
+  * cluster gate + remap, per-day KMV sketch fold — through a
+  * deterministic micro-batch sequence
   * under the starved memory manager, and prove the FINAL STANDING-STORE
   * STATE is bit-identical to the unconstrained run, with spills observed.
   * [[SpillRehearsal]] covers five batch shapes; none of the streaming merge
@@ -37,7 +38,7 @@ object StreamSpillRehearsal {
   private def tmp(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
-  /** Drive all four processors; returns op -> (storeRows, digest) over the
+  /** Drive all five processors; returns op -> (storeRows, digest) over the
     * final standing-store state (sorted canonical rows — the stream output
     * dirs are at-least-once by contract, the STORES are the exactly-once
     * surface under test).
@@ -142,8 +143,31 @@ object StreamSpillRehearsal {
       digestOf(StreamingClusters.resolvedLabels(spark, root))
     }
 
+    // ---- kmv: per-day bottom-k sketch fold -----------------------------
+    val kmv = {
+      val store = tmp("ssr-kv-store")
+      val mem = MemoryStream[(java.sql.Timestamp, Long)]
+      val k = 16
+      val q = graft.streaming.StreamingKmv.kmvStream(
+        mem.toDF.toDF("ts", "uid"), "ts", "uid", k,
+        store, tmp("ssr-kv-cp"), compactEvery = 3)
+      try {
+        (0 until 4).foreach { b =>
+          // 3 days per batch, heavy cross-batch uid overlap: the committed
+          // fold and the read-side k-min rank both do real merging
+          mem.addData((0 until 3000).map { i =>
+            val day = i % 3 + 1
+            (java.sql.Timestamp.valueOf(f"2024-02-$day%02d 08:00:00"),
+              (b * 700L + i) % 2500L)
+          })
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      digestOf(graft.streaming.StreamingKmv.readMinhashes(spark, store, k))
+    }
+
     Seq("neardup" -> neardup, "scrub" -> scrub, "comove" -> comove,
-      "clusters" -> clusters).map { case (op, (n, d)) => (op, n, d) }
+      "clusters" -> clusters, "kmv" -> kmv).map { case (op, (n, d)) => (op, n, d) }
   }
 
   def main(args: Array[String]): Unit = {

@@ -788,10 +788,18 @@ object Sketches {
     * state into union / Jaccard / intersection estimates engine-side.
     */
   def kmvOverlap(df: DataFrame, segCol: String, valueCol: String,
-                 k: Int): DataFrame = {
-    val sk = df.filter(col(segCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(segCol).as("seg"), kmvHash(col(valueCol)).as("__hv"))
-      .groupBy("seg").agg(kmvSketch(k)(col("__hv")).as("__mins"))
+                 k: Int): DataFrame =
+    kmvOverlapOnSketches(
+      df.filter(col(segCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(segCol).as("seg"), kmvHash(col(valueCol)).as("__hv"))
+        .groupBy("seg").agg(kmvSketch(k)(col("__hv")).as("__mins")), k)
+
+  /** The pair half of [[kmvOverlap]], over an ALREADY-BUILT sketch table
+    * (`seg`, `__mins` ascending ≤ k-long hash array) — shared with the
+    * streaming standing-sketch reader ([[graft.streaming.StreamingKmv]]),
+    * where the sketches come out of a store instead of a scan.
+    */
+  def kmvOverlapOnSketches(sk: DataFrame, k: Int): DataFrame = {
     val a = sk.select(col("seg").as("seg_a"), col("__mins").as("__ma"))
     val b = sk.select(col("seg").as("seg_b"), col("__mins").as("__mb"))
     // one sketch row per segment: broadcast forces BroadcastNestedLoopJoin

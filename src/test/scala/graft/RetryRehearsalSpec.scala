@@ -76,7 +76,7 @@ class RetryRehearsalSpec extends SparkSpec {
         s"(fs_faults=$fsFaults retried_ok=$retriedOk)")
   }
 
-  test("killed and failed first attempts: the four streaming standing-store processors retry to bit-identical store state") {
+  test("killed and failed first attempts: the five streaming standing-store processors retry to bit-identical store state") {
     // unfaulted baseline in the suite session — the same shared sequence
     // StreamSpillRehearsal's spec uses, so all three rehearsal quadrants
     // (memory, batch retry, streaming retry) pin against one truth

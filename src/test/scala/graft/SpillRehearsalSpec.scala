@@ -54,7 +54,7 @@ class SpillRehearsalSpec extends SparkSpec {
         s"equality proves nothing about that path (got $objAggFallbacks)")
   }
 
-  test("starved memory manager: the four streaming standing-store merge paths spill to bit-identical store state") {
+  test("starved memory manager: the five streaming standing-store merge paths spill to bit-identical store state") {
     // unconstrained baseline in the suite session — the SAME batch
     // sequence the subprocess drives (shared through runAll, so the two
     // sides cannot drift)

@@ -1420,4 +1420,61 @@ class StreamingSpec extends SparkSpec {
       Seq("2024-01-01", "2024-01-02")).count() === 2,
       "partition-preserving compaction keeps the pruned path whole")
   }
+
+  test("streaming KMV: standing sketches ≡ batch bottom-k over all data; overlap from the store alone; replay no-op") {
+    import graft.streaming.StreamingKmv
+    import graft.ops.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft-skmv").toString
+    val (store, cp) = (root + "/store", root + "/cp")
+    val k = 8
+    def t(d: Int) = java.sql.Timestamp.valueOf(f"2024-01-$d%02d 10:00:00")
+    // two days, > k distinct users each (sketches FILL), cross-batch and
+    // cross-day overlap so the fold and the pair math both do real work
+    val batches: Seq[Seq[(Timestamp, Long)]] = Seq(
+      (0L until 20L).map(u => (t(1), u)),
+      (10L until 30L).map(u => (t(1), u)) ++
+        (100L until 120L).map(u => (t(2), u)),
+      (110L until 130L).map(u => (t(2), u)) ++ (0L until 5L).map(u => (t(2), u)))
+    val in = MemoryStream[(Timestamp, Long)]
+    val q = StreamingKmv.kmvStream(in.toDF.toDF("ts", "uid"), "ts", "uid",
+      k, store, cp, compactEvery = 0)
+    try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+    finally q.stop()
+
+    // the batch truth over everything the stream has seen
+    val all = batches.flatten.toDF("ts", "uid")
+      .select(to_date(col("ts")).as("day"), col("uid"))
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.toString).sorted.toSeq
+    val expMins = key(Sketches.kmvMinhashes(all, Seq("day"), "uid", k)
+      .select("day", "rank", "hv").collect())
+    def gotMins() = key(StreamingKmv.readMinhashes(spark, store, k)
+      .select("day", "rank", "hv").collect())
+    assert(gotMins() === expMins,
+      "standing sketch must equal the batch bottom-k over the full history")
+    assert(gotMins().size === 2 * k, "both days must have filled sketches")
+
+    // the set operation, from the store alone
+    val expOv = key(Sketches.kmvOverlap(all, "day", "uid", k).collect())
+    assert(key(StreamingKmv.overlap(spark, store, k).collect()) === expOv,
+      "overlap state from standing sketches must equal the batch operator's")
+
+    // at-least-once replay: the newest batch re-appends byte-identical
+    // partial rows — every read must be unmoved
+    val newest = spark.read.parquet(store).filter(col("batch_id") === 2L)
+    newest.write.mode("append").parquet(store)
+    assert(gotMins() === expMins, "replayed partials must collapse")
+
+    // committed-batch fold: bounded base rows, reads unchanged, idempotent
+    StreamingKmv.mergeCommitted(spark, store, k)
+    assert(gotMins() === expMins, "merge must not change the sketch")
+    val byBatch = spark.read.parquet(store).groupBy("batch_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byBatch.keySet === Set(-1L, 2L),
+      s"batches 0-1 must fold to base rows, newest kept: $byBatch")
+    assert(byBatch(-1L) <= 2L * k, "base rows are bounded by days × k")
+    StreamingKmv.mergeCommitted(spark, store, k)
+    assert(gotMins() === expMins, "merge is idempotent")
+  }
 }
