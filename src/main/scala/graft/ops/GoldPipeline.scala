@@ -351,9 +351,21 @@ object GoldPipeline {
             s"compaction sibling $next vanished before the catalog flip " +
               s"(concurrent sweepOrphans with too-short grace?); partition " +
               s"($specSql) left on its current location")
+        // Tombstone hygiene at the flip: a sweep may have marked `next`
+        // while it was a pre-ALTER sibling — it is about to be LIVE, and a
+        // live location must carry no marker (a stale one would grant ZERO
+        // grace if this location is ever re-orphaned by a later flip).
+        val nextMarker = new org.apache.hadoop.fs.Path(next, OrphanMarker)
+        if (fs.exists(nextMarker)) fs.delete(nextMarker, false)
         // the atomic flip: one metastore update, no filesystem window
         spark.sql(s"ALTER TABLE $table PARTITION ($specSql) " +
           s"SET LOCATION '${next.toString}'")
+        // ... and the OLD leaf is orphaned NOW: clear any stale marker
+        // from an earlier epoch (e.g. it was itself a marked pre-ALTER
+        // sibling once) so the sweep's first-observation clock starts at
+        // this orphaning, giving its in-flight readers the full grace
+        val oldMarker = new org.apache.hadoop.fs.Path(loc, OrphanMarker)
+        if (fs.exists(oldMarker)) fs.delete(oldMarker, false)
         maintenanceBoundaryHook("after_flip")
         val after = fs.listStatus(next)
           .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -427,10 +439,16 @@ object GoldPipeline {
       if (dirs.isEmpty) Seq(p) else dirs.flatMap(d => leaves(d.getPath))
     }
     val cutoff = System.currentTimeMillis() - graceMs
+    // RECURSIVE newest mtime: committer writes land deep under
+    // _temporary/<attempt>/..., which never bumps the leaf dir's or its
+    // direct children's mtimes — a top-level-only check would age out a
+    // sibling MID-WRITE and delete it under the writer. Orphan candidates
+    // are single partition leaves, so the walk is small.
     def newestMs(p: org.apache.hadoop.fs.Path): Long = {
-      val self = fs.getFileStatus(p).getModificationTime
-      val kids = fs.listStatus(p).map(_.getModificationTime)
-      (self +: kids.toSeq).max
+      val kids = fs.listStatus(p)
+      (fs.getFileStatus(p).getModificationTime +: kids.toSeq.map(s =>
+        if (s.isDirectory) math.max(s.getModificationTime, newestMs(s.getPath))
+        else s.getModificationTime)).max
     }
     if (!fs.exists(root)) Seq.empty
     else {

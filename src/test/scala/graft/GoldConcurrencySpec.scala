@@ -262,6 +262,106 @@ class GoldConcurrencySpec extends SparkSpec {
     spark.sql(s"DROP TABLE $table")
   }
 
+  /** A leaf that became live while still carrying a tombstone (marked as a
+    * pre-ALTER sibling, then ALTERed in, with no sweep running in between
+    * to clean it) must NOT inherit that stale clock when a LATER compaction
+    * re-orphans it — otherwise its in-flight readers get zero grace. The
+    * flip itself owns the hygiene: markers are cleared from the location
+    * becoming live AND from the leaf being orphaned.
+    */
+  test("a stale tombstone cannot short-circuit the grace of a later re-orphaning (flip-time marker hygiene)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-stale-").toString
+    val table = "gold_stale_t"
+    val df = (0 until 100).map(i => (i, 0, s"v$i")).toDF("id", "dt", "s")
+    df.repartition(2).write.mode("overwrite").partitionBy("dt").parquet(root)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    ops.GoldPipeline.registerExternalTable(spark, table, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // a fully-written pre-ALTER sibling with MANY files (so the later
+    // compaction will pick it up), observed and tombstoned by a sweep
+    val sibling = new org.apache.hadoop.fs.Path(root, "dt=0__c1")
+    spark.table(table).where(col("dt") === 0).drop("dt")
+      .repartition(12).write.parquet(sibling.toString)
+    assert(ops.GoldPipeline.sweepOrphans(spark, table).isEmpty)
+    val marker = new org.apache.hadoop.fs.Path(sibling,
+      ops.GoldPipeline.OrphanMarker)
+    assert(fs.exists(marker))
+    // age the tombstone far past any grace, then the stalled ALTER lands —
+    // NO sweep runs while the leaf is live, so the stale marker persists
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    fs.setTimes(marker, old, old)
+    spark.sql(s"ALTER TABLE $table PARTITION (dt='0') " +
+      s"SET LOCATION '${sibling.toString}'")
+
+    // a later maintenance pass re-orphans the leaf (12 files > maxFiles=8:
+    // it compacts to a fresh __c2 and flips away from it)
+    val compacted = ops.GoldPipeline.compactPartitionsCatalog(
+      spark, table, targetBytes = 1L << 30, maxFiles = 8)
+    assert(compacted.size === 1)
+    assert(!fs.exists(marker),
+      "the flip must clear the stale tombstone from the leaf it orphans")
+    // the just-re-orphaned leaf gets a FULL grace: the next sweep may only
+    // re-tombstone it (fresh clock), never delete it
+    assert(ops.GoldPipeline.sweepOrphans(spark, table)
+      .forall(!_.endsWith("dt=0__c1")),
+      "a re-orphaned leaf must get a fresh first-observation clock")
+    assert(fs.exists(sibling),
+      "the re-orphaned leaf must survive the sweep inside its new grace")
+    spark.catalog.refreshTable(table)
+    assert(spark.table(table).count() === 100)
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  /** The content gate must see COMMITTER-DEPTH writes: files land under
+    * `_temporary/<attempt>/...` without bumping the leaf's (or its direct
+    * children's) mtimes, so a top-level-only age check would delete a
+    * sibling mid-write.
+    */
+  test("an orphan with a fresh file deep under _temporary survives the sweep (recursive content age)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-deep-").toString
+    val table = "gold_deep_t"
+    val df = (0 until 100).map(i => (i, 0, s"v$i")).toDF("id", "dt", "s")
+    df.repartition(2).write.mode("overwrite").partitionBy("dt").parquet(root)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    ops.GoldPipeline.registerExternalTable(spark, table, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // a non-live sibling modeling a SLOW in-progress rewrite: aged
+    // top-level content + an aged tombstone, but one FRESH file at
+    // committer depth
+    val sib = new org.apache.hadoop.fs.Path(root, "dt=0__c3")
+    val topFile = new org.apache.hadoop.fs.Path(sib, "part-00000.parquet")
+    fs.mkdirs(sib); fs.create(topFile, true).close()
+    val deep = new org.apache.hadoop.fs.Path(sib,
+      "_temporary/0/_temporary/attempt_0/part-00001.parquet")
+    fs.mkdirs(deep.getParent); fs.create(deep, true).close()
+    val marker = new org.apache.hadoop.fs.Path(sib,
+      ops.GoldPipeline.OrphanMarker)
+    fs.create(marker, true).close()
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    Seq(sib, topFile, marker, new org.apache.hadoop.fs.Path(sib, "_temporary"))
+      .foreach(p => fs.setTimes(p, old, old))
+    // deep file stays FRESH: the sweep must keep the whole leaf
+    assert(ops.GoldPipeline.sweepOrphans(spark, table)
+      .forall(!_.endsWith("dt=0__c3")),
+      "a mid-write sibling must survive on its deep fresh content")
+    assert(fs.exists(sib))
+    // once the deep content ages too (write abandoned), it sweeps
+    fs.setTimes(deep, old, old)
+    Seq("_temporary/0/_temporary/attempt_0", "_temporary/0/_temporary",
+      "_temporary/0", "_temporary").foreach(d =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(sib, d), old, old))
+    val swept = ops.GoldPipeline.sweepOrphans(spark, table)
+    assert(swept.exists(_.endsWith("dt=0__c3")),
+      s"an abandoned aged sibling must sweep once fully aged: $swept")
+    spark.sql(s"DROP TABLE $table")
+  }
+
   /** The rewrite->flip window fails LOUDLY if the fresh sibling vanished:
     * the ALTER must never register a location that no longer exists. The
     * boundary hook models the extreme case (a sweep deleting the sibling

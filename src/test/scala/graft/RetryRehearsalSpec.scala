@@ -1,7 +1,5 @@
 package graft
 
-import scala.sys.process.{Process, ProcessLogger}
-
 /** [[RetryRehearsal]] — the failure-injection gate: every gold build and
   * every query whose retry-determinism rests on a documented protocol
   * (PlanSpec's whitelist) must produce BIT-IDENTICAL results when first
