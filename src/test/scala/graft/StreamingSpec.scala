@@ -1477,4 +1477,47 @@ class StreamingSpec extends SparkSpec {
     StreamingKmv.mergeCommitted(spark, store, k)
     assert(gotMins() === expMins, "merge is idempotent")
   }
+
+  test("streaming KMV ≡ batch on RANDOM streams with RANDOM batch splits (compacting)") {
+    // the deterministic fixture pins the contract; this drives it on
+    // streams with no hand-placed structure — random day/uid mixes with
+    // heavy duplication, random split points, compaction after every
+    // batch — and demands bit-equality with the batch bottom-k AND the
+    // batch overlap operator on every one
+    import graft.streaming.StreamingKmv
+    import graft.ops.Sketches
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 8
+    for (seed <- Seq(7L, 101L)) {
+      val rnd = new scala.util.Random(seed)
+      val events = (1 to 400).map { _ =>
+        (java.sql.Timestamp.valueOf(
+          f"2024-03-${1 + rnd.nextInt(4)}%02d 0${rnd.nextInt(10)}:00:00"),
+          rnd.nextInt(60).toLong) // 60 uids over 4 days: dup-heavy
+      }
+      val cut1 = 1 + rnd.nextInt(200)
+      val cut2 = cut1 + 1 + rnd.nextInt(399 - cut1)
+      val batches = Seq(events.take(cut1), events.slice(cut1, cut2),
+        events.drop(cut2)).filter(_.nonEmpty)
+      val in = MemoryStream[(Timestamp, Long)]
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-randkmv-$seed").toString
+      val q = StreamingKmv.kmvStream(in.toDF.toDF("ts", "uid"), "ts", "uid",
+        k, root + "/store", root + "/cp", compactEvery = 1)
+      try batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      finally q.stop()
+      val all = events.toDF("ts", "uid")
+        .select(to_date(col("ts")).as("day"), col("uid"))
+      def key(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(_.toString).sorted.toSeq
+      assert(key(StreamingKmv.readMinhashes(spark, root + "/store", k)
+          .select("day", "rank", "hv").collect()) ===
+        key(Sketches.kmvMinhashes(all, Seq("day"), "uid", k)
+          .select("day", "rank", "hv").collect()),
+        s"seed=$seed cuts=($cut1,$cut2): standing sketch must equal batch bottom-k")
+      assert(key(StreamingKmv.overlap(spark, root + "/store", k).collect()) ===
+        key(Sketches.kmvOverlap(all, "day", "uid", k).collect()),
+        s"seed=$seed: overlap from the store must equal the batch operator")
+    }
+  }
 }
