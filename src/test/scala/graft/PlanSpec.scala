@@ -322,6 +322,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("kmv_overlap: pair join runs on BROADCAST sketches — no shuffle beyond the build, no product") {
+    // days² pairs are computed on ≤ k-long arrays; the only exchanges the
+    // plan may carry are the sketch build's aggregation and the final
+    // ORDER BY. A SortMergeJoin here would mean the pair condition
+    // regressed to shuffling sketch rows; a CartesianProduct would mean
+    // the broadcast hint was lost.
+    val plan = planOf(SparkEntry.queries("kmv_overlap")(spark, Sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"the non-equi pair join must broadcast the sketch table:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"sketch pairing must never shuffle or go unkeyed-product:\n$plan")
+  }
+
   test("funnel_steps: co-partitioned min-chain — keyed joins only, no product") {
     val plan = planOf(SparkEntry.queries("funnel_steps")(spark, Sf))
     assert(!plan.contains("CartesianProduct") &&
