@@ -24,10 +24,15 @@ import org.apache.spark.sql.SparkSession
   * alone: (1) a FIXED calibration query (`q1_agg`, warmed once untimed,
   * Watchdog-guarded like any real query) is timed before the suite, after
   * it, and every ~N/5 queries in between (`calib_series` — contention
-  * arrives in pulses the endpoints alone miss); (2) `calib_spread` =
-  * max/min over all calibration samples of that one warmed plan, the
-  * one-number verdict (~1 quiet, ≫1 loaded), surfaced as `"tainted": true`
-  * in the JSON whenever it exceeds 2; (3) every query's full rep
+  * arrives in pulses the endpoints alone miss); a recorded SETTLE probe
+  * (`calib_settle_sec`) absorbs the gold build's GC/page-cache wake
+  * first; (2) `calib_spread` = max/min over the INTERIOR series + post
+  * probes of that one warmed plan, the one-number verdict (~1 quiet,
+  * ≫1 loaded), surfaced as `"tainted": true` in the JSON whenever it
+  * exceeds 2 — settle and pre are recorded but excluded, because they
+  * are structurally inflated by the build wake (1.5-3× the floor on
+  * quiet boxes, round-16 measurement) and pre-suite contention cannot
+  * affect any recorded number anyway; (3) every query's full rep
   * vector, min, and median land in `BENCH_full.json` next to the repo (the
   * 2000-char driver tail keeps only the slowest queries, which is exactly
   * where a fast query's 10× relative regression hides). A min ≪ median
@@ -113,6 +118,17 @@ object Bench {
     guard("calibration_warm") {
       SparkEntry.queries("q1_agg")(spark, sfDir).count(); spark.catalog.clearCache()
     }
+    // SETTLE probe (recorded, excluded from the spread): the first timed
+    // probe after warm_gold systematically reads 1.5-3× the suite-interior
+    // floor even on a QUIET box — four quiet round-16 legs measured pre
+    // 0.26/0.30/0.52/0.26 s against interior floors of 0.15-0.20 s with
+    // every interior probe and the post in-band; the sf1e leg's 0.52 s
+    // single-handedly pushed spread to 2.79 and self-flagged a quiet run.
+    // That is the gold build's GC/page-cache wake, not host contention —
+    // the thing the spread exists to measure. One probe absorbs the wake;
+    // calibPre then brackets the suite from a settled JVM. The settle
+    // value rides in the artifact so nothing is hidden.
+    val calibSettle = calibrate()
     val calibPre = calibrate()
     // mid-suite probes: host contention arrives in PULSES (a query can read
     // 3× slow while pre/post calibration both look normal) — re-time the
@@ -174,10 +190,19 @@ object Bench {
     }
     val results = times.map { case (n, ts) => n -> ts.toSeq }
     val calibPost = calibrate()
-    // one-number contention verdict: max/min over every calibration sample
-    // of the SAME warmed plan. ~1 on a quiet box; a pulse mid-suite shows
-    // up here even when the endpoints look normal (round 9's failure mode)
-    val calibAll = (calibSeries.toSeq :+ calibPre :+ calibPost).filter(_ > 0)
+    // one-number contention verdict: max/min over the INTERIOR series +
+    // post. ~1 on a quiet box; a pulse mid-suite shows up here even when
+    // the endpoints look normal (round 9's failure mode). The settle and
+    // pre probes are RECORDED but excluded from the verdict: (i) they are
+    // structurally contaminated by the gold build's GC/page-cache wake and
+    // residual JVM warm decay — four quiet round-16 legs measured pre at
+    // 1.5-3× the interior floor with every interior probe and the post
+    // in-band, and the sf1e leg's 0.52 s pre single-handedly self-flagged
+    // a quiet run; (ii) contention that ends before the first timed query
+    // cannot affect any recorded number — only contention DURING the suite
+    // can, and the ~N/5-resolution interior series plus the post probe
+    // cover exactly that window.
+    val calibAll = (calibSeries.toSeq :+ calibPost).filter(_ > 0)
     val calibSpread =
       if (calibAll.size >= 2) calibAll.max / calibAll.min else 1.0
     // self-labeling artifact: spread > 2 means the SAME warmed plan varied
@@ -206,7 +231,7 @@ object Bench {
             s"\"reps\":[${ts.map(num).mkString(",")}]}"
         }.mkString("{", ",", "}")
       val series = calibSeries.map(num).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"tainted":$tainted,"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_settle_sec":${num(calibSettle)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"tainted":$tainted,"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
@@ -222,7 +247,7 @@ object Bench {
       val qs = qMap.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val series = calibSeries.map(num).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"tainted":$tainted,"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_settle_sec":${num(calibSettle)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"tainted":$tainted,"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
     }
     val bySlowest = mins.toSeq.sortBy(-_._2)
     val budget = 1750 // leaves headroom for sbt's [success] trailer in the 2000-char tail
