@@ -351,21 +351,29 @@ object GoldPipeline {
             s"compaction sibling $next vanished before the catalog flip " +
               s"(concurrent sweepOrphans with too-short grace?); partition " +
               s"($specSql) left on its current location")
-        // Tombstone hygiene at the flip: a sweep may have marked `next`
-        // while it was a pre-ALTER sibling — it is about to be LIVE, and a
-        // live location must carry no marker (a stale one would grant ZERO
-        // grace if this location is ever re-orphaned by a later flip).
-        val nextMarker = new org.apache.hadoop.fs.Path(next, OrphanMarker)
-        if (fs.exists(nextMarker)) fs.delete(nextMarker, false)
+        // Tombstone hygiene, ORDERED around the flip so neither leaf is
+        // ever exposed in a deletable state:
+        //   - the OLD leaf's stale marker (it may itself have been a
+        //     marked pre-ALTER sibling once) is cleared BEFORE the ALTER,
+        //     while the leaf is still live and no sweep may delete it —
+        //     clearing it after would leave the just-orphaned leaf
+        //     wearing an aged marker through the ALTER->delete window,
+        //     where a crash or a racing sweep takes it with ZERO grace;
+        //   - the NEW location's marker (planted by a sweep that observed
+        //     it as a non-live sibling) is cleared AFTER the ALTER, when
+        //     fresh sweeps see it live and will not re-plant — clearing
+        //     it before invites a stale-snapshot sweep to re-plant inside
+        //     the delete->ALTER window. A stale marker that still lands
+        //     post-cleanup is harmless: every fresh sweep's live-leaf
+        //     pass removes it, and the next flip's pre-ALTER cleanup
+        //     (above) is the backstop that restores full grace anyway.
+        val oldMarker = new org.apache.hadoop.fs.Path(loc, OrphanMarker)
+        if (fs.exists(oldMarker)) fs.delete(oldMarker, false)
         // the atomic flip: one metastore update, no filesystem window
         spark.sql(s"ALTER TABLE $table PARTITION ($specSql) " +
           s"SET LOCATION '${next.toString}'")
-        // ... and the OLD leaf is orphaned NOW: clear any stale marker
-        // from an earlier epoch (e.g. it was itself a marked pre-ALTER
-        // sibling once) so the sweep's first-observation clock starts at
-        // this orphaning, giving its in-flight readers the full grace
-        val oldMarker = new org.apache.hadoop.fs.Path(loc, OrphanMarker)
-        if (fs.exists(oldMarker)) fs.delete(oldMarker, false)
+        val nextMarker = new org.apache.hadoop.fs.Path(next, OrphanMarker)
+        if (fs.exists(nextMarker)) fs.delete(nextMarker, false)
         maintenanceBoundaryHook("after_flip")
         val after = fs.listStatus(next)
           .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -443,13 +451,20 @@ object GoldPipeline {
     // _temporary/<attempt>/..., which never bumps the leaf dir's or its
     // direct children's mtimes — a top-level-only check would age out a
     // sibling MID-WRITE and delete it under the writer. Orphan candidates
-    // are single partition leaves, so the walk is small.
-    def newestMs(p: org.apache.hadoop.fs.Path): Long = {
-      val kids = fs.listStatus(p)
-      (fs.getFileStatus(p).getModificationTime +: kids.toSeq.map(s =>
-        if (s.isDirectory) math.max(s.getModificationTime, newestMs(s.getPath))
-        else s.getModificationTime)).max
-    }
+    // are single partition leaves, so the walk is small. An entry that
+    // VANISHES mid-walk (a committer task/job rename or delete racing the
+    // listing) is proof the tree is being actively mutated — that IS
+    // fresh content, so report "now" rather than aborting the whole
+    // sweep pass on a FileNotFoundException.
+    def newestMs(p: org.apache.hadoop.fs.Path): Long =
+      try {
+        val kids = fs.listStatus(p)
+        (fs.getFileStatus(p).getModificationTime +: kids.toSeq.map(s =>
+          if (s.isDirectory) math.max(s.getModificationTime, newestMs(s.getPath))
+          else s.getModificationTime)).max
+      } catch {
+        case _: java.io.FileNotFoundException => System.currentTimeMillis()
+      }
     if (!fs.exists(root)) Seq.empty
     else {
       val (liveLeaves, orphans) = leaves(root).filter(_ != root)

@@ -344,7 +344,13 @@ class GoldConcurrencySpec extends SparkSpec {
       ops.GoldPipeline.OrphanMarker)
     fs.create(marker, true).close()
     val old = System.currentTimeMillis() - 48L * 3600 * 1000
-    Seq(sib, topFile, marker, new org.apache.hadoop.fs.Path(sib, "_temporary"))
+    // age EVERYTHING except the single deep file — the dir chain included,
+    // so the deep FILE's freshness is the only thing that can keep the
+    // leaf alive (a depth-capped or dirs-only recursion must fail here)
+    (Seq(sib, topFile, marker) ++
+      Seq("_temporary", "_temporary/0", "_temporary/0/_temporary",
+        "_temporary/0/_temporary/attempt_0")
+        .map(d => new org.apache.hadoop.fs.Path(sib, d)))
       .foreach(p => fs.setTimes(p, old, old))
     // deep file stays FRESH: the sweep must keep the whole leaf
     assert(ops.GoldPipeline.sweepOrphans(spark, table)
