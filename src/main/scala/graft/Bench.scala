@@ -26,13 +26,16 @@ import org.apache.spark.sql.SparkSession
   * it, and every ~N/5 queries in between (`calib_series` — contention
   * arrives in pulses the endpoints alone miss); a recorded SETTLE probe
   * (`calib_settle_sec`) absorbs the gold build's GC/page-cache wake
-  * first; (2) `calib_spread` = max/min over the INTERIOR series + post
-  * probes of that one warmed plan, the one-number verdict (~1 quiet,
-  * ≫1 loaded), surfaced as `"tainted": true` in the JSON whenever it
-  * exceeds 2 — settle and pre are recorded but excluded, because they
-  * are structurally inflated by the build wake (1.5-3× the floor on
-  * quiet boxes, round-16 measurement) and pre-suite contention cannot
-  * affect any recorded number anyway; (3) every query's full rep
+  * first; (2) `calib_spread` = max/min over the settled PRE + interior
+  * series + post probes of that one warmed plan (`spread_rule`
+  * "settled-pre+interior+post/v3" — stamped in the artifact so
+  * cross-round tooling never silently compares across a rule change),
+  * the one-number verdict (~1 quiet, ≫1 loaded), surfaced as
+  * `"tainted": true` in the JSON whenever it exceeds 2 — only settle is
+  * excluded, being structurally inflated by the build wake (1.5-3× the
+  * floor on quiet boxes, round-16 measurement); pre re-entered in v3
+  * because post-settle it is in-band and covers the pre-first-interior
+  * window v2 left blind; (3) every query's full rep
   * vector, min, and median land in `BENCH_full.json` next to the repo (the
   * 2000-char driver tail keeps only the slowest queries, which is exactly
   * where a fast query's 10× relative regression hides). A min ≪ median
@@ -190,29 +193,34 @@ object Bench {
     }
     val results = times.map { case (n, ts) => n -> ts.toSeq }
     val calibPost = calibrate()
-    // one-number contention verdict: max/min over the INTERIOR series +
-    // post. ~1 on a quiet box; a pulse mid-suite shows up here even when
-    // the endpoints look normal (round 9's failure mode). The settle and
-    // pre probes are RECORDED but excluded from the verdict: (i) they are
-    // structurally contaminated by the gold build's GC/page-cache wake and
-    // residual JVM warm decay — four quiet round-16 legs measured pre at
-    // 1.5-3× the interior floor with every interior probe and the post
-    // in-band, and the sf1e leg's 0.52 s pre single-handedly self-flagged
-    // a quiet run; (ii) contention that ends before the first timed query
-    // cannot affect any recorded number — only contention DURING the suite
-    // can, and the ~N/5-resolution interior series plus the post probe
-    // cover exactly that window.
-    // Targeted SPARK_GRAFT_BENCH_ONLY runs of a handful of queries
-    // suppress the interior probes entirely — without a fallback the
-    // verdict would collapse to the single post sample and spread would
-    // be VACUOUSLY 1.0 (contention detection silently off exactly when
-    // someone is profiling). The pre probe is the fallback bracket: the
-    // settle probe has already absorbed the build wake, so on a targeted
-    // run pre is no longer structurally inflated.
-    val calibAll = ((if (calibSeries.isEmpty) Seq(calibPre)
-                     else calibSeries.toSeq) :+ calibPost).filter(_ > 0)
+    // one-number contention verdict: max/min over SETTLED-PRE + the
+    // interior series + post (`spread_rule` "settled-pre+interior+post/v3").
+    // ~1 on a quiet box; a pulse mid-suite shows up here even when the
+    // endpoints look normal (round 9's failure mode). Only the SETTLE
+    // probe is excluded: it is structurally contaminated by the gold
+    // build's GC/page-cache wake and residual JVM warm decay — four quiet
+    // round-16 legs measured the first post-build probe at 1.5-3× the
+    // interior floor, and the sf1e leg's 0.52 s single-handedly
+    // self-flagged a quiet run. With the wake absorbed by settle, the pre
+    // probe brackets the suite from a settled JVM and is IN the verdict —
+    // the round-16 rule (interior+post/v2) left no calibration sample
+    // before the first interior probe ~N/5 queries in, so a contention
+    // pulse straddling suite start could inflate the first block's reps
+    // while the run self-labeled untainted. Round-16 quiet-leg evidence
+    // (sf1e settle/pre 0.29/0.30 both in-band post-settle) says pre no
+    // longer carries the build wake, so including it costs nothing on a
+    // quiet box and closes that blind window.
+    // Rule history (the `spread_rule` field exists so cross-round tooling
+    // never silently compares across a boundary):
+    //   v1 (≤ r15): pre+interior+post, NO settle probe — pre carried the
+    //        build wake and self-flagged quiet runs;
+    //   v2 (r16):   interior+post, settle recorded — honest on the wake
+    //        but blind to pulses before the first interior probe;
+    //   v3 (r17+):  settle absorbs the wake, then pre+interior+post.
+    val calibAll = (calibPre +: calibSeries.toSeq :+ calibPost).filter(_ > 0)
     val calibSpread =
       if (calibAll.size >= 2) calibAll.max / calibAll.min else 1.0
+    val spreadRule = "settled-pre+interior+post/v3"
     // self-labeling artifact: spread > 2 means the SAME warmed plan varied
     // 2×+ across the suite — the box was loaded and the totals can't be
     // trusted as regression evidence. The flag lives IN the JSON so a later
@@ -239,7 +247,7 @@ object Bench {
             s"\"reps\":[${ts.map(num).mkString(",")}]}"
         }.mkString("{", ",", "}")
       val series = calibSeries.map(num).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_settle_sec":${num(calibSettle)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"tainted":$tainted,"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_settle_sec":${num(calibSettle)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"spread_rule":"$spreadRule","tainted":$tainted,"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
@@ -255,7 +263,7 @@ object Bench {
       val qs = qMap.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val series = calibSeries.map(num).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_settle_sec":${num(calibSettle)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"tainted":$tainted,"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_settle_sec":${num(calibSettle)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"spread_rule":"$spreadRule","tainted":$tainted,"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
     }
     val bySlowest = mins.toSeq.sortBy(-_._2)
     val budget = 1750 // leaves headroom for sbt's [success] trailer in the 2000-char tail

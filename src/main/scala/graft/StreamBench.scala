@@ -275,13 +275,16 @@ object StreamBench {
         val store = tmp("sb-kv-store")
         val days = 30 * scale
         // seeded standing sketches: k base rows per day (batch_id = -1),
-        // the post-maintenance layout a long-running stream converges to
+        // the post-maintenance layout a long-running stream converges to.
+        // hv uses the stream path's own kmvHash (sha256-derived), not a
+        // stand-in hash, so the stored values are distributed exactly as
+        // the converged store's would be
         StandingStore.append(
           spark.range(0L, days.toLong * k, 1L, 8).select(
             date_add(lit(java.sql.Date.valueOf("2000-01-01")),
               call_function("div", col("id"), lit(k.toLong)).cast("int"))
               .as("day"),
-            pmod(xxhash64(col("id")), lit(1L << 62)).as("hv"),
+            graft.ops.Sketches.kmvHash(col("id")).as("hv"),
             lit(-1L).as("batch_id")),
           store)
         val mem = MemoryStream[(java.sql.Timestamp, Long)]
@@ -289,12 +292,17 @@ object StreamBench {
           mem.toDF.toDF("ts", "uid"), "ts", "uid", k,
           store, tmp("sb-kv-cp"), compactEvery = 0)
         try {
-          // 3 in-range days per batch, fresh uids per rep — identical
-          // batch work at every scale, so growth can only come from the
-          // append path itself
+          // 3 days per batch, fresh uids per rep — identical batch work at
+          // every scale, so growth can only come from the append path
+          // itself. Batch days sit INSIDE the seeded day range at every
+          // scale (days >= 30 from 2000-01-01; these are days 2-4), so the
+          // seeded store really is the state a long-running stream would
+          // hold for these days — not that it matters for the timing: the
+          // append path never reads the store, which is the claim under
+          // measurement
           def batch(r: Int): Seq[(java.sql.Timestamp, Long)] =
             (0 until 2000).map { i =>
-              (java.sql.Timestamp.valueOf(f"2001-03-${i % 3 + 1}%02d 08:00:00"),
+              (java.sql.Timestamp.valueOf(f"2000-01-${i % 3 + 2}%02d 08:00:00"),
                 r * 100000L + i)
             }
           timeBatch(mem, q, batch(0))
@@ -324,8 +332,13 @@ object StreamBench {
     val flaggedJson = flagged.map { case (op, r) =>
       s""""$op":${if (r.isInfinity) "\"inf\"" else num(r)}"""
     }.mkString("{", ",", "}")
+    // `flag_rule` is StreamBench's analogue of Bench's `spread_rule`: the
+    // verdict-rule version rides IN the artifact so cross-round tooling
+    // never silently compares verdicts computed under different rules
+    // (v1 = ratio of ladder-last over ladder-first, flagged when
+    // > flag_threshold AND last >= min_big_sec).
     val json =
-      s"""{"metric":"stream_batch","unit":"sec","reps":$reps,"flag_threshold":$RatioFlag,"min_big_sec":$MinBigSec,"ops":$opsJson,"flagged":$flaggedJson}"""
+      s"""{"metric":"stream_batch","unit":"sec","reps":$reps,"flag_threshold":$RatioFlag,"min_big_sec":$MinBigSec,"flag_rule":"last_over_first/v1","ops":$opsJson,"flagged":$flaggedJson}"""
     // a filtered probe run must not clobber the committed full artifact
     val artifact = if (only.isDefined) "BENCH_streaming.partial.json"
                    else "BENCH_streaming.json"

@@ -287,10 +287,15 @@ object GoldPipeline {
     * escape-free strings/numbers/dates (the same contract the standing
     * store documents); the spec SQL quotes but does not escape.
     */
-  /** Crash-rehearsal seam for [[compactPartitionsCatalog]]: invoked at the
-    * two windows whose torn-read-free claims a crash actually exercises —
-    * `"after_rewrite"` (fresh `__c<k>` written, catalog NOT yet flipped)
-    * and `"after_flip"` (catalog flipped, old leaf not yet swept).
+  /** Crash/interleave-rehearsal seam for [[compactPartitionsCatalog]]:
+    * invoked at the three windows whose torn-read-free claims a crash or a
+    * racing maintainer actually exercises — `"before_rewrite"` (partition
+    * selected, no sibling yet), `"after_rewrite"` (fresh `__c<k>` written,
+    * catalog NOT yet flipped) and `"after_flip"` (catalog flipped, old
+    * leaf not yet swept). The maintenance-vs-maintenance spec
+    * (GoldConcurrencySpec) runs a full [[sweepOrphans]] pass at each
+    * boundary to prove the tombstone protocol holds at every interleaving
+    * point the seam exposes.
     * [[graft.CompactCrashRehearsal]] installs `Runtime.halt` here from a
     * throwaway JVM; production never touches it (no-op default, zero cost
     * beyond a call). The call sits OUTSIDE any try/finally on purpose: a
@@ -335,6 +340,7 @@ object GoldPipeline {
           .map(_.drop(base.length + 3).toLong)
         val next = new org.apache.hadoop.fs.Path(loc.getParent,
           s"${base}__c${if (taken.isEmpty) 1L else taken.max + 1L}")
+        maintenanceBoundaryHook("before_rewrite")
         spark.read.parquet(loc.toString).coalesce(nFiles)
           .write.mode("overwrite").option("compression", "snappy")
           .parquet(next.toString)
@@ -368,7 +374,21 @@ object GoldPipeline {
         //     pass removes it, and the next flip's pre-ALTER cleanup
         //     (above) is the backstop that restores full grace anyway.
         val oldMarker = new org.apache.hadoop.fs.Path(loc, OrphanMarker)
-        if (fs.exists(oldMarker)) fs.delete(oldMarker, false)
+        // The delete RESULT matters: a failed delete silently leaves an
+        // aged tombstone on the about-to-be-orphaned leaf, recreating the
+        // zero-grace deletion hazard this pre-ALTER hygiene exists to
+        // prevent. Abort the flip loudly (partition still on its old,
+        // intact location) rather than flip into that state — mirroring
+        // the vanished-sibling guard above. `delete` returning false with
+        // the marker still present is the failure; false because a racing
+        // sweep's live-leaf pass already removed it is fine.
+        if (fs.exists(oldMarker) && !fs.delete(oldMarker, false) &&
+          fs.exists(oldMarker))
+          throw new IllegalStateException(
+            s"could not clear stale orphan marker $oldMarker before the " +
+              s"catalog flip; aborting compaction of ($specSql) — flipping " +
+              s"would leave the old leaf wearing an aged tombstone with " +
+              s"zero sweep grace")
         // the atomic flip: one metastore update, no filesystem window
         spark.sql(s"ALTER TABLE $table PARTITION ($specSql) " +
           s"SET LOCATION '${next.toString}'")
@@ -477,9 +497,21 @@ object GoldPipeline {
         if (graceMs <= 0L) { fs.delete(orphan, true); Some(orphan.toString) }
         else {
           val m = new org.apache.hadoop.fs.Path(orphan, OrphanMarker)
-          if (!fs.exists(m)) { fs.create(m, true).close(); None }
-          else if (fs.getFileStatus(m).getModificationTime <= cutoff &&
-            newestMs(orphan) <= cutoff) {
+          // The marker mtime read gets the same FNFE treatment as
+          // newestMs: a concurrent flip's pre-ALTER marker hygiene can
+          // remove the tombstone between the exists check and this stat.
+          // A vanished marker means a maintainer is actively working the
+          // leaf — treat it as not-yet-aged and skip the leaf this pass
+          // (the next sweep re-observes from scratch) instead of aborting
+          // the whole sweep on the exception.
+          val markerMs =
+            try {
+              if (!fs.exists(m)) { fs.create(m, true).close(); None }
+              else Some(fs.getFileStatus(m).getModificationTime)
+            } catch {
+              case _: java.io.FileNotFoundException => None
+            }
+          if (markerMs.exists(_ <= cutoff) && newestMs(orphan) <= cutoff) {
             fs.delete(orphan, true); Some(orphan.toString)
           } else None
         }

@@ -786,20 +786,53 @@ object Sketches {
     * (union sketch size), `kth_union` (its 2^62-scaled theta), `n_inter`
     * (union minima present in both sketches). [[kmvEstimate]] turns the
     * state into union / Jaccard / intersection estimates engine-side.
+    *
+    * BOUND (`maxSegments`, the `pairsDaily(maxUidsPerCell)` discipline
+    * made LOUD): the pair stage is quadratic in SEGMENTS — S²/2 pairs
+    * each folding two ≤ k-long arrays, with the whole S·k-long sketch
+    * table on the broadcast side. Right-sized for its documented grain
+    * (days / cohorts / shards: hundreds to a few thousand segments), it
+    * silently becomes the cost center at, say, 10⁵ user-grain segments
+    * (5·10⁹ pairs, a multi-GB broadcast). Rather than degrade silently,
+    * the guard counts segments (one extra pass over the TINY sketch
+    * aggregate — the event scan is not repeated; [[kmvOverlap]] persists
+    * the sketch table so even that pass is served from cache) and fails
+    * loudly above the cap. Pass `maxSegments = 0` to disable when the
+    * quadratic cost is understood, or pre-bucket segments coarser.
     */
+  val DefaultMaxKmvSegments: Int = 4096 // ≈ 8.4M broadcast pairs — the ceiling of "pair stage stays trivial next to the sketch build"
+
   def kmvOverlap(df: DataFrame, segCol: String, valueCol: String,
-                 k: Int): DataFrame =
+                 k: Int, maxSegments: Int = DefaultMaxKmvSegments,
+                 scope: graft.engine.CacheScope = graft.engine.CacheScope.global): DataFrame =
     kmvOverlapOnSketches(
-      df.filter(col(segCol).isNotNull && col(valueCol).isNotNull)
-        .select(col(segCol).as("seg"), kmvHash(col(valueCol)).as("__hv"))
-        .groupBy("seg").agg(kmvSketch(k)(col("__hv")).as("__mins")), k)
+      // persisted: BOTH pair-join sides and the guard count read the
+      // sketch table — without the persist the events scan+agg runs
+      // three times (the sketch table is S × ≤k longs, cache-trivial)
+      scope.persisted(
+        df.filter(col(segCol).isNotNull && col(valueCol).isNotNull)
+          .select(col(segCol).as("seg"), kmvHash(col(valueCol)).as("__hv"))
+          .groupBy("seg").agg(kmvSketch(k)(col("__hv")).as("__mins"))),
+      k, maxSegments)
 
   /** The pair half of [[kmvOverlap]], over an ALREADY-BUILT sketch table
     * (`seg`, `__mins` ascending ≤ k-long hash array) — shared with the
     * streaming standing-sketch reader ([[graft.streaming.StreamingKmv]]),
-    * where the sketches come out of a store instead of a scan.
+    * where the sketches come out of a store instead of a scan. Enforces
+    * the `maxSegments` bound documented on [[kmvOverlap]] (0 = off).
     */
-  def kmvOverlapOnSketches(sk: DataFrame, k: Int): DataFrame = {
+  def kmvOverlapOnSketches(sk: DataFrame, k: Int,
+                           maxSegments: Int = DefaultMaxKmvSegments): DataFrame = {
+    if (maxSegments > 0) {
+      // limit(cap+1) short-circuits the count: the guard never pays more
+      // than the cap in rows, however large the sketch table is
+      val s = sk.limit(maxSegments + 1).count()
+      require(s <= maxSegments,
+        s"kmvOverlap: at least $s segments exceed maxSegments=$maxSegments " +
+          s"— the pair stage grows S²/2 broadcast pairs and would stop " +
+          s"being trivial next to the sketch build; pre-bucket segments " +
+          s"coarser or pass maxSegments=0 with the quadratic cost understood")
+    }
     val a = sk.select(col("seg").as("seg_a"), col("__mins").as("__ma"))
     val b = sk.select(col("seg").as("seg_b"), col("__mins").as("__mb"))
     // one sketch row per segment: broadcast forces BroadcastNestedLoopJoin

@@ -400,4 +400,139 @@ class GoldConcurrencySpec extends SparkSpec {
     assert(spark.table(table).count() === 100)
     spark.sql(s"DROP TABLE $table")
   }
+
+  // ---- maintenance vs maintenance (round-17 directive #2) -------------
+  // Two maintainers racing — sweepOrphans concurrent with an in-flight
+  // compactPartitionsCatalog — was argued safe via the tombstone grace +
+  // the loud pre-flip guard, never interleaved. These tests run a FULL
+  // sweep pass at every boundary the maintenanceBoundaryHook exposes
+  // (before_rewrite / after_rewrite / after_flip) and pin the protocol's
+  // claims at each interleaving point: a graced sweep deletes nothing and
+  // leaves no stray tombstone on the flipped-to sibling; an aged-out sweep
+  // that takes the unflipped sibling makes the flip abort LOUDLY with the
+  // partition intact; a zero-grace sweep right after the flip is exactly
+  // the deferred-deletion path and reads stay green throughout.
+
+  private def mkCompactTable(name: String, rows: Int): (String, org.apache.hadoop.fs.FileSystem) = {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory(s"graft-mvm-$name-")
+      .toString
+    val df = (0 until rows).map(i => (i, 0, s"v$i")).toDF("id", "dt", "s")
+    df.repartition(12).write.mode("overwrite").partitionBy("dt").parquet(root)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    ops.GoldPipeline.registerExternalTable(spark, name, root)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (root, fs)
+  }
+
+  /** Recursively backdate every path under `p` (inclusive) so both the
+    * tombstone clock and newestMs see fully aged content.
+    */
+  private def ageTree(fs: org.apache.hadoop.fs.FileSystem,
+                      p: org.apache.hadoop.fs.Path, ms: Long): Unit = {
+    fs.listStatus(p).foreach { s =>
+      if (s.isDirectory) ageTree(fs, s.getPath, ms)
+      else fs.setTimes(s.getPath, ms, ms)
+    }
+    fs.setTimes(p, ms, ms)
+  }
+
+  test("maintenance vs maintenance: graced sweep at every compaction boundary — nothing deleted, no stray tombstones, old leaf gets full grace") {
+    val table = "gold_mvm_graced_t"
+    val (root, fs) = mkCompactTable(table, 200)
+    val sweeps = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val saved = ops.GoldPipeline.maintenanceBoundaryHook
+    try {
+      ops.GoldPipeline.maintenanceBoundaryHook = b =>
+        sweeps(b) = ops.GoldPipeline.sweepOrphans(spark, table) // default 15-min grace
+      ops.GoldPipeline.compactPartitionsCatalog(
+        spark, table, targetBytes = 1L << 30, maxFiles = 8)
+    } finally ops.GoldPipeline.maintenanceBoundaryHook = saved
+    assert(sweeps.keySet === Set("before_rewrite", "after_rewrite", "after_flip"),
+      s"all three boundaries must have interleaved a sweep: ${sweeps.keySet}")
+    assert(sweeps.values.forall(_.isEmpty),
+      s"a graced sweep racing the compaction must delete NOTHING: $sweeps")
+    val sib = new org.apache.hadoop.fs.Path(root, "dt=0__c1")
+    val oldLeaf = new org.apache.hadoop.fs.Path(root, "dt=0")
+    assert(fs.exists(sib) && fs.exists(oldLeaf),
+      "both leaves survive the interleaved maintenance pass")
+    // the after_rewrite sweep observed the not-yet-live sibling and planted
+    // a tombstone there; the post-flip marker hygiene must have cleared it
+    // (a live leaf wearing a tombstone is the zero-grace hazard)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(sib,
+      ops.GoldPipeline.OrphanMarker)),
+      "the flipped-to sibling must not keep the racing sweep's tombstone")
+    // the after_flip sweep observed the just-orphaned old leaf: first
+    // observation plants a tombstone, deletes nothing — full grace from HERE
+    assert(fs.exists(new org.apache.hadoop.fs.Path(oldLeaf,
+      ops.GoldPipeline.OrphanMarker)),
+      "the old leaf must carry the after-flip sweep's first-observation tombstone")
+    assert(spark.table(table).count() === 200, "reads stay green throughout")
+    // a fresh graced sweep still deletes nothing (tombstone young) ...
+    assert(ops.GoldPipeline.sweepOrphans(spark, table).isEmpty)
+    // ... and once tombstone + content age out, the old leaf sweeps clean
+    ageTree(fs, oldLeaf, System.currentTimeMillis() - 48L * 3600 * 1000)
+    val swept = ops.GoldPipeline.sweepOrphans(spark, table)
+    assert(swept.exists(_.endsWith("dt=0")), s"aged orphan must sweep: $swept")
+    assert(spark.table(table).count() === 200)
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("maintenance vs maintenance: an aged-out sweep taking the unflipped sibling makes the flip abort loudly, partition intact") {
+    val table = "gold_mvm_aged_t"
+    val (root, fs) = mkCompactTable(table, 150)
+    val sib = new org.apache.hadoop.fs.Path(root, "dt=0__c1")
+    val saved = ops.GoldPipeline.maintenanceBoundaryHook
+    try {
+      ops.GoldPipeline.maintenanceBoundaryHook = {
+        case "after_rewrite" =>
+          // the extreme stall, via the REAL sweep protocol (not a hand rm):
+          // sweep 1 first-observes the non-live sibling and tombstones it;
+          // the whole tree then ages past the grace (the compaction stalled
+          // for > graceMs); sweep 2 legitimately deletes the sibling
+          val first = ops.GoldPipeline.sweepOrphans(spark, table)
+          assert(first.isEmpty, "first observation only plants the tombstone")
+          ageTree(fs, sib, System.currentTimeMillis() - 48L * 3600 * 1000)
+          val second = ops.GoldPipeline.sweepOrphans(spark, table)
+          assert(second.exists(_.endsWith("dt=0__c1")),
+            s"the fully aged sibling sweeps: $second")
+        case _ => ()
+      }
+      val e = intercept[IllegalStateException] {
+        ops.GoldPipeline.compactPartitionsCatalog(
+          spark, table, targetBytes = 1L << 30, maxFiles = 8)
+      }
+      assert(e.getMessage.contains("vanished before the catalog flip"))
+    } finally ops.GoldPipeline.maintenanceBoundaryHook = saved
+    // never flipped: the partition still reads green on its old location
+    assert(spark.table(table).count() === 150)
+    spark.sql(s"DROP TABLE $table")
+  }
+
+  test("maintenance vs maintenance: a zero-grace sweep right after the flip deletes the old leaf mid-compaction, reads stay green") {
+    val table = "gold_mvm_zg_t"
+    val (root, fs) = mkCompactTable(table, 120)
+    val oldLeaf = new org.apache.hadoop.fs.Path(root, "dt=0")
+    val saved = ops.GoldPipeline.maintenanceBoundaryHook
+    try {
+      ops.GoldPipeline.maintenanceBoundaryHook = {
+        case "after_flip" =>
+          // grace 0 = the operator's externally-verified-no-readers path:
+          // the just-orphaned leaf goes immediately, INSIDE the compaction
+          val swept = ops.GoldPipeline.sweepOrphans(spark, table, graceMs = 0L)
+          assert(swept.exists(_.endsWith("dt=0")),
+            s"zero-grace sweep must take the orphaned old leaf: $swept")
+        case _ => ()
+      }
+      val res = ops.GoldPipeline.compactPartitionsCatalog(
+        spark, table, targetBytes = 1L << 30, maxFiles = 8)
+      assert(res.nonEmpty, "the compaction itself completes normally")
+    } finally ops.GoldPipeline.maintenanceBoundaryHook = saved
+    assert(!fs.exists(oldLeaf), "old leaf gone")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, "dt=0__c1")))
+    assert(spark.table(table).count() === 120,
+      "reads resolve the flipped location after the mid-compaction sweep")
+    spark.sql(s"DROP TABLE $table")
+  }
 }

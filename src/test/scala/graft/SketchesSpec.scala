@@ -394,4 +394,25 @@ class SketchesSpec extends SparkSpec {
       "merge is idempotent (retry replays cannot change state)")
     assert(sk.merge(a.clone(), sk.zero).toSeq === a.toSeq)
   }
+
+  test("KMV overlap maxSegments guard: fails loudly above the cap, 0 disables, results unchanged under the cap") {
+    val k = 16
+    // 8 segments x 20 values
+    val rows = (0 until 160).map(i => (s"s${i % 8}", s"u$i")).toDF("seg", "v")
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvOverlap(rows, "seg", "v", k, maxSegments = 4).count()
+    }
+    assert(e.getMessage.contains("maxSegments=4"),
+      s"guard message must name the cap: ${e.getMessage}")
+    // at the cap exactly: allowed (the bound is inclusive)
+    assert(Sketches.kmvOverlap(rows, "seg", "v", k, maxSegments = 8)
+      .count() === 8L * 7 / 2)
+    // 0 disables the guard entirely — the documented escape hatch
+    val off = Sketches.kmvOverlap(rows, "seg", "v", k, maxSegments = 0)
+    val guarded = Sketches.kmvOverlap(rows, "seg", "v", k, maxSegments = 8)
+    assert(off.orderBy("seg_a", "seg_b").collect().toSeq ===
+      guarded.orderBy("seg_a", "seg_b").collect().toSeq,
+      "the guard must never change results, only bound cost")
+    spark.catalog.clearCache()
+  }
 }

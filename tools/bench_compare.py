@@ -124,6 +124,12 @@ def selftest():
     assert baseline_gate(base, art({"a": 1.0, "b": 2.0}, tainted=True)) == 1
     # disjoint sets refuse rather than divide nothing
     assert baseline_gate(base, art({"z": 1.0})) == 1
+    # spread-rule boundary: differing (or one-side-unstamped) rules note
+    # loudly; identical rules stay silent
+    v3 = {"spread_rule": "settled-pre+interior+post/v3"}
+    assert spread_rule_note(v3, "a", {}, "b") is True
+    assert spread_rule_note(v3, "a", dict(v3), "b") is False
+    assert spread_rule_note({}, "a", {}, "b") is False
     print("selftest OK")
     return 0
 
@@ -131,6 +137,24 @@ def selftest():
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BASELINE_bench.json")
 BASELINE_GATE = 2.0  # the driver's 2x rule, re-anchored at the 165-query surface
+
+
+def spread_rule_note(a, a_name, b, b_name):
+    """Print a loud note when two artifacts' calib-spread VERDICTS were
+    computed under different rules (`spread_rule`; absent = a pre-r17
+    artifact, i.e. v1 pre+interior+post or v2 interior+post — the field
+    exists so this comparison is never silent). The timings themselves are
+    rule-independent, so this never fails a gate — but a spread/taint
+    difference between the two artifacts must not be read as a
+    box-quietness difference across a rule boundary."""
+    ra = a.get("spread_rule", "pre-v3 (unstamped)")
+    rb = b.get("spread_rule", "pre-v3 (unstamped)")
+    if ra != rb:
+        print(f"NOTE: spread rules differ — {a_name}: {ra!r} vs "
+              f"{b_name}: {rb!r}; taint/spread values are not comparable "
+              f"across the rule boundary (timings are)")
+        return True
+    return False
 
 
 def baseline_gate(base, cur, base_name="BASELINE_bench.json",
@@ -151,6 +175,7 @@ def baseline_gate(base, cur, base_name="BASELINE_bench.json",
     if cur.get("tainted"):
         print(f"current {cur_name} is TAINTED — re-run quiet before gating")
         return 1
+    spread_rule_note(base, base_name, cur, cur_name)
     bq = {k: v["min"] for k, v in base.get("queries", {}).items()}
     cq = {k: v["min"] for k, v in cur.get("queries", {}).items()}
     common = sorted(bq.keys() & cq.keys())
@@ -213,6 +238,7 @@ def main(argv):
               "contended box are not regression evidence; re-run quiet.")
         return 1
 
+    spread_rule_note(old, args[0], new, args[1])
     ot, nt = old.get("value"), new.get("value")
     tr = nt / ot if ot else float("inf")
     verdict = ("within noise (+/-10%)" if abs(1 - tr) <= TOTAL_NOISE
