@@ -34,18 +34,32 @@ object StreamingNearDup {
   /** Start the suppression stream: flagged batch rows (plus `n_collisions`,
     * `dup_candidate`) append to `outDir`; kept docs' signatures append to
     * `storeDir`.
+    *
+    * `fast = true` runs [[graft.ops.Dedup.fastBandedSignature]] — the
+    * PRODUCTION path (integer MinHash kernel, 8-byte xxhash64 band
+    * buckets) instead of the md5-string AUDIT path. Everything downstream
+    * is bucket-type-agnostic (the store schema follows the signature
+    * frame; the probe join is the same (band, bucket) equi-join), so the
+    * two paths differ ONLY in signature cost and store row width — which
+    * is exactly what StreamBench's `neardup` vs `neardup_fast` ladders
+    * measure. A store written by one path is not probe-compatible with
+    * the other (string vs long buckets) — pick per deployment, audit path
+    * only where DuckDB re-derivation is required.
     */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
                     storeDir: String, outDir: String, checkpointDir: String,
                     k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
-                    compactEvery: Int = 8): StreamingQuery =
+                    compactEvery: Int = 8, fast: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          val sigs = Dedup.bandedSignature(batch, idCol, textCol,
-            k, rowsPerBand, n).persist()
+          val sigs = (if (fast)
+            Dedup.fastBandedSignature(batch, idCol, textCol, k, rowsPerBand, n)
+          else
+            Dedup.bandedSignature(batch, idCol, textCol, k, rowsPerBand, n))
+            .persist()
           try {
             // Prune the standing store to the batch's (band, bucket) keys
             // BEFORE the pair join: a standing row whose bucket no batch
@@ -53,10 +67,12 @@ object StreamingNearDup {
             // left-semi is semantics-free. Measured effect at the 1000x
             // probe point (10M standing signatures): none on wall time —
             // the planner was already broadcasting the small probe side,
-            // so the store was scan-bound before and after (~3.2 s/batch,
-            // the md5-string audit-path bucket scan floor; the production
-            // fast path, Dedup.fastBandedSignature's 8-byte long buckets,
-            // is the at-scale answer). The semi-join is kept because it
+            // so the store was scan-bound before and after (the md5-string
+            // audit-path bucket scan floor; the production path,
+            // `fast = true`, measured 16-39% less per-batch wall at every
+            // ladder decade — r17 `neardup_fast` in BENCH_streaming.json:
+            // 2.38 vs 3.39 s/batch at 10M standing rows, ~1.0 vs 1.4 at
+            // 10k). The semi-join is kept because it
             // PINS the exchange-free plan: without it, the moment the
             // store's size estimate crosses the broadcast threshold the
             // planner may flip to shuffling all standing rows on

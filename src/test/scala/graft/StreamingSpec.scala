@@ -364,6 +364,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup PRODUCTION path (fast=true): same keep-first semantics, long-bucket store") {
+    // the fast path swaps the md5-string audit signature for the integer
+    // MinHash kernel + xxhash64 band buckets; the stream plumbing (store
+    // probe, keep-first flags, store append) must behave identically —
+    // only the bucket column type changes. Different hash family ⇒ the
+    // exact collision sets can differ from the audit path, so the
+    // scenario uses a verbatim-identical shingle set for the dup case
+    // (same shingles ⇒ same signature under ANY MinHash family).
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF.toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup-f").toString
+    val (store, out, cp) = (root + "/store", root + "/out", root + "/cp")
+    val q = graft.streaming.StreamingNearDup.nearDupStream(
+      docs, "doc_id", "text", store, out, cp, fast = true)
+    try {
+      in.addData((1L, "alpha beta gamma delta epsilon zeta eta"),
+        (2L, "completely different words about ships in the harbor tonight"))
+      q.processAllAvailable()
+      in.addData(
+        (3L, "alpha beta gamma delta epsilon zeta eta"), // verbatim doc 1
+        (4L, "an entirely fresh subject with nothing shared anywhere here"))
+      q.processAllAvailable()
+      val all = spark.read.parquet(out)
+        .select("doc_id", "dup_candidate").as[(Long, Boolean)].collect().toMap
+      assert(!all(1L) && !all(2L), "first batch is all-new")
+      assert(all(3L), "identical shingles collide against the standing store")
+      assert(!all(4L), "unique doc survives")
+      val st = spark.read.parquet(store)
+      assert(st.schema("bucket").dataType ===
+        org.apache.spark.sql.types.LongType,
+        "production store carries 8-byte integer buckets")
+      assert(st.select("doc_id").distinct().as[Long].collect().toSet ===
+        Set(1L, 2L, 4L), "only kept docs' signatures enter the store")
+    } finally q.stop()
+  }
+
   test("scrub store read survives an uncommitted _temporary-only store dir") {
     // a crash during the very first store write leaves storeDir existing
     // with no parquet footers; readStore must yield an empty frame with the

@@ -1,0 +1,178 @@
+#!/usr/bin/env python3
+"""Stepwise-materialized DuckDB oracle runner for the CTE-heavy queries.
+
+WHY THIS EXISTS (round 17): six declared oracles (shadow_pairs,
+pair_pagerank, seed_pagerank, seed_distance, weighted_pagerank,
+triangle_counts) were recorded "DuckDB-infeasible at 10x scale" since
+round 14 — the monolithic statements spilled to disk-full (>70 GB temp)
+on the span corpus. Round 17 root-caused the spill: it is NOT the data
+volume. DuckDB inlines a WITH chain's multiply-referenced CTEs into every
+consumer, so `hourly` (referenced 4x) and the 75M-row `pair_hours` get
+re-planned/re-buffered per consumer and the temp explodes combinatorially.
+Materializing the SAME chain stage by stage — `CREATE TABLE <name> AS
+<verbatim CTE body>` in declaration order, then the verbatim final
+SELECT — runs the whole shadow_pairs oracle on a 10x corpus in ~12 s
+with zero spill. Every stage body and the final SELECT are byte-identical
+substrings of the declared oracle SQL, so the re-derivation is exactly as
+independent as the monolithic run; only the evaluation ORDER is pinned.
+
+Usage:
+  python3 tools/stepwise_oracle.py <sfDir> <verifyOutDir> [--only q1,q2]
+      [--memory 40GB] [--selftest]
+
+Compares each query's stepwise-oracle frame against the engine's Verify
+parquet dump with check_oracle's own canonize/compare, prints OK/FAIL per
+query, exits nonzero on any FAIL. Dev tool only (driver-side python).
+"""
+import importlib.util
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+_spec = importlib.util.spec_from_file_location(
+    "check_oracle", os.path.join(HERE, "check_oracle.py"))
+check_oracle = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(check_oracle)
+
+TABLES = check_oracle.TABLES
+
+
+def split_with_chain(sql):
+    """Split `WITH a AS (...), b AS (...) SELECT ...` into
+    ([(name, body), ...], final_select). Returns ([], sql) when the
+    statement has no top-level WITH. Tracks paren depth AND single-quoted
+    string literals (a quoted ')' or ',' must not move the depth/split).
+    Every returned body and the final select are verbatim substrings."""
+    s = sql.lstrip()
+    if not s.upper().startswith("WITH "):
+        return [], sql
+    defs_src = s[5:]
+    # walk: collect top-level comma offsets until a segment stops looking
+    # like `name AS (` — everything from there is the final statement
+    stages, depth, in_str, start = [], 0, False, 0
+    final_at = None
+    i = 0
+    while i < len(defs_src):
+        c = defs_src[i]
+        if in_str:
+            if c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                # end of a CTE body: the next non-space token decides —
+                # ',' continues the chain, anything else starts the final
+                j = i + 1
+                while j < len(defs_src) and defs_src[j] in " \n\r\t":
+                    j += 1
+                seg = defs_src[start:i + 1]
+                name = seg.strip().split()[0]
+                body = seg[seg.index("(") + 1:seg.rindex(")")]
+                stages.append((name, body))
+                if j < len(defs_src) and defs_src[j] == ",":
+                    start = j + 1
+                    i = j
+                else:
+                    final_at = j
+                    break
+        i += 1
+    if final_at is None:
+        raise ValueError("WITH chain has no final statement")
+    return stages, defs_src[final_at:]
+
+
+def selftest():
+    sql = ("WITH a AS (SELECT 1 AS x, ',' AS s FROM t WHERE u = '(('),\n"
+           "b AS (SELECT x, count(*) AS n FROM a GROUP BY 1)\n"
+           "SELECT x, n, least(n, 2) FROM b ORDER BY x, n")
+    stages, final = split_with_chain(sql)
+    assert [n for n, _ in stages] == ["a", "b"], stages
+    assert stages[0][1] == "SELECT 1 AS x, ',' AS s FROM t WHERE u = '(('"
+    assert final.startswith("SELECT x, n, least(n, 2)"), final
+    # top-level commas in the final select must not confuse the splitter
+    assert "least" in final and final.count(",") == 4
+    # every piece is a verbatim substring of the input
+    for _, b in stages:
+        assert b in sql
+    assert final in sql
+    # no top-level WITH -> passthrough
+    st, fin = split_with_chain("SELECT 1, 2 FROM t")
+    assert st == [] and fin == "SELECT 1, 2 FROM t"
+    print("selftest OK")
+    return 0
+
+
+def run_query(con, sql):
+    """Execute one oracle statement stepwise; returns the final DataFrame."""
+    stages, final = split_with_chain(sql)
+    for name, body in stages:
+        con.sql(f'CREATE TABLE "{name}" AS {body}')
+    return con.sql(final).df()
+
+
+def main(argv):
+    if "--selftest" in argv:
+        return selftest()
+    args, only, memory = [], None, "40GB"
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--only":
+            only = set(argv[i + 1].split(","))
+            i += 2
+        elif argv[i] == "--memory":
+            memory = argv[i + 1]
+            i += 2
+        else:
+            args.append(argv[i])
+            i += 1
+    if len(args) != 2:
+        print("usage: python3 tools/stepwise_oracle.py <sfDir> <verifyOutDir>"
+              " [--only q1,q2] [--memory 40GB] [--selftest]")
+        return 2
+    sf_dir, out_dir = args
+    import duckdb
+    import pandas as pd
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
+        con = duckdb.connect()  # fresh db per query: stage tables can't leak
+        con.sql(f"SET memory_limit='{memory}'")
+        con.sql("SET preserve_insertion_order=false")
+        for t in TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            pat = f"{path}/*.parquet" if os.path.isdir(path) else path
+            con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{pat}'")
+        try:
+            odf = run_query(con, sql)
+            edf = duckdb.sql(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            a = check_oracle.canonize(edf)
+            b = check_oracle.canonize(odf)
+            if len(edf) != len(odf):
+                print(f"FAIL {name}: engine {len(edf)} rows vs oracle "
+                      f"{len(odf)}")
+                failures += 1
+            elif not a.equals(b):
+                print(f"FAIL {name}: {len(edf)} rows, canonical frames "
+                      f"differ")
+                failures += 1
+            else:
+                print(f"OK   {name}: {len(edf)} rows (stepwise)")
+        except Exception as e:  # pragma: no cover - surfaced per query
+            print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
+            failures += 1
+        finally:
+            con.close()
+    print("ALL OK" if failures == 0 else f"{failures} FAILURES")
+    return 0 if failures == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
