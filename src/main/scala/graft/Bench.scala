@@ -26,16 +26,17 @@ import org.apache.spark.sql.SparkSession
   * it, and every ~N/5 queries in between (`calib_series` — contention
   * arrives in pulses the endpoints alone miss); a recorded SETTLE probe
   * (`calib_settle_sec`) absorbs the gold build's GC/page-cache wake
-  * first; (2) `calib_spread` = max/min over the settled PRE + interior
-  * series + post probes of that one warmed plan (`spread_rule`
-  * "settled-pre+interior+post/v3" — stamped in the artifact so
-  * cross-round tooling never silently compares across a rule change),
-  * the one-number verdict (~1 quiet, ≫1 loaded), surfaced as
-  * `"tainted": true` in the JSON whenever it exceeds 2 — only settle is
-  * excluded, being structurally inflated by the build wake (1.5-3× the
-  * floor on quiet boxes, round-16 measurement); pre re-entered in v3
-  * because post-settle it is in-band and covers the pre-first-interior
-  * window v2 left blind; (3) every query's full rep
+  * first, and the interior series is START-BRACKETED — its first probe
+  * fires before the first timed query; (2) `calib_spread` = max/min over
+  * the interior series + post probes of that one warmed plan
+  * (`spread_rule` "start-bracketed-interior+post/v4" — stamped in the
+  * artifact so cross-round tooling never silently compares across a rule
+  * change), the one-number verdict (~1 quiet, ≫1 loaded), surfaced as
+  * `"tainted": true` in the JSON whenever it exceeds 2 — settle AND pre
+  * are recorded but excluded, both sitting inside the post-build warm
+  * decay that round-17 measured outlasting two absorber probes at small
+  * scale (pre 1.9× the late floor on a quiet sf0.01 leg) while the
+  * query-0 interior probe stayed in-band; (3) every query's full rep
   * vector, min, and median land in `BENCH_full.json` next to the repo (the
   * 2000-char driver tail keeps only the slowest queries, which is exactly
   * where a fast query's 10× relative regression hides). A min ≪ median
@@ -151,7 +152,10 @@ object Bench {
     // recorded as an error instead of eating the round's wall clock
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "900").toLong
     val calibEvery = math.max(1, selected.size / 5) // ~4 interior probes per rep round
-    var sinceCalib = 0
+    // start at the threshold so the FIRST interior probe fires immediately
+    // before the first timed query — the series then brackets the suite
+    // START (the v4 spread rule's start sample; see the verdict comment)
+    var sinceCalib = calibEvery
     // REP-MAJOR interleaving: run rep round 1 of ALL queries, then round 2,
     // then round 3 — not 3 back-to-back reps per query. A sustained host
     // contention pulse (minutes long) used to cover every rep of the queries
@@ -193,34 +197,43 @@ object Bench {
     }
     val results = times.map { case (n, ts) => n -> ts.toSeq }
     val calibPost = calibrate()
-    // one-number contention verdict: max/min over SETTLED-PRE + the
-    // interior series + post (`spread_rule` "settled-pre+interior+post/v3").
-    // ~1 on a quiet box; a pulse mid-suite shows up here even when the
-    // endpoints look normal (round 9's failure mode). Only the SETTLE
-    // probe is excluded: it is structurally contaminated by the gold
-    // build's GC/page-cache wake and residual JVM warm decay — four quiet
-    // round-16 legs measured the first post-build probe at 1.5-3× the
-    // interior floor, and the sf1e leg's 0.52 s single-handedly
-    // self-flagged a quiet run. With the wake absorbed by settle, the pre
-    // probe brackets the suite from a settled JVM and is IN the verdict —
-    // the round-16 rule (interior+post/v2) left no calibration sample
-    // before the first interior probe ~N/5 queries in, so a contention
-    // pulse straddling suite start could inflate the first block's reps
-    // while the run self-labeled untainted. Round-16 quiet-leg evidence
-    // (sf1e settle/pre 0.29/0.30 both in-band post-settle) says pre no
-    // longer carries the build wake, so including it costs nothing on a
-    // quiet box and closes that blind window.
+    // one-number contention verdict: max/min over the interior series +
+    // post, with the series START-BRACKETED — the first interior probe
+    // fires BEFORE the first timed query (`spread_rule`
+    // "start-bracketed-interior+post/v4"). ~1 on a quiet box; a pulse
+    // mid-suite shows up here even when the endpoints look normal (round
+    // 9's failure mode), and a pulse straddling suite START is covered by
+    // the probe at query 0 — the window v2 left blind. The settle AND pre
+    // probes are RECORDED but excluded from full-run verdicts: both sit
+    // inside the gold build's GC/page-cache wake + JVM warm-decay
+    // envelope. Round-17 measurement (the v3 experiment): on the sf0.01
+    // leg even the SECOND post-build probe (pre) read 0.267 vs a late
+    // floor of 0.129 — 1.9×, self-flagging a quiet run — while the first
+    // interior probe read 0.218 (decay ratio 1.69, under the 2× flag). At
+    // small scale the warm decay outlasts any fixed number of absorber
+    // probes, so the verdict takes its start sample from the probe that
+    // runs at the same position a query would, not earlier.
     // Rule history (the `spread_rule` field exists so cross-round tooling
     // never silently compares across a boundary):
     //   v1 (≤ r15): pre+interior+post, NO settle probe — pre carried the
     //        build wake and self-flagged quiet runs;
     //   v2 (r16):   interior+post, settle recorded — honest on the wake
     //        but blind to pulses before the first interior probe;
-    //   v3 (r17+):  settle absorbs the wake, then pre+interior+post.
-    val calibAll = (calibPre +: calibSeries.toSeq :+ calibPost).filter(_ > 0)
+    //   v3 (r17, one leg): settle, then pre+interior+post — re-flagged a
+    //        quiet sf0.01 leg on warm decay (pre 2.08× the floor);
+    //   v4 (r17+):  interior series start-bracketed at query 0, verdict
+    //        = interior+post; settle and pre recorded, excluded.
+    // Targeted SPARK_GRAFT_BENCH_ONLY runs of ≤5 queries suppress the
+    // interior probes entirely — the pre probe is the fallback bracket
+    // there (post-settle, and a targeted run's first query sits right
+    // where pre ran, so the envelope matches).
+    val calibAll = ((if (calibSeries.isEmpty) Seq(calibPre)
+                     else calibSeries.toSeq) :+ calibPost).filter(_ > 0)
     val calibSpread =
       if (calibAll.size >= 2) calibAll.max / calibAll.min else 1.0
-    val spreadRule = "settled-pre+interior+post/v3"
+    val spreadRule =
+      if (calibSeries.isEmpty) "settled-pre-bracket/v4-targeted"
+      else "start-bracketed-interior+post/v4"
     // self-labeling artifact: spread > 2 means the SAME warmed plan varied
     // 2×+ across the suite — the box was loaded and the totals can't be
     // trusted as regression evidence. The flag lives IN the JSON so a later
