@@ -103,13 +103,34 @@ def selftest():
     # no top-level WITH -> passthrough
     st, fin = split_with_chain("SELECT 1, 2 FROM t")
     assert st == [] and fin == "SELECT 1, 2 FROM t"
+    # base-table collision refused
+    try:
+        check_no_collision([("events", "SELECT 1")])
+        raise AssertionError("collision must be refused")
+    except ValueError:
+        pass
+    check_no_collision([("hourly", "SELECT 1")])
     print("selftest OK")
     return 0
+
+
+def check_no_collision(stages):
+    """A CTE named after a base table shadows the view only from its
+    definition point in monolithic evaluation but would REPLACE it for
+    every stage here — refuse rather than silently diverge from the
+    declared SQL's semantics."""
+    for name, _ in stages:
+        if name.lower() in TABLES:
+            raise ValueError(
+                f"CTE {name!r} collides with a base table; stepwise "
+                f"materialization would change which relation later stages "
+                f"read — run this query monolithically")
 
 
 def run_query(con, sql):
     """Execute one oracle statement stepwise; returns the final DataFrame."""
     stages, final = split_with_chain(sql)
+    check_no_collision(stages)
     for name, body in stages:
         con.sql(f'CREATE TABLE "{name}" AS {body}')
     return con.sql(final).df()
