@@ -51,6 +51,23 @@ object Bench {
     else if (s.length % 2 == 1) s(s.length / 2)
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
+
+  /** The v5 contention verdict (see the rule comment in [[main]]): the
+    * largest rise of any sample over the running minimum of all EARLIER
+    * samples. Monotone decay yields 1.0 by construction; a spike or a
+    * sustained pulse must lift some sample above an already-witnessed
+    * floor. Unit-pinned in BenchSpec against the round-17 10-run
+    * calibration dataset (contended runs 2.11–5.12, quiet 1.27–1.71).
+    */
+  private[graft] def riseSpread(samples: Seq[Double]): Double = {
+    var runMin = Double.MaxValue
+    var worst = 1.0
+    samples.filter(_ > 0).foreach { v =>
+      if (runMin != Double.MaxValue && v / runMin > worst) worst = v / runMin
+      if (v < runMin) runMin = v
+    }
+    worst
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -235,15 +252,7 @@ object Bench {
     // the settled pre to post is the same contention signal).
     val calibAll = ((if (calibSeries.isEmpty) Seq(calibPre)
                      else calibSeries.toSeq) :+ calibPost).filter(_ > 0)
-    val calibSpread = {
-      var runMin = Double.MaxValue
-      var worst = 1.0
-      calibAll.foreach { v =>
-        if (runMin != Double.MaxValue && v / runMin > worst) worst = v / runMin
-        if (v < runMin) runMin = v
-      }
-      worst
-    }
+    val calibSpread = riseSpread(calibAll)
     val spreadRule =
       if (calibSeries.isEmpty) "rise-pre-post/v5-targeted"
       else "rise-over-running-min/v5"
