@@ -97,13 +97,18 @@ object StreamingKmv {
     * [[Sketches.kmvOverlapOnSketches]]): the retention/overlap matrix over
     * an unbounded stream without rescanning any of it.
     */
-  def overlap(spark: SparkSession, storeDir: String, k: Int): DataFrame =
+  def overlap(spark: SparkSession, storeDir: String, k: Int,
+              scope: graft.engine.CacheScope = graft.engine.CacheScope.global): DataFrame =
     Sketches.kmvOverlapOnSketches(
-      readMinhashes(spark, storeDir, k)
+      // persisted for the same reason as Sketches.kmvOverlap: the
+      // maxSegments guard count plus BOTH pair-join sides read this
+      // frame — without the persist the store scan + window-rank +
+      // collect runs three times (the frame is days × ≤ k longs)
+      scope.persisted(readMinhashes(spark, storeDir, k)
         .groupBy(col("day").as("seg"))
         // bounded: ≤ k rows per day by construction; sort_array makes the
         // collect order-independent (the repo's oracle discipline)
-        .agg(sort_array(collect_set(col("hv"))).as("__mins")), k)
+        .agg(sort_array(collect_set(col("hv"))).as("__mins"))), k)
 
   /** Fold every batch STRICTLY BELOW the newest id present into ≤ k base
     * rows per day (`batch_id = -1`). Idempotent; committed-only, so the
