@@ -173,7 +173,8 @@ object Bench {
     val calibEvery = math.max(1, selected.size / 5) // ~4 interior probes per rep round
     // start at the threshold so the FIRST interior probe fires immediately
     // before the first timed query — the series then brackets the suite
-    // START (the v4 spread rule's start sample; see the verdict comment)
+    // START (the start-bracketed series the v5 rise-over-running-min rule
+    // walks; see the verdict comment)
     var sinceCalib = calibEvery
     // REP-MAJOR interleaving: run rep round 1 of ALL queries, then round 2,
     // then round 3 — not 3 back-to-back reps per query. A sustained host
