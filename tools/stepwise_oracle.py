@@ -38,15 +38,29 @@ _spec.loader.exec_module(check_oracle)
 TABLES = check_oracle.TABLES
 
 
+class MonolithicRequired(Exception):
+    """The statement cannot be materialized stage-by-stage (recursive CTE,
+    CTE column list) — the caller must execute it as ONE statement, which
+    is always semantically safe; stepwise is only a spill optimization."""
+
+
 def split_with_chain(sql):
     """Split `WITH a AS (...), b AS (...) SELECT ...` into
     ([(name, body), ...], final_select). Returns ([], sql) when the
     statement has no top-level WITH. Tracks paren depth AND single-quoted
     string literals (a quoted ')' or ',' must not move the depth/split).
-    Every returned body and the final select are verbatim substrings."""
+    Every returned body and the final select are verbatim substrings.
+
+    Raises MonolithicRequired for shapes a CREATE-TABLE-per-stage walk
+    cannot express: `WITH RECURSIVE` (the first "stage" would parse as a
+    table named RECURSIVE and the self-reference cannot be a plain CTAS)
+    and CTE column lists like `reach(id, r) AS (...)` (the column-list
+    close-paren returns the walker to depth 0 mid-definition)."""
     s = sql.lstrip()
     if not s.upper().startswith("WITH "):
         return [], sql
+    if s[5:].lstrip().upper().startswith("RECURSIVE"):
+        raise MonolithicRequired("WITH RECURSIVE")
     defs_src = s[5:]
     # walk: collect top-level comma offsets until a segment stops looking
     # like `name AS (` — everything from there is the final statement
@@ -72,6 +86,11 @@ def split_with_chain(sql):
                     j += 1
                 seg = defs_src[start:i + 1]
                 name = seg.strip().split()[0]
+                if "(" in name:
+                    # `reach(id, r) AS (...)`: the column-list paren closed
+                    # at depth 0 and this "body" is the column list itself
+                    raise MonolithicRequired(
+                        f"CTE column list on {name.split('(')[0]!r}")
                 body = seg[seg.index("(") + 1:seg.rindex(")")]
                 stages.append((name, body))
                 if j < len(defs_src) and defs_src[j] == ",":
@@ -110,6 +129,39 @@ def selftest():
     except ValueError:
         pass
     check_no_collision([("hourly", "SELECT 1")])
+    # WITH RECURSIVE must refuse to split (the first stage would parse as
+    # a table named RECURSIVE), not mangle — r17 ADVICE case
+    for bad in (
+        "WITH RECURSIVE reach AS (SELECT 1 AS id UNION ALL "
+        "SELECT id + 1 FROM reach WHERE id < 3) SELECT * FROM reach",
+        "with recursive x as (select 1) select * from x",
+        # CTE column list: the list's close-paren hits depth 0 mid-def
+        "WITH reach(id, r) AS (SELECT 1, 2) SELECT * FROM reach",
+    ):
+        try:
+            split_with_chain(bad)
+            raise AssertionError(f"must require monolithic: {bad[:40]}")
+        except MonolithicRequired:
+            pass
+    # end-to-end: run_query falls back monolithically and returns the
+    # right rows + an explicit mode note (never a FAIL on a green engine)
+    import duckdb
+    con = duckdb.connect()
+    df, mode = run_query(con, (
+        "WITH RECURSIVE reach(id) AS (SELECT 1 UNION ALL "
+        "SELECT id + 1 FROM reach WHERE id < 4) "
+        "SELECT id FROM reach ORDER BY id"))
+    assert list(df["id"]) == [1, 2, 3, 4], df
+    assert mode.startswith("monolithic"), mode
+    df2, mode2 = run_query(con, "SELECT 7 AS x")
+    assert list(df2["x"]) == [7] and mode2 == "stepwise"
+    # a splittable chain still splits (CREATE TABLE per stage)
+    df3, mode3 = run_query(con, (
+        "WITH a AS (SELECT 3 AS x), b AS (SELECT x + 1 AS y FROM a) "
+        "SELECT y FROM b"))
+    assert list(df3["y"]) == [4] and mode3 == "stepwise"
+    assert con.sql("SELECT count(*) FROM a").fetchone()[0] == 1
+    con.close()
     print("selftest OK")
     return 0
 
@@ -128,12 +180,19 @@ def check_no_collision(stages):
 
 
 def run_query(con, sql):
-    """Execute one oracle statement stepwise; returns the final DataFrame."""
-    stages, final = split_with_chain(sql)
-    check_no_collision(stages)
+    """Execute one oracle statement, stepwise when splittable; returns
+    (DataFrame, mode_note). Recursive CTEs, CTE column lists, and CTE
+    names that shadow base tables fall back to executing the declared
+    statement MONOLITHICALLY — semantically always safe (stepwise exists
+    only to sidestep DuckDB's CTE re-inlining spill), and never a FAIL."""
+    try:
+        stages, final = split_with_chain(sql)
+        check_no_collision(stages)
+    except (MonolithicRequired, ValueError) as e:
+        return con.sql(sql).df(), f"monolithic — {e}"
     for name, body in stages:
         con.sql(f'CREATE TABLE "{name}" AS {body}')
-    return con.sql(final).df()
+    return con.sql(final).df(), "stepwise"
 
 
 def main(argv):
@@ -171,7 +230,7 @@ def main(argv):
             pat = f"{path}/*.parquet" if os.path.isdir(path) else path
             con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{pat}'")
         try:
-            odf = run_query(con, sql)
+            odf, mode = run_query(con, sql)
             edf = duckdb.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             a = check_oracle.canonize(edf)
@@ -185,7 +244,7 @@ def main(argv):
                       f"differ")
                 failures += 1
             else:
-                print(f"OK   {name}: {len(edf)} rows (stepwise)")
+                print(f"OK   {name}: {len(edf)} rows ({mode})")
         except Exception as e:  # pragma: no cover - surfaced per query
             print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
             failures += 1
