@@ -32,7 +32,13 @@ import org.apache.spark.sql.SparkSession
   * interior series + post (`spread_rule` "rise-over-running-min/v5" —
   * stamped in the artifact so cross-round tooling never silently
   * compares across a rule change), the one-number verdict (~1 quiet,
-  * ≫1 loaded), surfaced as `"tainted": true` whenever it exceeds 2.
+  * ≫1 loaded), surfaced as `"tainted": true` whenever it exceeds 2 —
+  * v6 adds a HEAVY probe series (a ~1 s multi-stage shuffle query at
+  * half the light cadence, own rise spread, either taints) because a
+  * cached single-stage floor is blind to sustained whole-run
+  * contention that slows only parallel shuffle work, and a same-HEAD
+  * `drift_vs_record`/`suspect_vs_record` stamp against the committed
+  * BENCH_full.json (> 1.25× on the intersection ⇒ rerun before use);
   * Rises, not max/min: quiet runs produce monotone warm decay (never
   * rises ⇒ can never flag, whatever its amplitude — at small scale it
   * exceeds 2× and mis-flagged quiet runs under every max/min variant)
@@ -117,10 +123,10 @@ object Bench {
     // the series can hold several -1.0 samples and the artifact must say
     // which probe produced which failure, not just the last one
     var calibSeq = 0
-    def calibrate(): Double = {
-      val key = s"calibration_$calibSeq"; calibSeq += 1
+    def probe(queryName: String, prefix: String): Double = {
+      val key = s"${prefix}_$calibSeq"; calibSeq += 1
       try {
-        val fn = SparkEntry.queries("q1_agg")
+        val fn = SparkEntry.queries(queryName)
         val t0 = System.nanoTime()
         val res = engine.Watchdog.run(spark, key,
           sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "900").toLong) {
@@ -128,6 +134,7 @@ object Bench {
         }
         val sec = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        engine.CacheScope.releaseAll()
         res match {
           case Right(_) => sec
           case Left(reason) => errors(key) = reason; -1.0
@@ -138,8 +145,28 @@ object Bench {
         -1.0
       }
     }
+    def calibrate(): Double = probe("q1_agg", "calibration")
+    // HEAVY calibration probe (v6, closing the r17 sustained-contention
+    // blind spot): q1_agg's ~0.2 s cached floor stayed quiet (0.218)
+    // through a round-final run whose 32-way-parallel suite read 30%
+    // slow — sustained whole-run contention moves the resource the SUITE
+    // contends on (shuffle + multi-stage CPU), which a single-stage
+    // cached scan barely touches. pmi_bigrams (~1 s quiet at sf0.1,
+    // explode + two shuffled aggregations over documents) is sized to
+    // feel that load; its own rise-over-running-min spread taints the
+    // run exactly like the light probe's. Cadence: every SECOND light
+    // probe point (+ warm/settle/post), ~8 × 1 s per full run — the
+    // round-17 blind spot mislabeled a 97.5 s artifact against a 73.9 s
+    // same-HEAD record, so the ~10 s instrument cost buys back trust in
+    // every total.
+    val HeavyProbeQuery = "pmi_bigrams"
+    def calibrateHeavy(): Double = probe(HeavyProbeQuery, "calibration_heavy")
     guard("calibration_warm") {
       SparkEntry.queries("q1_agg")(spark, sfDir).count(); spark.catalog.clearCache()
+    }
+    guard("calibration_heavy_warm") {
+      SparkEntry.queries(HeavyProbeQuery)(spark, sfDir).count()
+      spark.catalog.clearCache(); engine.CacheScope.releaseAll()
     }
     // SETTLE probe (recorded, excluded from the spread): the first timed
     // probe after warm_gold systematically reads 1.5-3× the suite-interior
@@ -153,11 +180,14 @@ object Bench {
     // value rides in the artifact so nothing is hidden.
     val calibSettle = calibrate()
     val calibPre = calibrate()
+    val heavySettle = calibrateHeavy()
+    val heavyPre = calibrateHeavy()
     // mid-suite probes: host contention arrives in PULSES (a query can read
     // 3× slow while pre/post calibration both look normal) — re-time the
     // fixed probe every `calibEvery` queries so the artifact carries a
     // contention time SERIES, not just endpoints
     val calibSeries = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val heavySeries = scala.collection.mutable.ArrayBuffer.empty[Double]
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 runs just those queries — the targeted
     // profiling loop; the driver never sets it, so round numbers are whole
@@ -198,6 +228,9 @@ object Bench {
           if (sinceCalib >= calibEvery && selected.size > 5) {
             sinceCalib = 0
             calibSeries += calibrate()
+            // heavy probe every SECOND light point: the suite-shaped
+            // load sensor, at half the cadence to bound instrument cost
+            if (calibSeries.size % 2 == 1) heavySeries += calibrateHeavy()
           }
           val t0 = System.nanoTime()
           try {
@@ -217,6 +250,7 @@ object Bench {
     }
     val results = times.map { case (n, ts) => n -> ts.toSeq }
     val calibPost = calibrate()
+    val heavyPost = calibrateHeavy()
     // one-number contention verdict: the largest RISE of any probe over
     // the running minimum of all EARLIER probes, walked over the
     // start-bracketed interior series + post (`spread_rule`
@@ -247,21 +281,40 @@ object Bench {
     //   v3/v4 (r17, experiments): pre re-included post-settle, then
     //        start-bracketed max/min — both re-flagged quiet small-scale
     //        runs on warm decay (measured, see SCALING.md);
-    //   v5 (r17+):  rise-over-running-min on the start-bracketed series.
+    //   v5 (r17+):  rise-over-running-min on the start-bracketed series;
+    //   v6 (r18+):  v5 PLUS a heavy probe series (pmi_bigrams, every 2nd
+    //        light point) with its own rise spread — round 17 produced a
+    //        97.5 s "untainted" run against a 73.9 s same-HEAD record:
+    //        SUSTAINED whole-run contention slowed the 32-way-parallel
+    //        suite ~30% while the light probe's cached single-stage floor
+    //        (0.218 s) never moved; a suite-shaped probe feels that load.
+    //        Either spread > 2 taints. v6 also stamps drift vs the
+    //        committed BENCH_full.json record (same sf, untainted) —
+    //        `suspect_vs_record` > 1.25× means rerun before treating the
+    //        totals as regression evidence even if both spreads look
+    //        quiet (contention present from the first sample onward that
+    //        never fades is invisible to ANY rise rule; the record is).
     // Targeted SPARK_GRAFT_BENCH_ONLY runs of ≤5 queries suppress the
     // interior probes; pre→post is the fallback pair there (a rise from
     // the settled pre to post is the same contention signal).
     val calibAll = ((if (calibSeries.isEmpty) Seq(calibPre)
                      else calibSeries.toSeq) :+ calibPost).filter(_ > 0)
     val calibSpread = riseSpread(calibAll)
+    // same walk discipline as the light series: pre is recorded but
+    // EXCLUDED when an interior series exists (the start-bracketed first
+    // interior sample covers the suite start; a lucky low pre draw must
+    // not become the running min the interior wobble rises against)
+    val heavyAll = ((if (heavySeries.isEmpty) Seq(heavyPre)
+                     else heavySeries.toSeq) :+ heavyPost).filter(_ > 0)
+    val heavySpread = riseSpread(heavyAll)
     val spreadRule =
-      if (calibSeries.isEmpty) "rise-pre-post/v5-targeted"
-      else "rise-over-running-min/v5"
+      if (calibSeries.isEmpty) "rise-pre-post/v6-heavy-targeted"
+      else "rise-over-running-min/v6-heavy"
     // self-labeling artifact: spread > 2 means the SAME warmed plan varied
     // 2×+ across the suite — the box was loaded and the totals can't be
     // trusted as regression evidence. The flag lives IN the JSON so a later
     // reader doesn't have to re-derive the verdict from the series.
-    val tainted = calibSpread > 2.0
+    val tainted = calibSpread > 2.0 || heavySpread > 2.0
     def jstr(s: String): String =
       "\"" + s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString } + "\""
@@ -272,6 +325,55 @@ object Bench {
         .mkString(""","errors":{""", ",", "}")
     val mins = results.map { case (n, ts) => n -> (if (ts.nonEmpty) ts.min else -1.0) }
     val total = mins.values.filter(_ >= 0).sum
+    // v6 same-HEAD drift stamp (COVERAGE.md record rule, made automatic):
+    // compare this run's per-query minima against the COMMITTED
+    // BENCH_full.json (`git show HEAD:...`), set-aware over the query-name
+    // intersection, only when the record is untainted and at the same sf.
+    // A full-run total > 1.25× the committed record is `suspect_vs_record`
+    // — rerun before treating it as regression evidence, even if both
+    // probe spreads read quiet (round 17: a 97.5 s run self-labeled
+    // untainted against a 73.9 s same-HEAD record). Targeted runs skip
+    // the stamp; any git/parse failure just omits the fields.
+    val drift: Option[(Int, Double, Double)] =
+      if (only.nonEmpty) None
+      else try {
+        import scala.sys.process._
+        val buf = new StringBuilder
+        val rc = Seq("git", "show", "HEAD:BENCH_full.json")
+          .!(ProcessLogger(l => { buf.append(l).append('\n'); () }, _ => ()))
+        if (rc != 0) None else {
+          val om = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = om.readTree(buf.toString)
+          if (root.path("tainted").asBoolean(true) ||
+              root.path("sf").asText("") != sfDir) None
+          else {
+            val rq = scala.collection.mutable.Map.empty[String, Double]
+            val it = root.path("queries").fields()
+            while (it.hasNext) {
+              val e = it.next()
+              val m = e.getValue.path("min").asDouble(-1.0)
+              if (m >= 0) rq(e.getKey) = m
+            }
+            val common = rq.keySet.toSet
+              .intersect(mins.filter(_._2 >= 0).keySet.toSet)
+            if (common.size < math.max(5, mins.size / 2)) None
+            else {
+              val rec = common.toSeq.map(rq).sum
+              val cur = common.toSeq.map(mins).sum
+              if (rec <= 0) None else Some((common.size, rec, cur))
+            }
+          }
+        }
+      } catch { case _: Throwable => None }
+    val driftJson = drift match {
+      case Some((n, rec, cur)) =>
+        s""","drift_common":$n,"record_total_common":${num(rec)},"current_total_common":${num(cur)},"drift_vs_record":${num(cur / rec)},"suspect_vs_record":${cur / rec > 1.25}"""
+      case None => ""
+    }
+    val heavyJson = {
+      val hs = heavySeries.map(num).mkString("[", ",", "]")
+      s""","heavy_probe":${jstr(HeavyProbeQuery)},"calib_heavy_settle_sec":${num(heavySettle)},"calib_heavy_pre_sec":${num(heavyPre)},"calib_heavy_post_sec":${num(heavyPost)},"calib_heavy_series":$hs,"calib_heavy_spread":${num(heavySpread)}"""
+    }
     // the full per-query record — every query, min AND median AND the raw
     // rep vector — goes to BENCH_full.json next to the repo, immune to the
     // driver's 2000-char tail budget; the printed line stays the driver's
@@ -283,7 +385,7 @@ object Bench {
             s"\"reps\":[${ts.map(num).mkString(",")}]}"
         }.mkString("{", ",", "}")
       val series = calibSeries.map(num).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_settle_sec":${num(calibSettle)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"spread_rule":"$spreadRule","tainted":$tainted,"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_settle_sec":${num(calibSettle)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)}$heavyJson$driftJson,"spread_rule":"$spreadRule","tainted":$tainted,"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
     }
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_full.json"),
@@ -299,7 +401,7 @@ object Bench {
       val qs = qMap.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val series = calibSeries.map(num).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_settle_sec":${num(calibSettle)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)},"spread_rule":"$spreadRule","tainted":$tainted,"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_settle_sec":${num(calibSettle)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)}$heavyJson$driftJson,"spread_rule":"$spreadRule","tainted":$tainted,"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
     }
     val bySlowest = mins.toSeq.sortBy(-_._2)
     val budget = 1750 // leaves headroom for sbt's [success] trailer in the 2000-char tail

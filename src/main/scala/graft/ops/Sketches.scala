@@ -794,25 +794,43 @@ object Sketches {
     * (days / cohorts / shards: hundreds to a few thousand segments), it
     * silently becomes the cost center at, say, 10⁵ user-grain segments
     * (5·10⁹ pairs, a multi-GB broadcast). Rather than degrade silently,
-    * the guard counts segments (one extra pass over the TINY sketch
-    * aggregate — the event scan is not repeated; [[kmvOverlap]] persists
-    * the sketch table so even that pass is served from cache) and fails
-    * loudly above the cap. Pass `maxSegments = 0` to disable when the
-    * quadratic cost is understood, or pre-bucket segments coarser.
+    * the guard fails loudly above the cap — INSIDE the plan, not as a
+    * separate action: the broadcast (pair-build) side carries a 1-row
+    * segment-count aggregate cross-joined in, and a FILTER on that side
+    * raises above the cap, so the error fires while the broadcast side
+    * MATERIALIZES — before a single quadratic pair is streamed — and
+    * construction stays LAZY. Cost at any scale ≈ one reduce stage over
+    * S rows: the count aggregate deliberately references `__mins` so its
+    * subtree stays canonically identical to the sketch build and Spark's
+    * ReuseExchange serves it from the SAME shuffle as both pair sides
+    * (adaptive final plan verified: one FileScan, two ReusedExchange).
+    * History: the r17 guard ran `limit(cap+1).count()` as an extra eager
+    * action plus a persist whose cache round-trip cost more than the
+    * reused exchange it replaced — measured ~2.4× on 15-rep probes,
+    * adjudicated and replaced round 18 (probes/r18/, SCALING.md). Pass
+    * `maxSegments = 0` to disable when the quadratic cost is understood,
+    * or pre-bucket segments coarser.
     */
   val DefaultMaxKmvSegments: Int = 4096 // ≈ 8.4M broadcast pairs — the ceiling of "pair stage stays trivial next to the sketch build"
 
+  /** NOTE on sharing: the sketch table feeds three consumers (both
+    * pair-join sides and the in-plan guard count), but it is NOT
+    * persisted — all three subtrees are canonically identical above the
+    * sketch build's shuffle, so Spark's ReuseExchange serves them from
+    * ONE events scan within the single action (r18 adjudication: the
+    * r17 persist's cache round-trip cost ~0.3 s fixed on a 0.4 s query
+    * while buying nothing the reused exchange didn't already provide —
+    * probes/r18/, SCALING.md). Construction is lazy: no Spark job runs
+    * until the returned frame is acted on (the guard is in-plan). A
+    * caller who materializes the result more than once should persist
+    * the RESULT (S²/2 small rows), not the input.
+    */
   def kmvOverlap(df: DataFrame, segCol: String, valueCol: String,
-                 k: Int, maxSegments: Int = DefaultMaxKmvSegments,
-                 scope: graft.engine.CacheScope = graft.engine.CacheScope.global): DataFrame =
+                 k: Int, maxSegments: Int = DefaultMaxKmvSegments): DataFrame =
     kmvOverlapOnSketches(
-      // persisted: BOTH pair-join sides and the guard count read the
-      // sketch table — without the persist the events scan+agg runs
-      // three times (the sketch table is S × ≤k longs, cache-trivial)
-      scope.persisted(
-        df.filter(col(segCol).isNotNull && col(valueCol).isNotNull)
-          .select(col(segCol).as("seg"), kmvHash(col(valueCol)).as("__hv"))
-          .groupBy("seg").agg(kmvSketch(k)(col("__hv")).as("__mins"))),
+      df.filter(col(segCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(segCol).as("seg"), kmvHash(col(valueCol)).as("__hv"))
+        .groupBy("seg").agg(kmvSketch(k)(col("__hv")).as("__mins")),
       k, maxSegments)
 
   /** The pair half of [[kmvOverlap]], over an ALREADY-BUILT sketch table
@@ -823,18 +841,45 @@ object Sketches {
     */
   def kmvOverlapOnSketches(sk: DataFrame, k: Int,
                            maxSegments: Int = DefaultMaxKmvSegments): DataFrame = {
-    if (maxSegments > 0) {
-      // limit(cap+1) short-circuits the count: the guard never pays more
-      // than the cap in rows, however large the sketch table is
-      val s = sk.limit(maxSegments + 1).count()
-      require(s <= maxSegments,
-        s"kmvOverlap: at least $s segments exceed maxSegments=$maxSegments " +
-          s"— the pair stage grows S²/2 broadcast pairs and would stop " +
-          s"being trivial next to the sketch build; pre-bucket segments " +
-          s"coarser or pass maxSegments=0 with the quadratic cost understood")
-    }
     val a = sk.select(col("seg").as("seg_a"), col("__mins").as("__ma"))
-    val b = sk.select(col("seg").as("seg_b"), col("__mins").as("__mb"))
+    val b0 = sk.select(col("seg").as("seg_b"), col("__mins").as("__mb"))
+    // the guard lives INSIDE the broadcast side's plan as a FILTER (not a
+    // separate count action — see the BOUND note on [[kmvOverlap]]): a
+    // 1-row segment count is cross-joined in and every broadcast row must
+    // pass `__s ≤ cap` or raise. A filter condition survives column
+    // pruning (a guard on `__mb`'s VALUE path did not — `.count()` prunes
+    // every output column and silently skipped it), it fires while the
+    // broadcast side MATERIALIZES — before any of the S²/2 pairs
+    // stream — and the whole operator stays ONE lazy action. The count
+    // aggregate also takes `max(size(__mins))` — consumed trivially by
+    // the filter — PRECISELY so column pruning cannot strip `__mins`
+    // from its subtree: pruned, the count re-plans as a separate
+    // distinct-seg scan of the base data; unpruned, it is canonically
+    // identical to the sketch build and ReuseExchange serves it from the
+    // same shuffle (one base scan per action, verified on the adaptive
+    // final plan). The otherwise-branch coalesces the raise to FALSE so
+    // even an optimizer that somehow skipped the raise would drop every
+    // row loudly rather than run the quadratic stage.
+    val b = if (maxSegments <= 0) b0 else {
+      val cnt = sk.agg(count(lit(1)).as("__s"),
+        max(size(col("__mins"))).as("__msz"))
+      b0.crossJoin(broadcast(cnt))
+        // `__msz ≥ -1` is vacuously true for every size() convention
+        // (null coalesces to 0; the legacy flag's null marker is -1) —
+        // its only job is referencing __msz so the pruner keeps it
+        .filter(when(col("__s") <= maxSegments &&
+            coalesce(col("__msz"), lit(0)) >= -1, lit(true))
+          .otherwise(coalesce(
+            raise_error(concat(
+              col("__s").cast("string"),
+              lit(s" segments exceed maxSegments=$maxSegments — the pair " +
+                s"stage grows S²/2 broadcast pairs and would stop being " +
+                s"trivial next to the sketch build; pre-bucket segments " +
+                s"coarser or pass maxSegments=0 with the quadratic cost " +
+                s"understood"))).cast("boolean"),
+            lit(false))))
+        .select(col("seg_b"), col("__mb"))
+    }
     // one sketch row per segment: broadcast forces BroadcastNestedLoopJoin
     // for the non-equi pair condition (never a CartesianProduct)
     a.join(broadcast(b), col("seg_a") < col("seg_b"))

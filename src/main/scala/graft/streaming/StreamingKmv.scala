@@ -101,9 +101,9 @@ object StreamingKmv {
               scope: graft.engine.CacheScope = graft.engine.CacheScope.global): DataFrame =
     Sketches.kmvOverlapOnSketches(
       // persisted for the same reason as Sketches.kmvOverlap: the
-      // maxSegments guard count plus BOTH pair-join sides read this
-      // frame — without the persist the store scan + window-rank +
-      // collect runs three times (the frame is days × ≤ k longs)
+      // in-plan maxSegments guard's count subtree plus BOTH pair-join
+      // sides read this frame — without the persist the store scan +
+      // window-rank + collect runs three times (days × ≤ k longs)
       scope.persisted(readMinhashes(spark, storeDir, k)
         .groupBy(col("day").as("seg"))
         // bounded: ≤ k rows per day by construction; sort_array makes the
