@@ -387,11 +387,17 @@ object Bench {
       val series = calibSeries.map(num).mkString("[", ",", "]")
       s"""{"metric":"total","value":${num(total)},"unit":"sec","gold_build_sec":${num(goldSec)},"calib_settle_sec":${num(calibSettle)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)}$heavyJson$driftJson,"spread_rule":"$spreadRule","tainted":$tainted,"reps":$reps$errJson,"sf":"$sfDir","queries":$qs}"""
     }
+    // targeted (SPARK_GRAFT_BENCH_ONLY) runs write BENCH_targeted.json:
+    // BENCH_full.json is the committed full-suite RECORD the drift stamp
+    // and the COVERAGE.md record rule anchor on, and a probe run in the
+    // repo cwd used to silently displace it (it happened twice in round
+    // 18 alone before this guard)
+    val fullPath = if (only.isEmpty) "BENCH_full.json" else "BENCH_targeted.json"
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_full.json"),
+      java.nio.file.Paths.get(fullPath),
       (fullJson + "\n").getBytes("UTF-8"))
     catch { case e: java.io.IOException =>
-      System.err.println(s"[bench] could not write BENCH_full.json: $e") }
+      System.err.println(s"[bench] could not write $fullPath: $e") }
     // The driver captures only the last ~2000 chars of output and parses the
     // JSON line out of that window; round 5's full per-query map outgrew it
     // and the round lost its headline number. Emit the line at a budget: all
@@ -401,7 +407,7 @@ object Bench {
       val qs = qMap.map { case (k, v) => s"${jstr(k)}:${num(v)}" }.mkString("{", ",", "}")
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val series = calibSeries.map(num).mkString("[", ",", "]")
-      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_settle_sec":${num(calibSettle)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)}$heavyJson$driftJson,"spread_rule":"$spreadRule","tainted":$tainted,"full":"BENCH_full.json","reps":$reps$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs$om,"gold_build_sec":${num(goldSec)},"calib_settle_sec":${num(calibSettle)},"calib_pre_sec":${num(calibPre)},"calib_post_sec":${num(calibPost)},"calib_series":$series,"calib_spread":${num(calibSpread)}$heavyJson$driftJson,"spread_rule":"$spreadRule","tainted":$tainted,"full":"$fullPath","reps":$reps$errJson,"sf":"$sfDir"}"""
     }
     val bySlowest = mins.toSeq.sortBy(-_._2)
     val budget = 1750 // leaves headroom for sbt's [success] trailer in the 2000-char tail

@@ -101,8 +101,8 @@ object StreamBench {
     // unset). Names are validated against the known op set up front: a
     // typo or an empty value would otherwise run ZERO probes and exit 0 —
     // a vacuously green gate that measured nothing.
-    val knownOps = Set("neardup", "neardup_fast", "scrub", "comove",
-      "clusters", "kmv")
+    val knownOps = Set("neardup", "neardup_fast", "neardup_part", "scrub",
+      "comove", "clusters", "kmv")
     val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { s =>
@@ -175,6 +175,43 @@ object StreamBench {
         val q = StreamingNearDup.nearDupStream(
           mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
           store, out, tmp("sb-ndf-cp"), compactEvery = 0, fast = true)
+        try {
+          def batch(r: Int): Seq[(Long, String)] =
+            (0 until 500).map(i => (r * 1000L + i, docText(r * 1000L + i)))
+          timeBatch(mem, q, batch(0)) // warm
+          (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
+        } finally q.stop()
+      }
+      (ndScales, ndScales.map(_ * 10000L), times)
+    }
+
+    // ---- neardup_part: production path + band-PARTITIONED store --------
+    // SCALING.md's r16/r17 neardup adjudications both end with "at
+    // deployment scale the store would additionally be partitioned by
+    // band, which the ladder deliberately does not assume" — an argued
+    // sentence, never a number. This ladder is identical to neardup_fast
+    // except the store is laid out partitionBy(band) (seed included) and
+    // the standing read is the pruned O(bands) listing. sec[i] here vs
+    // neardup_fast's IS the layout's measured effect. Expectation stated
+    // up front: every batch carries all bands, so the layout prunes no
+    // DATA — any delta is listing cost + per-band file clustering.
+    if (wanted("neardup_part")) results("neardup_part") = {
+      val ndScales = Seq(1, 10, 100, 1000)
+      val times = ndScales.map { scale =>
+        val store = tmp("sb-ndp-store"); val out = tmp("sb-ndp-out")
+        val n = 10000L * scale
+        // seed rows identical to neardup_fast's, written PARTITIONED
+        StandingStore.append(
+          spark.range(0L, n, 1L, 8).select(
+            (col("id") + 1000000000L).as("doc_id"),
+            pmod(col("id"), lit(4)).cast("int").as("band"),
+            xxhash64(lit("seed"), col("id")).as("bucket")),
+          store, Seq("band"))
+        val mem = MemoryStream[(Long, String)]
+        val q = StreamingNearDup.nearDupStream(
+          mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+          store, out, tmp("sb-ndp-cp"), compactEvery = 0, fast = true,
+          bandPartitionedStore = true)
         try {
           def batch(r: Int): Seq[(Long, String)] =
             (0 until 500).map(i => (r * 1000L + i, docText(r * 1000L + i)))

@@ -45,11 +45,26 @@ object StreamingNearDup {
     * measure. A store written by one path is not probe-compatible with
     * the other (string vs long buckets) — pick per deployment, audit path
     * only where DuckDB re-derivation is required.
+    *
+    * `bandPartitionedStore = true` lays the store out `partitionBy(band)`
+    * — the deployment layout SCALING.md's r16/r17 neardup adjudications
+    * assumed but never measured (StreamBench's `neardup_part` ladder now
+    * does). Band values are statically known (`0 until k/rowsPerBand`),
+    * so the standing read lists ONLY those partition dirs
+    * ([[StandingStore.readPartitions]] — O(bands), not O(store files));
+    * compaction preserves the layout. NOTE on honesty of the claim: every
+    * batch carries ALL bands, so band partitioning prunes no DATA — what
+    * it buys is a bounded listing, per-band file clustering, and the
+    * layout a real deployment would shard maintenance by. Like `fast`,
+    * the layout is fixed per store: flat history is still READ correctly
+    * (the pruned read falls back on legacy flat files) but appends do not
+    * migrate it — pick at stream creation.
     */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
                     storeDir: String, outDir: String, checkpointDir: String,
                     k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
-                    compactEvery: Int = 8, fast: Boolean = false): StreamingQuery =
+                    compactEvery: Int = 8, fast: Boolean = false,
+                    bandPartitionedStore: Boolean = false): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -79,7 +94,12 @@ object StreamingNearDup {
             // (band, bucket) every micro-batch — the failure mode scrub
             // actually had.
             val probeKeys = sigs.select("band", "bucket").distinct()
-            val standing = readStore(spark, storeDir, sigs.schema)
+            val standing0 =
+              if (bandPartitionedStore)
+                StandingStore.readPartitions(spark, storeDir, sigs.schema,
+                  "band", 0 until (k / rowsPerBand))
+              else readStore(spark, storeDir, sigs.schema)
+            val standing = standing0
               .join(broadcast(probeKeys), Seq("band", "bucket"), "left_semi")
             val pairs = Dedup.incrementalLshPairs(sigs, standing)
             // each pair, seen from both ends: doc d vs its partner
@@ -105,10 +125,12 @@ object StreamingNearDup {
               val keptIds = out.filter(!col("dup_candidate"))
                 .select(col(idCol).as("doc_id"))
               StandingStore.append(
-                sigs.join(keptIds, Seq("doc_id"), "left_semi"), storeDir)
+                sigs.join(keptIds, Seq("doc_id"), "left_semi"), storeDir,
+                if (bandPartitionedStore) Seq("band") else Nil)
             } finally out.unpersist(blocking = false)
             if (StandingStore.due(batchId, compactEvery))
-              StandingStore.compact(spark, storeDir, sigs.schema)
+              StandingStore.compact(spark, storeDir, sigs.schema,
+                if (bandPartitionedStore) Seq("band") else Nil)
           } finally sigs.unpersist(blocking = false)
         }
         ()

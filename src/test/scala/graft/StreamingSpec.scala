@@ -401,6 +401,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup band-partitioned store: same flags as flat, partitioned layout, pruned read, compaction preserves layout") {
+    // bandPartitionedStore=true must change ONLY the store layout: same
+    // keep-first flags, same kept-signature ROWS (modulo file layout).
+    // compactEvery=1 forces a compaction after every batch so the
+    // partition-preserving rewrite is exercised, not just the append.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def run(partitioned: Boolean): (Map[Long, Boolean], Set[(Long, Int, Long)], String) = {
+      val in = MemoryStream[(Long, String)]
+      val root = java.nio.file.Files.createTempDirectory(
+        s"graft-neardup-bp-$partitioned").toString
+      val (store, out, cp) = (root + "/store", root + "/out", root + "/cp")
+      val q = graft.streaming.StreamingNearDup.nearDupStream(
+        in.toDF.toDF("doc_id", "text"), "doc_id", "text", store, out, cp,
+        compactEvery = 1, fast = true, bandPartitionedStore = partitioned)
+      try {
+        in.addData((1L, "alpha beta gamma delta epsilon zeta eta"),
+          (2L, "completely different words about ships in the harbor tonight"))
+        q.processAllAvailable()
+        in.addData(
+          (3L, "alpha beta gamma delta epsilon zeta eta"), // verbatim doc 1
+          (4L, "an entirely fresh subject with nothing shared anywhere here"))
+        q.processAllAvailable()
+        val flags = spark.read.parquet(out)
+          .select("doc_id", "dup_candidate").as[(Long, Boolean)].collect().toMap
+        val rows = spark.read.parquet(store)
+          .select("doc_id", "band", "bucket").as[(Long, Int, Long)]
+          .collect().toSet
+        (flags, rows, store)
+      } finally q.stop()
+    }
+    val (flatFlags, flatRows, _) = run(partitioned = false)
+    val (partFlags, partRows, partStore) = run(partitioned = true)
+    assert(partFlags === flatFlags, "layout must not change decisions")
+    assert(partRows === flatRows, "layout must not change store content")
+    // layout proof: hive-style band=N dirs survive append AND compaction
+    val dirs = new java.io.File(partStore).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("band=")).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.matches("band=\\d+")),
+      s"expected band=N partition dirs, got ${dirs.toSeq}")
+    // pruned-read equivalence against the plain read
+    val sigSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType)))
+    val pruned = graft.streaming.StandingStore.readPartitions(
+      spark, partStore, sigSchema, "band", 0 until 4)
+      .select("doc_id", "band", "bucket").as[(Long, Int, Long)].collect().toSet
+    assert(pruned === partRows, "pruned read must see the whole store")
+  }
+
   test("scrub store read survives an uncommitted _temporary-only store dir") {
     // a crash during the very first store write leaves storeDir existing
     // with no parquet footers; readStore must yield an empty frame with the

@@ -18,7 +18,20 @@ independent as the monolithic run; only the evaluation ORDER is pinned.
 
 Usage:
   python3 tools/stepwise_oracle.py <sfDir> <verifyOutDir> [--only q1,q2]
-      [--memory 40GB] [--selftest]
+      [--memory 40GB] [--slice cte=column:valuesTable ...] [--selftest]
+
+--slice (round 18, for the stress-leg volume wall): materialize the named
+CTE in VALUE SLICES instead of one statement — `CREATE ... WHERE 1=0`,
+then one `INSERT ... WHERE <column> = v` per distinct v of
+`SELECT DISTINCT <column> FROM <valuesTable>` (an EARLIER materialized
+stage), plus a final `<column> IS NULL` slice. DuckDB pushes the slice
+predicate into the body's joins, so the peak intermediate is one slice's,
+not the whole stage's. CONTRACT the caller asserts: <valuesTable> must be
+the stage the body reads <column> from (then the value list is exhaustive
+by construction and the slice union IS the body, verbatim body text,
+only evaluation order pinned — the same epistemic status as stepwise
+itself). Example, the six stress-leg graph oracles:
+  --slice pair_hours=dt:hourly
 
 Compares each query's stepwise-oracle frame against the engine's Verify
 parquet dump with check_oracle's own canonize/compare, prints OK/FAIL per
@@ -162,6 +175,25 @@ def selftest():
     assert list(df3["y"]) == [4] and mode3 == "stepwise"
     assert con.sql("SELECT count(*) FROM a").fetchone()[0] == 1
     con.close()
+    # --slice: per-value materialization of a named stage must equal the
+    # unsliced run (values exhaustive from the provenance stage, NULL
+    # slice included), with the mode note naming the slice count
+    con2 = duckdb.connect()
+    sliced_sql = (
+        "WITH src AS (SELECT * FROM (VALUES (1, 'a'), (1, 'b'), (2, 'c'), "
+        "(NULL, 'n')) t(d, v)), "
+        "pairs AS (SELECT x.d, x.v AS va, y.v AS vb FROM src x "
+        "JOIN src y ON x.d = y.d AND x.v < y.v "
+        "UNION ALL SELECT d, v, v FROM src WHERE d IS NULL) "
+        "SELECT d, va, vb FROM pairs ORDER BY d, va, vb")
+    plain, _ = run_query(con2, sliced_sql)
+    con2.close()
+    con3 = duckdb.connect()
+    slcd, smode = run_query(con3, sliced_sql,
+                            {"pairs": ("d", "src")})
+    con3.close()
+    assert plain.equals(slcd), (plain, slcd)
+    assert "pairs/2 d-slices" in smode, smode
     print("selftest OK")
     return 0
 
@@ -179,26 +211,44 @@ def check_no_collision(stages):
                 f"read — run this query monolithically")
 
 
-def run_query(con, sql):
+def run_query(con, sql, slices=None):
     """Execute one oracle statement, stepwise when splittable; returns
     (DataFrame, mode_note). Recursive CTEs, CTE column lists, and CTE
     names that shadow base tables fall back to executing the declared
     statement MONOLITHICALLY — semantically always safe (stepwise exists
-    only to sidestep DuckDB's CTE re-inlining spill), and never a FAIL."""
+    only to sidestep DuckDB's CTE re-inlining spill), and never a FAIL.
+    `slices` maps cte_name -> (column, values_table) — see the --slice
+    contract in the module doc."""
     try:
         stages, final = split_with_chain(sql)
         check_no_collision(stages)
     except (MonolithicRequired, ValueError) as e:
         return con.sql(sql).df(), f"monolithic — {e}"
+    sliced = []
     for name, body in stages:
-        con.sql(f'CREATE TABLE "{name}" AS {body}')
-    return con.sql(final).df(), "stepwise"
+        if slices and name in slices:
+            col, vtab = slices[name]
+            con.sql(f'CREATE TABLE "{name}" AS '
+                    f'SELECT * FROM ({body}) __t WHERE 1=0')
+            vals = [r[0] for r in con.sql(
+                f'SELECT DISTINCT "{col}" FROM "{vtab}" '
+                f'WHERE "{col}" IS NOT NULL ORDER BY 1').fetchall()]
+            for v in vals:
+                con.execute(f'INSERT INTO "{name}" SELECT * FROM ({body}) '
+                            f'__t WHERE __t."{col}" = ?', [v])
+            con.sql(f'INSERT INTO "{name}" SELECT * FROM ({body}) __t '
+                    f'WHERE __t."{col}" IS NULL')
+            sliced.append(f"{name}/{len(vals)} {col}-slices")
+        else:
+            con.sql(f'CREATE TABLE "{name}" AS {body}')
+    mode = "stepwise" if not sliced else "stepwise, " + ", ".join(sliced)
+    return con.sql(final).df(), mode
 
 
 def main(argv):
     if "--selftest" in argv:
         return selftest()
-    args, only, memory = [], None, "40GB"
+    args, only, memory, slices = [], None, "40GB", {}
     i = 0
     while i < len(argv):
         if argv[i] == "--only":
@@ -206,6 +256,12 @@ def main(argv):
             i += 2
         elif argv[i] == "--memory":
             memory = argv[i + 1]
+            i += 2
+        elif argv[i] == "--slice":
+            spec = argv[i + 1]
+            cte, rest = spec.split("=", 1)
+            colname, vtab = rest.split(":", 1)
+            slices[cte] = (colname, vtab)
             i += 2
         else:
             args.append(argv[i])
@@ -230,7 +286,7 @@ def main(argv):
             pat = f"{path}/*.parquet" if os.path.isdir(path) else path
             con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{pat}'")
         try:
-            odf, mode = run_query(con, sql)
+            odf, mode = run_query(con, sql, slices)
             edf = duckdb.sql(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
             a = check_oracle.canonize(edf)
