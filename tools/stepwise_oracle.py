@@ -18,7 +18,8 @@ independent as the monolithic run; only the evaluation ORDER is pinned.
 
 Usage:
   python3 tools/stepwise_oracle.py <sfDir> <verifyOutDir> [--only q1,q2]
-      [--memory 40GB] [--slice cte=column:valuesTable ...] [--selftest]
+      [--memory 40GB] [--slice cte=column:valuesTable ...] [--gc]
+      [--db path.duckdb] [--selftest]
 
 --slice (round 18, for the stress-leg volume wall): materialize the named
 CTE in VALUE SLICES instead of one statement — `CREATE ... WHERE 1=0`,
@@ -32,6 +33,32 @@ by construction and the slice union IS the body, verbatim body text,
 only evaluation order pinned — the same epistemic status as stepwise
 itself). Example, the six stress-leg graph oracles:
   --slice pair_hours=dt:hourly
+
+--gc (round 18, same wall): DROP a materialized stage as soon as no
+LATER stage body nor the final statement references it (word-boundary
+name match, conservative: a name inside a string literal still counts
+as a reference). Without it the peak footprint is the SUM of every
+stage in the chain; with it, the running maximum — on the stress-leg
+graph oracles that is the difference between pair_hours (~30 GB) +
+wed (~20 GB) coexisting and each being freed before the next giant
+lands. Purely an eviction-order change: every stage is still built
+from the verbatim body text before anything reads it.
+
+--db <path> (round 18): back the stage tables with a file database
+instead of :memory: — in-memory DuckDB cannot page BASE TABLES out
+under memory pressure (only operator intermediates spill), so a chain
+whose stage tables alone exceed the memory limit needs the file
+backing. The file is removed before connect so each run starts clean.
+
+Big-result compare (round 18): when the engine dump exceeds
+BIG_COMPARE_ROWS, the pandas canonize path (which stringifies every
+cell — ~60 GB of Python strings at 100M rows) is replaced by an exact
+SQL multiset compare run inside DuckDB: the final statement is
+materialized as a table and `engine EXCEPT ALL oracle` /
+`oracle EXCEPT ALL engine` must both be empty, columns selected in
+sorted-name order on both sides. This is STRICTER than the hash
+compare it stands in for (exact multiset equality, no hash at all)
+and streams/spills instead of materializing strings.
 
 Compares each query's stepwise-oracle frame against the engine's Verify
 parquet dump with check_oracle's own canonize/compare, prints OK/FAIL per
@@ -194,6 +221,62 @@ def selftest():
     con3.close()
     assert plain.equals(slcd), (plain, slcd)
     assert "pairs/2 d-slices" in smode, smode
+    # --gc: dead stages drop as the chain advances, result unchanged; a
+    # stage referenced only by the FINAL statement survives to the end
+    con4 = duckdb.connect()
+    gc_sql = (
+        "WITH big AS (SELECT range AS x FROM range(5)), "
+        "mid AS (SELECT x, x * 2 AS y FROM big), "
+        "toptail AS (SELECT max(y) AS m FROM mid) "
+        "SELECT m FROM toptail")
+    gdf, gmode = run_query(con4, gc_sql, gc=True)
+    assert list(gdf["m"]) == [8], gdf
+    # big is dead after mid; mid after toptail; toptail must survive
+    assert "gc [big mid]" in gmode, gmode
+    tabs = {r[0] for r in con4.sql("SHOW TABLES").fetchall()}
+    assert "toptail" in tabs and "big" not in tabs and "mid" not in tabs, tabs
+    con4.close()
+    # gc + slice compose: the sliced stage's values-table (src) is read
+    # by the slicing machinery itself, and the conservative word-match
+    # keeps it alive because the sliced body references it
+    con5 = duckdb.connect()
+    g2, g2mode = run_query(con5, sliced_sql, {"pairs": ("d", "src")},
+                           gc=True)
+    con5.close()
+    assert plain.equals(g2), (plain, g2)
+    assert "pairs/2 d-slices" in g2mode and "gc [src]" in g2mode, g2mode
+    # big-result path: run_query_as_table + sql_multiset_compare agree
+    # with the pandas path on match, and catch a 1-row multiset diff
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        con6 = duckdb.connect()
+        con6.sql(f"COPY (SELECT range AS a, range % 2 AS b FROM range(10)) "
+                 f"TO '{td}/part.parquet' (FORMAT PARQUET)")
+        mode6 = run_query_as_table(
+            con6, "WITH t AS (SELECT range AS a, range % 2 AS b "
+                  "FROM range(10)) SELECT a, b FROM t", "__oracle", gc=True)
+        en, on, ok6, diff6 = sql_multiset_compare(
+            con6, f"{td}/*.parquet", "__oracle")
+        assert (en, on, ok6, diff6) == (10, 10, True, 0), (en, on, ok6,
+                                                           diff6)
+        assert mode6.startswith("stepwise"), mode6
+        # one changed row on one side -> nonzero symmetric diff
+        con6.sql("UPDATE __oracle SET b = 99 WHERE a = 3")
+        _, _, _, diff7 = sql_multiset_compare(
+            con6, f"{td}/*.parquet", "__oracle")
+        assert diff7 == 2, diff7  # the row differs in BOTH directions
+        # column-set mismatch is schema_match=False, not a crash
+        con6.sql("ALTER TABLE __oracle RENAME b TO c")
+        _, _, ok8, _ = sql_multiset_compare(
+            con6, f"{td}/*.parquet", "__oracle")
+        assert ok8 is False
+        con6.close()
+    # word-boundary matcher: 'ed' must not match inside 'wed'/'ed2',
+    # but quoted or case-shifted references still count (conservative)
+    assert not _referenced("ed", ["SELECT * FROM wed"])
+    assert not _referenced("ed", ["SELECT * FROM ed2"])
+    assert _referenced("ed", ["SELECT * FROM ed JOIN x"])
+    assert _referenced("ed", ['JOIN "ED" ON 1=1'])
     print("selftest OK")
     return 0
 
@@ -211,21 +294,82 @@ def check_no_collision(stages):
                 f"read — run this query monolithically")
 
 
-def run_query(con, sql, slices=None):
+def _referenced(name, texts):
+    """True when `name` appears as a whole word in any of `texts` —
+    deliberately conservative (matches inside string literals too), so
+    --gc can only keep a stage longer than strictly needed, never drop
+    one a later body still reads."""
+    import re
+    pat = re.compile(r"(?<![A-Za-z0-9_])" + re.escape(name)
+                     + r"(?![A-Za-z0-9_])", re.IGNORECASE)
+    return any(pat.search(t) for t in texts)
+
+
+BIG_COMPARE_ROWS = 5_000_000
+
+
+def run_query_as_table(con, sql, table, slices=None, gc=False):
+    """run_query, but land the final statement in `table` instead of a
+    pandas frame (the big-result path — the result never leaves DuckDB).
+    Returns the mode note."""
+    try:
+        stages, final = split_with_chain(sql)
+        check_no_collision(stages)
+    except (MonolithicRequired, ValueError) as e:
+        con.sql(f'CREATE TABLE "{table}" AS {sql}')
+        return f"monolithic — {e}"
+    _, mode = _materialize(con, stages, final, slices, gc,
+                           final_table=table)
+    return mode
+
+
+def sql_multiset_compare(con, engine_glob, oracle_table):
+    """Exact multiset equality between the engine parquet dump and a
+    materialized oracle table, computed entirely in DuckDB: sorted-name
+    column projection on both sides, EXCEPT ALL in both directions.
+    Returns (engine_rows, oracle_rows, schema_match, diff_rows)."""
+    con.sql(f"CREATE OR REPLACE VIEW __engine AS "
+            f"SELECT * FROM '{engine_glob}'")
+    ecols = sorted(r[0] for r in con.sql("DESCRIBE __engine").fetchall())
+    ocols = sorted(r[0] for r in
+                   con.sql(f'DESCRIBE "{oracle_table}"').fetchall())
+    en = con.sql("SELECT count(*) FROM __engine").fetchone()[0]
+    on = con.sql(f'SELECT count(*) FROM "{oracle_table}"').fetchone()[0]
+    if ecols != ocols:
+        return en, on, False, None
+    proj = ", ".join(f'"{c}"' for c in ecols)
+    diff = con.sql(
+        f'SELECT count(*) FROM ('
+        f'(SELECT {proj} FROM __engine EXCEPT ALL '
+        f' SELECT {proj} FROM "{oracle_table}") UNION ALL '
+        f'(SELECT {proj} FROM "{oracle_table}" EXCEPT ALL '
+        f' SELECT {proj} FROM __engine))').fetchone()[0]
+    return en, on, True, diff
+
+
+def run_query(con, sql, slices=None, gc=False):
     """Execute one oracle statement, stepwise when splittable; returns
     (DataFrame, mode_note). Recursive CTEs, CTE column lists, and CTE
     names that shadow base tables fall back to executing the declared
     statement MONOLITHICALLY — semantically always safe (stepwise exists
     only to sidestep DuckDB's CTE re-inlining spill), and never a FAIL.
     `slices` maps cte_name -> (column, values_table) — see the --slice
-    contract in the module doc."""
+    contract in the module doc; `gc` drops dead stages (--gc)."""
     try:
         stages, final = split_with_chain(sql)
         check_no_collision(stages)
     except (MonolithicRequired, ValueError) as e:
         return con.sql(sql).df(), f"monolithic — {e}"
-    sliced = []
-    for name, body in stages:
+    return _materialize(con, stages, final, slices, gc)
+
+
+def _materialize(con, stages, final, slices=None, gc=False,
+                 final_table=None):
+    """Shared stage walk: CREATE TABLE per stage (sliced where asked,
+    GC'd where dead), then run the verbatim final statement — into a
+    pandas frame, or into `final_table` for the big-result path."""
+    sliced, dropped = [], []
+    for idx, (name, body) in enumerate(stages):
         if slices and name in slices:
             col, vtab = slices[name]
             con.sql(f'CREATE TABLE "{name}" AS '
@@ -241,14 +385,32 @@ def run_query(con, sql, slices=None):
             sliced.append(f"{name}/{len(vals)} {col}-slices")
         else:
             con.sql(f'CREATE TABLE "{name}" AS {body}')
-    mode = "stepwise" if not sliced else "stepwise, " + ", ".join(sliced)
+        if gc:
+            # texts any live stage must survive: every LATER body, the
+            # final statement, and the values-tables of later slices
+            later = [b for _, b in stages[idx + 1:]] + [final]
+            if slices:
+                later += [slices[n][1] for n, _ in stages[idx + 1:]
+                          if n in slices]
+            for n, _ in stages[:idx + 1]:
+                if n not in dropped and not _referenced(n, later):
+                    con.sql(f'DROP TABLE "{n}"')
+                    dropped.append(n)
+    mode = "stepwise"
+    if sliced:
+        mode += ", " + ", ".join(sliced)
+    if dropped:
+        mode += f", gc [{' '.join(dropped)}]"
+    if final_table is not None:
+        con.sql(f'CREATE TABLE "{final_table}" AS {final}')
+        return None, mode
     return con.sql(final).df(), mode
 
 
 def main(argv):
     if "--selftest" in argv:
         return selftest()
-    args, only, memory, slices = [], None, "40GB", {}
+    args, only, memory, slices, gc, dbpath = [], None, "40GB", {}, False, None
     i = 0
     while i < len(argv):
         if argv[i] == "--only":
@@ -262,6 +424,12 @@ def main(argv):
             cte, rest = spec.split("=", 1)
             colname, vtab = rest.split(":", 1)
             slices[cte] = (colname, vtab)
+            i += 2
+        elif argv[i] == "--gc":
+            gc = True
+            i += 1
+        elif argv[i] == "--db":
+            dbpath = argv[i + 1]
             i += 2
         else:
             args.append(argv[i])
@@ -278,7 +446,14 @@ def main(argv):
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
             continue
-        con = duckdb.connect()  # fresh db per query: stage tables can't leak
+        # fresh db per query: stage tables can't leak across queries
+        if dbpath:
+            for suffix in ("", ".wal"):
+                if os.path.exists(dbpath + suffix):
+                    os.remove(dbpath + suffix)
+            con = duckdb.connect(dbpath)
+        else:
+            con = duckdb.connect()
         con.sql(f"SET memory_limit='{memory}'")
         con.sql("SET preserve_insertion_order=false")
         for t in TABLES:
@@ -286,9 +461,29 @@ def main(argv):
             pat = f"{path}/*.parquet" if os.path.isdir(path) else path
             con.sql(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{pat}'")
         try:
-            odf, mode = run_query(con, sql, slices)
-            edf = duckdb.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            eglob = f"{out_dir}/{name}/*.parquet"
+            ecount = con.sql(
+                f"SELECT count(*) FROM '{eglob}'").fetchone()[0]
+            if ecount > BIG_COMPARE_ROWS:
+                mode = run_query_as_table(con, sql, "__oracle", slices, gc)
+                en, on, schema_ok, diff = sql_multiset_compare(
+                    con, eglob, "__oracle")
+                if not schema_ok:
+                    print(f"FAIL {name}: column sets differ")
+                    failures += 1
+                elif en != on:
+                    print(f"FAIL {name}: engine {en} rows vs oracle {on}")
+                    failures += 1
+                elif diff != 0:
+                    print(f"FAIL {name}: {en} rows, EXCEPT ALL diff "
+                          f"{diff} rows")
+                    failures += 1
+                else:
+                    print(f"OK   {name}: {en} rows ({mode}; "
+                          f"sql-compare EXCEPT ALL)")
+                continue
+            odf, mode = run_query(con, sql, slices, gc)
+            edf = duckdb.sql(f"SELECT * FROM '{eglob}'").df()
             a = check_oracle.canonize(edf)
             b = check_oracle.canonize(odf)
             if len(edf) != len(odf):
