@@ -411,10 +411,16 @@ def main(argv):
     if "--selftest" in argv:
         return selftest()
     args, only, memory, slices, gc, dbpath = [], None, "40GB", {}, False, None
+    exclude, threads = set(), None
     i = 0
     while i < len(argv):
         if argv[i] == "--only":
             only = set(argv[i + 1].split(","))
+            i += 2
+        elif argv[i] == "--exclude":
+            # for multi-pass runs where a --slice spec only fits SOME
+            # queries (CTE names are reused across oracles)
+            exclude = set(argv[i + 1].split(","))
             i += 2
         elif argv[i] == "--memory":
             memory = argv[i + 1]
@@ -431,6 +437,12 @@ def main(argv):
         elif argv[i] == "--db":
             dbpath = argv[i + 1]
             i += 2
+        elif argv[i] == "--threads":
+            # fewer threads = fewer per-thread partitions in hash
+            # distinct/join spill — the recursive-closure queries write
+            # LESS total temp at lower parallelism
+            threads = argv[i + 1]
+            i += 2
         else:
             args.append(argv[i])
             i += 1
@@ -446,6 +458,8 @@ def main(argv):
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
             continue
+        if name in exclude:
+            continue
         # fresh db per query: stage tables can't leak across queries
         if dbpath:
             for suffix in ("", ".wal"):
@@ -456,6 +470,8 @@ def main(argv):
             con = duckdb.connect()
         con.sql(f"SET memory_limit='{memory}'")
         con.sql("SET preserve_insertion_order=false")
+        if threads:
+            con.sql(f"SET threads={int(threads)}")
         for t in TABLES:
             path = f"{sf_dir}/{t}.parquet"
             pat = f"{path}/*.parquet" if os.path.isdir(path) else path
