@@ -134,7 +134,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     // _overlap's pair join is broadcast — no exchange beyond the build
     "kmv_distinct" -> 3,
     "kmv_minhash" -> 2,
-    "kmv_overlap" -> 2,
+    // sketch agg + final ORDER BY + the r18 in-plan maxSegments guard's
+    // 1-row global count (partial agg rides the sketch build via
+    // ReuseExchange; only the <=numPartitions-row final-agg exchange is
+    // new — the S^2/2 pair join itself stays broadcast, exchange-free)
+    "kmv_overlap" -> 3,
     "lang_id" -> 1,
     "leakfree_split" -> 1,
     "lm_score" -> 5,
