@@ -335,6 +335,31 @@ class PlanSpec extends SparkSpec {
       s"sketch pairing must never shuffle or go unkeyed-product:\n$plan")
   }
 
+  test("kmv_overlap: the in-plan segment guard reuses the sketch build's shuffle — one events scan per action") {
+    // The r18 guard redesign (Sketches.kmvOverlapOnSketches) keeps the
+    // maxSegments check inside the plan as a broadcast 1-row filter whose
+    // count aggregate is canonically identical to the sketch build, so
+    // ReuseExchange serves it from the build's own shuffle. This pins that
+    // reuse ON THE EXECUTED ADAPTIVE PLAN (what production runs): if a
+    // refactor perturbs canonical equality (an alias, a column order, a
+    // projection pushed below the aggregate), the guard re-plans as a
+    // SECOND full scan of the base data — invisible to row-level tests
+    // and to the AQE-off budget pin's exchange count only as +1, but a
+    // doubled base-table read at 100 TB.
+    val df = SparkEntry.queries("kmv_overlap")(spark, Sf)
+    df.collect() // finalize the adaptive plan
+    // AdaptiveSparkPlan's toString appends an "== Initial Plan ==" section
+    // (pre-reuse); the executed final plan is everything before it
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = "FileScan".r.findAllIn(fin).length
+    assert(scans == 1,
+      s"expected exactly one base-table scan (guard count served by " +
+        s"ReuseExchange), found $scans:\n$fin")
+    assert(fin.contains("ReusedExchange"),
+      s"the guard count and pair sides must reuse the build's shuffle:\n$fin")
+  }
+
   test("funnel_steps: co-partitioned min-chain — keyed joins only, no product") {
     val plan = planOf(SparkEntry.queries("funnel_steps")(spark, Sf))
     assert(!plan.contains("CartesianProduct") &&
