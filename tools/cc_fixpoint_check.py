@@ -168,24 +168,53 @@ def selftest():
         raise AssertionError("expected non-convergence to raise")
     except RuntimeError:
         pass
+    # flag parsing must keep flag VALUES out of the positional list
+    assert parse_args(["p", "c", "--max-rounds", "30", "--memory", "8GB"]) \
+        == (["p", "c"], 30, "8GB")
+    assert parse_args(["--max-rounds", "5", "p", "c"]) == (["p", "c"], 5,
+                                                          "40GB")
+    assert parse_args(["p", "c", "--bogus"]) is None
     print("selftest OK")
+
+
+def parse_args(argv):
+    """Index loop that CONSUMES flag values, so "--max-rounds 30" does not
+    leak "30" into the positional list (the r18 ADVICE bug: every flagged
+    invocation printed usage and exited 2). Returns
+    (positionals, max_rounds, memory) or None on an unknown flag."""
+    args = []
+    max_rounds = 30
+    memory = "40GB"
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--max-rounds":
+            max_rounds = int(argv[i + 1])
+            i += 2
+        elif a == "--memory":
+            memory = argv[i + 1]
+            i += 2
+        elif a.startswith("--"):
+            print(f"unknown flag: {a}")
+            return None
+        else:
+            args.append(a)
+            i += 1
+    return args, max_rounds, memory
 
 
 def main(argv):
     if "--selftest" in argv:
         selftest()
         return 0
-    args = [a for a in argv if not a.startswith("--")]
+    parsed = parse_args(argv)
+    if parsed is None:
+        print(__doc__)
+        return 2
+    args, max_rounds, memory = parsed
     if len(args) != 2:
         print(__doc__)
         return 2
-    max_rounds = 30
-    memory = "40GB"
-    for i, a in enumerate(argv):
-        if a == "--max-rounds":
-            max_rounds = int(argv[i + 1])
-        if a == "--memory":
-            memory = argv[i + 1]
     return 0 if check(args[0], args[1], max_rounds, memory) else 1
 
 

@@ -18,7 +18,8 @@ independent as the monolithic run; only the evaluation ORDER is pinned.
 
 Usage:
   python3 tools/stepwise_oracle.py <sfDir> <verifyOutDir> [--only q1,q2]
-      [--memory 40GB] [--slice cte=column:valuesTable ...] [--gc]
+      [--exclude q3,q4] [--memory 40GB] [--threads N]
+      [--slice cte=column:valuesTable ...] [--gc]
       [--db path.duckdb] [--selftest]
 
 --slice (round 18, for the stress-leg volume wall): materialize the named
@@ -448,17 +449,24 @@ def main(argv):
             i += 1
     if len(args) != 2:
         print("usage: python3 tools/stepwise_oracle.py <sfDir> <verifyOutDir>"
-              " [--only q1,q2] [--memory 40GB] [--selftest]")
+              " [--only q1,q2] [--exclude q3,q4] [--memory 40GB]"
+              " [--threads N] [--slice cte=column:valuesTable ...] [--gc]"
+              " [--db path.duckdb] [--selftest]")
         return 2
     sf_dir, out_dir = args
     import duckdb
     import pandas as pd
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    excluded = 0
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
             continue
         if name in exclude:
+            # explicit, so a partial pass of a multi-pass run never
+            # visually resembles full-suite coverage
+            print(f"SKIP {name} (--exclude)")
+            excluded += 1
             continue
         # fresh db per query: stage tables can't leak across queries
         if dbpath:
@@ -517,7 +525,8 @@ def main(argv):
             failures += 1
         finally:
             con.close()
-    print("ALL OK" if failures == 0 else f"{failures} FAILURES")
+    tail = f" ({excluded} excluded)" if excluded else ""
+    print(("ALL OK" if failures == 0 else f"{failures} FAILURES") + tail)
     return 0 if failures == 0 else 1
 
 
