@@ -795,35 +795,37 @@ object Sketches {
     * silently becomes the cost center at, say, 10⁵ user-grain segments
     * (5·10⁹ pairs, a multi-GB broadcast). Rather than degrade silently,
     * the guard fails loudly above the cap — INSIDE the plan, not as a
-    * separate action: the broadcast (pair-build) side carries a 1-row
-    * segment-count aggregate cross-joined in, and a FILTER on that side
-    * raises above the cap, so the error fires while the broadcast side
-    * MATERIALIZES — before a single quadratic pair is streamed — and
-    * construction stays LAZY. Cost at any scale ≈ one reduce stage over
-    * S rows: the count aggregate deliberately references `__mins` so its
-    * subtree stays canonically identical to the sketch build and Spark's
-    * ReuseExchange serves it from the SAME shuffle as both pair sides
-    * (adaptive final plan verified: one FileScan, two ReusedExchange).
-    * History: the r17 guard ran `limit(cap+1).count()` as an extra eager
-    * action plus a persist whose cache round-trip cost more than the
-    * reused exchange it replaced — measured ~2.4× on 15-rep probes,
-    * adjudicated and replaced round 18 (probes/r18/, SCALING.md). Pass
-    * `maxSegments = 0` to disable when the quadratic cost is understood,
-    * or pre-bucket segments coarser.
+    * separate action: an UNPARTITIONED window counts the broadcast
+    * (pair-build) side's own rows and a FILTER raises above the cap, so
+    * the error fires while the broadcast side MATERIALIZES — before a
+    * single quadratic pair is streamed — and construction stays LAZY.
+    * Cost at any scale ≈ one single-task exchange of ≤ cap sketch rows
+    * (the funnel is bounded by the guard itself; PlanSpec's
+    * unpartitioned-window whitelist carries the bound). History: the r17
+    * guard ran `limit(cap+1).count()` as an extra eager action plus a
+    * persist (measured ~2.4×, replaced r18); the r18 guard cross-joined
+    * a 1-row count aggregate that rode the sketch build's shuffle via
+    * ReuseExchange but still re-ran the per-segment merge — a ~0.35 s
+    * fixed residual, ~2× the unguarded floor (probes/r18). The r19
+    * window guard rides side b's single evaluation: same-box 15-rep pair
+    * guarded 0.370/0.394 vs unguarded 0.362/0.375 (min/p25,
+    * probes/r19/kmv_overlap.*). Pass `maxSegments = 0` to disable when
+    * the quadratic cost is understood, or pre-bucket segments coarser.
     */
   val DefaultMaxKmvSegments: Int = 4096 // ≈ 8.4M broadcast pairs — the ceiling of "pair stage stays trivial next to the sketch build"
 
-  /** NOTE on sharing: the sketch table feeds three consumers (both
-    * pair-join sides and the in-plan guard count), but it is NOT
-    * persisted — all three subtrees are canonically identical above the
-    * sketch build's shuffle, so Spark's ReuseExchange serves them from
-    * ONE events scan within the single action (r18 adjudication: the
-    * r17 persist's cache round-trip cost ~0.3 s fixed on a 0.4 s query
-    * while buying nothing the reused exchange didn't already provide —
-    * probes/r18/, SCALING.md). Construction is lazy: no Spark job runs
-    * until the returned frame is acted on (the guard is in-plan). A
-    * caller who materializes the result more than once should persist
-    * the RESULT (S²/2 small rows), not the input.
+  /** NOTE on sharing: the sketch table feeds two consumers (the pair
+    * sides; the r19 guard counts side b's own rows in-plan and adds no
+    * third subtree), but it is NOT persisted — both subtrees are
+    * canonically identical above the sketch build's shuffle, so Spark's
+    * ReuseExchange serves them from ONE events scan within the single
+    * action (r18 adjudication: the r17 persist's cache round-trip cost
+    * ~0.3 s fixed on a 0.4 s query while buying nothing the reused
+    * exchange didn't already provide — probes/r18/, SCALING.md).
+    * Construction is lazy: no Spark job runs until the returned frame is
+    * acted on (the guard is in-plan). A caller who materializes the
+    * result more than once should persist the RESULT (S²/2 small rows),
+    * not the input.
     */
   def kmvOverlap(df: DataFrame, segCol: String, valueCol: String,
                  k: Int, maxSegments: Int = DefaultMaxKmvSegments): DataFrame =
@@ -844,31 +846,28 @@ object Sketches {
     val a = sk.select(col("seg").as("seg_a"), col("__mins").as("__ma"))
     val b0 = sk.select(col("seg").as("seg_b"), col("__mins").as("__mb"))
     // the guard lives INSIDE the broadcast side's plan as a FILTER (not a
-    // separate count action — see the BOUND note on [[kmvOverlap]]): a
-    // 1-row segment count is cross-joined in and every broadcast row must
-    // pass `__s ≤ cap` or raise. A filter condition survives column
-    // pruning (a guard on `__mb`'s VALUE path did not — `.count()` prunes
-    // every output column and silently skipped it), it fires while the
-    // broadcast side MATERIALIZES — before any of the S²/2 pairs
-    // stream — and the whole operator stays ONE lazy action. The count
-    // aggregate also takes `max(size(__mins))` — consumed trivially by
-    // the filter — PRECISELY so column pruning cannot strip `__mins`
-    // from its subtree: pruned, the count re-plans as a separate
-    // distinct-seg scan of the base data; unpruned, it is canonically
-    // identical to the sketch build and ReuseExchange serves it from the
-    // same shuffle (one base scan per action, verified on the adaptive
-    // final plan). The otherwise-branch coalesces the raise to FALSE so
-    // even an optimizer that somehow skipped the raise would drop every
-    // row loudly rather than run the quadratic stage.
+    // separate count action — see the BOUND note on [[kmvOverlap]]): an
+    // UNPARTITIONED window counts the broadcast side's own rows, and
+    // every row must pass `__s ≤ cap` or raise. The count rides side b's
+    // single evaluation — no separate count subtree at all, so nothing to
+    // keep canonically identical for ReuseExchange and no third
+    // evaluation of the sketch merge (the r18 cross-joined count
+    // aggregate re-ran the per-segment merge after the reused exchange:
+    // a measured ~0.35 s fixed residual on a 0.4 s query, ~2× the
+    // unguarded floor — probes/r18 + r19 probe pair). The single-task
+    // window funnel is bounded BY THE GUARD ITSELF: a conforming input
+    // puts ≤ maxSegments sketch rows through it, and a violating one
+    // raises before the quadratic stage streams (PlanSpec's
+    // unpartitioned-window whitelist carries this bound). The filter
+    // fires while the broadcast side MATERIALIZES — before any of the
+    // S²/2 pairs stream — and the whole operator stays ONE lazy action.
+    // The otherwise-branch coalesces the raise to FALSE so even an
+    // optimizer that somehow skipped the raise would drop every row
+    // loudly rather than run the quadratic stage.
     val b = if (maxSegments <= 0) b0 else {
-      val cnt = sk.agg(count(lit(1)).as("__s"),
-        max(size(col("__mins"))).as("__msz"))
-      b0.crossJoin(broadcast(cnt))
-        // `__msz ≥ -1` is vacuously true for every size() convention
-        // (null coalesces to 0; the legacy flag's null marker is -1) —
-        // its only job is referencing __msz so the pruner keeps it
-        .filter(when(col("__s") <= maxSegments &&
-            coalesce(col("__msz"), lit(0)) >= -1, lit(true))
+      val all = org.apache.spark.sql.expressions.Window.partitionBy()
+      b0.withColumn("__s", count(lit(1)).over(all))
+        .filter(when(col("__s") <= maxSegments, lit(true))
           .otherwise(coalesce(
             raise_error(concat(
               col("__s").cast("string"),

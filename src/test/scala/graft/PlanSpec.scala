@@ -422,7 +422,10 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     val Bounded = Set(
       "rrf_fusion",   // rankByScore legs: k rows each, driver-bounded
-      "user_growth")  // day-grain cumulative sum: O(calendar days)
+      "user_growth",  // day-grain cumulative sum: O(calendar days)
+      "kmv_overlap")  // r19 guard: the window IS the maxSegments bound —
+                      // ≤ 4096 sketch rows pass it or the filter raises
+                      // before the pair stage streams (Sketches.scala)
     val prior = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
