@@ -7,7 +7,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.streaming.{StandingStore, StreamingClusters, StreamingCoMovement, StreamingNearDup, StreamingScrub}
+import graft.streaming.{BucketedDigestStore, StandingStore, StreamingClusters, StreamingCoMovement, StreamingNearDup, StreamingScrub}
 
 /** Streaming performance instrument (a `main`, like [[Bench]]): measures
   * per-micro-batch wall time for every STANDING-STORE-backed streaming
@@ -102,7 +102,7 @@ object StreamBench {
     // typo or an empty value would otherwise run ZERO probes and exit 0 —
     // a vacuously green gate that measured nothing.
     val knownOps = Set("neardup", "neardup_fast", "neardup_part", "scrub",
-      "comove", "clusters", "kmv")
+      "scrub_part", "comove", "clusters", "kmv")
     val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     only.foreach { s =>
@@ -137,7 +137,8 @@ object StreamBench {
         val mem = MemoryStream[(Long, String)]
         val q = StreamingNearDup.nearDupStream(
           mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
-          store, out, tmp("sb-nd-cp"), compactEvery = 0)
+          store, out, tmp("sb-nd-cp"), compactEvery = 0, fast = false,
+          bandPartitionedStore = false)
         try {
           def batch(r: Int): Seq[(Long, String)] =
             (0 until 500).map(i => (r * 1000L + i, docText(r * 1000L + i)))
@@ -174,7 +175,8 @@ object StreamBench {
         val mem = MemoryStream[(Long, String)]
         val q = StreamingNearDup.nearDupStream(
           mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
-          store, out, tmp("sb-ndf-cp"), compactEvery = 0, fast = true)
+          store, out, tmp("sb-ndf-cp"), compactEvery = 0, fast = true,
+          bandPartitionedStore = false)
         try {
           def batch(r: Int): Seq[(Long, String)] =
             (0 until 500).map(i => (r * 1000L + i, docText(r * 1000L + i)))
@@ -239,7 +241,47 @@ object StreamBench {
         val mem = MemoryStream[(Long, String)]
         val q = StreamingScrub.scrubStream(
           mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
-          store, out, tmp("sb-sc-cp"), segTokens = 20, compactEvery = 0)
+          store, out, tmp("sb-sc-cp"), segTokens = 20, compactEvery = 0,
+          digestBuckets = 0)
+        try {
+          def batch(r: Int): Seq[(Long, String)] =
+            (0 until 500).map(i => (r * 1000L + i, docText(r * 1000L + i)))
+          timeBatch(mem, q, batch(0))
+          (1 to reps).map(r => timeBatch(mem, q, batch(r))).min
+        } finally q.stop()
+      }
+      (scScales, scScales.map(_ * 10000L), times)
+    }
+
+    // ---- scrub_part: segment-digest store, r19 TIERED bucketed layout --
+    // The scrub ladder above measures the flat layout's scan floor
+    // (3.71x last/first at 10M digests, r18 — the steepest unflagged
+    // growth in the artifact). This ladder is identical except the store
+    // is the BucketedDigestStore tiered layout at the production default
+    // (4096 buckets): the seed lands flat and the pre-stream compaction
+    // folds it into the kb-partitioned base — the deployment state after
+    // any compaction, and an exercise of the automatic flat migration at
+    // every rung — so each timed batch pays the PRUNED base read plus the
+    // empty delta. sec[i] here vs the scrub ladder IS the layout's
+    // measured effect on the membership probe.
+    if (wanted("scrub_part")) results("scrub_part") = {
+      val scScales = Seq(1, 10, 100, 1000)
+      val scrubSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("seg_key",
+          org.apache.spark.sql.types.BinaryType, nullable = false)))
+      val times = scScales.map { scale =>
+        val store = tmp("sb-scp-store"); val out = tmp("sb-scp-out")
+        val n = 10000L * scale
+        StandingStore.append(
+          spark.range(0L, n, 1L, 8).select(
+            unhex(md5(concat(lit("seg"), col("id")))).as("seg_key")),
+          store)
+        BucketedDigestStore.compact(spark, store, scrubSchema, "seg_key",
+          StreamingScrub.DefaultDigestBuckets)
+        val mem = MemoryStream[(Long, String)]
+        val q = StreamingScrub.scrubStream(
+          mem.toDF.toDF("doc_id", "text"), "doc_id", "text",
+          store, out, tmp("sb-scp-cp"), segTokens = 20, compactEvery = 0)
         try {
           def batch(r: Int): Seq[(Long, String)] =
             (0 until 500).map(i => (r * 1000L + i, docText(r * 1000L + i)))

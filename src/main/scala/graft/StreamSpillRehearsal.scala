@@ -77,7 +77,11 @@ object StreamSpillRehearsal {
           q.processAllAvailable()
         }
       } finally q.stop()
-      val sigSchema = graft.ops.Dedup.bandedSignature(
+      // r19: the stream's default is the PRODUCTION path (fast=true,
+      // band-partitioned store), so the rehearsal digests that store —
+      // fastBandedSignature's schema (long buckets), band read back from
+      // the partition dirs
+      val sigSchema = graft.ops.Dedup.fastBandedSignature(
         Seq((0L, "a b c")).toDF("doc_id", "text"), "doc_id", "text",
         8, 2, 3).schema
       digestOf(StandingStore.read(spark, store, sigSchema).distinct())

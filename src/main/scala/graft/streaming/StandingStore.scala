@@ -161,7 +161,8 @@ object StandingStore {
     * legacy arm heals a pre-round-11 delete-then-rename crash (store fully
     * gone, snapshot stranded) left by an older build.
     */
-  private def heal(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit = {
+  private[streaming] def heal(fs: org.apache.hadoop.fs.FileSystem,
+                              p: Path): Unit = {
     val snap = compactPath(p)
     val old = oldPath(p)
     if (fs.exists(old)) {

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -35,7 +36,9 @@ object StreamingNearDup {
     * `dup_candidate`) append to `outDir`; kept docs' signatures append to
     * `storeDir`.
     *
-    * `fast = true` runs [[graft.ops.Dedup.fastBandedSignature]] — the
+    * `fast = true` (the DEFAULT — r19, promoted on two rounds of
+    * StreamBench ladder evidence: 16-39% less per-batch wall at every
+    * decade, r17/r18) runs [[graft.ops.Dedup.fastBandedSignature]] — the
     * PRODUCTION path (integer MinHash kernel, 8-byte xxhash64 band
     * buckets) instead of the md5-string AUDIT path. Everything downstream
     * is bucket-type-agnostic (the store schema follows the signature
@@ -43,28 +46,34 @@ object StreamingNearDup {
     * two paths differ ONLY in signature cost and store row width — which
     * is exactly what StreamBench's `neardup` vs `neardup_fast` ladders
     * measure. A store written by one path is not probe-compatible with
-    * the other (string vs long buckets) — pick per deployment, audit path
-    * only where DuckDB re-derivation is required.
+    * the other (string vs long buckets): restarting a legacy AUDIT-path
+    * deployment under the new default fails LOUDLY (the schema-enforced
+    * store read and the append-time schema gate both reject the
+    * retyped bucket column) — pass `fast = false` explicitly to stay on
+    * the audit path, or re-signature the corpus to migrate the store.
+    * Audit path only where DuckDB re-derivation is required.
     *
-    * `bandPartitionedStore = true` lays the store out `partitionBy(band)`
-    * — the deployment layout SCALING.md's r16/r17 neardup adjudications
-    * assumed but never measured (StreamBench's `neardup_part` ladder now
-    * does). Band values are statically known (`0 until k/rowsPerBand`),
-    * so the standing read lists ONLY those partition dirs
+    * `bandPartitionedStore = true` (the DEFAULT — r19, promoted on the
+    * r18 `neardup_part` ladder: slope 2.75× → 1.66×, 1.58× less wall at
+    * 10M standing rows) lays the store out `partitionBy(band)`. Band
+    * values are statically known (`0 until k/rowsPerBand`), so the
+    * standing read lists ONLY those partition dirs
     * ([[StandingStore.readPartitions]] — O(bands), not O(store files));
     * compaction preserves the layout. NOTE on honesty of the claim: every
     * batch carries ALL bands, so band partitioning prunes no DATA — what
     * it buys is a bounded listing, per-band file clustering, and the
-    * layout a real deployment would shard maintenance by. Like `fast`,
-    * the layout is fixed per store: flat history is still READ correctly
-    * (the pruned read falls back on legacy flat files) but appends do not
-    * migrate it — pick at stream creation.
+    * layout a real deployment would shard maintenance by. A legacy FLAT
+    * store MIGRATES automatically: the batch that first appends
+    * partitioned detects root-level flat files and rewrites the store
+    * `partitionBy(band)` through the crash-safe compaction swap first
+    * (the comove r15 precedent), so existing deployments pick up the
+    * layout on restart with no manual step.
     */
   def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
                     storeDir: String, outDir: String, checkpointDir: String,
                     k: Int = 8, rowsPerBand: Int = 2, n: Int = 3,
-                    compactEvery: Int = 8, fast: Boolean = false,
-                    bandPartitionedStore: Boolean = false): StreamingQuery =
+                    compactEvery: Int = 8, fast: Boolean = true,
+                    bandPartitionedStore: Boolean = true): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -124,6 +133,8 @@ object StreamingNearDup {
               out.write.mode("append").parquet(outDir)
               val keptIds = out.filter(!col("dup_candidate"))
                 .select(col(idCol).as("doc_id"))
+              if (bandPartitionedStore)
+                migrateFlatStore(spark, storeDir, sigs.schema)
               StandingStore.append(
                 sigs.join(keptIds, Seq("doc_id"), "left_semi"), storeDir,
                 if (bandPartitionedStore) Seq("band") else Nil)
@@ -145,4 +156,19 @@ object StreamingNearDup {
   def readStore(spark: SparkSession, storeDir: String,
                 schema: StructType): DataFrame =
     StandingStore.read(spark, storeDir, schema)
+
+  /** Legacy FLAT signature store → `partitionBy(band)`, rewritten through
+    * the crash-safe compaction swap BEFORE the first partitioned append
+    * lands `band=` dirs next to flat files (which would make the store
+    * unreadable). The comove r15 precedent: detect-and-rewrite once, a
+    * cheap root listing per batch thereafter.
+    */
+  private def migrateFlatStore(spark: SparkSession, storeDir: String,
+                               schema: StructType): Unit = {
+    val p = new Path(storeDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val flat = fs.exists(p) && fs.listStatus(p)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (flat) StandingStore.compact(spark, storeDir, schema, Seq("band"))
+  }
 }

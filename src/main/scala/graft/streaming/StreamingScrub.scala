@@ -26,14 +26,17 @@ import graft.ops.Dedup
   *
   * Scale: the store holds one 16-byte md5 digest per distinct segment ever
   * kept — never segment text — and per-batch cost is one digest-keyed
-  * window over the batch plus a membership probe that SCANS the store but
-  * never shuffles it: the batch's distinct digests broadcast into a
-  * left-semi join against the store, and only the (≤ batch-sized) matches
-  * come back to flag the batch. The store side therefore costs one
-  * columnar scan per micro-batch — linear in history but exchange-free;
-  * the previous `store.distinct()` + left-join shape shuffled the whole
-  * history every batch, the O(store) term StreamBench's 1000× point
-  * measured at 3.3× (1.12 s → 3.59 s per batch, 1M → 10M digests).
+  * window over the batch plus a membership probe that never shuffles the
+  * store: the batch's distinct digests broadcast into a left-semi join,
+  * and only the (≤ batch-sized) matches come back to flag the batch. By
+  * default (r19) the store lives in the [[BucketedDigestStore]] tiered
+  * layout, so the standing side of that join is the kb-PRUNED base plus
+  * the O(batch-sized) delta — per-batch standing IO tracks
+  * `history × touchedFraction`, not the whole history. The two earlier
+  * shapes this replaces were both measured on the StreamBench 10k→10M
+  * ladder: `store.distinct()` + left-join shuffled the full history every
+  * batch (3.3×, r16), and the flat broadcast-semi still SCANNED it
+  * (3.71×, r18 — the "scan floor" this layout removes).
   * BOUNDEDNESS CONTRACT: the broadcast carries the batch's distinct
   * digests (16 bytes each), so the micro-batch must stay
   * broadcast-sized — ~10M digests ≈ 160 MB is comfortable, and trigger
@@ -59,16 +62,41 @@ object StreamingScrub {
   private val SpanStoreSchema = StructType(
     Seq(StructField("wkey", BinaryType, nullable = false)))
 
+  /** PRODUCTION default for `digestBuckets` — the tiered store's base
+    * layout modulus. At this width a ~1k-digest micro-batch hashes into
+    * ~900 buckets, so the pruned base read touches ~22% of history
+    * instead of 100%, and the fraction keeps FALLING as the corpus
+    * outgrows the batch (the 100 TB regime: a 10k-key batch against a
+    * 10B-digest base reads ~10k/4096 ≈ all buckets but each bucket scan
+    * is 1/4096 of history — per-batch base IO is `store/nBuckets ×
+    * touched`, bounded either way). Fixed per store at layout birth
+    * (see [[BucketedDigestStore]]'s `_kb_buckets` marker).
+    */
+  val DefaultDigestBuckets = 4096
+
   /** Start the scrub stream: re-stitched batch docs (`doc_id`, `n_segs`,
     * `n_kept`, `clean_text`) append to `outDir`; digests of newly-kept
-    * segments append to `storeDir`. Every `compactEvery` batches the store
-    * is rewritten `distinct` ([[compactStore]]) so its file count stays
-    * O(shuffle partitions) instead of O(batches processed) and any
+    * segments append to `storeDir`. Every `compactEvery` batches the
+    * store is rewritten distinct so file count stays bounded and any
     * torn-replay duplicate rows are squeezed out.
+    *
+    * `digestBuckets > 0` (the DEFAULT — r19, promoted on StreamBench
+    * ladder evidence) keeps the store in the [[BucketedDigestStore]]
+    * tiered layout: flat one-file-per-batch delta appends, a
+    * kb-partitioned compacted base, and membership probes that read the
+    * base PRUNED to the batch's hash buckets — per-batch standing cost
+    * tracks `store × touchedFraction + delta`, not the whole history
+    * (the flat layout's scan floor, measured 3.71× across the 10k→10M
+    * StreamBench ladder). An existing FLAT store keeps working unchanged
+    * (its files read in full as the legacy zone) and is folded into the
+    * tiered base by the first compaction — migration is automatic,
+    * crash-safe, and one-way. `digestBuckets = 0` keeps the legacy flat
+    * layout exactly (audit deployments that DuckDB-rederive the store).
     */
   def scrubStream(docs: DataFrame, idCol: String, textCol: String,
                   storeDir: String, outDir: String, checkpointDir: String,
-                  segTokens: Int, compactEvery: Int = 8): StreamingQuery =
+                  segTokens: Int, compactEvery: Int = 8,
+                  digestBuckets: Int = DefaultDigestBuckets): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -89,9 +117,9 @@ object StreamingScrub {
             // (store may hold torn-replay duplicates) is over that tiny
             // set, not history.
             val batchKeys = segs.select("seg_key").distinct()
-            val standing = readStore(spark, storeDir)
-              .join(broadcast(batchKeys), Seq("seg_key"), "left_semi")
-              .distinct()
+            val standing =
+              standingMatches(spark, storeDir, StoreSchema, "seg_key",
+                batchKeys, digestBuckets)
               .withColumn("__seen", lit(true))
             // in-batch first occurrence per digest; kept only when the
             // store has never seen the digest either
@@ -103,16 +131,50 @@ object StreamingScrub {
               .persist()
             try {
               Dedup.restitch(flagged).write.mode("append").parquet(outDir)
-              StandingStore.append(
-                flagged.filter(col("kept")).select("seg_key"), storeDir)
+              appendKept(flagged.filter(col("kept")).select("seg_key"),
+                storeDir, digestBuckets)
             } finally flagged.unpersist(blocking = false)
           } finally segs.unpersist(blocking = false)
-          if (StandingStore.due(batchId, compactEvery))
-            compactStore(spark, storeDir, StoreSchema)
+          if (StandingStore.due(batchId, compactEvery)) {
+            if (digestBuckets > 0)
+              BucketedDigestStore.compact(spark, storeDir, StoreSchema,
+                "seg_key", digestBuckets)
+            else compactStore(spark, storeDir, StoreSchema)
+          }
         }
         ()
       }
       .start()
+
+  /** The bucketed membership probe shared by both scrub streams: standing
+    * rows matching the batch's digest keys, distinct. With buckets on,
+    * the batch's touched `kb` values are driver-collected — a bounded
+    * collect, ≤ `digestBuckets` ints by construction — and the base read
+    * is pruned to exactly those partition dirs; the flat path is the
+    * legacy full-scan semi-join, byte-identical semantics either way.
+    */
+  private def standingMatches(spark: SparkSession, storeDir: String,
+                              schema: StructType, digestCol: String,
+                              batchKeys: DataFrame,
+                              digestBuckets: Int): DataFrame = {
+    val standing0 =
+      if (digestBuckets > 0) {
+        val touched = batchKeys
+          .select(BucketedDigestStore.kbExpr(digestCol, digestBuckets)
+            .as("kb"))
+          .distinct().collect().map(_.getInt(0)).toIndexedSeq
+        BucketedDigestStore.read(spark, storeDir, schema, digestCol,
+          touched, digestBuckets)
+      } else readStore(spark, storeDir, schema)
+    standing0
+      .join(broadcast(batchKeys), Seq(digestCol), "left_semi")
+      .distinct()
+  }
+
+  private def appendKept(kept: DataFrame, storeDir: String,
+                         digestBuckets: Int): Unit =
+    if (digestBuckets > 0) BucketedDigestStore.append(kept, storeDir)
+    else StandingStore.append(kept, storeDir)
 
   /** Streaming twin of the stride-1 ExactSubstr rewrite
     * ([[graft.ops.Dedup.scrubSpans]]): per micro-batch, every w-token
@@ -127,7 +189,8 @@ object StreamingScrub {
     */
   def scrubSpansStream(docs: DataFrame, idCol: String, textCol: String,
                        storeDir: String, outDir: String, checkpointDir: String,
-                       w: Int, compactEvery: Int = 8): StreamingQuery =
+                       w: Int, compactEvery: Int = 8,
+                       digestBuckets: Int = DefaultDigestBuckets): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -137,13 +200,13 @@ object StreamingScrub {
           try {
             val wins = Dedup.spanWindowsAt(toks, w).persist()
             try {
-              // same no-store-shuffle membership probe as [[scrubStream]]:
-              // broadcast the batch's window digests into a semi-join so
-              // the span store is scanned, never shuffled
+              // same membership probe as [[scrubStream]] — bucketed
+              // tiered store by default, pruned base read, broadcast
+              // semi-join, never a store shuffle
               val batchWkeys = wins.select("wkey").distinct()
-              val standing = readStore(spark, storeDir, SpanStoreSchema)
-                .join(broadcast(batchWkeys), Seq("wkey"), "left_semi")
-                .distinct()
+              val standing =
+                standingMatches(spark, storeDir, SpanStoreSchema, "wkey",
+                  batchWkeys, digestBuckets)
                 .withColumn("__seen", lit(true))
               val rnW = Window.partitionBy(col("wkey"))
                 .orderBy(col("doc_id"), col("pos"))
@@ -161,25 +224,31 @@ object StreamingScrub {
                 Dedup.assembleUncovered(toks, covered)
                   .write.mode("append").parquet(outDir)
                 // only NEW first occurrences extend the store
-                StandingStore.append(
-                  flagged.filter(!col("dup")).select("wkey"), storeDir)
+                appendKept(flagged.filter(!col("dup")).select("wkey"),
+                  storeDir, digestBuckets)
               } finally flagged.unpersist(blocking = false)
             } finally wins.unpersist(blocking = false)
           } finally toks.unpersist(blocking = false)
-          if (StandingStore.due(batchId, compactEvery))
-            compactStore(spark, storeDir, SpanStoreSchema)
+          if (StandingStore.due(batchId, compactEvery)) {
+            if (digestBuckets > 0)
+              BucketedDigestStore.compact(spark, storeDir, SpanStoreSchema,
+                "wkey", digestBuckets)
+            else compactStore(spark, storeDir, SpanStoreSchema)
+          }
         }
         ()
       }
       .start()
 
-  /** The standing digest store — [[StandingStore.read]] with this
-    * module's segment schema as the default (schema-enforced read,
-    * compaction-swap heal, empty-dir tolerance; see [[StandingStore]]).
+  /** The standing digest store, FULL read — tiered-layout aware
+    * ([[BucketedDigestStore.readAll]]: base ∪ delta ∪ legacy flat files;
+    * a pure flat store goes through [[StandingStore.read]] verbatim, so
+    * schema-enforced reads, compaction-swap heal and empty-dir tolerance
+    * all carry over).
     */
   def readStore(spark: SparkSession, storeDir: String,
                 schema: StructType = StoreSchema): DataFrame =
-    StandingStore.read(spark, storeDir, schema)
+    BucketedDigestStore.readAll(spark, storeDir, schema)
 
   /** [[StandingStore.compact]] — rewrite the digest store as its distinct
     * set via the shared crash-safe snapshot-and-swap.

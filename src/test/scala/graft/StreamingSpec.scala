@@ -336,8 +336,12 @@ class StreamingSpec extends SparkSpec {
     val docs = in.toDF.toDF("doc_id", "text")
     val root = java.nio.file.Files.createTempDirectory("graft-neardup").toString
     val (store, out, cp) = (root + "/store", root + "/out", root + "/cp")
+    // audit path pinned explicitly (r19 flipped the production defaults):
+    // this scenario's collision set is md5-MinHash-family-specific and the
+    // store is read back as a flat dir
     val q = graft.streaming.StreamingNearDup.nearDupStream(
-      docs, "doc_id", "text", store, out, cp)
+      docs, "doc_id", "text", store, out, cp, fast = false,
+      bandPartitionedStore = false)
     try {
       in.addData((1L, "alpha beta gamma delta epsilon zeta eta"),
         (2L, "completely different words about ships in the harbor tonight"))
@@ -452,6 +456,65 @@ class StreamingSpec extends SparkSpec {
       spark, partStore, sigSchema, "band", 0 until 4)
       .select("doc_id", "band", "bucket").as[(Long, Int, Long)].collect().toSet
     assert(pruned === partRows, "pruned read must see the whole store")
+  }
+
+  test("streaming near-dup r19 defaults: a legacy FLAT fast-path store auto-migrates to band= dirs, history keeps suppressing") {
+    // the r19 default flip (bandPartitionedStore = true) must not strand
+    // existing flat deployments: the first batch's append detects root-level
+    // flat files and rewrites the store partitionBy(band) through the
+    // crash-safe swap (the comove r15 precedent) — history intact, later
+    // pruned reads see it, and a pre-migration signature still flags a
+    // post-migration near-copy
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val root = java.nio.file.Files.createTempDirectory("graft-nd-mig").toString
+    val (store, out, cp) = (root + "/store", root + "/out", root + "/cp")
+    // phase 1: legacy flat store written by a pre-r19 fast-path stream
+    val q1 = graft.streaming.StreamingNearDup.nearDupStream(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text", store, out, cp,
+      fast = true, bandPartitionedStore = false)
+    try {
+      in.addData((1L, "alpha beta gamma delta epsilon zeta eta"))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val rootDir = new java.io.File(store)
+    assert(rootDir.listFiles.exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")), "precondition: flat files")
+    // phase 2: restart on the r19 defaults (band-partitioned)
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.StreamingNearDup.nearDupStream(
+      in2.toDF.toDF("doc_id", "text"), "doc_id", "text", store, out,
+      root + "/cp2")
+    try {
+      in2.addData(
+        (2L, "alpha beta gamma delta epsilon zeta eta"), // verbatim doc 1
+        (3L, "an entirely fresh subject with nothing shared anywhere here"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val flags = spark.read.parquet(out)
+      .select("doc_id", "dup_candidate").as[(Long, Boolean)].collect().toMap
+    assert(!flags(1L) && flags(2L) && !flags(3L),
+      s"pre-migration history must still suppress: $flags")
+    assert(!rootDir.listFiles.exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")),
+      "flat files must be rewritten into the partitioned layout")
+    val bandDirs = rootDir.listFiles.filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("band=")).sorted
+    assert(bandDirs.nonEmpty && bandDirs.forall(_.matches("band=\\d+")),
+      s"expected band=N dirs post-migration, got ${bandDirs.toSeq}")
+    // migrated history + new appends both present in the partitioned read
+    val sigSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("band",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.LongType)))
+    val stored = graft.streaming.StandingStore.readPartitions(
+      spark, store, sigSchema, "band", 0 until 4)
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(stored === Set(1L, 3L),
+      s"store must hold migrated doc 1 + newly kept doc 3, got $stored")
   }
 
   test("scrub store read survives an uncommitted _temporary-only store dir") {
@@ -653,11 +716,30 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id", "clean_text").as[(Long, String)].collect().toSeq
     assert(cleaned === Seq((1L, "d e f"), (2L, "x y z")))
     // post-compaction store: exactly the distinct digests (abc, def, xyz),
-    // no duplicate rows, and the file pile-up is gone
-    val st = spark.read.parquet(store)
+    // no duplicate rows, and the flat legacy pile-up is MIGRATED — the
+    // r19 tiered layout folds root-level flat files into the bucketed
+    // base on first compaction and removes them
+    val st = graft.streaming.StreamingScrub.readStore(spark, store)
     assert(st.count() === 3L, "row count == distinct digests after compaction")
     assert(st.count() === st.distinct().count())
-    assert(dataFiles() <= 2, s"compaction must reset the file count, got ${dataFiles()}")
+    assert(dataFiles() === 0,
+      s"legacy flat files must be folded into the base, got ${dataFiles()}")
+    def zoneFiles(zone: String): Int = {
+      val d = new java.io.File(store, zone)
+      if (!d.isDirectory) 0
+      else {
+        def walk(f: java.io.File): Int =
+          if (f.isFile) { if (f.getName.endsWith(".parquet")) 1 else 0 }
+          else if (f.isDirectory) f.listFiles.map(walk).sum
+          else 0
+        walk(d)
+      }
+    }
+    assert(zoneFiles("delta") === 0,
+      "compaction must drain the delta zone's merged files")
+    val baseFiles = zoneFiles("base")
+    assert(baseFiles >= 1 && baseFiles <= 3,
+      s"base holds one file per non-empty digest bucket, got $baseFiles")
   }
 
   test("a compaction swap interrupted between delete and rename heals on the next read") {
@@ -788,11 +870,14 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "streaming scrub must reproduce batch output")
     assert(batch === Seq((1L, 2L, 2L, "a b c d e f"), (2L, 2L, 1L, "x y z"),
       (3L, 2L, 0L, ""), (4L, 3L, 2L, "p q r p")))
-    // the store holds DIGESTS only (16-byte binary), never segment text
-    val st = spark.read.parquet(store)
+    // the store holds DIGESTS only (16-byte binary), never segment text —
+    // schema INFERRED from the on-disk delta files (r19 tiered layout:
+    // per-batch appends land flat under <store>/delta until compaction)
+    val st = spark.read.parquet(store + "/delta")
     assert(st.schema.map(f => (f.name, f.dataType.typeName)) ===
       Seq(("seg_key", "binary")))
-    assert(st.distinct().count() === 5,
+    val full = graft.streaming.StreamingScrub.readStore(spark, store)
+    assert(full.distinct().count() === 5,
       "one digest per distinct kept segment: abc, def, xyz, pqr, p")
   }
 
@@ -1115,7 +1200,7 @@ class StreamingSpec extends SparkSpec {
     val q1 = start()
     try q1.processAllAvailable() finally q1.stop() // simulated crash
     java.nio.file.Files.writeString(java.nio.file.Paths.get(inDir + "/b.csv"),
-      "2,alpha beta gamma delta epsilon zeta theta\n" + // near-dups doc 1
+      "2,alpha beta gamma delta epsilon zeta eta\n" + // verbatim doc 1: collides under ANY MinHash family (the stream now runs the r19 production defaults)
         "3,an entirely fresh subject with nothing shared anywhere here\n")
     val q2 = start()
     try q2.processAllAvailable() finally q2.stop()
