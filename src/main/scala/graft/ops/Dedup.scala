@@ -454,10 +454,22 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3,
-                   scope: CacheScope = CacheScope.global): DataFrame = {
+                   scope: CacheScope = CacheScope.global): DataFrame =
+    simhashPairsFrom(simhash(df, idCol, textCol), maxHamming, scope)
+
+  /** [[simhashPairs]] from an ALREADY-COMPUTED signature table
+    * (doc_id, simhash_lo, simhash_hi) — the gold-lifecycle entry point
+    * (r19): the signature pass is the expensive stage (one token-explode
+    * groupBy over the corpus) and it feeds both the signature report and
+    * the pair derivation, so production maintains it once and every
+    * consumer reads it. Bit-identical to [[simhashPairs]] given the same
+    * signatures (the band split and hamming check start from the stored
+    * longs either way).
+    */
+  def simhashPairsFrom(sig0: DataFrame, maxHamming: Int = 3,
+                       scope: CacheScope = CacheScope.global): DataFrame = {
     require(maxHamming <= 3, "4 bands of 16 bits guarantee recall only to hamming 3")
-    val sig = scope.persisted(simhash(df, idCol, textCol)
-      .repartition(col("doc_id")))
+    val sig = scope.persisted(sig0.repartition(col("doc_id")))
     val bands = (0 until 4).map { b =>
       val half = if (b < 2) col("simhash_lo") else col("simhash_hi")
       val key = shiftright(half, (b % 2) * 16).mod(65536L)

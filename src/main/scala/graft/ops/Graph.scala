@@ -95,8 +95,14 @@ object Graph {
           col(wCol).cast("long").as("w"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst"),
           col(wCol).cast("long").as("w")))
-        .groupBy("src", "dst").agg(sum("w").as("w"))
-        .repartition(col("src")))
+        // same one-exchange discipline as [[symmetrize]] (r19, guide §2.4):
+        // partition by src, then the (src, dst) weight-sum aggregate runs
+        // exchange-free on the already-satisfying distribution and keeps
+        // the src partitioning the iteration joins align on — the former
+        // aggregate-then-repartition shape paid a second full shuffle of
+        // the weighted edge list for the same rows
+        .repartition(col("src"))
+        .groupBy("src", "dst").agg(sum("w").as("w")))
     val wout = und.groupBy("src").agg(sum("w").as("wout"))
       .select(col("src").as("id"), col("wout"))
     val nDf = wout.agg(count(lit(1)).as("__n"))
@@ -490,8 +496,17 @@ object Graph {
     scope.persisted(
       edges.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(edges.select(col(bCol).as("src"), col(aCol).as("dst")))
-        .distinct()
-        .repartition(col("src")))
+        // ONE exchange, not two (r19, guide §2.4): hash by src first, then
+        // dedup — HashPartitioning(src) satisfies the (src, dst) aggregate's
+        // ClusteredDistribution (src ⊆ keys: equal (src, dst) rows are
+        // already co-located), so the dropDuplicates runs exchange-free and
+        // its output KEEPS the src partitioning every iteration's
+        // frontier→edges join aligns on. The former distinct-then-
+        // repartition shape shuffled the edge list twice for the same
+        // result; callers now feed the maintained distinct edge gold, so
+        // the shuffled rows are exactly 2|E| either way.
+        .repartition(col("src"))
+        .dropDuplicates("src", "dst"))
 
   private def bfs(und: DataFrame, seeds: DataFrame, maxHops: Int,
                   scope: CacheScope): DataFrame = {

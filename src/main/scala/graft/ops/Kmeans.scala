@@ -110,10 +110,22 @@ object Kmeans {
 
   /** Final assignment under trained centroids: (vec_id, list_id). */
   def assign(emb: DataFrame, idCol: String, vecCol: String, k: Int,
-             iterations: Int): DataFrame = {
+             iterations: Int): DataFrame =
+    assignWith(emb, idCol, vecCol, train(emb, idCol, vecCol, k, iterations))
+
+  /** [[assign]] under an ALREADY-TRAINED centroid table
+    * (list_id, pos, c_micro) — the gold-lifecycle entry point (r19): the
+    * trainer runs once offline and every assignment pass reads its output
+    * instead of re-running the iteration (and its per-step driver
+    * collects). One argmin pass, bit-identical to [[assign]] given the
+    * same centroids: the collected longs are exact and the broadcast
+    * relation is built the same way.
+    */
+  def assignWith(emb: DataFrame, idCol: String, vecCol: String,
+                 centroids: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     val e = emb.select(col(idCol).as("vec_id"), microVec(col(vecCol)).as("x"))
-    val trained = train(emb, idCol, vecCol, k, iterations)
+    val trained = centroids.select("list_id", "pos", "c_micro")
       .collect().groupBy(_.getInt(0))
       .map { case (lid, rs) =>
         val cv = new Array[Double](rs.length)
