@@ -389,35 +389,24 @@ object SparkEntry {
         Pq.codebookFromFirst(emb, "vec_id", "embedding", PqM, PqKsub))
     }
 
-  /** Exact n-gram candidate pairs — gold (r19 optimization). The guarded
-    * hashed-shingle machinery (shingle → hot-shingle guard → doc lists →
-    * intersection counts) is byte-identical for the Jaccard and the
-    * containment query: both consume the threshold-0 candidate frame and
-    * differ only in the closing filter (`jaccard >= 0.5` vs
-    * `greatest(cont) >= 0.8` — both derived from the stored exact
-    * (inter, na, nb) longs). Re-running the shingle join per query is
-    * exactly what the reference's refresh-once gold lifecycle exists to
-    * avoid (the [[minhashPairsGold]] rationale, verbatim); at 100 TB the
-    * candidate-pair table is the maintained artifact a dedup service
-    * serves every downstream filter from. Parquet roundtrips the longs
-    * and the jaccard double bit-exactly, so both queries' rows are
-    * unchanged (oracle-verified this round).
+  /** Exact n-gram candidate pairs — SQL-catalog view + retry-walk plan
+    * source ONLY since r20: the r19 conversion that had dedup_ngram /
+    * containment_pairs read this table moved their declared shingle work
+    * into the untimed warm-up (r19 verdict #2 — precompute, not
+    * optimization), so both queries compute inline again and this build
+    * is never force-built by [[warmGold]]. It remains lazily available to
+    * SQL-catalog users as the maintained candidate-pair artifact.
     */
   private def ngramPairsGold(spark: SparkSession, dir: String): DataFrame =
     GoldCache.table(spark, "ngram_pairs", dir)(
       Dedup.ngramJaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
         n = 3, threshold = 0.0, maxDocsPerShingle = 50))
 
-  /** Distinct undirected edge set of the pair network — gold (r19
-    * optimization). Eight declared graph queries (pair_pagerank,
-    * seed_distance, pair_components, weighted-variant aside, k_core,
-    * triangle_counts, shadow_pairs, seed_pagerank) each re-derived
-    * `pairsGold.select(uid_a, uid_b).distinct()` per invocation — one full
-    * pair-history scan plus a distinct exchange apiece for the same
-    * maintained artifact (the association graph's edge list, which
-    * refreshes exactly when the pair table does). Build once, read many;
-    * every consumer's internal symmetrize dedupes again, so feeding the
-    * distinct set is result-identical by construction.
+  /** Distinct undirected edge set of the pair network — SQL-catalog view
+    * + retry-walk plan source ONLY since r20 (same accounting revert as
+    * [[ngramPairsGold]]): the graph queries derive their edge list from
+    * [[pairsGold]] inline again, so each timed number includes the
+    * distinct the query declares.
     */
   private def pairEdgesGold(spark: SparkSession, dir: String): DataFrame = {
     // resolve the pair stage before entering the build (the nested-
@@ -427,49 +416,36 @@ object SparkEntry {
       pairs.select("uid_a", "uid_b").distinct())
   }
 
-  /** BPE merge table — gold (r19 optimization): the tokenizer is trained
-    * ONCE (production `trainLocal` path, property-tested equal to the
-    * distributed trainer in BpeSpec) and every application reads the
-    * merge table — no serving stack re-trains a tokenizer per encode job.
-    * Feeds bpe_encode and bpe_roundtrip (the bpe_merges query itself
-    * keeps the DISTRIBUTED trainer: the per-step oracle-checked iteration
-    * is that query's declared computation). Strings roundtrip parquet
-    * exactly; both consumers' rows are unchanged.
+  /** BPE merge table — SQL-catalog view ONLY since r20 (accounting
+    * revert, see [[ngramPairsGold]]): bpe_encode / bpe_roundtrip train
+    * inline again (production `trainLocal`, property-tested equal to the
+    * distributed trainer in BpeSpec).
     */
   private def bpeMergesGold(spark: SparkSession, dir: String): DataFrame =
     GoldCache.table(spark, "bpe_merges", dir)(
       Bpe.trainLocal(Tables.documents(spark, dir), "text", BpeMergeSteps))
 
-  /** Trained k-means centroids — gold (r19 optimization): the IVF coarse
-    * quantizer is trained once offline and every consumer reads the
-    * centroid table (the [[pqCodesGold]] "encode once offline, search
-    * many" lifecycle applied to the trainer). Feeds kmeans_centroids
-    * (reads the table) and kmeans_assign (one argmin pass under the
-    * broadcast centroids — previously re-ran the full training loop,
-    * per-iteration driver collects included, per invocation). Integer
-    * micro-unit centroids (longs) roundtrip parquet exactly.
+  /** Trained k-means centroids — SQL-catalog view ONLY since r20
+    * (accounting revert, see [[ngramPairsGold]]): kmeans_centroids /
+    * kmeans_assign run the trainer inline again so their timed numbers
+    * include the declared training loop.
     */
   private def kmeansCentroidsGold(spark: SparkSession, dir: String): DataFrame =
     GoldCache.table(spark, "kmeans_centroids", dir)(
       Kmeans.train(Tables.embeddings(spark, dir), "vec_id", "embedding",
         IvfCentroids, KmeansIters))
 
-  /** SimHash-64 signature table — gold (r19 optimization): the signature
-    * pass (one token-explode groupBy over the corpus) feeds two declared
-    * queries — dedup_simhash reports it, simhash_pairs derives the
-    * banded near-dup pairs from it — so it is maintained once per corpus
-    * refresh and both consumers read the stored longs (parquet-exact).
+  /** SimHash-64 signature table — SQL-catalog view + retry-walk plan
+    * source ONLY since r20 (accounting revert, see [[ngramPairsGold]]):
+    * dedup_simhash / simhash_pairs run the signature pass inline again.
     */
   private def simhashSigsGold(spark: SparkSession, dir: String): DataFrame =
     GoldCache.table(spark, "simhash_sigs", dir)(
       Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text"))
 
-  /** DSIR per-doc importance weights — gold (r19 optimization): the
-    * hashed-ngram likelihood table feeds two declared queries
-    * (dsir_weights reports it; dsir_select takes the top-k) — the
-    * data-selection artifact a curation run scores once and consumes from
-    * every mixture decision. (doc_id, n_feats, logw-rounded-6dp)
-    * roundtrips parquet exactly.
+  /** DSIR per-doc importance weights — SQL-catalog view + retry-walk
+    * plan source ONLY since r20 (accounting revert, see
+    * [[ngramPairsGold]]): dsir_weights / dsir_select score inline again.
     */
   private def dsirWeightsGold(spark: SparkSession, dir: String): DataFrame =
     GoldCache.table(spark, "dsir_weights", dir)(
@@ -532,16 +508,13 @@ object SparkEntry {
       Future { clustersGold(spark, dir).count() },
       // resolves ring_hourly first, then the ring join (both materialize)
       Future { ringPairsGold(spark, dir).count() },
-      Future { pqCodesGold(spark, dir).count() },
-      // r19 gold stages: the candidate-pair table and the DSIR weights are
-      // independent of the AIS chain; pair_edges resolves the shared pairs
-      // stage first (computeIfAbsent serializes it)
-      Future { ngramPairsGold(spark, dir).count() },
-      Future { pairEdgesGold(spark, dir).count() },
-      Future { bpeMergesGold(spark, dir).count() },
-      Future { kmeansCentroidsGold(spark, dir).count() },
-      Future { simhashSigsGold(spark, dir).count() },
-      Future { dsirWeightsGold(spark, dir).count() })
+      Future { pqCodesGold(spark, dir).count() })
+    // r20 accounting rule (r19 verdict #3): the six r19 gold conversions
+    // are reverted — every declared query computes its declared work inside
+    // its own timed region again. The r19 gold defs below remain ONLY as
+    // lazily-built SQL-catalog views and retry-walk plan sources; they are
+    // deliberately NOT force-built here, so gold_build_sec charges nothing
+    // a declared query no longer reads.
     Await.result(Future.sequence(builds), Duration.Inf); ()
   }
 
@@ -1110,7 +1083,7 @@ object SparkEntry {
     // Bit-stable across engines because every update is bigint +,*,div.
     "pair_pagerank" -> ((s, d) =>
       Graph.pageRankMicro(
-          pairEdgesGold(s, d),
+          pairsGold(s, d).select("uid_a", "uid_b").distinct(),
           "uid_a", "uid_b", iterations = 3)
         .select(col("id").as("user_id"), col("deg"), col("rank_micro"))
         .orderBy("user_id")),
@@ -1122,7 +1095,7 @@ object SparkEntry {
     // per hop (Graph.seedDistance).
     "seed_distance" -> ((s, d) =>
       Graph.seedDistanceFromHubs(
-          pairEdgesGold(s, d),
+          pairsGold(s, d).select("uid_a", "uid_b").distinct(),
           "uid_a", "uid_b", k = 2, maxHops = 3)
         .select(col("id").as("user_id"), col("hops"))
         .orderBy("user_id")),
@@ -1145,7 +1118,7 @@ object SparkEntry {
     // (Dedup.dupClusters).
     "pair_components" -> ((s, d) => {
       val labels = Dedup.dupClusters(
-        pairEdgesGold(s, d),
+        pairsGold(s, d).select("uid_a", "uid_b").distinct(),
         "uid_a", "uid_b", maxRounds = 30)
       labels
         .join(labels.groupBy("cluster").agg(count(lit(1)).as("comp_size")),
@@ -1174,7 +1147,7 @@ object SparkEntry {
     // (Graph.kCore).
     "k_core" -> ((s, d) =>
       Graph.kCore(
-          pairEdgesGold(s, d),
+          pairsGold(s, d).select("uid_a", "uid_b").distinct(),
           "uid_a", "uid_b", k = 2)
         .select(col("id").as("user_id"), col("deg_core"))
         .orderBy("user_id")),
@@ -1185,7 +1158,7 @@ object SparkEntry {
     // (Graph.triangleCounts).
     "triangle_counts" -> ((s, d) =>
       Graph.triangleCounts(
-          pairEdgesGold(s, d),
+          pairsGold(s, d).select("uid_a", "uid_b").distinct(),
           "uid_a", "uid_b")
         .select(col("id").as("user_id"), col("triangles"))
         .orderBy("user_id")),
@@ -1197,7 +1170,7 @@ object SparkEntry {
     // (Graph.commonNeighborPairs).
     "shadow_pairs" -> ((s, d) =>
       Graph.commonNeighborPairs(
-          pairEdgesGold(s, d),
+          pairsGold(s, d).select("uid_a", "uid_b").distinct(),
           "uid_a", "uid_b", minCommon = 2, maxNeighbors = 1000)
         .select(col("v").as("uid_a"), col("w").as("uid_b"),
           col("common"), col("jaccard"), col("clipped"))
@@ -1209,7 +1182,7 @@ object SparkEntry {
     // bit-identical to the oracle's unrolled chain.
     "seed_pagerank" -> ((s, d) =>
       Graph.personalizedPageRankFromHubs(
-          pairEdgesGold(s, d),
+          pairsGold(s, d).select("uid_a", "uid_b").distinct(),
           "uid_a", "uid_b", k = 2, iterations = 3)
         .select(col("id").as("user_id"), col("deg"), col("ppr_micro"))
         .orderBy("user_id")),
@@ -1501,16 +1474,14 @@ object SparkEntry {
     // under the target slice (lang='en') vs the raw corpus — the
     // data-selection signal that upweights target-like text corpus-wide
     "dsir_weights" -> ((s, d) =>
-      // r19: reads the scored-once weight table ([[dsirWeightsGold]])
-      dsirWeightsGold(s, d).orderBy("doc_id")),
+      Selection.dsirWeights(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", DsirBuckets)
+        .orderBy("doc_id")),
 
-    // deterministic DSIR selection: top-k most target-like docs — the
-    // same TakeOrdered(k) over the gold weight table Selection.dsirSelect
-    // ran over its inline weights (identical rounded logw + id tiebreak)
+    // deterministic DSIR selection: top-k most target-like docs
     "dsir_select" -> ((s, d) =>
-      dsirWeightsGold(s, d)
-        .orderBy(col("logw").desc, col("doc_id"))
-        .limit(DsirK)
+      Selection.dsirSelect(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en", DsirBuckets, DsirK)
         .orderBy("doc_id")),
 
     // mixture sampling (data mixing): per-lang keep rate from normalized
@@ -1566,32 +1537,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // n-gram Jaccard near-dup pairs (3-token shingles, keyed join). r19:
-    // reads the maintained candidate-pair gold ([[ngramPairsGold]] —
-    // threshold-0 guarded shingle machinery, built once) and applies the
-    // query's own closing filter; the stored jaccard double is the same
-    // one the inline computation produced (parquet bit-exact roundtrip),
-    // so the filter and the rounded report are row-identical.
+    // n-gram Jaccard near-dup pairs (3-token shingles, keyed join)
     "dedup_ngram" -> ((s, d) =>
-      ngramPairsGold(s, d)
-        .filter(col("jaccard") >= 0.5)
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5, maxDocsPerShingle = 50)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
     // asymmetric containment: the quote detector — a short doc embedded
     // wholesale in a long one scores jaccard ~ 0 but containment 1.0;
-    // either direction clearing 0.8 keeps the pair. r19: derives both
-    // containment ratios from the candidate-pair gold's exact
-    // (inter, na, nb) longs — the identical doubles
-    // Dedup.containmentPairs computed inline (it consumed the same
-    // threshold-0 pair frame; only the closing select/filter differ).
+    // either direction clearing 0.8 keeps the pair (Dedup.containmentPairs,
+    // same guarded shingle machinery and cost as dedup_ngram).
     "containment_pairs" -> ((s, d) =>
-      ngramPairsGold(s, d)
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
-          (col("inter").cast("double") / col("na")).as("cont_a_in_b"),
-          (col("inter").cast("double") / col("nb")).as("cont_b_in_a"))
-        .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= 0.8)
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.8, maxDocsPerShingle = 50)
         .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
           round(col("cont_a_in_b"), 6).as("cont_a_in_b"),
           round(col("cont_b_in_a"), 6).as("cont_b_in_a"))
@@ -1651,17 +1611,14 @@ object SparkEntry {
           "doc_a", "doc_b", "vec_id", "embedding", HybridCosThreshold)
         .orderBy("doc_a", "doc_b")),
 
-    // SimHash-64 signatures (two unsigned 32-bit halves). r19: reads the
-    // maintained signature gold ([[simhashSigsGold]]).
+    // SimHash-64 signatures (two unsigned 32-bit halves)
     "dedup_simhash" -> ((s, d) =>
-      simhashSigsGold(s, d).orderBy("doc_id")),
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
 
     // SimHash hamming-≤3 near-dup pairs: 4×16-bit pigeonhole bands, exact
-    // bit_count(xor) only on band-collision candidates. r19: derives the
-    // bands from the same signature gold instead of re-running the
-    // corpus signature pass per invocation (Dedup.simhashPairsFrom).
+    // bit_count(xor) only on band-collision candidates
     "simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairsFrom(simhashSigsGold(s, d), maxHamming = 3)
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxHamming = 3)
         .orderBy("doc_a", "doc_b")),
 
     // near-dup cluster resolution: connected components over the minhash
@@ -1902,18 +1859,15 @@ object SparkEntry {
     // end, so an iterative float algorithm still hash-matches a cross-engine
     // oracle; per iteration ONE map-side-combined shuffle (argmin folds k
     // candidates in the scan, component sums fold to k·d rows)
-    // r19: the trainer output is a maintained gold artifact
-    // ([[kmeansCentroidsGold]] — train once, consume many); the query
-    // reads it, like pq_encode reads pq_codes.
     "kmeans_centroids" -> ((s, d) =>
-      kmeansCentroidsGold(s, d).orderBy("list_id", "pos")),
+      Kmeans.train(Tables.embeddings(s, d), "vec_id", "embedding",
+          IvfCentroids, KmeansIters)
+        .orderBy("list_id", "pos")),
 
-    // final hard assignment under the trained centroids (the IVF build
-    // input). r19: one argmin pass under the gold centroid table instead
-    // of re-running the training loop per invocation (Kmeans.assignWith).
+    // final hard assignment under the trained centroids (the IVF build input)
     "kmeans_assign" -> ((s, d) =>
-      Kmeans.assignWith(Tables.embeddings(s, d), "vec_id", "embedding",
-          kmeansCentroidsGold(s, d))
+      Kmeans.assign(Tables.embeddings(s, d), "vec_id", "embedding",
+          IvfCentroids, KmeansIters)
         .orderBy("vec_id")),
 
     // §training-pipeline: BPE tokenizer training, step 0 — frequency-
@@ -1939,8 +1893,7 @@ object SparkEntry {
     // filter; ids are base-vocab-sorted then merge-rank (GPT-2 scheme)
     "bpe_encode" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // r19: the merge table is the trained-once artifact ([[bpeMergesGold]])
-      val merges = bpeMergesGold(s, d)
+      val merges = Bpe.trainLocal(docs, "text", BpeMergeSteps)
         .orderBy("step").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.encodeTokens(docs.filter(col("doc_id") < BpeEncodeDocs),
@@ -1960,8 +1913,7 @@ object SparkEntry {
     // depends on, and a guard no per-merge unit test gives
     "bpe_roundtrip" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      // r19: same trained-once merge artifact as bpe_encode
-      val merges = bpeMergesGold(s, d)
+      val merges = Bpe.trainLocal(docs, "text", BpeMergeSteps)
         .orderBy("step").collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
       Bpe.decodeTokens(
